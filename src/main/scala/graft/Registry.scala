@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared operator-query: the Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
+  * Column names/aliases MUST be identical on both sides — the driver sorts
+  * columns by name before hashing values.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object Registry {
+  /** All query groups, assembled by SparkEntry. */
+  def all: Seq[QueryDef] =
+    analytics.CoreQueries.defs ++
+      analytics.EventQueries.defs ++
+      ingest.IngestQueries.defs ++
+      ext.DedupQueries.defs ++
+      ext.SimilarityQueries.defs ++
+      ext.TextQueries.defs ++
+      ext.MultimodalQueries.defs
+}

@@ -1,0 +1,410 @@
+package graft.analytics
+
+import graft.{Ops, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operator queries over the TPC-H-ish test tables.
+  *
+  * Coverage (SURVEY.md §2 IDs): P3-P7/P10-P12 projection + scalar suites,
+  * J1-J6 joins, A1-A3/A5-A8 aggregates, W1/W2/W4 windows, O1-O5
+  * sort/limit/set ops. Each query has a DuckDB oracle; all floating
+  * aggregates go through exact DECIMAL (see [[graft.Ops]]) so both engines
+  * produce bit-identical doubles.
+  */
+object CoreQueries {
+  import Ops._
+
+  /** SQL fragment mirroring [[Ops.money]]. */
+  private def m(col: String) = s"CAST($col AS DECIMAL(18,2))"
+  private def sumM(col: String) = s"CAST(SUM(${m(col)}) AS DOUBLE)"
+
+  // --- A1/A2: grouped hash aggregate (TPC-H Q1 style pricing summary) ----
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val disc = (lit(1.0) - $"l_discount").cast(DecimalType(3, 2))
+    val tax = (lit(1.0) + $"l_tax").cast(DecimalType(3, 2))
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-01").cast(TimestampType))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(money($"l_quantity")).cast(DoubleType).as("sum_qty"),
+        sumMoney($"l_extendedprice").as("sum_base_price"),
+        sum(money($"l_extendedprice") * disc).cast(DoubleType).as("sum_disc_price"),
+        sum((money($"l_extendedprice") * disc).cast(DecimalType(24, 4)) * tax)
+          .cast(DoubleType).as("sum_charge"),
+        avgMoney($"l_quantity").as("avg_qty"),
+        avgMoney($"l_extendedprice").as("avg_price"),
+        avgMoney($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(${m("l_quantity")}) AS DOUBLE) AS sum_qty,
+       |  ${sumM("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(CAST(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2)) AS DECIMAL(24,4)) * CAST(1.0 + l_tax AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge,
+       |  CAST(SUM(${m("l_quantity")}) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       |  CAST(SUM(${m("l_extendedprice")}) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       |  CAST(SUM(${m("l_discount")}) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- P3/P5/P7/P11/P12: projection + filter + string/math scalars -------
+  def projFilterScalar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_quantity" > 45 && $"l_discount" >= 0.05 &&
+        $"l_shipdate" >= lit("1997-01-01").cast(TimestampType))
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        (money($"l_extendedprice") * (lit(1.0) - $"l_discount").cast(DecimalType(3, 2)))
+          .cast(DoubleType).as("revenue"),
+        year($"l_shipdate").cast(LongType).as("ship_year"),
+        lower(concat($"l_returnflag", lit("/"), $"l_linestatus")).as("flag_status"),
+        substring($"l_returnflag", 1, 1).as("rf1"),
+        floor($"l_quantity" / 10).cast(LongType).as("qty_bucket"),
+        abs($"l_discount" - 0.06).cast(DoubleType).as("disc_dev"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val projFilterScalarSql: String =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CAST(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2)) AS DOUBLE) AS revenue,
+       |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+       |  lower(l_returnflag || '/' || l_linestatus) AS flag_status,
+       |  substring(l_returnflag, 1, 1) AS rf1,
+       |  CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bucket,
+       |  ABS(l_discount - 0.06) AS disc_dev
+       |FROM lineitem
+       |WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_shipdate >= TIMESTAMP '1997-01-01'
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // --- P10: static-dim map lookup (reference: 7-line abbrev→name dict) ---
+  private val segCodes = Seq(
+    "AUTOMOBILE" -> "AUTO", "BUILDING" -> "BLDG", "FURNITURE" -> "FURN",
+    "HOUSEHOLD" -> "HHLD", "MACHINERY" -> "MACH")
+
+  def mapLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val segMap = map(segCodes.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    Tables.customer(s, dir)
+      .select(element_at(segMap, $"c_mktsegment").as("seg_code"), $"c_acctbal")
+      .groupBy($"seg_code")
+      .agg(count(lit(1)).as("n_customers"), sumMoney($"c_acctbal").as("total_acctbal"))
+      .orderBy($"seg_code")
+  }
+
+  val mapLookupSql: String = {
+    val cases = segCodes.map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
+    s"""SELECT CASE c_mktsegment $cases END AS seg_code,
+       |  COUNT(*) AS n_customers, ${sumM("c_acctbal")} AS total_acctbal
+       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // --- J1: broadcast hash join over small dims ---------------------------
+  def joinBroadcastDim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_suppliers"), sumMoney($"s_acctbal").as("total_acctbal"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val joinBroadcastDimSql: String =
+    s"""SELECT r_name, n_name, COUNT(*) AS n_suppliers, ${sumM("s_acctbal")} AS total_acctbal
+       |FROM supplier
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // --- J2 + A3: fact-fact shuffle join + count distinct ------------------
+  def joinShuffleFact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val disc = (lit(1.0) - $"l_discount").cast(DecimalType(3, 2))
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        countDistinct($"o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sum(money($"l_extendedprice") * disc).cast(DoubleType).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val joinShuffleFactSql: String =
+    s"""SELECT o_orderpriority,
+       |  COUNT(DISTINCT o_orderkey) AS n_orders,
+       |  COUNT(*) AS n_lines,
+       |  CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --- J3: left outer join (customers keep zero-order rows) --------------
+  def joinLeftOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(sum(money($"o_totalprice")).cast(DoubleType), lit(0.0)).as("total_spent"))
+      .orderBy($"c_custkey")
+  }
+
+  val joinLeftOuterSql: String =
+    s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       |  COALESCE(${sumM("o_totalprice")}, 0.0) AS total_spent
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  // --- J4: left semi join (EXISTS) ---------------------------------------
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).filter($"o_totalprice" > 400000),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- J4: left anti join (NOT EXISTS) -----------------------------------
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter($"o_totalprice" > 300000),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- A5: rollup with multi-level aggregates ----------------------------
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"), sumMoney($"c_acctbal").as("total_acctbal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val aggRollupSql: String =
+    s"""SELECT r_name, n_name, COUNT(*) AS n_customers, ${sumM("c_acctbal")} AS total_acctbal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // --- A6: distribution stats (exact percentile, stddev, corr) -----------
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9D)"), 4).as("p90"),
+        round(stddev_samp($"value"), 4).as("sd"),
+        round(corr($"value", $"user_id".cast(DoubleType)), 4).as("corr_vu"),
+        min($"value").as("min_v"),
+        max($"value").as("max_v"))
+      .orderBy($"event_type")
+  }
+
+  val aggStatsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+      |  ROUND(stddev_samp(value), 4) AS sd,
+      |  ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+      |  MIN(value) AS min_v, MAX(value) AS max_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- A7: collect_set → sorted join (per-group sequence reconstruction) -
+  def aggCollect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        array_join(array_sort(collect_set($"event_type")), ",").as("types_seen"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  val aggCollectSql: String =
+    """SELECT user_id,
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- A8: first/last per group via max_by/min_by ((user_id,ts) unique) --
+  def aggFirstLast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        max_by($"event_type", $"ts").as("last_type"),
+        min_by($"event_type", $"ts").as("first_type"),
+        max_by($"value", $"ts").as("last_value"),
+        epochUs(max($"ts")).as("last_ts_us"))
+      .orderBy($"user_id")
+  }
+
+  val aggFirstLastSql: String =
+    """SELECT user_id,
+      |  max_by(event_type, ts) AS last_type,
+      |  min_by(event_type, ts) AS first_type,
+      |  max_by(value, ts) AS last_value,
+      |  epoch_us(MAX(ts)) AS last_ts_us
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- W4 + O2: top-k per group ------------------------------------------
+  def windowTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= 3)
+      .select($"o_orderpriority", $"rnk", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"rnk")
+  }
+
+  val windowTopKSql: String =
+    """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders) WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
+  // --- O1/O2: global sort + limit (TakeOrderedAndProject) ----------------
+  def sortTopKGlobal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        dayStr($"o_orderdate").as("order_date"))
+  }
+
+  val sortTopKGlobalSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  // --- O3/O4: union all + distinct ---------------------------------------
+  def unionDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter($"l_returnflag" === "R").select($"l_orderkey", $"l_partkey")
+    val b = li.filter($"l_linestatus" === "F").select($"l_orderkey", $"l_partkey")
+    a.unionByName(b).distinct()
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val unionDistinctSql: String =
+    """SELECT COUNT(*) AS n_pairs FROM (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM (
+      |    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      |    UNION ALL
+      |    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linestatus = 'F'))""".stripMargin
+
+  // --- O5: intersect / except --------------------------------------------
+  def setOpsIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val low = o.filter($"o_orderpriority" === "5-LOW").select($"o_custkey")
+    urgent.intersect(low).orderBy($"o_custkey")
+  }
+
+  val setOpsIntersectSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      |ORDER BY o_custkey""".stripMargin
+
+  def setOpsExcept(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val low = o.filter($"o_orderpriority" === "5-LOW").select($"o_custkey")
+    urgent.except(low).orderBy($"o_custkey")
+  }
+
+  val setOpsExceptSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      |ORDER BY o_custkey""".stripMargin
+
+  // --- A4: approximate distinct (HLL++) — rows-only check (no oracle) ----
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_agg_pricing_summary", pricingSummary, Some(pricingSummarySql),
+      "A1/A2 grouped hash aggregate, TPC-H Q1 shape"),
+    QueryDef("q_proj_filter_scalar", projFilterScalar, Some(projFilterScalarSql),
+      "P3/P5/P7/P11/P12 projection, filter, string+math scalars"),
+    QueryDef("q_map_lookup", mapLookup, Some(mapLookupSql),
+      "P10 static dim map lookup (reference line-name dict)"),
+    QueryDef("q_join_broadcast_dim", joinBroadcastDim, Some(joinBroadcastDimSql),
+      "J1 broadcast hash join over small dims"),
+    QueryDef("q_join_shuffle_fact", joinShuffleFact, Some(joinShuffleFactSql),
+      "J2 shuffle join + A3 count distinct"),
+    QueryDef("q_join_left_outer", joinLeftOuter, Some(joinLeftOuterSql),
+      "J3 left outer join"),
+    QueryDef("q_join_semi", joinSemi, Some(joinSemiSql), "J4 left semi join"),
+    QueryDef("q_join_anti", joinAnti, Some(joinAntiSql), "J4 left anti join"),
+    QueryDef("q_agg_rollup", aggRollup, Some(aggRollupSql), "A5 rollup"),
+    QueryDef("q_agg_stats", aggStats, Some(aggStatsSql),
+      "A6 exact percentile / stddev / corr"),
+    QueryDef("q_agg_collect", aggCollect, Some(aggCollectSql),
+      "A7 collect_set + sorted join"),
+    QueryDef("q_agg_first_last", aggFirstLast, Some(aggFirstLastSql),
+      "A8 max_by/min_by latest-per-key"),
+    QueryDef("q_window_topk", windowTopK, Some(windowTopKSql),
+      "W4 top-k per group"),
+    QueryDef("q_sort_topk_global", sortTopKGlobal, Some(sortTopKGlobalSql),
+      "O1/O2 global sort + limit"),
+    QueryDef("q_union_distinct", unionDistinct, Some(unionDistinctSql),
+      "O3/O4 union all + distinct"),
+    QueryDef("q_setops_intersect", setOpsIntersect, Some(setOpsIntersectSql),
+      "O5 intersect"),
+    QueryDef("q_setops_except", setOpsExcept, Some(setOpsExceptSql),
+      "O5 except"),
+    QueryDef("q_agg_approx_distinct", aggApproxDistinct, None,
+      "A4 approx_count_distinct (HLL++) — not oracle-comparable"))
+}

@@ -1,0 +1,331 @@
+package graft.analytics
+
+import graft.{Ops, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-series / window / temporal-join queries over the `events` table.
+  *
+  * These realize the reference's intended access patterns: the keyed
+  * time-series "latest state per train" design (DynamoDB hash=TrainId
+  * range=UpdatedTimestamp, reference main.tf:25-43) and trend analysis over
+  * per-minute observations (reference README.md:2). Coverage: W1-W3 windows,
+  * J5 as-of join, J6 range join, P5 datetime scalars, P8/P9 JSON scalars,
+  * T3/T4 tumbling + sliding windows as batch aggregations.
+  */
+object EventQueries {
+  import Ops._
+
+  // --- W1: latest state per key (row_number dedup) -----------------------
+  def latestState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", epochUs($"ts").as("ts_us"), $"event_type", $"value", $"event_id")
+      .orderBy($"user_id")
+  }
+
+  val latestStateSql: String =
+    """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, event_id FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // --- W2: lag — inter-event gaps per key --------------------------------
+  def lagGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(epochUs($"ts"), 1).over(w))
+      .withColumn("gap_us", epochUs($"ts") - $"prev_us")
+      .groupBy($"user_id")
+      .agg(
+        count($"gap_us").as("n_gaps"),
+        sum($"gap_us").as("total_gap_us"),
+        max($"gap_us").as("max_gap_us"),
+        min($"gap_us").as("min_gap_us"))
+      .orderBy($"user_id")
+  }
+
+  val lagGapsSql: String =
+    """SELECT user_id, COUNT(gap_us) AS n_gaps, SUM(gap_us) AS total_gap_us,
+      |  MAX(gap_us) AS max_gap_us, MIN(gap_us) AS min_gap_us FROM (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+      |  FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- W3: frame-spec rolling aggregate (last 10 rows per key) -----------
+  def rollingFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(-9, 0)
+    Tables.events(s, dir)
+      .withColumn("roll_sum", sum(money($"value")).over(w).cast(DoubleType))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .groupBy($"user_id")
+      .agg(
+        max($"roll_sum").as("max_roll_sum"),
+        min($"roll_sum").as("min_roll_sum"),
+        max($"roll_n").as("max_roll_n"))
+      .orderBy($"user_id")
+  }
+
+  val rollingFrameSql: String =
+    """SELECT user_id, MAX(roll_sum) AS max_roll_sum, MIN(roll_sum) AS min_roll_sum,
+      |  MAX(roll_n) AS max_roll_n FROM (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+      |    COUNT(*) OVER w AS roll_n
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- J5: as-of join — per-user end-of-day state, forward-filled --------
+  // The DynamoDB latest-state pattern generalized to "state as of each day".
+  // Spark-first rewrite: per-(key,day) last value, then a dense key×day grid
+  // forward-filled with last(ignoreNulls) — no per-checkpoint scan, a single
+  // shuffle on the key. Scales: grid is |keys|×|days|, not |events|.
+  def asOfDailyState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    val users = e.select($"user_id").distinct()
+    val days = e.select(to_date($"ts").as("day")).distinct()
+    val grid = users.crossJoin(broadcast(days))
+    val wDay = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val dayLast = e
+      .select($"user_id", to_date($"ts").as("day"), $"ts", $"event_id", $"value")
+      .withColumn("rn", row_number().over(wDay)).filter($"rn" === 1)
+      .select($"user_id", $"day", $"value".as("day_last"))
+    val wFill = Window.partitionBy($"user_id").orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(dayLast, Seq("user_id", "day"), "left")
+      .withColumn("state_value", last($"day_last", ignoreNulls = true).over(wFill))
+      .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"), $"state_value")
+      .orderBy($"user_id", $"day")
+  }
+
+  val asOfDailyStateSql: String =
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |users AS (SELECT DISTINCT user_id FROM events),
+      |grid AS (SELECT user_id, day FROM users CROSS JOIN days),
+      |day_last AS (
+      |  SELECT user_id, day, value AS day_last FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS day, value,
+      |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1)
+      |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+      |  last_value(d.day_last IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_value
+      |FROM grid g LEFT JOIN day_last d ON g.user_id = d.user_id AND g.day = d.day
+      |ORDER BY g.user_id, day""".stripMargin
+
+  // --- J6: range join, bucketized ----------------------------------------
+  // "Events followed by another event of the same user within 10 minutes."
+  // Naive non-equi join degenerates to a per-key cross product; the scale
+  // path buckets time into window-sized cells so the join is equi on
+  // (user_id, bucket) and the range predicate only filters adjacent cells.
+  def rangeJoinFollowers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 600L * 1000 * 1000 // 10 minutes
+    val e = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", epochUs($"ts").as("us"))
+    // Left side probes its own bucket and the next one; right side keeps one.
+    val left = e.withColumn("bucket",
+      explode(array(floor($"us" / windowUs), floor($"us" / windowUs) + 1)))
+    val right = e.select($"user_id".as("r_user"), $"event_id".as("r_id"),
+      floor($"us" / windowUs).as("bucket"), $"us".as("r_us"))
+    left.join(right,
+        $"user_id" === $"r_user" && left("bucket") === right("bucket") &&
+          $"r_us" > $"us" && $"r_us" - $"us" <= windowUs)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct($"event_id").as("n_with_follower"))
+      .orderBy($"event_type")
+  }
+
+  val rangeJoinFollowersSql: String =
+    """SELECT a.event_type, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT a.event_id) AS n_with_follower
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(b.ts) > epoch_us(a.ts)
+      | AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+      |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin
+
+  // --- P5: datetime scalar suite -----------------------------------------
+  def datetimeScalars(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(to_date($"ts").as("day_d"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(hour($"ts")).cast(LongType).as("min_hr"),
+        max(hour($"ts")).cast(LongType).as("max_hr"),
+        countDistinct(date_trunc("hour", $"ts")).as("active_hours"))
+      .select(
+        date_format($"day_d", "yyyy-MM-dd").as("day"),
+        date_format(date_add($"day_d", 1), "yyyy-MM-dd").as("next_day"),
+        dayofweek($"day_d").cast(LongType).as("dow"),
+        $"n_events", $"min_hr", $"max_hr", $"active_hours")
+      .orderBy($"day")
+  }
+
+  val datetimeScalarsSql: String =
+    """SELECT strftime(day_d, '%Y-%m-%d') AS day,
+      |  strftime(day_d + 1, '%Y-%m-%d') AS next_day,
+      |  CAST(dayofweek(day_d) + 1 AS BIGINT) AS dow,
+      |  n_events, min_hr, max_hr, active_hours
+      |FROM (
+      |  SELECT CAST(ts AS DATE) AS day_d, COUNT(*) AS n_events,
+      |    CAST(MIN(EXTRACT(hour FROM ts)) AS BIGINT) AS min_hr,
+      |    CAST(MAX(EXTRACT(hour FROM ts)) AS BIGINT) AS max_hr,
+      |    COUNT(DISTINCT date_trunc('hour', ts)) AS active_hours
+      |  FROM events GROUP BY 1)
+      |ORDER BY day""".stripMargin
+
+  // --- P9: JSON parse scalar (events.props is a JSON string) -------------
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast(LongType).as("k"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"),
+        count($"k").as("n_k"))
+      .orderBy($"event_type")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+      |  COUNT(k) AS n_k FROM (
+      |  SELECT event_type,
+      |    CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+      |  FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- P8: JSON serialize scalar -----------------------------------------
+  def jsonSerialize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"event_id" < 100)
+      .select($"event_id",
+        to_json(struct($"user_id", $"event_type")).as("js"))
+      .orderBy($"event_id")
+  }
+
+  val jsonSerializeSql: String =
+    """SELECT event_id,
+      |  '{"user_id":' || user_id || ',"event_type":"' || event_type || '"}' AS js
+      |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin
+
+  // --- T3: tumbling daily window as batch agg ----------------------------
+  def tumblingDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sumMoney($"value").as("total_value"))
+      .select(epochUs($"w.start").as("w_start_us"), $"event_type", $"n", $"total_value")
+      .orderBy($"w_start_us", $"event_type")
+  }
+
+  val tumblingDailySql: String =
+    s"""SELECT epoch_us(date_trunc('day', ts)) AS w_start_us, event_type,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin
+
+  // --- T4: sliding window (1 hour, slide 15 min) as batch agg ------------
+  // Spark's window() assigns each event to length/slide overlapping windows;
+  // the oracle reproduces that with an explicit generate_series unnest.
+  def slidingHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sumMoney($"value").as("total_value"))
+      .select(epochUs($"w.start").as("w_start_us"), $"n", $"total_value")
+      .orderBy($"w_start_us")
+  }
+
+  val slidingHourlySql: String =
+    """SELECT w_start_us, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM (
+      |  SELECT epoch_us(date_trunc('minute', ts))
+      |      - (epoch_us(date_trunc('minute', ts)) % 900000000)
+      |      - (s.g * 900000000) AS w_start_us,
+      |    value
+      |  FROM events, (SELECT unnest(generate_series(0, 3)) AS g) s
+      |  WHERE epoch_us(ts) - (epoch_us(date_trunc('minute', ts))
+      |      - (epoch_us(date_trunc('minute', ts)) % 900000000)
+      |      - (s.g * 900000000)) < 3600000000)
+      |GROUP BY w_start_us ORDER BY w_start_us""".stripMargin
+
+  // --- T4b: session windows (gap-based) as batch agg ---------------------
+  // session_window(ts, gap): events of one key closer than `gap` merge into
+  // one session. Oracle = classic islands: new session when gap exceeded,
+  // session id = running sum of boundaries.
+  def sessionWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sumMoney($"value").as("total_value"))
+      .select($"user_id", epochUs($"w.start").as("session_start_us"),
+        $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
+  val sessionWindowsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts) >= 1800000000
+      |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_window_latest_state", latestState, Some(latestStateSql),
+      "W1 latest state per key (DynamoDB access pattern)"),
+    QueryDef("q_window_lag_gaps", lagGaps, Some(lagGapsSql),
+      "W2 lag inter-event gaps"),
+    QueryDef("q_window_rolling", rollingFrame, Some(rollingFrameSql),
+      "W3 rows-frame rolling aggregate"),
+    QueryDef("q_join_asof_state", asOfDailyState, Some(asOfDailyStateSql),
+      "J5 as-of join via grid + forward fill"),
+    QueryDef("q_join_range_followers", rangeJoinFollowers, Some(rangeJoinFollowersSql),
+      "J6 range join, bucketized for scale"),
+    QueryDef("q_scalar_datetime", datetimeScalars, Some(datetimeScalarsSql),
+      "P5 datetime scalar suite"),
+    QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql),
+      "P9 JSON parse scalar"),
+    QueryDef("q_json_serialize", jsonSerialize, Some(jsonSerializeSql),
+      "P8 JSON serialize scalar"),
+    QueryDef("q_tumbling_daily", tumblingDaily, Some(tumblingDailySql),
+      "T3 tumbling daily window (batch form)"),
+    QueryDef("q_sliding_hourly", slidingHourly, Some(slidingHourlySql),
+      "T4 sliding window (batch form)"),
+    QueryDef("q_session_windows", sessionWindows, Some(sessionWindowsSql),
+      "T4 session windows (batch form)"))
+}

@@ -1,0 +1,246 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Large-scale training-data deduplication operators (SURVEY.md §2.9 X1/X2)
+  * over the `documents` table: exact (content hash), MinHash+LSH banding,
+  * SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design: every stage is a hash-partition-friendly groupBy/join on a
+  * derived key (content hash / band value / shingle), never an all-pairs
+  * cross product. LSH buckets are capped (mega-bucket skip) so one popular
+  * band value cannot quadratically blow up the candidate join — the standard
+  * guard when this runs over billions of documents.
+  *
+  * Cross-engine determinism: md5/sha256 agree between Spark and DuckDB, and
+  * all scores are small-integer ratios, so the oracle hash-match is exact.
+  */
+object DedupQueries {
+
+  /** Word-3-gram shingles of `text` (single-space tokenized); docs shorter
+    * than 3 tokens contribute one whole-text shingle. */
+  private def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 3,
+      expr("transform(sequence(0, size(split(text, ' ')) - 3), " +
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))"))
+      .otherwise(array(text))
+  }
+
+  /** DuckDB mirror of [[shingles]] (1-based list indexing). */
+  // NOTE: keep '||' at end-of-line — a continuation line starting with '||'
+  // would lose a pipe to the enclosing query's stripMargin.
+  private val shinglesSql: String =
+    """CASE WHEN len(string_split(text, ' ')) >= 3
+      |  THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |    i -> string_split(text, ' ')[i] || ' ' ||
+      |      string_split(text, ' ')[i+1] || ' ' ||
+      |      string_split(text, ' ')[i+2])
+      |  ELSE [text] END""".stripMargin
+
+  // --- X1: exact dedup via content hash ----------------------------------
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(sha2($"text", 256)).as("n_unique"),
+        (count(lit(1)) - countDistinct(sha2($"text", 256))).as("n_exact_dupes"))
+      .orderBy($"source")
+  }
+
+  val dedupExactSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT sha256(text)) AS n_unique,
+      |  COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_exact_dupes
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // --- X2: MinHash signatures + LSH banding ------------------------------
+  private val K = 8          // minhash functions
+  private val BUCKET_CAP = 50 // skip mega-buckets (LSH standard practice)
+
+  /** Per-doc K-component minhash signature: min over the shingle set of
+    * md5("i|" + shingle) for each hash index i. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", explode(shingles($"text")).as("sh"))
+      .distinct()
+    sh.groupBy($"doc_id").agg(
+      min(md5(concat(lit("0|"), $"sh"))).as("h0"),
+      (1 until K).map(i => min(md5(concat(lit(s"$i|"), $"sh"))).as(s"h$i")): _*)
+  }
+
+  private val minhashSigsSql: String =
+    s"""shingled AS (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    ${(0 until K).map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(",\n    ")}
+       |  FROM shingled GROUP BY doc_id)""".stripMargin
+
+  /** Candidate near-dup pairs: docs sharing any of the K single-row bands,
+    * scored by signature agreement (est. Jaccard = matches/K), kept when
+    * at least 2 of K components agree. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = minhashSigs(s, dir).cache()
+    val bands = sigs.select($"doc_id", explode(array(
+      (0 until K).map(i => struct(lit(i).as("b"), col(s"h$i").as("v"))): _*)).as("band"))
+      .select($"doc_id", $"band.b".as("b"), $"band.v".as("v"))
+    val okBuckets = bands.groupBy($"b", $"v")
+      .agg(count(lit(1)).as("bn"))
+      .filter($"bn" >= 2 && $"bn" <= BUCKET_CAP)
+      .select($"b", $"v")
+    val inBuckets = bands.join(okBuckets, Seq("b", "v"))
+    val pairs = inBuckets.as("x")
+      .join(inBuckets.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.toDF("sa_id" +: (0 until K).map(i => s"a$i"): _*)
+    val sb = sigs.toDF("sb_id" +: (0 until K).map(i => s"b$i"): _*)
+    val matches = (0 until K)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sa, $"doc_a" === $"sa_id").join(sb, $"doc_b" === $"sb_id")
+      .select($"doc_a", $"doc_b",
+        (matches.cast(DoubleType) / K).as("est_jaccard"))
+      .filter($"est_jaccard" >= 2.0 / K)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $minhashSigsSql,
+       |bands AS (
+       |  ${(0 until K).map(i => s"SELECT doc_id, $i AS b, h$i AS v FROM sigs")
+            .mkString("\n  UNION ALL\n  ")}),
+       |ok_buckets AS (
+       |  SELECT b, v FROM bands GROUP BY b, v
+       |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $BUCKET_CAP),
+       |in_buckets AS (
+       |  SELECT bands.* FROM bands JOIN ok_buckets USING (b, v)),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM in_buckets x JOIN in_buckets y
+       |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(${(0 until K).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+            .mkString(" + ")} AS DOUBLE) / $K AS est_jaccard
+       |FROM pairs
+       |JOIN sigs sa ON doc_a = sa.doc_id
+       |JOIN sigs sb ON doc_b = sb.doc_id
+       |WHERE CAST(${(0 until K).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+            .mkString(" + ")} AS DOUBLE) / $K >= ${2.0 / K}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- X2b: SimHash (16-bit) collision groups ----------------------------
+  private val SIMHASH_BITS = 16
+
+  /** Bit j of a token's hash: parity of the first hex char of
+    * md5("j|" + token) — identical in Spark and DuckDB. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .distinct()
+    val bitSums = (0 until SIMHASH_BITS).map { j =>
+      sum(when(ascii(substring(md5(concat(lit(s"$j|"), $"tok")), 1, 1)) % 2 === 1, 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    val simhash = (0 until SIMHASH_BITS)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", simhash.as("simhash"))
+      .groupBy($"simhash")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .filter($"n_docs" > 1)
+      .orderBy($"simhash")
+  }
+
+  val dedupSimhashSql: String =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |bitsums AS (
+       |  SELECT doc_id,
+       |    ${(0 until SIMHASH_BITS).map(j =>
+              s"SUM(CASE WHEN ascii(substring(md5('$j|' || tok), 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+              .mkString(",\n    ")}
+       |  FROM toks GROUP BY doc_id),
+       |hashes AS (
+       |  SELECT doc_id,
+       |    ${(0 until SIMHASH_BITS).map(j =>
+              s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
+       |  FROM bitsums)
+       |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM hashes GROUP BY simhash HAVING COUNT(*) > 1
+       |ORDER BY simhash""".stripMargin
+
+  // --- X2c: exact n-gram Jaccard for a sampled query set -----------------
+  /** Exact 3-gram Jaccard of ~1% sampled docs vs all same-lang docs, top-5
+    * matches each — the verification tier one runs on LSH candidates. The
+    * shingle-join is equi on (lang, shingle): no cross product. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(shingles($"text")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val qsh = sh.filter($"doc_id" % 97 === 0)
+      .toDF("q_id", "q_lang", "q_sh")
+    val inter = qsh.join(sh,
+        $"q_lang" === $"lang" && $"q_sh" === $"sh" && $"q_id" =!= $"doc_id")
+      .groupBy($"q_id", $"doc_id").agg(count(lit(1)).as("n_inter"))
+    val qsz = sizes.toDF("qs_id", "q_n")
+    val scored = inter
+      .join(qsz, $"q_id" === $"qs_id")
+      .join(sizes.toDF("ds_id", "d_n"), $"doc_id" === $"ds_id")
+      .select($"q_id", $"doc_id",
+        ($"n_inter".cast(DoubleType) / ($"q_n" + $"d_n" - $"n_inter")).as("jaccard"))
+    val w = Window.partitionBy($"q_id").orderBy($"jaccard".desc, $"doc_id".asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= 5)
+      .orderBy($"q_id", $"rnk")
+      .select($"q_id", $"rnk", $"doc_id", $"jaccard")
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, lang, unnest($shinglesSql) AS sh FROM documents),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT q.doc_id AS q_id, d.doc_id AS doc_id, COUNT(*) AS n_inter
+       |  FROM sh q JOIN sh d
+       |    ON q.lang = d.lang AND q.sh = d.sh AND q.doc_id <> d.doc_id
+       |  WHERE q.doc_id % 97 = 0
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT q_id, inter.doc_id,
+       |    CAST(n_inter AS DOUBLE) / (qs.n_sh + ds.n_sh - n_inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes qs ON q_id = qs.doc_id
+       |  JOIN sizes ds ON inter.doc_id = ds.doc_id)
+       |SELECT q_id, rnk, doc_id, jaccard FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY jaccard DESC, doc_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql),
+      "X1 exact dedup via sha256 content hash"),
+    QueryDef("q_dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql),
+      "X2 MinHash signatures + LSH banding, capped buckets"),
+    QueryDef("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql),
+      "X2 SimHash 16-bit collision groups"),
+    QueryDef("q_dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql),
+      "X2 exact n-gram Jaccard verification of sampled docs"))
+}

@@ -1,0 +1,101 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One decoded media record (decode itself is STUBBED — see [[MediaDecode]]). */
+final case class MediaMeta(
+    doc_id: Long, byte_len: Long, magic_hex: String,
+    width: Int, height: Int, n_frames: Int)
+
+/** Multimodal-column plumbing (SURVEY.md §2.9, builder-prompt multimodal
+  * requirement): media as opaque `binary` columns + typed metadata.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
+  * [[MediaDecode.decodeStub]] derives fake-but-deterministic dimensions from
+  * byte length. Everything around it is real Spark plumbing: binary column
+  * handling, batched per-partition decode via mapPartitions on a typed
+  * Dataset (the Scala analogue of mapInPandas batches), stride-based frame
+  * sampling, and metadata extraction with codegen'd built-ins.
+  *
+  * The `documents.text` bytes stand in for media payloads since the test
+  * data has no binary table; at scale the binary column comes straight from
+  * parquet BYTE_ARRAY with the same plan shape.
+  */
+object MediaDecode {
+  /** STUB: a real implementation would parse the container header / invoke a
+    * codec here. Deterministic fake: dimensions derived from byte length. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
+    val n = bytes.length
+    (64 + n % 640, 48 + (n * 7) % 480, 1 + n % 24)
+  }
+
+  /** Batched per-partition decode: one "decoder init" per partition (the
+    * expensive part for real codecs), then record-at-a-time decode — the
+    * shape a vectorized decode batch would take. */
+  def decodePartitioned(media: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder initialization would go here
+      it.map { case (id, bytes) =>
+        val (w, h, f) = decodeStub(bytes)
+        val magic = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
+        MediaMeta(id, bytes.length.toLong, magic, w, h, f)
+      }
+    }
+  }
+}
+
+object MultimodalQueries {
+
+  /** Media records with binary payload + extracted metadata, all with
+    * codegen'd built-ins (the oracle-checkable subset of the plumbing —
+    * the mapPartitions path is exercised in the test suite). */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bin = $"text".cast(BinaryType)
+    val hexAll = hex(bin) // uppercase A-F in both Spark and DuckDB
+    val byteLen = octet_length($"text").cast(LongType)
+    Tables.documents(s, dir)
+      .filter($"doc_id" < 200)
+      .select(
+        $"doc_id",
+        byteLen.as("byte_len"),
+        substring(hexAll, 1, 8).as("magic_hex"),
+        // STUB decode metadata — deterministic fake, see MediaDecode
+        (lit(64) + byteLen % 640).as("width"),
+        (lit(48) + (byteLen * 7) % 480).as("height"),
+        (lit(1) + byteLen % 24).as("n_frames"),
+        // stride frame-sample: first byte of each quarter of the payload
+        concat_ws("|",
+          substring(hexAll, 1, 2),
+          hexAll.substr(((byteLen / 4).cast(LongType) * 2 + 1).cast(IntegerType), lit(2)),
+          hexAll.substr(((byteLen / 2).cast(LongType) * 2 + 1).cast(IntegerType), lit(2)),
+          hexAll.substr(((byteLen * 3 / 4).cast(LongType) * 2 + 1).cast(IntegerType), lit(2)))
+          .as("frame_sample"))
+      .orderBy($"doc_id")
+  }
+
+  val mediaMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+      |  substring(hex(CAST(text AS BLOB)), 1, 8) AS magic_hex,
+      |  64 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 640 AS width,
+      |  48 + (CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 7) % 480 AS height,
+      |  1 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 24 AS n_frames,
+      |  substring(hex(CAST(text AS BLOB)), 1, 2)
+      |    || '|' || substring(hex(CAST(text AS BLOB)),
+      |         CAST(octet_length(CAST(text AS BLOB)) // 4 * 2 + 1 AS INTEGER), 2)
+      |    || '|' || substring(hex(CAST(text AS BLOB)),
+      |         CAST(octet_length(CAST(text AS BLOB)) // 2 * 2 + 1 AS INTEGER), 2)
+      |    || '|' || substring(hex(CAST(text AS BLOB)),
+      |         CAST(octet_length(CAST(text AS BLOB)) * 3 // 4 * 2 + 1 AS INTEGER), 2)
+      |    AS frame_sample
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_multimodal_meta", mediaMeta, Some(mediaMetaSql),
+      "binary media column + metadata/frame-sample plumbing (decode stubbed)"))
+}

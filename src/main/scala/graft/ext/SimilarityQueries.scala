@@ -1,0 +1,231 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.9 X3):
+  * brute-force cosine top-k as the correctness baseline, a random-hyperplane
+  * LSH-bucketed variant as the scale path, and label-blocked cosine near-dup
+  * detection.
+  *
+  * Determinism across engines: dot products are computed in exact DECIMAL
+  * (decimal addition is associative, so partial-aggregation order cannot
+  * change the result), then converted to double for the final cosine — both
+  * engines produce bit-identical doubles. Hyperplanes are derived from md5
+  * (identical in Spark/DuckDB/JVM), not an RNG.
+  */
+object SimilarityQueries {
+
+  private val DIM = 64
+  private val PLANES = 8
+
+  /** Quantize a float component to an exact integer: floor(x * 1e6) as
+    * BIGINT. float→double is exact, the double multiply and floor are
+    * IEEE-deterministic, so both engines produce the identical integer —
+    * and integer sums are order-independent, immune to partial-aggregation
+    * order. (A float→DECIMAL cast is NOT safe: Spark routes it through
+    * Float.toString, DuckDB rounds the binary value.) */
+  private def q6(x: Column): Column = floor(x.cast(DoubleType) * 1000000L)
+
+  /** Exact integer dot product of two quantized float arrays. */
+  private def decDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => q6(x) * q6(y)),
+      lit(0L),
+      (acc, v) => acc + v)
+
+  /** Cosine from exact-integer dot/norms; double math is IEEE-identical on
+    * both engines given identical inputs. */
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+
+  /** DuckDB mirror: exact integer dot via unnested index sum (integer SUM is
+    * order-independent). `a`/`b` are embedding list expressions; requires an
+    * unnested index `g` in scope. */
+  private def q6Sql(x: String): String =
+    s"CAST(floor(CAST($x AS DOUBLE) * 1000000) AS BIGINT)"
+  private def dotSql(a: String, b: String): String =
+    s"CAST(SUM(${q6Sql(s"$a[i.g]")} * ${q6Sql(s"$b[i.g]")}) AS BIGINT)"
+
+  private val idxSql = s"(SELECT unnest(generate_series(1, $DIM)) AS g) i"
+
+  private def normsCte: String =
+    s"""norms AS (
+       |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS nrm
+       |  FROM embeddings, $idxSql GROUP BY vec_id)""".stripMargin
+
+  // --- X3a: brute-force cosine top-k -------------------------------------
+  /** Top-5 cosine neighbors for query vectors (vec_id < 20) against the full
+    * table. The query side is broadcast; the scan side streams — at scale
+    * this is one pass over the corpus per (small) query batch. */
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val withNorm = e.select($"vec_id", $"embedding",
+      decDot($"embedding", $"embedding").as("nrm"))
+    val q = withNorm.filter($"vec_id" < 20)
+      .toDF("q_id", "q_emb", "q_nrm")
+    val scored = withNorm.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        cosine(decDot($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cos_sim"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= 5)
+      .orderBy($"q_id", $"rnk")
+      .select($"q_id", $"rnk", $"vec_id", $"cos_sim")
+  }
+
+  val knnBruteSql: String =
+    s"""WITH $normsCte,
+       |dots AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+       |    ${dotSql("q.embedding", "v.embedding")} AS dot
+       |  FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id, $idxSql
+       |  WHERE q.vec_id < 20
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT q_id, dots.vec_id AS vec_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+       |  FROM dots
+       |  JOIN norms qn ON q_id = qn.vec_id
+       |  JOIN norms vn ON dots.vec_id = vn.vec_id)
+       |SELECT q_id, rnk, vec_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+
+  // --- X3b: LSH-bucketed ANN (the scale path) ----------------------------
+  /** md5-derived ±1 hyperplane entries — reproducible in any engine.
+    * Plane j, component i (1-based): parity of first hex char of md5("j_i").
+    */
+  private[ext] def planeSign(j: Int, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$i".getBytes("UTF-8"))
+    val hex1 = "%02x".format(d(0) & 0xff).charAt(0)
+    (hex1.toInt % 2) * 2 - 1
+  }
+
+  /** Exact decimal dot of an embedding against a constant ±1 plane. */
+  private def planeDot(emb: Column, j: Int): Column = {
+    val signs = typedLit((1 to DIM).map(i => planeSign(j, i)))
+    aggregate(
+      zip_with(emb, signs, (x, sgn) => q6(x) * sgn.cast(LongType)),
+      lit(0L),
+      (acc, v) => acc + v)
+  }
+
+  private def bucketCol(emb: Column): Column =
+    (0 until PLANES)
+      .map(j => when(planeDot(emb, j) > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** ANN: candidates = same hyperplane bucket, then exact cosine re-rank
+    * top-5. At 100 TB the bucket column is precomputed at write time and the
+    * candidate join is equi on the bucket — one shuffle, no cross product. */
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        decDot($"embedding", $"embedding").as("nrm"),
+        bucketCol($"embedding").as("bucket"))
+    val q = e.filter($"vec_id" < 20).toDF("q_id", "q_emb", "q_nrm", "q_bucket")
+    val scored = e.join(broadcast(q),
+        $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        cosine(decDot($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cos_sim"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= 5)
+      .orderBy($"q_id", $"rnk")
+      .select($"q_id", $"rnk", $"vec_id", $"cos_sim")
+  }
+
+  val knnLshSql: String = {
+    val planeDots = (0 until PLANES).map { j =>
+      s"SUM(${q6Sql("embedding[i.g]")} * " +
+        s"((ascii(substring(md5($j || '_' || i.g), 1, 1)) % 2) * 2 - 1)) AS pd$j"
+    }.mkString(",\n    ")
+    val bucketExpr = (0 until PLANES)
+      .map(j => s"(CASE WHEN pd$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $normsCte,
+       |plane_dots AS (
+       |  SELECT vec_id,
+       |    $planeDots
+       |  FROM embeddings, $idxSql GROUP BY vec_id),
+       |buckets AS (
+       |  SELECT vec_id, $bucketExpr AS bucket FROM plane_dots),
+       |dots AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+       |    ${dotSql("q.embedding", "v.embedding")} AS dot
+       |  FROM embeddings q
+       |  JOIN buckets qb ON q.vec_id = qb.vec_id
+       |  JOIN buckets vb ON qb.bucket = vb.bucket AND q.vec_id <> vb.vec_id
+       |  JOIN embeddings v ON v.vec_id = vb.vec_id, $idxSql
+       |  WHERE q.vec_id < 20
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT q_id, dots.vec_id AS vec_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+       |  FROM dots
+       |  JOIN norms qn ON q_id = qn.vec_id
+       |  JOIN norms vn ON dots.vec_id = vn.vec_id)
+       |SELECT q_id, rnk, vec_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  // --- X3c / X2: label-blocked embedding near-dup ------------------------
+  /** Top-3 most-similar pairs within each label block — the
+    * embedding-cosine near-dup detector, blocked on `label` so the pair
+    * space is per-block, not global. */
+  def nearDupByLabel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"label", $"vec_id", $"embedding",
+        decDot($"embedding", $"embedding").as("nrm"))
+    val b = e.toDF("b_label", "b_id", "b_emb", "b_nrm")
+    val scored = e.join(b, $"label" === $"b_label" && $"vec_id" < $"b_id")
+      .select($"label", $"vec_id", $"b_id",
+        cosine(decDot($"embedding", $"b_emb"), $"nrm", $"b_nrm").as("cos_sim"))
+    val w = Window.partitionBy($"label").orderBy($"cos_sim".desc, $"vec_id".asc, $"b_id".asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= 3)
+      .orderBy($"label", $"rnk")
+      .select($"label", $"rnk", $"vec_id", $"b_id", $"cos_sim")
+  }
+
+  val nearDupByLabelSql: String =
+    s"""WITH $normsCte,
+       |dots AS (
+       |  SELECT a.label, a.vec_id AS vec_id, b.vec_id AS b_id,
+       |    ${dotSql("a.embedding", "b.embedding")} AS dot
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id, $idxSql
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT label, dots.vec_id AS vec_id, b_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(an.nrm AS DOUBLE)) * sqrt(CAST(bn.nrm AS DOUBLE))) AS cos_sim
+       |  FROM dots
+       |  JOIN norms an ON dots.vec_id = an.vec_id
+       |  JOIN norms bn ON b_id = bn.vec_id)
+       |SELECT label, rnk, vec_id, b_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY label ORDER BY cos_sim DESC, vec_id ASC, b_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 3
+       |ORDER BY label, rnk""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sim_knn_brute", knnBrute, Some(knnBruteSql),
+      "X3 brute-force cosine top-k (correctness baseline)"),
+    QueryDef("q_sim_knn_lsh", knnLsh, Some(knnLshSql),
+      "X3 hyperplane-LSH bucketed ANN (scale path)"),
+    QueryDef("q_sim_neardup_label", nearDupByLabel, Some(nearDupByLabelSql),
+      "X3/X2 label-blocked embedding near-dup pairs"))
+}

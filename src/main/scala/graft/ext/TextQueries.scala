@@ -1,0 +1,177 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2.9 X4):
+  * token counting, quality scoring, language ID (stopword-profile
+  * heuristic), term frequency, and rolling-hash document fingerprinting —
+  * all over the `documents` table, all single-pass groupBy shapes that hold
+  * at 100 TB (per-doc work is embarrassingly parallel; the only shuffles are
+  * the final small aggregations).
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private def inList(v: String, xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString(s"$v IN (", ", ", ")")
+
+  // --- X4a: token counting + quality scoring -----------------------------
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val tokenCnt = size(toks).cast(LongType)
+    val wordCnt = size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).cast(LongType)
+    val punctCnt = (length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
+      .cast(LongType)
+    val stopCnt = size(filter(toks, t =>
+      stopwords.map(w => t === w).reduce(_ || _))).cast(LongType)
+    val quality = tokenCnt >= 10 && tokenCnt <= 1000 &&
+      punctCnt.cast(DoubleType) / tokenCnt < 0.2 &&
+      stopCnt.cast(DoubleType) / tokenCnt >= 0.01
+    Tables.documents(s, dir)
+      .select($"lang", $"source", $"n_chars", tokenCnt.as("token_cnt"),
+        wordCnt.as("word_cnt"), punctCnt.as("punct_cnt"), stopCnt.as("stop_cnt"),
+        quality.cast(LongType).as("is_quality"))
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"token_cnt").as("sum_tokens"),
+        sum($"word_cnt").as("sum_words"),
+        sum($"punct_cnt").as("sum_punct"),
+        sum($"stop_cnt").as("sum_stop"),
+        sum($"n_chars").as("sum_chars"),
+        sum($"is_quality").as("n_quality"),
+        (sum($"token_cnt").cast(DoubleType) / count(lit(1))).as("avg_tokens"))
+      .orderBy($"lang", $"source")
+  }
+
+  val textStatsSql: String =
+    s"""WITH scored AS (
+       |  SELECT lang, source, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+       |    CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_cnt,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_cnt,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> ${inList("t", stopwords)})) AS BIGINT) AS stop_cnt
+       |  FROM documents)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  SUM(token_cnt) AS sum_tokens,
+       |  SUM(word_cnt) AS sum_words,
+       |  SUM(punct_cnt) AS sum_punct,
+       |  SUM(stop_cnt) AS sum_stop,
+       |  SUM(n_chars) AS sum_chars,
+       |  SUM(CAST(token_cnt >= 10 AND token_cnt <= 1000
+       |    AND CAST(punct_cnt AS DOUBLE) / token_cnt < 0.2
+       |    AND CAST(stop_cnt AS DOUBLE) / token_cnt >= 0.01 AS BIGINT)) AS n_quality,
+       |  CAST(SUM(token_cnt) AS DOUBLE) / COUNT(*) AS avg_tokens
+       |FROM scored GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // --- X4b: language ID via stopword profiles ----------------------------
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "los", "de"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "les", "des", "et"))
+
+  /** Confusion matrix of labeled `lang` vs n-gram-heuristic prediction
+    * (argmax of stopword-profile hits, fixed precedence on ties, 'und' when
+    * no profile hits). */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val scores = langProfiles.map { case (l, ws) =>
+      l -> size(filter(toks, t => ws.map(w => t === w).reduce(_ || _))).cast(LongType)
+    }
+    val scoreCols = scores.map { case (l, c) => c.as(s"score_$l") }
+    val scored = Tables.documents(s, dir).select(($"lang" +: $"doc_id" +: scoreCols): _*)
+    val best = greatest(langProfiles.map { case (l, _) => col(s"score_$l") }: _*)
+    val pred = when(best === 0, lit("und"))
+      .otherwise(langProfiles.foldRight(lit("und")) { case ((l, _), acc) =>
+        when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+      })
+    // foldRight gives first-profile precedence on ties (en > es > de > fr)
+    scored.select($"lang", pred.as("predicted"))
+      .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  val textLangIdSql: String = {
+    val scoreExprs = langProfiles.map { case (l, ws) =>
+      s"CAST(len(list_filter(string_split(text, ' '), t -> ${inList("t", ws)})) AS BIGINT) AS score_$l"
+    }.mkString(",\n    ")
+    val bestExpr = langProfiles.map { case (l, _) => s"score_$l" }
+      .mkString("greatest(", ", ", ")")
+    val predExpr = langProfiles.map { case (l, _) =>
+      s"WHEN score_$l = best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |    $scoreExprs
+       |  FROM documents),
+       |best_of AS (SELECT lang, $bestExpr AS best, * FROM scored)
+       |SELECT lang,
+       |  CASE WHEN best = 0 THEN 'und' $predExpr ELSE 'und' END AS predicted,
+       |  COUNT(*) AS n
+       |FROM best_of GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  // --- X4c: term frequency (top-25 tokens) -------------------------------
+  def textTermFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"tok").agg(count(lit(1)).as("tf"))
+      .orderBy($"tf".desc, $"tok".asc)
+      .limit(25)
+  }
+
+  val textTermFreqSql: String =
+    """SELECT tok, COUNT(*) AS tf FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE length(tok) > 0
+      |GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 25""".stripMargin
+
+  // --- X4d: rolling-hash document fingerprint ----------------------------
+  /** Bottom-4 sketch of the md5 hashes of all 8-char shingles of the
+    * space-stripped text — a winnowing-style content fingerprint robust to
+    * word reordering at the edges. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"doc_id" < 200)
+      .select($"doc_id", replace($"text", lit(" "), lit("")).as("norm"))
+      .select($"doc_id",
+        when(length($"norm") >= 8,
+          expr("transform(sequence(1, length(norm) - 7), i -> md5(substring(norm, i, 8)))"))
+          .otherwise(array(md5($"norm"))).as("hashes"))
+      .select($"doc_id",
+        concat_ws("", slice(array_sort($"hashes"), 1, 4)).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  array_to_string(list_sort(hashes)[1:4], '') AS fingerprint
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN length(norm) >= 8
+      |      THEN list_transform(generate_series(1, length(norm) - 7),
+      |        i -> md5(substring(norm, i, 8)))
+      |      ELSE [md5(norm)] END AS hashes
+      |  FROM (SELECT doc_id, replace(text, ' ', '') AS norm
+      |        FROM documents WHERE doc_id < 200))
+      |ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_text_stats", textStats, Some(textStatsSql),
+      "X4 token counting + quality scoring"),
+    QueryDef("q_text_langid", textLangId, Some(textLangIdSql),
+      "X4 stopword-profile language ID confusion matrix"),
+    QueryDef("q_text_termfreq", textTermFreq, Some(textTermFreqSql),
+      "X4 term frequency top-k"),
+    QueryDef("q_text_fingerprint", textFingerprint, Some(textFingerprintSql),
+      "X4 rolling-hash bottom-k document fingerprint"))
+}

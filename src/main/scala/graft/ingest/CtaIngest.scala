@@ -1,0 +1,110 @@
+package graft.ingest
+
+import graft.model.CtaSchemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's EP2 ingest pipeline (get_train_status.lambda_handler,
+  * reference get_train_status.py:89-138) as one narrow Spark job:
+  *
+  *   from_json → guard(route) → explode(route) → guard(train) →
+  *   explode(train) → project/cast/concat_ws
+  *
+  * Logical plan: Relation → Filter → Generate → Filter → Generate → Project.
+  * No shuffle anywhere — at 100 TB this pipelines map-side only; parallelism
+  * is file-split-level, exactly the per-invocation parallelism the reference
+  * gets from concurrent Lambdas (SURVEY.md §3).
+  */
+object CtaIngest {
+
+  /** Parse + flatten one API response document per input row.
+    *
+    * Input columns: `line` (route abbrev the poll was issued for), `poll_ts`
+    * (Chicago-local wall-clock of the poll, ISO-8601 string — the reference
+    * computes this at get_train_status.py:91-94), `json` (raw response body).
+    *
+    * Guards mirror the reference: responses without `ctatt.route` or with an
+    * empty `train` array produce no rows (get_train_status.py:104-107);
+    * unlike the reference (which reads only `route[0]`,
+    * get_train_status.py:106) we flatten every route element.
+    */
+  def parse(raw: DataFrame): DataFrame = {
+    val doc = from_json(col("json"), CtaSchemas.apiResponse)
+    raw
+      .select(col("line"), col("poll_ts"), doc.as("doc"))
+      .filter(col("doc.ctatt.route").isNotNull && size(col("doc.ctatt.route")) > 0)
+      .select(col("line"), col("poll_ts"), explode(col("doc.ctatt.route")).as("r"))
+      .filter(col("r.train").isNotNull && size(col("r.train")) > 0)
+      .select(col("line"), col("poll_ts"), explode(col("r.train")).as("t"))
+  }
+
+  /** Project the flattened train struct into the typed observation schema
+    * (reference record build: get_train_status.py:111-122; golden copy
+    * tests/unit/test_get_train_status.py:342-353). Casts happen once, here,
+    * at the ingest edge (SURVEY.md §7.4): '1'/'0' strings → boolean, ISO
+    * strings → timestamp, numeric strings → double.
+    */
+  def normalize(raw: DataFrame): DataFrame = {
+    val pollTs = to_timestamp(col("poll_ts"))
+    val pollDate = to_date(pollTs)
+    parse(raw).select(
+      concat_ws("#",
+        date_format(pollTs, "yyyy-MM-dd"), col("line"), col("t.rn"), col("t.trDr"))
+        .as("train_id"),
+      pollDate.as("service_date"),
+      col("line"),
+      col("t.rn").as("run"),
+      col("t.trDr").as("direction"),
+      pollTs.as("observed_at"),
+      to_timestamp(col("t.prdt")).as("prediction_generated_at"),
+      col("t.destNm").as("destination_station"),
+      col("t.nextStaNm").as("next_station"),
+      to_timestamp(col("t.arrT")).as("next_station_arrival_at"),
+      (col("t.isApp") === "1").as("is_approaching_station"),
+      (col("t.isDly") === "1").as("is_train_delayed"),
+      col("t.lat").cast(DoubleType).as("lat"),
+      col("t.lon").cast(DoubleType).as("lon"),
+      col("t.heading").cast(DoubleType).as("heading"),
+      pollDate.as("load_date"))
+  }
+
+  /** EP3 — daily compaction (reference bucket_raw_data.py:82-117): read a
+    * raw NDJSON day prefix, dedup exact at-least-once duplicates
+    * (SURVEY.md O4 — the Firehose re-drive at get_train_status.py:60-76 can
+    * legitimately duplicate records), land Hive-partitioned Parquet.
+    *
+    * Unlike the reference's whole-day-in-RAM list (bucket_raw_data.py:95-103,
+    * its key scaling flaw) this streams through executors; file count is
+    * bounded by maxRecordsPerFile, not forced to 1.
+    */
+  def compact(spark: SparkSession, rawDayPath: String, outPath: String,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    spark.read.schema(CtaSchemas.rawRecord).json(rawDayPath)
+      .dropDuplicates(Seq("train_id", "current_timestamp"))
+      .withColumn("load_date", to_date(col("current_timestamp").cast(TimestampType)))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("load_date")
+      .parquet(outPath)
+  }
+
+  /** Retention delete (reference S3 lifecycle, main.tf:166-189 → S12):
+    * partition-predicate delete — list partitions older than `keepDays`
+    * relative to `asOf` and drop their directories. */
+  def retentionDelete(spark: SparkSession, lakePath: String,
+      asOf: java.time.LocalDate, keepDays: Int = 3): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(lakePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = asOf.minusDays(keepDays.toLong)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(lakePath))) Seq.empty
+    else fs.listStatus(new org.apache.hadoop.fs.Path(lakePath)).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("load_date=") &&
+          java.time.LocalDate.parse(p.getName.stripPrefix("load_date=") )
+            .isBefore(cutoff)
+      }
+      .map { p => fs.delete(p, true); p.toString }
+  }
+}
