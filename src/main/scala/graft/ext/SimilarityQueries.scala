@@ -102,7 +102,7 @@ object SimilarityQueries {
   /** md5-derived ±1 hyperplane entries — reproducible in any engine.
     * Plane j, component i (1-based): parity of first hex char of md5("j_i").
     */
-  private[ext] def planeSign(j: Int, i: Int): Int = {
+  def planeSign(j: Int, i: Int): Int = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${j}_$i".getBytes("UTF-8"))
     val hex1 = "%02x".format(d(0) & 0xff).charAt(0)

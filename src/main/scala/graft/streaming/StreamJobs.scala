@@ -1,0 +1,162 @@
+package graft.streaming
+
+import graft.ingest.CtaIngest
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming realization of the reference's streaming topology
+  * (SURVEY.md §2.7):
+  *
+  *  - T1 poll cadence → ProcessingTime trigger on a file-drop source
+  *  - T2 Firehose buffering → micro-batch file sink
+  *  - T3/T4 daily tumbling + sliding/session windows over `events`
+  *  - T5 watermark late-data policy — the reference silently strands late
+  *    rows (bucket_raw_data.py:85,93); we make the policy explicit
+  *  - T6 keyed state (trip/session reconstruction) via
+  *    flatMapGroupsWithState
+  *  - T7 exactly-once per micro-batch via checkpoint + idempotent file sink
+  *    (replaces the reference's at-least-once Firehose re-drive,
+  *    get_train_status.py:52-79)
+  */
+object StreamJobs {
+
+  /** Schema of the raw poll-drop NDJSON: one line per API poll. */
+  val rawFeedSchema: StructType = StructType(Seq(
+    StructField("line", StringType),
+    StructField("poll_ts", StringType),
+    StructField("json", StringType)))
+
+  /** S1-as-stream: watch a drop directory of NDJSON poll files, normalize
+    * with the same narrow pipeline as batch (CtaIngest.normalize works
+    * unchanged on a streaming DataFrame — it is generate/project only). */
+  def rawFeedStream(spark: SparkSession, dropDir: String): DataFrame =
+    CtaIngest.normalize(
+      spark.readStream.schema(rawFeedSchema).json(dropDir))
+
+  /** Land the normalized observation stream as Hive-partitioned parquet with
+    * checkpointing — exactly-once per micro-batch (T7). Caller starts/stops
+    * the returned query. */
+  def landObservations(normalized: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    normalized.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("load_date")
+      .outputMode(OutputMode.Append)
+
+  /** Streaming `events` source from a parquet directory (the test harness
+    * drops sf parquet files in). `ts` arrives as TIMESTAMP(NANOS) — read as
+    * long, truncate to µs exactly like the batch path (Tables.events). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(raw).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** T3 — tumbling daily counts with an explicit 1-hour watermark (T5). */
+  def tumblingDaily(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"), col("n"))
+
+  /** T4 — sliding 1h/15m windowed totals. */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("n"))
+
+  /** T4 — gap-based session windows (same semantics as the batch
+    * q_session_windows query, enabling stream/batch equivalence tests). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"))
+}
+
+/** Typed event for keyed-state processing. `event_time` carries the
+  * watermark through the typed plan (flatMapGroupsWithState requires the
+  * watermarked attribute to survive into its child). */
+final case class Ev(
+    user_id: Long, ts_us: Long, value: Double,
+    event_time: java.sql.Timestamp)
+
+/** One reconstructed session (T6 — the "trip reconstruction" access pattern
+  * implied by the reference's per-train time-series key design,
+  * main.tf:25-43). */
+final case class SessionOut(
+    user_id: Long, start_us: Long, end_us: Long, n_events: Int,
+    total_value_cents: Long)
+
+/** Keyed gap-sessionization with explicit state — the logic is a pure
+  * function over a sorted buffer so batch (`flatMapGroups`) and streaming
+  * (`flatMapGroupsWithState` with event-time timeout) share it exactly.
+  */
+object Sessionize {
+  val GapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Split a time-sorted event list into gap-closed sessions. Values are
+    * accumulated in integer cents so the result is deterministic. */
+  def sessionsOf(sorted: Seq[Ev]): Seq[SessionOut] = {
+    if (sorted.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[SessionOut]
+    var start = sorted.head.ts_us
+    var last = start
+    var n = 0
+    var cents = 0L
+    sorted.foreach { e =>
+      if (e.ts_us - last >= GapUs) {
+        out += SessionOut(e.user_id, start, last, n, cents)
+        start = e.ts_us; n = 0; cents = 0L
+      }
+      last = e.ts_us; n += 1
+      cents += math.round(e.value * 100)
+    }
+    out += SessionOut(sorted.head.user_id, start, last, n, cents)
+    out.result()
+  }
+
+  /** Batch form: groupByKey + flatMapGroups (whole history per key). */
+  def batch(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (_, it) =>
+      sessionsOf(it.toSeq.sortBy(e => (e.ts_us, e.value))).iterator
+    }
+  }
+
+  /** Streaming form: buffer per key, emit sessions closed by gap or by
+    * event-time timeout (watermark). State is the open-session buffer only —
+    * bounded by session length, not stream length. */
+  def streaming(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Ev], SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[Ev], state: GroupState[List[Ev]]) =>
+          if (state.hasTimedOut) {
+            val closed = sessionsOf(state.get.sortBy(e => (e.ts_us, e.value)))
+            state.remove()
+            closed.iterator
+          } else {
+            val buf = (state.getOption.getOrElse(Nil) ++ it.toList)
+              .sortBy(e => (e.ts_us, e.value))
+            val sessions = sessionsOf(buf)
+            // keep the open (last) session buffered; emit the closed ones
+            val open = buf.dropWhile(_.ts_us < sessions.last.start_us)
+            state.update(open)
+            state.setTimeoutTimestamp(sessions.last.end_us / 1000 + GapUs / 1000)
+            sessions.init.iterator
+          }
+      }
+  }
+}

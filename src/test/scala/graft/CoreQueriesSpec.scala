@@ -1,0 +1,120 @@
+package graft
+
+import graft.analytics.{CoreQueries, EventQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator sanity invariants at sf0.001. Exact value correctness is
+  * covered by the DuckDB oracle gate (tools/oracle_check.py); these specs
+  * pin semantics that the oracle can't see (plan shape, internal
+  * consistency) and keep `sbt test` meaningful without DuckDB.
+  */
+class CoreQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+  import spark.implicits._
+
+  test("pricing summary: 3x2 flag/status groups, consistent avg=sum/count") {
+    val rows = CoreQueries.pricingSummary(spark, sf).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_qty")
+      val sum = r.getAs[Double]("sum_qty")
+      val n = r.getAs[Long]("count_order")
+      assert(math.abs(avg - sum / n) < 1e-9)
+    }
+  }
+
+  test("broadcast dim join plan actually broadcasts") {
+    val plan = CoreQueries.joinBroadcastDim(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("semi/anti partition customers by big-order existence") {
+    val semi = CoreQueries.joinSemi(spark, sf).count()
+    val anti = CoreQueries.joinAnti(spark, sf).count()
+    val total = Tables.customer(spark, sf).count()
+    // semi uses >400k, anti uses >300k: counts must stay within the total
+    assert(semi > 0 && anti > 0)
+    assert(semi <= total && anti <= total)
+  }
+
+  test("window top-k emits at most 3 ranked rows per priority") {
+    val rows = CoreQueries.windowTopK(spark, sf).collect()
+    val byPriority = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    assert(byPriority.size === 5)
+    byPriority.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to g.length))
+      val prices = g.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    }
+  }
+
+  test("latest state: one row per user, ts = max event ts of that user") {
+    val latest = EventQueries.latestState(spark, sf).collect()
+    val maxTs = Tables.events(spark, sf).groupBy($"user_id")
+      .agg(unix_micros(max($"ts")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest.length === maxTs.size)
+    latest.foreach { r =>
+      assert(r.getAs[Long]("ts_us") === maxTs(r.getAs[Long]("user_id")))
+    }
+  }
+
+  test("as-of daily state forward-fills: value matches last event <= day end") {
+    val rows = EventQueries.asOfDailyState(spark, sf)
+      .filter($"state_value".isNotNull).limit(5).collect()
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val day = r.getAs[String]("day")
+      val expected = Tables.events(spark, sf)
+        .filter($"user_id" === u && to_date($"ts") <= lit(day))
+        .orderBy($"ts".desc, $"event_id".desc).limit(1)
+        .select($"value").as[Double].head()
+      assert(r.getAs[Double]("state_value") === expected)
+    }
+  }
+
+  test("range join followers agrees with naive non-equi join") {
+    val bucketized = EventQueries.rangeJoinFollowers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val e = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val r2 = e.select($"user_id".as("r_user"), $"us".as("r_us"))
+    val naive = e.join(r2,
+        $"user_id" === $"r_user" && $"r_us" > $"us" &&
+          $"r_us" - $"us" <= 600000000L)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct($"event_id").as("n_with_follower"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketized === naive)
+  }
+
+  test("session windows: per-user session counts sum to event count") {
+    val sessions = EventQueries.sessionWindows(spark, sf)
+    val total = sessions.agg(sum($"n_events")).as[Long].head()
+    assert(total === Tables.events(spark, sf).count())
+  }
+
+  test("intersect+except partition the urgent-customer set") {
+    val urgent = Tables.orders(spark, sf)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").distinct().count()
+    val both = CoreQueries.setOpsIntersect(spark, sf).count()
+    val onlyUrgent = CoreQueries.setOpsExcept(spark, sf).count()
+    assert(both + onlyUrgent === urgent)
+  }
+
+  test("approx distinct is within 5% of exact") {
+    val approx = CoreQueries.aggApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf).groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, a) =>
+      assert(math.abs(a - exact(k)).toDouble / exact(k) < 0.05)
+    }
+  }
+}

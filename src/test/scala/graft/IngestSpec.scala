@@ -1,0 +1,80 @@
+package graft
+
+import graft.ingest.{CtaFixtures, CtaIngest}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden-record tests for the ingest pipeline, mirroring the reference's
+  * happy-path + guard coverage (tests/unit/test_get_train_status.py:342-429).
+  */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("normalize produces the golden record for the happy path") {
+    val out = CtaIngest.normalize(CtaFixtures.feedDf(spark))
+      .orderBy($"train_id").collect()
+    assert(out.length === 3) // 2 Red + 1 Blue; G has no trains, Org no route
+    val first = out.head
+    assert(first.getAs[String]("train_id") === "2025-07-01#Blue#127#1")
+    assert(first.getAs[String]("line") === "Blue")
+    assert(first.getAs[String]("run") === "127")
+    assert(first.getAs[String]("direction") === "1")
+    assert(first.getAs[String]("destination_station") === "O'Hare")
+    assert(first.getAs[String]("next_station") === "Logan Square")
+    assert(first.getAs[Boolean]("is_approaching_station") === false)
+    assert(first.getAs[Boolean]("is_train_delayed") === false)
+    assert(first.getAs[Double]("lat") === 41.9290)
+    assert(first.getAs[java.sql.Timestamp]("observed_at").toInstant.toString
+      === "2025-07-01T08:30:00Z")
+    val red = out(1)
+    assert(red.getAs[String]("train_id") === "2025-07-01#Red#417#1")
+    assert(red.getAs[Boolean]("is_train_delayed") === true)
+    assert(red.getAs[Double]("heading") === 355.0)
+  }
+
+  test("guards: no-route and no-trains responses contribute zero rows") {
+    val guarded = CtaFixtures.feedDf(spark).filter($"line".isin("G", "Org"))
+    assert(CtaIngest.normalize(guarded).count() === 0)
+  }
+
+  test("compact dedups at-least-once duplicates and lands hive partitions") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val rawDir = s"$tmp/raw"
+    val outDir = s"$tmp/processed"
+    // land the normalized fixture as NDJSON raw records, duplicated once
+    val rec = CtaIngest.normalize(CtaFixtures.feedDf(spark))
+      .select(
+        $"train_id",
+        date_format($"observed_at", "yyyy-MM-dd'T'HH:mm:ss").as("current_timestamp"),
+        date_format($"prediction_generated_at", "yyyy-MM-dd'T'HH:mm:ss")
+          .as("prediction_generated_timestamp"),
+        $"destination_station", $"next_station",
+        date_format($"next_station_arrival_at", "yyyy-MM-dd'T'HH:mm:ss")
+          .as("next_station_arrival_time"),
+        when($"is_approaching_station", "1").otherwise("0").as("is_approaching_station"),
+        when($"is_train_delayed", "1").otherwise("0").as("is_train_delayed"),
+        $"lat".cast("string"), $"lon".cast("string"), $"heading".cast("string"))
+    rec.unionByName(rec).write.json(rawDir) // duplicated: at-least-once sim
+    CtaIngest.compact(spark, rawDir, outDir)
+    val back = spark.read.parquet(outDir)
+    assert(back.count() === 3) // dedup removed the doubled rows
+    assert(back.columns.contains("load_date"))
+    val dirs = new java.io.File(outDir).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("load_date=2025-07-01")))
+  }
+
+  test("retention delete drops partitions older than the cutoff") {
+    val tmp = Files.createTempDirectory("graft-retention").toString + "/lake"
+    Seq(("2025-06-25", 1), ("2025-06-30", 2)).toDF("load_date", "x")
+      .write.partitionBy("load_date").parquet(tmp)
+    val deleted = CtaIngest.retentionDelete(spark, tmp,
+      java.time.LocalDate.parse("2025-07-01"), keepDays = 3)
+    assert(deleted.exists(_.contains("load_date=2025-06-25")))
+    assert(!deleted.exists(_.contains("load_date=2025-06-30")))
+    val left = spark.read.parquet(tmp).select("load_date").distinct()
+      .as[java.sql.Date].collect().map(_.toString)
+    assert(left.toSeq === Seq("2025-06-30"))
+  }
+}

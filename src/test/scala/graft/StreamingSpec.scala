@@ -1,0 +1,105 @@
+package graft
+
+import graft.analytics.EventQueries
+import graft.streaming._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Structured Streaming tests (SURVEY.md §2.7 T1-T7): a parquet-backed
+  * events stream driven synchronously, stream/batch equivalence for windowed
+  * aggregations, the NDJSON drop-dir ingest stream with a checkpointed
+  * exactly-once file sink, and keyed-state sessionization.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+  import spark.implicits._
+
+  private def eventsDir: String = {
+    val tmp = Files.createTempDirectory("graft-events-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/events.parquet"))
+    tmp
+  }
+
+  test("T3 streaming tumbling daily counts match the batch query") {
+    val q = StreamJobs.tumblingDaily(StreamJobs.eventsStream(spark, eventsDir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tumbling_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("tumbling_out")
+      .select($"w_start_us", $"event_type", $"n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventQueries.tumblingDaily(spark, sf)
+      .select($"w_start_us", $"event_type", $"n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // append mode emits only watermark-closed windows: subset of batch,
+    // missing at most the final day
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    val missingDays = batch.map(_._1) -- streamed.map(_._1)
+    assert(missingDays.size <= 1)
+  }
+
+  test("T1/T7 NDJSON drop-dir stream lands partitioned parquet exactly once") {
+    val tmp = Files.createTempDirectory("graft-stream-ingest").toString
+    val drop = s"$tmp/drop"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    // write the fixture feeds as one NDJSON drop file
+    graft.ingest.CtaFixtures.feedDf(spark).write.json(drop)
+    val q = StreamJobs.landObservations(
+      StreamJobs.rawFeedStream(spark, drop), out, ckpt).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val landed = spark.read.parquet(out)
+    assert(landed.count() === 3)
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("load_date=2025-07-01")))
+    // restart on same checkpoint: no reprocessing, still exactly 3 rows
+    val q2 = StreamJobs.landObservations(
+      StreamJobs.rawFeedStream(spark, drop), out, ckpt).start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
+  test("T6 batch sessionization agrees with the SQL session-window query") {
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"value",
+        $"ts".as("event_time"))
+      .as[Ev]
+    val sessions = Sessionize.batch(evs).collect()
+    val sql = EventQueries.sessionWindows(spark, sf).collect()
+    assert(sessions.length === sql.length)
+    val byKey = sessions.map(s => (s.user_id, s.start_us) -> s.n_events).toMap
+    sql.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"))
+      assert(byKey(k) === r.getAs[Long]("n_events").toInt)
+    }
+  }
+
+  test("T6 streaming sessionization emits gap-closed sessions") {
+    val tmp = eventsDir
+    val stream = StreamJobs.eventsStream(spark, tmp)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"value",
+        $"ts".as("event_time"))
+      .as[Ev]
+      .withWatermark("event_time", "1 hour")
+    val q = Sessionize.streaming(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sessions_out").collect()
+    assert(streamed.nonEmpty)
+    // every streamed session must exist identically in the batch result
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"value",
+        $"ts".as("event_time")).as[Ev]
+    val batchSet = Sessionize.batch(evs).collect()
+      .map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+    streamed.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Int]("n_events"))
+      assert(batchSet.contains(k))
+    }
+  }
+}
