@@ -21,14 +21,22 @@ import org.apache.spark.sql.types._
   */
 object DedupQueries {
 
-  /** Word-3-gram shingles of `text` (single-space tokenized); docs shorter
-    * than 3 tokens contribute one whole-text shingle. */
-  private def shingles(text: Column): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= 3,
-      expr("transform(sequence(0, size(split(text, ' ')) - 3), " +
-        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))"))
-      .otherwise(array(text))
+  /** Word-3-gram shingles: tokenize ONCE into a `toks` column, then index
+    * it — inlining split(text) into the transform lambda would re-split the
+    * text for every array index (O(tokens²) per doc). Docs shorter than 3
+    * tokens contribute one whole-text shingle. */
+  private def shingleArr: Column =
+    when(size(col("toks")) >= 3,
+      expr("transform(sequence(0, size(toks) - 3), " +
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+      .otherwise(array(col("text")))
+
+  /** (doc_id [, extra cols], sh) exploded distinct shingle set. */
+  private def shingled(df: DataFrame, keep: Seq[String]): DataFrame = {
+    val cols = keep.map(col) :+ explode(shingleArr).as("sh")
+    df.withColumn("toks", split(col("text"), " "))
+      .select(cols: _*)
+      .distinct()
   }
 
   /** DuckDB mirror of [[shingles]] (1-based list indexing). */
@@ -68,9 +76,7 @@ object DedupQueries {
     * md5("i|" + shingle) for each hash index i. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
-      .select($"doc_id", explode(shingles($"text")).as("sh"))
-      .distinct()
+    val sh = shingled(Tables.documents(s, dir), Seq("doc_id"))
     sh.groupBy($"doc_id").agg(
       min(md5(concat(lit("0|"), $"sh"))).as("h0"),
       (1 until K).map(i => min(md5(concat(lit(s"$i|"), $"sh"))).as(s"h$i")): _*)
@@ -190,9 +196,7 @@ object DedupQueries {
     * shingle-join is equi on (lang, shingle): no cross product. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
-      .select($"doc_id", $"lang", explode(shingles($"text")).as("sh"))
-      .distinct()
+    val sh = shingled(Tables.documents(s, dir), Seq("doc_id", "lang"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val qsh = sh.filter($"doc_id" % 97 === 0)
       .toDF("q_id", "q_lang", "q_sh")

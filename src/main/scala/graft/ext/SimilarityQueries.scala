@@ -30,12 +30,16 @@ object SimilarityQueries {
     * Float.toString, DuckDB rounds the binary value.) */
   private def q6(x: Column): Column = floor(x.cast(DoubleType) * 1000000L)
 
-  /** Exact integer dot product of two quantized float arrays. */
-  private def decDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => q6(x) * q6(y)),
-      lit(0L),
-      (acc, v) => acc + v)
+  /** Quantize a whole embedding once — pair-wise dots then run on plain
+    * long arrays instead of re-quantizing both sides per candidate pair. */
+  private def q6Arr(emb: Column): Column = transform(emb, x => q6(x))
+
+  /** Exact integer dot product of two pre-quantized (long) arrays. */
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact integer dot product of two raw float arrays. */
+  private def decDot(a: Column, b: Column): Column = dotQ(q6Arr(a), q6Arr(b))
 
   /** Cosine from exact-integer dot/norms; double math is IEEE-identical on
     * both engines given identical inputs. */
@@ -64,13 +68,14 @@ object SimilarityQueries {
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val withNorm = e.select($"vec_id", $"embedding",
-      decDot($"embedding", $"embedding").as("nrm"))
+    val withNorm = e
+      .select($"vec_id", q6Arr($"embedding").as("qe"))
+      .select($"vec_id", $"qe", dotQ($"qe", $"qe").as("nrm"))
     val q = withNorm.filter($"vec_id" < 20)
       .toDF("q_id", "q_emb", "q_nrm")
     val scored = withNorm.join(broadcast(q), $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
-        cosine(decDot($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cos_sim"))
+        cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
     val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter($"rnk" <= 5)
@@ -110,17 +115,18 @@ object SimilarityQueries {
   }
 
   /** Exact decimal dot of an embedding against a constant ±1 plane. */
-  private def planeDot(emb: Column, j: Int): Column = {
-    val signs = typedLit((1 to DIM).map(i => planeSign(j, i)))
+  /** Signed dot of a pre-quantized (long) embedding against a ±1 plane. */
+  private def planeDot(qe: Column, j: Int): Column = {
+    val signs = typedLit((1 to DIM).map(i => planeSign(j, i).toLong))
     aggregate(
-      zip_with(emb, signs, (x, sgn) => q6(x) * sgn.cast(LongType)),
+      zip_with(qe, signs, (x, sgn) => x * sgn),
       lit(0L),
       (acc, v) => acc + v)
   }
 
-  private def bucketCol(emb: Column): Column =
+  private def bucketCol(qe: Column): Column =
     (0 until PLANES)
-      .map(j => when(planeDot(emb, j) > 0, lit(1L << j)).otherwise(0L))
+      .map(j => when(planeDot(qe, j) > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
 
   /** ANN: candidates = same hyperplane bucket, then exact cosine re-rank
@@ -129,14 +135,14 @@ object SimilarityQueries {
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding",
-        decDot($"embedding", $"embedding").as("nrm"),
-        bucketCol($"embedding").as("bucket"))
+      .select($"vec_id", q6Arr($"embedding").as("qe"))
+      .select($"vec_id", $"qe", dotQ($"qe", $"qe").as("nrm"),
+        bucketCol($"qe").as("bucket"))
     val q = e.filter($"vec_id" < 20).toDF("q_id", "q_emb", "q_nrm", "q_bucket")
     val scored = e.join(broadcast(q),
         $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
-        cosine(decDot($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cos_sim"))
+        cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
     val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter($"rnk" <= 5)
@@ -188,12 +194,12 @@ object SimilarityQueries {
   def nearDupByLabel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-      .select($"label", $"vec_id", $"embedding",
-        decDot($"embedding", $"embedding").as("nrm"))
+      .select($"label", $"vec_id", q6Arr($"embedding").as("qe"))
+      .select($"label", $"vec_id", $"qe", dotQ($"qe", $"qe").as("nrm"))
     val b = e.toDF("b_label", "b_id", "b_emb", "b_nrm")
     val scored = e.join(b, $"label" === $"b_label" && $"vec_id" < $"b_id")
       .select($"label", $"vec_id", $"b_id",
-        cosine(decDot($"embedding", $"b_emb"), $"nrm", $"b_nrm").as("cos_sim"))
+        cosine(dotQ($"qe", $"b_emb"), $"nrm", $"b_nrm").as("cos_sim"))
     val w = Window.partitionBy($"label").orderBy($"cos_sim".desc, $"vec_id".asc, $"b_id".asc)
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter($"rnk" <= 3)
