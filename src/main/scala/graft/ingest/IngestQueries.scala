@@ -179,9 +179,44 @@ object IngestQueries {
        |GROUP BY line, line_name ORDER BY line""".stripMargin
   }
 
+  /** P12 — geo math scalar via the custom codegen'd Haversine expression
+    * (graft.functions.Haversine): distance of each observed train from the
+    * Loop (41.8781, -87.6298), meter-rounded so libm ulp differences between
+    * JVM and DuckDB trig can't flip the hash. */
+  def ingestGeo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.registerOn(s)
+    normalized(s).select(
+      $"train_id",
+      round(graft.functions.Haversine.haversineKm(
+        $"lat", $"lon", lit(41.8781), lit(-87.6298)), 3).as("dist_km"),
+      round(expr("haversine_km(lat, lon, 41.8781, -87.6298)"), 3)
+        .as("dist_km_sql"))
+      .orderBy($"train_id")
+  }
+
+  val ingestGeoSql: String = {
+    val hav =
+      """2 * 6371.0088 * asin(sqrt(
+        |    pow(sin(radians(CAST(json_extract_string(t, '$.lat') AS DOUBLE) - 41.8781) / 2), 2)
+        |    + cos(radians(41.8781))
+        |    * cos(radians(CAST(json_extract_string(t, '$.lat') AS DOUBLE)))
+        |    * pow(sin(radians(CAST(json_extract_string(t, '$.lon') AS DOUBLE) - (-87.6298)) / 2), 2)))""".stripMargin
+    s"""$oracleTrains
+       |SELECT
+       |  strftime(CAST(poll_ts AS TIMESTAMP), '%Y-%m-%d') || '#' || line || '#'
+       |    || json_extract_string(t, '$$.rn') || '#'
+       |    || json_extract_string(t, '$$.trDr') AS train_id,
+       |  ROUND($hav, 3) AS dist_km,
+       |  ROUND($hav, 3) AS dist_km_sql
+       |FROM trains ORDER BY train_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_ingest_normalize", ingestNormalize, Some(ingestNormalizeSql),
       "S1/S7/P1-P7 full parse→explode→project→cast ingest path"),
+    QueryDef("q_ingest_geo", ingestGeo, Some(ingestGeoSql),
+      "P12 geo distance via custom codegen Haversine expression"),
     QueryDef("q_ingest_dedup", ingestDedup, Some(ingestDedupSql),
       "O4 at-least-once duplicate removal on the natural key"),
     QueryDef("q_ingest_line_dim", ingestLineDim, Some(ingestLineDimSql),

@@ -1,0 +1,42 @@
+package graft.plans
+
+import graft.functions.Haversine
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions registering graft's custom Catalyst expressions for
+  * SQL use:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   spark.sql("SELECT haversine_km(lat, lon, 41.8781, -87.6298) ...")
+  * }}}
+  *
+  * For sessions we don't construct (the driver owns the session in the
+  * Verify/Bench contract), [[GraftExtensions.registerOn]] installs the same
+  * functions on an existing session's registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.haversineEntry)
+  }
+}
+
+object GraftExtensions {
+  private def haversineBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 4, "haversine_km(lat1, lon1, lat2, lon2)")
+    Haversine.ofAny(args(0), args(1), args(2), args(3))
+  }
+
+  val haversineEntry: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("haversine_km"),
+    new ExpressionInfo(classOf[Haversine].getName, "haversine_km"),
+    haversineBuilder)
+
+  /** Install on an already-built session (idempotent). */
+  def registerOn(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "haversine_km", haversineBuilder, "built-in")
+}

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4 made the converters `private[sql]` (`classic.ExpressionUtils`),
+  * so extension libraries place one small object inside the
+  * `org.apache.spark.sql` namespace to reach them — the standard technique
+  * used by Spark-ecosystem connector/extension projects. Everything else in
+  * this library lives under `graft.*`.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

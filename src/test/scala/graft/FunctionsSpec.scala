@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.Haversine
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("haversine: zero distance, known distance, symmetry") {
+    assert(Haversine.km(41.8781, -87.6298, 41.8781, -87.6298) === 0.0)
+    // Chicago Loop to O'Hare is ~25 km great-circle
+    val loopToOhare = Haversine.km(41.8781, -87.6298, 41.9742, -87.9073)
+    assert(loopToOhare > 24 && loopToOhare < 27)
+    assert(Haversine.km(1, 2, 3, 4) === Haversine.km(3, 4, 1, 2))
+  }
+
+  test("codegen path agrees with interpreted eval") {
+    // range-backed so the projection isn't constant-folded into a
+    // LocalTableScan — forces the generated-code path
+    val df = spark.range(3)
+      .select((($"id" * 0.07) + 41.9).as("lat"), lit(-87.65).as("lon"))
+    val viaExpr = df.select(
+      Haversine.haversineKm($"lat", $"lon", lit(41.8781), lit(-87.6298))
+        .as("d")).as[Double].collect()
+    val direct = (0 until 3)
+      .map(i => Haversine.km(i * 0.07 + 41.9, -87.65, 41.8781, -87.6298))
+    assert(viaExpr.toSeq === direct)
+    // the '*(n)' prefix marks operators inside a WholeStageCodegen stage;
+    // a codegen fallback would print a bare 'Project'
+    val plan = df.select(Haversine.haversineKm($"lat", $"lon",
+      lit(41.8781), lit(-87.6298))).queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [haversine_km"))
+  }
+
+  test("SQL registration via extensions and registerOn") {
+    GraftExtensions.registerOn(spark)
+    val d = spark.sql(
+      "SELECT haversine_km(41.9742, -87.9073, 41.8781, -87.6298) AS d")
+      .as[Double].head()
+    assert(math.abs(d - Haversine.km(41.9742, -87.9073, 41.8781, -87.6298)) < 1e-12)
+    // null propagation
+    val n = spark.sql("SELECT haversine_km(CAST(NULL AS DOUBLE), 0D, 0D, 0D)")
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+}

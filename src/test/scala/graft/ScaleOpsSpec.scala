@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Salting
+import graft.sources.Bucketing
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-path operators: salted aggregation/join equivalence and
+  * shuffle-free bucketed joins (plan-shape asserted). */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+  import spark.implicits._
+
+  test("salted sum/count agrees with direct aggregation") {
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_quantity")
+    val direct = li.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("sum_l_quantity"), count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Salting.saltedSumCount(li, Seq("l_returnflag"), "l_quantity", 8)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet === direct.keySet)
+    salted.foreach { case (k, (s, c)) =>
+      assert(c === direct(k)._2)
+      assert(math.abs(s - direct(k)._1) < 1e-6)
+    }
+  }
+
+  test("salted join agrees with direct join") {
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+    val o = Tables.orders(spark, sf)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    val direct = li.join(o, Seq("l_orderkey")).count()
+    val salted = Salting.saltedJoin(li, o, "l_orderkey", 4).count()
+    assert(salted === direct)
+  }
+
+  test("bucketed fact-fact join plans without exchanges") {
+    // spark.sql.warehouse.dir is static — use the default warehouse and
+    // drop the managed tables (and their files) afterwards. Disable
+    // broadcast so the planner actually uses the bucketed SMJ path (at real
+    // scale both sides are far over the broadcast threshold anyway).
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity"),
+      "li_bucketed", "l_orderkey", 8)
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice"),
+      "o_bucketed", "o_orderkey", 8)
+    val joined = Bucketing.readTable(spark, "li_bucketed")
+      .join(Bucketing.readTable(spark, "o_bucketed"),
+        $"l_orderkey" === $"o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+    // same rows as the unbucketed join
+    val direct = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey").count()
+    assert(joined.count() === direct)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
