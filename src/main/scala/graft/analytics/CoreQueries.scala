@@ -362,6 +362,76 @@ object CoreQueries {
       |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
       |ORDER BY o_custkey""".stripMargin
 
+  // --- A5b: pivot (conditional aggregation matrix) -----------------------
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def aggPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(dayStr($"ts").as("day"))
+      .pivot("event_type", eventTypes)
+      .agg(sumMoney($"value"))
+      .orderBy($"day")
+  }
+
+  val aggPivotSql: String = {
+    val cols = eventTypes.map { t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN ${m("value")} END) AS DOUBLE) AS $t"
+    }.mkString(",\n  ")
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  }
+
+  // --- A5c: cube ---------------------------------------------------------
+  def aggCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .cube($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
+  }
+
+  val aggCubeSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY CUBE (lang, source)
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
+  // --- P11: string scalar suite ------------------------------------------
+  def stringSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_partkey" < 500)
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("name_u"),
+        lower($"p_type").as("type_l"),
+        lpad($"p_partkey".cast(StringType), 8, "0").as("key_pad"),
+        substring($"p_name", 1, 5).as("name5"),
+        replace($"p_name", lit(" "), lit("_")).as("name_us"),
+        regexp_extract($"p_name", "^(\\w+)", 1).as("first_word"),
+        ($"p_name" like "%widget%").as("is_widget"),
+        split($"p_name", " ").getItem(1).as("second_word"),
+        length($"p_name").cast(LongType).as("name_len"),
+        trim(concat(lit("  "), $"p_brand", lit("  "))).as("brand_trim"))
+      .orderBy($"p_partkey")
+  }
+
+  val stringSuiteSql: String =
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_u,
+      |  lower(p_type) AS type_l,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+      |  substring(p_name, 1, 5) AS name5,
+      |  replace(p_name, ' ', '_') AS name_us,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  p_name LIKE '%widget%' AS is_widget,
+      |  string_split(p_name, ' ')[2] AS second_word,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  trim('  ' || p_brand || '  ') AS brand_trim
+      |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin
+
   // --- A4: approximate distinct (HLL++) — rows-only check (no oracle) ----
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -389,6 +459,10 @@ object CoreQueries {
     QueryDef("q_join_semi", joinSemi, Some(joinSemiSql), "J4 left semi join"),
     QueryDef("q_join_anti", joinAnti, Some(joinAntiSql), "J4 left anti join"),
     QueryDef("q_agg_rollup", aggRollup, Some(aggRollupSql), "A5 rollup"),
+    QueryDef("q_agg_pivot", aggPivot, Some(aggPivotSql), "A5 pivot matrix"),
+    QueryDef("q_agg_cube", aggCube, Some(aggCubeSql), "A5 cube"),
+    QueryDef("q_string_suite", stringSuite, Some(stringSuiteSql),
+      "P11 string scalar suite"),
     QueryDef("q_agg_stats", aggStats, Some(aggStatsSql),
       "A6 exact percentile / stddev / corr"),
     QueryDef("q_agg_collect", aggCollect, Some(aggCollectSql),

@@ -25,6 +25,15 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("filter + projection reach the parquet scan (pushdown)") {
+    val plan = CoreQueries.projFilterScalar(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(l_quantity,45"), plan)
+    // column pruning: untouched columns must not be read
+    assert(!plan.contains("l_partkey") && !plan.contains("l_suppkey"), plan)
+  }
+
   test("broadcast dim join plan actually broadcasts") {
     val plan = CoreQueries.joinBroadcastDim(spark, sf)
       .queryExecution.executedPlan.toString
