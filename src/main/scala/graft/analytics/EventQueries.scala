@@ -305,7 +305,75 @@ object EventQueries {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // --- Funnel: signup → purchase conversion within 7 days ----------------
+  // The "trend analysis" archetype over the event stream; all-integer
+  // outputs so the oracle hash is exact.
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    val weekUs = 7L * 24 * 3600 * 1000 * 1000
+    val firstSignup = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(epochUs($"ts")).as("signup_us"))
+    val latency = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), epochUs($"ts").as("p_us"))
+      .join(firstSignup, $"p_user" === $"user_id" && $"p_us" >= $"signup_us")
+      .groupBy($"user_id").agg(min($"p_us" - $"signup_us").as("latency_us"))
+    firstSignup.join(latency, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_signup_users"),
+        sum(when($"latency_us" <= weekUs, 1L).otherwise(0L)).as("n_converted"),
+        coalesce(sum(when($"latency_us" <= weekUs, $"latency_us")), lit(0L))
+          .as("total_latency_us"))
+  }
+
+  val funnelSql: String =
+    """WITH first_signup AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |latency AS (
+      |  SELECT f.user_id, MIN(epoch_us(e.ts) - f.signup_us) AS latency_us
+      |  FROM events e JOIN first_signup f
+      |    ON e.user_id = f.user_id AND epoch_us(e.ts) >= f.signup_us
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY f.user_id)
+      |SELECT COUNT(*) AS n_signup_users,
+      |  SUM(CASE WHEN latency_us <= 604800000000 THEN 1 ELSE 0 END) AS n_converted,
+      |  COALESCE(SUM(CASE WHEN latency_us <= 604800000000 THEN latency_us END), 0) AS total_latency_us
+      |FROM first_signup LEFT JOIN latency USING (user_id)""".stripMargin
+
+  // --- Cohort retention by signup week -----------------------------------
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    val cohort = e.groupBy($"user_id")
+      .agg(min(date_trunc("week", $"ts")).as("cohort_wk"))
+    val active = e.select($"user_id", date_trunc("week", $"ts").as("wk")).distinct()
+    active.join(cohort, Seq("user_id"))
+      .select($"cohort_wk",
+        (datediff($"wk", $"cohort_wk") / 7).cast(LongType).as("week_offset"),
+        $"user_id")
+      .groupBy(dayStr($"cohort_wk").as("cohort_week"), $"week_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_wk
+      |  FROM events GROUP BY user_id),
+      |active AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+      |SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+      |  CAST(datediff('day', cohort_wk, wk) // 7 AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM active JOIN cohort USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_funnel_conversion", funnel, Some(funnelSql),
+      "signup→purchase funnel with 7-day conversion window"),
+    QueryDef("q_cohort_retention", cohortRetention, Some(cohortRetentionSql),
+      "weekly cohort retention matrix"),
     QueryDef("q_window_latest_state", latestState, Some(latestStateSql),
       "W1 latest state per key (DynamoDB access pattern)"),
     QueryDef("q_window_lag_gaps", lagGaps, Some(lagGapsSql),

@@ -36,6 +36,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("as-of join: self-probe returns each row's own value (inclusive <=)") {
+    val e = Tables.events(spark, sf)
+    val probe = e.select($"user_id", $"ts", $"event_id", $"value".as("expected"))
+    val build = e.select($"user_id", $"ts", $"value")
+    val out = graft.operators.AsOfJoin
+      .lastValueAsOf(probe, build, "user_id", "ts", "value", "state")
+      .collect()
+    assert(out.length === e.count())
+    // (user_id, ts) is unique, so the latest build value at ts is the row's own
+    out.foreach { r =>
+      assert(r.getAs[Double]("state") === r.getAs[Double]("expected"))
+    }
+  }
+
   test("bucketed fact-fact join plans without exchanges") {
     // spark.sql.warehouse.dir is static — use the default warehouse and
     // drop the managed tables (and their files) afterwards. Disable
