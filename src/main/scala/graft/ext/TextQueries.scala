@@ -165,7 +165,52 @@ object TextQueries {
       |        FROM documents WHERE doc_id < 200))
       |ORDER BY doc_id""".stripMargin
 
+  // --- X4e: TF-IDF top terms per document --------------------------------
+  /** Top-3 TF-IDF terms for sampled docs. Ranked on the ROUNDED score (with
+    * term tie-break) so a last-ulp ln() difference between JVM and DuckDB
+    * libm cannot reorder the cut. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val terms = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy($"term")
+      .agg(countDistinct($"doc_id").as("dfreq"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = terms.filter($"doc_id" < 50)
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"term",
+        round($"tf" * log($"n_docs".cast(DoubleType) / $"dfreq"), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= 3)
+      .orderBy($"doc_id", $"rnk")
+      .select($"doc_id", $"rnk", $"term", $"tfidf")
+  }
+
+  val textTfidfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tfs AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS dfreq FROM tfs GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    ROUND(tf * ln(CAST(n_docs AS DOUBLE) / dfreq), 6) AS tfidf
+      |  FROM tfs JOIN dfreq USING (term) CROSS JOIN n
+      |  WHERE doc_id < 50)
+      |SELECT doc_id, rnk, term, tfidf FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+      |  FROM scored) WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_text_tfidf", textTfidf, Some(textTfidfSql),
+      "X4 TF-IDF top terms per document"),
     QueryDef("q_text_stats", textStats, Some(textStatsSql),
       "X4 token counting + quality scoring"),
     QueryDef("q_text_langid", textLangId, Some(textLangIdSql),
