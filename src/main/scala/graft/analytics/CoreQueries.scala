@@ -432,6 +432,79 @@ object CoreQueries {
       |  trim('  ' || p_brand || '  ') AS brand_trim
       |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin
 
+  // --- W-extra: analytic window suite (ntile/percent_rank/cume_dist/...) -
+  def windowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .filter($"o_orderkey" < 3000)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first($"o_orderkey").over(w).as("top_key"),
+        lead($"o_orderkey", 1).over(w).as("next_key"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
+  val windowAnalyticsSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      |  ROUND(cume_dist() OVER w, 6) AS cume,
+      |  first_value(o_orderkey) OVER w AS top_key,
+      |  lead(o_orderkey, 1) OVER w AS next_key
+      |FROM orders WHERE o_orderkey < 3000
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  // --- O5b: bag-semantics set ops (exceptAll / intersectAll) -------------
+  def setOpsBag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter($"l_returnflag" === "R").select($"l_orderkey")
+    val b = li.filter($"l_linestatus" === "F").select($"l_orderkey")
+    val ex = a.exceptAll(b).agg(count(lit(1)).as("n_rows"),
+      countDistinct($"l_orderkey").as("n_keys"))
+      .select(lit("except_all").as("op"), $"n_rows", $"n_keys")
+    val in = a.intersectAll(b).agg(count(lit(1)).as("n_rows"),
+      countDistinct($"l_orderkey").as("n_keys"))
+      .select(lit("intersect_all").as("op"), $"n_rows", $"n_keys")
+    ex.unionByName(in).orderBy($"op")
+  }
+
+  val setOpsBagSql: String =
+    """SELECT 'except_all' AS op, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT l_orderkey) AS n_keys FROM (
+      |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      |  EXCEPT ALL
+      |  SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT l_orderkey) AS n_keys FROM (
+      |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      |  INTERSECT ALL
+      |  SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+      |ORDER BY op""".stripMargin
+
+  // --- A5d: explicit grouping sets ---------------------------------------
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupingSets(Seq(Seq($"lang"), Seq($"source"), Seq.empty),
+        $"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
   // --- A4: approximate distinct (HLL++) — rows-only check (no oracle) ----
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -460,6 +533,12 @@ object CoreQueries {
     QueryDef("q_join_anti", joinAnti, Some(joinAntiSql), "J4 left anti join"),
     QueryDef("q_agg_rollup", aggRollup, Some(aggRollupSql), "A5 rollup"),
     QueryDef("q_agg_pivot", aggPivot, Some(aggPivotSql), "A5 pivot matrix"),
+    QueryDef("q_agg_grouping_sets", aggGroupingSets, Some(aggGroupingSetsSql),
+      "A5 explicit grouping sets"),
+    QueryDef("q_window_analytics", windowAnalytics, Some(windowAnalyticsSql),
+      "W ntile/percent_rank/cume_dist/first_value/lead suite"),
+    QueryDef("q_setops_bag", setOpsBag, Some(setOpsBagSql),
+      "O5 exceptAll/intersectAll bag semantics"),
     QueryDef("q_agg_cube", aggCube, Some(aggCubeSql), "A5 cube"),
     QueryDef("q_string_suite", stringSuite, Some(stringSuiteSql),
       "P11 string scalar suite"),

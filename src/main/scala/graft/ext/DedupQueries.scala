@@ -76,7 +76,11 @@ object DedupQueries {
     * md5("i|" + shingle) for each hash index i. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingled(Tables.documents(s, dir), Seq("doc_id"))
+    // no distinct(): MIN is duplicate-insensitive, so the signature is
+    // identical without paying an extra shuffle to dedup shingles
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", explode(shingleArr).as("sh"))
     sh.groupBy($"doc_id").agg(
       min(md5(concat(lit("0|"), $"sh"))).as("h0"),
       (1 until K).map(i => min(md5(concat(lit(s"$i|"), $"sh"))).as(s"h$i")): _*)
