@@ -35,6 +35,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [haversine_km"))
   }
 
+  test("bounding-box rule derives pushable range predicates from a radius filter") {
+    import graft.plans.HaversineBoundingBox
+    val tmp = java.nio.file.Files.createTempDirectory("graft-geo").toString + "/pts"
+    spark.range(1000)
+      .select(($"id" % 100 * 0.05 + 40.0).as("lat"),
+        ($"id" % 97 * 0.06 - 90.0).as("lon"), $"id")
+      .write.parquet(tmp)
+    val pts = spark.read.parquet(tmp)
+    val radius = Haversine.haversineKm($"lat", $"lon",
+      lit(41.8781), lit(-87.6298)) < 50.0
+    val noRule = pts.filter(radius).collect().map(_.getLong(2)).sorted
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ HaversineBoundingBox
+    try {
+      val withRule = pts.filter(radius)
+      val optimized = withRule.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("(lat#") && optimized.contains(">= 41.4"),
+        optimized) // 41.8781 - 50/110 ≈ 41.4236 lower bound appeared
+      val physical = withRule.queryExecution.executedPlan.toString
+      assert(physical.contains("PushedFilters: ") &&
+        physical.contains("GreaterThanOrEqual(lat,41.4"), physical)
+      // exact circle semantics preserved
+      assert(withRule.collect().map(_.getLong(2)).sorted === noRule)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("SQL registration via extensions and registerOn") {
     GraftExtensions.registerOn(spark)
     val d = spark.sql(
