@@ -77,22 +77,29 @@ object DedupQueries {
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // no distinct(): MIN is duplicate-insensitive, so the signature is
-    // identical without paying an extra shuffle to dedup shingles
+    // identical without paying an extra shuffle to dedup shingles.
+    // K independent-enough hash values come from 8-hex-char (32-bit) chunks
+    // of TWO md5 digests per shingle — 4× cheaper than K md5 calls, still
+    // engine-portable (DuckDB md5/substring agree).
     val sh = Tables.documents(s, dir)
       .withColumn("toks", split($"text", " "))
       .select($"doc_id", explode(shingleArr).as("sh"))
+      .select($"doc_id",
+        concat(md5($"sh"), md5(concat(lit("x"), $"sh"))).as("hf"))
     sh.groupBy($"doc_id").agg(
-      min(md5(concat(lit("0|"), $"sh"))).as("h0"),
-      (1 until K).map(i => min(md5(concat(lit(s"$i|"), $"sh"))).as(s"h$i")): _*)
+      min(substring($"hf", 1, 8)).as("h0"),
+      (1 until K).map(i => min(substring($"hf", 8 * i + 1, 8)).as(s"h$i")): _*)
   }
 
   private val minhashSigsSql: String =
     s"""shingled AS (
        |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, md5(sh) || md5('x' || sh) AS hf FROM shingled),
        |sigs AS (
        |  SELECT doc_id,
-       |    ${(0 until K).map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(",\n    ")}
-       |  FROM shingled GROUP BY doc_id)""".stripMargin
+       |    ${(0 until K).map(i => s"min(substring(hf, ${8 * i + 1}, 8)) AS h$i").mkString(",\n    ")}
+       |  FROM hashed GROUP BY doc_id)""".stripMargin
 
   /** Candidate near-dup pairs: docs sharing any of the K single-row bands,
     * scored by signature agreement (est. Jaccard = matches/K), kept when
