@@ -187,6 +187,84 @@ object SimilarityQueries {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  // --- X3b': IVF-flat ANN (coarse quantizer + probe) ---------------------
+  private val NPROBE = 2
+
+  /** IVF-flat: a deterministic coarse quantizer (every 100th vector serves
+    * as a centroid — at real scale these come from a sampled k-means),
+    * vectors assigned to their nearest centroid's inverted list, queries
+    * probe the NPROBE nearest lists and re-rank exactly. At 100 TB the
+    * assignment is precomputed at ingest and the probe join is equi on the
+    * centroid id — the scan per query is |corpus|/|centroids| × NPROBE. */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", q6Arr($"embedding").as("qe"))
+      .select($"vec_id", $"qe", dotQ($"qe", $"qe").as("nrm"))
+    val cents = e.filter($"vec_id" % 100 === 0)
+      .toDF("c_id", "c_qe", "c_nrm")
+    val scoredCents = e.join(broadcast(cents), lit(true))
+      .select($"vec_id", $"qe", $"nrm", $"c_id",
+        cosine(dotQ($"qe", $"c_qe"), $"nrm", $"c_nrm").as("c_cos"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
+    val ranked = scoredCents
+      .withColumn("crn", row_number().over(wAssign))
+    val assign = ranked.filter($"crn" === 1)
+      .select($"vec_id", $"c_id".as("bucket"))
+    val probes = ranked.filter($"vec_id" < 20 && $"crn" <= NPROBE)
+      .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"),
+        $"c_id".as("bucket"))
+    val scored = probes.join(assign, Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(e, Seq("vec_id"))
+      .select($"q_id", $"vec_id",
+        cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= 5)
+      .orderBy($"q_id", $"rnk")
+      .select($"q_id", $"rnk", $"vec_id", $"cos_sim")
+  }
+
+  val knnIvfSql: String =
+    s"""WITH $normsCte,
+       |cent_scores AS (
+       |  SELECT v.vec_id, c.vec_id AS c_id,
+       |    CAST(${dotSql("v.embedding", "c.embedding")} AS DOUBLE)
+       |      / (sqrt(CAST(vn.nrm AS DOUBLE)) * sqrt(CAST(cn.nrm AS DOUBLE))) AS c_cos
+       |  FROM embeddings v
+       |  JOIN norms vn ON v.vec_id = vn.vec_id
+       |  JOIN embeddings c ON c.vec_id % 100 = 0
+       |  JOIN norms cn ON c.vec_id = cn.vec_id, $idxSql
+       |  GROUP BY v.vec_id, c.vec_id, vn.nrm, cn.nrm),
+       |ranked AS (
+       |  SELECT vec_id, c_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id ASC) AS crn
+       |  FROM cent_scores),
+       |assign AS (SELECT vec_id, c_id AS bucket FROM ranked WHERE crn = 1),
+       |probes AS (SELECT vec_id AS q_id, c_id AS bucket FROM ranked
+       |  WHERE vec_id < 20 AND crn <= $NPROBE),
+       |cands AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probes p JOIN assign a ON p.bucket = a.bucket
+       |  WHERE a.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT ca.q_id, ca.vec_id,
+       |    CAST(${dotSql("q.embedding", "v.embedding")} AS DOUBLE)
+       |      / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+       |  FROM cands ca
+       |  JOIN embeddings q ON ca.q_id = q.vec_id
+       |  JOIN embeddings v ON ca.vec_id = v.vec_id
+       |  JOIN norms qn ON ca.q_id = qn.vec_id
+       |  JOIN norms vn ON ca.vec_id = vn.vec_id, $idxSql
+       |  GROUP BY ca.q_id, ca.vec_id, qn.nrm, vn.nrm)
+       |SELECT q_id, rnk, vec_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+
   // --- X3c / X2: label-blocked embedding near-dup ------------------------
   /** Top-3 most-similar pairs within each label block — the
     * embedding-cosine near-dup detector, blocked on `label` so the pair
@@ -232,6 +310,8 @@ object SimilarityQueries {
       "X3 brute-force cosine top-k (correctness baseline)"),
     QueryDef("q_sim_knn_lsh", knnLsh, Some(knnLshSql),
       "X3 hyperplane-LSH bucketed ANN (scale path)"),
+    QueryDef("q_sim_knn_ivf", knnIvf, Some(knnIvfSql),
+      "X3 IVF-flat ANN: coarse quantizer + nprobe re-rank"),
     QueryDef("q_sim_neardup_label", nearDupByLabel, Some(nearDupByLabelSql),
       "X3/X2 label-blocked embedding near-dup pairs"))
 }

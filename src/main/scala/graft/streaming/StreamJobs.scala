@@ -47,6 +47,21 @@ object StreamJobs {
       .partitionBy("load_date")
       .outputMode(OutputMode.Append)
 
+  /** T2/T7 alternative sink: foreachBatch with a batch-id-keyed overwrite,
+    * the idempotent-merge pattern for sinks without transactional appends.
+    * A re-delivered micro-batch (failure before checkpoint commit)
+    * overwrites its own directory instead of duplicating rows — the
+    * exactly-once answer to the reference's at-least-once Firehose re-drive
+    * (get_train_status.py:60-79). */
+  def landObservationsIdempotent(normalized: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    normalized.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+
   /** Streaming `events` source from a parquet directory (the test harness
     * drops sf parquet files in). `ts` arrives as TIMESTAMP(NANOS) — read as
     * long, truncate to µs exactly like the batch path (Tables.events). */
