@@ -95,7 +95,50 @@ object MultimodalQueries {
       |    AS frame_sample
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  /** Byte-level feature extraction over the binary payload: a 16-bin
+    * histogram of high nibbles (a real computation standing in for e.g. a
+    * color histogram) and a stride-downsampled byte signature (the "resize"
+    * shape: fixed-size output regardless of payload size). */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hexChars = typedLit(Seq("0", "1", "2", "3", "4", "5", "6", "7",
+      "8", "9", "A", "B", "C", "D", "E", "F"))
+    Tables.documents(s, dir)
+      .filter($"doc_id" < 200)
+      .withColumn("hx", hex($"text".cast(BinaryType)))
+      // high nibble of each byte = every odd hex char; precomputed column so
+      // the lambda indexes an attribute instead of re-hexing per element
+      .withColumn("nibs",
+        expr("transform(sequence(1, length(hx) div 2), i -> substring(hx, i*2-1, 1))"))
+      .select(
+        $"doc_id",
+        concat_ws(",", transform(hexChars,
+          c => size(filter($"nibs", x => x === c)))).as("nib_hist"),
+        expr("concat_ws('', transform(sequence(0, 15), k -> substring(hx, k*16+1, 2)))")
+          .as("stride_sig"))
+      .orderBy($"doc_id")
+  }
+
+  val mediaFeaturesSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx
+      |  FROM documents WHERE doc_id < 200),
+      |n AS (
+      |  SELECT doc_id, hx,
+      |    list_transform(generate_series(1, length(hx) // 2),
+      |      i -> substring(hx, i*2-1, 1)) AS nibs
+      |  FROM h)
+      |SELECT doc_id,
+      |  array_to_string(list_transform(
+      |    string_split('0,1,2,3,4,5,6,7,8,9,A,B,C,D,E,F', ','),
+      |    c -> len(list_filter(nibs, x -> x = c))), ',') AS nib_hist,
+      |  array_to_string(list_transform(generate_series(0, 15),
+      |    k -> substring(hx, k*16+1, 2)), '') AS stride_sig
+      |FROM n ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_meta", mediaMeta, Some(mediaMetaSql),
-      "binary media column + metadata/frame-sample plumbing (decode stubbed)"))
+      "binary media column + metadata/frame-sample plumbing (decode stubbed)"),
+    QueryDef("q_multimodal_features", mediaFeatures, Some(mediaFeaturesSql),
+      "byte-level feature extraction: nibble histogram + stride signature"))
 }
