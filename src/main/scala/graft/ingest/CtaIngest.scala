@@ -29,11 +29,27 @@ object CtaIngest {
     * unlike the reference (which reads only `route[0]`,
     * get_train_status.py:106) we flatten every route element.
     */
-  def parse(raw: DataFrame): DataFrame = {
+  def parse(raw: DataFrame): DataFrame = parse(raw, strict = false)
+
+  /** With `strict = true` a response without `ctatt.route` FAILS the job —
+    * the reference raises KeyError there (get_train_status.py:130-133),
+    * treating it as a hard contract violation rather than empty data; an
+    * empty `train` array stays a soft no-op in both modes
+    * (get_train_status.py:105-107 returns 204). */
+  def parse(raw: DataFrame, strict: Boolean): DataFrame = {
     val doc = from_json(col("json"), CtaSchemas.apiResponse)
-    raw
-      .select(col("line"), col("poll_ts"), doc.as("doc"))
-      .filter(col("doc.ctatt.route").isNotNull && size(col("doc.ctatt.route")) > 0)
+    val routeGuard =
+      if (strict)
+        raw.select(col("line"), col("poll_ts"), doc.as("doc"))
+          .withColumn("__route_ok", assert_true(
+            col("doc.ctatt.route").isNotNull && size(col("doc.ctatt.route")) > 0,
+            concat(lit("no ctatt.route in response for line "), col("line"))))
+          .filter(col("__route_ok").isNull)
+          .drop("__route_ok")
+      else
+        raw.select(col("line"), col("poll_ts"), doc.as("doc"))
+          .filter(col("doc.ctatt.route").isNotNull && size(col("doc.ctatt.route")) > 0)
+    routeGuard
       .select(col("line"), col("poll_ts"), explode(col("doc.ctatt.route")).as("r"))
       .filter(col("r.train").isNotNull && size(col("r.train")) > 0)
       .select(col("line"), col("poll_ts"), explode(col("r.train")).as("t"))

@@ -39,6 +39,28 @@ class IngestSpec extends AnyFunSuite {
     assert(CtaIngest.normalize(guarded).count() === 0)
   }
 
+  test("strict parse raises on missing route (reference KeyError contract)") {
+    val noRoute = CtaFixtures.feedDf(spark).filter($"line" === "Org")
+    val e = intercept[Exception] {
+      CtaIngest.parse(noRoute, strict = true).count()
+    }
+    assert(e.getMessage != null)
+    // empty train array stays a soft no-op even in strict mode (204 path)
+    val noTrains = CtaFixtures.feedDf(spark).filter($"line" === "G")
+    assert(CtaIngest.parse(noTrains, strict = true).count() === 0)
+  }
+
+  test("fan-out dimension has exactly the 7 reference train lines") {
+    // reference component test pins 7 SQS messages
+    // (tests/component/test_write_train_lines.py:53-55); our fan-out is the
+    // dim itself
+    val dim = graft.model.CtaSchemas.trainLines
+    assert(dim.size === 7)
+    assert(dim.map(_._1).toSet ===
+      Set("Red", "Blue", "Brn", "G", "Org", "P", "Y"))
+    assert(dim.toDF("abbrev", "line").count() === 7)
+  }
+
   test("compact dedups at-least-once duplicates and lands hive partitions") {
     val tmp = Files.createTempDirectory("graft-compact").toString
     val rawDir = s"$tmp/raw"
