@@ -18,6 +18,7 @@ object Registry {
   def all: Seq[QueryDef] =
     analytics.CoreQueries.defs ++
       analytics.EventQueries.defs ++
+      analytics.Profiler.defs ++
       ingest.IngestQueries.defs ++
       ext.DedupQueries.defs ++
       ext.SimilarityQueries.defs ++

@@ -1,0 +1,84 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-profiling operator: one pass per table producing per-column
+  * row/null/distinct counts and min/max — the data-quality sweep a training
+  * pipeline runs before ingesting a new 100 TB source. All columns profile
+  * in a single aggregation job (no per-column scans); the per-column rows
+  * are unpivoted from one wide aggregate row.
+  *
+  * For the oracle, doubles are stringified through DECIMAL(18,2) so both
+  * engines format identically.
+  */
+object Profiler {
+
+  private def minMaxStr(c: String, dt: DataType): (Column, Column) = dt match {
+    case DoubleType =>
+      (min(col(c).cast(DecimalType(18, 2))).cast(StringType),
+        max(col(c).cast(DecimalType(18, 2))).cast(StringType))
+    case _: TimestampType | _: TimestampNTZType =>
+      (unix_micros(min(col(c)).cast(TimestampType)).cast(StringType),
+        unix_micros(max(col(c)).cast(TimestampType)).cast(StringType))
+    case _ =>
+      (min(col(c)).cast(StringType), max(col(c)).cast(StringType))
+  }
+
+  /** Profile all non-array columns of a table in one aggregation. */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.filterNot(_.dataType.isInstanceOf[ArrayType])
+    val aggs = cols.flatMap { f =>
+      val (mn, mx) = minMaxStr(f.name, f.dataType)
+      Seq(
+        count(col(f.name)).as(s"${f.name}__n"),
+        count(lit(1)).minus(count(col(f.name))).as(s"${f.name}__nulls"),
+        countDistinct(col(f.name)).as(s"${f.name}__distinct"),
+        mn.as(s"${f.name}__min"), mx.as(s"${f.name}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { f =>
+      struct(lit(f.name).as("col_name"),
+        col(s"${f.name}__n").as("n"),
+        col(s"${f.name}__nulls").as("n_nulls"),
+        col(s"${f.name}__distinct").as("n_distinct"),
+        col(s"${f.name}__min").as("min_str"),
+        col(s"${f.name}__max").as("max_str"))
+    }
+    wide.select(explode(array(entries: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  def profileLineitem(s: SparkSession, dir: String): DataFrame =
+    profile(Tables.lineitem(s, dir))
+
+  val profileLineitemSql: String = {
+    val cols = Seq(
+      "l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+      "l_linenumber" -> "int", "l_quantity" -> "dbl",
+      "l_extendedprice" -> "dbl", "l_discount" -> "dbl", "l_tax" -> "dbl",
+      "l_returnflag" -> "str", "l_linestatus" -> "str",
+      "l_shipdate" -> "ts")
+    cols.map { case (c, kind) =>
+      val (mn, mx) = kind match {
+        case "dbl" =>
+          (s"CAST(CAST(MIN(CAST($c AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR)",
+            s"CAST(CAST(MAX(CAST($c AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR)")
+        case "ts" =>
+          (s"CAST(epoch_us(MIN($c)) AS VARCHAR)", s"CAST(epoch_us(MAX($c)) AS VARCHAR)")
+        case _ => (s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+      }
+      s"""SELECT '$c' AS col_name, COUNT($c) AS n,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  $mn AS min_str, $mx AS max_str FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_profile_lineitem", profileLineitem, Some(profileLineitemSql),
+      "single-pass per-column data-quality profile"))
+}

@@ -5,6 +5,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Typed form of the §1.2 observation record — the `Dataset[T]` core for
+  * callers who want compile-time field checks (SURVEY.md §1.4). */
+final case class TrainObservation(
+    train_id: String,
+    service_date: java.sql.Date,
+    line: String,
+    run: String,
+    direction: String,
+    observed_at: java.sql.Timestamp,
+    prediction_generated_at: java.sql.Timestamp,
+    destination_station: String,
+    next_station: String,
+    next_station_arrival_at: java.sql.Timestamp,
+    is_approaching_station: Boolean,
+    is_train_delayed: Boolean,
+    lat: Option[Double],
+    lon: Option[Double],
+    heading: Option[Double],
+    load_date: java.sql.Date)
+
 /** The reference's EP2 ingest pipeline (get_train_status.lambda_handler,
   * reference get_train_status.py:89-138) as one narrow Spark job:
   *
@@ -83,6 +103,13 @@ object CtaIngest {
       col("t.lon").cast(DoubleType).as("lon"),
       col("t.heading").cast(DoubleType).as("heading"),
       pollDate.as("load_date"))
+  }
+
+  /** Typed view of [[normalize]]. */
+  def normalizedDs(raw: DataFrame): org.apache.spark.sql.Dataset[TrainObservation] = {
+    val out = normalize(raw)
+    import out.sparkSession.implicits._
+    out.as[TrainObservation]
   }
 
   /** EP3 — daily compaction (reference bucket_raw_data.py:82-117): read a

@@ -39,6 +39,15 @@ class IngestSpec extends AnyFunSuite {
     assert(CtaIngest.normalize(guarded).count() === 0)
   }
 
+  test("typed Dataset[TrainObservation] view round-trips the golden record") {
+    val ds = CtaIngest.normalizedDs(CtaFixtures.feedDf(spark))
+    val obs = ds.collect().sortBy(_.train_id)
+    assert(obs.length === 3)
+    assert(obs.head.train_id === "2025-07-01#Blue#127#1")
+    assert(obs.head.lat === Some(41.929))
+    assert(obs(1).is_train_delayed === true)
+  }
+
   test("strict parse raises on missing route (reference KeyError contract)") {
     val noRoute = CtaFixtures.feedDf(spark).filter($"line" === "Org")
     val e = intercept[Exception] {
