@@ -23,5 +23,6 @@ object Registry {
       ext.DedupQueries.defs ++
       ext.SimilarityQueries.defs ++
       ext.TextQueries.defs ++
+      ext.SamplingQueries.defs ++
       ext.MultimodalQueries.defs
 }
