@@ -24,6 +24,9 @@ object TextQueries {
     val toks = split($"text", " ")
     val tokenCnt = size(toks).cast(LongType)
     val wordCnt = size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).cast(LongType)
+    // BPE-style pretokenizer shape: word runs, digit runs, single punctuation
+    val bpeCnt = size(regexp_extract_all($"text",
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType)
     val punctCnt = (length($"text") - length(regexp_replace($"text", "[.,!?;:]", "")))
       .cast(LongType)
     val stopCnt = size(filter(toks, t =>
@@ -33,13 +36,15 @@ object TextQueries {
       stopCnt.cast(DoubleType) / tokenCnt >= 0.01
     Tables.documents(s, dir)
       .select($"lang", $"source", $"n_chars", tokenCnt.as("token_cnt"),
-        wordCnt.as("word_cnt"), punctCnt.as("punct_cnt"), stopCnt.as("stop_cnt"),
+        wordCnt.as("word_cnt"), bpeCnt.as("bpe_cnt"),
+        punctCnt.as("punct_cnt"), stopCnt.as("stop_cnt"),
         quality.cast(LongType).as("is_quality"))
       .groupBy($"lang", $"source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum($"token_cnt").as("sum_tokens"),
         sum($"word_cnt").as("sum_words"),
+        sum($"bpe_cnt").as("sum_bpe"),
         sum($"punct_cnt").as("sum_punct"),
         sum($"stop_cnt").as("sum_stop"),
         sum($"n_chars").as("sum_chars"),
@@ -53,12 +58,14 @@ object TextQueries {
        |  SELECT lang, source, n_chars,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_cnt,
        |    CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_cnt,
+       |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_cnt,
        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_cnt,
        |    CAST(len(list_filter(string_split(text, ' '), t -> ${inList("t", stopwords)})) AS BIGINT) AS stop_cnt
        |  FROM documents)
        |SELECT lang, source, COUNT(*) AS n_docs,
        |  SUM(token_cnt) AS sum_tokens,
        |  SUM(word_cnt) AS sum_words,
+       |  SUM(bpe_cnt) AS sum_bpe,
        |  SUM(punct_cnt) AS sum_punct,
        |  SUM(stop_cnt) AS sum_stop,
        |  SUM(n_chars) AS sum_chars,
