@@ -305,6 +305,37 @@ object EventQueries {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // --- J5b: NATIVE as-of join (custom LogicalPlan/Strategy/SparkPlan) ----
+  /** Each event probes for the user's latest value as of 5 minutes earlier,
+    * via [[graft.plans.NativeAsOfJoin]] — the tier-(c) custom operator.
+    * Oracle: DuckDB's built-in ASOF JOIN, i.e. our custom exec is checked
+    * against an independent native implementation of the same semantics. */
+  def asOfNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    val probe = e.select($"user_id", (epochUs($"ts") - 300000000L).as("ts_us"),
+      $"event_id", $"event_type")
+    val build = e.select($"user_id", epochUs($"ts").as("ts_us"), $"value")
+    graft.plans.NativeAsOfJoin.join(probe, build, "user_id", "ts_us", "value", "state")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count($"state").as("n_matched"),
+        sum(money($"state")).cast(org.apache.spark.sql.types.DoubleType).as("sum_state"))
+      .orderBy($"event_type")
+  }
+
+  val asOfNativeSql: String =
+    """WITH probe AS (
+      |  SELECT user_id, epoch_us(ts) - 300000000 AS ts_us, event_id, event_type
+      |  FROM events),
+      |build AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events)
+      |SELECT p.event_type, COUNT(*) AS n_total, COUNT(b.value) AS n_matched,
+      |  CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_state
+      |FROM probe p ASOF LEFT JOIN build b
+      |  ON p.user_id = b.user_id AND b.ts_us <= p.ts_us
+      |GROUP BY p.event_type ORDER BY p.event_type""".stripMargin
+
   // --- Funnel: signup → purchase conversion within 7 days ----------------
   // The "trend analysis" archetype over the event stream; all-integer
   // outputs so the oracle hash is exact.
@@ -382,6 +413,8 @@ object EventQueries {
       "W3 rows-frame rolling aggregate"),
     QueryDef("q_join_asof_state", asOfDailyState, Some(asOfDailyStateSql),
       "J5 as-of join via grid + forward fill"),
+    QueryDef("q_join_asof_native", asOfNative, Some(asOfNativeSql),
+      "J5 native as-of join exec vs DuckDB ASOF JOIN oracle"),
     QueryDef("q_join_range_followers", rangeJoinFollowers, Some(rangeJoinFollowersSql),
       "J6 range join, bucketized for scale"),
     QueryDef("q_scalar_datetime", datetimeScalars, Some(datetimeScalarsSql),

@@ -50,6 +50,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native as-of join exec matches the composable union+window rewrite") {
+    import graft.plans.NativeAsOfJoin
+    val e = Tables.events(spark, sf)
+    // probe 5 minutes back: some rows match an older event, the earliest
+    // rows of each user match nothing (null state)
+    val probe = e.select($"user_id", (unix_micros($"ts") - 300000000L).as("ts_us"),
+      $"event_id")
+    val build = e.select($"user_id", unix_micros($"ts").as("ts_us"), $"value")
+    val native = NativeAsOfJoin.join(probe, build, "user_id", "ts_us", "value", "state")
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), plan)
+    val nRows = native.collect()
+      .map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    val composable = graft.operators.AsOfJoin
+      .lastValueAsOf(probe, build, "user_id", "ts_us", "value", "state")
+      .collect()
+      .map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(nRows.size === composable.size)
+    assert(nRows === composable)
+    // sanity: both null (pre-history) and non-null matches occur
+    assert(nRows.values.exists(_.isEmpty) && nRows.values.exists(_.nonEmpty))
+  }
+
   test("bucketed fact-fact join plans without exchanges") {
     // spark.sql.warehouse.dir is static — use the default warehouse and
     // drop the managed tables (and their files) afterwards. Disable
