@@ -200,6 +200,34 @@ object CoreQueries {
       |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
       |ORDER BY c_custkey""".stripMargin
 
+  // --- J3b: full outer join ----------------------------------------------
+  /** Customers-per-nation ⟗ suppliers-per-nation: nations may exist on one
+    * side only, so both null branches are exercised. */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).groupBy($"c_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sup = Tables.supplier(s, dir).groupBy($"s_nationkey".as("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(sup, $"nationkey" === $"s_nationkey", "full_outer")
+      .select(
+        coalesce($"nationkey", $"s_nationkey").as("nation_key"),
+        coalesce($"n_customers", lit(0L)).as("n_customers"),
+        coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+      .orderBy($"nation_key")
+  }
+
+  val joinFullOuterSql: String =
+    """SELECT COALESCE(c.nationkey, s.s_nationkey) AS nation_key,
+      |  COALESCE(c.n_customers, 0) AS n_customers,
+      |  COALESCE(s.n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      |      FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS s_nationkey, COUNT(*) AS n_suppliers
+      |      FROM supplier GROUP BY 1) s
+      |  ON c.nationkey = s.s_nationkey
+      |ORDER BY nation_key""".stripMargin
+
   // --- A5: rollup with multi-level aggregates ----------------------------
   def aggRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -529,6 +557,8 @@ object CoreQueries {
       "J2 shuffle join + A3 count distinct"),
     QueryDef("q_join_left_outer", joinLeftOuter, Some(joinLeftOuterSql),
       "J3 left outer join"),
+    QueryDef("q_join_full_outer", joinFullOuter, Some(joinFullOuterSql),
+      "J3 full outer join"),
     QueryDef("q_join_semi", joinSemi, Some(joinSemiSql), "J4 left semi join"),
     QueryDef("q_join_anti", joinAnti, Some(joinAntiSql), "J4 left anti join"),
     QueryDef("q_agg_rollup", aggRollup, Some(aggRollupSql), "A5 rollup"),

@@ -88,6 +88,35 @@ object EventQueries {
       |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --- W3b: RANGE frame (time-based window, not row-count) ---------------
+  /** Events in the trailing 10 minutes per user — a range frame over event
+    * time, the time-based sibling of the rows-frame rolling aggregate. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(epochUs($"ts"))
+      .rangeBetween(-600000000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("sum_10m", sum(money($"value")).over(w).cast(DoubleType))
+      .groupBy($"user_id")
+      .agg(
+        max($"n_10m").as("max_burst"),
+        sum($"n_10m").as("total_window_rows"),
+        max($"sum_10m").as("max_burst_value"))
+      .orderBy($"user_id")
+  }
+
+  val rangeFrameSql: String =
+    """SELECT user_id, MAX(n_10m) AS max_burst,
+      |  SUM(n_10m) AS total_window_rows,
+      |  MAX(sum_10m) AS max_burst_value FROM (
+      |  SELECT user_id, COUNT(*) OVER w AS n_10m,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // --- J5: as-of join — per-user end-of-day state, forward-filled --------
   // The DynamoDB latest-state pattern generalized to "state as of each day".
   // Spark-first rewrite: per-(key,day) last value, then a dense key×day grid
@@ -411,6 +440,8 @@ object EventQueries {
       "W2 lag inter-event gaps"),
     QueryDef("q_window_rolling", rollingFrame, Some(rollingFrameSql),
       "W3 rows-frame rolling aggregate"),
+    QueryDef("q_window_range_frame", rangeFrame, Some(rangeFrameSql),
+      "W3 time-based RANGE frame"),
     QueryDef("q_join_asof_state", asOfDailyState, Some(asOfDailyStateSql),
       "J5 as-of join via grid + forward fill"),
     QueryDef("q_join_asof_native", asOfNative, Some(asOfNativeSql),
