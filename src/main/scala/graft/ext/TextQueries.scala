@@ -124,6 +124,25 @@ object TextQueries {
        |FROM best_of GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
   }
 
+  // --- P2b: positional generator (posexplode / UNNEST WITH ORDINALITY) ---
+  def tokenPositions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"doc_id" < 20)
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", $"pos".cast(LongType).as("pos"), $"col".as("tok"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  val tokenPositionsSql: String =
+    """SELECT doc_id, i - 1 AS pos,
+      |  string_split(text, ' ')[CAST(i AS INT)] AS tok
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+      |  FROM documents WHERE doc_id < 20)
+      |ORDER BY doc_id, pos""".stripMargin
+
   // --- X4c: term frequency (top-25 tokens) -------------------------------
   def textTermFreq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -224,6 +243,8 @@ object TextQueries {
       "X4 stopword-profile language ID confusion matrix"),
     QueryDef("q_text_termfreq", textTermFreq, Some(textTermFreqSql),
       "X4 term frequency top-k"),
+    QueryDef("q_token_positions", tokenPositions, Some(tokenPositionsSql),
+      "P2 positional generator (posexplode vs UNNEST ordinality)"),
     QueryDef("q_text_fingerprint", textFingerprint, Some(textFingerprintSql),
       "X4 rolling-hash bottom-k document fingerprint"))
 }

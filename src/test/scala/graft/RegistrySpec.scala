@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract meta-checks over the whole query registry + the driver entry. */
+class RegistrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("query names are unique and oracle keys are a subset of queries") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size === names.size)
+    val q = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(q))
+    assert(q.size === names.size)
+  }
+
+  test("no oracle SQL leaks stripMargin artifacts or unresolved interpolation") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.contains("stripMargin"), name)
+      // a '||' continuation line that lost one pipe to stripMargin starts
+      // with a single '|' — legitimate lines may start with '||' (concat)
+      // or contain '|' inside regex/string literals, never start with '| '
+      sql.linesIterator.foreach { line =>
+        val t = line.trim
+        assert(!(t.startsWith("|") && !t.startsWith("||")),
+          s"$name may have a lost margin pipe: $line")
+      }
+    }
+  }
+
+  test("driver entry runs and returns rows (smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
