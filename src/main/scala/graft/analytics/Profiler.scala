@@ -29,7 +29,7 @@ object Profiler {
 
   /** Profile all non-array columns of a table in one aggregation. */
   def profile(df: DataFrame): DataFrame = {
-    val cols = df.schema.fields.filterNot(_.dataType.isInstanceOf[ArrayType])
+    val cols = df.schema.fields.toSeq.filterNot(_.dataType.isInstanceOf[ArrayType])
     val aggs = cols.flatMap { f =>
       val (mn, mx) = minMaxStr(f.name, f.dataType)
       Seq(

@@ -163,7 +163,7 @@ object NativeAsOfJoin {
     val lPlan = probe.queryExecution.analyzed
     // re-alias the build side so self-joins (probe and build from the same
     // source) cannot share attribute ids — a fresh Project mints new exprIds
-    val rFresh = build.select(build.columns.map(c =>
+    val rFresh = build.select(build.columns.toSeq.map(c =>
       org.apache.spark.sql.functions.col(c).as(c)): _*)
     val rPlan = {
       val p = rFresh.queryExecution.analyzed
