@@ -533,6 +533,72 @@ object CoreQueries {
       |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
+  // --- Multi-join analytics (TPC-H Q3/Q5 shapes) -------------------------
+  /** Q3-shape: top-10 highest-revenue orders for one market segment in a
+    * date window — lineitem⋈orders⋈customer with selective filters, where
+    * Catalyst's filter pushdown + broadcast selection carry the plan. */
+  def tpchQ3Shape(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val disc = (lit(1.0) - $"l_discount").cast(DecimalType(3, 2))
+    val cutoff = lit("1998-01-01").cast(TimestampType)
+    Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      .join(Tables.orders(s, dir).filter($"o_orderdate" < cutoff),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(s, dir).filter($"l_shipdate" >= cutoff),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(money($"l_extendedprice") * disc).cast(DoubleType).as("revenue"))
+      .select($"o_orderkey", dayStr($"o_orderdate").as("order_date"),
+        $"o_orderpriority", $"revenue")
+      .orderBy($"revenue".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  val tpchQ3ShapeSql: String =
+    s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       |  o_orderpriority,
+       |  CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate >= TIMESTAMP '1998-01-01'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Q5-shape: revenue per nation for one region where customer and
+    * supplier share the nation — the 6-table join whose order/strategy mix
+    * (two broadcast dims, three shuffle facts) is the CBO showcase. */
+  def tpchQ5Shape(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val disc = (lit(1.0) - $"l_discount").cast(DecimalType(3, 2))
+    Tables.region(s, dir).filter($"r_name" === "ASIA")
+      .join(Tables.nation(s, dir), $"r_regionkey" === $"n_regionkey")
+      .join(Tables.customer(s, dir), $"n_nationkey" === $"c_nationkey")
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .join(Tables.supplier(s, dir),
+        $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(money($"l_extendedprice") * disc).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"n_name")
+  }
+
+  val tpchQ5ShapeSql: String =
+    s"""SELECT n_name,
+       |  CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM region
+       |JOIN nation ON r_regionkey = n_regionkey
+       |JOIN customer ON n_nationkey = c_nationkey
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // --- A4: approximate distinct (HLL++) — rows-only check (no oracle) ----
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -555,6 +621,10 @@ object CoreQueries {
       "J1 broadcast hash join over small dims"),
     QueryDef("q_join_shuffle_fact", joinShuffleFact, Some(joinShuffleFactSql),
       "J2 shuffle join + A3 count distinct"),
+    QueryDef("q_tpch_q3_shape", tpchQ3Shape, Some(tpchQ3ShapeSql),
+      "multi-join Q3 shape: selective filters + top-k revenue"),
+    QueryDef("q_tpch_q5_shape", tpchQ5Shape, Some(tpchQ5ShapeSql),
+      "multi-join Q5 shape: 6-table join, broadcast/shuffle mix"),
     QueryDef("q_join_left_outer", joinLeftOuter, Some(joinLeftOuterSql),
       "J3 left outer join"),
     QueryDef("q_join_full_outer", joinFullOuter, Some(joinFullOuterSql),
