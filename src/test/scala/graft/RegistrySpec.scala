@@ -31,4 +31,19 @@ class RegistrySpec extends AnyFunSuite {
   test("driver entry runs and returns rows (smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("SQL surface: registered views + custom function answer spark.sql") {
+    GraftSession.registerAll(spark, TestSpark.sf0001)
+    val n = spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS q
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin).count()
+    assert(n === 3)
+    val d = spark.sql(
+      "SELECT haversine_km(41.99, -87.65, 41.8781, -87.6298) AS d")
+      .collect().head.getDouble(0)
+    assert(d > 0 && d < 30)
+    // events view got the nanos→µs conversion
+    val ts = spark.sql("SELECT MAX(ts) FROM events").collect().head
+    assert(!ts.isNullAt(0))
+  }
 }
