@@ -533,6 +533,37 @@ object CoreQueries {
       |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
+  // --- P-extra: conditional expression suite -----------------------------
+  def conditionalSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_orderkey" < 2000)
+      .select(
+        $"o_orderkey",
+        when($"o_totalprice" > 300000, "high")
+          .when($"o_totalprice" > 100000, "mid")
+          .otherwise("low").as("price_band"),
+        nullif($"o_orderstatus", lit("O")).as("status_or_null"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("status_label"),
+        greatest($"o_custkey" % 7, $"o_orderkey" % 5).as("g"),
+        least($"o_custkey" % 7, $"o_orderkey" % 5).as("l"),
+        ($"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH")
+          .as("is_rush"))
+      .orderBy($"o_orderkey")
+  }
+
+  val conditionalSuiteSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 300000 THEN 'high'
+      |       WHEN o_totalprice > 100000 THEN 'mid'
+      |       ELSE 'low' END AS price_band,
+      |  nullif(o_orderstatus, 'O') AS status_or_null,
+      |  COALESCE(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+      |  greatest(o_custkey % 7, o_orderkey % 5) AS g,
+      |  least(o_custkey % 7, o_orderkey % 5) AS l,
+      |  o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_rush
+      |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin
+
   // --- Multi-join analytics (TPC-H Q3/Q5 shapes) -------------------------
   /** Q3-shape: top-10 highest-revenue orders for one market segment in a
     * date window — lineitem⋈orders⋈customer with selective filters, where
@@ -642,6 +673,8 @@ object CoreQueries {
     QueryDef("q_agg_cube", aggCube, Some(aggCubeSql), "A5 cube"),
     QueryDef("q_string_suite", stringSuite, Some(stringSuiteSql),
       "P11 string scalar suite"),
+    QueryDef("q_conditional_suite", conditionalSuite, Some(conditionalSuiteSql),
+      "P conditional expressions: CASE/nullif/coalesce/greatest/least/IN"),
     QueryDef("q_agg_stats", aggStats, Some(aggStatsSql),
       "A6 exact percentile / stddev / corr"),
     QueryDef("q_agg_collect", aggCollect, Some(aggCollectSql),

@@ -152,7 +152,10 @@ object NativeAsOfJoin {
 
   /** Attach `build`'s latest `valueCol` (build.ts <= probe.ts, same key) to
     * every probe row as `as`. Key must be bigint, ts columns bigint or
-    * timestamp. Installs the planner strategy on the session at first use.
+    * timestamp; rows with NULL key or ts are not supported (they would
+    * coerce to 0 in the merge — filter them out first, or use the
+    * null-safe composable rewrite [[graft.operators.AsOfJoin]]). Installs
+    * the planner strategy on the session at first use.
     */
   def join(probe: DataFrame, build: DataFrame, key: String, ts: String,
       valueCol: String, as: String): DataFrame = {
