@@ -53,7 +53,8 @@ object EventQueries {
   }
 
   val lagGapsSql: String =
-    """SELECT user_id, COUNT(gap_us) AS n_gaps, SUM(gap_us) AS total_gap_us,
+    """SELECT user_id, COUNT(gap_us) AS n_gaps,
+      |  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
       |  MAX(gap_us) AS max_gap_us, MIN(gap_us) AS min_gap_us FROM (
       |  SELECT user_id,
       |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
@@ -108,7 +109,7 @@ object EventQueries {
 
   val rangeFrameSql: String =
     """SELECT user_id, MAX(n_10m) AS max_burst,
-      |  SUM(n_10m) AS total_window_rows,
+      |  CAST(SUM(n_10m) AS BIGINT) AS total_window_rows,
       |  MAX(sum_10m) AS max_burst_value FROM (
       |  SELECT user_id, COUNT(*) OVER w AS n_10m,
       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
@@ -237,7 +238,8 @@ object EventQueries {
   }
 
   val jsonExtractSql: String =
-    """SELECT event_type, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+    """SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k,
       |  COUNT(k) AS n_k FROM (
       |  SELECT event_type,
       |    CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
@@ -397,8 +399,8 @@ object EventQueries {
       |  WHERE e.event_type = 'purchase'
       |  GROUP BY f.user_id)
       |SELECT COUNT(*) AS n_signup_users,
-      |  SUM(CASE WHEN latency_us <= 604800000000 THEN 1 ELSE 0 END) AS n_converted,
-      |  COALESCE(SUM(CASE WHEN latency_us <= 604800000000 THEN latency_us END), 0) AS total_latency_us
+      |  CAST(SUM(CASE WHEN latency_us <= 604800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      |  CAST(COALESCE(SUM(CASE WHEN latency_us <= 604800000000 THEN latency_us END), 0) AS BIGINT) AS total_latency_us
       |FROM first_signup LEFT JOIN latency USING (user_id)""".stripMargin
 
   // --- Cohort retention by signup week -----------------------------------

@@ -106,28 +106,32 @@ object DedupQueries {
     * at least 2 of K components agree. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = minhashSigs(s, dir).cache()
-    val bands = sigs.select($"doc_id", explode(array(
-      (0 until K).map(i => struct(lit(i).as("b"), col(s"h$i").as("v"))): _*)).as("band"))
-      .select($"doc_id", $"band.b".as("b"), $"band.v".as("v"))
-    val okBuckets = bands.groupBy($"b", $"v")
-      .agg(count(lit(1)).as("bn"))
+    // Fused plan (round 2): the signature array rides along through the band
+    // explode, so candidate pairs carry both signatures out of the self-join
+    // directly — no re-join back to sigs (round 1 paid two extra shuffled
+    // joins there). The bucket cap is a count-window over (b, v) instead of
+    // a groupBy+join: the same (b, v) exchange then feeds the pair join.
+    val bands = minhashSigs(s, dir)
+      .select($"doc_id",
+        array((0 until K).map(i => col(s"h$i")): _*).as("sig"),
+        explode(array(
+          (0 until K).map(i => struct(lit(i).as("b"), col(s"h$i").as("v"))): _*)).as("band"))
+      .select($"doc_id", $"sig", $"band.b".as("b"), $"band.v".as("v"))
+    val wb = Window.partitionBy($"b", $"v")
+    val inBuckets = bands
+      .withColumn("bn", count(lit(1)).over(wb))
       .filter($"bn" >= 2 && $"bn" <= BUCKET_CAP)
-      .select($"b", $"v")
-    val inBuckets = bands.join(okBuckets, Seq("b", "v"))
-    val pairs = inBuckets.as("x")
+      .drop("bn")
+    val matches = (0 until K)
+      .map(i => when(col("sa").getItem(i) === col("sb").getItem(i), 1).otherwise(0))
+      .reduce(_ + _)
+    inBuckets.as("x")
       .join(inBuckets.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
       .distinct()
-    val sa = sigs.toDF("sa_id" +: (0 until K).map(i => s"a$i"): _*)
-    val sb = sigs.toDF("sb_id" +: (0 until K).map(i => s"b$i"): _*)
-    val matches = (0 until K)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs
-      .join(sa, $"doc_a" === $"sa_id").join(sb, $"doc_b" === $"sb_id")
       .select($"doc_a", $"doc_b",
         (matches.cast(DoubleType) / K).as("est_jaccard"))
       .filter($"est_jaccard" >= 2.0 / K)
@@ -161,15 +165,18 @@ object DedupQueries {
   // --- X2b: SimHash (16-bit) collision groups ----------------------------
   private val SIMHASH_BITS = 16
 
-  /** Bit j of a token's hash: parity of the first hex char of
-    * md5("j|" + token) — identical in Spark and DuckDB. */
+  /** Bit j of a token's hash: parity of hex char j+1 of ONE md5(token)
+    * digest — identical in Spark and DuckDB. One digest yields all 16 bits
+    * (the 16 hex chars of the first 64 digest bits), 16× less hash work
+    * than a per-bit salted digest; same LSH semantics class. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .distinct()
+      .select($"doc_id", md5($"tok").as("h"))
     val bitSums = (0 until SIMHASH_BITS).map { j =>
-      sum(when(ascii(substring(md5(concat(lit(s"$j|"), $"tok")), 1, 1)) % 2 === 1, 1)
+      sum(when(ascii(substring($"h", j + 1, 1)) % 2 === 1, 1)
         .otherwise(-1)).as(s"s$j")
     }
     val simhash = (0 until SIMHASH_BITS)
@@ -186,12 +193,14 @@ object DedupQueries {
   val dedupSimhashSql: String =
     s"""WITH toks AS (
        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hs AS (
+       |  SELECT doc_id, md5(tok) AS h FROM toks),
        |bitsums AS (
        |  SELECT doc_id,
        |    ${(0 until SIMHASH_BITS).map(j =>
-              s"SUM(CASE WHEN ascii(substring(md5('$j|' || tok), 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+              s"SUM(CASE WHEN ascii(substring(h, ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
               .mkString(",\n    ")}
-       |  FROM toks GROUP BY doc_id),
+       |  FROM hs GROUP BY doc_id),
        |hashes AS (
        |  SELECT doc_id,
        |    ${(0 until SIMHASH_BITS).map(j =>
@@ -202,12 +211,23 @@ object DedupQueries {
        |ORDER BY simhash""".stripMargin
 
   // --- X2c: exact n-gram Jaccard for a sampled query set -----------------
+  /** A shingle present in more than this many docs (per lang) is a
+    * stop-shingle: it carries no dedup signal and, at scale, one ubiquitous
+    * 3-gram would otherwise blow the equi-join bucket quadratically. Jaccard
+    * is computed over the non-stop shingle sets (mirrored in the oracle). */
+  private val DF_CAP = 100
+
   /** Exact 3-gram Jaccard of ~1% sampled docs vs all same-lang docs, top-5
     * matches each — the verification tier one runs on LSH candidates. The
-    * shingle-join is equi on (lang, shingle): no cross product. */
+    * shingle-join is equi on (lang, shingle): no cross product, and
+    * stop-shingles above [[DF_CAP]] are dropped before sizes/intersections. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val wdf = Window.partitionBy($"lang", $"sh")
     val sh = shingled(Tables.documents(s, dir), Seq("doc_id", "lang"))
+      .withColumn("df", count(lit(1)).over(wdf))
+      .filter($"df" <= DF_CAP)
+      .drop("df")
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val qsh = sh.filter($"doc_id" % 97 === 0)
       .toDF("q_id", "q_lang", "q_sh")
@@ -228,8 +248,12 @@ object DedupQueries {
   }
 
   val dedupNgramJaccardSql: String =
-    s"""WITH sh AS (
+    s"""WITH sh0 AS (
        |  SELECT DISTINCT doc_id, lang, unnest($shinglesSql) AS sh FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang, sh FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY lang, sh) AS df FROM sh0)
+       |  WHERE df <= $DF_CAP),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT q.doc_id AS q_id, d.doc_id AS doc_id, COUNT(*) AS n_inter

@@ -54,8 +54,8 @@ object SamplingQueries {
 
   val sampleStratifiedSql: String =
     """SELECT lang, COUNT(*) AS n_total,
-      |  SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
-      |      THEN 1 ELSE 0 END) AS n_sampled,
+      |  CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
       |  MIN(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
       |      THEN doc_id END) AS first_sampled_id,
       |  MAX(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')

@@ -150,7 +150,8 @@ object SimilarityQueries {
       .select($"q_id", $"rnk", $"vec_id", $"cos_sim")
   }
 
-  val knnLshSql: String = {
+  /** DuckDB mirror of [[bucketCol]]: hyperplane-sign bucket per vec_id. */
+  private val bucketsCte: String = {
     val planeDots = (0 until PLANES).map { j =>
       s"SUM(${q6Sql("embedding[i.g]")} * " +
         s"((ascii(substring(md5($j || '_' || i.g), 1, 1)) % 2) * 2 - 1)) AS pd$j"
@@ -158,13 +159,17 @@ object SimilarityQueries {
     val bucketExpr = (0 until PLANES)
       .map(j => s"(CASE WHEN pd$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH $normsCte,
-       |plane_dots AS (
+    s"""plane_dots AS (
        |  SELECT vec_id,
        |    $planeDots
        |  FROM embeddings, $idxSql GROUP BY vec_id),
        |buckets AS (
-       |  SELECT vec_id, $bucketExpr AS bucket FROM plane_dots),
+       |  SELECT vec_id, $bucketExpr AS bucket FROM plane_dots)""".stripMargin
+  }
+
+  val knnLshSql: String = {
+    s"""WITH $normsCte,
+       |$bucketsCte,
        |dots AS (
        |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
        |    ${dotSql("q.embedding", "v.embedding")} AS dot
@@ -265,17 +270,24 @@ object SimilarityQueries {
        |  FROM scored) WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
-  // --- X3c / X2: label-blocked embedding near-dup ------------------------
-  /** Top-3 most-similar pairs within each label block — the
-    * embedding-cosine near-dup detector, blocked on `label` so the pair
-    * space is per-block, not global. */
+  // --- X3c / X2: (label, LSH-bucket)-blocked embedding near-dup ----------
+  /** Top-3 most-similar pairs within each label — the embedding-cosine
+    * near-dup detector. Candidates are blocked on (label, hyperplane-LSH
+    * bucket), composing [[bucketCol]] with the label block: a per-label
+    * all-pairs join is O(block²) and becomes the quadratic scale-killer when
+    * labels are few, whereas (label, bucket) candidates stay an equi-join
+    * whose bucket fan-out is tunable by PLANES. Near-dups have cos≈1, so
+    * they land in the same bucket with high probability — exactly the LSH
+    * contract — and the exact cosine re-rank below keeps only true pairs. */
   def nearDupByLabel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"label", $"vec_id", q6Arr($"embedding").as("qe"))
-      .select($"label", $"vec_id", $"qe", dotQ($"qe", $"qe").as("nrm"))
-    val b = e.toDF("b_label", "b_id", "b_emb", "b_nrm")
-    val scored = e.join(b, $"label" === $"b_label" && $"vec_id" < $"b_id")
+      .select($"label", $"vec_id", $"qe", dotQ($"qe", $"qe").as("nrm"),
+        bucketCol($"qe").as("bucket"))
+    val b = e.toDF("b_label", "b_id", "b_emb", "b_nrm", "b_bucket")
+    val scored = e.join(b,
+        $"label" === $"b_label" && $"bucket" === $"b_bucket" && $"vec_id" < $"b_id")
       .select($"label", $"vec_id", $"b_id",
         cosine(dotQ($"qe", $"b_emb"), $"nrm", $"b_nrm").as("cos_sim"))
     val w = Window.partitionBy($"label").orderBy($"cos_sim".desc, $"vec_id".asc, $"b_id".asc)
@@ -287,11 +299,16 @@ object SimilarityQueries {
 
   val nearDupByLabelSql: String =
     s"""WITH $normsCte,
+       |$bucketsCte,
        |dots AS (
        |  SELECT a.label, a.vec_id AS vec_id, b.vec_id AS b_id,
        |    ${dotSql("a.embedding", "b.embedding")} AS dot
-       |  FROM embeddings a JOIN embeddings b
-       |    ON a.label = b.label AND a.vec_id < b.vec_id, $idxSql
+       |  FROM embeddings a
+       |  JOIN buckets ab ON a.vec_id = ab.vec_id
+       |  JOIN buckets bb ON ab.bucket = bb.bucket
+       |  JOIN embeddings b
+       |    ON b.vec_id = bb.vec_id AND a.label = b.label
+       |    AND a.vec_id < b.vec_id, $idxSql
        |  GROUP BY 1, 2, 3),
        |scored AS (
        |  SELECT label, dots.vec_id AS vec_id, b_id,

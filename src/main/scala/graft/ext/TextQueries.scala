@@ -63,15 +63,15 @@ object TextQueries {
        |    CAST(len(list_filter(string_split(text, ' '), t -> ${inList("t", stopwords)})) AS BIGINT) AS stop_cnt
        |  FROM documents)
        |SELECT lang, source, COUNT(*) AS n_docs,
-       |  SUM(token_cnt) AS sum_tokens,
-       |  SUM(word_cnt) AS sum_words,
-       |  SUM(bpe_cnt) AS sum_bpe,
-       |  SUM(punct_cnt) AS sum_punct,
-       |  SUM(stop_cnt) AS sum_stop,
-       |  SUM(n_chars) AS sum_chars,
-       |  SUM(CAST(token_cnt >= 10 AND token_cnt <= 1000
+       |  CAST(SUM(token_cnt) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(word_cnt) AS BIGINT) AS sum_words,
+       |  CAST(SUM(bpe_cnt) AS BIGINT) AS sum_bpe,
+       |  CAST(SUM(punct_cnt) AS BIGINT) AS sum_punct,
+       |  CAST(SUM(stop_cnt) AS BIGINT) AS sum_stop,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(CAST(token_cnt >= 10 AND token_cnt <= 1000
        |    AND CAST(punct_cnt AS DOUBLE) / token_cnt < 0.2
-       |    AND CAST(stop_cnt AS DOUBLE) / token_cnt >= 0.01 AS BIGINT)) AS n_quality,
+       |    AND CAST(stop_cnt AS DOUBLE) / token_cnt >= 0.01 AS BIGINT)) AS BIGINT) AS n_quality,
        |  CAST(SUM(token_cnt) AS DOUBLE) / COUNT(*) AS avg_tokens
        |FROM scored GROUP BY lang, source ORDER BY lang, source""".stripMargin
 

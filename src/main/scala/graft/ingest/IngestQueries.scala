@@ -148,7 +148,7 @@ object IngestQueries {
        |deduped AS (
        |  SELECT DISTINCT train_id, line, poll_ts, is_train_delayed FROM dup)
        |SELECT line, COUNT(*) AS n_obs,
-       |  SUM(CAST(is_train_delayed AS BIGINT)) AS n_delayed
+       |  CAST(SUM(CAST(is_train_delayed AS BIGINT)) AS BIGINT) AS n_delayed
        |FROM deduped GROUP BY line ORDER BY line""".stripMargin
 
   /** J1 — broadcast join of observations to the 7-line static dim
@@ -174,7 +174,7 @@ object IngestQueries {
        |  FROM trains),
        |dim(abbrev, line_name) AS (VALUES $dimValues)
        |SELECT line, line_name, COUNT(*) AS n_obs,
-       |  SUM(CAST(is_approaching AS BIGINT)) AS n_approaching
+       |  CAST(SUM(CAST(is_approaching AS BIGINT)) AS BIGINT) AS n_approaching
        |FROM normalized LEFT JOIN dim ON line = abbrev
        |GROUP BY line, line_name ORDER BY line""".stripMargin
   }

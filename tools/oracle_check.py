@@ -6,6 +6,12 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 Runs each oracle_sql.json query in DuckDB over the sfDir parquet tables and
 compares against the parquet written by graft.Verify. Dev tool only (the
 driver has its own); NOT part of the Spark library.
+
+Compares at the ARROW level (typed), not via fetchall() Python coercion:
+round 1 taught us that DuckDB's integer SUM returns HUGEINT (arrow
+decimal128(38,0), pandas float64) where Spark returns BIGINT, and the
+driver's hash compare distinguishes them even when values are equal.
+A fetchall() compare coerces both to Python int and masks the mismatch.
 """
 import json
 import math
@@ -13,22 +19,58 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Arrow type classes that must match exactly between engines or the driver's
+# typed hash diverges even on equal values.
+def type_class(t):
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    return str(t)
 
-def norm_cell(v):
-    if isinstance(v, float):
-        return v
-    return v
+
+def check_types(name, s_schema, o_schema, cols):
+    """Hard-fail on cross-class mismatches (decimal vs int = the HUGEINT
+    trap; float vs int; string vs anything). Warn on same-class width
+    differences (int32 vs int64) which the driver's value hash tolerates."""
+    errs, warns = [], []
+    for c in cols:
+        st = s_schema.field(c).type
+        ot = o_schema.field(c).type
+        if st == ot:
+            continue
+        sc, oc = type_class(st), type_class(ot)
+        if sc != oc:
+            hint = ""
+            if oc.startswith("decimal(38,0)") or oc == "decimal(38,0)":
+                hint = " (HINT: un-cast integer SUM in oracle SQL — wrap in CAST(... AS BIGINT))"
+            errs.append(f"TYPE col={c} spark={st} oracle={ot}{hint}")
+        else:
+            warns.append(f"type-width col={c} spark={st} oracle={ot}")
+    return errs, warns
 
 
 def compare(name, spark_rows, oracle_rows, cols):
     if len(spark_rows) != len(oracle_rows):
         return f"ROWCOUNT spark={len(spark_rows)} oracle={len(oracle_rows)}"
     exact = True
-    close = True
     worst = None
     for a, b in zip(spark_rows, oracle_rows):
         for c, (x, y) in zip(cols, zip(a, b)):
@@ -66,40 +108,46 @@ def main():
             failures += 1
             continue
         try:
-            o = con.execute(sql)
-            ocols = [d[0] for d in o.description]
-            orows = o.fetchall()
+            o_tbl = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
             continue
         try:
-            sq = con.execute(
-                f"SELECT * FROM '{spark_path}/*.parquet'")
-            scols = [d[0] for d in sq.description]
-            srows = sq.fetchall()
+            s_tbl = con.execute(
+                f"SELECT * FROM '{spark_path}/*.parquet'").fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: spark read error: {e}")
             failures += 1
             continue
+        scols, ocols = s_tbl.column_names, o_tbl.column_names
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: SCHEMA spark={sorted(scols)} oracle={sorted(ocols)}")
             failures += 1
             continue
+        cols = sorted(scols)
+        terrs, twarns = check_types(name, s_tbl.schema, o_tbl.schema, cols)
+        if terrs:
+            for e in terrs:
+                print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
         # sort columns by name (driver behavior), then rows for stability
-        sidx = [scols.index(c) for c in sorted(scols)]
-        oidx = [ocols.index(c) for c in sorted(ocols)]
+        def rows_of(tbl):
+            pylists = {c: tbl.column(c).to_pylist() for c in cols}
+            return [tuple(pylists[c][i] for c in cols) for i in range(tbl.num_rows)]
         key = lambda r: tuple((v is None, str(v)) for v in r)
-        srows2 = sorted([tuple(r[i] for i in sidx) for r in srows], key=key)
-        orows2 = sorted([tuple(r[i] for i in oidx) for r in orows], key=key)
-        err = compare(name, srows2, orows2, sorted(scols))
+        srows2 = sorted(rows_of(s_tbl), key=key)
+        orows2 = sorted(rows_of(o_tbl), key=key)
+        err = compare(name, srows2, orows2, cols)
+        wnote = f" [{'; '.join(twarns)}]" if twarns else ""
         if err and not err.startswith("FLOAT-CLOSE"):
             print(f"FAIL {name}: {err}")
             failures += 1
         elif err:
-            print(f"WARN {name}: {err} ({len(srows2)} rows)")
+            print(f"WARN {name}: {err} ({len(srows2)} rows){wnote}")
         else:
-            print(f"OK   {name} ({len(srows2)} rows)")
+            print(f"OK   {name} ({len(srows2)} rows){wnote}")
     # queries with no oracle: rows-only note
     for p in sorted(Path(out_dir).iterdir()):
         if p.is_dir() and p.name not in oracle_sql:
