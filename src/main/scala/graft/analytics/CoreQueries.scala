@@ -630,16 +630,121 @@ object CoreQueries {
        |WHERE r_name = 'ASIA'
        |GROUP BY n_name ORDER BY n_name""".stripMargin
 
-  // --- A4: approximate distinct (HLL++) — rows-only check (no oracle) ----
+  // --- J2/CBO: TPC-H Q7 shape — volume shipping between two nations ------
+  /** Q7-shape: bidirectional trade volume between two nations by ship year.
+    * Plan-quality point: the two-nation filter is applied to `nation` BEFORE
+    * the dim joins, so supplier and customer shrink to the two nations'
+    * members before either touches a fact table — the selective-dim-first
+    * ordering a CBO would pick, made explicit. Nations broadcast. */
+  def tpchQ7Shape(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val disc = (lit(1.0) - $"l_discount").cast(DecimalType(3, 2))
+    val nat = Tables.nation(s, dir).filter($"n_name".isin("NATION_1", "NATION_2"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(nat.select($"n_nationkey", $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"supp_nation")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nat.select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))),
+        $"c_nationkey" === $"n2_key")
+      .select($"c_custkey", $"cust_nation")
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate".between(
+        lit("1995-01-01").cast(TimestampType), lit("1996-12-31").cast(TimestampType)))
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast(LongType).as("l_year"))
+      .agg(sum(money($"l_extendedprice") * disc).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val tpchQ7ShapeSql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  CAST(SUM(volume) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |    ${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2)) AS volume
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+       |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+       |    AND n1.n_name <> n2.n_name
+       |    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // --- J2/CBO: TPC-H Q10 shape — returned-item revenue per customer ------
+  /** Q10-shape: top-20 customers by revenue lost to returns in one quarter.
+    * The quarter filter prunes orders before the lineitem join; nation
+    * broadcasts onto the aggregated (not raw) rows. */
+  def tpchQ10Shape(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val disc = (lit(1.0) - $"l_discount").cast(DecimalType(3, 2))
+    Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1995-10-01").cast(TimestampType) &&
+        $"o_orderdate" < lit("1996-01-01").cast(TimestampType))
+      .join(Tables.lineitem(s, dir).filter($"l_returnflag" === "R"),
+        $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(sum(money($"l_extendedprice") * disc).cast(DoubleType).as("revenue"),
+        max(money($"c_acctbal")).cast(DoubleType).as("acctbal"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+  }
+
+  val tpchQ10ShapeSql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       |  CAST(MAX(${m("c_acctbal")}) AS DOUBLE) AS acctbal,
+       |  COUNT(*) AS n_lines
+       |FROM orders
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+       |  AND o_orderdate < TIMESTAMP '1996-01-01'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+  /** HLL++ estimates aren't reproducible in another engine, so the oracle
+    * contract is: exact distinct counts (comparable) plus `approx_ok`, an
+    * integer that is 1 iff both estimates land within 3×rsd (3%) of exact.
+    * The oracle emits the expected pass value — if Spark's estimator ever
+    * degrades past the bound, the hash comparison fails. */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
-        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+        countDistinct($"l_partkey").as("exact_parts"),
+        countDistinct($"l_orderkey").as("exact_orders"),
+        approx_count_distinct($"l_partkey", 0.01).as("ap"),
+        approx_count_distinct($"l_orderkey", 0.01).as("ao"))
+      .select($"l_returnflag", $"exact_parts", $"exact_orders",
+        (abs($"ap" - $"exact_parts") * 100 <= $"exact_parts" * 3 &&
+          abs($"ao" - $"exact_orders") * 100 <= $"exact_orders" * 3)
+          .cast(LongType).as("approx_ok"))
       .orderBy($"l_returnflag")
   }
+
+  val aggApproxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  CAST(1 AS BIGINT) AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_agg_pricing_summary", pricingSummary, Some(pricingSummarySql),
@@ -656,6 +761,10 @@ object CoreQueries {
       "multi-join Q3 shape: selective filters + top-k revenue"),
     QueryDef("q_tpch_q5_shape", tpchQ5Shape, Some(tpchQ5ShapeSql),
       "multi-join Q5 shape: 6-table join, broadcast/shuffle mix"),
+    QueryDef("q_tpch_q7_shape", tpchQ7Shape, Some(tpchQ7ShapeSql),
+      "multi-join Q7 shape: selective dims first, two-nation trade volume"),
+    QueryDef("q_tpch_q10_shape", tpchQ10Shape, Some(tpchQ10ShapeSql),
+      "multi-join Q10 shape: quarter-pruned returned-item revenue top-20"),
     QueryDef("q_join_left_outer", joinLeftOuter, Some(joinLeftOuterSql),
       "J3 left outer join"),
     QueryDef("q_join_full_outer", joinFullOuter, Some(joinFullOuterSql),
@@ -691,6 +800,6 @@ object CoreQueries {
       "O5 intersect"),
     QueryDef("q_setops_except", setOpsExcept, Some(setOpsExceptSql),
       "O5 except"),
-    QueryDef("q_agg_approx_distinct", aggApproxDistinct, None,
-      "A4 approx_count_distinct (HLL++) — not oracle-comparable"))
+    QueryDef("q_agg_approx_distinct", aggApproxDistinct, Some(aggApproxDistinctSql),
+      "A4 approx_count_distinct (HLL++) with 3×rsd exact-bound check"))
 }

@@ -104,29 +104,41 @@ case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val lRow = lIt.next()
-          val k = lKey.eval(lRow).asInstanceOf[Long]
-          val t = lTs.eval(lRow).asInstanceOf[Long]
+          val kObj = lKey.eval(lRow)
+          val tObj = lTs.eval(lRow)
+          if (kObj == null || tObj == null) {
+            // NULL key/ts matches nothing — emit without consulting state.
+            joiner(lRow, nullValueRow)
+            return outProj(joiner)
+          }
+          val k = kObj.asInstanceOf[Long]
+          val t = tObj.asInstanceOf[Long]
           // advance build side through every row with (key, ts) <= (k, t)
           var advanced = true
           while (advanced && rBuf.hasNext) {
             val rRow = rBuf.head
-            val rk = rKey.eval(rRow).asInstanceOf[Long]
-            val rt = rTs.eval(rRow).asInstanceOf[Long]
-            if (rk < k || (rk == k && rt <= t)) {
-              if (rk == k) {
-                stateKey = k; hasState = true
-                val v = rVal.eval(rRow)
-                val tmp = new GenericInternalRow(1)
-                if (v == null) tmp.setNullAt(0) else tmp.update(0, v)
-                stateValue = valueProj(tmp).copy()
-              }
-              rBuf.next()
-            } else advanced = false
+            val rkObj = rKey.eval(rRow)
+            val rtObj = rTs.eval(rRow)
+            if (rkObj == null || rtObj == null) {
+              rBuf.next() // un-matchable build row, sorted to the head
+            } else {
+              val rk = rkObj.asInstanceOf[Long]
+              val rt = rtObj.asInstanceOf[Long]
+              if (rk < k || (rk == k && rt <= t)) {
+                if (rk == k) {
+                  stateKey = k; hasState = true
+                  val v = rVal.eval(rRow)
+                  val tmp = new GenericInternalRow(1)
+                  if (v == null) tmp.setNullAt(0) else tmp.update(0, v)
+                  stateValue = valueProj(tmp).copy()
+                }
+                rBuf.next()
+              } else advanced = false
+            }
           }
           val matched = hasState && stateKey == k
           val vRow: InternalRow = if (matched) stateValue else nullValueRow
-          val leftGeneric = lRow
-          joiner(leftGeneric, vRow)
+          joiner(lRow, vRow)
           // rebind: output columns 0..leftWidth-1 from left, leftWidth from value
           outProj(joiner)
         }
@@ -152,10 +164,12 @@ object NativeAsOfJoin {
 
   /** Attach `build`'s latest `valueCol` (build.ts <= probe.ts, same key) to
     * every probe row as `as`. Key must be bigint, ts columns bigint or
-    * timestamp; rows with NULL key or ts are not supported (they would
-    * coerce to 0 in the merge — filter them out first, or use the
-    * null-safe composable rewrite [[graft.operators.AsOfJoin]]). Installs
-    * the planner strategy on the session at first use.
+    * timestamp. NULL handling follows join semantics: a NULL key or ts
+    * matches nothing, so probe rows with either NULL keep their row with a
+    * NULL as-of value and build rows with either NULL are ignored — handled
+    * inside the merge (NULLS FIRST ordering puts them at the head of each
+    * partition), no extra scan or routing. Installs the planner strategy on
+    * the session at first use.
     */
   def join(probe: DataFrame, build: DataFrame, key: String, ts: String,
       valueCol: String, as: String): DataFrame = {

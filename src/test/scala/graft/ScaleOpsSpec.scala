@@ -75,6 +75,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(nRows.values.exists(_.isEmpty) && nRows.values.exists(_.nonEmpty))
   }
 
+  test("native as-of join: NULL keys/ts match nothing, NULL build rows ignored") {
+    import graft.plans.NativeAsOfJoin
+    val probe = Seq(
+      (Option(1L), Option(10L), "a"),
+      (Option.empty[Long], Option(20L), "b"),
+      (Option(1L), Option.empty[Long], "c"),
+      (Option(2L), Option(5L), "d"),
+      (Option(1L), Option(5L), "e"))
+      .toDF("k", "ts_us", "tag")
+    val build = Seq(
+      (Option(1L), Option(8L), 1.0),
+      (Option.empty[Long], Option(1L), 99.0),
+      (Option(1L), Option.empty[Long], 98.0),
+      (Option(2L), Option(4L), 2.0))
+      .toDF("k", "ts_us", "v")
+    val out = NativeAsOfJoin.join(probe, build, "k", "ts_us", "v", "state")
+      .collect()
+      .map(r => r.getAs[String]("tag") ->
+        Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(out === Map(
+      "a" -> Some(1.0), // build (1, 8) <= (1, 10)
+      "b" -> None,      // NULL key matches nothing
+      "c" -> None,      // NULL ts matches nothing
+      "d" -> Some(2.0), // build (2, 4) <= (2, 5)
+      "e" -> None))     // build ts 8 > probe ts 5
+  }
+
   test("bucketed fact-fact join plans without exchanges") {
     // spark.sql.warehouse.dir is static — use the default warehouse and
     // drop the managed tables (and their files) afterwards. Disable
