@@ -76,19 +76,26 @@ object DedupQueries {
     * md5("i|" + shingle) for each hash index i. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // no distinct(): MIN is duplicate-insensitive, so the signature is
-    // identical without paying an extra shuffle to dedup shingles.
-    // K independent-enough hash values come from 8-hex-char (32-bit) chunks
-    // of TWO md5 digests per shingle — 4× cheaper than K md5 calls, still
-    // engine-portable (DuckDB md5/substring agree).
-    val sh = Tables.documents(s, dir)
+    // Entirely narrow: the per-shingle hashes live in an array column and
+    // each signature component is an array_min over it — no explode, no
+    // groupBy, no shuffle of the (doc, shingle) relation (round 1 shuffled
+    // millions of exploded rows here; MIN being duplicate-insensitive means
+    // skipping the shingle dedup changes nothing). K independent-enough
+    // hash values come from 8-hex-char (32-bit) chunks of TWO md5 digests
+    // per shingle — 4× cheaper than K md5 calls, engine-portable.
+    // NOTE: the K components must be K separate named columns in ONE
+    // projection: hf is then multi-referenced and CollapseProject keeps it
+    // materialized. Folding them into a single array/transform expression
+    // (or posexplode-ing such an array) leaves the HOF tree single-
+    // referenced per context, inlines it through the projection/Generate,
+    // and re-runs the md5 transform per component — measured 15-60× slower.
+    Tables.documents(s, dir)
       .withColumn("toks", split($"text", " "))
-      .select($"doc_id", explode(shingleArr).as("sh"))
-      .select($"doc_id",
-        concat(md5($"sh"), md5(concat(lit("x"), $"sh"))).as("hf"))
-    sh.groupBy($"doc_id").agg(
-      min(substring($"hf", 1, 8)).as("h0"),
-      (1 until K).map(i => min(substring($"hf", 8 * i + 1, 8)).as(s"h$i")): _*)
+      .withColumn("hf",
+        transform(shingleArr, sh => concat(md5(sh), md5(concat(lit("x"), sh)))))
+      .select($"doc_id" +:
+        (0 until K).map(i =>
+          array_min(transform($"hf", h => substring(h, 8 * i + 1, 8))).as(s"h$i")): _*)
   }
 
   private val minhashSigsSql: String =
@@ -106,35 +113,42 @@ object DedupQueries {
     * at least 2 of K components agree. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Fused plan (round 2): the signature array rides along through the band
-    // explode, so candidate pairs carry both signatures out of the self-join
-    // directly — no re-join back to sigs (round 1 paid two extra shuffled
-    // joins there). The bucket cap is a count-window over (b, v) instead of
-    // a groupBy+join: the same (b, v) exchange then feeds the pair join.
+    // Fused plan (round 2): signatures are computed without any shuffle
+    // (see minhashSigs) and ride along through the band explode. Candidate
+    // pairs are generated INSIDE each capped bucket: ok-bucket filter first
+    // (partial-agg count — scale-safe on mega-buckets), then collect_list
+    // of the ≤ BUCKET_CAP members and a local O(cap²) pair expansion — no
+    // self-join. The bands exchange on (b, v) is built once and reused by
+    // the count, the join, and the collect aggregation.
     val bands = minhashSigs(s, dir)
       .select($"doc_id",
         array((0 until K).map(i => col(s"h$i")): _*).as("sig"),
         explode(array(
           (0 until K).map(i => struct(lit(i).as("b"), col(s"h$i").as("v"))): _*)).as("band"))
       .select($"doc_id", $"sig", $"band.b".as("b"), $"band.v".as("v"))
-    val wb = Window.partitionBy($"b", $"v")
-    val inBuckets = bands
-      .withColumn("bn", count(lit(1)).over(wb))
+    val okBuckets = bands.groupBy($"b", $"v")
+      .agg(count(lit(1)).as("bn"))
       .filter($"bn" >= 2 && $"bn" <= BUCKET_CAP)
-      .drop("bn")
+      .select($"b", $"v")
+    val members = bands.join(okBuckets, Seq("b", "v"))
+      .groupBy($"b", $"v")
+      .agg(collect_list(struct($"doc_id", $"sig")).as("ms"))
+    // The expansion lambda only builds (ids, sig refs) structs — signature
+    // agreement is scored AFTER the explode by codegen'd array indexing
+    // (scoring inside the interpreted lambda ran per cap² candidate and
+    // measured ~15× slower), and the distinct dedups 3 scalars.
     val matches = (0 until K)
-      .map(i => when(col("sa").getItem(i) === col("sb").getItem(i), 1).otherwise(0))
+      .map(i => when(col("p.sa").getItem(i) === col("p.sb").getItem(i), 1).otherwise(0))
       .reduce(_ + _)
-    inBuckets.as("x")
-      .join(inBuckets.as("y"),
-        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sa"), col("y.sig").as("sb"))
-      .distinct()
-      .select($"doc_a", $"doc_b",
+    members
+      .select(explode(expr(
+        "flatten(transform(ms, x -> filter(transform(ms, y -> " +
+          "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb)), " +
+          "p -> p.doc_a < p.doc_b)))")).as("p"))
+      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"),
         (matches.cast(DoubleType) / K).as("est_jaccard"))
       .filter($"est_jaccard" >= 2.0 / K)
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
