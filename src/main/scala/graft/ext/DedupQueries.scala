@@ -31,15 +31,7 @@ object DedupQueries {
         "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
       .otherwise(array(col("text")))
 
-  /** (doc_id [, extra cols], sh) exploded distinct shingle set. */
-  private def shingled(df: DataFrame, keep: Seq[String]): DataFrame = {
-    val cols = keep.map(col) :+ explode(shingleArr).as("sh")
-    df.withColumn("toks", split(col("text"), " "))
-      .select(cols: _*)
-      .distinct()
-  }
-
-  /** DuckDB mirror of [[shingles]] (1-based list indexing). */
+  /** DuckDB mirror of [[shingleArr]] (1-based list indexing). */
   // NOTE: keep '||' at end-of-line — a continuation line starting with '||'
   // would lose a pipe to the enclosing query's stripMargin.
   private val shinglesSql: String =
@@ -232,22 +224,34 @@ object DedupQueries {
   private val DF_CAP = 100
 
   /** Exact 3-gram Jaccard of ~1% sampled docs vs all same-lang docs, top-5
-    * matches each — the verification tier one runs on LSH candidates. The
-    * shingle-join is equi on (lang, shingle): no cross product, and
-    * stop-shingles above [[DF_CAP]] are dropped before sizes/intersections. */
+    * matches each — the verification tier one runs on LSH candidates.
+    * Posting-list plan: per-doc shingle sets dedup narrowly
+    * (array_distinct, no shuffle), shingle doc-frequencies come from a
+    * partial-agg count (scale-safe on a mega-shingle), and candidate pairs
+    * expand locally inside each ≤ [[DF_CAP]] posting list — the
+    * intersection count is an aggregation over expanded pairs, never a
+    * shingle-relation self-join. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wdf = Window.partitionBy($"lang", $"sh")
-    val sh = shingled(Tables.documents(s, dir), Seq("doc_id", "lang"))
-      .withColumn("df", count(lit(1)).over(wdf))
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", $"lang", explode(array_distinct(shingleArr)).as("sh"))
+    val okShingles = sh.groupBy($"lang", $"sh")
+      .agg(count(lit(1)).as("df"))
       .filter($"df" <= DF_CAP)
-      .drop("df")
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val qsh = sh.filter($"doc_id" % 97 === 0)
-      .toDF("q_id", "q_lang", "q_sh")
-    val inter = qsh.join(sh,
-        $"q_lang" === $"lang" && $"q_sh" === $"sh" && $"q_id" =!= $"doc_id")
-      .groupBy($"q_id", $"doc_id").agg(count(lit(1)).as("n_inter"))
+      .select($"lang", $"sh")
+    val shOk = sh.join(okShingles, Seq("lang", "sh"))
+    val sizes = shOk.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val postings = shOk.groupBy($"lang", $"sh")
+      .agg(collect_list($"doc_id").as("docs"))
+      .filter(size($"docs") >= 2)
+    val inter = postings
+      .select(explode(expr(
+        "flatten(transform(filter(docs, q -> q % 97 = 0), " +
+          "q -> transform(filter(docs, d -> d != q), " +
+          "d -> struct(q AS q_id, d AS doc_id))))")).as("p"))
+      .groupBy($"p.q_id".as("q_id"), $"p.doc_id".as("doc_id"))
+      .agg(count(lit(1)).as("n_inter"))
     val qsz = sizes.toDF("qs_id", "q_n")
     val scored = inter
       .join(qsz, $"q_id" === $"qs_id")
