@@ -34,9 +34,12 @@ object SimilarityQueries {
     * long arrays instead of re-quantizing both sides per candidate pair. */
   private def q6Arr(emb: Column): Column = transform(emb, x => q6(x))
 
-  /** Exact integer dot product of two pre-quantized (long) arrays. */
+  /** Exact integer dot product of two pre-quantized (long) arrays — the
+    * codegen'd native expression; see [[graft.functions.LongArrayDot]] for
+    * why this beats the aggregate/zip_with HOF pair on the pair-scoring
+    * hot path. */
   private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.LongArrayDot.longArrayDot(a, b)
 
   /** Exact integer dot product of two raw float arrays. */
   private def decDot(a: Column, b: Column): Column = dotQ(q6Arr(a), q6Arr(b))
@@ -114,14 +117,10 @@ object SimilarityQueries {
     (hex1.toInt % 2) * 2 - 1
   }
 
-  /** Exact decimal dot of an embedding against a constant ±1 plane. */
   /** Signed dot of a pre-quantized (long) embedding against a ±1 plane. */
   private def planeDot(qe: Column, j: Int): Column = {
     val signs = typedLit((1 to DIM).map(i => planeSign(j, i).toLong))
-    aggregate(
-      zip_with(qe, signs, (x, sgn) => x * sgn),
-      lit(0L),
-      (acc, v) => acc + v)
+    graft.functions.LongArrayDot.longArrayDot(qe, signs)
   }
 
   private def bucketCol(qe: Column): Column =

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.Haversine
+import graft.functions.{Haversine, LongArrayDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -21,6 +21,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.haversineEntry)
+    e.injectFunction(GraftExtensions.longArrayDotEntry)
     e.injectOptimizerRule(_ => HaversineBoundingBox)
   }
 }
@@ -36,8 +37,21 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Haversine].getName, "haversine_km"),
     haversineBuilder)
 
+  private def longArrayDotBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "long_array_dot(array<bigint>, array<bigint>)")
+    LongArrayDot(args(0), args(1))
+  }
+
+  val longArrayDotEntry: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("long_array_dot"),
+    new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
+    longArrayDotBuilder)
+
   /** Install on an already-built session (idempotent). */
-  def registerOn(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerOn(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_km", haversineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_array_dot", longArrayDotBuilder, "built-in")
+  }
 }

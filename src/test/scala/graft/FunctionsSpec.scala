@@ -74,4 +74,46 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().head
     assert(n.isNullAt(0))
   }
+
+  test("long_array_dot agrees with the aggregate/zip_with HOF form") {
+    import graft.functions.LongArrayDot
+    // range-backed so the projection isn't constant-folded — codegen path
+    val df = spark.range(100)
+      .select($"id",
+        array($"id", $"id" * 2, $"id" - 7).as("a"),
+        array($"id" + 1, lit(3L), $"id" * $"id").as("b"))
+    val native = df.select(LongArrayDot.longArrayDot($"a", $"b").as("d"))
+      .as[Long].collect()
+    val hof = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L),
+        (acc, v) => acc + v).as("d"))
+      .as[Long].collect()
+    assert(native.toSeq === hof.toSeq)
+    // stays inside WholeStageCodegen (no fallback to interpreted Project)
+    val plan = df.select(LongArrayDot.longArrayDot($"a", $"b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [long_array_dot"), plan)
+  }
+
+  test("long_array_dot NULL semantics mirror zip_with padding") {
+    GraftExtensions.registerOn(spark)
+    // length mismatch → NULL (zip_with pads the short side with NULL)
+    val mismatch = spark.sql(
+      "SELECT long_array_dot(array(1L, 2L), array(1L, 2L, 3L))").collect().head
+    assert(mismatch.isNullAt(0))
+    // NULL element → NULL
+    val nullElem = spark.sql(
+      "SELECT long_array_dot(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L))")
+      .collect().head
+    assert(nullElem.isNullAt(0))
+    // NULL array → NULL
+    val nullArr = spark.sql(
+      "SELECT long_array_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L))")
+      .collect().head
+    assert(nullArr.isNullAt(0))
+    // exact value via SQL surface
+    val v = spark.sql(
+      "SELECT long_array_dot(array(2L, 3L), array(5L, 7L))").as[Long].head()
+    assert(v === 31L)
+  }
 }
