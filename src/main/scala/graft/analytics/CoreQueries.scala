@@ -718,6 +718,29 @@ object CoreQueries {
        |  AND l_returnflag = 'R'
        |GROUP BY c_custkey, c_name, n_name
        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
+  // --- A2 + skew: two-phase salted aggregation ---------------------------
+  /** Hot-key-safe aggregation via [[graft.operators.Salting]]: shuffle 1
+    * groups on (key, salt) so no reducer sees more than 1/16 of a hot key,
+    * shuffle 2 collapses the partials. Values are summed in DECIMAL so the
+    * two-phase result is bit-identical to the direct group-by the oracle
+    * runs (decimal addition is associative; double addition is not). */
+  def aggSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_returnflag", money($"l_quantity").as("qty"))
+    graft.operators.Salting.saltedSumCount(li, Seq("l_returnflag"), "qty", 16)
+      .select($"l_returnflag", $"sum_qty".cast(DoubleType).as("sum_qty"), $"cnt")
+      .orderBy($"l_returnflag")
+  }
+
+  val aggSaltedSql: String =
+    s"""SELECT l_returnflag,
+       |  ${sumM("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS cnt
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --- A4: approximate distinct with an exact error-bound check ----------
   /** HLL++ estimates aren't reproducible in another engine, so the oracle
     * contract is: exact distinct counts (comparable) plus `approx_ok`, an
     * integer that is 1 iff both estimates land within 3×rsd (3%) of exact.
@@ -801,5 +824,7 @@ object CoreQueries {
     QueryDef("q_setops_except", setOpsExcept, Some(setOpsExceptSql),
       "O5 except"),
     QueryDef("q_agg_approx_distinct", aggApproxDistinct, Some(aggApproxDistinctSql),
-      "A4 approx_count_distinct (HLL++) with 3×rsd exact-bound check"))
+      "A4 approx_count_distinct (HLL++) with 3×rsd exact-bound check"),
+    QueryDef("q_agg_salted", aggSalted, Some(aggSaltedSql),
+      "A2+skew two-phase salted aggregation == direct group-by"))
 }

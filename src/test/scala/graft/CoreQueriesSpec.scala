@@ -41,6 +41,33 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("Q7/Q10 shapes broadcast every dim and push filters to the scan") {
+    for (q <- Seq(CoreQueries.tpchQ7Shape _, CoreQueries.tpchQ10Shape _)) {
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("PushedFilters: ["), plan)
+    }
+  }
+
+  test("salted aggregation equals the direct group-by") {
+    val direct = CoreQueries.pricingSummary(spark, sf)
+      .select($"l_returnflag").distinct().count()
+    val salted = CoreQueries.aggSalted(spark, sf).collect()
+    assert(salted.map(_.getString(0)).distinct.length === salted.length)
+    assert(salted.length >= direct.toInt / 2) // all flags present
+    val flags = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"), sum(
+        $"l_quantity".cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    salted.foreach { r =>
+      val (n, s) = flags(r.getString(0))
+      assert(r.getAs[Long]("cnt") === n)
+      assert(r.getAs[Double]("sum_qty") === s)
+    }
+  }
+
   test("semi/anti partition customers by big-order existence") {
     val semi = CoreQueries.joinSemi(spark, sf).count()
     val anti = CoreQueries.joinAnti(spark, sf).count()
