@@ -177,9 +177,11 @@ object DedupQueries {
     * than a per-bit salted digest; same LSH semantics class. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // per-doc token-set dedup is narrow (array_distinct before the
+    // explode) — a row-level distinct here would shuffle the whole
+    // (doc, token) relation first
     val tok = Tables.documents(s, dir)
-      .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .distinct()
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
       .select($"doc_id", md5($"tok").as("h"))
     val bitSums = (0 until SIMHASH_BITS).map { j =>
       sum(when(ascii(substring($"h", j + 1, 1)) % 2 === 1, 1)
