@@ -25,12 +25,43 @@ final case class MediaMeta(
   * parquet BYTE_ARRAY with the same plan shape.
   */
 object MediaDecode {
-  /** STUB: a real implementation would parse the container header / invoke a
-    * codec here. Deterministic fake: dimensions derived from byte length. */
+  /** STUB for unknown formats: a full implementation would invoke a codec
+    * here. Deterministic fake: dimensions derived from byte length — this
+    * is what the synthetic test corpus (text bytes) hits, and what the SQL
+    * oracle mirrors. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
     (64 + n % 640, 48 + (n * 7) % 480, 1 + n % 24)
   }
+
+  /** REAL pure-JVM container-header parse — no codec needed, dimensions
+    * live at fixed offsets: PNG IHDR (big-endian u32 at 16/20), BMP
+    * BITMAPINFOHEADER (little-endian i32 at 18/22; height may be negative
+    * for top-down rows), GIF logical screen (little-endian u16 at 6/8).
+    * None for anything else. */
+  def decodeHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    val pngMagic = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (bytes.length >= 24 && bytes.startsWith(pngMagic))
+      Some((be32(16), be32(20), 1))
+    else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
+      Some((le32(18), math.abs(le32(22)), 1))
+    else if (bytes.length >= 10 &&
+        (bytes.startsWith("GIF87a".getBytes("US-ASCII")) ||
+          bytes.startsWith("GIF89a".getBytes("US-ASCII")))) {
+      // frame count = number of image-separator blocks is a full-file walk;
+      // header-level contract reports the logical screen + 1 frame
+      Some((le16(6), le16(8), 1))
+    } else None
+  }
+
+  /** Header parse when the format is recognized, stub otherwise. */
+  def decode(bytes: Array[Byte]): (Int, Int, Int) =
+    decodeHeader(bytes).getOrElse(decodeStub(bytes))
 
   /** Batched per-partition decode: one "decoder init" per partition (the
     * expensive part for real codecs), then record-at-a-time decode — the
@@ -40,7 +71,7 @@ object MediaDecode {
     media.mapPartitions { it =>
       // per-partition decoder initialization would go here
       it.map { case (id, bytes) =>
-        val (w, h, f) = decodeStub(bytes)
+        val (w, h, f) = decode(bytes)
         val magic = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
         MediaMeta(id, bytes.length.toLong, magic, w, h, f)
       }

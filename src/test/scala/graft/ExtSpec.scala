@@ -111,6 +111,31 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal header decode parses real PNG/BMP/GIF dimensions") {
+    // minimal valid PNG signature + IHDR length/type + 800x600 big-endian
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',             // IHDR length + type
+      0, 0, 0x03, 0x20,                            // width  = 800
+      0, 0, 0x02, 0x58,                            // height = 600
+      8, 6, 0, 0, 0).map(_.toByte)
+    assert(MediaDecode.decodeHeader(png) === Some((800, 600, 1)))
+    // BMP: 'BM' + 16 filler bytes, then LE i32 width=320, height=-240
+    // (negative height = top-down row order; dimension is its magnitude)
+    val bmp = (Array[Int]('B', 'M') ++ Array.fill(16)(0) ++
+      Array[Int](0x40, 0x01, 0, 0) ++               // width  = 320
+      Array[Int](0x10, 0xff, 0xff, 0xff)).map(_.toByte) // height = -240
+    assert(MediaDecode.decodeHeader(bmp) === Some((320, 240, 1)))
+    // GIF89a with LE u16 logical screen 12x34
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array[Int](12, 0, 34, 0, 0).map(_.toByte))
+    assert(MediaDecode.decodeHeader(gif) === Some((12, 34, 1)))
+    // unknown bytes fall back to the deterministic stub
+    val junk = "not an image".getBytes("US-ASCII")
+    assert(MediaDecode.decodeHeader(junk) === None)
+    assert(MediaDecode.decode(junk) === MediaDecode.decodeStub(junk))
+  }
+
   test("multimodal query magic matches the mapPartitions decode path") {
     val q = MultimodalQueries.mediaMeta(spark, sf)
       .select($"doc_id", lower($"magic_hex").as("magic_hex"))
