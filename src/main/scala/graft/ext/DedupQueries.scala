@@ -25,7 +25,7 @@ object DedupQueries {
     * it — inlining split(text) into the transform lambda would re-split the
     * text for every array index (O(tokens²) per doc). Docs shorter than 3
     * tokens contribute one whole-text shingle. */
-  private def shingleArr: Column =
+  private[ext] def shingleArr: Column =
     when(size(col("toks")) >= 3,
       expr("transform(sequence(0, size(toks) - 3), " +
         "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
@@ -34,7 +34,7 @@ object DedupQueries {
   /** DuckDB mirror of [[shingleArr]] (1-based list indexing). */
   // NOTE: keep '||' at end-of-line — a continuation line starting with '||'
   // would lose a pipe to the enclosing query's stripMargin.
-  private val shinglesSql: String =
+  private[ext] val shinglesSql: String =
     """CASE WHEN len(string_split(text, ' ')) >= 3
       |  THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
       |    i -> string_split(text, ' ')[i] || ' ' ||

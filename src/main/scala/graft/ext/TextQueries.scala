@@ -234,7 +234,87 @@ object TextQueries {
       |  FROM scored) WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // --- X4f: benchmark decontamination (cross-set n-gram containment) -----
+  /** The decontamination op of an LLM data pipeline: flag training docs
+    * whose n-grams appear in a held-out benchmark suite. Benchmark = docs
+    * with doc_id % 101 == 0 (~1%); candidates are everything else; a hit is
+    * a shared (lang, gram). The benchmark gram set is broadcast — in a real
+    * deployment the eval suites are tiny next to a 100 TB corpus, so the
+    * corpus-side scan stays shuffle-free until the per-doc count. 3-grams
+    * (not the 8-13 grams production uses) because the synthetic corpus has
+    * no verbatim long spans — the operator shape is identical. */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", $"lang",
+        explode(array_distinct(DedupQueries.shingleArr)).as("gram"))
+    val bench = grams.filter($"doc_id" % 101 === 0)
+      .select($"lang", $"gram").distinct()
+    val cand = grams.filter($"doc_id" % 101 =!= 0)
+    val sizes = cand.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = cand.join(broadcast(bench), Seq("lang", "gram"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+    hits.join(sizes, Seq("doc_id"))
+      .select($"doc_id", $"n_hits", $"n_grams",
+        round($"n_hits".cast(DoubleType) / $"n_grams", 6).as("contam_ratio"))
+      .orderBy($"n_hits".desc, $"doc_id".asc)
+  }
+
+  val textContaminationSql: String =
+    s"""WITH g AS (
+       |  SELECT DISTINCT doc_id, lang, unnest(${DedupQueries.shinglesSql}) AS gram
+       |  FROM documents),
+       |bench AS (SELECT DISTINCT lang, gram FROM g WHERE doc_id % 101 = 0),
+       |cand AS (SELECT * FROM g WHERE doc_id % 101 <> 0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM cand GROUP BY 1),
+       |hits AS (
+       |  SELECT cand.doc_id, COUNT(*) AS n_hits
+       |  FROM cand JOIN bench USING (lang, gram) GROUP BY 1)
+       |SELECT doc_id, n_hits, n_grams,
+       |  round(CAST(n_hits AS DOUBLE) / n_grams, 6) AS contam_ratio
+       |FROM hits JOIN sizes USING (doc_id)
+       |ORDER BY n_hits DESC, doc_id ASC""".stripMargin
+
+  // --- X4g: repetition detection (intra-doc duplicate-gram ratio) --------
+  /** Gopher/RefinedWeb-style repetition quality rule: a doc whose 3-gram
+    * multiset is much larger than its 3-gram set is template/spam-like.
+    * Entirely narrow per-doc array math (no explode, no shuffle until the
+    * tiny (lang, source) rollup); the repetitive flag is pure integer
+    * arithmetic so both engines agree exactly. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("grams", DedupQueries.shingleArr)
+      .select($"lang", $"source",
+        size($"grams").cast(LongType).as("n"),
+        size(array_distinct($"grams")).cast(LongType).as("d"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n" - $"d").as("dup_grams"),
+        sum($"n").as("total_grams"),
+        sum(when(($"n" - $"d") * 5 > $"n", 1L).otherwise(0L)).as("n_repetitive"))
+      .orderBy($"lang", $"source")
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH per AS (
+       |  SELECT lang, source,
+       |    CAST(len(${DedupQueries.shinglesSql}) AS BIGINT) AS n,
+       |    CAST(len(list_distinct(${DedupQueries.shinglesSql})) AS BIGINT) AS d
+       |  FROM documents)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n - d) AS BIGINT) AS dup_grams,
+       |  CAST(SUM(n) AS BIGINT) AS total_grams,
+       |  CAST(SUM(CASE WHEN (n - d) * 5 > n THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+       |FROM per GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_text_contamination", textContamination, Some(textContaminationSql),
+      "X4 benchmark decontamination: cross-set n-gram containment"),
+    QueryDef("q_text_repetition", textRepetition, Some(textRepetitionSql),
+      "X4 repetition quality rule: intra-doc duplicate-gram ratio"),
     QueryDef("q_text_tfidf", textTfidf, Some(textTfidfSql),
       "X4 TF-IDF top terms per document"),
     QueryDef("q_text_stats", textStats, Some(textStatsSql),

@@ -96,6 +96,27 @@ class ExtSpec extends AnyFunSuite {
     assert(fp1.map(_.toString).toSeq === fp2.map(_.toString).toSeq)
   }
 
+  test("contamination flags only non-benchmark docs with bounded ratios") {
+    val rows = TextQueries.textContamination(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty) // 3-gram overlap exists at sf0.01
+    rows.foreach { r =>
+      assert(r.getLong(0) % 101 !== 0) // benchmark docs are never candidates
+      assert(r.getLong(1) <= r.getLong(2)) // hits bounded by gram count
+      val ratio = r.getDouble(3)
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("repetition rollup accounts for every document") {
+    val total = Tables.documents(spark, TestSpark.sf0001).count()
+    val rows = TextQueries.textRepetition(spark, TestSpark.sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_grams") <= r.getAs[Long]("total_grams"))
+      assert(r.getAs[Long]("n_repetitive") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("multimodal decodePartitioned: batched stub decode round-trips") {
     val media = Tables.documents(spark, sf).limit(10)
       .select($"doc_id", $"text".cast("binary"))
