@@ -107,24 +107,23 @@ object DedupQueries {
     import s.implicits._
     // Fused plan (round 2): signatures are computed without any shuffle
     // (see minhashSigs) and ride along through the band explode. Candidate
-    // pairs are generated INSIDE each capped bucket: ok-bucket filter first
-    // (partial-agg count — scale-safe on mega-buckets), then collect_list
-    // of the ≤ BUCKET_CAP members and a local O(cap²) pair expansion — no
-    // self-join. The bands exchange on (b, v) is built once and reused by
-    // the count, the join, and the collect aggregation.
+    // pairs are generated INSIDE each capped bucket — a bounded-state
+    // collect (graft.functions.BoundedCollect) caps the buffer at
+    // BUCKET_CAP+1 DURING aggregation, so the whole cap-and-collect is ONE
+    // exchange on (b, v) with provably bounded executor state (a
+    // mega-bucket collects cap+1 members and is dropped by the size
+    // filter), followed by a local O(cap²) pair expansion — no count
+    // pre-pass, no re-join, no self-join.
     val bands = minhashSigs(s, dir)
       .select($"doc_id",
         array((0 until K).map(i => col(s"h$i")): _*).as("sig"),
         explode(array(
           (0 until K).map(i => struct(lit(i).as("b"), col(s"h$i").as("v"))): _*)).as("band"))
       .select($"doc_id", $"sig", $"band.b".as("b"), $"band.v".as("v"))
-    val okBuckets = bands.groupBy($"b", $"v")
-      .agg(count(lit(1)).as("bn"))
-      .filter($"bn" >= 2 && $"bn" <= BUCKET_CAP)
-      .select($"b", $"v")
-    val members = bands.join(okBuckets, Seq("b", "v"))
-      .groupBy($"b", $"v")
-      .agg(collect_list(struct($"doc_id", $"sig")).as("ms"))
+    val boundedCollect = udaf(graft.functions.BoundedCollect.docSigs(BUCKET_CAP))
+    val members = bands.groupBy($"b", $"v")
+      .agg(boundedCollect($"doc_id", $"sig").as("ms"))
+      .filter(size($"ms") >= 2 && size($"ms") <= BUCKET_CAP)
     // The expansion lambda only builds (ids, sig refs) structs — signature
     // agreement is scored AFTER the explode by codegen'd array indexing
     // (scoring inside the interpreted lambda ran per cap² candidate and

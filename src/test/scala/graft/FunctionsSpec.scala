@@ -95,6 +95,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [long_array_dot"), plan)
   }
 
+  test("BoundedCollect stops accumulating at cap+1 elements") {
+    import graft.functions.BoundedCollect
+    import graft.functions.BoundedCollect.DocSig
+    val agg = BoundedCollect.docSigs(3) // buffers at most 4
+    // direct state-machine semantics
+    val full = (1 to 10).foldLeft(agg.zero)((b, i) =>
+      agg.reduce(b, DocSig(i.toLong, Seq("x"))))
+    assert(full.length === 4) // cap+1 sentinel, not 10
+    assert(agg.merge(full, full).length === 4)
+    val small = agg.reduce(agg.zero, DocSig(1L, Seq("a")))
+    assert(agg.merge(small, small).length === 2)
+    // end-to-end: hot key bounded and detectable, cold keys complete
+    val df = spark.range(100)
+      .select(when($"id" < 90, lit(0L)).otherwise($"id").as("k"),
+        $"id".as("doc_id"), array(lit("s")).as("sig"))
+    val udafFn = udaf(agg)
+    val out = df.groupBy($"k").agg(udafFn($"doc_id", $"sig").as("ms"))
+      .select($"k", size($"ms").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(0L) === 4) // hot key: capped at cap+1, never 90
+    (90L until 100L).foreach(k => assert(out(k) === 1))
+  }
+
   test("long_array_dot NULL semantics mirror zip_with padding") {
     GraftExtensions.registerOn(spark)
     // length mismatch → NULL (zip_with pads the short side with NULL)
