@@ -35,8 +35,16 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outFile),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench: failed to write $outFile: $e")
+    }
     spark.stop()
+    // Belt and braces for the driver's parser: the metric line goes to
+    // stderr (sentinel-prefixed) AND is the last stdout line (build.sbt
+    // sets showSuccess := false so no sbt footer follows it).
+    System.err.println("GRAFT_BENCH_JSON " + json)
+    System.err.flush()
     println(json)
     System.out.flush()
   }

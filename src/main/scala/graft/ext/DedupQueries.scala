@@ -237,14 +237,16 @@ object DedupQueries {
     val sh = Tables.documents(s, dir)
       .withColumn("toks", split($"text", " "))
       .select($"doc_id", $"lang", explode(array_distinct(shingleArr)).as("sh"))
-    // stop-shingles (df > cap) are by definition FEW distinct values —
-    // broadcast the tiny hot set and anti-join, so the full shingle
-    // relation streams instead of paying a wide (lang, sh) exchange + SMJ
+    // stop-shingles (df > cap) are usually few, but their cardinality is
+    // only bounded by |pairs|/DF_CAP — on an adversarial corpus a forced
+    // broadcast could exceed executor memory. No hint: AQE sees the
+    // runtime size and converts the anti-join to broadcast exactly when
+    // the hot set is genuinely tiny, else it stays a bounded shuffle.
     val hotShingles = sh.groupBy($"lang", $"sh")
       .agg(count(lit(1)).as("df"))
       .filter($"df" > DF_CAP)
       .select($"lang", $"sh")
-    val shOk = sh.join(broadcast(hotShingles), Seq("lang", "sh"), "left_anti")
+    val shOk = sh.join(hotShingles, Seq("lang", "sh"), "left_anti")
     val sizes = shOk.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val postings = shOk.groupBy($"lang", $"sh")
       .agg(collect_list($"doc_id").as("docs"))

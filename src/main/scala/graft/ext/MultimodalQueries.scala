@@ -46,22 +46,50 @@ object MediaDecode {
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     val pngMagic = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
       0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    // Dimensions must be strictly positive; a corrupt header (negative or
+    // zero, or a PNG u32 overflowing Int) falls through to the next tier.
+    def ok(w: Int, h: Int, f: Int): Option[(Int, Int, Int)] =
+      if (w > 0 && h > 0) Some((w, h, f)) else None
     if (bytes.length >= 24 && bytes.startsWith(pngMagic))
-      Some((be32(16), be32(20), 1))
-    else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
-      Some((le32(18), math.abs(le32(22)), 1))
-    else if (bytes.length >= 10 &&
+      ok(be32(16), be32(20), 1)
+    else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
+      // Only trust offsets 18/22 for BITMAPINFOHEADER-or-later (DIB header
+      // size >= 40); a legacy 12-byte BITMAPCOREHEADER stores u16 dims at
+      // 18/20 instead.
+      val dib = le32(14)
+      if (dib >= 40) ok(le32(18), math.abs(le32(22)), 1)
+      else if (dib == 12) ok(le16(18), le16(20), 1)
+      else None
+    } else if (bytes.length >= 10 &&
         (bytes.startsWith("GIF87a".getBytes("US-ASCII")) ||
           bytes.startsWith("GIF89a".getBytes("US-ASCII")))) {
       // frame count = number of image-separator blocks is a full-file walk;
       // header-level contract reports the logical screen + 1 frame
-      Some((le16(6), le16(8), 1))
+      ok(le16(6), le16(8), 1)
     } else None
   }
 
-  /** Header parse when the format is recognized, stub otherwise. */
+  /** Full JDK decode via javax.imageio — real pixel decode, no external
+    * codec needed for PNG/GIF/BMP/JPEG. Used when the fast header parse
+    * doesn't recognize the container but ImageIO does (e.g. JPEG, whose
+    * dimensions sit behind variable-length segments). Returns None for
+    * non-image bytes. */
+  def decodeImageIO(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img != null && img.getWidth > 0 && img.getHeight > 0)
+        Some((img.getWidth, img.getHeight, 1))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode tiers: fixed-offset header parse (cheap, no pixel work) →
+    * ImageIO full decode (real formats the header parse can't size, e.g.
+    * JPEG) → deterministic stub for non-image payloads (what the synthetic
+    * text-bytes corpus hits). */
   def decode(bytes: Array[Byte]): (Int, Int, Int) =
-    decodeHeader(bytes).getOrElse(decodeStub(bytes))
+    decodeHeader(bytes)
+      .orElse(decodeImageIO(bytes))
+      .getOrElse(decodeStub(bytes))
 
   /** Batched per-partition decode: one "decoder init" per partition (the
     * expensive part for real codecs), then record-at-a-time decode — the

@@ -238,9 +238,10 @@ object TextQueries {
   /** The decontamination op of an LLM data pipeline: flag training docs
     * whose n-grams appear in a held-out benchmark suite. Benchmark = docs
     * with doc_id % 101 == 0 (~1%); candidates are everything else; a hit is
-    * a shared (lang, gram). The benchmark gram set is broadcast — in a real
-    * deployment the eval suites are tiny next to a 100 TB corpus, so the
-    * corpus-side scan stays shuffle-free until the per-doc count. 3-grams
+    * a shared (lang, gram). In a real deployment the eval suites are tiny
+    * next to a 100 TB corpus and AQE broadcasts them at runtime; here the
+    * "benchmark" is 1% of the corpus grams (not a fixed-size suite), so no
+    * forced broadcast — AQE decides from the observed size. 3-grams
     * (not the 8-13 grams production uses) because the synthetic corpus has
     * no verbatim long spans — the operator shape is identical. */
   def textContamination(s: SparkSession, dir: String): DataFrame = {
@@ -253,7 +254,7 @@ object TextQueries {
       .select($"lang", $"gram").distinct()
     val cand = grams.filter($"doc_id" % 101 =!= 0)
     val sizes = cand.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-    val hits = cand.join(broadcast(bench), Seq("lang", "gram"))
+    val hits = cand.join(bench, Seq("lang", "gram"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
     hits.join(sizes, Seq("doc_id"))
       .select($"doc_id", $"n_hits", $"n_grams",

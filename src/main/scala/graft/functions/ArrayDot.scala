@@ -22,6 +22,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * Semantics mirror the HOF form exactly: NULL if either array is NULL, if
   * the lengths differ (zip_with pads with NULL), or if any element is NULL.
+  *
+  * Overflow caveat: this loop wraps silently on long overflow (plain Java
+  * `*`/`+`), matching the HOF form only under the default
+  * `spark.sql.ansi.enabled=false`; with ANSI on, the HOF form would raise
+  * instead. Quantized embeddings (|x| ≤ 1e6-scale per component, dim 64)
+  * stay far below 2^63, so the divergence is unreachable in this engine's
+  * usage.
   */
 case class LongArrayDot(left: Expression, right: Expression)
   extends BinaryExpression {

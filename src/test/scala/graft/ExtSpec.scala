@@ -141,12 +141,30 @@ class ExtSpec extends AnyFunSuite {
       0, 0, 0x02, 0x58,                            // height = 600
       8, 6, 0, 0, 0).map(_.toByte)
     assert(MediaDecode.decodeHeader(png) === Some((800, 600, 1)))
-    // BMP: 'BM' + 16 filler bytes, then LE i32 width=320, height=-240
-    // (negative height = top-down row order; dimension is its magnitude)
-    val bmp = (Array[Int]('B', 'M') ++ Array.fill(16)(0) ++
+    // BMP: 'BM' + 12 filler bytes + DIB size 40 (BITMAPINFOHEADER), then
+    // LE i32 width=320, height=-240 (negative = top-down row order;
+    // dimension is its magnitude)
+    val bmp = (Array[Int]('B', 'M') ++ Array.fill(12)(0) ++
+      Array[Int](40, 0, 0, 0) ++                    // DIB header size
       Array[Int](0x40, 0x01, 0, 0) ++               // width  = 320
       Array[Int](0x10, 0xff, 0xff, 0xff)).map(_.toByte) // height = -240
     assert(MediaDecode.decodeHeader(bmp) === Some((320, 240, 1)))
+    // legacy BITMAPCOREHEADER (DIB size 12): u16 dims at offsets 18/20
+    val bmpCore = (Array[Int]('B', 'M') ++ Array.fill(12)(0) ++
+      Array[Int](12, 0, 0, 0) ++                    // DIB header size
+      Array[Int](64, 0) ++ Array[Int](48, 0) ++     // width=64, height=48
+      Array.fill(4)(0)).map(_.toByte)
+    assert(MediaDecode.decodeHeader(bmpCore) === Some((64, 48, 1)))
+    // unknown DIB size or corrupt (negative) width must NOT be trusted
+    val bmpBadDib = (Array[Int]('B', 'M') ++ Array.fill(12)(0) ++
+      Array[Int](0, 0, 0, 0) ++
+      Array[Int](0x40, 0x01, 0, 0) ++ Array[Int](0x10, 0, 0, 0)).map(_.toByte)
+    assert(MediaDecode.decodeHeader(bmpBadDib) === None)
+    val bmpNegW = (Array[Int]('B', 'M') ++ Array.fill(12)(0) ++
+      Array[Int](40, 0, 0, 0) ++
+      Array[Int](0xc0, 0xfe, 0xff, 0xff) ++         // width = -320
+      Array[Int](0x10, 0x01, 0, 0)).map(_.toByte)
+    assert(MediaDecode.decodeHeader(bmpNegW) === None)
     // GIF89a with LE u16 logical screen 12x34
     val gif = ("GIF89a".getBytes("US-ASCII") ++
       Array[Int](12, 0, 34, 0, 0).map(_.toByte))
@@ -155,6 +173,23 @@ class ExtSpec extends AnyFunSuite {
     val junk = "not an image".getBytes("US-ASCII")
     assert(MediaDecode.decodeHeader(junk) === None)
     assert(MediaDecode.decode(junk) === MediaDecode.decodeStub(junk))
+  }
+
+  test("multimodal full decode reads real pixels via ImageIO") {
+    // a REAL 7x5 PNG produced by the JDK encoder — exercises the ImageIO
+    // tier end-to-end (encode → decodeImageIO) and agreement with the
+    // header fast-path on the same bytes
+    val img = new java.awt.image.BufferedImage(
+      7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 2, 0xff8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    assert(MediaDecode.decodeImageIO(bytes) === Some((7, 5, 1)))
+    assert(MediaDecode.decodeHeader(bytes) === Some((7, 5, 1)))
+    assert(MediaDecode.decode(bytes) === ((7, 5, 1)))
+    // non-image bytes: ImageIO returns None (no throw), stub takes over
+    assert(MediaDecode.decodeImageIO("plain text".getBytes) === None)
   }
 
   test("multimodal query magic matches the mapPartitions decode path") {

@@ -92,7 +92,10 @@ class FunctionsSpec extends AnyFunSuite {
     // stays inside WholeStageCodegen (no fallback to interpreted Project)
     val plan = df.select(LongArrayDot.longArrayDot($"a", $"b"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("*(1) Project [long_array_dot"), plan)
+    assert(plan.contains("long_array_dot"), plan)
+    // the Project carrying it sits inside a WholeStageCodegen stage
+    // (stage number may vary across Spark versions, hence the regex)
+    assert("\\*\\(\\d+\\) Project \\[long_array_dot".r.findFirstIn(plan).isDefined, plan)
   }
 
   test("BoundedCollect stops accumulating at cap+1 elements") {
