@@ -17,7 +17,7 @@ run / fork := true
 // keeps the forked child's stdout un-prefixed (no "[info] ").
 Global / showSuccess := false
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Global / excludeLintKeys += run / outputStrategy
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
