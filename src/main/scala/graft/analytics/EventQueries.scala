@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
   * J5 as-of join, J6 range join, P5 datetime scalars, P8/P9 JSON scalars,
   * T3/T4 tumbling + sliding windows as batch aggregations.
   */
+/** One gap-based session per (user, island) — output row of
+  * [[EventQueries.sessionizeBatch]]. */
+final case class SessionStat(
+    user_id: Long, session_start_us: Long, session_end_us: Long,
+    n_events: Long, total_value: Double)
+
 object EventQueries {
   import Ops._
 
@@ -431,6 +437,107 @@ object EventQueries {
       |FROM active JOIN cohort USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  // --- T6 (batch form): custom keyed state via flatMapGroups -------------
+  /** Gap-based sessionization with CUSTOM per-key state logic — the typed
+    * `KeyValueGroupedDataset.flatMapGroups` tier (T6's batch analogue; the
+    * streaming twin with real timeouts is StreamJobs.sessionize). One
+    * shuffle on user_id, then a per-group in-memory walk over the user's
+    * (few) events. Money stays exact: values become integer cents before
+    * the group walk, one correctly-rounded division at the very end —
+    * bit-identical to the oracle's DECIMAL sum in any iteration order. */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val GapUs = 1800000000L // 30 min, matching q_session_windows
+    Tables.events(s, dir)
+      .select($"user_id", epochUs($"ts").as("ts_us"),
+        (money($"value") * 100).cast(LongType).as("cents"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long)]) =>
+        val evs = it.map(e => (e._2, e._3)).toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionStat]
+        var start = evs(0)._1
+        var last = evs(0)._1
+        var n = 0L
+        var cents = 0L
+        evs.foreach { case (ts, c) =>
+          if (ts - last >= GapUs) {
+            out += SessionStat(uid, start, last, n, cents / 100.0)
+            start = ts; n = 0L; cents = 0L
+          }
+          last = ts; n += 1; cents += c
+        }
+        out += SessionStat(uid, start, last, n, cents / 100.0)
+        out
+      }
+      .toDF()
+      .orderBy($"user_id", $"session_start_us")
+  }
+
+  val sessionizeBatchSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CAST(value AS DECIMAL(18,2)) AS v,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |        PARTITION BY user_id ORDER BY ts) >= 1800000000
+      |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts_us, v,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  CAST(min(ts_us) AS BIGINT) AS session_start_us,
+      |  CAST(max(ts_us) AS BIGINT) AS session_end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(CAST(SUM(v) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  // --- S11b: dynamic partition pruning over a partitioned fact scan ------
+  /** Day-partitioned copy of events for the DPP demo, materialized once
+    * per sf dir under java.io.tmpdir (deterministic data → idempotent). */
+  def dppFactsPath(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_dpp_$key")
+    if (!new java.io.File(base, "_SUCCESS").exists()) {
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(base.getAbsolutePath)
+    }
+    base.getAbsolutePath
+  }
+
+  /** The highest-value scan optimization at 100 TB: the fact table is
+    * partitioned on day, the dim side carries the selective filter
+    * (Mondays), and Catalyst inserts a dynamic-pruning subquery into the
+    * fact scan's PartitionFilters — only matching partitions are read, with
+    * the dim's broadcast reused as the filter source. PlanAudit/ExtSpec
+    * assert `dynamicpruning` is really in the scan. The oracle runs the
+    * semantically-equal day-of-week filter on the unpartitioned table. */
+  def joinDppPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val facts = s.read.parquet(dppFactsPath(s, dir))
+    // selective day-dim from the source table (cheap: pruned to ts)
+    val dim = Tables.events(s, dir)
+      .select(to_date($"ts").as("day")).distinct()
+      .filter(dayofweek($"day") === 2) // Mondays
+    facts.join(broadcast(dim), Seq("day"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sumMoney($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  val joinDppPrunedSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE isodow(CAST(ts AS DATE)) = 1
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_funnel_conversion", funnel, Some(funnelSql),
       "signup→purchase funnel with 7-day conversion window"),
@@ -461,5 +568,9 @@ object EventQueries {
     QueryDef("q_sliding_hourly", slidingHourly, Some(slidingHourlySql),
       "T4 sliding window (batch form)"),
     QueryDef("q_session_windows", sessionWindows, Some(sessionWindowsSql),
-      "T4 session windows (batch form)"))
+      "T4 session windows (batch form)"),
+    QueryDef("q_join_dpp_pruned", joinDppPruned, Some(joinDppPrunedSql),
+      "S11b dynamic partition pruning: dim filter prunes partitioned fact scan"),
+    QueryDef("q_sessionize_batch", sessionizeBatch, Some(sessionizeBatchSql),
+      "T6 custom keyed-state sessionization via flatMapGroups (batch form)"))
 }

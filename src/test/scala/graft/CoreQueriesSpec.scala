@@ -153,4 +153,27 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(math.abs(a - exact(k)).toDouble / exact(k) < 0.05)
     }
   }
+
+  test("flatMapGroups sessionization agrees with session_window") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"session_start_us", $"n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(EventQueries.sessionizeBatch(spark, sf)) ===
+      key(EventQueries.sessionWindows(spark, sf)))
+  }
+
+  test("DPP: dim filter becomes a dynamic pruning filter on the fact scan") {
+    val df = EventQueries.joinDppPruned(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(df.count() > 0)
+    // equal to the unpartitioned day-of-week filter it optimizes
+    val direct = Tables.events(spark, sf)
+      .filter(dayofweek(to_date($"ts")) === 2)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === direct)
+  }
 }
