@@ -47,6 +47,17 @@ object StreamJobs {
       .partitionBy("load_date")
       .outputMode(OutputMode.Append)
 
+  /** T1 variant — AvailableNow: drain everything currently in the drop
+    * directory in rate-limited micro-batches, then stop; the checkpoint
+    * makes the next run resume where this one ended. The scheduled-batch
+    * deployment mode (the reference's cron-style poll loop run as a
+    * periodic drain) with the same exactly-once contract as the continuous
+    * trigger. */
+  def landObservationsAvailableNow(normalized: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    landObservations(normalized, outDir, checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+
   /** T2/T7 alternative sink: foreachBatch with a batch-id-keyed overwrite,
     * the idempotent-merge pattern for sinks without transactional appends.
     * A re-delivered micro-batch (failure before checkpoint commit)

@@ -28,6 +28,30 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("no undeclared cartesian/nested-loop join in any declared query") {
+    // Intentional bounded-build-side broadcast NLJs (documented in-source):
+    //  - knnBrute: tiny query batch × corpus is the brute-force baseline
+    //  - knnIvf: constant-K centroid set × corpus is the assignment pass
+    //  - asOfDailyState: key × day grid; days is calendar-bounded, not
+    //    corpus-proportional
+    //  - textTfidf: single-row n_docs aggregate crossed onto scored terms
+    val allowBnlj = Set("q_sim_knn_brute", "q_sim_knn_ivf",
+      "q_join_asof_state", "q_text_tfidf")
+    val violations = Registry.all.flatMap { q =>
+      val plan = q.fn(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      val cart =
+        if (plan.contains("CartesianProduct")) Seq(s"${q.name}: CartesianProduct")
+        else Seq.empty
+      val bnlj =
+        if (plan.contains("BroadcastNestedLoopJoin") && !allowBnlj(q.name))
+          Seq(s"${q.name}: BroadcastNestedLoopJoin")
+        else Seq.empty
+      cart ++ bnlj
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
   test("driver entry runs and returns rows (smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

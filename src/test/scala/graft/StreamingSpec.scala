@@ -62,6 +62,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("T1/T7 AvailableNow drains, self-stops, and resumes from checkpoint") {
+    val tmp = Files.createTempDirectory("graft-availnow").toString
+    val drop = s"$tmp/drop"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    graft.ingest.CtaFixtures.feedDf(spark).write.json(drop)
+    val q = StreamJobs.landObservationsAvailableNow(
+      StreamJobs.rawFeedStream(spark, drop), out, ckpt).start()
+    assert(q.awaitTermination(120000)) // AvailableNow self-terminates
+    assert(!q.isActive)
+    assert(spark.read.parquet(out).count() === 3)
+    // new files land while "offline"; the resumed drain processes ONLY
+    // them (9 rows would mean the checkpoint was ignored)
+    graft.ingest.CtaFixtures.feedDf(spark).write.mode("append").json(drop)
+    val q2 = StreamJobs.landObservationsAvailableNow(
+      StreamJobs.rawFeedStream(spark, drop), out, ckpt).start()
+    assert(q2.awaitTermination(120000))
+    assert(spark.read.parquet(out).count() === 6)
+  }
+
   test("T2/T7 foreachBatch idempotent sink: re-run overwrites, never duplicates") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = Files.createTempDirectory("graft-febatch").toString
