@@ -444,13 +444,23 @@ object EventQueries {
     * shuffle on user_id, then a per-group in-memory walk over the user's
     * (few) events. Money stays exact: values become integer cents before
     * the group walk, one correctly-rounded division at the very end —
-    * bit-identical to the oracle's DECIMAL sum in any iteration order. */
+    * bit-identical to the oracle's DECIMAL sum in any iteration order.
+    *
+    * Memory contract: each group buffers ONE user's events as (ts, cents)
+    * pairs — 16 bytes/event — so the per-key footprint is linear in that
+    * key's event count (100k events ≈ 1.6 MB; exercised by a hot-key spec).
+    * A pathological key with billions of events would OOM an executor; for
+    * unbounded keys use the scale-safe `session_window` twin
+    * ([[sessionWindows]]), which never buffers a whole key. Null guard:
+    * rows with a NULL ts are dropped and NULL value coalesces to 0 — the
+    * same degradation as the oracle SQL's lag/SUM null semantics. */
   def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val GapUs = 1800000000L // 30 min, matching q_session_windows
     Tables.events(s, dir)
       .select($"user_id", epochUs($"ts").as("ts_us"),
-        (money($"value") * 100).cast(LongType).as("cents"))
+        (coalesce(money($"value"), lit(0)) * 100).cast(LongType).as("cents"))
+      .filter($"ts_us".isNotNull && $"user_id".isNotNull)
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long)]) =>
@@ -497,19 +507,36 @@ object EventQueries {
 
   // --- S11b: dynamic partition pruning over a partitioned fact scan ------
   /** Day-partitioned copy of events for the DPP demo, materialized once
-    * per sf dir under java.io.tmpdir (deterministic data → idempotent). */
+    * per (sf dir, source content) under java.io.tmpdir. The cache key
+    * fingerprints the source parquet's file names/sizes/mtimes so a
+    * regenerated sf dir gets a fresh copy, and materialization goes
+    * through a per-process staging dir + atomic rename so two JVMs
+    * (Verify and Bench) racing on the same key can't corrupt each other.
+    * Bench pre-materializes this in its warmup so the one-time rewrite
+    * is never inside a timed region. */
   def dppFactsPath(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(dir, "events.parquet")
+    val parts =
+      if (src.isDirectory) src.listFiles().sortBy(_.getName) else Array(src)
+    val sig = dir + "|" + parts
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
+      .digest(sig.getBytes("UTF-8")).take(6).map(b => f"${b & 0xff}%02x").mkString
     val base = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_dpp_$key")
-    if (!new java.io.File(base, "_SUCCESS").exists()) {
-      Tables.events(s, dir)
-        .withColumn("day", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("day")
-        .parquet(base.getAbsolutePath)
-    }
-    base.getAbsolutePath
+    if (new java.io.File(base, "_SUCCESS").exists()) return base.getAbsolutePath
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_dpp_${key}_p${ProcessHandle.current().pid()}")
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day")
+      .parquet(stage.getAbsolutePath)
+    if (stage.renameTo(base)) base.getAbsolutePath
+    // rename failed: either a concurrent materializer won (use its complete
+    // copy) or base is unusable (fall back to our staged copy, which is valid)
+    else if (new java.io.File(base, "_SUCCESS").exists()) base.getAbsolutePath
+    else stage.getAbsolutePath
   }
 
   /** The highest-value scan optimization at 100 TB: the fact table is

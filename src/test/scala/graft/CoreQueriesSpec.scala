@@ -154,12 +154,45 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("flatMapGroups sessionization agrees with session_window") {
-    def key(df: org.apache.spark.sql.DataFrame) =
-      df.select($"user_id", $"session_start_us", $"n_events").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(key(EventQueries.sessionizeBatch(spark, sf)) ===
-      key(EventQueries.sessionWindows(spark, sf)))
+  test("flatMapGroups sessionization agrees with session_window on all cols") {
+    val fm = EventQueries.sessionizeBatch(spark, sf)
+      .select($"user_id", $"session_start_us", $"session_end_us",
+        $"n_events", $"total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    // session_window.end = last event ts + gap, so subtracting the gap
+    // yields the flatMapGroups session_end_us (ts of the last event).
+    val sw = Tables.events(spark, sf)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), Ops.sumMoney($"value").as("tv"))
+      .select($"user_id", Ops.epochUs($"w.start").as("s"),
+        (Ops.epochUs($"w.end") - 1800000000L).as("e"), $"n_events", $"tv")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(fm === sw)
+  }
+
+  test("sessionizeBatch completes on a 100k-event hot key (memory contract)") {
+    // Synthesize an events.parquet where one user holds 100k events spread
+    // over alternating in-session/out-of-session gaps, exercising the
+    // documented per-key buffer (16 B/event ≈ 1.6 MB for this key).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hotkey_").toFile.getAbsolutePath
+    val n = 100000
+    spark.range(n.toLong)
+      .select(
+        // ts as parquet nanos-long, matching the driver tables' encoding
+        (lit(1700000000000000000L) + $"id" * 60000000000L).as("ts"),
+        lit(7L).as("user_id"), lit(1.25).as("value"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = EventQueries.sessionizeBatch(spark, dir).collect()
+    // 60 s spacing < 30 min gap → one session holding every event
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_events") === n.toLong)
+    assert(math.abs(out.head.getAs[Double]("total_value") - 1.25 * n) < 1e-6)
   }
 
   test("DPP: dim filter becomes a dynamic pruning filter on the fact scan") {
