@@ -167,6 +167,132 @@ object DedupQueries {
             .mkString(" + ")} AS DOUBLE) / $K >= ${2.0 / K}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- X2d: near-dup cluster resolution (connected components) -----------
+  /** Iteration cap for connected-components convergence. Propagation plus
+    * pointer-jumping halves the remaining label-tree depth each round
+    * (hash-to-min shape), so convergence needs O(log d) rounds for
+    * component diameter d — LSH near-dup components are band-bucket
+    * cliques glued at shared docs, d rarely exceeds single digits, and 12
+    * rounds covers d up to thousands. */
+  private val CC_MAX_ITERS = 12
+
+  /** Number of label-propagation rounds the last [[clusterLabels]] run
+    * needed — exposed for the spec's bounded-iteration assertion. */
+  @volatile private[graft] var lastCcIters: Int = -1
+
+  /** Connected-component labels (label = min doc_id in the component) for
+    * an undirected pair set, via iterative min-label propagation with
+    * pointer jumping. Every step is an equi-join or hash aggregate on a
+    * doc-id key — no cross product anywhere — and each round's result is
+    * eagerly `localCheckpoint`ed so lineage stays flat and the pair
+    * generation runs exactly once. This is the standard distributed-CC
+    * shape (MapReduce large-star/small-star family) and the piece that
+    * turns near-dup PAIRS into the keep/drop decision a real dedup
+    * pipeline executes. */
+  private[graft] def clusterLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // eager: the LSH pair plan executes exactly once
+    var cur = edges.groupBy($"src")
+      .agg(least($"src", min($"dst")).as("lbl"))
+      .localCheckpoint()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < CC_MAX_ITERS) {
+      // propagate: lbl(x) <- min(lbl(x), min over neighbors' labels)
+      val nbr = edges
+        .join(cur.select($"src".as("dst"), $"lbl".as("nlbl")), "dst")
+        .groupBy($"src").agg(min($"nlbl").as("mn"))
+      val prop = cur.join(nbr, Seq("src"), "left")
+        .select($"src", least($"lbl", coalesce($"mn", $"lbl")).as("lbl"))
+      // pointer-jump: lbl(x) <- lbl(lbl(x)) — labels are doc ids, so the
+      // label table doubles as the jump table; halves remaining depth
+      val next = prop.as("a")
+        .join(prop.select($"src".as("jsrc"), $"lbl".as("jlbl")).as("b"),
+          col("a.lbl") === col("b.jsrc"), "left")
+        .select(col("a.src").as("src"),
+          coalesce(col("b.jlbl"), col("a.lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(cur.select($"src", $"lbl".as("old")), "src")
+        .filter($"lbl" =!= $"old").count()
+      cur = next
+      iters += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge in $CC_MAX_ITERS rounds")
+    lastCcIters = iters
+    cur
+  }
+
+  /** The missing last stage of every near-dup pipeline: resolve the LSH
+    * candidate pairs ([[dedupMinhashLsh]]) into clusters and pick one
+    * canonical document per cluster (longest text, ties to the smallest
+    * doc_id) — the decision that actually deletes data. cluster_id is the
+    * component's min doc_id; only true near-dup groups (≥2 members)
+    * appear. Oracle: DuckDB recursive transitive closure over the same
+    * pair set. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b")
+    val members = clusterLabels(s, pairs)
+      .select($"lbl".as("cluster_id"), $"src".as("doc_id"))
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    members.join(docs, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when($"rn" === 1, $"doc_id")).as("canonical_doc"),
+        max(when($"rn" === 1, $"n_chars")).as("canonical_n_chars"))
+      .orderBy($"cluster_id")
+  }
+
+  private def estJaccardSql(a: String, b: String): String =
+    s"CAST(${(0 until K).map(i => s"(CASE WHEN $a.h$i = $b.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")} AS DOUBLE) / $K"
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashSigsSql,
+       |bands AS (
+       |  ${(0 until K).map(i => s"SELECT doc_id, $i AS b, h$i AS v FROM sigs")
+            .mkString("\n  UNION ALL\n  ")}),
+       |ok_buckets AS (
+       |  SELECT b, v FROM bands GROUP BY b, v
+       |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $BUCKET_CAP),
+       |in_buckets AS (
+       |  SELECT bands.* FROM bands JOIN ok_buckets USING (b, v)),
+       |cpairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM in_buckets x JOIN in_buckets y
+       |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+       |fpairs AS (
+       |  SELECT doc_a, doc_b FROM cpairs
+       |  JOIN sigs sa ON doc_a = sa.doc_id
+       |  JOIN sigs sb ON doc_b = sb.doc_id
+       |  WHERE ${estJaccardSql("sa", "sb")} >= ${2.0 / K}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM fpairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM fpairs),
+       |reach(src, lbl) AS (
+       |  SELECT src, dst AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+       |labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(lbl)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |ranked AS (
+       |  SELECT l.cluster_id, l.doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
+       |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+       |SELECT cluster_id, COUNT(*) AS n_members,
+       |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+       |  MAX(CASE WHEN rn = 1 THEN n_chars END) AS canonical_n_chars
+       |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   // --- X2b: SimHash (16-bit) collision groups ----------------------------
   private val SIMHASH_BITS = 16
 
@@ -302,6 +428,8 @@ object DedupQueries {
       "X1 exact dedup via sha256 content hash"),
     QueryDef("q_dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql),
       "X2 MinHash signatures + LSH banding, capped buckets"),
+    QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql),
+      "X2d connected-component cluster resolution + canonical doc pick"),
     QueryDef("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql),
       "X2 SimHash 16-bit collision groups"),
     QueryDef("q_dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql),

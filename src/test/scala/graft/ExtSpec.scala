@@ -26,6 +26,38 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster resolution: true components, bounded rounds, no cartesian") {
+    // synthetic pair set: a 4-chain (1-2-3-4), a triangle (10,11,12), an
+    // isolated pair (20,21) — labels must be the per-component minimum
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val labels = DedupQueries.clusterLabels(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // chain diameter 3 → propagate+jump needs few rounds, well under cap
+    assert(DedupQueries.lastCcIters >= 1 && DedupQueries.lastCcIters <= 4)
+
+    val df = DedupQueries.dedupClusters(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(DedupQueries.lastCcIters <= 12)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // every cluster is a real near-dup group with a canonical member
+      assert(r.getAs[Long]("n_members") >= 2L)
+      assert(r.getAs[Long]("canonical_doc") >= r.getAs[Long]("cluster_id"))
+    }
+    // clusters partition the paired-doc set: member count == node count
+    val nodes = DedupQueries.dedupMinhashLsh(spark, sf)
+      .select($"doc_a").union(
+        DedupQueries.dedupMinhashLsh(spark, sf).select($"doc_b"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum === nodes)
+  }
+
   test("ngram jaccard: scores in (0,1], ranks contiguous and descending") {
     val rows = DedupQueries.dedupNgramJaccard(spark, sf).collect()
     assert(rows.nonEmpty)
