@@ -17,6 +17,7 @@ object Registry {
   /** All query groups, assembled by SparkEntry. */
   def all: Seq[QueryDef] =
     analytics.CoreQueries.defs ++
+      analytics.CboQueries.defs ++
       analytics.SubqueryQueries.defs ++
       analytics.EventQueries.defs ++
       analytics.Profiler.defs ++

@@ -272,6 +272,45 @@ object CoreQueries {
       |  MIN(value) AS min_v, MAX(value) AS max_v
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- A6b: sketch-tier percentiles (the 100-TB path) --------------------
+  /** At 100 TB exact `percentile` is a full sort-and-gather per group; the
+    * scale path is a mergeable quantile sketch (`approx_percentile`,
+    * Greenwald-Khanna family — constant memory per partition, one partial
+    * agg). Oracle contract mirrors the proven HLL pattern
+    * ([[aggApproxDistinct]]): emit the EXACT percentiles (comparable
+    * across engines) plus `approx_ok` = 1 iff the sketch estimate lands
+    * inside the exact [p−0.01, p+0.01] rank window — with sketch accuracy
+    * 1000 the guaranteed rank error is 0.1%, ten times tighter than the
+    * window, so the check is deterministic; if the estimator ever
+    * degrades past it, the driver's hash comparison fails. */
+  def aggStatsApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9D)"), 4).as("p90"),
+        expr("approx_percentile(value, 0.5D, 1000)").as("ap50"),
+        expr("approx_percentile(value, 0.9D, 1000)").as("ap90"),
+        expr("percentile(value, 0.49D)").as("lo50"),
+        expr("percentile(value, 0.51D)").as("hi50"),
+        expr("percentile(value, 0.89D)").as("lo90"),
+        expr("percentile(value, 0.91D)").as("hi90"))
+      .select($"event_type", $"n", $"p50", $"p90",
+        ($"ap50" >= $"lo50" && $"ap50" <= $"hi50" &&
+          $"ap90" >= $"lo90" && $"ap90" <= $"hi90")
+          .cast(LongType).as("approx_ok"))
+      .orderBy($"event_type")
+  }
+
+  val aggStatsApproxSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+      |  CAST(1 AS BIGINT) AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- A7: collect_set → sorted join (per-group sequence reconstruction) -
   def aggCollect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -809,6 +848,8 @@ object CoreQueries {
       "P conditional expressions: CASE/nullif/coalesce/greatest/least/IN"),
     QueryDef("q_agg_stats", aggStats, Some(aggStatsSql),
       "A6 exact percentile / stddev / corr"),
+    QueryDef("q_agg_stats_approx", aggStatsApprox, Some(aggStatsApproxSql),
+      "A6b sketch-tier approx_percentile with bounded-error oracle check"),
     QueryDef("q_agg_collect", aggCollect, Some(aggCollectSql),
       "A7 collect_set + sorted join"),
     QueryDef("q_agg_first_last", aggFirstLast, Some(aggFirstLastSql),

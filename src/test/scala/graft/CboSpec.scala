@@ -1,0 +1,72 @@
+package graft
+
+import graft.analytics.CboQueries
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LeafNode, LogicalPlan}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins SURVEY §4's cost-based-optimization claim: catalog statistics are
+  * really computed, visible to the optimizer, and change a join order the
+  * rule-based optimizer would keep.
+  */
+class CboSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  /** Table names referenced by the join tree, in plan-string (top-down,
+    * left-to-right) order — i.e. the join order the optimizer settled on. */
+  private def joinOrder(plan: LogicalPlan): Seq[String] = {
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: LogicalPlan): Unit = p match {
+      case j: Join => walk(j.left); walk(j.right)
+      case l: LeafNode =>
+        CboQueries.statTables.find(t => l.toString.contains(t))
+          .foreach(names += _)
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    names.toSeq
+  }
+
+  test("ANALYZE stats give the optimizer real rowCounts") {
+    val p = GraftSession.ensureStats(spark, sf, CboQueries.statTables)
+    GraftSession.withCbo(spark) {
+      val stats = spark.table(s"${p}lineitem")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isDefined && stats.rowCount.get.toLong > 0)
+      // column stats exist too (ANALYZE ... FOR ALL COLUMNS)
+      assert(stats.attributeStats.nonEmpty)
+    }
+  }
+
+  test("join-reorder DP replans the deliberately bad written order") {
+    val p = GraftSession.ensureStats(spark, sf, CboQueries.statTables)
+    val sql =
+      s"""SELECT n_name, COUNT(*) AS n
+         |FROM ${p}lineitem
+         |JOIN ${p}orders ON l_orderkey = o_orderkey
+         |JOIN ${p}customer ON o_custkey = c_custkey
+         |JOIN ${p}nation ON c_nationkey = n_nationkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY n_name""".stripMargin
+    val plain = joinOrder(spark.sql(sql).queryExecution.optimizedPlan)
+    val cbo = GraftSession.withCbo(spark) {
+      val df = spark.sql(sql)
+      joinOrder(df.queryExecution.optimizedPlan)
+    }
+    info(s"rule-based order: $plain")
+    info(s"cbo order:        $cbo")
+    // without stats-driven reorder the written (bad) order survives
+    assert(plain === Seq("lineitem", "orders", "customer", "nation"))
+    // with stats + DP the order changes, and the selective filtered dim
+    // side (customer⋈nation) is joined before the lineitem fact
+    assert(cbo !== plain)
+    assert(cbo.indexOf("nation") < cbo.indexOf("lineitem") ||
+      cbo.indexOf("customer") < cbo.indexOf("lineitem"))
+  }
+
+  test("q_cbo_star_join returns rows under the CBO-frozen plan") {
+    val rows = CboQueries.cboStarJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n")).sum > 0)
+  }
+}
