@@ -69,18 +69,36 @@ object MediaDecode {
     } else None
   }
 
-  /** Full JDK decode via javax.imageio — real pixel decode, no external
-    * codec needed for PNG/GIF/BMP/JPEG. Used when the fast header parse
-    * doesn't recognize the container but ImageIO does (e.g. JPEG, whose
-    * dimensions sit behind variable-length segments). Returns None for
-    * non-image bytes. */
+  /** JDK ImageIO dimension read — header-only, NOT a pixel decode: the
+    * format reader's `getWidth/getHeight` parse just the container
+    * metadata (for JPEG, the SOF segment), so a large payload costs
+    * header bytes, not a full raster allocation. Disk caching is off
+    * (`setUseCache(false)` in the static init) so nothing ever spools to
+    * tmp in the executor hot path. Used when the fixed-offset header
+    * parse doesn't recognize the container but ImageIO does (e.g. JPEG,
+    * whose dimensions sit behind variable-length segments). Returns None
+    * for non-image bytes. */
   def decodeImageIO(bytes: Array[Byte]): Option[(Int, Int, Int)] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img != null && img.getWidth > 0 && img.getHeight > 0)
-        Some((img.getWidth, img.getHeight, 1))
-      else None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            if (w > 0 && h > 0) Some((w, h, 1)) else None
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  // one-time JVM-wide init: never spool ImageInputStreams to disk
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Decode tiers: fixed-offset header parse (cheap, no pixel work) →
     * ImageIO full decode (real formats the header parse can't size, e.g.

@@ -108,6 +108,29 @@ object StreamJobs {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
         col("n_events"))
+
+  /** T-extra — watermarked stream-stream interval self-join, the streaming
+    * twin of the batch J6 range join (EventQueries.rangeJoinFollowers):
+    * each event pairs with the same user's events in the following 10
+    * minutes. Watermarks on BOTH inputs plus the bounded time-range
+    * condition let the join state store evict buffered rows once the
+    * watermark passes `ts + 10 min`, so state is bounded by
+    * (arrival rate × window), never by stream length — the property that
+    * makes this runnable forever on an unbounded 100-TB/day feed. */
+  def followerJoin(events: DataFrame): DataFrame = {
+    val left = events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val right = events
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", "1 hour")
+    left.join(right,
+        col("user_id") === col("r_user") &&
+          col("r_ts") > col("ts") &&
+          col("r_ts") <= col("ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("event_id"), col("r_id"), col("event_type"))
+  }
 }
 
 /** Typed event for keyed-state processing. `event_time` carries the

@@ -207,10 +207,10 @@ class ExtSpec extends AnyFunSuite {
     assert(MediaDecode.decode(junk) === MediaDecode.decodeStub(junk))
   }
 
-  test("multimodal full decode reads real pixels via ImageIO") {
+  test("multimodal ImageIO tier sizes a real PNG without pixel decode") {
     // a REAL 7x5 PNG produced by the JDK encoder — exercises the ImageIO
-    // tier end-to-end (encode → decodeImageIO) and agreement with the
-    // header fast-path on the same bytes
+    // header-only tier end-to-end (encode → decodeImageIO) and agreement
+    // with the fixed-offset fast-path on the same bytes
     val img = new java.awt.image.BufferedImage(
       7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.setRGB(3, 2, 0xff8800)

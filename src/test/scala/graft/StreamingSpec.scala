@@ -99,6 +99,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("stream-stream interval join matches the batch J6 range join") {
+    val q = StreamJobs.followerJoin(StreamJobs.eventsStream(spark, eventsDir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("follower_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    // inner stream-stream joins emit every match once both sides arrive;
+    // a drained drop-dir therefore yields exactly the batch pair set
+    val streamed = spark.table("follower_out")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"event_id").as("n_with_follower"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = EventQueries.rangeJoinFollowers(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_with_follower"))).toMap
+    assert(streamed === batch)
+  }
+
   test("T6 batch sessionization agrees with the SQL session-window query") {
     val evs = Tables.events(spark, sf)
       .select($"user_id", unix_micros($"ts").as("ts_us"), $"value",
