@@ -240,6 +240,30 @@ object DedupQueries {
     cur
   }
 
+  /** (cluster_id, doc_id) membership, computed once per (session, dir):
+    * the cluster table is the hub artifact of a dedup pipeline — several
+    * downstream queries ([[dedupClusters]], [[dedupKeep]]) consume it, so
+    * it memoizes the checkpointed label run instead of re-running the
+    * LSH + CC iteration per consumer. */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def memberLabels(s: SparkSession, dir: String): DataFrame =
+    ccCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ =>
+      clusterLabels(s, minhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .select(col("lbl").as("cluster_id"), col("src").as("doc_id")))
+
+  /** Members of each cluster ranked by the canonical-pick order (longest
+    * text, ties to the smallest doc_id): rn = 1 is the doc a dedup pass
+    * keeps. */
+  private def rankedMembers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    memberLabels(s, dir).join(docs, "doc_id")
+      .withColumn("rn", row_number().over(w))
+  }
+
   /** The missing last stage of every near-dup pipeline: resolve the LSH
     * candidate pairs ([[dedupMinhashLsh]]) into clusters and pick one
     * canonical document per cluster (longest text, ties to the smallest
@@ -249,14 +273,7 @@ object DedupQueries {
     * pair set. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = dedupMinhashLsh(s, dir).select($"doc_a", $"doc_b")
-    val members = clusterLabels(s, pairs)
-      .select($"lbl".as("cluster_id"), $"src".as("doc_id"))
-    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
-    val w = Window.partitionBy($"cluster_id")
-      .orderBy($"n_chars".desc, $"doc_id".asc)
-    members.join(docs, "doc_id")
-      .withColumn("rn", row_number().over(w))
+    rankedMembers(s, dir)
       .groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_members"),
         max(when($"rn" === 1, $"doc_id")).as("canonical_doc"),
@@ -264,12 +281,35 @@ object DedupQueries {
       .orderBy($"cluster_id")
   }
 
+  /** Apply the dedup decision: per source, how much of the corpus
+    * survives once every non-canonical cluster member is dropped. This is
+    * the number a data curator actually reports ("dedup removed N% of
+    * crawl X") and the summary a 100-TB run materializes next to the
+    * surviving corpus; reuses the memoized cluster table, so the whole
+    * pipeline (pairs → components → keep set) computes once. */
+  def dedupKeep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSource = Tables.documents(s, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val droppedPerSource = rankedMembers(s, dir)
+      .filter($"rn" =!= 1)
+      .groupBy($"source").agg(count(lit(1)).as("nd"))
+    perSource.join(droppedPerSource, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"nd", lit(0L)).as("n_dropped"),
+        ($"n_docs" - coalesce($"nd", lit(0L))).as("n_kept"))
+      .orderBy($"source")
+  }
+
   private def estJaccardSql(a: String, b: String): String =
     s"CAST(${(0 until K).map(i => s"(CASE WHEN $a.h$i = $b.h$i THEN 1 ELSE 0 END)")
       .mkString(" + ")} AS DOUBLE) / $K"
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $minhashSigsSql,
+  /** Shared oracle CTE chain: LSH pairs → symmetric edges → recursive
+    * transitive closure → per-node min label → canonical-ranked members.
+    * Consumed by both cluster-shaped oracles. */
+  private val ccCtesSql: String =
+    s"""$minhashSigsSql,
        |bands AS (
        |  ${(0 until K).map(i => s"SELECT doc_id, $i AS b, h$i AS v FROM sigs")
             .mkString("\n  UNION ALL\n  ")}),
@@ -298,14 +338,30 @@ object DedupQueries {
        |  SELECT src AS doc_id, LEAST(src, MIN(lbl)) AS cluster_id
        |  FROM reach GROUP BY src),
        |ranked AS (
-       |  SELECT l.cluster_id, l.doc_id, d.n_chars,
+       |  SELECT l.cluster_id, l.doc_id, d.source, d.n_chars,
        |    row_number() OVER (PARTITION BY l.cluster_id
        |      ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
-       |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+       |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ccCtesSql
        |SELECT cluster_id, COUNT(*) AS n_members,
        |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
        |  MAX(CASE WHEN rn = 1 THEN n_chars END) AS canonical_n_chars
        |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  val dedupKeepSql: String =
+    s"""WITH RECURSIVE $ccCtesSql,
+       |dropped AS (
+       |  SELECT source, COUNT(*) AS nd FROM ranked
+       |  WHERE rn <> 1 GROUP BY source)
+       |SELECT s.source, s.n_docs,
+       |  COALESCE(dr.nd, 0) AS n_dropped,
+       |  s.n_docs - COALESCE(dr.nd, 0) AS n_kept
+       |FROM (SELECT source, COUNT(*) AS n_docs
+       |      FROM documents GROUP BY source) s
+       |LEFT JOIN dropped dr USING (source)
+       |ORDER BY source""".stripMargin
 
   // --- X2b: SimHash (16-bit) collision groups ----------------------------
   private val SIMHASH_BITS = 16
@@ -444,6 +500,8 @@ object DedupQueries {
       "X2 MinHash signatures + LSH banding, capped buckets"),
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       "X2d connected-component cluster resolution + canonical doc pick"),
+    QueryDef("q_dedup_keep", dedupKeep, Some(dedupKeepSql),
+      "X2e applied dedup: per-source survivor counts from the cluster table"),
     QueryDef("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql),
       "X2 SimHash 16-bit collision groups"),
     QueryDef("q_dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql),

@@ -283,6 +283,109 @@ object SimilarityQueries {
        |  FROM scored) WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+  // --- X3b'': scalar-quantized (SQ8) ANN — the bandwidth path ------------
+  /** Candidates surviving the int8 scan per query, before exact re-rank. */
+  private val SQ_C = 20
+
+  /** SQ8 two-tier ANN: each embedding compresses to an int8 code vector
+    * (symmetric per-vector quantization: code_i = floor(x_i / max|x| ·
+    * 127)), the corpus scan ranks candidates by integer code-dot cosine,
+    * and only the top-[[SQ_C]] per query are re-ranked with the exact
+    * quantized-decimal cosine. At 100 TB this is the memory-bandwidth
+    * play: the scan pass reads a 64-byte code column instead of 256-byte
+    * floats (4× less I/O — and column pruning means the float column is
+    * only fetched for the ≤ SQ_C·|Q| re-rank rows), with all arithmetic
+    * in codegen'd integer ops. Every step is engine-deterministic:
+    * max/division/floor are IEEE-exact, so both engines derive identical
+    * codes, identical integer dots, and identical final doubles. */
+  def knnSq8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        array_max(transform($"embedding",
+          x => abs(x.cast(DoubleType)))).as("mx"))
+      .withColumn("sc", when($"mx" === 0d, lit(1d)).otherwise($"mx"))
+      .withColumn("code",
+        transform($"embedding", x => floor(x.cast(DoubleType) / $"sc" * 127)))
+      .select($"vec_id", $"embedding", $"code")
+      .withColumn("cn", dotQ($"code", $"code"))
+    val q = base
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        $"code".as("q_code"), $"cn".as("q_cn"))
+      .filter($"q_id" < 20)
+    val wc = Window.partitionBy($"q_id").orderBy($"acos".desc, $"vec_id".asc)
+    val cands = base.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"q_emb", $"embedding",
+        cosine(dotQ($"q_code", $"code"), $"q_cn", $"cn").as("acos"))
+      .withColumn("crn", row_number().over(wc))
+      .filter($"crn" <= SQ_C)
+    val scored = cands.select($"q_id", $"vec_id",
+      cosine(decDot($"q_emb", $"embedding"),
+        decDot($"q_emb", $"q_emb"),
+        decDot($"embedding", $"embedding")).as("cos_sim"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= 5)
+      .orderBy($"q_id", $"rnk")
+      .select($"q_id", $"rnk", $"vec_id", $"cos_sim")
+  }
+
+  /** DuckDB mirror of the SQ8 code: floor(x / sc * 127) as BIGINT. */
+  private def sq8Sql(x: String, sc: String): String =
+    s"CAST(floor(CAST($x AS DOUBLE) / $sc * 127) AS BIGINT)"
+
+  val knnSq8Sql: String =
+    s"""WITH $normsCte,
+       |scales AS (
+       |  SELECT vec_id, CASE WHEN mx = 0 THEN 1 ELSE mx END AS sc FROM (
+       |    SELECT vec_id, MAX(abs(CAST(embedding[i.g] AS DOUBLE))) AS mx
+       |    FROM embeddings, $idxSql GROUP BY vec_id)),
+       |cnorms AS (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(${sq8Sql("embedding[i.g]", "sc")} *
+       |             ${sq8Sql("embedding[i.g]", "sc")}) AS BIGINT) AS cn
+       |  FROM embeddings e JOIN scales USING (vec_id), $idxSql
+       |  GROUP BY e.vec_id),
+       |cdots AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+       |    CAST(SUM(${sq8Sql("q.embedding[i.g]", "qs.sc")} *
+       |             ${sq8Sql("v.embedding[i.g]", "vs.sc")}) AS BIGINT) AS cdot
+       |  FROM embeddings q
+       |  JOIN scales qs ON q.vec_id = qs.vec_id
+       |  JOIN embeddings v ON q.vec_id <> v.vec_id
+       |  JOIN scales vs ON v.vec_id = vs.vec_id, $idxSql
+       |  WHERE q.vec_id < 20
+       |  GROUP BY 1, 2),
+       |acands AS (
+       |  SELECT q_id, cdots.vec_id AS vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      CAST(cdot AS DOUBLE) / (sqrt(CAST(qc.cn AS DOUBLE)) *
+       |        sqrt(CAST(vc.cn AS DOUBLE))) DESC,
+       |      cdots.vec_id ASC) AS crn
+       |  FROM cdots
+       |  JOIN cnorms qc ON q_id = qc.vec_id
+       |  JOIN cnorms vc ON cdots.vec_id = vc.vec_id),
+       |cands AS (SELECT q_id, vec_id FROM acands WHERE crn <= $SQ_C),
+       |exact AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    ${dotSql("q.embedding", "v.embedding")} AS dot
+       |  FROM cands c
+       |  JOIN embeddings q ON c.q_id = q.vec_id
+       |  JOIN embeddings v ON c.vec_id = v.vec_id, $idxSql
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT q_id, exact.vec_id AS vec_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn.nrm AS DOUBLE)) *
+       |      sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+       |  FROM exact
+       |  JOIN norms qn ON q_id = qn.vec_id
+       |  JOIN norms vn ON exact.vec_id = vn.vec_id)
+       |SELECT q_id, rnk, vec_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+
   // --- X3c / X2: (label, LSH-bucket)-blocked embedding near-dup ----------
   /** Top-3 most-similar pairs within each label — the embedding-cosine
     * near-dup detector. Candidates are blocked on (label, hyperplane-LSH
@@ -342,6 +445,8 @@ object SimilarityQueries {
       "X3 hyperplane-LSH bucketed ANN (scale path)"),
     QueryDef("q_sim_knn_ivf", knnIvf, Some(knnIvfSql),
       "X3 IVF-flat ANN: coarse quantizer + nprobe re-rank"),
+    QueryDef("q_sim_knn_sq8", knnSq8, Some(knnSq8Sql),
+      "X3 SQ8 scalar-quantized ANN: int8 code scan + exact re-rank"),
     QueryDef("q_sim_neardup_label", nearDupByLabel, Some(nearDupByLabelSql),
       "X3/X2 label-blocked embedding near-dup pairs"))
 }

@@ -58,6 +58,42 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_members")).sum === nodes)
   }
 
+  test("dedup keep: survivors + dropped partition the corpus per source") {
+    val clusters = DedupQueries.dedupClusters(spark, sf).collect()
+    val totalDropped = clusters.map(r =>
+      r.getAs[Long]("n_members") - 1L).sum // one canonical kept per cluster
+    val keep = DedupQueries.dedupKeep(spark, sf).collect()
+    keep.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ===
+        r.getAs[Long]("n_docs"))
+    }
+    assert(keep.map(_.getAs[Long]("n_dropped")).sum === totalDropped)
+    assert(keep.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+  }
+
+  test("SQ8 ANN: exact scores, candidates from the code scan, high recall") {
+    val sq8 = SimilarityQueries.knnSq8(spark, sf).collect()
+    val brute = SimilarityQueries.knnBrute(spark, sf).collect()
+    // same queries, 5 ranked hits each, exact cosine after re-rank
+    assert(sq8.map(_.getAs[Long]("q_id")).distinct.length === 20)
+    val bruteScore = brute.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    // any (q, vec) both tiers return must carry the identical exact score
+    sq8.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      bruteScore.get(k).foreach(b =>
+        assert(b === r.getAs[Double]("cos_sim")))
+    }
+    // int8 quantization of 64-dim vectors preserves most of the top-5:
+    // require ≥ 60% overlap with brute force overall (deterministic data)
+    val overlap = sq8.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .count(bruteScore.contains)
+    assert(overlap >= (brute.length * 6) / 10, s"recall too low: $overlap/${brute.length}")
+  }
+
   test("ngram jaccard: scores in (0,1], ranks contiguous and descending") {
     val rows = DedupQueries.dedupNgramJaccard(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -118,6 +118,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming dropDuplicatesWithinWatermark dedups re-delivered events") {
+    // the streaming answer to the reference's at-least-once re-drive: the
+    // same event delivered twice within the watermark horizon must land
+    // once. Two identical parquet drops simulate a redelivery.
+    val tmp = Files.createTempDirectory("graft-dedup-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/events_b.parquet"))
+    val q = StreamJobs.eventsStream(spark, tmp)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val n = spark.table("dedup_out").count()
+    val distinctIds = spark.table("dedup_out")
+      .select($"event_id").distinct().count()
+    assert(n === Tables.events(spark, sf).count()) // doubled input, single out
+    assert(n === distinctIds)
+  }
+
   test("T6 batch sessionization agrees with the SQL session-window query") {
     val evs = Tables.events(spark, sf)
       .select($"user_id", unix_micros($"ts").as("ts_us"), $"value",
