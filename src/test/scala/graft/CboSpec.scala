@@ -2,6 +2,7 @@ package graft
 
 import graft.analytics.CboQueries
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LeafNode, LogicalPlan}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins SURVEY §4's cost-based-optimization claim: catalog statistics are
@@ -68,5 +69,38 @@ class CboSpec extends AnyFunSuite {
     val rows = CboQueries.cboStarJoin(spark, sf).collect()
     assert(rows.nonEmpty)
     assert(rows.map(_.getAs[Long]("n")).sum > 0)
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // third leg of the optimizer-evidence tier (with DPP and the CBO
+    // reorder): InjectRuntimeFilter plants a bloom_filter_might_contain
+    // probe from the selective dim side into the fact scan, cutting
+    // shuffle input before the join — at 100 TB this is what keeps a
+    // 0.1%-selective dim join from shuffling the whole fact table. The
+    // size thresholds are tuned for production scans, so pin them down
+    // for the sf0.001 fixture; restore after.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("might_contain"), plan.take(3000))
+      assert(joined.collect().nonEmpty)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
   }
 }
