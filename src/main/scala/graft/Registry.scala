@@ -23,6 +23,7 @@ object Registry {
       analytics.Profiler.defs ++
       ingest.IngestQueries.defs ++
       ext.DedupQueries.defs ++
+      ext.CurateQueries.defs ++
       ext.SimilarityQueries.defs ++
       ext.TextQueries.defs ++
       ext.SamplingQueries.defs ++

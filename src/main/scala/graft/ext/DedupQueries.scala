@@ -255,7 +255,7 @@ object DedupQueries {
   /** Members of each cluster ranked by the canonical-pick order (longest
     * text, ties to the smallest doc_id): rn = 1 is the doc a dedup pass
     * keeps. */
-  private def rankedMembers(s: SparkSession, dir: String): DataFrame = {
+  private[ext] def rankedMembers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
     val w = Window.partitionBy($"cluster_id")
@@ -308,7 +308,7 @@ object DedupQueries {
   /** Shared oracle CTE chain: LSH pairs → symmetric edges → recursive
     * transitive closure → per-node min label → canonical-ranked members.
     * Consumed by both cluster-shaped oracles. */
-  private val ccCtesSql: String =
+  private[ext] val ccCtesSql: String =
     s"""$minhashSigsSql,
        |bands AS (
        |  ${(0 until K).map(i => s"SELECT doc_id, $i AS b, h$i AS v FROM sigs")

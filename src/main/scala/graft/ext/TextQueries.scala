@@ -18,6 +18,30 @@ object TextQueries {
   private def inList(v: String, xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString(s"$v IN (", ", ", ")")
 
+  /** Per-doc quality predicate over a `text` column — token-count bounds,
+    * punctuation ratio, stopword floor (the Gopher/C4 rule family).
+    * Shared by [[textStats]] and the composed curation pipeline. */
+  private[ext] def qualityCol: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val tokenCnt = size(toks).cast(LongType)
+    val punctCnt =
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .cast(LongType)
+    val stopCnt = size(filter(toks, t =>
+      stopwords.map(w => t === w).reduce(_ || _))).cast(LongType)
+    tokenCnt >= 10 && tokenCnt <= 1000 &&
+      punctCnt.cast(DoubleType) / tokenCnt < 0.2 &&
+      stopCnt.cast(DoubleType) / tokenCnt >= 0.01
+  }
+
+  /** DuckDB mirror of [[qualityCol]]. */
+  private[ext] val qualityPredSql: String =
+    s"""(len(string_split(text, ' ')) >= 10 AND len(string_split(text, ' ')) <= 1000
+       |    AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |      / len(string_split(text, ' ')) < 0.2
+       |    AND CAST(len(list_filter(string_split(text, ' '), t -> ${inList("t", stopwords)})) AS DOUBLE)
+       |      / len(string_split(text, ' ')) >= 0.01)""".stripMargin
+
   // --- X4a: token counting + quality scoring -----------------------------
   def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -31,9 +55,7 @@ object TextQueries {
       .cast(LongType)
     val stopCnt = size(filter(toks, t =>
       stopwords.map(w => t === w).reduce(_ || _))).cast(LongType)
-    val quality = tokenCnt >= 10 && tokenCnt <= 1000 &&
-      punctCnt.cast(DoubleType) / tokenCnt < 0.2 &&
-      stopCnt.cast(DoubleType) / tokenCnt >= 0.01
+    val quality = qualityCol
     Tables.documents(s, dir)
       .select($"lang", $"source", $"n_chars", tokenCnt.as("token_cnt"),
         wordCnt.as("word_cnt"), bpeCnt.as("bpe_cnt"),

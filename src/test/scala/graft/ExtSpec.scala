@@ -72,6 +72,21 @@ class ExtSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
+  test("curation pipeline: stage counts partition every (lang, source) cell") {
+    val rows = CurateQueries.curate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_lowq") + r.getAs[Long]("n_exact_dup") +
+        r.getAs[Long]("n_near_dup") + r.getAs[Long]("n_kept") ===
+        r.getAs[Long]("n_docs"))
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+    // the pipeline must actually drop something at each stage on this corpus
+    assert(rows.map(_.getAs[Long]("n_lowq")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_kept")).sum > 0)
+  }
+
   test("SQ8 ANN: exact scores, candidates from the code scan, high recall") {
     val sq8 = SimilarityQueries.knnSq8(spark, sf).collect()
     val brute = SimilarityQueries.knnBrute(spark, sf).collect()
