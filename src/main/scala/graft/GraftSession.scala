@@ -39,36 +39,56 @@ object GraftSession {
   }
 
   private val statsDone =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Register `tables` as external catalog tables (prefixed so several sf
-    * dirs can coexist) and compute table + column statistics — the input
-    * the cost-based optimizer's join-reorder DP needs. Done once per
-    * (session, dir); on a real deployment this is the scheduled
-    * `ANALYZE TABLE` pass after each load. Returns the table-name prefix. */
+  /** Fingerprint a set of tables' parquet files (names/sizes/mtimes) so a
+    * regenerated sf dir yields a different cache key — the same staleness
+    * guard dppFactsPath uses. */
+  private def contentKey(dir: String, tables: Seq[String]): String = {
+    val sig = tables.map { t =>
+      val f = new java.io.File(dir, s"$t.parquet")
+      val parts = if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
+      parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}").mkString("|")
+    }.mkString(s"$dir||", "||", "")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(6)
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Register `tables` as external catalog tables (prefixed by a content
+    * fingerprint, so several sf dirs — or a regenerated one — coexist)
+    * and compute table + column statistics, the input the cost-based
+    * optimizer's join-reorder DP needs. Done once per (session, content);
+    * on a real deployment this is the scheduled `ANALYZE TABLE` pass
+    * after each load. The registration runs inside computeIfAbsent, so a
+    * failure mid-way records nothing (the next caller retries) and a
+    * concurrent second caller blocks until the tables and stats actually
+    * exist. Returns the table-name prefix. */
   def ensureStats(spark: SparkSession, dir: String,
       tables: Seq[String]): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4)
-      .map(b => f"${b & 0xff}%02x").mkString
-    val prefix = s"cbo_${key}_"
-    if (statsDone.add(s"${System.identityHashCode(spark)}|$dir")) {
+    val key = contentKey(dir, tables)
+    statsDone.computeIfAbsent(s"${System.identityHashCode(spark)}|$key", _ => {
+      val prefix = s"cbo_${key}_"
       tables.foreach { t =>
         val name = prefix + t
         spark.sql(s"DROP TABLE IF EXISTS $name")
         spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$dir/$t.parquet'")
         spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
       }
-    }
-    prefix
+      prefix
+    })
   }
+
+  private val cboLock = new Object
 
   /** Run `body` with the cost-based optimizer (and its join-reorder DP)
     * enabled, restoring the previous confs after. Callers must force
     * planning (e.g. touch `queryExecution.executedPlan`) inside `body` —
     * QueryExecution phases are lazy vals, so the frozen plan keeps the
-    * CBO decisions while the session confs revert for everyone else. */
-  def withCbo[A](spark: SparkSession)(body: => A): A = {
+    * CBO decisions while the session confs revert for everyone else.
+    * Serialized: overlapping calls would otherwise restore each other's
+    * "previous" conf values and leave CBO enabled for the session. */
+  def withCbo[A](spark: SparkSession)(body: => A): A = cboLock.synchronized {
     val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
     val prevReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")

@@ -22,10 +22,11 @@ import org.apache.spark.sql.types._
   *     once upstream of the filter stages, as a real pipeline does).
   *  4. kept — survives all three.
   *
-  * Scale shape: one narrow pass for the quality flag, one hash-partition
-  * window for exact ranks (only over quality-passing docs), one join
-  * against the memoized cluster table, one final aggregate. No stage sees
-  * more than one shuffle of the corpus.
+  * Scale shape: ONE pass of the corpus computes the quality flag and
+  * content hash, ONE hash-partitioned window ranks exact duplicates
+  * (sorting quality-passing docs first, so a q-doc's rank counts only
+  * q-docs — no self-join back onto the scan), one join against the
+  * memoized cluster table, one final aggregate.
   */
 object CurateQueries {
 
@@ -36,11 +37,10 @@ object CurateQueries {
         size(split($"text", " ")).cast(LongType).as("token_cnt"),
         TextQueries.qualityCol.as("q"),
         sha2($"text", 256).as("h"))
-    // exact-dup rank among quality-passing docs of one content hash
-    val wExact = Window.partitionBy($"h").orderBy($"doc_id".asc)
-    val ranked = base.filter($"q")
-      .withColumn("xrn", row_number().over(wExact))
-      .select($"doc_id", $"xrn")
+    // exact-dup rank: quality-passing docs sort first within a content
+    // hash, so for a q-doc, xrn = its rank among q-docs of that hash —
+    // and xrn is only consulted when q is true
+    val wExact = Window.partitionBy($"h").orderBy($"q".desc, $"doc_id".asc)
     val member = DedupQueries.rankedMembers(s, dir)
       .select($"doc_id", $"rn".as("crn"))
     val verdict = when(!$"q", "low_quality")
@@ -48,7 +48,7 @@ object CurateQueries {
       .when($"crn".isNotNull && $"crn" =!= 1, "near_dup")
       .otherwise("kept")
     base
-      .join(ranked, Seq("doc_id"), "left")
+      .withColumn("xrn", row_number().over(wExact))
       .join(member, Seq("doc_id"), "left")
       .withColumn("verdict", verdict)
       .groupBy($"lang", $"source")
@@ -72,17 +72,16 @@ object CurateQueries {
        |    sha256(text) AS h
        |  FROM documents),
        |xranked AS (
-       |  SELECT doc_id,
-       |    row_number() OVER (PARTITION BY h ORDER BY doc_id ASC) AS xrn
-       |  FROM base WHERE q),
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY h ORDER BY q DESC, doc_id ASC) AS xrn
+       |  FROM base),
        |verdicts AS (
        |  SELECT b.lang, b.source, b.token_cnt,
        |    CASE WHEN NOT b.q THEN 'low_quality'
-       |      WHEN x.xrn > 1 THEN 'exact_dup'
+       |      WHEN b.xrn > 1 THEN 'exact_dup'
        |      WHEN r.rn IS NOT NULL AND r.rn <> 1 THEN 'near_dup'
        |      ELSE 'kept' END AS verdict
-       |  FROM base b
-       |  LEFT JOIN xranked x ON b.doc_id = x.doc_id
+       |  FROM xranked b
        |  LEFT JOIN ranked r ON b.doc_id = r.doc_id)
        |SELECT lang, source, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN verdict = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq,

@@ -149,8 +149,19 @@ object DedupQueries {
       .distinct()
   }
 
-  val dedupMinhashLshSql: String =
-    s"""WITH $minhashSigsSql,
+  /** Estimated-Jaccard expression over two sig-table aliases — the ONE
+    * definition of the pair score, shared by every LSH-derived oracle. */
+  private def estJaccardSql(a: String, b: String): String =
+    s"CAST(${(0 until K).map(i => s"(CASE WHEN $a.h$i = $b.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")} AS DOUBLE) / $K"
+
+  /** Shared oracle CTE chain for LSH candidacy: signatures → single-row
+    * bands → capped buckets → ordered candidate pairs (`cpairs`). The ONE
+    * definition of what an LSH candidate is — interpolated by the pair
+    * query and every cluster-derived oracle, so K / BUCKET_CAP / threshold
+    * changes cannot diverge between them. */
+  private val lshCandCtesSql: String =
+    s"""$minhashSigsSql,
        |bands AS (
        |  ${(0 until K).map(i => s"SELECT doc_id, $i AS b, h$i AS v FROM sigs")
             .mkString("\n  UNION ALL\n  ")}),
@@ -159,18 +170,19 @@ object DedupQueries {
        |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $BUCKET_CAP),
        |in_buckets AS (
        |  SELECT bands.* FROM bands JOIN ok_buckets USING (b, v)),
-       |pairs AS (
+       |cpairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM in_buckets x JOIN in_buckets y
-       |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+       |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)""".stripMargin
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $lshCandCtesSql
        |SELECT doc_a, doc_b,
-       |  CAST(${(0 until K).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
-            .mkString(" + ")} AS DOUBLE) / $K AS est_jaccard
-       |FROM pairs
+       |  ${estJaccardSql("sa", "sb")} AS est_jaccard
+       |FROM cpairs
        |JOIN sigs sa ON doc_a = sa.doc_id
        |JOIN sigs sb ON doc_b = sb.doc_id
-       |WHERE CAST(${(0 until K).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
-            .mkString(" + ")} AS DOUBLE) / $K >= ${2.0 / K}
+       |WHERE ${estJaccardSql("sa", "sb")} >= ${2.0 / K}
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- X2d: near-dup cluster resolution (connected components) -----------
@@ -301,27 +313,11 @@ object DedupQueries {
       .orderBy($"source")
   }
 
-  private def estJaccardSql(a: String, b: String): String =
-    s"CAST(${(0 until K).map(i => s"(CASE WHEN $a.h$i = $b.h$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")} AS DOUBLE) / $K"
-
   /** Shared oracle CTE chain: LSH pairs → symmetric edges → recursive
     * transitive closure → per-node min label → canonical-ranked members.
     * Consumed by both cluster-shaped oracles. */
   private[ext] val ccCtesSql: String =
-    s"""$minhashSigsSql,
-       |bands AS (
-       |  ${(0 until K).map(i => s"SELECT doc_id, $i AS b, h$i AS v FROM sigs")
-            .mkString("\n  UNION ALL\n  ")}),
-       |ok_buckets AS (
-       |  SELECT b, v FROM bands GROUP BY b, v
-       |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $BUCKET_CAP),
-       |in_buckets AS (
-       |  SELECT bands.* FROM bands JOIN ok_buckets USING (b, v)),
-       |cpairs AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM in_buckets x JOIN in_buckets y
-       |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+    s"""$lshCandCtesSql,
        |fpairs AS (
        |  SELECT doc_a, doc_b FROM cpairs
        |  JOIN sigs sa ON doc_a = sa.doc_id
