@@ -118,6 +118,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming latest-state upsert sink converges to the batch W1 query") {
+    val tmp = eventsDir
+    val state = s"$tmp/state"
+    def runOnce(ckpt: String): Unit = {
+      val q = StreamJobs.latestStateUpsert(
+        StreamJobs.eventsStream(spark, tmp), state, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce(s"$tmp/ckpt")
+    val batch = EventQueries.latestState(spark, sf)
+      .select($"user_id", $"event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def stateMap = spark.read.parquet(state)
+      .select($"user_id", $"event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stateMap === batch)
+    // re-delivery: a fresh checkpoint replays everything; the max_by merge
+    // keeps the state table identical (exactly-one row per key)
+    runOnce(s"$tmp/ckpt2")
+    assert(stateMap === batch)
+  }
+
   test("streaming dropDuplicatesWithinWatermark dedups re-delivered events") {
     // the streaming answer to the reference's at-least-once re-drive: the
     // same event delivered twice within the watermark horizon must land
