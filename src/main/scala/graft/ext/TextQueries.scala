@@ -333,9 +333,50 @@ object TextQueries {
        |  CAST(SUM(CASE WHEN (n - d) * 5 > n THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
        |FROM per GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
 
+  // --- X4h: approximate heavy hitters via Count-Min sketch ---------------
+  private val CMS_D = 4
+  private val CMS_W = 1024
+
+  /** Corpus-wide token heavy hitters, estimated by a Count-Min sketch
+    * ([[graft.functions.CountMin]]) built in ONE map-side-combined global
+    * aggregation (constant d·w state per partition — the 100-TB shape:
+    * the token relation is never shuffled, only 4 KB sketches merge).
+    * Oracle contract mirrors the HLL/approx-percentile pattern: emit the
+    * EXACT top-10 counts plus `approx_ok` = 1 iff the sketch estimate
+    * respects both CMS bounds (never under; over by at most d·N/w). */
+  def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+    val exactTop = toks.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"tok".asc).limit(10)
+    val cms = udaf(new graft.functions.CountMin(CMS_D, CMS_W),
+      org.apache.spark.sql.Encoders.STRING)
+    val sketch = toks.agg(cms($"tok").as("sk"), count(lit(1)).as("n_total"))
+    val est = udf((sk: Seq[Long], tok: String) =>
+      graft.functions.CountMin.estimate(sk, tok, CMS_D, CMS_W))
+    exactTop.crossJoin(broadcast(sketch))
+      .select($"tok", $"exact_n",
+        (est($"sk", $"tok") >= $"exact_n" &&
+          est($"sk", $"tok") <= $"exact_n" + lit(CMS_D.toLong) * $"n_total" / CMS_W)
+          .cast(LongType).as("approx_ok"))
+      .orderBy($"exact_n".desc, $"tok".asc)
+  }
+
+  val textHeavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |top AS (
+      |  SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok
+      |  ORDER BY exact_n DESC, tok ASC LIMIT 10)
+      |SELECT tok, exact_n, CAST(1 AS BIGINT) AS approx_ok FROM top
+      |ORDER BY exact_n DESC, tok ASC""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_text_contamination", textContamination, Some(textContaminationSql),
       "X4 benchmark decontamination: cross-set n-gram containment"),
+    QueryDef("q_text_heavyhitters", textHeavyHitters, Some(textHeavyHittersSql),
+      "X4h Count-Min sketch heavy hitters with bounded-error oracle check"),
     QueryDef("q_text_repetition", textRepetition, Some(textRepetitionSql),
       "X4 repetition quality rule: intra-doc duplicate-gram ratio"),
     QueryDef("q_text_tfidf", textTfidf, Some(textTfidfSql),

@@ -9,6 +9,25 @@ class FunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("count-min sketch: never undercounts, merge == single-pass") {
+    val d = 4; val w = 64
+    val items = (1 to 500).map(i => s"item_${i % 37}")
+    val agg = new functions.CountMin(d, w)
+    // single-pass reduce
+    val one = items.foldLeft(agg.zero)(agg.reduce)
+    // split + merge (the partial-aggregation path)
+    val (l, r) = items.splitAt(211)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(one.toSeq === merged.toSeq)
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+    exact.foreach { case (item, n) =>
+      val est = functions.CountMin.estimate(one.toSeq, item, d, w)
+      assert(est >= n) // CMS never undercounts
+      assert(est <= n + (d.toLong * items.size) / w)
+    }
+  }
+
   test("haversine: zero distance, known distance, symmetry") {
     assert(Haversine.km(41.8781, -87.6298, 41.8781, -87.6298) === 0.0)
     // Chicago Loop to O'Hare is ~25 km great-circle
