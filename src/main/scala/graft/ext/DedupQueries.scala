@@ -108,9 +108,20 @@ object DedupQueries {
     minhashPairs(s, dir).orderBy($"doc_a", $"doc_b")
   }
 
-  /** [[dedupMinhashLsh]] without the presentation sort — the feed for
-    * cluster resolution, which destroys order immediately anyway. */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The scored pair table is the hub artifact of the near-dup pipeline —
+    * the pair query, cluster resolution, survivor counts, and the curation
+    * pipeline all consume it — so, like the cluster table below, it
+    * materializes once per (session, dir) (localCheckpoint) instead of
+    * re-running the LSH plan per consumer. */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ =>
+      minhashPairsPlan(s, dir).localCheckpoint())
+
+  /** The un-materialized LSH pair plan ([[dedupMinhashLsh]] without the
+    * presentation sort). */
+  private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Fused plan (round 2): signatures are computed without any shuffle
     // (see minhashSigs) and ride along through the band explode. Candidate
