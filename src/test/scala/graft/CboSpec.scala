@@ -71,6 +71,22 @@ class CboSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum > 0)
   }
 
+  test("ensureStats keys on content: same dir reuses, changed data re-registers") {
+    val p1 = GraftSession.ensureStats(spark, sf, Seq("nation"))
+    val p2 = GraftSession.ensureStats(spark, sf, Seq("nation"))
+    assert(p1 === p2) // memoized: same content, same catalog prefix
+    // a copied-then-touched dir must fingerprint differently, so a
+    // regenerated lake can never serve stale statistics
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stats_").toFile
+    val srcFile = new java.io.File(sf, "nation.parquet")
+    val dst = new java.io.File(tmp, "nation.parquet")
+    java.nio.file.Files.copy(srcFile.toPath, dst.toPath)
+    val p3 = GraftSession.ensureStats(spark, tmp.getAbsolutePath, Seq("nation"))
+    dst.setLastModified(dst.lastModified() + 60000)
+    val p4 = GraftSession.ensureStats(spark, tmp.getAbsolutePath, Seq("nation"))
+    assert(p3 !== p4)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // third leg of the optimizer-evidence tier (with DPP and the CBO
     // reorder): InjectRuntimeFilter plants a bloom_filter_might_contain
