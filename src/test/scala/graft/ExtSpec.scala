@@ -73,6 +73,13 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("curation pipeline: stage counts partition every (lang, source) cell") {
+    // plan pin: the quality+hash pass reads documents ONCE (plus the
+    // cluster table's own doc join) — a regression back to the
+    // rank-subset self-join would scan and re-hash the corpus twice
+    val plan = CurateQueries.curate(spark, sf)
+      .queryExecution.executedPlan.toString
+    val docScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(docScans <= 2, s"documents scanned $docScans times:\n${plan.take(1500)}")
     val rows = CurateQueries.curate(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
