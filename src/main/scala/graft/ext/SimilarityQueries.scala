@@ -300,14 +300,11 @@ object SimilarityQueries {
     * codes, identical integer dots, and identical final doubles. */
   def knnSq8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // codes via the codegen'd Sq8Code expression — one generated loop
+    // instead of two interpreted HOF transforms on the corpus hot path
     val base = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding",
-        array_max(transform($"embedding",
-          x => abs(x.cast(DoubleType)))).as("mx"))
-      .withColumn("sc", when($"mx" === 0d, lit(1d)).otherwise($"mx"))
-      .withColumn("code",
-        transform($"embedding", x => floor(x.cast(DoubleType) / $"sc" * 127)))
-      .select($"vec_id", $"embedding", $"code")
+        graft.functions.Sq8Code.sq8Code($"embedding").as("code"))
       .withColumn("cn", dotQ($"code", $"code"))
     val q = base
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{Haversine, LongArrayDot}
+import graft.functions.{Haversine, LongArrayDot, Sq8Code}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.haversineEntry)
     e.injectFunction(GraftExtensions.longArrayDotEntry)
+    e.injectFunction(GraftExtensions.sq8CodeEntry)
     e.injectOptimizerRule(_ => HaversineBoundingBox)
   }
 }
@@ -47,11 +48,23 @@ object GraftExtensions {
     new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
     longArrayDotBuilder)
 
+  private def sq8CodeBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "sq8_code(array<float>)")
+    Sq8Code(args(0))
+  }
+
+  val sq8CodeEntry: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("sq8_code"),
+    new ExpressionInfo(classOf[Sq8Code].getName, "sq8_code"),
+    sq8CodeBuilder)
+
   /** Install on an already-built session (idempotent). */
   def registerOn(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_km", haversineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_array_dot", longArrayDotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq8_code", sq8CodeBuilder, "built-in")
   }
 }

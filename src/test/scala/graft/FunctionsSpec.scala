@@ -9,6 +9,30 @@ class FunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("sq8_code matches the HOF quantization form bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    val df = Tables.embeddings(spark, TestSpark.sf0001).limit(200)
+    val hof = df
+      .select($"vec_id", $"embedding",
+        array_max(transform($"embedding", x => abs(x.cast(DoubleType)))).as("mx"))
+      .withColumn("sc", when($"mx" === 0d, lit(1d)).otherwise($"mx"))
+      .select($"vec_id",
+        transform($"embedding",
+          x => floor(x.cast(DoubleType) / $"sc" * 127)).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = df
+      .select($"vec_id", functions.Sq8Code.sq8Code($"embedding").as("code"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === hof)
+    // SQL registration + zero-vector guard
+    GraftSession.registerAll(spark, TestSpark.sf0001)
+    val zero = spark.sql(
+      "SELECT sq8_code(CAST(array(0.0, 0.0) AS ARRAY<FLOAT>)) AS c")
+      .collect().head.getSeq[Long](0)
+    assert(zero === Seq(0L, 0L))
+  }
+
   test("count-min sketch: never undercounts, merge == single-pass") {
     val d = 4; val w = 64
     val items = (1 to 500).map(i => s"item_${i % 37}")
