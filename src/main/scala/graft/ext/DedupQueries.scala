@@ -64,23 +64,33 @@ object DedupQueries {
   private val K = 8          // minhash functions
   private val BUCKET_CAP = 50 // skip mega-buckets (LSH standard practice)
 
-  /** Per-doc K-component minhash signature: min over the shingle set of
-    * md5("i|" + shingle) for each hash index i. */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc K-component minhash signature: component j = min over the
+    * shingle set of hex chunk [8j, 8j+8) of `md5(sh) || md5('x' || sh)`.
+    * Entirely narrow — no explode, no groupBy, no shuffle of the (doc,
+    * shingle) relation (round 1 shuffled millions of exploded rows here;
+    * MIN being duplicate-insensitive means skipping the shingle dedup
+    * changes nothing). Since round 4 the signature is the native
+    * single-pass [[graft.functions.MinhashSig]] expression (two digests
+    * per shingle, running minima — replaces 9 interpreted HOF traversals;
+    * FunctionsSpec pins equality with the HOF form). The K components
+    * still land as K named columns in ONE projection, multi-referencing
+    * the sig array so CollapseProject keeps it materialized (a
+    * single-referenced non-cheap expression gets inlined and re-evaluated
+    * per use — measured 15-60× slower in round 2). */
+  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Entirely narrow: the per-shingle hashes live in an array column and
-    // each signature component is an array_min over it — no explode, no
-    // groupBy, no shuffle of the (doc, shingle) relation (round 1 shuffled
-    // millions of exploded rows here; MIN being duplicate-insensitive means
-    // skipping the shingle dedup changes nothing). K independent-enough
-    // hash values come from 8-hex-char (32-bit) chunks of TWO md5 digests
-    // per shingle — 4× cheaper than K md5 calls, engine-portable.
-    // NOTE: the K components must be K separate named columns in ONE
-    // projection: hf is then multi-referenced and CollapseProject keeps it
-    // materialized. Folding them into a single array/transform expression
-    // (or posexplode-ing such an array) leaves the HOF tree single-
-    // referenced per context, inlines it through the projection/Generate,
-    // and re-runs the md5 transform per component — measured 15-60× slower.
+    Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("sig0", graft.functions.MinhashSig.minhashSig(shingleArr))
+      .select($"doc_id" +:
+        (0 until K).map(i => $"sig0".getItem(i).as(s"h$i")): _*)
+  }
+
+  /** The pre-round-4 composable HOF signature form — kept as the
+    * cross-check twin for [[graft.functions.MinhashSig]] (FunctionsSpec
+    * asserts bit-identical output on real documents). */
+  private[graft] def minhashSigsHof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, dir)
       .withColumn("toks", split($"text", " "))
       .withColumn("hf",

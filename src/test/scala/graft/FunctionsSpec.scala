@@ -33,6 +33,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(zero === Seq(0L, 0L))
   }
 
+  test("minhash_sig matches the HOF signature form bit-for-bit") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (1 to 8).map(r.getString).toList).toMap
+    val native = asMap(graft.ext.DedupQueries.minhashSigs(spark, TestSpark.sf0001))
+    val hof = asMap(graft.ext.DedupQueries.minhashSigsHof(spark, TestSpark.sf0001))
+    assert(native === hof)
+    assert(native.nonEmpty)
+  }
+
   test("count-min sketch: never undercounts, merge == single-pass") {
     val d = 4; val w = 64
     val items = (1 to 500).map(i => s"item_${i % 37}")
