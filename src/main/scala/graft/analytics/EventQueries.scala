@@ -437,6 +437,83 @@ object EventQueries {
       |FROM active JOIN cohort USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  // --- J5c: time-series resample + LINEAR interpolation ------------------
+  /** Daily resample of each user's value series with linear interpolation
+    * between observations (ends clamp to the nearest observation) — the
+    * missing sibling of [[asOfDailyState]]'s forward fill and the standard
+    * gap-repair step before feeding a time series to a model. Same scale
+    * shape as the as-of grid: |keys|×|days| rows, one shuffle on the key,
+    * two window passes (preceding / following). Determinism: values walk
+    * as exact integer cents; the interpolation is double arithmetic over
+    * exact ints in an expression order mirrored token-for-token in the
+    * oracle, so both engines produce identical IEEE doubles. */
+  def tsInterpolate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    val users = e.select($"user_id").distinct()
+    val days = e.select(to_date($"ts").as("day")).distinct()
+    val grid = users.crossJoin(broadcast(days))
+    val wDay = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val dayLast = e
+      .select($"user_id", to_date($"ts").as("day"), $"ts", $"event_id",
+        (money($"value") * 100).cast(LongType).as("c"))
+      .withColumn("rn", row_number().over(wDay)).filter($"rn" === 1)
+      .select($"user_id", $"day", $"c")
+    val wPrev = Window.partitionBy($"user_id").orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy($"user_id").orderBy($"day".asc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val g = grid.join(dayLast, Seq("user_id", "day"), "left")
+      .withColumn("pv", last($"c", ignoreNulls = true).over(wPrev))
+      .withColumn("pd",
+        last(when($"c".isNotNull, $"day"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first($"c", ignoreNulls = true).over(wNext))
+      .withColumn("nd",
+        first(when($"c".isNotNull, $"day"), ignoreNulls = true).over(wNext))
+    val interp = when($"pv".isNull, $"nv".cast(DoubleType))
+      .when($"nv".isNull || $"nd" === $"pd", $"pv".cast(DoubleType))
+      .otherwise($"pv".cast(DoubleType) +
+        ($"nv" - $"pv").cast(DoubleType) *
+          datediff($"day", $"pd") / datediff($"nd", $"pd"))
+    g.select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+        (interp / 100.0).as("interp_value"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val tsInterpolateSql: String =
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |users AS (SELECT DISTINCT user_id FROM events),
+      |grid AS (SELECT user_id, day FROM users CROSS JOIN days),
+      |day_last AS (
+      |  SELECT user_id, day, c FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS day,
+      |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1),
+      |filled AS (
+      |  SELECT g.user_id, g.day, d.c,
+      |    last_value(d.c IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN d.c IS NOT NULL THEN g.day END IGNORE NULLS)
+      |      OVER wp AS pd,
+      |    first_value(d.c IGNORE NULLS) OVER wn AS nv,
+      |    first_value(CASE WHEN d.c IS NOT NULL THEN g.day END IGNORE NULLS)
+      |      OVER wn AS nd
+      |  FROM grid g LEFT JOIN day_last d
+      |    ON g.user_id = d.user_id AND g.day = d.day
+      |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wn AS (PARTITION BY g.user_id ORDER BY g.day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  (CASE WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+      |    WHEN nv IS NULL OR nd = pd THEN CAST(pv AS DOUBLE)
+      |    ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)
+      |      * (day - pd) / (nd - pd)
+      |  END) / 100.0 AS interp_value
+      |FROM filled ORDER BY user_id, day""".stripMargin
+
   // --- T6 (batch form): custom keyed state via flatMapGroups -------------
   /** Gap-based sessionization with CUSTOM per-key state logic — the typed
     * `KeyValueGroupedDataset.flatMapGroups` tier (T6's batch analogue; the
@@ -599,6 +676,8 @@ object EventQueries {
       "W3 time-based RANGE frame"),
     QueryDef("q_join_asof_state", asOfDailyState, Some(asOfDailyStateSql),
       "J5 as-of join via grid + forward fill"),
+    QueryDef("q_ts_interpolate", tsInterpolate, Some(tsInterpolateSql),
+      "J5c daily resample with linear interpolation between observations"),
     QueryDef("q_join_asof_native", asOfNative, Some(asOfNativeSql),
       "J5 native as-of join exec vs DuckDB ASOF JOIN oracle"),
     QueryDef("q_join_range_followers", rangeJoinFollowers, Some(rangeJoinFollowersSql),

@@ -383,6 +383,59 @@ object SimilarityQueries {
        |  FROM scored) WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+  // --- X3d: per-dimension feature statistics (the scaling fit) -----------
+  /** Per-dimension n/mean/std/min/max over the embedding corpus — the
+    * "fit" half of feature standardization (z-score scaling), the step an
+    * ML pipeline runs before normalizing vectors for training or ANN
+    * indexing. One posexplode + one hash aggregate; at 100 TB this is a
+    * single map-side-combined pass (64 groups, constant reducer state).
+    * Determinism: moments come from EXACT integer sums of the q6-quantized
+    * components (Σq and Σq² accumulate as DECIMAL(38,0), order-immune);
+    * mean/std are then double arithmetic over those exact values with the
+    * expression order mirrored in the oracle, and IEEE sqrt is correctly
+    * rounded — identical doubles on both engines, no rounding needed. */
+  def embedDimStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, dir)
+      .select(posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"dim".cast(LongType).as("dim"), $"v",
+        floor($"v".cast(DoubleType) * 1000000L).as("qv"))
+    q.groupBy($"dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"qv".cast(DecimalType(38, 0))).as("sq"),
+        sum(($"qv" * $"qv").cast(DecimalType(38, 0))).as("sqq"),
+        min($"v".cast(DoubleType)).as("vmin"),
+        max($"v".cast(DoubleType)).as("vmax"))
+      .select($"dim", $"n",
+        ($"sq".cast(DoubleType) / $"n" / 1000000.0).as("mean"),
+        (sqrt(($"sqq".cast(DoubleType) -
+          $"sq".cast(DoubleType) * $"sq".cast(DoubleType) / $"n") /
+          ($"n" - 1)) / 1000000.0).as("std"),
+        $"vmin", $"vmax")
+      .orderBy($"dim")
+  }
+
+  val embedDimStatsSql: String =
+    s"""WITH q AS (
+       |  SELECT CAST(i.g - 1 AS BIGINT) AS dim,
+       |    CAST(embedding[i.g] AS DOUBLE) AS v,
+       |    ${q6Sql("embedding[i.g]")} AS qv
+       |  FROM embeddings, $idxSql),
+       |m AS (
+       |  SELECT dim, COUNT(*) AS n,
+       |    CAST(SUM(CAST(qv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+       |    CAST(SUM(CAST(qv * qv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sqq,
+       |    MIN(v) AS vmin, MAX(v) AS vmax
+       |  FROM q GROUP BY dim)
+       |SELECT dim, n,
+       |  CAST(sq AS DOUBLE) / n / 1000000.0 AS mean,
+       |  sqrt((CAST(sqq AS DOUBLE)
+       |    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1))
+       |    / 1000000.0 AS std,
+       |  vmin, vmax
+       |FROM m ORDER BY dim""".stripMargin
+
   // --- X3c / X2: (label, LSH-bucket)-blocked embedding near-dup ----------
   /** Top-3 most-similar pairs within each label — the embedding-cosine
     * near-dup detector. Candidates are blocked on (label, hyperplane-LSH
@@ -444,6 +497,8 @@ object SimilarityQueries {
       "X3 IVF-flat ANN: coarse quantizer + nprobe re-rank"),
     QueryDef("q_sim_knn_sq8", knnSq8, Some(knnSq8Sql),
       "X3 SQ8 scalar-quantized ANN: int8 code scan + exact re-rank"),
+    QueryDef("q_embed_dimstats", embedDimStats, Some(embedDimStatsSql),
+      "X3d per-dimension feature stats (z-score fit) from exact integer moments"),
     QueryDef("q_sim_neardup_label", nearDupByLabel, Some(nearDupByLabelSql),
       "X3/X2 label-blocked embedding near-dup pairs"))
 }

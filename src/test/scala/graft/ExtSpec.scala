@@ -72,6 +72,28 @@ class ExtSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
+  test("dimension stats: 64 dims, std>=0, min<=mean<=max, interp clamps") {
+    val rows = SimilarityQueries.embedDimStats(spark, sf).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val (mean, std) = (r.getAs[Double]("mean"), r.getAs[Double]("std"))
+      assert(std >= 0.0)
+      assert(r.getAs[Double]("vmin") <= mean && mean <= r.getAs[Double]("vmax"))
+    }
+    // interpolation stays inside each user's observed value envelope
+    val interp = graft.analytics.EventQueries.tsInterpolate(spark, sf)
+      .groupBy($"user_id")
+      .agg(min($"interp_value").as("lo"), max($"interp_value").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val obs = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(min($"value").as("lo"), max($"value").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    obs.foreach { case (u, (lo, hi)) =>
+      val (ilo, ihi) = interp(u)
+      assert(ilo >= lo - 1e-9 && ihi <= hi + 1e-9)
+    }
+  }
+
   test("curation pipeline: stage counts partition every (lang, source) cell") {
     // plan pin: the quality+hash pass reads documents ONCE (plus the
     // cluster table's own doc join) — a regression back to the

@@ -38,9 +38,11 @@ class RegistrySpec extends AnyFunSuite {
     //  - knnSq8: tiny query batch × corpus int8-code scan (same shape as
     //    knnBrute; the exact re-rank after it touches only ≤ C·|Q| rows)
     //  - textHeavyHitters: single-row CMS sketch crossed onto 10 rows
+    //  - tsInterpolate: same key × calendar-bounded day grid as
+    //    asOfDailyState
     val allowBnlj = Set("q_sim_knn_brute", "q_sim_knn_ivf",
-      "q_join_asof_state", "q_text_tfidf", "q_sim_knn_sq8",
-      "q_text_heavyhitters")
+      "q_join_asof_state", "q_ts_interpolate", "q_text_tfidf",
+      "q_sim_knn_sq8", "q_text_heavyhitters")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
