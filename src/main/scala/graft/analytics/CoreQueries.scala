@@ -311,6 +311,39 @@ object CoreQueries {
       |  CAST(1 AS BIGINT) AS approx_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- A6c: fixed-bin histogram ------------------------------------------
+  /** Value histogram per event_type: 20 fixed-width bins over exact
+    * integer cents (clamped at the top), the aggregation shape behind
+    * every dashboard distribution plot. One hash aggregate on
+    * (event_type, bin) — at 100 TB the map-side combine reduces each
+    * partition to ≤ |types|·20 rows before the one exchange. */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = (money($"value") * 100).cast(LongType)
+    // clamp BOTH ends: Spark long division truncates toward zero while
+    // DuckDB's // floors, so a negative value would otherwise bin apart —
+    // the [0, 19] clamp makes the engines agree on any input
+    val bin = least(greatest(cents / 5000L, lit(0L)), lit(19L)).cast(LongType)
+    Tables.events(s, dir)
+      .select($"event_type", bin.as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", ($"bin" * 50.0).cast(DoubleType))
+      .select($"event_type", $"bin", $"bin_lo", $"n")
+      .orderBy($"event_type", $"bin")
+  }
+
+  val aggHistogramSql: String =
+    """SELECT event_type, bin, CAST(bin * 50.0 AS DOUBLE) AS bin_lo,
+      |  COUNT(*) AS n
+      |FROM (
+      |  SELECT event_type,
+      |    LEAST(GREATEST(
+      |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000,
+      |      0), 19) AS bin
+      |  FROM events)
+      |GROUP BY event_type, bin ORDER BY event_type, bin""".stripMargin
+
   // --- A7: collect_set → sorted join (per-group sequence reconstruction) -
   def aggCollect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -850,6 +883,8 @@ object CoreQueries {
       "A6 exact percentile / stddev / corr"),
     QueryDef("q_agg_stats_approx", aggStatsApprox, Some(aggStatsApproxSql),
       "A6b sketch-tier approx_percentile with bounded-error oracle check"),
+    QueryDef("q_agg_histogram", aggHistogram, Some(aggHistogramSql),
+      "A6c fixed-bin value histogram per group, clamped integer-cents bins"),
     QueryDef("q_agg_collect", aggCollect, Some(aggCollectSql),
       "A7 collect_set + sorted join"),
     QueryDef("q_agg_first_last", aggFirstLast, Some(aggFirstLastSql),
