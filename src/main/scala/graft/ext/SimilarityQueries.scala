@@ -436,6 +436,63 @@ object SimilarityQueries {
        |  vmin, vmax
        |FROM m ORDER BY dim""".stripMargin
 
+  // --- X3d': apply the z-score fit (the transform half) ------------------
+  /** Standardize each embedding with the corpus fit from
+    * [[embedDimStats]]: z_i = (v_i − mean_i) / std_i. The fit (64 rows)
+    * broadcasts; the transform is one narrow pass — the exact shape a
+    * 100-TB normalize stage takes (fit once, broadcast, map). Emitted as
+    * an order-immune summary per vector (quantized-z integer sum + exact
+    * extremes) because a raw double sum over vector components would be
+    * summation-order-dependent in the oracle engine. */
+  def embedNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fit = embedDimStats(s, dir).select($"dim", $"mean", $"std")
+    val z = Tables.embeddings(s, dir)
+      .filter($"vec_id" < 50)
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"vec_id", $"dim".cast(LongType).as("dim"), $"v")
+      .join(broadcast(fit), Seq("dim"))
+      .select($"vec_id",
+        (($"v".cast(DoubleType) - $"mean") / $"std").as("z"))
+    z.groupBy($"vec_id")
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(floor($"z" * 1000000L).cast(DecimalType(38, 0)))
+          .cast(LongType).as("sum_zq"),
+        min($"z").as("z_min"),
+        max($"z").as("z_max"))
+      .orderBy($"vec_id")
+  }
+
+  val embedNormalizeSql: String =
+    s"""WITH q AS (
+       |  SELECT CAST(i.g - 1 AS BIGINT) AS dim,
+       |    CAST(embedding[i.g] AS DOUBLE) AS v,
+       |    ${q6Sql("embedding[i.g]")} AS qv,
+       |    vec_id
+       |  FROM embeddings, $idxSql),
+       |m AS (
+       |  SELECT dim, COUNT(*) AS n,
+       |    CAST(SUM(CAST(qv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+       |    CAST(SUM(CAST(qv * qv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sqq
+       |  FROM q GROUP BY dim),
+       |fit AS (
+       |  SELECT dim,
+       |    CAST(sq AS DOUBLE) / n / 1000000.0 AS mean,
+       |    sqrt((CAST(sqq AS DOUBLE)
+       |      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1))
+       |      / 1000000.0 AS std
+       |  FROM m),
+       |z AS (
+       |  SELECT q.vec_id, (q.v - f.mean) / f.std AS z
+       |  FROM q JOIN fit f ON q.dim = f.dim
+       |  WHERE q.vec_id < 50)
+       |SELECT vec_id, COUNT(*) AS n_dims,
+       |  CAST(CAST(SUM(CAST(floor(z * 1000000) AS DECIMAL(38,0)))
+       |    AS DECIMAL(38,0)) AS BIGINT) AS sum_zq,
+       |  MIN(z) AS z_min, MAX(z) AS z_max
+       |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // --- X3c / X2: (label, LSH-bucket)-blocked embedding near-dup ----------
   /** Top-3 most-similar pairs within each label — the embedding-cosine
     * near-dup detector. Candidates are blocked on (label, hyperplane-LSH
@@ -499,6 +556,8 @@ object SimilarityQueries {
       "X3 SQ8 scalar-quantized ANN: int8 code scan + exact re-rank"),
     QueryDef("q_embed_dimstats", embedDimStats, Some(embedDimStatsSql),
       "X3d per-dimension feature stats (z-score fit) from exact integer moments"),
+    QueryDef("q_embed_normalize", embedNormalize, Some(embedNormalizeSql),
+      "X3d' apply the z-score fit: broadcast fit + narrow transform"),
     QueryDef("q_sim_neardup_label", nearDupByLabel, Some(nearDupByLabelSql),
       "X3/X2 label-blocked embedding near-dup pairs"))
 }
