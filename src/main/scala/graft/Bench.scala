@@ -25,7 +25,13 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // Execute the RETURNED Dataset's own (already-planned) physical plan:
+      // Dataset.count() would build a fresh QueryExecution from the logical
+      // plan, re-planned under the session's current confs — which would
+      // silently discard the CBO-reordered plan q_cbo_star_join froze under
+      // its scoped conf block. toRdd reuses the frozen executedPlan and
+      // counts on the executors (no driver-side row collection).
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
         case t: Throwable =>
           // a failure still records its elapsed time; make it visible
           System.err.println(s"GRAFT_BENCH_FAIL $name: ${t.getClass.getSimpleName}: ${t.getMessage}")

@@ -44,7 +44,7 @@ object GraftSession {
   /** Fingerprint a set of tables' parquet files (names/sizes/mtimes) so a
     * regenerated sf dir yields a different cache key — the same staleness
     * guard dppFactsPath uses. */
-  private def contentKey(dir: String, tables: Seq[String]): String = {
+  def contentKey(dir: String, tables: Seq[String]): String = {
     val sig = tables.map { t =>
       val f = new java.io.File(dir, s"$t.parquet")
       val parts = if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)

@@ -125,8 +125,15 @@ object DedupQueries {
     * re-running the LSH plan per consumer. */
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // Key on the documents.parquet content fingerprint (names/sizes/mtimes),
+  // not the directory path alone — a regenerated sf dir in the same JVM
+  // must NOT serve stale checkpointed pairs (same staleness contract as
+  // ensureStats / dppFactsPath).
+  private def docsKey(s: SparkSession, dir: String): String =
+    s"${System.identityHashCode(s)}|" +
+      graft.GraftSession.contentKey(dir, Seq("documents"))
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ =>
+    pairCache.computeIfAbsent(docsKey(s, dir), _ =>
       minhashPairsPlan(s, dir).localCheckpoint())
 
   /** The un-materialized LSH pair plan ([[dedupMinhashLsh]] without the
@@ -281,7 +288,7 @@ object DedupQueries {
   private val ccCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def memberLabels(s: SparkSession, dir: String): DataFrame =
-    ccCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ =>
+    ccCache.computeIfAbsent(docsKey(s, dir), _ =>
       clusterLabels(s, minhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
         .select(col("lbl").as("cluster_id"), col("src").as("doc_id")))
 

@@ -343,7 +343,12 @@ object TextQueries {
     * the token relation is never shuffled, only 4 KB sketches merge).
     * Oracle contract mirrors the HLL/approx-percentile pattern: emit the
     * EXACT top-10 counts plus `approx_ok` = 1 iff the sketch estimate
-    * respects both CMS bounds (never under; over by at most d·N/w). */
+    * respects (a) the deterministic CMS guarantee est ≥ true, and (b) an
+    * EMPIRICAL over-estimate cap of 3·d·N/w. (b) is not a CMS theorem —
+    * the per-row e·N/w bound is probabilistic and the min over d rows has
+    * no deterministic form — it is a wide margin (like the 3×rsd HLL
+    * contract) pinned against this deterministic md5-hash sketch, where
+    * any change in collision behavior is reproducible, not random. */
   def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir)
@@ -353,12 +358,14 @@ object TextQueries {
     val cms = udaf(new graft.functions.CountMin(CMS_D, CMS_W),
       org.apache.spark.sql.Encoders.STRING)
     val sketch = toks.agg(cms($"tok").as("sk"), count(lit(1)).as("n_total"))
-    val est = udf((sk: Seq[Long], tok: String) =>
+    val estU = udf((sk: Seq[Long], tok: String) =>
       graft.functions.CountMin.estimate(sk, tok, CMS_D, CMS_W))
     exactTop.crossJoin(broadcast(sketch))
+      .withColumn("est", estU($"sk", $"tok"))
       .select($"tok", $"exact_n",
-        (est($"sk", $"tok") >= $"exact_n" &&
-          est($"sk", $"tok") <= $"exact_n" + lit(CMS_D.toLong) * $"n_total" / CMS_W)
+        ($"est" >= $"exact_n" &&
+          ($"est" - $"exact_n").cast("double") <=
+            lit(3.0 * CMS_D) * $"n_total" / CMS_W)
           .cast(LongType).as("approx_ok"))
       .orderBy($"exact_n".desc, $"tok".asc)
   }

@@ -24,6 +24,12 @@ import org.apache.spark.sql.expressions.Aggregator
 class CountMin(val d: Int, val w: Int)
   extends Aggregator[String, Array[Long], Array[Long]] {
 
+  // One 32-hex md5 digest supplies at most four disjoint 8-hex-char row
+  // hashes (chunkBucket); validate here so a bad depth fails at construction
+  // on the driver, not as a StringIndexOutOfBounds inside executor merges.
+  require(d >= 1 && d <= 4, s"CountMin depth d must be in [1,4], got $d")
+  require(w > 0, s"CountMin width w must be positive, got $w")
+
   override def zero: Array[Long] = new Array[Long](d * w)
 
   override def reduce(buf: Array[Long], item: String): Array[Long] = {

@@ -140,13 +140,27 @@ object StreamJobs {
             .select(col("user_id"), col("st.*"))
         val stage = stateDir + "_stage"
         merged.write.mode("overwrite").parquet(stage)
+        // Swap via rename-aside, not delete-then-rename: the micro-batch is
+        // committed to the checkpoint the moment foreachBatch returns, so a
+        // crash that loses the state table here would be silent and
+        // permanent (replay resumes AFTER this batch). Renaming the live
+        // dir aside first means every failure point leaves either the new
+        // table or a recoverable `_old` copy; any rename failure throws,
+        // which fails the batch and keeps the checkpoint from advancing.
         val dir = new java.io.File(stateDir)
+        val aside = new java.io.File(stateDir + "_old")
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete(): Unit
         }
-        rm(dir)
-        new java.io.File(stage).renameTo(dir): Unit
+        rm(aside)
+        if (dir.exists() && !dir.renameTo(aside))
+          sys.error(s"state swap: failed to move $dir aside")
+        if (!new java.io.File(stage).renameTo(dir)) {
+          aside.renameTo(dir) // best-effort restore before failing the batch
+          sys.error(s"state swap: failed to publish $stage")
+        }
+        rm(aside)
       }
   }
 
