@@ -20,6 +20,7 @@ object Registry {
       analytics.CboQueries.defs ++
       analytics.SubqueryQueries.defs ++
       analytics.EventQueries.defs ++
+      analytics.WarehouseQueries.defs ++
       analytics.Profiler.defs ++
       ingest.IngestQueries.defs ++
       ext.DedupQueries.defs ++
@@ -27,5 +28,6 @@ object Registry {
       ext.SimilarityQueries.defs ++
       ext.TextQueries.defs ++
       ext.SamplingQueries.defs ++
+      ext.PipelineQueries.defs ++
       ext.MultimodalQueries.defs
 }

@@ -1,0 +1,214 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly operators: sequence packing, mixture
+  * re-weighting, denylist scrubbing, and percentile-bucketed quality
+  * filtering — the steps between "curated corpus" and "training batches".
+  *
+  * All arithmetic that crosses the oracle boundary is integer (token
+  * counts, basis points, milli-chars): no floating point, so results are
+  * bit-identical across engines and cluster sizes.
+  */
+object PipelineQueries {
+
+  /** Tokens-per-sequence budget for [[packSequences]]. */
+  private val PACK_BUDGET = 256L
+
+  /** Whitespace token count as BIGINT. */
+  private def nTok(c: String): org.apache.spark.sql.Column =
+    size(split(col(c), " ")).cast("long")
+
+  // --- XP1: greedy sequence packing -------------------------------------
+
+  /** Pack documents into fixed token-budget training sequences by
+    * contiguous fill: within each (lang, source) stream, docs are laid out
+    * in doc_id order and a doc starts the bin its running prefix lands in
+    * (`bin = tokens_before div budget`) — the deterministic streaming
+    * analogue of greedy first-fit, computable with ONE partitioned window
+    * cumsum instead of stateful iteration.
+    *
+    * Scale: the window partitions by (lang, source) — thousands of
+    * independent streams, no global order, no single-partition sort. At
+    * 100 TB each stream packs independently on its own executor; the only
+    * exchange is the hash partition on the stream key. Fill ratio is
+    * emitted in integer basis points (`tokens*10000 div budget`) so the
+    * oracle comparison never touches floats. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"lang", $"source", $"doc_id", nTok("text").as("n_tok"))
+    val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $PACK_BUDGET"))
+      .groupBy($"lang", $"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
+      .withColumn("fill_bp", expr(s"bin_tokens * 10000 div $PACK_BUDGET"))
+      .orderBy($"lang", $"source", $"bin")
+  }
+
+  val packSequencesSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, source, doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM toks)
+       |SELECT lang, source, CAST(cum_before // $PACK_BUDGET AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       |  CAST(CAST(SUM(n_tok) AS BIGINT) * 10000 // $PACK_BUDGET AS BIGINT) AS fill_bp
+       |FROM c GROUP BY 1, 2, 3 ORDER BY lang, source, bin""".stripMargin
+
+  // --- XP2: mixture re-weighting (oversampling to a target mix) ---------
+
+  /** Re-weight the corpus toward a uniform per-language token budget by
+    * integer oversampling: each language's docs repeat
+    * `r = ceil(max_lang_tokens / lang_tokens)` times (epoch-style
+    * upsampling, the standard way low-resource domains are boosted in a
+    * training mix). Emits the replicated doc list with copy indices — the
+    * actual mixture manifest a data loader would consume.
+    *
+    * Scale: the factor table is |langs| rows and broadcast; replication is
+    * a narrow `explode(sequence(...))` — no shuffle beyond the one
+    * grouped-agg that computes per-language totals. */
+  def mixWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"lang", $"doc_id", nTok("text").as("n_tok"))
+    val totals = toks.groupBy($"lang").agg(sum($"n_tok").as("t_lang"))
+    val tmax = totals.agg(max($"t_lang").as("t_max"))
+    val factors = totals.crossJoin(broadcast(tmax))
+      .select($"lang", expr("(t_max + t_lang - 1) div t_lang").as("r"))
+    toks.join(broadcast(factors), "lang")
+      .select($"lang", $"doc_id", $"n_tok",
+        explode(sequence(lit(1L), $"r")).as("copy"))
+      .orderBy($"lang", $"doc_id", $"copy")
+  }
+
+  val mixWeightedSql: String =
+    """WITH toks AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |tot AS (SELECT lang, SUM(n_tok) AS t_lang FROM toks GROUP BY 1),
+      |fac AS (
+      |  SELECT lang,
+      |    CAST(((SELECT MAX(t_lang) FROM tot) + t_lang - 1) // t_lang AS BIGINT) AS r
+      |  FROM tot)
+      |SELECT t.lang, t.doc_id, t.n_tok,
+      |  CAST(unnest(generate_series(1, f.r)) AS BIGINT) AS copy
+      |FROM toks t JOIN fac f USING (lang)
+      |ORDER BY lang, doc_id, copy""".stripMargin
+
+  // --- XP3: denylist token scrubbing ------------------------------------
+
+  /** Terms scrubbed by [[scrubDenylist]] — stands in for the PII /
+    * sensitive-term lists a production pipeline redacts (the synthetic
+    * corpus has no emails or phone numbers, so the mechanism is exercised
+    * on high-frequency function words). */
+  private val DENY = Seq(
+    "the", "of", "and", "to", "a", "in", "is",
+    "der", "die", "und", "el", "la", "de", "le", "et", "les")
+
+  /** Remove denylisted tokens from every document and report the impact
+    * per (lang, source): docs touched, tokens before/removed, and the
+    * post-scrub character volume. The scrub itself is a narrow
+    * higher-order `filter` over the token array — no shuffle until the
+    * final small aggregate, so at 100 TB this is one pass over the corpus
+    * with a broadcast-size denylist. */
+  def scrubDenylist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val deny = array(DENY.map(lit): _*)
+    val kept = filter(split($"text", " "), t => !array_contains(deny, t))
+    Tables.documents(s, dir)
+      .select($"lang", $"source",
+        nTok("text").as("n_before"),
+        size(kept).cast("long").as("n_after"),
+        length(array_join(kept, " ")).cast("long").as("chars_after"))
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_before").as("toks_before"),
+        sum($"n_before" - $"n_after").as("toks_removed"),
+        sum(when($"n_after" < $"n_before", 1L).otherwise(0L)).as("docs_touched"),
+        sum($"chars_after").as("chars_after"))
+      .orderBy($"lang", $"source")
+  }
+
+  val scrubDenylistSql: String = {
+    val lst = DENY.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+       |  SELECT lang, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_before,
+       |    list_filter(string_split(text, ' '),
+       |      x -> NOT list_contains($lst, x)) AS kept
+       |  FROM documents)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_before) AS BIGINT) AS toks_before,
+       |  CAST(SUM(n_before - len(kept)) AS BIGINT) AS toks_removed,
+       |  CAST(SUM(CASE WHEN len(kept) < n_before THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_touched,
+       |  CAST(SUM(len(array_to_string(kept, ' '))) AS BIGINT) AS chars_after
+       |FROM f GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+  }
+
+  // --- XP4: percentile-bucketed quality filtering -----------------------
+
+  /** Bucket documents into per-language quality quartiles (ntile over an
+    * integer chars-per-token score, doc_id tie-broken so the bucketing is
+    * a pure function of the data) and report each bucket's population and
+    * score range — the audit view behind "drop the bottom quartile".
+    * ntile is the one ranking window W1–W4 didn't cover.
+    *
+    * Scale: one window partitioned by lang. Skew note: a single language
+    * dominating the corpus makes its partition large; for 100 TB the
+    * score is computed narrow, and the bucketing can fall back to
+    * approx_percentile cutpoints (A4/A6 pattern) instead of a total sort
+    * per language. */
+  def qualityNtile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"lang", $"doc_id",
+        expr("length(text) * 1000 div size(split(text, ' '))").as("score_milli"))
+    val w = Window.partitionBy($"lang").orderBy($"score_milli", $"doc_id")
+    scored
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy($"lang", $"quartile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"score_milli").as("min_score"),
+        max($"score_milli").as("max_score"))
+      .orderBy($"lang", $"quartile")
+  }
+
+  val qualityNtileSql: String =
+    """WITH scored AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(text) AS BIGINT) * 1000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+      |      AS score_milli
+      |  FROM documents),
+      |b AS (
+      |  SELECT lang, score_milli,
+      |    ntile(4) OVER (PARTITION BY lang ORDER BY score_milli, doc_id) AS quartile
+      |  FROM scored)
+      |SELECT lang, CAST(quartile AS BIGINT) AS quartile, COUNT(*) AS n_docs,
+      |  MIN(score_milli) AS min_score, MAX(score_milli) AS max_score
+      |FROM b GROUP BY 1, 2 ORDER BY lang, quartile""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_pack_sequences", packSequences, Some(packSequencesSql),
+      "XP1 contiguous-fill sequence packing into fixed token budgets"),
+    QueryDef("q_mix_weighted", mixWeighted, Some(mixWeightedSql),
+      "XP2 mixture re-weighting: integer oversampling to a uniform lang budget"),
+    QueryDef("q_text_scrub", scrubDenylist, Some(scrubDenylistSql),
+      "XP3 denylist token scrubbing with per-stratum impact audit"),
+    QueryDef("q_quality_ntile", qualityNtile, Some(qualityNtileSql),
+      "XP4 per-language quality quartiles (ntile) for percentile filtering"))
+}

@@ -1,0 +1,150 @@
+package graft
+
+import graft.analytics.WarehouseQueries
+import graft.ext.PipelineQueries
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the training-data assembly (XP1–XP4) and warehouse
+  * maintenance (M1–M3) operators, beyond the hash gate: structural
+  * invariants a hash can't articulate (packing bounds, minimal repeat
+  * factors, scrub completeness, ntile balance, interval disjointness,
+  * merge action partitioning).
+  */
+class PipelineWarehouseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  test("XP1 packing: bins are contiguous per stream and fill stays bounded") {
+    val bins = PipelineQueries.packSequences(spark, sf).collect()
+    assert(bins.nonEmpty)
+    // per (lang, source) stream: bin ids start at 0 and are contiguous
+    bins.groupBy(r => (r.getString(0), r.getString(1))).foreach {
+      case (_, rs) =>
+        val ids = rs.map(_.getLong(2)).sorted
+        assert(ids.head == 0L && ids.zipWithIndex.forall { case (b, i) => b == i })
+    }
+    // a doc starts in the bin its prefix lands in, so a bin can only
+    // exceed the budget by carry-over from docs that started inside it:
+    // every bin except the stream's last must have reached the budget
+    // (otherwise the next doc would have landed in it).
+    bins.groupBy(r => (r.getString(0), r.getString(1))).foreach {
+      case (_, rs) =>
+        val byBin = rs.sortBy(_.getLong(2))
+        byBin.dropRight(1).foreach { r =>
+          val cumThrough = byBin.takeWhile(_.getLong(2) <= r.getLong(2))
+            .map(_.getLong(4)).sum
+          assert(cumThrough >= 256L * (r.getLong(2) + 1),
+            s"non-final bin under budget: $r")
+        }
+    }
+  }
+
+  test("XP2 mixing: repeat factors are minimal and copies are dense") {
+    val out = PipelineQueries.mixWeighted(spark, sf).collect()
+    val perLangTok = out.groupBy(_.getString(0)).map { case (l, rs) =>
+      // each doc appears r times with copies 1..r
+      val byDoc = rs.groupBy(_.getLong(1))
+      val rFactors = byDoc.values.map { copies =>
+        val idx = copies.map(_.getLong(3)).sorted
+        assert(idx.toSeq == (1L to idx.size.toLong), "copy indices not dense")
+        idx.size
+      }.toSet
+      assert(rFactors.size == 1, s"lang $l has mixed repeat factors")
+      val baseToks = byDoc.values.map(_.head.getLong(2)).sum
+      (l, baseToks, rFactors.head)
+    }
+    val tMax = perLangTok.map(_._2).max
+    perLangTok.foreach { case (l, t, r) =>
+      assert(r * t >= tMax, s"$l under-replicated")
+      assert((r - 1) * t < tMax, s"$l over-replicated (r not minimal)")
+    }
+  }
+
+  test("XP3 scrub: no denylisted token survives, volumes reconcile") {
+    import spark.implicits._
+    val deny = Set("the", "of", "and", "to", "a", "in", "is",
+      "der", "die", "und", "el", "la", "de", "le", "et", "les")
+    val docs = Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+    val expectedRemoved = docs.map(_.split(" ").count(deny)).sum.toLong
+    val agg = PipelineQueries.scrubDenylist(spark, sf)
+      .agg(sum($"toks_removed"), sum($"toks_before")).head()
+    assert(agg.getLong(0) == expectedRemoved)
+    assert(agg.getLong(1) == docs.map(_.split(" ").length).sum.toLong)
+  }
+
+  test("XP4 ntile: quartile populations per language differ by at most 1") {
+    val rows = PipelineQueries.qualityNtile(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length.toLong),
+        s"$lang quartiles not dense")
+      val counts = rs.map(_.getLong(2))
+      assert(counts.max - counts.min <= 1, s"$lang unbalanced: ${counts.toSeq}")
+      // score ranges are non-overlapping and ordered with the quartile
+      val ordered = rs.sortBy(_.getLong(1))
+      ordered.sliding(2).foreach {
+        case Array(lo, hi) => assert(lo.getLong(4) <= hi.getLong(3))
+        case _ => ()
+      }
+    }
+  }
+
+  test("M1 SCD2: intervals tile each user's timeline exactly") {
+    import spark.implicits._
+    // rebuild intervals locally from the raw stream and compare aggregates
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"),
+        $"event_id")
+      .as[(Long, String, Long, Long)].collect()
+    var nIntervals = 0L; var nCurrent = 0L; var closed = 0L
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._4))
+      val changes = sorted.foldLeft(Vector.empty[(String, Long)]) {
+        case (acc, (_, et, ts, _)) =>
+          if (acc.nonEmpty && acc.last._1 == et) acc else acc :+ (et -> ts)
+      }
+      nIntervals += changes.size
+      nCurrent += 1
+      changes.sliding(2).foreach {
+        case Vector((_, from), (_, to)) => closed += to - from
+        case _ => ()
+      }
+    }
+    val agg = WarehouseQueries.scd2Intervals(spark, sf)
+      .agg(sum($"n_intervals"), sum($"n_current"), sum($"closed_dur_us")).head()
+    assert(agg.getLong(0) == nIntervals)
+    assert(agg.getLong(1) == nCurrent)   // exactly one open interval per user
+    assert(agg.getLong(2) == closed)     // closed intervals tile the timeline
+  }
+
+  test("M2 merge: actions partition base+delta keyspace with exact counts") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+      .select($"o_orderkey").as[Long].collect()
+    val nUpd = orders.count(_ % 7 == 0).toLong
+    val nIns = orders.count(_ % 13 == 0).toLong
+    val byAction = WarehouseQueries.mergeUpsert(spark, sf).collect()
+      .groupBy(_.getString(1)).map { case (a, rs) =>
+        a -> rs.map(_.getLong(2)).sum
+      }
+    assert(byAction("update") == nUpd)
+    assert(byAction("insert") == nIns)
+    assert(byAction("unchanged") == orders.length - nUpd)
+    assert(byAction.values.sum == orders.length + nIns)
+  }
+
+  test("M3 variant: typed VARIANT path agrees with string JSON path") {
+    import spark.implicits._
+    val viaVariant = WarehouseQueries.variantExtract(spark, sf).collect()
+    val viaString = Tables.events(spark, sf)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type").collect()
+    assert(viaVariant.toSeq == viaString.toSeq)
+  }
+}

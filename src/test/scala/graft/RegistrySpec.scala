@@ -40,9 +40,11 @@ class RegistrySpec extends AnyFunSuite {
     //  - textHeavyHitters: single-row CMS sketch crossed onto 10 rows
     //  - tsInterpolate: same key × calendar-bounded day grid as
     //    asOfDailyState
+    //  - mixWeighted: single-row t_max aggregate crossed onto the |langs|
+    //    factor table (same shape as textTfidf)
     val allowBnlj = Set("q_sim_knn_brute", "q_sim_knn_ivf",
       "q_join_asof_state", "q_ts_interpolate", "q_text_tfidf",
-      "q_sim_knn_sq8", "q_text_heavyhitters")
+      "q_sim_knn_sq8", "q_text_heavyhitters", "q_mix_weighted")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
