@@ -820,13 +820,23 @@ object CoreQueries {
     * degrades past the bound, the hash comparison fails. */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
-      .groupBy($"l_returnflag")
+    val li = Tables.lineitem(s, dir)
+    // The HLL aggregation runs SEPARATELY from the exact distincts and
+    // joins on the 3-row group key. Mixing them in one agg triggers the
+    // multi-distinct Expand rewrite, which evaluates the partial HLL per
+    // distinct-VALUE group — at rsd=0.01 that is two ~13 KB register
+    // arrays for every distinct key (gigabytes of aggregation state at
+    // scale) instead of per output group. Split, the HLL pass carries
+    // exactly |groups| sketches and the exact pass stays narrow.
+    val exact = li.groupBy($"l_returnflag")
       .agg(
         countDistinct($"l_partkey").as("exact_parts"),
-        countDistinct($"l_orderkey").as("exact_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+    val approx = li.groupBy($"l_returnflag")
+      .agg(
         approx_count_distinct($"l_partkey", 0.01).as("ap"),
         approx_count_distinct($"l_orderkey", 0.01).as("ao"))
+    exact.join(approx, "l_returnflag")
       .select($"l_returnflag", $"exact_parts", $"exact_orders",
         (abs($"ap" - $"exact_parts") * 100 <= $"exact_parts" * 3 &&
           abs($"ao" - $"exact_orders") * 100 <= $"exact_orders" * 3)

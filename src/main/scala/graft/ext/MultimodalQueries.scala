@@ -178,19 +178,22 @@ object MultimodalQueries {
     * shape: fixed-size output regardless of payload size). */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hexChars = typedLit(Seq("0", "1", "2", "3", "4", "5", "6", "7",
-      "8", "9", "A", "B", "C", "D", "E", "F"))
+    val hexChars = Seq("0", "1", "2", "3", "4", "5", "6", "7",
+      "8", "9", "A", "B", "C", "D", "E", "F")
     Tables.documents(s, dir)
       .filter($"doc_id" < 200)
       .withColumn("hx", hex($"text".cast(BinaryType)))
-      // high nibble of each byte = every odd hex char; precomputed column so
-      // the lambda indexes an attribute instead of re-hexing per element
-      .withColumn("nibs",
-        expr("transform(sequence(1, length(hx) div 2), i -> substring(hx, i*2-1, 1))"))
+      // high nibble of each byte = every odd hex char: collapse each hex
+      // pair to its first char ONCE, then count each nibble value with
+      // native length/replace — all codegen'd string ops. (The previous
+      // form built a per-byte array and ran 16 interpreted HOF filters
+      // over it: ~50k interpreted lambda calls per KB of payload.)
+      .withColumn("nibs", regexp_replace($"hx", "(.).", "$1"))
       .select(
         $"doc_id",
-        concat_ws(",", transform(hexChars,
-          c => size(filter($"nibs", x => x === c)))).as("nib_hist"),
+        concat_ws(",", hexChars.map(c =>
+          (length($"nibs") - length(replace($"nibs", lit(c), lit(""))))
+            .cast("int")): _*).as("nib_hist"),
         expr("concat_ws('', transform(sequence(0, 15), k -> substring(hx, k*16+1, 2)))")
           .as("stride_sig"))
       .orderBy($"doc_id")

@@ -33,10 +33,14 @@ class CountMin(val d: Int, val w: Int)
   override def zero: Array[Long] = new Array[Long](d * w)
 
   override def reduce(buf: Array[Long], item: String): Array[Long] = {
-    val hex = CountMin.md5hex(item) // ONE digest per row, chunked per sketch row
+    // ONE digest per row; buckets straight from the digest bytes (identical
+    // values to the hex-substring form — row j reads big-endian bytes
+    // 4j..4j+3 unsigned, exactly what parseLong(hex[8j,8j+8], 16) yields —
+    // without formatting a 32-char hex string per input row).
+    val bytes = CountMin.digest(item)
     var j = 0
     while (j < d) {
-      buf(j * w + CountMin.chunkBucket(hex, j, w)) += 1L
+      buf(j * w + CountMin.byteBucket(bytes, j, w)) += 1L
       j += 1
     }
     buf
@@ -57,10 +61,32 @@ class CountMin(val d: Int, val w: Int)
 }
 
 object CountMin {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5 of the UTF-8 item via a thread-local digest (getInstance per row
+    * is measurable in the per-token hot loop). */
+  def digest(item: String): Array[Byte] = {
+    val m = md.get()
+    m.reset()
+    m.digest(item.getBytes("UTF-8"))
+  }
+
+  /** Row-j bucket straight from digest bytes: big-endian unsigned int at
+    * byte offset 4j, mod w — bit-identical to [[chunkBucket]] on the hex
+    * form of the same digest. */
+  def byteBucket(bytes: Array[Byte], j: Int, w: Int): Int = {
+    val v = ((bytes(4 * j) & 0xffL) << 24) |
+      ((bytes(4 * j + 1) & 0xffL) << 16) |
+      ((bytes(4 * j + 2) & 0xffL) << 8) |
+      (bytes(4 * j + 3) & 0xffL)
+    (v % w).toInt
+  }
+
   def md5hex(item: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(item.getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
+    digest(item).map(b => f"${b & 0xff}%02x").mkString
 
   /** Row-j bucket from a precomputed digest: 8 hex chars, chunk j, mod w.
     * One digest serves d ≤ 4 rows (32 hex chars / 8). */

@@ -164,6 +164,27 @@ object StreamJobs {
       }
   }
 
+  /** T6-next — per-user running totals on the Spark 4 arbitrary-state API
+    * (`transformWithState`): the successor to flatMapGroupsWithState, with
+    * named state variables behind a [[org.apache.spark.sql.streaming
+    * .StatefulProcessorHandle]] instead of one opaque state object. State
+    * here is a single ValueState row per user (constant per key), the
+    * store is RocksDB (the only provider transformWithState supports), so
+    * state scales with |users|, never stream length. Emits the updated
+    * running totals each micro-batch (OutputMode.Update). */
+  def runningTotals(events: DataFrame): Dataset[UserTotals] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("ts").as("event_time"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotals,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** T-extra — watermarked stream-stream interval self-join, the streaming
     * twin of the batch J6 range join (EventQueries.rangeJoinFollowers):
     * each event pairs with the same user's events in the following 10
@@ -262,5 +283,37 @@ object Sessionize {
             sessions.init.iterator
           }
       }
+  }
+}
+
+/** Output row of [[StreamJobs.runningTotals]]: per-user running event count
+  * and exact integer-cents value total. */
+final case class UserTotals(user_id: Long, n_events: Long, total_cents: Long)
+
+/** StatefulProcessor for [[StreamJobs.runningTotals]] — one named
+  * ValueState variable per user holding the running totals; each batch
+  * folds its rows into the state and emits the updated row. Cents are
+  * accumulated as integers (math.round(value*100)) so totals are exact and
+  * order-independent. */
+class RunningTotals
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserTotals] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[UserTotals] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserTotals]("totals",
+      org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[UserTotals] = {
+    var n = 0L
+    var cents = 0L
+    rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+    val prev =
+      if (totals.exists()) totals.get() else UserTotals(key, 0L, 0L)
+    val next = UserTotals(key, prev.n_events + n, prev.total_cents + cents)
+    totals.update(next)
+    Iterator.single(next)
   }
 }

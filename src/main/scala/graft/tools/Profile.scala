@@ -24,8 +24,8 @@ object Profile {
 
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
-      time(s"$n cold")(fn(spark, dir).count())
-      time(s"$n warm")(fn(spark, dir).count())
+      time(s"$n cold")(fn(spark, dir).queryExecution.toRdd.count())
+      time(s"$n warm")(fn(spark, dir).queryExecution.toRdd.count())
     }
     spark.stop()
   }

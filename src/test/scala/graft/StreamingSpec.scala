@@ -118,6 +118,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("T6 transformWithState running totals match the batch aggregate") {
+    // transformWithState (Spark 4 arbitrary-state API) only runs on the
+    // RocksDB state store; scope the provider to this query.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamJobs.runningTotals(StreamJobs.eventsStream(spark, eventsDir))
+        .writeStream.outputMode("update").format("memory")
+        .queryName("tws_out").start()
+      try q.processAllAvailable() finally q.stop()
+      // update mode re-emits a user's row each batch; the final totals are
+      // the row with the highest running count per user
+      val streamed = spark.table("tws_out")
+        .groupBy($"user_id")
+        .agg(max($"n_events").as("n"),
+          max_by($"total_cents", $"n_events").as("cents"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = Tables.events(spark, sf)
+        .select($"user_id", $"value").as[(Long, Double)].collect()
+        .groupBy(_._1).map { case (u, rows) =>
+          u -> (rows.length.toLong, rows.map(r => math.round(r._2 * 100)).sum)
+        }
+      assert(streamed === batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming latest-state upsert sink converges to the batch W1 query") {
     val tmp = eventsDir
     val state = s"$tmp/state"
