@@ -46,8 +46,12 @@ object Bench {
     // stderr sentinel; the driver's stdout tail capture is only 2,000 chars,
     // so the LAST stdout line must be the compact form (~90 chars) or the
     // captured tail starts mid-number and can never parse.
+    // note: since round 5 the bench executes each query's frozen physical
+    // plan in full (toRdd.count); rounds 1-4 timed Dataset.count(), which
+    // let Catalyst prune unreferenced expensive columns — per-query times
+    // are NOT comparable across that boundary.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution","queries":$qs,"sf":"$sfDir"}"""
     val compactJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -21,6 +21,8 @@ object Registry {
       analytics.SubqueryQueries.defs ++
       analytics.EventQueries.defs ++
       analytics.WarehouseQueries.defs ++
+      analytics.IncrementalQueries.defs ++
+      ext.FuzzyQueries.defs ++
       analytics.Profiler.defs ++
       ingest.IngestQueries.defs ++
       ext.DedupQueries.defs ++

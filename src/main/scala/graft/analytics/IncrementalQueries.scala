@@ -1,0 +1,101 @@
+package graft.analytics
+
+import graft.{Ops, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental-maintenance and journey-analytics operators over the event
+  * stream.
+  */
+object IncrementalQueries {
+
+  // --- M4: incremental aggregate maintenance ----------------------------
+
+  /** The 100-TB answer to "recompute the dashboard": maintain the standing
+    * aggregate incrementally. The pre-cutoff partial stands in for the
+    * materialized aggregate of every prior load; the post-cutoff partial is
+    * today's delta; merging them is pure partial-aggregate algebra
+    * (count→sum, sum→sum, min→min, max→max — the same merge contract
+    * Spark's own partial aggregation uses), so the merged result is exactly
+    * the full recompute the oracle runs without ever touching historical
+    * rows again. Money merges in DECIMAL so partial+merge is bit-identical
+    * to the one-shot aggregation. */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("2024-01-25").cast(TimestampType)
+    val ev = Tables.events(s, dir)
+      .select($"event_type", $"ts", Ops.money($"value").as("v"))
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mnv"), max(col("v")).as("mxv"))
+    val prior = partial(ev.where($"ts" < cutoff)) // standing materialized agg
+    val delta = partial(ev.where($"ts" >= cutoff)) // today's load
+    prior.unionByName(delta)
+      .groupBy($"event_type")
+      .agg(
+        sum($"n").as("n_events"),
+        sum($"sv").cast(DoubleType).as("sum_value"),
+        min($"mnv").cast(DoubleType).as("min_value"),
+        max($"mxv").cast(DoubleType).as("max_value"))
+      .orderBy($"event_type")
+  }
+
+  val incrementalAggSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+      |  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // --- W5: first/last-touch attribution ---------------------------------
+
+  /** Marketing-style conversion attribution: each purchase credits the
+    * user's first non-purchase touch ever and the last one before the
+    * purchase, via two IGNORE-NULLS window aggregates over one shared
+    * (user, time) frame — a single hash exchange on user_id, no self-join,
+    * no per-user collect. Purchases with no prior touch attribute to
+    * 'none' explicitly. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val touch = when($"event_type" =!= "purchase", $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_type", Ops.epochUs($"ts").as("ts_us"),
+        $"event_id", Ops.money($"value").as("v"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .where($"event_type" === "purchase")
+      .groupBy(
+        coalesce($"first_touch", lit("none")).as("first_touch"),
+        coalesce($"last_touch", lit("none")).as("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"v").cast(DoubleType).as("sum_value"))
+      .orderBy($"first_touch", $"last_touch")
+  }
+
+  val attributionSql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS v,
+      |    FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+      |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      |  FROM events)
+      |SELECT COALESCE(first_touch, 'none') AS first_touch,
+      |  COALESCE(last_touch, 'none') AS last_touch,
+      |  COUNT(*) AS n_purchases, CAST(SUM(v) AS DOUBLE) AS sum_value
+      |FROM w WHERE event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_incremental_agg", incrementalAgg, Some(incrementalAggSql),
+      "M4 incremental aggregate maintenance: partial merge == full recompute"),
+    QueryDef("q_attribution", attribution, Some(attributionSql),
+      "W5 first/last-touch purchase attribution via IGNORE NULLS windows"))
+}

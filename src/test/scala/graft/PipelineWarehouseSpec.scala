@@ -135,6 +135,57 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(byAction.values.sum == orders.length + nIns)
   }
 
+  test("M4 incremental: merged partials equal the one-shot aggregation") {
+    import spark.implicits._
+    val oneShot = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min($"value".cast("decimal(18,2)")).cast("double").as("min_value"),
+        max($"value".cast("decimal(18,2)")).cast("double").as("max_value"))
+      .orderBy($"event_type").collect()
+    val merged = graft.analytics.IncrementalQueries
+      .incrementalAgg(spark, sf).collect()
+    assert(merged.toSeq == oneShot.toSeq)
+  }
+
+  test("W5 attribution: every purchase is attributed exactly once") {
+    import spark.implicits._
+    val out = graft.analytics.IncrementalQueries.attribution(spark, sf)
+    val attributed = out.agg(sum($"n_purchases")).head().getLong(0)
+    val purchases = Tables.events(spark, sf)
+      .where($"event_type" === "purchase").count()
+    assert(attributed == purchases)
+    // last_touch can never be 'none' while first_touch is set: if any
+    // prior touch exists, both windows see it
+    assert(out.where($"last_touch" === "none" && $"first_touch" =!= "none")
+      .count() == 0)
+  }
+
+  test("X2e fuzzy join: blocked pairs match brute force over the dictionary") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sf)
+      .select($"p_name").distinct().as[String].collect().sorted
+    val brute = (for {
+      a <- names; b <- names
+      if a < b && a.head == b.head && math.abs(a.length - b.length) <= 3
+      d = lev(a, b) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = graft.ext.FuzzyQueries.fuzzyNameJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // the check is vacuous on an empty pair set
+  }
+
   test("M3 variant: typed VARIANT path agrees with string JSON path") {
     import spark.implicits._
     val viaVariant = WarehouseQueries.variantExtract(spark, sf).collect()
