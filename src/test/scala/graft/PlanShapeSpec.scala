@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape pins for the round-5 operators: the "would this survive a
+  * 100× scale-up" properties as executable assertions — partitioned (not
+  * global) windows, bounded exchange counts, broadcastable small sides,
+  * and absence of the multi-distinct Expand in plans rewritten to avoid
+  * it.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def countOf(plan: String, token: String): Int =
+    token.r.findAllIn(plan).size
+
+  test("packing window is partitioned by stream key, never a global sort") {
+    val plan = planOf("q_pack_sequences")
+    assert(plan.contains("Window"))
+    // ONE hash exchange on the stream key feeds window AND aggregate (the
+    // groupBy reuses the (lang, source) partitioning); the only other
+    // exchange is the presentation ORDER BY's range partition
+    assert(countOf(plan, "Exchange hashpartitioning\\(lang") == 1)
+    assert(countOf(plan, "Exchange") == 2, s"unexpected exchanges:\n$plan")
+    // the window's sort is per-partition (global=false), not a global sort
+    assert("Sort \\[lang[^\\n]*doc_id[^\\n]*\\], false,".r
+      .findAllIn(plan).nonEmpty, s"window sort not local:\n$plan")
+  }
+
+  test("mixing: factor table broadcasts; replication is a narrow explode") {
+    val plan = planOf("q_mix_weighted")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    assert(plan.contains("Generate explode"))
+  }
+
+  test("profiler plan has no Expand and never sorts the fact rows") {
+    val plan = planOf("q_profile_lineitem")
+    assert(!plan.contains("Expand"), "multi-distinct Expand rewrite is back")
+    // the stats pass may plan as a zero-key SortAggregate (string min/max
+    // buffers aren't hash-agg-able) — harmless, since with no grouping
+    // keys there is nothing to sort. What must NOT appear is an actual
+    // Sort of fact rows: the only Sort is the 11-row presentation one.
+    assert(countOf(plan, "\\+- Sort \\[") == 1,
+      s"unexpected Sort of fact rows:\n$plan")
+    // distinct counting runs on hash aggregates with map-side dedup
+    assert(countOf(plan, "HashAggregate\\(keys=\\[col_name[^,]*, v") >= 2)
+  }
+
+  test("approx-distinct HLL pass is expand-free (only exact distincts expand)") {
+    val plan = planOf("q_agg_approx_distinct")
+    // the exact two-distinct agg legitimately expands ×2; the HLL branch
+    // must not sit under an Expand (that was the 90 s plan)
+    assert(countOf(plan, "Expand") == 1,
+      s"expected exactly the exact-distinct Expand, plan:\n$plan")
+    assert(plan.contains("approx_count_distinct") || plan.contains("HyperLogLog"))
+  }
+
+  test("merge-upsert is one join over base and delta") {
+    val plan = planOf("q_merge_upsert")
+    assert(countOf(plan, "Join FullOuter") + countOf(plan, "SortMergeJoin") +
+      countOf(plan, "ShuffledHashJoin") >= 1)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
+  test("attribution and SCD2 use one exchange for their shared window key") {
+    for (q <- Seq("q_attribution", "q_scd2_intervals")) {
+      val plan = planOf(q)
+      // hashpartitioning on user_id appears in exchanges; both windows (or
+      // window + filter + window) must reuse ONE user_id exchange
+      val userExchanges = "Exchange hashpartitioning\\(user_id".r
+        .findAllIn(plan).size
+      assert(userExchanges == 1,
+        s"$q: expected 1 user_id exchange, got $userExchanges\n$plan")
+    }
+  }
+
+  test("fuzzy join confines quadratic work to the name dictionary") {
+    val plan = planOf("q_fuzzy_name_join")
+    // levenshtein must be computed above the dictionary aggregates, not
+    // against the raw part scans
+    val aggFirst = plan.indexOf("HashAggregate")
+    val lev = plan.indexOf("levenshtein")
+    assert(aggFirst >= 0 && lev >= 0 && lev < plan.length)
+    assert(plan.contains("BroadcastHashJoin"),
+      "64-row dictionary side should broadcast")
+  }
+
+  test("variant extraction parses props once per row") {
+    val plan = planOf("q_variant_extract")
+    assert(countOf(plan, "parse_json") <= 1,
+      s"props must be parsed into VARIANT once, plan:\n$plan")
+  }
+}
