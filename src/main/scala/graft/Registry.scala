@@ -22,6 +22,7 @@ object Registry {
       analytics.EventQueries.defs ++
       analytics.WarehouseQueries.defs ++
       analytics.IncrementalQueries.defs ++
+      analytics.SurfaceQueries.defs ++
       ext.FuzzyQueries.defs ++
       analytics.Profiler.defs ++
       ingest.IngestQueries.defs ++

@@ -1,0 +1,122 @@
+package graft.analytics
+
+import graft.{Ops, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational-surface completions: unpivot/melt, the regex scalar family,
+  * and the array higher-order-function family — operators a reference user
+  * reaches for constantly that deserve first-class oracle coverage rather
+  * than incidental use inside other queries.
+  */
+object SurfaceQueries {
+
+  // --- P13: unpivot / melt ----------------------------------------------
+
+  /** Wide→long reshape via the native `Dataset.unpivot` operator (Spark's
+    * melt — plans as a Generate, one pass, no shuffle until the aggregate):
+    * the four lineitem measures melt into (measure, value) rows summed per
+    * return flag in exact DECIMAL. */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice",
+        $"l_discount", $"l_tax")
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy($"l_returnflag", $"measure")
+      .agg(count(lit(1)).as("n"),
+        sum(Ops.money($"value")).cast(DoubleType).as("sum_value"))
+      .orderBy($"l_returnflag", $"measure")
+  }
+
+  val unpivotMeasuresSql: String =
+    """SELECT l_returnflag, measure, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice,
+      |                      l_discount, l_tax FROM lineitem)
+      |      ON l_quantity, l_extendedprice, l_discount, l_tax
+      |      INTO NAME measure VALUE value)
+      |GROUP BY 1, 2 ORDER BY l_returnflag, measure""".stripMargin
+
+  // --- P14: regex scalar family -----------------------------------------
+
+  /** The regex surface in one audited pass per language: global match
+    * extraction (`regexp_extract_all`), global replacement
+    * (`regexp_replace` — vowel census by length delta), and predicate
+    * matching (`rlike` anchor). Patterns stay in the RE2 ∩ java.util.regex
+    * dialect intersection (classes, bounded repeats, \b, anchors) so both
+    * engines read them identically. All outputs are integers. */
+  def regexSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all($"text", lit("\\b[a-z]{4}\\b"), lit(0))))
+          .as("n_four"),
+        sum(length($"text") - length(regexp_replace($"text", "[aeiou]", "")))
+          .as("n_vowels"),
+        sum(when($"text".rlike("^[a-z]"), 1L).otherwise(0L))
+          .as("n_lower_start"))
+      .orderBy($"lang")
+  }
+
+  val regexSuiteSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(text, '\b[a-z]{4}\b'))) AS BIGINT) AS n_four,
+      |  CAST(SUM(len(text) - len(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS n_vowels,
+      |  CAST(SUM(CASE WHEN regexp_matches(text, '^[a-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_lower_start
+      |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+
+  // --- P15: array higher-order-function family --------------------------
+
+  /** The array HOF surface — transform, filter, aggregate (fold), sort +
+    * slice, zip_with + reverse — over the embedding vectors, all on
+    * integer-quantized components (floor(x·1e6), the proven cross-engine
+    * embedding contract) so every result is an exact BIGINT. Entirely
+    * narrow: no shuffle except the presentation sort. */
+  def arraySuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv = transform($"embedding",
+      x => floor(x.cast(DoubleType) * 1000000L))
+    Tables.embeddings(s, dir)
+      .select($"vec_id", qv.as("qv"))
+      .select(
+        $"vec_id",
+        size($"qv").cast(LongType).as("n_dims"),
+        size(filter($"qv", x => x > 0L)).cast(LongType).as("n_pos"),
+        aggregate($"qv", lit(0L), (a, x) => a + abs(x)).as("sum_abs"),
+        aggregate(slice(sort_array($"qv", asc = false), 1, 3),
+          lit(0L), (a, x) => a + x).as("top3_sum"),
+        aggregate(zip_with($"qv", reverse($"qv"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x).as("rev_dot"))
+      .orderBy($"vec_id")
+  }
+
+  val arraySuiteSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings)
+      |SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims,
+      |  CAST(len(list_filter(qv, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs,
+      |  CAST(list_sum(list_slice(list_sort(qv, 'DESC'), 1, 3)) AS BIGINT) AS top3_sum,
+      |  CAST(list_sum(list_transform(generate_series(1, len(qv)),
+      |    i -> qv[i] * qv[len(qv)+1-i])) AS BIGINT) AS rev_dot
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_unpivot_measures", unpivotMeasures, Some(unpivotMeasuresSql),
+      "P13 native unpivot/melt of the lineitem measures"),
+    QueryDef("q_regex_suite", regexSuite, Some(regexSuiteSql),
+      "P14 regex extract-all/replace/match census per language"),
+    QueryDef("q_array_suite", arraySuite, Some(arraySuiteSql),
+      "P15 array HOF family on integer-quantized embeddings"))
+}
