@@ -202,7 +202,54 @@ object PipelineQueries {
       |  MIN(score_milli) AS min_score, MAX(score_milli) AS max_score
       |FROM b GROUP BY 1, 2 ORDER BY lang, quartile""".stripMargin
 
+  // --- XP5: overlapping document chunking -------------------------------
+
+  /** Chunk size / stride (chars) for [[chunkDocuments]]: 50-char overlap,
+    * the retrieval-pipeline shape. */
+  private val CHUNK = 200
+  private val STRIDE = 150
+
+  /** Split every document into overlapping fixed-size chunks with stable
+    * offsets and content hashes — the chunking stage of a retrieval /
+    * context-window pipeline. Chunk count derives from the text length in
+    * closed form, so the whole operator is one narrow
+    * explode(sequence(...)) + codegen substring/md5 projection: no
+    * shuffle, no state, embarrassingly parallel at any scale. Offsets are
+    * character-based (not byte), so multi-byte scripts chunk identically
+    * in both engines. */
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"text",
+        explode(sequence(lit(0L),
+          expr(s"(greatest(length(text) - $CHUNK, 0) + ${STRIDE - 1}) div $STRIDE")))
+          .as("chunk_idx"))
+      .select($"doc_id", $"lang", $"chunk_idx",
+        ($"chunk_idx" * STRIDE + 1).as("chunk_start"),
+        length(expr(s"substring(text, chunk_idx * $STRIDE + 1, $CHUNK)"))
+          .cast("long").as("chunk_len"),
+        md5(expr(s"substring(text, chunk_idx * $STRIDE + 1, $CHUNK)")
+          .cast("binary")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val chunkDocumentsSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(unnest(generate_series(0,
+       |      (greatest(len(text) - $CHUNK, 0) + ${STRIDE - 1}) // $STRIDE)) AS BIGINT)
+       |      AS chunk_idx
+       |  FROM documents)
+       |SELECT doc_id, lang, chunk_idx,
+       |  chunk_idx * $STRIDE + 1 AS chunk_start,
+       |  CAST(len(substring(text, CAST(chunk_idx * $STRIDE + 1 AS INTEGER), $CHUNK)) AS BIGINT)
+       |    AS chunk_len,
+       |  md5(substring(text, CAST(chunk_idx * $STRIDE + 1 AS INTEGER), $CHUNK)) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_chunk_documents", chunkDocuments, Some(chunkDocumentsSql),
+      "XP5 overlapping fixed-size document chunking with offsets + hashes"),
     QueryDef("q_pack_sequences", packSequences, Some(packSequencesSql),
       "XP1 contiguous-fill sequence packing into fixed token budgets"),
     QueryDef("q_mix_weighted", mixWeighted, Some(mixWeightedSql),

@@ -91,6 +91,28 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("XP5 chunking: chunks cover every char with the declared overlap") {
+    import spark.implicits._
+    val lens = Tables.documents(spark, sf)
+      .select($"doc_id", length($"text").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val chunks = PipelineQueries.chunkDocuments(spark, sf).collect()
+    chunks.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      val len = lens(doc)
+      // dense indices from 0; starts stride apart; tail chunk reaches EOF
+      assert(sorted.map(_.getLong(2)).toSeq == (0L until sorted.length.toLong))
+      sorted.foreach { r =>
+        assert(r.getLong(3) == r.getLong(2) * 150 + 1)
+        assert(r.getLong(4) == math.min(200L, len - r.getLong(2) * 150))
+      }
+      val last = sorted.last
+      assert(last.getLong(3) + last.getLong(4) - 1 == len, s"doc $doc tail gap")
+      // every non-final chunk is full-size => 50-char overlap with the next
+      sorted.dropRight(1).foreach(r => assert(r.getLong(4) == 200L))
+    }
+  }
+
   test("M1 SCD2: intervals tile each user's timeline exactly") {
     import spark.implicits._
     // rebuild intervals locally from the raw stream and compare aggregates
