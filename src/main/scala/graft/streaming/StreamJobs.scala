@@ -76,13 +76,16 @@ object StreamJobs {
   /** Streaming `events` source from a parquet directory (the test harness
     * drops sf parquet files in). `ts` arrives as TIMESTAMP(NANOS) — read as
     * long, truncate to µs exactly like the batch path (Tables.events). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(raw).parquet(dir)
+    val reader = spark.readStream.schema(raw)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
@@ -183,6 +186,27 @@ object StreamJobs {
       .transformWithState(new RunningTotals,
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** T6-next with timers — gap sessionization on the transformWithState
+    * API: events buffer in a named ListState, one event-time timer per key
+    * re-arms at (last event + gap), and sessions emit from
+    * `handleExpiredTimer` when the WATERMARK passes the gap — the state
+    * machine flatMapGroupsWithState expresses with timeout flags, spelled
+    * as explicit state + timers. State is per-key-bounded (one open
+    * buffer), timers are one per key. */
+  def timerSessions(events: DataFrame): Dataset[SessionOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("ts").as("event_time"))
+      .withWatermark("event_time", "1 hour")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessions,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** T-extra — watermarked stream-stream interval self-join, the streaming
@@ -315,5 +339,53 @@ class RunningTotals
     val next = UserTotals(key, prev.n_events + n, prev.total_cents + cents)
     totals.update(next)
     Iterator.single(next)
+  }
+}
+
+/** StatefulProcessor for [[StreamJobs.timerSessions]]: ListState event
+  * buffer + a single re-armed event-time timer per key. Sessions emit only
+  * from the expired-timer path, i.e. only once the watermark proves the
+  * gap — the same close condition as [[Sessionize]], so emitted sessions
+  * are exactly the batch sessions once the watermark passes them. */
+class TimerSessions
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SessionOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ListState}
+
+  @transient private var buf: ListState[Ev] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getListState[Ev]("buf",
+      org.apache.spark.sql.Encoders.product[Ev], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[SessionOut] = {
+    rows.foreach(buf.appendValue)
+    // arm a timer at (last buffered event + gap). Earlier timers for this
+    // key may still be pending — that is fine BY DESIGN: the expiry path
+    // below emits only sessions the watermark has proven closed and
+    // re-arms for the rest, so a stale timer can never emit early. (Do
+    // NOT "clean up" with listTimers+deleteTimer here: timers are not
+    // worth deleting, and an eager delete-all is exactly the kind of
+    // key-scoping bug a conservative expiry path is immune to.)
+    val lastMs = buf.get().map(_.ts_us).max / 1000
+    getHandle.registerTimer(lastMs + Sessionize.GapUs / 1000)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+    // emit exactly the sessions whose gap the WATERMARK has passed; the
+    // still-open tail goes back into the buffer with a fresh timer
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
+    val sorted = buf.get().toSeq.sortBy(_.ts_us)
+    buf.clear()
+    val sessions = Sessionize.sessionsOf(sorted)
+    val (closed, open) = sessions.partition(_.end_us + Sessionize.GapUs <= wmUs)
+    if (open.nonEmpty) {
+      val keepFrom = open.head.start_us
+      sorted.filter(_.ts_us >= keepFrom).foreach(buf.appendValue)
+      getHandle.registerTimer(open.last.end_us / 1000 + Sessionize.GapUs / 1000)
+    }
+    closed.iterator
   }
 }

@@ -151,6 +151,76 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("T6 transformWithState timers emit exactly the batch session set") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tmp = eventsDir
+      // sentinel file, processed as its own SECOND batch (maxFilesPerTrigger
+      // = 1): one far-future event for an out-of-band user advances the
+      // watermark past every real session's gap expiry, so every timer
+      // fires and all real sessions emit.
+      // TWO sentinel batches: the watermark advances only AFTER a batch,
+      // so batch 2 fires timers against the batch-1 watermark (stranding
+      // the final ~gap+delay of real sessions) and batch 3 fires the rest.
+      val maxUs = Tables.events(spark, sf)
+        .agg(max(unix_micros($"ts"))).head().getLong(0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props",
+          org.apache.spark.sql.types.StringType)))
+      Seq(10L, 20L).zipWithIndex.foreach { case (days, i) =>
+        val ns = (maxUs + days * 24 * 3600 * 1000 * 1000) * 1000
+        // stage then move the bare part-file in: the file stream source
+        // does not recurse into non-partition subdirectories, so a
+        // directory-shaped write would be silently ignored
+        val stage = Files.createTempDirectory(s"graft-sentinel$i").toString + "/out"
+        spark.createDataFrame(
+            java.util.List.of(
+              org.apache.spark.sql.Row(999999L + i, ns, 999999L, "view", 0.0, "{}")),
+            schema)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$tmp/zz_sentinel$i.parquet"))
+      }
+      val q = StreamJobs.timerSessions(
+          StreamJobs.eventsStream(spark, tmp, maxFilesPerTrigger = Some(1)))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("timer_sessions_out").start()
+      try { q.processAllAvailable() } finally q.stop()
+      val streamed = spark.table("timer_sessions_out")
+        .where($"user_id" =!= 999999L).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Int]("n_events"),
+          r.getAs[Long]("total_value_cents"))).toSet
+      val evs = Tables.events(spark, sf)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"value",
+          $"ts".as("event_time")).as[Ev]
+      val batchSet = Sessionize.batch(evs).collect()
+        .map(s => (s.user_id, s.start_us, s.end_us, s.n_events,
+          s.total_value_cents)).toSet
+      assert(streamed == batchSet) // EVERY session closed and emitted once
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming latest-state upsert sink converges to the batch W1 query") {
     val tmp = eventsDir
     val state = s"$tmp/state"
