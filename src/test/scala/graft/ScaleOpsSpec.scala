@@ -134,4 +134,43 @@ class ScaleOpsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("bucket pruning: an equality filter on the bucket key reads 1 bucket") {
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice"),
+      "o_prune_bucketed", "o_orderkey", 8)
+    // auto-bucketed-scan turns the bucketed layout OFF when no operator
+    // needs its distribution, which also forfeits bucket pruning — for a
+    // selective point-lookup the pruning IS the benefit, so pin it on
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try {
+      val key = Tables.orders(spark, sf).agg(min($"o_orderkey")).head().getLong(0)
+      val plan = Bucketing.readTable(spark, "o_prune_bucketed")
+        .where($"o_orderkey" === key)
+        .queryExecution.executedPlan.toString
+      // the scan must report selecting exactly one of the 8 bucket files —
+      // at 100 TB this is the difference between reading 1/8 of the table
+      // and all of it, before any row-level filtering happens
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning missing:\n$plan")
+    } finally {
+      spark.conf.set(autoKey, prevAuto)
+      spark.sql("DROP TABLE IF EXISTS o_prune_bucketed")
+    }
+  }
+
+  test("AQE coalesces post-shuffle partitions for small outputs") {
+    // the runtime-replan leg: a grouped aggregate whose shuffle output is
+    // tiny must not keep all configured shuffle partitions alive — AQE
+    // folds them into a handful of right-sized ones (at 100 TB the same
+    // machinery right-sizes every stage's partition count from real stats)
+    val df = Tables.orders(spark, sf)
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    df.collect() // AQE finalizes the plan only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead coalesced"),
+      s"expected AQE-coalesced shuffle read:\n$plan")
+  }
 }
