@@ -23,6 +23,7 @@ object Registry {
       analytics.WarehouseQueries.defs ++
       analytics.IncrementalQueries.defs ++
       analytics.SurfaceQueries.defs ++
+      analytics.QualityGate.defs ++
       ext.FuzzyQueries.defs ++
       analytics.Profiler.defs ++
       ingest.IngestQueries.defs ++
