@@ -112,7 +112,69 @@ object SurfaceQueries {
       |    i -> qv[i] * qv[len(qv)+1-i])) AS BIGINT) AS rev_dot
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // --- J7: correlated lateral join --------------------------------------
+
+  /** Top-2 orders per customer via a correlated LATERAL subquery — the
+    * "for each row, run this parameterized query" operator. Catalyst
+    * decorrelates the lateral (ORDER BY + LIMIT inside the correlation)
+    * into a ranked window join, so the executed plan is one shuffle on the
+    * correlation key — per-row re-execution never happens. */
+  def lateralTopN(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("lat_orders")
+    s.sql("""SELECT c.c_custkey, t.o_orderkey,
+        CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_price
+      FROM lat_customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM lat_orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey < 50
+      ORDER BY c.c_custkey, o_price DESC, t.o_orderkey""")
+  }
+
+  val lateralTopNSql: String =
+    """SELECT c.c_custkey, t.o_orderkey,
+      |  CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_price
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_custkey < 50
+      |ORDER BY c.c_custkey, o_price DESC, t.o_orderkey""".stripMargin
+
+  // --- A5b: grouping metadata -------------------------------------------
+
+  /** Rollup with `grouping()` / `grouping_id()` — the metadata columns
+    * that make subtotal rows distinguishable from genuine NULL groups
+    * (both engines use the same bit order: first grouping expression is
+    * the high bit). */
+  def rollupGrouping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(grouping($"l_returnflag").cast("long").as("g_flag"),
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"g_flag", $"gid", $"n")
+      .orderBy($"gid", $"flag", $"status")
+  }
+
+  val rollupGroupingSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, flag, status""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_lateral_topn", lateralTopN, Some(lateralTopNSql),
+      "J7 correlated LATERAL top-n per row, decorrelated to a window join"),
+    QueryDef("q_rollup_grouping", rollupGrouping, Some(rollupGroupingSql),
+      "A5b rollup with grouping()/grouping_id() subtotal metadata"),
     QueryDef("q_unpivot_measures", unpivotMeasures, Some(unpivotMeasuresSql),
       "P13 native unpivot/melt of the lineitem measures"),
     QueryDef("q_regex_suite", regexSuite, Some(regexSuiteSql),
