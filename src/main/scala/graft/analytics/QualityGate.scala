@@ -34,6 +34,9 @@ object QualityGate {
       cnt("orders_null_key", orders.where($"o_orderkey".isNull)),
       cnt("orders_dup_key", orders.groupBy($"o_orderkey")
         .agg(count(lit(1)).as("c")).where($"c" > 1)),
+      // Orphan rules are left_anti joins; the oracle spells them NOT EXISTS
+      // (same null semantics). NOT IN would return UNKNOWN on any NULL key
+      // and count 0 — diverging exactly when the gate matters.
       cnt("orders_orphan_custkey", orders.select($"o_custkey")
         .join(customer.select($"c_custkey"),
           $"o_custkey" === $"c_custkey", "left_anti")),
@@ -60,7 +63,8 @@ object QualityGate {
       |UNION ALL SELECT 'lineitem_nonpositive_qty',
       |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
       |UNION ALL SELECT 'lineitem_orphan_orderkey',
-      |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
       |UNION ALL SELECT 'lineitem_qty_over_40',
       |  (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 40)
       |UNION ALL SELECT 'orders_dup_key',
@@ -70,7 +74,8 @@ object QualityGate {
       |UNION ALL SELECT 'orders_null_key',
       |  (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
       |UNION ALL SELECT 'orders_orphan_custkey',
-      |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |  (SELECT COUNT(*) FROM orders r WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey))
       |ORDER BY rule""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(

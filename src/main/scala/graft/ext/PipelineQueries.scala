@@ -177,7 +177,10 @@ object PipelineQueries {
     import s.implicits._
     val scored = Tables.documents(s, dir)
       .select($"lang", $"doc_id",
-        expr("length(text) * 1000 div size(split(text, ' '))").as("score_milli"))
+        // length is cast to LONG before the ×1000 (the oracle multiplies in
+        // BIGINT too) — INT arithmetic would overflow past ~2.1M chars/doc.
+        expr("cast(length(text) as bigint) * 1000 div size(split(text, ' '))")
+          .as("score_milli"))
     val w = Window.partitionBy($"lang").orderBy($"score_milli", $"doc_id")
     scored
       .withColumn("quartile", ntile(4).over(w).cast("long"))

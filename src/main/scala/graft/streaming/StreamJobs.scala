@@ -135,6 +135,17 @@ object StreamJobs {
         val newLatest = batch
           .groupBy(col("user_id")).agg(max_by(payload, ordKey).as("st"))
           .select(col("user_id"), col("st.*"))
+        // Crash recovery: a replayed batch can find the live dir missing
+        // because a prior attempt died between moving it aside and
+        // publishing the stage — the `_old` copy is then the only surviving
+        // state. Restore it BEFORE the _SUCCESS probe, or the replay would
+        // merge against empty state and the swap below would delete `_old`.
+        locally {
+          val dirF = new java.io.File(stateDir)
+          val asideF = new java.io.File(stateDir + "_old")
+          if (!dirF.exists() && asideF.exists() && !asideF.renameTo(dirF))
+            sys.error(s"state swap: failed to restore $asideF")
+        }
         val cur = new java.io.File(stateDir, "_SUCCESS")
         val merged =
           if (!cur.exists()) newLatest

@@ -244,6 +244,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateMap === batch)
   }
 
+  test("latest-state upsert recovers state lost mid-swap (crash between renames)") {
+    val tmp = eventsDir
+    val state = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
+    def runOnce(): Unit = {
+      val q = StreamJobs.latestStateUpsert(
+        StreamJobs.eventsStream(spark, tmp), state, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce()
+    val before = spark.read.parquet(state).count()
+    assert(before > 0)
+    // Simulate the exact crash window: the live dir was moved aside but the
+    // stage was never published — replay finds stateDir missing.
+    assert(new java.io.File(state).renameTo(new java.io.File(state + "_old")))
+    // Next micro-batch carries ONE new user only. The checkpoint already
+    // consumed the original file, so without the `_old` restore the merge
+    // would see empty prior state and the swap would then delete the only
+    // surviving copy — state silently collapses to this single key.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    val stage = Files.createTempDirectory("graft-upsert-sentinel").toString + "/out"
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          424242L, 1735689600L * 1000000000L, 424242L, "view", 1.0, "{}")),
+        schema)
+      .coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/zz_new_user.parquet"))
+    runOnce()
+    val after = spark.read.parquet(state)
+      .select($"user_id").collect().map(_.getLong(0)).toSet
+    assert(after.contains(424242L))
+    assert(after.size === before + 1) // every pre-crash key survived
+    assert(!new java.io.File(state + "_old").exists())
+  }
+
   test("streaming dropDuplicatesWithinWatermark dedups re-delivered events") {
     // the streaming answer to the reference's at-least-once re-drive: the
     // same event delivered twice within the watermark horizon must land
