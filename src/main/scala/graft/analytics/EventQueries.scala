@@ -661,7 +661,124 @@ object EventQueries {
       |FROM events WHERE isodow(CAST(ts AS DATE)) = 1
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- W6: gaps-and-islands — consecutive-day activity streaks -----------
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands idiom (island id = day_number − row_number, constant
+    * within each run of consecutive days). Distinct from T6 sessionization:
+    * this is DATE arithmetic over a deduplicated (user, day) grid, not
+    * time-gap grouping over raw events.
+    *
+    * Scale: the (user, day) dedup is one hash aggregate that shrinks the
+    * relation to |users|×|days| before any window runs, and both windows
+    * share the same (user_id, day) partitioning — one exchange total. */
+  def gapIslands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, dir)
+      .select($"user_id",
+        // integer `div`, NOT `/`: Column./ is float division and epoch
+        // micros (~1.7e18) exceed double's exact-integer range
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("dayn"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"dayn")
+    val islands = days
+      .withColumn("island", $"dayn" - row_number().over(w))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("len"), min($"dayn").as("start_dayn"))
+    val rankW = Window.partitionBy($"user_id")
+      .orderBy($"len".desc, $"start_dayn".asc)
+    islands
+      .withColumn("rn", row_number().over(rankW))
+      .groupBy($"user_id")
+      .agg(
+        sum($"len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max($"len").as("max_streak"),
+        max(when($"rn" === 1, $"start_dayn")).as("best_start_dayn"))
+      .orderBy($"user_id")
+  }
+
+  val gapIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS dayn
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, COUNT(*) AS len, MIN(dayn) AS start_dayn
+      |  FROM (SELECT user_id, dayn,
+      |          dayn - row_number() OVER (
+      |            PARTITION BY user_id ORDER BY dayn) AS island
+      |        FROM days)
+      |  GROUP BY user_id, island),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY len DESC, start_dayn ASC) AS rn
+      |  FROM islands)
+      |SELECT user_id, SUM(len) AS n_active_days, COUNT(*) AS n_streaks,
+      |  MAX(len) AS max_streak,
+      |  MAX(CASE WHEN rn = 1 THEN start_dayn END) AS best_start_dayn
+      |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --- W7: exact-rank P99 anomaly gate ------------------------------------
+
+  /** Per-type outlier audit against an EXACT p99 threshold: the k-th
+    * largest value (k = ceil(n/100)) selected by rank — not an
+    * interpolated percentile, whose float math differs between engines —
+    * then every row compared against it. Money stays in integer cents
+    * throughout, so the threshold, the comparisons, and the outlier sum
+    * hash-match DuckDB exactly.
+    *
+    * Scale: two window passes over the same (event_type) partitioning —
+    * one exchange — then one hash aggregate; nothing is collected to the
+    * driver. For a 100-TB corpus the same shape runs with
+    * approx_percentile supplying the threshold (see q_agg_stats_approx);
+    * this is the exact tier. */
+  def anomalyP99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"cents".desc, $"event_id".desc)
+    val wAll = Window.partitionBy($"event_type")
+    Tables.events(s, dir)
+      .select($"event_type", $"event_id",
+        (money($"value") * 100).cast(LongType).as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("k", expr("(n + 99) div 100")) // integer ceil(n/100)
+      .withColumn("thr", max(when($"rn" === $"k", $"cents")).over(wAll))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        max($"thr").as("p99_cents"),
+        sum(when($"cents" > $"thr", 1L).otherwise(0L)).as("n_outliers"),
+        sum(when($"cents" > $"thr", $"cents").otherwise(0L)).as("outlier_cents"))
+      .orderBy($"event_type")
+  }
+
+  val anomalyP99Sql: String =
+    """WITH c AS (
+      |  SELECT event_type, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cents DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM c),
+      |t AS (
+      |  SELECT *, MAX(CASE WHEN rn = (n + 99) // 100 THEN cents END)
+      |    OVER (PARTITION BY event_type) AS thr
+      |  FROM r)
+      |SELECT event_type, COUNT(*) AS n, MAX(thr) AS p99_cents,
+      |  CAST(SUM(CASE WHEN cents > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(SUM(CASE WHEN cents > thr THEN cents ELSE 0 END) AS BIGINT) AS outlier_cents
+      |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_gap_islands", gapIslands, Some(gapIslandsSql),
+      "W6 gaps-and-islands consecutive-day activity streaks"),
+    QueryDef("q_anomaly_p99", anomalyP99, Some(anomalyP99Sql),
+      "W7 exact-rank p99 outlier audit in integer cents"),
     QueryDef("q_funnel_conversion", funnel, Some(funnelSql),
       "signup→purchase funnel with 7-day conversion window"),
     QueryDef("q_cohort_retention", cohortRetention, Some(cohortRetentionSql),

@@ -170,7 +170,134 @@ object SurfaceQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, flag, status""".stripMargin
 
+  // --- XP6: PII redaction audit -------------------------------------------
+
+  /** PII scrubbing with a per-segment audit — the pass every training-data
+    * pipeline runs before text leaves quarantine. The PII-bearing contact
+    * string is constructed deterministically from customer keys (the test
+    * tables carry no real PII), then masked in two codegen regex passes:
+    * email-shaped tokens → `<EMAIL>`, long digit runs (phones, ids) →
+    * `<NUM>`. Patterns stay in the RE2 ∩ java.util.regex intersection and
+    * replacements carry no backreferences, so both engines rewrite
+    * identically. The audit reports counts and masked-character volume —
+    * what a compliance reviewer actually signs off on.
+    *
+    * Scale: fully narrow (two regexp_replace per row) + one hash
+    * aggregate; regex state machines are per-row constant memory. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+    val numRe = "[0-9][0-9-]{5,}[0-9]"
+    Tables.customer(s, dir)
+      .select($"c_mktsegment",
+        concat(
+          $"c_name", lit(" <"),
+          lower(replace($"c_name", lit("Customer#"), lit("user"))),
+          lit("@example.org> +1-555-"),
+          lpad(($"c_custkey" % 10000).cast(StringType), 4, "0")).as("contact"))
+      .withColumn("n_emails",
+        size(regexp_extract_all($"contact", lit(emailRe), lit(0))).cast(LongType))
+      .withColumn("pass1", regexp_replace($"contact", emailRe, "<EMAIL>"))
+      .withColumn("n_nums",
+        size(regexp_extract_all($"pass1", lit(numRe), lit(0))).cast(LongType))
+      .withColumn("redacted", regexp_replace($"pass1", numRe, "<NUM>"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"n_emails").as("emails_masked"),
+        sum($"n_nums").as("nums_masked"),
+        sum(length($"contact")).as("chars_in"),
+        sum(length($"redacted")).as("chars_out"),
+        countDistinct($"redacted").as("n_distinct_redacted"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val piiRedactSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment,
+      |    c_name || ' <' || lower(replace(c_name, 'Customer#', 'user'))
+      |      || '@example.org> +1-555-'
+      |      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact
+      |  FROM customer),
+      |r AS (
+      |  SELECT c_mktsegment, contact,
+      |    CAST(len(regexp_extract_all(contact,
+      |      '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+      |    regexp_replace(contact,
+      |      '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS pass1
+      |  FROM c),
+      |r2 AS (
+      |  SELECT *,
+      |    CAST(len(regexp_extract_all(pass1,
+      |      '[0-9][0-9-]{5,}[0-9]')) AS BIGINT) AS n_nums,
+      |    regexp_replace(pass1, '[0-9][0-9-]{5,}[0-9]', '<NUM>', 'g') AS redacted
+      |  FROM r)
+      |SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_emails) AS BIGINT) AS emails_masked,
+      |  CAST(SUM(n_nums) AS BIGINT) AS nums_masked,
+      |  CAST(SUM(len(contact)) AS BIGINT) AS chars_in,
+      |  CAST(SUM(len(redacted)) AS BIGINT) AS chars_out,
+      |  COUNT(DISTINCT redacted) AS n_distinct_redacted
+      |FROM r2 GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  // --- P16: URL parsing census --------------------------------------------
+
+  /** Structured URL decomposition with `parse_url` (host / path / keyed
+    * query param) — the click-log normalization scalar. URLs are built
+    * deterministically from order columns (priority → path segment,
+    * customer → query param; spaces dashed so the URI stays valid), then
+    * parsed back and audited per path. The oracle decomposes the same URLs
+    * with anchored regexes — pinning that Spark's java.net.URI-based
+    * parser agrees with the plain string reading on well-formed URLs.
+    *
+    * Scale: narrow scalar work + one hash aggregate on the path. */
+  def urlParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(concat(
+        lit("https://shop.example.com/"),
+        lower(replace($"o_orderpriority", lit(" "), lit("-"))),
+        lit("/item?cust="), $"o_custkey".cast(StringType),
+        lit("&status="), $"o_orderstatus").as("url"))
+      .select(
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY"), lit("cust")).as("cust"),
+        parse_url($"url", lit("QUERY"), lit("status")).as("status"))
+      .groupBy($"host", $"path")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"cust").as("n_custs"),
+        countDistinct($"status").as("n_statuses"),
+        min($"cust").as("min_cust"))
+      .orderBy($"path")
+  }
+
+  val urlParseSql: String =
+    """WITH u AS (
+      |  SELECT 'https://shop.example.com/'
+      |    || lower(replace(o_orderpriority, ' ', '-'))
+      |    || '/item?cust=' || CAST(o_custkey AS VARCHAR)
+      |    || '&status=' || o_orderstatus AS url
+      |  FROM orders),
+      |p AS (
+      |  SELECT
+      |    regexp_extract(url, '^https://([^/]+)', 1) AS host,
+      |    regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+      |    regexp_extract(url, 'cust=([0-9]+)', 1) AS cust,
+      |    regexp_extract(url, 'status=([A-Z]+)', 1) AS status
+      |  FROM u)
+      |SELECT host, path, COUNT(*) AS n,
+      |  COUNT(DISTINCT cust) AS n_custs,
+      |  COUNT(DISTINCT status) AS n_statuses,
+      |  MIN(cust) AS min_cust
+      |FROM p GROUP BY 1, 2 ORDER BY path""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql),
+      "XP6 PII redaction (email/number masking) with per-segment audit"),
+    QueryDef("q_url_parse", urlParse, Some(urlParseSql),
+      "P16 parse_url host/path/query decomposition census"),
     QueryDef("q_lateral_topn", lateralTopN, Some(lateralTopNSql),
       "J7 correlated LATERAL top-n per row, decorrelated to a window join"),
     QueryDef("q_rollup_grouping", rollupGrouping, Some(rollupGroupingSql),

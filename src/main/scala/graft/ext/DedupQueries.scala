@@ -517,7 +517,100 @@ object DedupQueries {
        |  FROM scored) WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+  // --- X2f: incremental dedup — delta vs standing corpus ------------------
+
+  /** Incremental near-dup screening: dedup an arriving DELTA batch (here
+    * every 17th doc) against the standing CORPUS without recomputing
+    * corpus-vs-corpus pairs — the shape a production pipeline runs on every
+    * ingest tick, where re-running full-corpus LSH per batch is the classic
+    * scale failure. The corpus side collapses to cap-bounded LSH buckets in
+    * one exchange ([[graft.functions.BoundedCollect]], mega-buckets
+    * dropped); the delta's band rows equi-join those buckets, candidates
+    * expand locally, and signature agreement is scored post-explode by
+    * codegen'd indexing. At 100 TB the corpus bucket table is a standing
+    * artifact updated per batch, so marginal cost is O(|delta| · K) join
+    * rows — never O(|corpus|).
+    *
+    * Output: one row per delta doc — near-dup count against the corpus,
+    * best estimated Jaccard, and the best-matching corpus doc (ties → min
+    * doc_id). Docs with no candidate survive with n_matches = 0. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val deltaPred = col("doc_id") % 17 === 0
+    val bands = minhashSigs(s, dir)
+      .select($"doc_id",
+        array((0 until K).map(i => col(s"h$i")): _*).as("sig"),
+        explode(array(
+          (0 until K).map(i => struct(lit(i).as("b"), col(s"h$i").as("v"))): _*)).as("band"))
+      .select($"doc_id", $"sig", $"band.b".as("b"), $"band.v".as("v"))
+    val boundedCollect = udaf(graft.functions.BoundedCollect.docSigs(BUCKET_CAP))
+    val corpusBuckets = bands.where(!deltaPred)
+      .groupBy($"b", $"v")
+      .agg(boundedCollect($"doc_id", $"sig").as("ms"))
+      .filter(size($"ms") <= BUCKET_CAP)
+    val matches = (0 until K)
+      .map(i => when($"sig".getItem(i) === $"m.sig".getItem(i), 1).otherwise(0))
+      .reduce(_ + _)
+    val scored = bands.where(deltaPred)
+      .join(corpusBuckets, Seq("b", "v"))
+      .select($"doc_id", $"sig", explode($"ms").as("m"))
+      .select($"doc_id", $"m.doc_id".as("match_id"),
+        (matches.cast(DoubleType) / K).as("est_jaccard"))
+      .filter($"est_jaccard" >= 2.0 / K)
+      .distinct() // a pair seen via several bands counts once
+    val wBest = Window.partitionBy($"doc_id")
+      .orderBy($"est_jaccard".desc, $"match_id".asc)
+    val agg = scored
+      .withColumn("rn", row_number().over(wBest))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max($"est_jaccard").as("best_est"),
+        max(when($"rn" === 1, $"match_id")).as("best_match"))
+    Tables.documents(s, dir).where(deltaPred).select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_matches", lit(0L)).as("n_matches"),
+        $"best_est", $"best_match")
+      .orderBy($"doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $minhashSigsSql,
+       |bands AS (
+       |  ${(0 until K).map(i => s"SELECT doc_id, $i AS b, h$i AS v FROM sigs")
+            .mkString("\n  UNION ALL\n  ")}),
+       |cbands AS (SELECT * FROM bands WHERE doc_id % 17 <> 0),
+       |okb AS (
+       |  SELECT b, v FROM cbands GROUP BY b, v HAVING COUNT(*) <= $BUCKET_CAP),
+       |cb AS (SELECT cbands.* FROM cbands JOIN okb USING (b, v)),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS doc_id, c.doc_id AS match_id
+       |  FROM bands d JOIN cb c ON d.b = c.b AND d.v = c.v
+       |  WHERE d.doc_id % 17 = 0),
+       |scored AS (
+       |  SELECT cand.doc_id, match_id,
+       |    ${estJaccardSql("sa", "sb")} AS est_jaccard
+       |  FROM cand
+       |  JOIN sigs sa ON cand.doc_id = sa.doc_id
+       |  JOIN sigs sb ON match_id = sb.doc_id
+       |  WHERE ${estJaccardSql("sa", "sb")} >= ${2.0 / K}),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY est_jaccard DESC, match_id ASC) AS rn
+       |  FROM scored),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       |    MAX(est_jaccard) AS best_est,
+       |    MAX(CASE WHEN rn = 1 THEN match_id END) AS best_match
+       |  FROM ranked GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(n_matches, 0) AS BIGINT) AS n_matches,
+       |  best_est, best_match
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) d
+       |LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql),
+      "X2f incremental delta-vs-corpus LSH dedup (standing bucket join)"),
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql),
       "X1 exact dedup via sha256 content hash"),
     QueryDef("q_dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashLshSql),
