@@ -714,7 +714,8 @@ object EventQueries {
       |  SELECT *, row_number() OVER (
       |    PARTITION BY user_id ORDER BY len DESC, start_dayn ASC) AS rn
       |  FROM islands)
-      |SELECT user_id, SUM(len) AS n_active_days, COUNT(*) AS n_streaks,
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  COUNT(*) AS n_streaks,
       |  MAX(len) AS max_streak,
       |  MAX(CASE WHEN rn = 1 THEN start_dayn END) AS best_start_dayn
       |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin

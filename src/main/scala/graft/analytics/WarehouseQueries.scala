@@ -87,10 +87,11 @@ object WarehouseQueries {
     // Insert keys are offset past the ACTUAL max base key (broadcast 1-row
     // aggregate, not a constant): a fixed offset collides with real keys
     // once o_orderkey outgrows it (~sf 1.7 for 10M), silently reclassifying
-    // inserts as updates. maxk + k keeps the synthetic keys unique.
+    // inserts as updates. The +1 matters: base keys start at 0, so the
+    // smallest synthetic key maxk + 0 would collide with the real max key.
     val maxKey = broadcast(base.agg(max($"k").as("maxk")))
     val inserts = base.where($"k" % 13 === 0).crossJoin(maxKey)
-      .select(($"maxk" + $"k").as("k"), $"st", $"price")
+      .select(($"maxk" + $"k" + lit(1L)).as("k"), $"st", $"price")
     val delta = updates.unionByName(inserts)
       .select($"k".as("d_k"), $"st".as("d_st"), $"price".as("d_price"))
     base.join(delta, $"k" === $"d_k", "full_outer")
@@ -115,7 +116,7 @@ object WarehouseQueries {
       |  SELECT k, st, price * CAST(1.05 AS DECIMAL(3,2)) AS price
       |  FROM base WHERE k % 7 = 0),
       |ins AS (
-      |  SELECT (SELECT MAX(k) FROM base) + k AS k, st,
+      |  SELECT (SELECT MAX(k) FROM base) + k + 1 AS k, st,
       |    CAST(price AS DECIMAL(21,4)) AS price
       |  FROM base WHERE k % 13 = 0),
       |delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),

@@ -44,7 +44,9 @@ class RegistrySpec extends AnyFunSuite {
     //    factor table (same shape as textTfidf)
     val allowBnlj = Set("q_sim_knn_brute", "q_sim_knn_ivf",
       "q_join_asof_state", "q_ts_interpolate", "q_text_tfidf",
-      "q_sim_knn_sq8", "q_text_heavyhitters", "q_mix_weighted")
+      "q_sim_knn_sq8", "q_text_heavyhitters", "q_mix_weighted",
+      // bounded single-row broadcast build side (max-key aggregate)
+      "q_merge_upsert")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
