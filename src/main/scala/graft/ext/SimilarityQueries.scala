@@ -283,6 +283,166 @@ object SimilarityQueries {
        |  FROM scored) WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+  // --- X3b''': IVF with LEARNED centroids (bounded k-means) --------------
+  /** k-means refinement rounds over the md5-picked seed (a constant). */
+  private val KM_ROUNDS = 2
+
+  /** Probe count for the learned variant: refined lists are tighter, so the
+    * true neighbors concentrate in fewer lists, but the top-5 bar of the
+    * recall spec needs 4 of 16 lists scanned (25% of the corpus per query —
+    * still |corpus|/K × nprobe, the IVF contract). */
+  private val NPROBE2 = 4
+
+  /** Exact integer floor-division mean of the quantized components:
+    * floor(Σqv / n). Spark `div` truncates toward zero, so subtract the
+    * positive modulus first — (Σ − pmod(Σ, n)) is exactly divisible and
+    * truncation == floor. DuckDB's `//` floors natively; both engines
+    * produce the identical integer for any sign of Σ. */
+  private def floorDivMean(s: Column, n: Column): Column =
+    ((s - pmod(s, n)) / n).cast(LongType)
+
+  /** One k-means assignment pass: every vector to its nearest centroid by
+    * exact-integer cosine, ties broken on centroid id. K is a broadcast
+    * constant, so this is O(n·K) narrow work — one corpus pass, no shuffle
+    * beyond the final argmax window on vec_id. */
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
+    e.join(broadcast(cents), lit(true))
+      .select($"vec_id", $"qe", $"nrm", $"c_id",
+        cosine(dotQ($"qe", $"c_qe"), $"nrm", $"c_nrm").as("c_cos"))
+      .withColumn("crn", row_number().over(wAssign))
+  }
+
+  /** One k-means update pass: per-cluster integer-quantized means
+    * (floor(Σqv_d / n) per dimension — order-immune integer sums, so
+    * partial aggregation cannot change the centroid), reassembled into a
+    * long-array centroid with its exact integer norm. localCheckpoint
+    * truncates lineage per round (the table is K≤16 rows) so each round's
+    * corpus pass runs once instead of once per downstream consumer — the
+    * same bounded-iteration pattern as `DedupQueries.clusterLabels`. */
+  private def kmUpdate(e: DataFrame, assign: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.join(assign, Seq("vec_id"))
+      .select($"c_id", posexplode($"qe").as(Seq("dim", "qv")))
+      .groupBy($"c_id", $"dim")
+      .agg(sum($"qv").as("sq"), count(lit(1)).as("n"))
+      .select($"c_id", $"dim", floorDivMean($"sq", $"n").as("m"))
+      .groupBy($"c_id")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+        x => x.getField("m")).as("c_qe"))
+      .select($"c_id", $"c_qe", dotQ($"c_qe", $"c_qe").as("c_nrm"))
+      .localCheckpoint()
+  }
+
+  /** IVF-flat with LEARNED centroids: the md5-picked seed of [[knnIvf]]
+    * refined by [[KM_ROUNDS]] bounded Lloyd iterations (assign → exact
+    * integer-quantized means → reassign), then the same nprobe + exact
+    * re-rank as the flat variant. Every step is engine-deterministic
+    * (integer sums, floor division, IEEE doubles, total-order tie-breaks),
+    * so the full training loop is mirrored in the DuckDB oracle. At 100 TB
+    * the training runs on a SAMPLE and K stays constant, so each round is
+    * one O(sample·K) pass with a K-row broadcast and a 64-group aggregate;
+    * the final corpus assignment is precomputed at ingest. Probe recall vs
+    * the brute-force tier is pinned in ExtSpec. */
+  def knnIvf2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", q6Arr($"embedding").as("qe"))
+      .select($"vec_id", $"qe", dotQ($"qe", $"qe").as("nrm"))
+    val seed = e
+      .orderBy(md5(concat(lit("ivf_"), $"vec_id".cast(StringType))).asc,
+        $"vec_id".asc)
+      .limit(IVF_K)
+      .toDF("c_id", "c_qe", "c_nrm")
+    val learned = (1 to KM_ROUNDS).foldLeft(seed) { (cents, _) =>
+      kmUpdate(e, kmAssign(e, cents).filter($"crn" === 1)
+        .select($"vec_id", $"c_id"))
+    }
+    val ranked = kmAssign(e, learned)
+    val assign = ranked.filter($"crn" === 1).select($"vec_id", $"c_id".as("bucket"))
+    val probes = ranked.filter($"vec_id" < 20 && $"crn" <= NPROBE2)
+      .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"),
+        $"c_id".as("bucket"))
+    val scored = probes.join(assign, Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(e, Seq("vec_id"))
+      .select($"q_id", $"vec_id",
+        cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= 5)
+      .orderBy($"q_id", $"rnk")
+      .select($"q_id", $"rnk", $"vec_id", $"cos_sim")
+  }
+
+  /** DuckDB mirror of the k-means loop, unrolled: centroids live in long
+    * (c_id, g, m) form; each round is one assignment CTE + one floor-div
+    * means CTE. `//` floors in DuckDB, matching [[floorDivMean]]. */
+  val knnIvf2Sql: String = {
+    def assignCte(cents: String, n: Int): String =
+      s"""adots$n AS (
+         |  SELECT v.vec_id, c.c_id, SUM(v.qv * c.m) AS dot
+         |  FROM vq v JOIN $cents c ON v.g = c.g
+         |  GROUP BY 1, 2),
+         |aranked$n AS (
+         |  SELECT d.vec_id, d.c_id,
+         |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |      CAST(d.dot AS DOUBLE) / (sqrt(CAST(vn.nrm AS DOUBLE)) *
+         |        sqrt(CAST(cn.cnrm AS DOUBLE))) DESC, d.c_id ASC) AS crn
+         |  FROM adots$n d
+         |  JOIN norms vn ON d.vec_id = vn.vec_id
+         |  JOIN ${cents}_norm cn ON d.c_id = cn.c_id)""".stripMargin
+    def meansCte(prev: Int, out: String): String =
+      s"""$out AS (
+         |  SELECT a.c_id, v.g, SUM(v.qv) // COUNT(*) AS m
+         |  FROM aranked$prev a JOIN vq v ON a.vec_id = v.vec_id
+         |  WHERE a.crn = 1
+         |  GROUP BY 1, 2),
+         |${out}_norm AS (
+         |  SELECT c_id, SUM(m * m) AS cnrm FROM $out GROUP BY c_id)""".stripMargin
+    s"""WITH $normsCte,
+       |vq AS (
+       |  SELECT vec_id, i.g AS g, ${q6Sql("embedding[i.g]")} AS qv
+       |  FROM embeddings, $idxSql),
+       |cent_ids AS (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY md5('ivf_' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $IVF_K),
+       |c0 AS (
+       |  SELECT v.vec_id AS c_id, v.g, v.qv AS m
+       |  FROM vq v JOIN cent_ids ci ON v.vec_id = ci.vec_id),
+       |c0_norm AS (SELECT c_id, SUM(m * m) AS cnrm FROM c0 GROUP BY c_id),
+       |${assignCte("c0", 1)},
+       |${meansCte(1, "c1")},
+       |${assignCte("c1", 2)},
+       |${meansCte(2, "c2")},
+       |${assignCte("c2", 3)},
+       |assign AS (SELECT vec_id, c_id AS bucket FROM aranked3 WHERE crn = 1),
+       |probes AS (SELECT vec_id AS q_id, c_id AS bucket FROM aranked3
+       |  WHERE vec_id < 20 AND crn <= $NPROBE2),
+       |cands AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probes p JOIN assign a ON p.bucket = a.bucket
+       |  WHERE a.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT ca.q_id, ca.vec_id,
+       |    CAST(${dotSql("q.embedding", "v.embedding")} AS DOUBLE)
+       |      / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+       |  FROM cands ca
+       |  JOIN embeddings q ON ca.q_id = q.vec_id
+       |  JOIN embeddings v ON ca.vec_id = v.vec_id
+       |  JOIN norms qn ON ca.q_id = qn.vec_id
+       |  JOIN norms vn ON ca.vec_id = vn.vec_id, $idxSql
+       |  GROUP BY ca.q_id, ca.vec_id, qn.nrm, vn.nrm)
+       |SELECT q_id, rnk, vec_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   // --- X3b'': scalar-quantized (SQ8) ANN — the bandwidth path ------------
   /** Candidates surviving the int8 scan per query, before exact re-rank. */
   private val SQ_C = 20
@@ -552,6 +712,8 @@ object SimilarityQueries {
       "X3 hyperplane-LSH bucketed ANN (scale path)"),
     QueryDef("q_sim_knn_ivf", knnIvf, Some(knnIvfSql),
       "X3 IVF-flat ANN: coarse quantizer + nprobe re-rank"),
+    QueryDef("q_sim_knn_ivf2", knnIvf2, Some(knnIvf2Sql),
+      "X3 IVF ANN with learned centroids: bounded k-means refinement + nprobe re-rank"),
     QueryDef("q_sim_knn_sq8", knnSq8, Some(knnSq8Sql),
       "X3 SQ8 scalar-quantized ANN: int8 code scan + exact re-rank"),
     QueryDef("q_embed_dimstats", embedDimStats, Some(embedDimStatsSql),

@@ -138,6 +138,33 @@ class ExtSpec extends AnyFunSuite {
     assert(overlap >= (brute.length * 6) / 10, s"recall too low: $overlap/${brute.length}")
   }
 
+  test("learned-IVF ANN: exact scores and recall >= brute-force overlap bar") {
+    val ivf2 = SimilarityQueries.knnIvf2(spark, sf).collect()
+    val brute = SimilarityQueries.knnBrute(spark, sf).collect()
+    assert(ivf2.map(_.getAs[Long]("q_id")).distinct.length === 20)
+    val bruteScore = brute.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    // re-rank is exact: any (q, vec) both tiers return carries the same score
+    ivf2.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      bruteScore.get(k).foreach(b => assert(b === r.getAs[Double]("cos_sim")))
+    }
+    // the learned coarse quantizer with nprobe=2 must keep >= 60% of the
+    // true top-5 (deterministic data, same bar as the SQ8 tier)
+    val overlap = ivf2.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .count(bruteScore.contains)
+    assert(overlap >= (brute.length * 6) / 10, s"recall too low: $overlap/${brute.length}")
+    // and refinement must not lose to the unrefined seed pick
+    val ivf1 = SimilarityQueries.knnIvf(spark, sf).collect()
+    val overlap1 = ivf1.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .count(bruteScore.contains)
+    assert(overlap >= overlap1 - 5,
+      s"k-means refinement degraded recall: $overlap vs seed $overlap1")
+  }
+
   test("ngram jaccard: scores in (0,1], ranks contiguous and descending") {
     val rows = DedupQueries.dedupNgramJaccard(spark, sf).collect()
     assert(rows.nonEmpty)

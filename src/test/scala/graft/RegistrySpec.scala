@@ -42,7 +42,7 @@ class RegistrySpec extends AnyFunSuite {
     //    asOfDailyState
     //  - mixWeighted: single-row t_max aggregate crossed onto the |langs|
     //    factor table (same shape as textTfidf)
-    val allowBnlj = Set("q_sim_knn_brute", "q_sim_knn_ivf",
+    val allowBnlj = Set("q_sim_knn_brute", "q_sim_knn_ivf", "q_sim_knn_ivf2",
       "q_join_asof_state", "q_ts_interpolate", "q_text_tfidf",
       "q_sim_knn_sq8", "q_text_heavyhitters", "q_mix_weighted",
       // bounded single-row broadcast build side (max-key aggregate)
