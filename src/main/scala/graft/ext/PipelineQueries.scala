@@ -18,9 +18,25 @@ object PipelineQueries {
   /** Tokens-per-sequence budget for [[packSequences]]. */
   private val PACK_BUDGET = 256L
 
-  /** Whitespace token count as BIGINT. */
-  private def nTok(c: String): org.apache.spark.sql.Column =
+  /** Whitespace WORD count as BIGINT — the unit for scrubbing/quality,
+    * where the denylist and chars-per-word score are word-defined. */
+  private def nWord(c: String): org.apache.spark.sql.Column =
     size(split(col(c), " ")).cast("long")
+
+  /** Sub-word TOKEN count as BIGINT — the unit for packing/mixture
+    * budgets, which are tokenizer-defined at 100 TB, not word-defined.
+    * Deterministic BPE-ish proxy: greedy ≤4-char pieces within each
+    * non-space run, so a word of length L contributes ceil(L/4) tokens
+    * (the ~4-chars/token rule of thumb, but word-boundary-respecting).
+    * One codegen'd regexp_count — no HOF, no extra pass — and the
+    * identical `\\S{1,4}` greedy split is RE2∩java.util.regex-safe, so
+    * DuckDB's regexp_extract_all counts the same pieces. */
+  private def nTok(c: String): org.apache.spark.sql.Column =
+    regexp_count(col(c), lit("\\S{1,4}")).cast("long")
+
+  /** DuckDB mirror of [[nTok]]. */
+  private def nTokSql(c: String): String =
+    s"CAST(len(regexp_extract_all($c, '\\S{1,4}')) AS BIGINT)"
 
   // --- XP1: greedy sequence packing -------------------------------------
 
@@ -54,8 +70,7 @@ object PipelineQueries {
 
   val packSequencesSql: String =
     s"""WITH toks AS (
-       |  SELECT lang, source, doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  SELECT lang, source, doc_id, ${nTokSql("text")} AS n_tok
        |  FROM documents),
        |c AS (
        |  SELECT lang, source, doc_id, n_tok,
@@ -94,9 +109,8 @@ object PipelineQueries {
   }
 
   val mixWeightedSql: String =
-    """WITH toks AS (
-      |  SELECT lang, doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    s"""WITH toks AS (
+      |  SELECT lang, doc_id, ${nTokSql("text")} AS n_tok
       |  FROM documents),
       |tot AS (SELECT lang, SUM(n_tok) AS t_lang FROM toks GROUP BY 1),
       |fac AS (
@@ -130,7 +144,7 @@ object PipelineQueries {
     val kept = filter(split($"text", " "), t => !array_contains(deny, t))
     Tables.documents(s, dir)
       .select($"lang", $"source",
-        nTok("text").as("n_before"),
+        nWord("text").as("n_before"),
         size(kept).cast("long").as("n_after"),
         length(array_join(kept, " ")).cast("long").as("chars_after"))
       .groupBy($"lang", $"source")
