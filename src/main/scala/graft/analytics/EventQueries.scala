@@ -677,7 +677,12 @@ object EventQueries {
     val days = Tables.events(s, dir)
       .select($"user_id",
         // integer `div`, NOT `/`: Column./ is float division and epoch
-        // micros (~1.7e18) exceed double's exact-integer range
+        // micros (~1.7e18) exceed double's exact-integer range.
+        // Engine caveat: Spark `div` truncates toward zero, DuckDB `//`
+        // floors — divergent ONLY for negative epochs (pre-1970 ts),
+        // where the two would land on adjacent day numbers. The events
+        // table is 2024-only; CoreQueriesSpec guards min(ts) >= epoch 0
+        // so the divergence cannot silently enter the oracle gate.
         expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("dayn"))
       .distinct()
     val w = Window.partitionBy($"user_id").orderBy($"dayn")

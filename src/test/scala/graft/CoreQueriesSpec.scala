@@ -195,6 +195,31 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(math.abs(out.head.getAs[Double]("total_value") - 1.25 * n) < 1e-6)
   }
 
+  test("W6 gap-islands: streaks reconcile and the pre-1970 div/floor guard holds") {
+    // Spark `div` truncates toward zero while DuckDB `//` floors; the two
+    // day numbers diverge exactly when epoch micros go negative. Guard the
+    // data assumption the oracle comparison rests on:
+    val minTs = Tables.events(spark, sf)
+      .agg(min(unix_micros(col("ts")))).head().getLong(0)
+    assert(minTs >= 0L, s"pre-1970 timestamp would split Spark div vs DuckDB //: $minTs")
+
+    val rows = EventQueries.gapIslands(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per user: sum of streak lengths == number of distinct active days,
+    // and the max streak is at most that total
+    val activeDays = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("dayn"))
+      .distinct().groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      assert(r.getAs[Long]("n_active_days") === activeDays(uid))
+      assert(r.getAs[Long]("max_streak") <= r.getAs[Long]("n_active_days"))
+      assert(r.getAs[Long]("n_streaks") >= 1L)
+    }
+  }
+
   test("DPP: dim filter becomes a dynamic pruning filter on the fact scan") {
     val df = EventQueries.joinDppPruned(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
