@@ -20,6 +20,8 @@ object Registry {
       analytics.CboQueries.defs ++
       analytics.SubqueryQueries.defs ++
       analytics.EventQueries.defs ++
+      analytics.BehaviorQueries.defs ++
+      analytics.StatsQueries.defs ++
       analytics.WarehouseQueries.defs ++
       analytics.IncrementalQueries.defs ++
       analytics.SurfaceQueries.defs ++

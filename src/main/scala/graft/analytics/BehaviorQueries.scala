@@ -1,0 +1,170 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral/event-sequence operators beyond the W/T tiers: sequence
+  * pattern matching (the MATCH_RECOGNIZE analogue), sliding-window
+  * distinct counting, and bitmap presence aggregation.
+  *
+  * Cross-engine determinism: journeys are built from a totally-ordered
+  * (ts_us, event_id) sort; patterns stay in the RE2∩java.util.regex
+  * dialect (same discipline as q_regex_suite); bitmaps and counts are
+  * pure integer arithmetic.
+  */
+object BehaviorQueries {
+
+  /** Day number from the event timestamp — same derivation as the W6
+    * gap-islands query (integer `div`, trunc/floor caveat guarded there). */
+  private val dayNum = "unix_micros(date_trunc('DAY', ts)) div 86400000000"
+
+  // --- B1: sequence pattern matching (MATCH_RECOGNIZE analogue) ----------
+
+  /** Conversion pattern: signup, then any run of clicks/views, then
+    * purchase. Initials are unique per event type (c,e,p,s,v). */
+  private val CONV = "s[cv]*p"
+
+  /** Per-user journey-string pattern census: each user's events collapse
+    * (in total (ts, event_id) order) to a string of event-type initials,
+    * then regex engines count non-overlapping conversion paths and flag
+    * error-after-purchase sequences — the MATCH_RECOGNIZE-style sequence
+    * operator expressed as collapse + codegen regex instead of an NFA over
+    * rows.
+    *
+    * Scale: one hash partition per user (the journey must see all of a
+    * user's events — inherent to the semantics), then narrow string work.
+    * Journeys are bounded by per-user event counts; a production variant
+    * caps the collect with BoundedCollect (X2's capped-bucket pattern) or
+    * windows the journey by month. The match itself never leaves the
+    * executor: no Expand, no second shuffle. */
+  def eventPattern(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val journeys = Tables.events(s, dir)
+      .select($"user_id",
+        struct(unix_micros($"ts").as("ts_us"), $"event_id",
+          substring($"event_type", 1, 1).as("ch")).as("ev"))
+      .groupBy($"user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list($"ev")), x => x.getField("ch")),
+        "").as("journey"))
+    journeys.select(
+        $"user_id",
+        length($"journey").cast("long").as("n_events"),
+        regexp_count($"journey", lit(CONV)).cast("long").as("n_conversions"),
+        when(regexp_like($"journey", lit("p[^p]*e")), 1L).otherwise(0L)
+          .as("error_after_purchase"))
+      .orderBy($"user_id")
+  }
+
+  val eventPatternSql: String =
+    s"""WITH j AS (
+       |  SELECT user_id,
+       |    string_agg(substring(event_type, 1, 1), ''
+       |      ORDER BY epoch_us(ts), event_id) AS journey
+       |  FROM events GROUP BY user_id)
+       |SELECT user_id,
+       |  CAST(len(journey) AS BIGINT) AS n_events,
+       |  CAST(len(regexp_extract_all(journey, '$CONV')) AS BIGINT)
+       |    AS n_conversions,
+       |  CAST(CASE WHEN regexp_matches(journey, 'p[^p]*e') THEN 1 ELSE 0 END
+       |    AS BIGINT) AS error_after_purchase
+       |FROM j ORDER BY user_id""".stripMargin
+
+  // --- B2: trailing-7-day sliding distinct users -------------------------
+
+  /** Distinct active users over a trailing 7-day window, reported for
+    * every calendar day with any activity — the sliding-distinct shape
+    * that windowed `COUNT(DISTINCT)` cannot express (distinct is not
+    * subtractable, so no running-frame trick applies).
+    *
+    * Scale: the (user, day) grid is one hash aggregate that collapses the
+    * raw events before anything slides; each grid row then contributes to
+    * exactly 7 window days via a narrow constant-factor explode, an
+    * equi-semi-join keeps only real calendar days, and one final aggregate
+    * counts distincts per window. Every join is equi (no range join, no
+    * BNLJ), every blow-up factor is the constant window length — at 100 TB
+    * this is the textbook rewrite of a sliding COUNT DISTINCT. */
+  def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, dir)
+      .select($"user_id", expr(dayNum).as("dayn"))
+      .distinct()
+    val cal = days.select($"dayn".as("d")).distinct()
+    val contrib = days
+      .select($"user_id", $"dayn",
+        explode(sequence($"dayn", $"dayn" + 6)).as("d"))
+      .join(cal, Seq("d"), "left_semi")
+    val u7 = contrib.groupBy($"d")
+      .agg(countDistinct($"user_id").as("users_7d"))
+    val u1 = days.groupBy($"dayn".as("d"))
+      .agg(countDistinct($"user_id").as("users_1d"))
+    u7.join(u1, Seq("d"))
+      .select($"d".as("dayn"), $"users_1d", $"users_7d")
+      .orderBy($"dayn")
+  }
+
+  val rollingDistinctSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS dayn
+      |  FROM events),
+      |cal AS (SELECT DISTINCT dayn AS d FROM days),
+      |contrib AS (
+      |  SELECT s.user_id, s.d FROM (
+      |    SELECT user_id,
+      |      CAST(unnest(generate_series(dayn, dayn + 6)) AS BIGINT) AS d
+      |    FROM days) s
+      |  WHERE EXISTS (SELECT 1 FROM cal WHERE cal.d = s.d)),
+      |u7 AS (SELECT d, COUNT(DISTINCT user_id) AS users_7d
+      |  FROM contrib GROUP BY d),
+      |u1 AS (SELECT dayn AS d, COUNT(DISTINCT user_id) AS users_1d
+      |  FROM days GROUP BY dayn)
+      |SELECT u7.d AS dayn, users_1d, users_7d
+      |FROM u7 JOIN u1 ON u7.d = u1.d
+      |ORDER BY dayn""".stripMargin
+
+  // --- B3: bitmap presence aggregation -----------------------------------
+
+  /** Per-user month-activity bitmap: bit d−1 set iff the user was active
+    * on day-of-month d, built with one `bit_or` aggregate; `bit_count`
+    * pops the active-day total back out. The bitmap-index idiom: a
+    * month of per-user presence collapses to ONE int64 — set algebra
+    * (AND for retention, OR for reach) becomes constant-width integer
+    * ops per user instead of row-level distinct machinery.
+    *
+    * Scale: one hash aggregate, 8-byte state per (user, month) group —
+    * the cheapest possible presence sketch; map-side combine does almost
+    * all the work. */
+  def bitmapPresence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id",
+        date_format(date_trunc("MONTH", $"ts"), "yyyy-MM-dd").as("month"),
+        expr("shiftleft(cast(1 as bigint), dayofmonth(ts) - 1)").as("daybit"))
+      .groupBy($"user_id", $"month")
+      .agg(expr("bit_or(daybit)").as("day_mask"))
+      .select($"user_id", $"month", $"day_mask",
+        bit_count($"day_mask").cast("long").as("n_active_days"))
+      .orderBy($"user_id", $"month")
+  }
+
+  val bitmapPresenceSql: String =
+    """WITH b AS (
+      |  SELECT user_id,
+      |    strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+      |    (CAST(1 AS BIGINT) << (day(ts) - 1)) AS daybit
+      |  FROM events)
+      |SELECT user_id, month, bit_or(daybit) AS day_mask,
+      |  CAST(bit_count(bit_or(daybit)) AS BIGINT) AS n_active_days
+      |FROM b GROUP BY user_id, month
+      |ORDER BY user_id, month""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_event_pattern", eventPattern, Some(eventPatternSql),
+      "B1 sequence pattern matching: journey-string collapse + regex census"),
+    QueryDef("q_rolling_distinct", rollingDistinct, Some(rollingDistinctSql),
+      "B2 trailing-7-day sliding distinct users via constant-factor explode"),
+    QueryDef("q_bitmap_presence", bitmapPresence, Some(bitmapPresenceSql),
+      "B3 per-user month bitmap presence via bit_or + bit_count"))
+}

@@ -220,6 +220,70 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("B1/B2/B3 behavior queries reconcile against brute-force recomputation") {
+    import graft.analytics.BehaviorQueries
+    // B3 bitmap: popcount equals the distinct (user, day-of-month) count
+    val masks = BehaviorQueries.bitmapPresence(spark, sf).collect()
+    val perUserDays = Tables.events(spark, sf)
+      .select(col("user_id"),
+        date_format(date_trunc("MONTH", col("ts")), "yyyy-MM-dd").as("m"),
+        dayofmonth(col("ts")).as("dom"))
+      .distinct().groupBy("user_id", "m").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(masks.nonEmpty)
+    masks.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[String]("month"))
+      assert(r.getAs[Long]("n_active_days") === perUserDays(k))
+    }
+    // B2 rolling distinct: window counts dominate the single day and never
+    // exceed the global user population; spot-check one day by brute force
+    val roll = BehaviorQueries.rollingDistinct(spark, sf).collect()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    roll.foreach { r =>
+      assert(r.getAs[Long]("users_7d") >= r.getAs[Long]("users_1d"))
+      assert(r.getAs[Long]("users_7d") <= nUsers)
+    }
+    val probe = roll.last.getAs[Long]("dayn")
+    val brute = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("dayn"))
+      .filter(col("dayn") between (probe - 6, probe))
+      .select("user_id").distinct().count()
+    assert(roll.last.getAs[Long]("users_7d") === brute)
+    // B1 pattern: recompute one user's journey in Scala with the same regex
+    val pat = BehaviorQueries.eventPattern(spark, sf).collect()
+    assert(pat.map(_.getAs[Long]("n_events")).sum ===
+      Tables.events(spark, sf).count())
+    val uid = pat.head.getAs[Long]("user_id")
+    val journey = Tables.events(spark, sf)
+      .filter(col("user_id") === uid)
+      .select(unix_micros(col("ts")).as("t"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+      .map(_.getString(2)).mkString
+    assert(pat.head.getAs[Long]("n_conversions") ===
+      "s[cv]*p".r.findAllIn(journey).length.toLong)
+  }
+
+  test("ST1/ST2: basket pairs and chi-square reconcile") {
+    import graft.analytics.StatsQueries
+    val pairs = StatsQueries.basketPairs(spark, sf).collect()
+    assert(pairs.length === 20)
+    // ordered by support desc; a pair can't co-occur more than |orders| times
+    val counts = pairs.map(_.getAs[Long]("n_orders"))
+    assert(counts.sameElements(counts.sortBy(-(_: Long))))
+    pairs.foreach(r => assert(r.getAs[Long]("part1") < r.getAs[Long]("part2")))
+    val chi = StatsQueries.contingencyChi2(spark, sf).collect()
+    // observed cells sum to the corpus; each row/col total >= its cell
+    assert(chi.map(_.getAs[Long]("observed")).sum ===
+      Tables.documents(spark, sf).count())
+    chi.foreach { r =>
+      assert(r.getAs[Long]("row_total") >= r.getAs[Long]("observed"))
+      assert(r.getAs[Long]("col_total") >= r.getAs[Long]("observed"))
+      assert(r.getAs[Double]("chi2_cell") >= 0.0)
+    }
+  }
+
   test("DPP: dim filter becomes a dynamic pruning filter on the fact scan") {
     val df = EventQueries.joinDppPruned(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
