@@ -50,6 +50,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(plan, "HashAggregate\\(keys=\\[col_name[^,]*, v") >= 2)
   }
 
+  test("contingency table scans the corpus exactly once (window totals)") {
+    val plan = planOf("q_stats_contingency")
+    // row/col/grand totals come from windows over the cell table, so the
+    // documents table must appear in exactly ONE scan
+    assert(countOf(plan, "Scan parquet") == 1,
+      s"documents scanned more than once:\n$plan")
+    assert(countOf(plan, "Window") >= 1)
+  }
+
+  test("basket pairs: equi join on the basket key, top-k without global sort") {
+    val plan = planOf("q_basket_pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"pair expansion must stay an equi join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should not materialize a global sort:\n$plan")
+  }
+
+  test("behavior queries: no nested-loop joins, no Expand, bounded shape") {
+    Seq("q_event_pattern", "q_rolling_distinct", "q_bitmap_presence")
+      .foreach { q =>
+        val plan = planOf(q)
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"), s"$q:\n$plan")
+        assert(!plan.contains("Expand"), s"$q has an Expand:\n$plan")
+      }
+    // the sliding-distinct rewrite is a narrow constant-factor Generate
+    assert(planOf("q_rolling_distinct").contains("Generate explode"))
+  }
+
   test("approx-distinct HLL pass is expand-free (only exact distincts expand)") {
     val plan = planOf("q_agg_approx_distinct")
     // the exact two-distinct agg legitimately expands ×2; the HLL branch
