@@ -124,6 +124,68 @@ object BehaviorQueries {
       |FROM u7 JOIN u1 ON u7.d = u1.d
       |ORDER BY dayn""".stripMargin
 
+  // --- B2': sliding distinct via HLL sketch merge (the 100-TB form) ------
+
+  /** The sketch-merge rewrite of [[rollingDistinct]]: one HLL sketch per
+    * day (datasketches `hll_sketch_agg`), the trailing window unioned
+    * with `hll_union_agg` — mergeable-sketch algebra, so the window
+    * combines |window| KB-sized sketches instead of re-touching identity
+    * rows. B2's exact explode carries every (user, day) row 7×; this
+    * carries 7 sketch rows per day, full stop — the difference between
+    * O(users×7) and O(7) bytes per window at 100 TB.
+    *
+    * Oracle contract (A4 pattern): HLL estimates aren't reproducible in
+    * another engine, so the comparable columns are the EXACT counts and
+    * `approx_ok` = 1 iff the estimate lands within 5% (or ±2 at tiny
+    * cardinalities) of exact; the oracle emits the expected pass value,
+    * so estimator degradation fails the hash gate. */
+  def rollingSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", expr(dayNum).as("dayn"))
+    val daily = ev.groupBy($"dayn")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        countDistinct($"user_id").as("users_1d"))
+    val cal = daily.select($"dayn".as("d"))
+    val est = daily
+      .select($"sk", explode(sequence($"dayn", $"dayn" + 6)).as("d"))
+      .join(cal, Seq("d"), "left_semi")
+      .groupBy($"d")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact7 = ev.distinct()
+      .select($"user_id", explode(sequence($"dayn", $"dayn" + 6)).as("d"))
+      .join(cal, Seq("d"), "left_semi")
+      .groupBy($"d")
+      .agg(countDistinct($"user_id").as("users_7d"))
+    est.join(exact7, "d")
+      .join(daily.select($"dayn".as("d"), $"users_1d"), "d")
+      .select($"d".as("dayn"), $"users_1d", $"users_7d",
+        (abs($"est" - $"users_7d") * 100 <= $"users_7d" * 5 ||
+          abs($"est" - $"users_7d") <= 2)
+          .cast("long").as("approx_ok"))
+      .orderBy($"dayn")
+  }
+
+  val rollingSketchSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS dayn
+      |  FROM events),
+      |cal AS (SELECT DISTINCT dayn AS d FROM days),
+      |contrib AS (
+      |  SELECT s.user_id, s.d FROM (
+      |    SELECT user_id,
+      |      CAST(unnest(generate_series(dayn, dayn + 6)) AS BIGINT) AS d
+      |    FROM days) s
+      |  WHERE EXISTS (SELECT 1 FROM cal WHERE cal.d = s.d)),
+      |u7 AS (SELECT d, COUNT(DISTINCT user_id) AS users_7d
+      |  FROM contrib GROUP BY d),
+      |u1 AS (SELECT dayn AS d, COUNT(DISTINCT user_id) AS users_1d
+      |  FROM days GROUP BY dayn)
+      |SELECT u7.d AS dayn, users_1d, users_7d, CAST(1 AS BIGINT) AS approx_ok
+      |FROM u7 JOIN u1 ON u7.d = u1.d
+      |ORDER BY dayn""".stripMargin
+
   // --- B3: bitmap presence aggregation -----------------------------------
 
   /** Per-user month-activity bitmap: bit d−1 set iff the user was active
@@ -165,6 +227,8 @@ object BehaviorQueries {
       "B1 sequence pattern matching: journey-string collapse + regex census"),
     QueryDef("q_rolling_distinct", rollingDistinct, Some(rollingDistinctSql),
       "B2 trailing-7-day sliding distinct users via constant-factor explode"),
+    QueryDef("q_rolling_sketch", rollingSketch, Some(rollingSketchSql),
+      "B2' sliding distinct via mergeable HLL sketches (bounded-error oracle)"),
     QueryDef("q_bitmap_presence", bitmapPresence, Some(bitmapPresenceSql),
       "B3 per-user month bitmap presence via bit_or + bit_count"))
 }
