@@ -30,6 +30,7 @@ object Registry {
       analytics.Profiler.defs ++
       ingest.IngestQueries.defs ++
       ext.DedupQueries.defs ++
+      ext.GraphQueries.defs ++
       ext.CurateQueries.defs ++
       ext.SimilarityQueries.defs ++
       ext.TextQueries.defs ++

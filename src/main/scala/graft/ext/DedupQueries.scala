@@ -61,7 +61,7 @@ object DedupQueries {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // --- X2: MinHash signatures + LSH banding ------------------------------
-  private val K = 8          // minhash functions
+  private[ext] val K = 8     // minhash functions
   private val BUCKET_CAP = 50 // skip mega-buckets (LSH standard practice)
 
   /** Per-doc K-component minhash signature: component j = min over the
@@ -132,7 +132,7 @@ object DedupQueries {
   private def docsKey(s: SparkSession, dir: String): String =
     s"${System.identityHashCode(s)}|" +
       graft.GraftSession.contentKey(dir, Seq("documents"))
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+  private[ext] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     pairCache.computeIfAbsent(docsKey(s, dir), _ =>
       minhashPairsPlan(s, dir).localCheckpoint())
 
@@ -179,7 +179,7 @@ object DedupQueries {
 
   /** Estimated-Jaccard expression over two sig-table aliases — the ONE
     * definition of the pair score, shared by every LSH-derived oracle. */
-  private def estJaccardSql(a: String, b: String): String =
+  private[ext] def estJaccardSql(a: String, b: String): String =
     s"CAST(${(0 until K).map(i => s"(CASE WHEN $a.h$i = $b.h$i THEN 1 ELSE 0 END)")
       .mkString(" + ")} AS DOUBLE) / $K"
 
@@ -188,7 +188,7 @@ object DedupQueries {
     * definition of what an LSH candidate is — interpolated by the pair
     * query and every cluster-derived oracle, so K / BUCKET_CAP / threshold
     * changes cannot diverge between them. */
-  private val lshCandCtesSql: String =
+  private[ext] val lshCandCtesSql: String =
     s"""$minhashSigsSql,
        |bands AS (
        |  ${(0 until K).map(i => s"SELECT doc_id, $i AS b, h$i AS v FROM sigs")

@@ -1,0 +1,101 @@
+package graft.ext
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the near-dup similarity graph (the LSH pair set
+  * of X2, shared via the memoized pair table): degree distribution and
+  * join-based triangle counting — the structural health checks a dedup
+  * pipeline runs on its candidate graph (a fat-tailed degree histogram
+  * or a triangle explosion means the banding threshold is letting
+  * unrelated docs glue into mega-clusters).
+  *
+  * Scale: both operators are equi-join shaped over the THRESHOLDED pair
+  * set, whose size the LSH bucket cap already bounds (BoundedCollect,
+  * cap 50) — never over raw documents. Triangle enumeration orders
+  * vertices (a < b < c), the standard trick that emits each triangle
+  * exactly once and keeps the join DAG acyclic.
+  */
+object GraphQueries {
+
+  /** Thresholded undirected edge set (doc_a < doc_b), memoized with the
+    * cluster queries — reading it here costs nothing extra in a session
+    * that already ran any X2 query. */
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.minhashPairs(s, dir).select("doc_a", "doc_b")
+
+  /** Shared oracle edge CTE — the SAME candidate+threshold definition the
+    * X2 oracles interpolate, so graph and dedup queries cannot diverge. */
+  private val edgesCteSql: String =
+    s"""${DedupQueries.lshCandCtesSql},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM cpairs
+       |  JOIN sigs sa ON doc_a = sa.doc_id
+       |  JOIN sigs sb ON doc_b = sb.doc_id
+       |  WHERE ${DedupQueries.estJaccardSql("sa", "sb")} >= ${2.0 / DedupQueries.K})""".stripMargin
+
+  // --- G1: degree distribution -------------------------------------------
+
+  /** Histogram of vertex degrees in the near-dup graph: for each degree,
+    * how many documents have exactly that many near-dup partners. One
+    * union (each edge contributes both endpoints), two hash aggregates
+    * over edge-bounded data. */
+  def graphDegrees(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = edges(s, dir)
+    val ends = e.select($"doc_a".as("doc_id"))
+      .unionAll(e.select($"doc_b".as("doc_id")))
+    ends.groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"degree")
+  }
+
+  val graphDegreesSql: String =
+    s"""WITH $edgesCteSql,
+       |ends AS (
+       |  SELECT doc_a AS doc_id FROM edges
+       |  UNION ALL SELECT doc_b FROM edges),
+       |deg AS (SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id)
+       |SELECT degree, COUNT(*) AS n_docs FROM deg
+       |GROUP BY degree ORDER BY degree""".stripMargin
+
+  // --- G2: triangle counting ---------------------------------------------
+
+  /** Per-document triangle participation: for every doc in at least one
+    * triangle, how many triangles it closes. Canonical enumeration —
+    * edges already satisfy a < b, so joining (x,y)⋈(y,z)⋈(x,z) with
+    * x < y < z emits each triangle once; two equi self-joins, then one
+    * explode over the 3 corners and a hash count. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = edges(s, dir)
+    val tri = e.toDF("x", "y")
+      .join(e.toDF("y", "z"), "y")
+      .join(e.toDF("x", "z"), Seq("x", "z"))
+      .select($"x", $"y", $"z")
+    tri.select(explode(array($"x", $"y", $"z")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"doc_id")
+  }
+
+  val graphTrianglesSql: String =
+    s"""WITH $edgesCteSql,
+       |tri AS (
+       |  SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+       |  FROM edges e1
+       |  JOIN edges e2 ON e1.doc_b = e2.doc_a
+       |  JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |corners AS (
+       |  SELECT x AS doc_id FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri)
+       |SELECT doc_id, COUNT(*) AS n_triangles FROM corners
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_graph_degrees", graphDegrees, Some(graphDegreesSql),
+      "G1 degree distribution of the near-dup similarity graph"),
+    QueryDef("q_graph_triangles", graphTriangles, Some(graphTrianglesSql),
+      "G2 per-doc triangle participation via canonical join enumeration"))
+}

@@ -165,6 +165,22 @@ class ExtSpec extends AnyFunSuite {
       s"k-means refinement degraded recall: $overlap vs seed $overlap1")
   }
 
+  test("graph tier: degrees and triangles reconcile with the pair set") {
+    val pairs = DedupQueries.dedupMinhashLsh(spark, sf).collect()
+    val deg = GraphQueries.graphDegrees(spark, sf).collect()
+    // sum(degree * n_docs) counts each edge twice
+    val degSum = deg.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_docs")).sum
+    assert(degSum === 2L * pairs.length)
+    // per-doc triangle participation sums to 3 per triangle
+    val tri = GraphQueries.graphTriangles(spark, sf).collect()
+    val part = tri.map(_.getAs[Long]("n_triangles")).sum
+    assert(part % 3 === 0, s"participation $part not divisible by 3")
+    // every triangle corner is a vertex of the pair graph
+    val verts = pairs.flatMap(r =>
+      Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    tri.foreach(r => assert(verts.contains(r.getAs[Long]("doc_id"))))
+  }
+
   test("ngram jaccard: scores in (0,1], ranks contiguous and descending") {
     val rows = DedupQueries.dedupNgramJaccard(spark, sf).collect()
     assert(rows.nonEmpty)
