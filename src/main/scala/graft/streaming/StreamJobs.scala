@@ -103,6 +103,33 @@ object StreamJobs {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("w.start")).as("w_start_us"), col("n"))
 
+  /** B2 twin — trailing-7-day sliding distinct users as a stream.
+    * Exact COUNT(DISTINCT) is unsupported in streaming aggregations (the
+    * state would be the identity set itself), which is precisely why the
+    * batch tier carries the HLL sketch form (q_rolling_sketch): the
+    * streaming window keeps one mergeable sketch per open window —
+    * constant state — and emits the estimate when the watermark closes
+    * the window. Window [d−6, d+1) ↔ batch day d. */
+  def slidingDistinctUsers(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"))
+      .agg(approx_count_distinct(col("user_id")).as("users_7d_est"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+        (unix_micros(col("w.end")) / 86400000000L - 1).cast("long").as("dayn"),
+        col("users_7d_est"))
+
+  /** B3 twin — per-user month-activity bitmap, streaming. bit_or is
+    * algebraic (8-byte commutative-merge state per group), so the
+    * streaming aggregate converges to the batch bitmap exactly; run in
+    * complete mode (no window to close — the group key is (user, month))
+    * and read the final table. */
+  def bitmapPresenceStream(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        date_format(date_trunc("MONTH", col("ts")), "yyyy-MM-dd").as("month"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), dayofmonth(ts) - 1))")
+        .as("day_mask"))
+
   /** T4 — gap-based session windows (same semantics as the batch
     * q_session_windows query, enabling stream/batch equivalence tests). */
   def sessionWindows(events: DataFrame): DataFrame =

@@ -43,6 +43,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(missingDays.size <= 1)
   }
 
+  test("B2 twin: streaming sliding distinct estimates track the exact batch window") {
+    val q = StreamJobs.slidingDistinctUsers(StreamJobs.eventsStream(spark, eventsDir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sliding_distinct_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sliding_distinct_out")
+      .select($"dayn", $"users_7d_est").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty)
+    val batch = graft.analytics.BehaviorQueries.rollingDistinct(spark, sf)
+      .select($"dayn", $"users_7d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every watermark-closed window that maps to a batch calendar day must
+    // estimate within the HLL++ bound (±2 or 5%) of the exact count
+    val overlapping = streamed.keySet.intersect(batch.keySet)
+    assert(overlapping.nonEmpty)
+    overlapping.foreach { d =>
+      val (est, exact) = (streamed(d), batch(d))
+      assert(math.abs(est - exact) <= math.max(2L, exact / 20),
+        s"day $d: est $est vs exact $exact")
+    }
+  }
+
+  test("B3 twin: streaming bitmap presence converges to the batch bitmap") {
+    val q = StreamJobs.bitmapPresenceStream(StreamJobs.eventsStream(spark, eventsDir))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("bitmap_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("bitmap_out").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.analytics.BehaviorQueries.bitmapPresence(spark, sf)
+      .select($"user_id", $"month", $"day_mask").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("T1/T7 NDJSON drop-dir stream lands partitioned parquet exactly once") {
     val tmp = Files.createTempDirectory("graft-stream-ingest").toString
     val drop = s"$tmp/drop"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
