@@ -264,6 +264,104 @@ object PipelineQueries {
        |  md5(substring(text, CAST(chunk_idx * $STRIDE + 1 AS INTEGER), $CHUNK)) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // --- XP7: deterministic weighted sampling (A-Res priorities) -----------
+
+  /** 32-bit uniform from the first 8 hex chars of md5("ws_"||doc_id):
+    * each digit decodes through an instr/strpos alphabet lookup (exact
+    * integer arithmetic, engine-identical), summed as a base-16
+    * polynomial. */
+  private def u32Spark: String =
+    (1 to 8).map(i =>
+      s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}L")
+      .mkString(" + ")
+  private def u32Duck: String =
+    (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1) * CAST(${1L << (4 * (8 - i))} AS BIGINT)")
+      .mkString(" + ")
+
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-Res): each doc draws a reproducible md5-derived uniform u
+    * and competes on key u^(1/w) — here in log space, ln(u)/w, with
+    * w = its sub-word token count — so long documents win proportionally
+    * more often, which is how length-weighted corpus sampling is done.
+    * Top-3 per language. No RNG state, no partition dependence: the
+    * sample is a pure function of the data, auditable at 100 TB.
+    *
+    * ln is libm — rounded to 6 decimals with ranks computed ON the
+    * rounded value, doc_id tie-break (the repo's standing libm rule). */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"lang", $"doc_id", nTok("text").as("n_tok"),
+        md5(concat(lit("ws_"), $"doc_id".cast("string"))).as("h"))
+      .select($"lang", $"doc_id", $"n_tok",
+        expr(s"round(ln((($u32Spark) + 1) / 4294967296.0) / n_tok, 6)")
+          .as("score"))
+    val w = Window.partitionBy($"lang").orderBy($"score".desc, $"doc_id".asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .orderBy($"lang", $"rnk")
+      .select($"lang", $"rnk", $"doc_id", $"n_tok", $"score")
+  }
+
+  val sampleWeightedSql: String =
+    s"""WITH scored AS (
+       |  SELECT lang, doc_id, n_tok,
+       |    round(ln((($u32Duck) + 1) / 4294967296.0) / n_tok, 6) AS score
+       |  FROM (
+       |    SELECT lang, doc_id, ${nTokSql("text")} AS n_tok,
+       |      md5('ws_' || CAST(doc_id AS VARCHAR)) AS h
+       |    FROM documents)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT lang, rnk, doc_id, n_tok, score FROM ranked
+       |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin
+
+  // --- XP8: token-concentration (Pareto share) audit ---------------------
+
+  /** Per-source corpus concentration: what share of all tokens do the
+    * top-decile-by-length documents hold (integer basis points)? The
+    * curation question behind "is this source dominated by a few huge
+    * documents". One exchange on source feeds both window passes (rank
+    * and partition count share the partitioning), then one aggregate. */
+  def tokenConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"source", $"doc_id", nTok("text").as("n_tok"))
+    val byLen = Window.partitionBy($"source").orderBy($"n_tok".desc, $"doc_id".asc)
+    val whole = Window.partitionBy($"source")
+    toks
+      .withColumn("rnk", row_number().over(byLen))
+      .withColumn("cnt", count(lit(1)).over(whole))
+      .withColumn("is_top", expr("cast(rnk <= (cnt + 9) div 10 as long)"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("total_tokens"),
+        sum($"is_top" * $"n_tok").as("top_decile_tokens"))
+      .withColumn("top_decile_share_bp",
+        expr("top_decile_tokens * 10000 div total_tokens"))
+      .orderBy($"source")
+  }
+
+  val tokenConcentrationSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, doc_id, ${nTokSql("text")} AS n_tok FROM documents),
+       |flagged AS (
+       |  SELECT source, n_tok,
+       |    CASE WHEN row_number() OVER (
+       |        PARTITION BY source ORDER BY n_tok DESC, doc_id ASC)
+       |      <= (COUNT(*) OVER (PARTITION BY source) + 9) // 10
+       |    THEN 1 ELSE 0 END AS is_top
+       |  FROM toks)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(is_top * n_tok) AS BIGINT) AS top_decile_tokens,
+       |  CAST(CAST(SUM(is_top * n_tok) AS BIGINT) * 10000
+       |    // CAST(SUM(n_tok) AS BIGINT) AS BIGINT) AS top_decile_share_bp
+       |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_chunk_documents", chunkDocuments, Some(chunkDocumentsSql),
       "XP5 overlapping fixed-size document chunking with offsets + hashes"),
@@ -274,5 +372,9 @@ object PipelineQueries {
     QueryDef("q_text_scrub", scrubDenylist, Some(scrubDenylistSql),
       "XP3 denylist token scrubbing with per-stratum impact audit"),
     QueryDef("q_quality_ntile", qualityNtile, Some(qualityNtileSql),
-      "XP4 per-language quality quartiles (ntile) for percentile filtering"))
+      "XP4 per-language quality quartiles (ntile) for percentile filtering"),
+    QueryDef("q_sample_weighted", sampleWeighted, Some(sampleWeightedSql),
+      "XP7 deterministic length-weighted sampling (A-Res md5 priorities)"),
+    QueryDef("q_token_concentration", tokenConcentration, Some(tokenConcentrationSql),
+      "XP8 per-source token-concentration audit (top-decile share)"))
 }
