@@ -1,0 +1,132 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout planning: the Z-order (Morton-curve) clustering primitive
+  * behind lakehouse `OPTIMIZE ... ZORDER BY`, measured as a data-skipping
+  * audit. The reference's layout story is one-dimensional (Hive-style
+  * `load_date=` partitions, bucket_raw_data.py:85-93); multi-dimensional
+  * predicates on such a layout scan everything. Z-ordering interleaves the
+  * bits of several columns into one sort key so that FILE-LEVEL min/max
+  * stats become selective on EVERY interleaved dimension at once — the
+  * technique that turns "touch all files" into "touch a few" for a
+  * 100-TB table queried by more than its partition column.
+  *
+  * Everything here is exact integer arithmetic (bit shifts, masks,
+  * fixed-width key-space buckets), so the audit is bit-identical across
+  * engines and cluster layouts — no sampled range boundaries, no RNG.
+  */
+object LayoutQueries {
+
+  /** Bits kept of user_id (x) and of the day ordinal (y). */
+  private val XBITS = 10
+  private val YBITS = 5
+
+  /** Fixed day-ordinal base (events are 2024-02/03, dayn 19723..19752);
+    * a constant base keeps the key a pure per-row function — no global
+    * min() pass, no coupling between rows. */
+  private val DAY0 = 19723L
+
+  /** Files = fixed-width key-space blocks of 2^7 keys: 15-bit keyspace /
+    * 128 → ≤256 files. Fixed-width (vs equal-row ntile) keeps assignment
+    * a narrow per-row expression — the oracle-safe, shuffle-free stand-in
+    * for a writer's range partitioner. */
+  private val FILE_SHIFT = 7
+
+  /** Probe day for the skipping audit (y = 15, mid-range, present at
+    * every SF). */
+  private val PROBE_Y = 15L
+
+  /** Morton interleave of x (XBITS wide) and y (YBITS wide), generated as
+    * engine-specific SQL from the same bit map: y bit i → position 2i+1,
+    * x bit i → position 2i for i < YBITS, then the remaining x bits pack
+    * above the interleaved span. */
+  private def zkeyTerms(shl: (String, Int) => String,
+      bit: (String, Int) => String): String = {
+    val lo = (0 until YBITS).flatMap { i =>
+      Seq(shl(bit("x", i), 2 * i), shl(bit("y", i), 2 * i + 1))
+    }
+    val hi = (YBITS until XBITS).map { i => shl(bit("x", i), i + YBITS) }
+    (lo ++ hi).mkString(" + ")
+  }
+
+  private def zkeySpark: String =
+    zkeyTerms((e, p) => s"shiftleft($e, $p)",
+      (c, i) => s"(shiftright($c, $i) & 1)")
+
+  private def zkeyDuck: String =
+    zkeyTerms((e, p) => s"(($e) << $p)", (c, i) => s"((($c) >> $i) & 1)")
+
+  /** Per-layout skipping audit over events: lay rows out by (a) the
+    * user-major linear key `x·2^YBITS + y` — the classic "partition by the
+    * leading column" layout — and (b) the Morton key; cut both keyspaces
+    * into fixed 2^FILE_SHIFT-wide files; collect per-file day min/max (the
+    * stats a parquet footer carries); report, per layout, the file count,
+    * the summed per-file day extent, and how many files a single-day probe
+    * must touch. Z-order wins exactly when sum_day_span and probe_files
+    * drop while n_files stays comparable — the measurable definition of
+    * "clustered on both dimensions".
+    *
+    * Scale: ONE scan — each row explodes into its two (layout, file_id)
+    * assignments (a codegen Generate, not a second pass over the table),
+    * then one hash aggregate whose partial side collapses to ≤512
+    * (layout, file) groups before the only exchange. The union-of-two-
+    * aggregates alternative reads the fact table twice; at 100 TB the
+    * scan dominates, so the explode shape halves the job. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(
+        ($"user_id" % (1L << XBITS)).as("x"),
+        (expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+          - DAY0).as("y"))
+      .select($"y",
+        explode(array(
+          struct(lit("linear_user_major").as("layout"),
+            expr(s"(x * ${1L << YBITS} + y) div ${1L << FILE_SHIFT}")
+              .as("file_id")),
+          struct(lit("zorder").as("layout"),
+            expr(s"($zkeySpark) div ${1L << FILE_SHIFT}").as("file_id"))))
+          .as("lf"))
+      .groupBy($"lf.layout".as("layout"), $"lf.file_id".as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
+      .groupBy($"layout")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum($"n_rows").as("n_rows"),
+        sum($"max_y" - $"min_y" + 1).as("sum_day_span"),
+        sum(when($"min_y" <= PROBE_Y && $"max_y" >= PROBE_Y, 1L)
+          .otherwise(0L)).as("probe_files"))
+      .orderBy($"layout")
+  }
+
+  val zorderLayoutSql: String =
+    s"""WITH keyed AS (
+       |  SELECT y, x * ${1L << YBITS} + y AS lin_key, $zkeyDuck AS z_key
+       |  FROM (
+       |    SELECT user_id % ${1L << XBITS} AS x,
+       |      epoch_us(date_trunc('day', ts)) // 86400000000 - $DAY0 AS y
+       |    FROM events)),
+       |files AS (
+       |  SELECT 'linear_user_major' AS layout,
+       |    lin_key // ${1L << FILE_SHIFT} AS file_id,
+       |    COUNT(*) AS n_rows, MIN(y) AS min_y, MAX(y) AS max_y
+       |  FROM keyed GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'zorder' AS layout, z_key // ${1L << FILE_SHIFT} AS file_id,
+       |    COUNT(*) AS n_rows, MIN(y) AS min_y, MAX(y) AS max_y
+       |  FROM keyed GROUP BY 1, 2)
+       |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       |  CAST(SUM(max_y - min_y + 1) AS BIGINT) AS sum_day_span,
+       |  CAST(SUM(CASE WHEN min_y <= $PROBE_Y AND max_y >= $PROBE_Y
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS probe_files
+       |FROM files GROUP BY layout ORDER BY layout""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_zorder_layout", zorderLayout, Some(zorderLayoutSql),
+      "L1 Z-order vs linear layout data-skipping audit (file min/max stats)"))
+}

@@ -289,14 +289,21 @@ object PipelineQueries {
     *
     * ln is libm — rounded to 6 decimals with ranks computed ON the
     * rounded value, doc_id tie-break (the repo's standing libm rule). */
-  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val scored = Tables.documents(s, dir)
-      .select($"lang", $"doc_id", nTok("text").as("n_tok"),
-        md5(concat(lit("ws_"), $"doc_id".cast("string"))).as("h"))
-      .select($"lang", $"doc_id", $"n_tok",
+  /** A-Res scoring of a documents-shaped relation → (lang, doc_id, n_tok,
+    * score). Narrow (per-row only), so it applies unchanged to a streaming
+    * documents DataFrame — [[graft.streaming.StreamJobs.weightedSampleStream]]
+    * is the single-pass reservoir twin over exactly these scores. */
+  private[graft] def scoredDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("doc_id"), nTok("text").as("n_tok"),
+        md5(concat(lit("ws_"), col("doc_id").cast("string"))).as("h"))
+      .select(col("lang"), col("doc_id"), col("n_tok"),
         expr(s"round(ln((($u32Spark) + 1) / 4294967296.0) / n_tok, 6)")
           .as("score"))
+
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = scoredDocs(Tables.documents(s, dir))
     val w = Window.partitionBy($"lang").orderBy($"score".desc, $"doc_id".asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= 3)

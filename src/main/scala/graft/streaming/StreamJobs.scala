@@ -255,6 +255,58 @@ object StreamJobs {
     * watermark passes `ts + 10 min`, so state is bounded by
     * (arrival rate × window), never by stream length — the property that
     * makes this runnable forever on an unbounded 100-TB/day feed. */
+  /** Parquet-backed documents stream (XP7 twin input). */
+  def docsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+  }
+
+  /** XP7 twin — single-pass weighted reservoir sampling over a documents
+    * stream. A-Res is *the* canonical one-pass reservoir algorithm: each
+    * document's priority key ln(u)/w is a pure function of the row (the
+    * md5-derived uniform in [[graft.ext.PipelineQueries.scoredDocs]]), so
+    * the top-k reservoir is order- and batch-split-independent and the
+    * stream converges to EXACTLY the batch `q_sample_weighted` answer —
+    * asserted as set equality, not subset, in StreamingSpec.
+    *
+    * State per language is the k-entry reservoir itself (k=3) plus a seen
+    * counter — O(k), never O(stream). At 100 TB this is the shape that
+    * samples a corpus feed without ever materializing or re-ranking it. */
+  def weightedSampleStream(docs: DataFrame): Dataset[ReservoirOut] = {
+    import docs.sparkSession.implicits._
+    graft.ext.PipelineQueries.scoredDocs(docs)
+      .as[ScoredDoc]
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[ReservoirState, ReservoirOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lang: String, it: Iterator[ScoredDoc], state: GroupState[ReservoirState]) =>
+          val prev = state.getOption.getOrElse(ReservoirState(Nil, 0L))
+          var seen = prev.seen
+          var top = prev.top
+          it.foreach { d =>
+            seen += 1
+            top = (d :: top)
+              .sortBy(e => (-e.score, e.doc_id))
+              .take(WeightedReservoirK)
+          }
+          val next = ReservoirState(top, seen)
+          state.update(next)
+          next.top.zipWithIndex.iterator.map { case (d, i) =>
+            ReservoirOut(lang, i + 1L, d.doc_id, d.n_tok, d.score, seen)
+          }
+      }
+  }
+
+  /** Reservoir size for [[weightedSampleStream]] — matches the batch
+    * query's top-3 per language. */
+  val WeightedReservoirK = 3
+
   def followerJoin(events: DataFrame): DataFrame = {
     val left = events
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
@@ -270,6 +322,20 @@ object StreamJobs {
       .select(col("event_id"), col("r_id"), col("event_type"))
   }
 }
+
+/** One A-Res-scored document (input row of
+  * [[StreamJobs.weightedSampleStream]]). */
+final case class ScoredDoc(lang: String, doc_id: Long, n_tok: Long, score: Double)
+
+/** Reservoir state for [[StreamJobs.weightedSampleStream]]: the current
+  * top-k entries plus a monotone seen-counter (lets the test identify each
+  * key's final emission without timestamps). */
+final case class ReservoirState(top: List[ScoredDoc], seen: Long)
+
+/** One reservoir row as emitted per micro-batch. */
+final case class ReservoirOut(
+    lang: String, rnk: Long, doc_id: Long, n_tok: Long, score: Double,
+    n_seen: Long)
 
 /** Typed event for keyed-state processing. `event_time` carries the
   * watermark through the typed plan (flatMapGroupsWithState requires the

@@ -43,6 +43,20 @@ class ContractAndPropertySpec extends AnyFunSuite {
     }.map(_._1).take(n).toSeq
   }
 
+  test("L1 z-order layout strictly beats user-major linear on day skipping") {
+    val rows = graft.analytics.LayoutQueries.zorderLayout(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (linFiles, linRows, linSpan, linProbe) = rows("linear_user_major")
+    val (zFiles, zRows, zSpan, zProbe) = rows("zorder")
+    assert(linRows === zRows) // same relation, two layouts
+    // the point of z-ordering: per-file day extents shrink, so a
+    // single-day probe touches strictly fewer files
+    assert(zSpan < linSpan, s"z span $zSpan !< linear span $linSpan")
+    assert(zProbe < linProbe, s"z probe $zProbe !< linear probe $linProbe")
+    assert(zProbe >= 1 && zFiles >= 1 && linFiles >= 1)
+  }
+
   test("composite key build/parse round-trips for generated inputs") {
     // key parts as the reference builds them (date#line#rn#trDr,
     // get_train_status.py:113) — '#'-free non-empty alphanumerics

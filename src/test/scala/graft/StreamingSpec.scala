@@ -79,6 +79,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("XP7 twin: streaming A-Res reservoir equals the batch weighted sample exactly") {
+    // split documents across 4 files / 4 micro-batches: the reservoir must
+    // be batch-split-independent (A-Res keys are pure row functions)
+    val tmp = Files.createTempDirectory("graft-docs-stream").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(4).write.parquet(s"$tmp/docs")
+    val q = StreamJobs.weightedSampleStream(
+        StreamJobs.docsStream(spark, s"$tmp/docs", maxFilesPerTrigger = Some(1)))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("wsample_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val emitted = spark.table("wsample_out")
+      .select($"lang", $"rnk", $"doc_id", $"n_tok", $"score", $"n_seen").collect()
+    assert(emitted.nonEmpty)
+    // final emission per lang = the rows carrying that lang's max n_seen
+    val finalRows = emitted
+      .groupBy(_.getString(0)).values.flatMap { rows =>
+        val maxSeen = rows.map(_.getLong(5)).max
+        rows.filter(_.getLong(5) == maxSeen)
+      }
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val batch = graft.ext.PipelineQueries.sampleWeighted(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(finalRows === batch)
+  }
+
   test("T1/T7 NDJSON drop-dir stream lands partitioned parquet exactly once") {
     val tmp = Files.createTempDirectory("graft-stream-ingest").toString
     val drop = s"$tmp/drop"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
