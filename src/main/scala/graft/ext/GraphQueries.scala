@@ -93,9 +93,77 @@ object GraphQueries {
        |SELECT doc_id, COUNT(*) AS n_triangles FROM corners
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- G3: PageRank (bounded rounds, integer-exact) ----------------------
+
+  /** Damping factor in percent and the fixed-point rank unit. */
+  private val DAMP_PCT = 85L
+  private val RANK_ONE = 1000000L
+  private val ROUNDS = 3
+
+  /** PageRank over the near-dup graph, 3 damped power-iteration rounds —
+    * the centrality signal a dedup pipeline uses to pick CANONICAL
+    * documents (keep the most-connected copy, not an arbitrary min-id).
+    * All arithmetic is fixed-point integer (ranks in millionths, damping
+    * as ×85 div 100, contributions as rank div degree), so every round is
+    * bit-identical in both engines — no float drift across iterations.
+    *
+    * Scale: the iterate is one equi-join of the rank vector against the
+    * adjacency list plus one hash aggregate per round — the textbook
+    * distributed PageRank step. Rounds are FIXED (3), so the plan is a
+    * finite unrolled DAG; an open-ended variant would localCheckpoint per
+    * round exactly like [[DedupQueries]]' connected components. Undirected
+    * edges mean every vertex has degree ≥ 1 — no dangling-mass term. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = edges(s, dir)
+    val sym = e.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionAll(e.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg, "src")
+    var ranks = deg.select($"src".as("doc_id"), lit(RANK_ONE).as("r"))
+    for (_ <- 1 to ROUNDS) {
+      val contrib = adj
+        .join(ranks, adj("src") === ranks("doc_id"))
+        .select($"dst", expr("r div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("csum"))
+      ranks = ranks.select($"doc_id")
+        .join(contrib, $"doc_id" === $"dst", "left")
+        .select($"doc_id",
+          (lit(RANK_ONE - RANK_ONE * DAMP_PCT / 100) +
+            expr(s"($DAMP_PCT * coalesce(csum, 0L)) div 100")).as("r"))
+    }
+    ranks.orderBy($"doc_id").select($"doc_id", $"r".as("rank_u"))
+  }
+
+  val graphPagerankSql: String = {
+    val base = RANK_ONE - RANK_ONE * DAMP_PCT / 100
+    val rounds = (1 to ROUNDS).map { i =>
+      s"""c$i AS (
+         |  SELECT a.dst AS doc_id, SUM(r.r // a.deg) AS csum
+         |  FROM adj a JOIN r${i - 1} r ON a.src = r.doc_id
+         |  GROUP BY a.dst),
+         |r$i AS (
+         |  SELECT v.doc_id,
+         |    $base + ($DAMP_PCT * COALESCE(c.csum, 0)) // 100 AS r
+         |  FROM r${i - 1} v LEFT JOIN c$i c ON v.doc_id = c.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCteSql,
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL SELECT doc_b, doc_a FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+       |adj AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d USING (src)),
+       |r0 AS (SELECT src AS doc_id, CAST($RANK_ONE AS BIGINT) AS r FROM deg),
+       |$rounds
+       |SELECT doc_id, CAST(r AS BIGINT) AS rank_u
+       |FROM r$ROUNDS ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_graph_degrees", graphDegrees, Some(graphDegreesSql),
       "G1 degree distribution of the near-dup similarity graph"),
     QueryDef("q_graph_triangles", graphTriangles, Some(graphTrianglesSql),
-      "G2 per-doc triangle participation via canonical join enumeration"))
+      "G2 per-doc triangle participation via canonical join enumeration"),
+    QueryDef("q_graph_pagerank", graphPagerank, Some(graphPagerankSql),
+      "G3 fixed-point integer PageRank (3 damped rounds) for canonical pick"))
 }
