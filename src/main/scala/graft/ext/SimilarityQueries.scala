@@ -345,21 +345,34 @@ object SimilarityQueries {
     * one O(sample·K) pass with a K-row broadcast and a 64-group aggregate;
     * the final corpus assignment is precomputed at ingest. Probe recall vs
     * the brute-force tier is pinned in ExtSpec. */
-  def knnIvf2(s: SparkSession, dir: String): DataFrame = {
+  /** Quantized embedding relation (vec_id, qe, nrm) — the input every
+    * centroid-based operator shares. */
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
+    Tables.embeddings(s, dir)
       .select($"vec_id", q6Arr($"embedding").as("qe"))
       .select($"vec_id", $"qe", dotQ($"qe", $"qe").as("nrm"))
+  }
+
+  /** md5-seeded + [[KM_ROUNDS]] Lloyd-refined centroid table — shared by
+    * the learned-IVF ANN and the semantic-dedup blocker. */
+  private def learnedCents(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val seed = e
       .orderBy(md5(concat(lit("ivf_"), $"vec_id".cast(StringType))).asc,
         $"vec_id".asc)
       .limit(IVF_K)
       .toDF("c_id", "c_qe", "c_nrm")
-    val learned = (1 to KM_ROUNDS).foldLeft(seed) { (cents, _) =>
+    (1 to KM_ROUNDS).foldLeft(seed) { (cents, _) =>
       kmUpdate(e, kmAssign(e, cents).filter($"crn" === 1)
         .select($"vec_id", $"c_id"))
     }
-    val ranked = kmAssign(e, learned)
+  }
+
+  def knnIvf2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir)
+    val ranked = kmAssign(e, learnedCents(e))
     val assign = ranked.filter($"crn" === 1).select($"vec_id", $"c_id".as("bucket"))
     val probes = ranked.filter($"vec_id" < 20 && $"crn" <= NPROBE2)
       .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"),
@@ -379,8 +392,10 @@ object SimilarityQueries {
 
   /** DuckDB mirror of the k-means loop, unrolled: centroids live in long
     * (c_id, g, m) form; each round is one assignment CTE + one floor-div
-    * means CTE. `//` floors in DuckDB, matching [[floorDivMean]]. */
-  val knnIvf2Sql: String = {
+    * means CTE. `//` floors in DuckDB, matching [[floorDivMean]]. Ends at
+    * `aranked3` (the post-training assignment ranking), which both the
+    * ANN and the semantic-dedup oracles consume. */
+  private val kmeansCtesSql: String = {
     def assignCte(cents: String, n: Int): String =
       s"""adots$n AS (
          |  SELECT v.vec_id, c.c_id, SUM(v.qv * c.m) AS dot
@@ -402,7 +417,7 @@ object SimilarityQueries {
          |  GROUP BY 1, 2),
          |${out}_norm AS (
          |  SELECT c_id, SUM(m * m) AS cnrm FROM $out GROUP BY c_id)""".stripMargin
-    s"""WITH $normsCte,
+    s"""$normsCte,
        |vq AS (
        |  SELECT vec_id, i.g AS g, ${q6Sql("embedding[i.g]")} AS qv
        |  FROM embeddings, $idxSql),
@@ -418,7 +433,11 @@ object SimilarityQueries {
        |${meansCte(1, "c1")},
        |${assignCte("c1", 2)},
        |${meansCte(2, "c2")},
-       |${assignCte("c2", 3)},
+       |${assignCte("c2", 3)}""".stripMargin
+  }
+
+  val knnIvf2Sql: String =
+    s"""WITH $kmeansCtesSql,
        |assign AS (SELECT vec_id, c_id AS bucket FROM aranked3 WHERE crn = 1),
        |probes AS (SELECT vec_id AS q_id, c_id AS bucket FROM aranked3
        |  WHERE vec_id < 20 AND crn <= $NPROBE2),
@@ -441,7 +460,66 @@ object SimilarityQueries {
        |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
        |  FROM scored) WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
+
+  // --- X2g: semantic (embedding-cosine) near-dup, centroid-blocked -------
+
+  /** Label-FREE embedding near-dup detection — the production complement
+    * of [[nearDupByLabel]]: when no blocking label exists, block by the
+    * LEARNED k-means centroid instead (every vector compares only against
+    * its own IVF list) and surface the top-5 most-similar pairs per list.
+    * This is semantic dedup as run on an unlabeled 100-TB corpus: the
+    * blocker is the same index the ANN tier already maintains, pair
+    * expansion is quadratic only within a list (|corpus|/K, bounded by
+    * scaling K with the corpus — at real scale K is thousands, lists stay
+    * ~constant), and the output feeds the same cluster/keep machinery as
+    * the MinHash tier.
+    *
+    * Determinism: centroids, assignments, and cosines are the exact
+    * integer/IEEE pipeline of [[knnIvf2]]; ranks tie-break on the pair
+    * ids. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir)
+    val assign = kmAssign(e, learnedCents(e)).filter($"crn" === 1)
+      .select($"vec_id", $"c_id".as("bucket"))
+    val v = e.join(assign, Seq("vec_id"))
+    val b = v.toDF("b_id", "b_emb", "b_nrm", "bucket")
+    val scored = v.join(b, Seq("bucket"))
+      .filter($"vec_id" < $"b_id")
+      .select($"bucket", $"vec_id", $"b_id",
+        cosine(dotQ($"qe", $"b_emb"), $"nrm", $"b_nrm").as("cos_sim"))
+    val w = Window.partitionBy($"bucket")
+      .orderBy($"cos_sim".desc, $"vec_id".asc, $"b_id".asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= 5)
+      .orderBy($"bucket", $"rnk")
+      .select($"bucket", $"rnk", $"vec_id", $"b_id", $"cos_sim")
   }
+
+  val semanticDedupSql: String =
+    s"""WITH $kmeansCtesSql,
+       |assign AS (SELECT vec_id, c_id AS bucket FROM aranked3 WHERE crn = 1),
+       |dots AS (
+       |  SELECT av.bucket, a.vec_id, b.vec_id AS b_id,
+       |    ${dotSql("a.embedding", "b.embedding")} AS dot
+       |  FROM assign av
+       |  JOIN embeddings a ON av.vec_id = a.vec_id
+       |  JOIN assign bv ON av.bucket = bv.bucket
+       |  JOIN embeddings b ON bv.vec_id = b.vec_id
+       |    AND a.vec_id < b.vec_id, $idxSql
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT bucket, dots.vec_id AS vec_id, b_id,
+       |    CAST(dot AS DOUBLE)
+       |      / (sqrt(CAST(an.nrm AS DOUBLE)) * sqrt(CAST(bn.nrm AS DOUBLE))) AS cos_sim
+       |  FROM dots
+       |  JOIN norms an ON dots.vec_id = an.vec_id
+       |  JOIN norms bn ON b_id = bn.vec_id)
+       |SELECT bucket, rnk, vec_id, b_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY bucket ORDER BY cos_sim DESC, vec_id ASC, b_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 5
+       |ORDER BY bucket, rnk""".stripMargin
 
   // --- X3b'': scalar-quantized (SQ8) ANN — the bandwidth path ------------
   /** Candidates surviving the int8 scan per query, before exact re-rank. */
@@ -721,5 +799,7 @@ object SimilarityQueries {
     QueryDef("q_embed_normalize", embedNormalize, Some(embedNormalizeSql),
       "X3d' apply the z-score fit: broadcast fit + narrow transform"),
     QueryDef("q_sim_neardup_label", nearDupByLabel, Some(nearDupByLabelSql),
-      "X3/X2 label-blocked embedding near-dup pairs"))
+      "X3/X2 label-blocked embedding near-dup pairs"),
+    QueryDef("q_dedup_semantic", semanticDedup, Some(semanticDedupSql),
+      "X2g label-free semantic near-dup blocked by learned IVF centroids"))
 }

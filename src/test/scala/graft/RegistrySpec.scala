@@ -46,7 +46,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_join_asof_state", "q_ts_interpolate", "q_text_tfidf",
       "q_sim_knn_sq8", "q_text_heavyhitters", "q_mix_weighted",
       // bounded single-row broadcast build side (max-key aggregate)
-      "q_merge_upsert")
+      "q_merge_upsert",
+      // K=16 broadcast centroid table crossed for k-means assignment,
+      // same class as q_sim_knn_ivf2 (whose index it shares)
+      "q_dedup_semantic")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
