@@ -31,10 +31,12 @@ object Registry {
       analytics.Profiler.defs ++
       ingest.IngestQueries.defs ++
       ext.DedupQueries.defs ++
+      ext.SimJoinQueries.defs ++
       ext.GraphQueries.defs ++
       ext.CurateQueries.defs ++
       ext.SimilarityQueries.defs ++
       ext.TextQueries.defs ++
+      ext.RetrievalQueries.defs ++
       ext.SamplingQueries.defs ++
       ext.PipelineQueries.defs ++
       ext.MultimodalQueries.defs

@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral/event-sequence operators beyond the W/T tiers: sequence
@@ -222,6 +223,114 @@ object BehaviorQueries {
       |FROM b GROUP BY user_id, month
       |ORDER BY user_id, month""".stripMargin
 
+  // --- B4: Markov transition matrix over per-user event sequences --------
+
+  /** First-order Markov transition census: for every ordered pair of event
+    * types, how often does `next` directly follow `prev` within a user's
+    * totally-ordered event stream, and with what conditional probability.
+    * The classic next-action model fit — at 100 TB this IS the training
+    * job for a baseline sequence model.
+    *
+    * Scale: one window pass partitioned by user (lag(1) carries 16 bytes
+    * of state per row), then a hash aggregate onto at most |types|² groups
+    * — the result is a constant-size matrix regardless of corpus size. The
+    * per-`prev` normalizer is a second aggregation over |types|² rows, not
+    * a second pass over the data.
+    *
+    * Determinism: probabilities are exact small-integer ratios rounded at
+    * 6 places; ordering is the (prev_type, next_type) pair. */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val tot = trans.groupBy($"prev_type")
+      .agg(sum($"n_trans").as("n_from"))
+    trans.join(tot, "prev_type")
+      .select($"prev_type", $"next_type", $"n_trans",
+        round($"n_trans".cast("double") / $"n_from", 6).as("p"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  val markovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT prev_type, event_type AS next_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_trans
+      |  FROM seq WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+      |  FROM trans GROUP BY 1)
+      |SELECT t.prev_type, t.next_type, t.n_trans,
+      |  round(CAST(t.n_trans AS DOUBLE) / n_from, 6) AS p
+      |FROM trans t JOIN tot USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin
+
+  // --- B5: sweep-line interval concurrency -------------------------------
+
+  /** Peak-concurrency profile: treating each event as a 15-minute active
+    * interval [ts, ts+15min), find for each event type the maximum number
+    * of simultaneously-active intervals and when that peak first occurs —
+    * the sweep-line operator behind "max concurrent sessions/trains/jobs"
+    * dashboards, computed WITHOUT an interval self-join.
+    *
+    * Sweep line: each interval becomes a +1 point at its start and a −1 at
+    * its end; a running sum in (time, delta) order IS the concurrency
+    * curve. Ends sort before starts at equal timestamps (delta asc), so
+    * intervals are half-open — a start that coincides with an end does not
+    * double-count.
+    *
+    * Scale: 2 rows per event through ONE window partition per event type,
+    * then a partial-agg max. The window partitions by type only — at 100 TB
+    * with few types, partition the sweep further by coarse time bucket and
+    * prefix-sum the per-bucket offsets (documented here, not needed at
+    * these cardinalities; same trick as the salted-agg tier). */
+  def intervalConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"event_type", $"ts")
+    val pts = ev.select($"event_type", $"ts".as("t"),
+        lit(1).as("delta"), $"event_id")
+      .unionAll(ev.select($"event_type",
+        ($"ts" + expr("INTERVAL 15 MINUTES")).as("t"),
+        lit(-1).as("delta"), $"event_id"))
+    val w = Window.partitionBy($"event_type").orderBy($"t", $"delta", $"event_id")
+    val curve = pts.withColumn("conc", sum($"delta").over(w))
+    val peaks = curve.groupBy($"event_type").agg(max($"conc").as("peak"))
+    curve.join(peaks, "event_type")
+      .filter($"conc" === $"peak")
+      .groupBy($"event_type", $"peak")
+      .agg(unix_micros(min($"t")).as("first_peak_us"))
+      .orderBy($"event_type")
+  }
+
+  val intervalConcurrencySql: String =
+    """WITH pts AS (
+      |  SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+      |  UNION ALL
+      |  SELECT event_type, ts + INTERVAL 15 MINUTE, -1, event_id FROM events),
+      |curve AS (
+      |  SELECT event_type, t,
+      |    CAST(SUM(delta) OVER (
+      |      PARTITION BY event_type ORDER BY t, delta, event_id) AS BIGINT) AS conc
+      |  FROM pts),
+      |peaks AS (
+      |  SELECT event_type, MAX(conc) AS peak FROM curve GROUP BY 1)
+      |SELECT c.event_type, p.peak, epoch_us(MIN(c.t)) AS first_peak_us
+      |FROM curve c JOIN peaks p
+      |  ON c.event_type = p.event_type AND c.conc = p.peak
+      |GROUP BY c.event_type, p.peak
+      |ORDER BY c.event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_event_pattern", eventPattern, Some(eventPatternSql),
       "B1 sequence pattern matching: journey-string collapse + regex census"),
@@ -230,5 +339,9 @@ object BehaviorQueries {
     QueryDef("q_rolling_sketch", rollingSketch, Some(rollingSketchSql),
       "B2' sliding distinct via mergeable HLL sketches (bounded-error oracle)"),
     QueryDef("q_bitmap_presence", bitmapPresence, Some(bitmapPresenceSql),
-      "B3 per-user month bitmap presence via bit_or + bit_count"))
+      "B3 per-user month bitmap presence via bit_or + bit_count"),
+    QueryDef("q_markov_transitions", markovTransitions, Some(markovTransitionsSql),
+      "B4 first-order Markov transition matrix: one lag pass + |types|^2 agg"),
+    QueryDef("q_interval_concurrency", intervalConcurrency, Some(intervalConcurrencySql),
+      "B5 sweep-line peak concurrency of 15-min intervals, no self-join"))
 }

@@ -93,7 +93,82 @@ object IncrementalQueries {
       |FROM w WHERE event_type = 'purchase'
       |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin
 
+  // --- M5: snapshot diff (CDC without a changelog) ----------------------
+
+  /** Change-data-capture by snapshot comparison: given a keyed state table
+    * at two points in time (per-customer latest order as-of 1996-01-01 vs
+    * as-of end-of-data), classify every key as `added`, `changed`, or
+    * `unchanged`, and roll the classes up with exact money totals. This is
+    * the diff a warehouse computes when the upstream publishes full
+    * snapshots instead of a changelog — the complement of M2's MERGE,
+    * which CONSUMES a changelog.
+    *
+    * Scale: each snapshot is one window pass over orders (latest row per
+    * customer — the W1 idiom), then ONE full-outer equi-join on the key and
+    * a constant-size rollup. Both window passes and the join shuffle on the
+    * same key (o_custkey), so AQE reuses the partitioning; nothing is
+    * quadratic and no snapshot is collected to the driver. `removed` cannot
+    * occur here (order history is append-only) but the classifier handles
+    * it, and the spec pins the class partition property. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("1996-01-01").cast(TimestampType)
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("st"), Ops.money(col("o_totalprice")).as("price"))
+    }
+    val orders = Tables.orders(s, dir)
+    val old = latest(orders.filter($"o_orderdate" < cutoff))
+      .toDF("custkey", "o_okey", "o_st", "o_price")
+    val nw = latest(orders)
+    val classified = nw.join(old, Seq("custkey"), "full_outer")
+      .select($"custkey", $"okey", $"price",
+        when($"okey".isNull, lit("removed"))
+          .when($"o_okey".isNull, lit("added"))
+          .when($"okey" === $"o_okey" && $"st" === $"o_st", lit("unchanged"))
+          .otherwise(lit("changed")).as("class"))
+    classified.groupBy($"class")
+      .agg(count(lit(1)).as("n_keys"),
+        sum($"price").cast(DoubleType).as("sum_price"))
+      .orderBy($"class")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH old AS (
+      |  SELECT * FROM (
+      |    SELECT o_custkey AS custkey, o_orderkey AS o_okey,
+      |      o_orderstatus AS o_st,
+      |      row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01')
+      |  WHERE rn = 1),
+      |nw AS (
+      |  SELECT * FROM (
+      |    SELECT o_custkey AS custkey, o_orderkey AS okey,
+      |      o_orderstatus AS st,
+      |      CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |      row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders)
+      |  WHERE rn = 1),
+      |classified AS (
+      |  SELECT COALESCE(n.custkey, o.custkey) AS custkey, n.price,
+      |    CASE WHEN n.okey IS NULL THEN 'removed'
+      |         WHEN o.o_okey IS NULL THEN 'added'
+      |         WHEN n.okey = o.o_okey AND n.st = o.o_st THEN 'unchanged'
+      |         ELSE 'changed' END AS class
+      |  FROM nw n FULL OUTER JOIN old o ON n.custkey = o.custkey)
+      |SELECT class, COUNT(*) AS n_keys,
+      |  CAST(SUM(price) AS DOUBLE) AS sum_price
+      |FROM classified GROUP BY class
+      |ORDER BY class""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql),
+      "M5 CDC snapshot diff: two latest-state windows + one full-outer join"),
     QueryDef("q_incremental_agg", incrementalAgg, Some(incrementalAggSql),
       "M4 incremental aggregate maintenance: partial merge == full recompute"),
     QueryDef("q_attribution", attribution, Some(attributionSql),

@@ -265,6 +265,73 @@ class CoreQueriesSpec extends AnyFunSuite {
       "s[cv]*p".r.findAllIn(journey).length.toLong)
   }
 
+  test("B4/B5: markov transitions and sweep-line concurrency reconcile") {
+    import graft.analytics.BehaviorQueries
+    // B4: per-prev probabilities sum to 1 and transition counts total
+    // exactly (events − users): each user emits n_events − 1 transitions
+    val trans = BehaviorQueries.markovTransitions(spark, sf).collect()
+    assert(trans.nonEmpty)
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(trans.map(_.getAs[Long]("n_trans")).sum === nEvents - nUsers)
+    trans.groupBy(_.getAs[String]("prev_type")).values.foreach { g =>
+      val p = g.map(_.getAs[Double]("p")).sum
+      assert(math.abs(p - 1.0) < 1e-4)
+    }
+    // B5: peak concurrency by brute force — count intervals covering each
+    // start point (a peak is always attained at some interval start)
+    val conc = BehaviorQueries.intervalConcurrency(spark, sf).collect()
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    conc.foreach { r =>
+      val ts = evs(r.getAs[String]("event_type"))
+      val win = 15L * 60 * 1000000
+      val brute = ts.map(p => ts.count(x => x <= p && p < x + win)).max
+      assert(r.getAs[Long]("peak") === brute.toLong,
+        r.getAs[String]("event_type"))
+    }
+  }
+
+  test("X4i BM25: ranks contiguous, scores descending, matches hand formula") {
+    import graft.ext.RetrievalQueries
+    val rows = RetrievalQueries.textBm25(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq === (1L to 20L))
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    // recompute the top doc's score by hand from raw counts
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.length).sum / n
+    val terms = Seq("vector", "spark", "window")
+    val dfm = terms.map(t => t -> docs.values.count(_.contains(t))).toMap
+    val top = rows.head
+    val toks = docs(top.getAs[Long]("doc_id"))
+    val expected = terms.map { t =>
+      val tf = toks.count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) *
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+    }.sum
+    assert(math.abs(top.getAs[Double]("score") - expected) < 1e-4)
+  }
+
+  test("M5 snapshot diff: classes partition the customer key space") {
+    import graft.analytics.IncrementalQueries
+    val rows = IncrementalQueries.snapshotDiff(spark, sf).collect()
+    val classes = rows.map(_.getAs[String]("class")).toSet
+    assert(classes.subsetOf(Set("added", "changed", "unchanged", "removed")))
+    // order history is append-only: nothing can disappear
+    assert(!classes.contains("removed"))
+    val nCust = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_keys")).sum === nCust)
+  }
+
   test("ST1/ST2: basket pairs and chi-square reconcile") {
     import graft.analytics.StatsQueries
     val pairs = StatsQueries.basketPairs(spark, sf).collect()

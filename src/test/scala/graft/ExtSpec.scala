@@ -193,6 +193,33 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix simjoin is EXACT: equals brute-force all-pairs Jaccard") {
+    // the prefix filter must have zero false negatives (and the verify
+    // step zero false positives) — compare against an unfiltered
+    // posting-list all-pairs Jaccard at the same threshold
+    val docs = Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(
+        expr("CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) ELSE array(text) END")))
+        .as("sh"))
+    val sizes = docs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = docs.toDF("a_id", "sh")
+      .join(docs.toDF("b_id", "sh"), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+      .join(sizes.toDF("a_id", "an"), "a_id")
+      .join(sizes.toDF("b_id", "bn"), "b_id")
+      .filter(col("i") * 8 >= (col("an") + col("bn")) * 3)
+      .select("a_id", "b_id", "i")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = SimJoinQueries.simjoinPrefix(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Long]("n_inter")).toMap
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
   test("knn brute: 5 neighbors per query, cosine in [-1,1] descending") {
     val rows = SimilarityQueries.knnBrute(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

@@ -49,7 +49,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_merge_upsert",
       // K=16 broadcast centroid table crossed for k-means assignment,
       // same class as q_sim_knn_ivf2 (whose index it shares)
-      "q_dedup_semantic")
+      "q_dedup_semantic",
+      // single-row corpus-stats aggregate (N, avgdl) crossed onto the
+      // scored term rows — same class as q_text_tfidf
+      "q_text_bm25")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
