@@ -50,7 +50,48 @@ object FuzzyQueries {
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** Transposition-tolerant twin of [[fuzzyNameJoin]]: the same
+    * dictionary-space blocked self-join scored by Jaro-Winkler instead of
+    * Levenshtein — the scorer entity-resolution uses for short name keys,
+    * where a swapped word pair costs Levenshtein heavily but barely dents
+    * JW. Spark has no built-in Jaro-Winkler; this drives the custom codegen
+    * [[graft.functions.JaroWinkler]] expression, whose semantics are pinned
+    * byte-for-byte to DuckDB's `jaro_winkler_similarity` (the oracle).
+    *
+    * Determinism: JW is pure double arithmetic (no libm) but its summation
+    * shape differs between engines, so the score is rounded at 5 places and
+    * BOTH the threshold filter and the output use the rounded value. */
+  def fuzzyJaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Tables.part(s, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+    val a = names.select($"p_name".as("name_a"), $"n_parts".as("parts_a"))
+    val b = names.select($"p_name".as("name_b"), $"n_parts".as("parts_b"))
+    a.join(b,
+        substring($"name_a", 1, 1) === substring($"name_b", 1, 1) &&
+          $"name_a" < $"name_b")
+      .withColumn("jw",
+        round(graft.functions.JaroWinkler.jaroWinkler($"name_a", $"name_b"), 5))
+      .where($"jw" >= 0.85)
+      .select($"name_a", $"name_b", $"jw", $"parts_a", $"parts_b")
+      .orderBy($"name_a", $"name_b")
+  }
+
+  val fuzzyJaroWinklerSql: String =
+    """WITH names AS (
+      |  SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  round(jaro_winkler_similarity(a.p_name, b.p_name), 5) AS jw,
+      |  a.n_parts AS parts_a, b.n_parts AS parts_b
+      |FROM names a JOIN names b
+      |  ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+      | AND a.p_name < b.p_name
+      |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 5) >= 0.85
+      |ORDER BY name_a, name_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_fuzzy_name_join", fuzzyNameJoin, Some(fuzzyNameJoinSql),
-      "X2e dictionary-space fuzzy join: blocked Levenshtein name pairs"))
+      "X2e dictionary-space fuzzy join: blocked Levenshtein name pairs"),
+    QueryDef("q_fuzzy_jarowinkler", fuzzyJaroWinkler, Some(fuzzyJaroWinklerSql),
+      "X2e' blocked Jaro-Winkler name pairs via custom codegen expression"))
 }

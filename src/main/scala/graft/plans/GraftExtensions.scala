@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{Haversine, LongArrayDot, Sq8Code}
+import graft.functions.{Haversine, JaroWinkler, LongArrayDot, Sq8Code}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.haversineEntry)
     e.injectFunction(GraftExtensions.longArrayDotEntry)
     e.injectFunction(GraftExtensions.sq8CodeEntry)
+    e.injectFunction(GraftExtensions.jaroWinklerEntry)
     e.injectOptimizerRule(_ => HaversineBoundingBox)
   }
 }
@@ -58,6 +59,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Sq8Code].getName, "sq8_code"),
     sq8CodeBuilder)
 
+  private def jaroWinklerBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "jaro_winkler(string, string)")
+    JaroWinkler(args(0), args(1))
+  }
+
+  val jaroWinklerEntry: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    jaroWinklerBuilder)
+
   /** Install on an already-built session (idempotent). */
   def registerOn(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -66,5 +77,7 @@ object GraftExtensions {
       "long_array_dot", longArrayDotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sq8_code", sq8CodeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", jaroWinklerBuilder, "built-in")
   }
 }

@@ -88,6 +88,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [haversine_km"))
   }
 
+  test("jaro_winkler pins DuckDB's jaro_winkler_similarity bit-for-bit") {
+    import graft.functions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinkler.sim(UTF8String.fromString(a), UTF8String.fromString(b))
+    // expected values are DuckDB 1.x jaro_winkler_similarity outputs,
+    // captured verbatim — full double precision, no rounding
+    assert(jw("MARTHA", "MARHTA") === 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") === 0.8133333333333332)
+    assert(jw("JELLYFISH", "SMELLYFISH") === 0.8962962962962964)
+    assert(jw("hello world", "hello wrold") === 0.9818181818181818)
+    // boost threshold is STRICT jaro > 0.7: 0.7083 boosts, 0.6667 doesn't
+    assert(jw("ab", "abcdefghijklmnop") === 0.7666666666666667)
+    assert(jw("aaaa", "aabb") === 0.6666666666666666)
+    // degenerate cases
+    assert(jw("", "") === 1.0)
+    assert(jw("", "ABC") === 0.0)
+    assert(jw("A", "A") === 1.0)
+    assert(jw("AB", "BA") === 0.0) // window 0: no cross-position matches
+    assert(jw("a", "b") === 0.0)
+    // symmetry
+    assert(jw("CRATE", "TRACE") === jw("TRACE", "CRATE"))
+  }
+
+  test("jaro_winkler codegen agrees with interpreted eval, stays in WSCG") {
+    import graft.functions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    val df = spark.range(26)
+      .select(concat(lit("name"), $"id".cast("string")).as("a"),
+        concat(lit("nmae"), ($"id" + 1).cast("string")).as("b"))
+    val viaExpr = df.select(JaroWinkler.jaroWinkler($"a", $"b").as("j"))
+      .as[Double].collect()
+    val direct = (0 until 26).map(i =>
+      JaroWinkler.sim(UTF8String.fromString(s"name$i"),
+        UTF8String.fromString(s"nmae${i + 1}")))
+    assert(viaExpr.toSeq === direct)
+    val plan = df.select(JaroWinkler.jaroWinkler($"a", $"b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [jaro_winkler"))
+  }
+
   test("bounding-box rule derives pushable range predicates from a radius filter") {
     import graft.plans.HaversineBoundingBox
     val tmp = java.nio.file.Files.createTempDirectory("graft-geo").toString + "/pts"
