@@ -164,5 +164,125 @@ object WarehouseQueries {
     QueryDef("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql),
       "M2 MERGE-style upsert reconciliation via one full-outer join"),
     QueryDef("q_variant_extract", variantExtract, Some(variantExtractSql),
-      "M3 Spark-4 VARIANT typed extraction over semi-structured props"))
+      "M3 Spark-4 VARIANT typed extraction over semi-structured props"),
+    QueryDef("q_scd2_asof", scd2AsOf, Some(scd2AsOfSql),
+      "M6 point-in-time fact join against the SCD2 dimension, no range join"),
+    QueryDef("q_schema_evolution", schemaEvolution, Some(schemaEvolutionSql),
+      "S13 schema-evolution union read: unionByName with null backfill"))
+
+  // --- M6: point-in-time (as-of) join against the SCD2 dimension ---------
+
+  /** The warehouse PIT join: attribute each purchase to the state the user
+    * was in WHEN THE PURCHASE HAPPENED (the SCD2 dimension row valid at
+    * fact time), not the user's current state. Joining fact.ts BETWEEN
+    * dim.valid_from AND dim.valid_to is the textbook form — and a range
+    * join that degrades to per-key interval scans at scale. This is the
+    * same single-shuffle union + IGNORE-NULLS window rewrite as the J5
+    * as-of operator: dim change rows and fact rows interleave in one
+    * per-user ordered pass, `last_value(state) IGNORE NULLS` carries the
+    * valid dimension row forward onto each fact row, and the tie rule
+    * (dim before fact at equal ts) makes a same-instant state change
+    * apply to the purchase.
+    *
+    * Scale: ONE exchange on user_id shared by the change-detection window
+    * and the carry-forward window; no range predicate ever reaches a join.
+    * Purchases before any state change fall in the 'none' bucket. */
+  def scd2AsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", Ops.epochUs($"ts").as("ts_us"),
+        $"event_id", $"value")
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    // SCD2 dim: runs of the user's non-purchase activity type
+    val dim = ev.filter($"event_type" =!= "purchase")
+      .withColumn("prev", lag($"event_type", 1).over(wOrd))
+      .where($"prev".isNull || $"prev" =!= $"event_type")
+      .select($"user_id", $"ts_us", $"event_id",
+        lit(0).as("is_fact"), $"event_type".as("state"),
+        lit(null).cast("decimal(18,2)").as("v"))
+    val fact = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us", $"event_id",
+        lit(1).as("is_fact"), lit(null).cast("string").as("state"),
+        Ops.money($"value").as("v"))
+    val wCarry = Window.partitionBy($"user_id")
+      .orderBy($"ts_us", $"is_fact", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionAll(fact)
+      .withColumn("cur_state",
+        last($"state", ignoreNulls = true).over(wCarry))
+      .filter($"is_fact" === 1)
+      .groupBy(coalesce($"cur_state", lit("none")).as("state_at_purchase"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"v").cast("double").as("sum_value"))
+      .orderBy($"state_at_purchase")
+  }
+
+  val scd2AsOfSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+      |  FROM events),
+      |dim AS (
+      |  SELECT user_id, ts_us, event_id, 0 AS is_fact,
+      |    event_type AS state, CAST(NULL AS DECIMAL(18,2)) AS v
+      |  FROM (
+      |    SELECT user_id, event_type, ts_us, event_id,
+      |      lag(event_type) OVER (
+      |        PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      |    FROM ev WHERE event_type <> 'purchase')
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |fact AS (
+      |  SELECT user_id, ts_us, event_id, 1 AS is_fact,
+      |    CAST(NULL AS VARCHAR) AS state, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM ev WHERE event_type = 'purchase'),
+      |merged AS (
+      |  SELECT *, last_value(state IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, is_fact, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_state
+      |  FROM (SELECT * FROM dim UNION ALL SELECT * FROM fact))
+      |SELECT COALESCE(cur_state, 'none') AS state_at_purchase,
+      |  COUNT(*) AS n_purchases, CAST(SUM(v) AS DOUBLE) AS sum_value
+      |FROM merged WHERE is_fact = 1
+      |GROUP BY 1 ORDER BY state_at_purchase""".stripMargin
+
+  // --- S13: schema-evolution union read ----------------------------------
+
+  /** Reading across a schema boundary: the v1 extract predates the
+    * `o_orderpriority` column, the v2 extract carries it. `unionByName`
+    * with `allowMissingColumns` aligns by NAME and null-backfills v1 —
+    * the lakehouse schema-evolution read (`mergeSchema`) expressed on the
+    * DataFrame API, where positional UNION would silently misalign or
+    * fail. The rollup proves every v1 row landed in the 'unknown' bucket
+    * and every v2 row kept its priority.
+    *
+    * Scale: two narrow projections of the same scan + one hash agg;
+    * the backfill is a literal, not a join. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("1996-01-01").cast("timestamp")
+    val orders = Tables.orders(s, dir)
+    val v1 = orders.filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", Ops.money($"o_totalprice").as("price"))
+    val v2 = orders.filter($"o_orderdate" >= cutoff)
+      .select($"o_orderkey", Ops.money($"o_totalprice").as("price"),
+        $"o_orderpriority")
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(coalesce($"o_orderpriority", lit("unknown")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"price").cast("double").as("sum_price"))
+      .orderBy($"priority")
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH unioned AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |    CAST(NULL AS VARCHAR) AS o_orderpriority
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |    o_orderpriority
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+      |SELECT COALESCE(o_orderpriority, 'unknown') AS priority,
+      |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS sum_price
+      |FROM unioned GROUP BY 1
+      |ORDER BY priority""".stripMargin
 }

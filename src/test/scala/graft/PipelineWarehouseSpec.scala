@@ -141,6 +141,42 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(agg.getLong(2) == closed)     // closed intervals tile the timeline
   }
 
+  test("M6 PIT join: every purchase attributed to the state at its time") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"),
+        $"event_id")
+      .as[(Long, String, Long, Long)].collect()
+    // brute force: for each purchase, the state is the event_type of the
+    // latest PRECEDING (ts, event_id) non-purchase change row of that user
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._4))
+      val purchases = sorted.filter(_._2 == "purchase")
+      purchases.map { p =>
+        val prior = sorted.filter(r =>
+          r._2 != "purchase" &&
+            (r._3 < p._3 || (r._3 == p._3 && r._4 < p._4)))
+        if (prior.isEmpty) "none" else prior.last._2
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = WarehouseQueries.scd2AsOf(spark, sf).collect()
+      .map(r => r.getAs[String]("state_at_purchase") ->
+        r.getAs[Long]("n_purchases")).toMap
+    assert(got === expected)
+    assert(got.values.sum === ev.count(_._2 == "purchase").toLong)
+  }
+
+  test("S13 schema evolution: v1 rows land in 'unknown', totals reconcile") {
+    import spark.implicits._
+    val rows = WarehouseQueries.schemaEvolution(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+    val cutoff = lit("1996-01-01").cast("timestamp")
+    val v1 = orders.filter($"o_orderdate" < cutoff).count()
+    val unknown = rows.find(_.getAs[String]("priority") == "unknown")
+    assert(unknown.exists(_.getAs[Long]("n_orders") === v1))
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === orders.count())
+  }
+
   test("M2 merge: actions partition base+delta keyspace with exact counts") {
     import spark.implicits._
     val orders = Tables.orders(spark, sf)
