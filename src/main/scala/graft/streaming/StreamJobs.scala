@@ -247,6 +247,28 @@ object StreamJobs {
         OutputMode.Append())
   }
 
+  /** B4 twin — per-user Markov transitions as a stream: one ValueState row
+    * per user carries the LAST seen event across batches, so each arriving
+    * event emits exactly one (prev, next) transition — the incremental
+    * form of the batch lag-window census, with constant per-key state.
+    * Rows are sorted by (ts_us, event_id) WITHIN each batch; across
+    * batches the carry assumes per-key event-time monotone arrival (the
+    * spec drives a single-batch drain; a late-data-tolerant variant would
+    * buffer behind a watermark exactly like [[TimerSessions]]). Downstream
+    * the transition stream feeds the same |types|² aggregate as batch. */
+  def markovStream(events: DataFrame): Dataset[TransOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[TypedEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new MarkovCarry,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** T-extra — watermarked stream-stream interval self-join, the streaming
     * twin of the batch J6 range join (EventQueries.rangeJoinFollowers):
     * each event pairs with the same user's events in the following 10
@@ -411,6 +433,42 @@ object Sessionize {
             sessions.init.iterator
           }
       }
+  }
+}
+
+/** Typed event with its type label, for the Markov carry. */
+final case class TypedEv(
+    user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+
+/** One emitted transition of [[StreamJobs.markovStream]]. */
+final case class TransOut(user_id: Long, prev_type: String, next_type: String)
+
+/** StatefulProcessor for [[StreamJobs.markovStream]] — the per-user carry
+  * is ONE event (16 bytes + type string), not a buffer: each batch sorts
+  * its own rows, folds them against the carried last event, emits one
+  * transition per row (except a user's very first), and stores the new
+  * last event. */
+class MarkovCarry
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEv, TransOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var last: ValueState[TypedEv] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[TypedEv]("last",
+      org.apache.spark.sql.Encoders.product[TypedEv], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEv],
+      timerValues: TimerValues): Iterator[TransOut] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var prev = if (last.exists()) Some(last.get()) else None
+    val out = sorted.flatMap { e =>
+      val t = prev.map(p => TransOut(key, p.event_type, e.event_type))
+      prev = Some(e)
+      t
+    }
+    prev.foreach(last.update)
+    out.iterator
   }
 }
 

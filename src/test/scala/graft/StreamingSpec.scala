@@ -216,6 +216,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("B4 twin: streaming Markov carry emits exactly the batch transitions") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamJobs.markovStream(StreamJobs.eventsStream(spark, eventsDir))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("markov_out").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table("markov_out")
+        .groupBy($"prev_type", $"next_type").count()
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.analytics.BehaviorQueries
+        .markovTransitions(spark, sf).collect()
+        .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
+          r.getAs[Long]("n_trans")).toMap
+      assert(streamed === batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("T6 transformWithState timers emit exactly the batch session set") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
