@@ -109,9 +109,78 @@ object StatsQueries {
       |    * (CAST(observed AS DOUBLE) - expected) / expected, 6) AS chi2_cell
       |FROM e ORDER BY lang, source""".stripMargin
 
+  // --- ST3: per-group OLS trend fit from exact integer sums ---------------
+
+  /** Least-squares daily-spend trend per event type: slope/intercept/R² of
+    * total daily cents (y) against day number (x) — the SQL:2016
+    * `regr_slope`/`regr_intercept`/`regr_r2` family, computed from EXACT
+    * integer sufficient statistics instead of the built-ins' running
+    * double sums. Σx, Σy, Σxy, Σx², Σy² over (day, cents) are all
+    * overflow-safe longs here, so both engines derive the fit from
+    * IDENTICAL integers and the only floating-point steps are the final
+    * divisions — the same exactness discipline as the money tier. At 100
+    * TB the daily rollup (first aggregate) is the only big pass; the fit
+    * itself runs on |groups|·|days| rows.
+    *
+    * Why not `regr_slope`: its streaming covariance accumulates doubles in
+    * partial-aggregation order, which differs between engines and across
+    * partition counts — unfixable nondeterminism for a hash-compared
+    * result. Sufficient statistics are the scale-correct form anyway (one
+    * hash agg, algebraic merge). */
+  def statsRegression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type",
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("x"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy($"event_type", $"x")
+      .agg(sum($"cents").as("y"))
+    val fit = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+    // all sums are exact longs; every division below is the first (and
+    // only) floating-point step, so both engines compute identical bits
+    val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+    val den = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+    val m = num / den
+    fit.select($"event_type", $"n".as("n_days"),
+        round(m, 6).as("slope"),
+        round(($"sy".cast("double") - m * $"sx") / $"n", 6).as("intercept"),
+        round(num * num /
+          (den * ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("r2"))
+      .orderBy($"event_type")
+  }
+
+  val statsRegressionSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS x,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |fit AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n AS n_days,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+      |  round((CAST(sy AS DOUBLE)
+      |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |       / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6) AS intercept,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+      |FROM fit ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_basket_pairs", basketPairs, Some(basketPairsSql),
       "ST1 market-basket co-occurrence: co-partitioned self-join pair mining"),
     QueryDef("q_stats_contingency", contingencyChi2, Some(contingencyChi2Sql),
-      "ST2 contingency table with chi-square contributions from one scan"))
+      "ST2 contingency table with chi-square contributions from one scan"),
+    QueryDef("q_stats_regression", statsRegression, Some(statsRegressionSql),
+      "ST3 per-group OLS trend fit from exact integer sufficient statistics"))
 }

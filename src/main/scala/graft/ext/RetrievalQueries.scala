@@ -100,7 +100,63 @@ object RetrievalQueries {
        |WHERE rnk <= $TOP_K
        |ORDER BY rnk""".stripMargin
 
+  // --- X4j: positional phrase search --------------------------------------
+
+  /** Exact phrase matching (the quoted-query operator): for each fixed
+    * two-word phrase, how many documents contain it and how many times,
+    * counting overlapping occurrences. Positions never leave the row: the
+    * per-doc count is a codegen array-HOF scan over adjacent token pairs —
+    * no positional posting list is materialized, no join happens. The
+    * corpus-level rollup is a hash agg onto |phrases| rows.
+    *
+    * At 100 TB this is the narrow-scan form a phrase filter should take
+    * when it runs AFTER a cheap candidate cut (e.g. the BM25 tier above or
+    * a bigram bloom filter); materialized positional indexes only pay when
+    * the same corpus serves many ad-hoc phrases. */
+  private val PHRASES = Seq(("big", "data"), ("hash", "join"), ("window", "merge"))
+
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withToks = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+    // one occurrence-count column per phrase, all from the same scan
+    val occCols = PHRASES.map { case (w1, w2) =>
+      expr(s"size(filter(sequence(0, size(toks) - 2), " +
+        s"i -> toks[i] = '$w1' AND toks[i + 1] = '$w2'))")
+        .cast(LongType).as(s"occ_${w1}_$w2")
+    }
+    val occ = withToks.filter(size($"toks") >= 2)
+      .select(($"doc_id" +: occCols): _*)
+    val stacked = occ.select(explode(array(PHRASES.map { case (w1, w2) =>
+      struct(lit(s"$w1 $w2").as("phrase"), col(s"occ_${w1}_$w2").as("n"))
+    }: _*)).as("p"))
+      .select($"p.phrase".as("phrase"), $"p.n".as("n"))
+    stacked.groupBy($"phrase")
+      .agg(sum(when($"n" > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum($"n").as("n_occurrences"))
+      .orderBy($"phrase")
+  }
+
+  val phraseSearchSql: String = {
+    val branches = PHRASES.map { case (w1, w2) =>
+      s"""SELECT '$w1 $w2' AS phrase,
+         |  CAST(len(list_filter(generate_series(1, len(ts) - 1),
+         |    i -> ts[i] = '$w1' AND ts[i + 1] = '$w2')) AS BIGINT) AS n
+         |FROM (SELECT string_split(text, ' ') AS ts FROM documents)
+         |WHERE len(ts) >= 2""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH occ AS (
+       |  $branches)
+       |SELECT phrase,
+       |  CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS n_occurrences
+       |FROM occ GROUP BY phrase
+       |ORDER BY phrase""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_text_bm25", textBm25, Some(textBm25Sql),
-      "X4i BM25 ranked retrieval: filtered tf agg + broadcast corpus stats"))
+      "X4i BM25 ranked retrieval: filtered tf agg + broadcast corpus stats"),
+    QueryDef("q_phrase_search", phraseSearch, Some(phraseSearchSql),
+      "X4j overlapping phrase occurrence census via narrow array-HOF scan"))
 }

@@ -332,6 +332,52 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_keys")).sum === nCust)
   }
 
+  test("ST3 regression: slope/intercept/r2 match a local least-squares fit") {
+    import graft.analytics.StatsQueries
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("x"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+      .groupBy("event_type", "x").agg(sum("c").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = StatsQueries.statsRegression(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pts = daily.filter(_._1 == r.getAs[String]("event_type"))
+        .map(p => (p._2.toDouble, p._3.toDouble))
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val m = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val b = (sy - m * sx) / n
+      assert(r.getAs[Long]("n_days") === pts.length.toLong)
+      assert(math.abs(r.getAs[Double]("slope") - m) < 1e-4)
+      assert(math.abs(r.getAs[Double]("intercept") - b) < 1e-3)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("X4j phrase search: counts match a regex recount over raw text") {
+    import graft.ext.RetrievalQueries
+    val rows = RetrievalQueries.phraseSearch(spark, sf).collect()
+    assert(rows.length === 3)
+    val texts = Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    rows.foreach { r =>
+      val Array(w1, w2) = r.getAs[String]("phrase").split(" ")
+      // overlapping bigram count over the tokenized text
+      val perDoc = texts.map { t =>
+        val toks = t.split(" ", -1)
+        toks.indices.dropRight(1)
+          .count(i => toks(i) == w1 && toks(i + 1) == w2).toLong
+      }
+      assert(r.getAs[Long]("n_occurrences") === perDoc.sum)
+      assert(r.getAs[Long]("n_docs") === perDoc.count(_ > 0).toLong)
+    }
+  }
+
   test("ST1/ST2: basket pairs and chi-square reconcile") {
     import graft.analytics.StatsQueries
     val pairs = StatsQueries.basketPairs(spark, sf).collect()
