@@ -248,11 +248,14 @@ object BehaviorQueries {
       .filter($"prev_type".isNotNull)
       .groupBy($"prev_type", $"event_type".as("next_type"))
       .agg(count(lit(1)).as("n_trans"))
-    val tot = trans.groupBy($"prev_type")
-      .agg(sum($"n_trans").as("n_from"))
-    trans.join(tot, "prev_type")
+    // per-prev normalizer as a window total over the |types|² aggregate —
+    // a groupBy+join here would RECOMPUTE the lag pass for the second
+    // branch (two user_id exchanges), the ST2 window-totals idiom avoids it
+    val wTot = Window.partitionBy($"prev_type")
+    trans
       .select($"prev_type", $"next_type", $"n_trans",
-        round($"n_trans".cast("double") / $"n_from", 6).as("p"))
+        round($"n_trans".cast("double") /
+          sum($"n_trans").over(wTot), 6).as("p"))
       .orderBy($"prev_type", $"next_type")
   }
 
@@ -266,13 +269,11 @@ object BehaviorQueries {
       |  SELECT prev_type, event_type AS next_type,
       |    CAST(COUNT(*) AS BIGINT) AS n_trans
       |  FROM seq WHERE prev_type IS NOT NULL
-      |  GROUP BY 1, 2),
-      |tot AS (
-      |  SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
-      |  FROM trans GROUP BY 1)
-      |SELECT t.prev_type, t.next_type, t.n_trans,
-      |  round(CAST(t.n_trans AS DOUBLE) / n_from, 6) AS p
-      |FROM trans t JOIN tot USING (prev_type)
+      |  GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n_trans,
+      |  round(CAST(n_trans AS DOUBLE) / CAST(SUM(n_trans) OVER (
+      |    PARTITION BY prev_type) AS BIGINT), 6) AS p
+      |FROM trans
       |ORDER BY prev_type, next_type""".stripMargin
 
   // --- B5: sweep-line interval concurrency -------------------------------

@@ -111,6 +111,44 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-7 queries: bounded exchanges, no cartesian, local window sorts") {
+    // q_scd2_asof: change-detect window + carry-forward window both hash on
+    // user_id; the union between them forces the second exchange — exactly
+    // two user_id exchanges, nothing global
+    val pit = planOf("q_scd2_asof")
+    assert(countOf(pit, "Exchange hashpartitioning\\(user_id") <= 2,
+      s"PIT join should shuffle on user_id at most twice\n$pit")
+    assert(!pit.contains("CartesianProduct"))
+    // q_markov_transitions: ONE user_id exchange feeds the lag window; the
+    // transition agg shuffles only |types|² rows
+    val mk = planOf("q_markov_transitions")
+    assert(countOf(mk, "Exchange hashpartitioning\\(user_id") == 1,
+      s"markov lag window should reuse one user_id exchange\n$mk")
+    // q_interval_concurrency: sweep-line window partitioned by event_type
+    // (never a global sort); peak join is an equi join
+    val ic = planOf("q_interval_concurrency")
+    assert("Sort \\[event_type[^\\n]*\\], false,".r.findAllIn(ic).nonEmpty,
+      s"sweep-line sort must be per-partition:\n$ic")
+    assert(!ic.contains("CartesianProduct"))
+    // q_snapshot_diff: both snapshot windows and the full-outer join key on
+    // o_custkey/custkey; no broadcast of a snapshot (they scale with keys)
+    val sd = planOf("q_snapshot_diff")
+    assert(countOf(sd, "Exchange hashpartitioning\\(o?_?custkey") <= 3,
+      s"snapshot diff should stay on the custkey partitioning\n$sd")
+    assert(sd.contains("SortMergeJoin") || sd.contains("ShuffledHashJoin"),
+      s"snapshot full-outer join must be a shuffled equi join\n$sd")
+    // q_phrase_search: narrow scan — only text reaches the read schema
+    val ps = planOf("q_phrase_search")
+    assert(ps.contains("ReadSchema: struct<text:string>"),
+      s"phrase search should prune to the text column\n$ps")
+    // q_stats_regression: two hash aggregates (daily rollup + fit), no
+    // window, no join
+    val reg = planOf("q_stats_regression")
+    assert(!reg.contains("Join"), s"regression needs no join\n$reg")
+    // q_simjoin_prefix + q_text_bm25: no cartesian anywhere
+    assert(!planOf("q_simjoin_prefix").contains("CartesianProduct"))
+  }
+
   test("fuzzy join confines quadratic work to the name dictionary") {
     val plan = planOf("q_fuzzy_name_join")
     // levenshtein must be computed above the dictionary aggregates, not
