@@ -23,7 +23,13 @@ object Bench {
       graft.GraftSession.ensureStats(spark, sfDir,
         graft.analytics.CboQueries.statTables)
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only: an optional comma-separated query subset (the driver
+    // passes no args and benches everything)
+    val subset: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Execute the RETURNED Dataset's own (already-planned) physical plan:
       // Dataset.count() would build a fresh QueryExecution from the logical

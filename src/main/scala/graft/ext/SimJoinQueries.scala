@@ -2,9 +2,8 @@ package graft.ext
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.DoubleType
 
 /** X2h — EXACT set-similarity self-join via prefix filtering (the
   * PPJoin/AllPairs family), the scale-correct way to find ALL document
@@ -46,37 +45,52 @@ object SimJoinQueries {
       .select($"doc_id", explode(array_distinct(DedupQueries.shingleArr)).as("sh"))
     // global shingle rarity — partial-agg count, scale-safe on hot shingles
     val df_ = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    // rarity-ordered position of each shingle within its doc; ties are
-    // impossible (shingles are distinct per doc, so (df, sh) is unique)
-    val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)
-    val pre = sh.join(df_, "sh")
-      .withColumn("p", row_number().over(w))
-      .join(sizes, "doc_id")
-      // prefix length n − ⌈t·n⌉ + 1, with ⌈3n/5⌉ = (3n+4) div 5
-      .filter($"p" <= $"n_sh" - expr(s"($NUM * n_sh + ${DEN - 1}) div $DEN") + 1)
-      .select($"doc_id", $"sh")
-    // candidates: pairs sharing a prefix shingle (rare-first ⇒ short lists)
-    val cand = pre.toDF("a_id", "sh")
-      .join(pre.toDF("b_id", "sh"), Seq("sh"))
-      .filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id")
-      .distinct()
-    // verify candidates exactly: expand each pair by A's full shingle set,
-    // equi-join B's — cost O(cand · |set|), local to the candidate set
-    val inter = cand
-      .join(sh.toDF("a_id", "sh"), "a_id")
-      .join(sh.toDF("b_id", "sh"), Seq("b_id", "sh"))
-      .groupBy($"a_id", $"b_id")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.toDF("a_id", "a_n"), "a_id")
-      .join(sizes.toDF("b_id", "b_n"), "b_id")
+    // ONE doc_id exchange builds the whole per-doc index: the
+    // rarity-sorted shingle array (sort_array on (df, sh) structs — ties
+    // impossible, shingles are distinct per doc) doubles as set size AND
+    // verification payload, so no later stage touches the exploded
+    // shingle relation again
+    val docArr = sh.join(df_, "sh")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ranked"))
+      .select($"doc_id",
+        expr("transform(ranked, r -> r.sh)").as("arr"),
+        size($"ranked").cast("long").as("n_sh"))
+    // prefix length n − ⌈t·n⌉ + 1, with ⌈3n/5⌉ = (3n+4) div 5. Each
+    // prefix-shingle posting row CARRIES its doc's full array, so pair
+    // expansion and exact verification happen inside the posting list —
+    // the X2 capped-bucket pattern, made exact: a doc appears in a
+    // shingle's posting list only if it contains that shingle, so list
+    // size ≤ that shingle's global df, and prefixes hold each doc's
+    // RAREST shingles. A derived-table self-join here would instead make
+    // Catalyst re-derive the whole shingle index once per reference
+    // (measured: 16 parquet scans in the plan).
+    val pairs = docArr
+      .select($"doc_id", $"arr", $"n_sh", explode(expr(
+        s"slice(arr, 1, size(arr) - ($NUM * size(arr) + ${DEN - 1}) div $DEN + 1)"))
+        .as("sh"))
+      .groupBy($"sh")
+      .agg(collect_list(struct($"doc_id", $"arr", $"n_sh")).as("docs"))
+      .filter(size($"docs") >= 2)
+      .select(explode(expr(
+        "flatten(transform(docs, a -> " +
+          "transform(filter(docs, b -> b.doc_id > a.doc_id), " +
+          "b -> struct(a.doc_id AS a_id, b.doc_id AS b_id, " +
+          "a.arr AS arr_a, b.arr AS arr_b, " +
+          "a.n_sh AS a_n, b.n_sh AS b_n))))")).as("p"))
+      .select($"p.*")
+    pairs
+      .select($"a_id", $"b_id",
+        size(array_intersect($"arr_a", $"arr_b")).cast("long").as("n_inter"),
+        $"a_n", $"b_n")
       // J ≥ 3/5 ⇔ 5·i ≥ 3·(a+b−i) ⇔ 8·i ≥ 3·(a+b): integer-exact
       .filter($"n_inter" * (DEN + NUM) >= ($"a_n" + $"b_n") * NUM)
       .select($"a_id", $"b_id", $"n_inter",
         ($"a_n" + $"b_n" - $"n_inter").as("n_union"),
         ($"n_inter".cast(DoubleType) / ($"a_n" + $"b_n" - $"n_inter")).as("jaccard"))
+      // a pair verifies identically in every shared prefix bucket — one
+      // exchange dedups the duplicates
+      .distinct()
       .orderBy($"a_id", $"b_id")
   }
 

@@ -22,10 +22,43 @@ object Profile {
       r
     }
 
-    names.foreach { n =>
-      val fn = graft.SparkEntry.queries(n)
-      time(s"$n cold")(fn(spark, dir).queryExecution.toRdd.count())
-      time(s"$n warm")(fn(spark, dir).queryExecution.toRdd.count())
+    names.foreach {
+      case "simjoin-stages" =>
+        // stage-wise cost attribution for q_simjoin_prefix
+        import org.apache.spark.sql.functions._
+        import graft.Tables
+        
+        val s = spark
+        import s.implicits._
+        val shArr = when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), " +
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .otherwise(array(col("text")))
+        val sh = Tables.documents(s, dir)
+          .withColumn("toks", split($"text", " "))
+          .select($"doc_id", explode(array_distinct(shArr)).as("sh"))
+        time("sh explode+count")(sh.count())
+        val df_ = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        time("df_ agg")(df_.count())
+        val docArr = sh.join(df_, "sh")
+          .groupBy($"doc_id")
+          .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ranked"))
+          .select($"doc_id", expr("transform(ranked, r -> r.sh)").as("arr"),
+            size($"ranked").cast("long").as("n_sh"))
+        time("docArr build")(docArr.count())
+        val pre = docArr.select($"doc_id", explode(expr(
+          "slice(arr, 1, size(arr) - (3 * size(arr) + 4) div 5 + 1)")).as("sh"))
+        time("pre explode")(pre.count())
+        val cand = pre.toDF("a_id", "sh")
+          .join(pre.toDF("b_id", "sh"), Seq("sh"))
+          .filter($"a_id" < $"b_id").select($"a_id", $"b_id").distinct()
+        println(s"cand rows: ${time("cand join+distinct")(cand.count())}")
+        val full = graft.ext.SimJoinQueries.simjoinPrefix(s, dir)
+        time("full query")(full.queryExecution.toRdd.count())
+      case n =>
+        val fn = graft.SparkEntry.queries(n)
+        time(s"$n cold")(fn(spark, dir).queryExecution.toRdd.count())
+        time(s"$n warm")(fn(spark, dir).queryExecution.toRdd.count())
     }
     spark.stop()
   }
