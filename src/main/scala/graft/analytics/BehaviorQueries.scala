@@ -344,5 +344,61 @@ object BehaviorQueries {
     QueryDef("q_markov_transitions", markovTransitions, Some(markovTransitionsSql),
       "B4 first-order Markov transition matrix: one lag pass + |types|^2 agg"),
     QueryDef("q_interval_concurrency", intervalConcurrency, Some(intervalConcurrencySql),
-      "B5 sweep-line peak concurrency of 15-min intervals, no self-join"))
+      "B5 sweep-line peak concurrency of 15-min intervals, no self-join"),
+    QueryDef("q_cumulative_distinct", cumulativeDistinct, Some(cumulativeDistinctSql),
+      "B6 cumulative reach via first-occurrence flag + running sum"))
+
+  // --- B6: cumulative distinct (reach curve) ------------------------------
+
+  /** Daily cumulative reach per event type: how many DISTINCT users have
+    * EVER done this action by day d. `COUNT(DISTINCT) OVER (ORDER BY …)`
+    * is the textbook spelling and is unimplementable at scale (the window
+    * state is the identity set itself — Spark rejects it outright). The
+    * linear rewrite: a user's FIRST occurrence per type (one row_number
+    * pass) marks +1 on that day; daily new-user counts then accumulate
+    * with a running sum over the tiny |types|·|days| rollup. Same
+    * first-touch trick as the W5 attribution tier, pointed at distinct
+    * counting.
+    *
+    * Scale: one exchange on (event_type, user_id) for the first-seen
+    * pass, one hash agg, and a running sum over a constant-size table. */
+  def cumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wFirst = Window.partitionBy($"event_type", $"user_id")
+      .orderBy($"ts", $"event_id")
+    val firstSeen = Tables.events(s, dir)
+      .select($"event_type", $"user_id", $"ts", $"event_id")
+      .withColumn("rn", row_number().over(wFirst))
+      .filter($"rn" === 1)
+      .select($"event_type",
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("dayn"))
+    val daily = firstSeen.groupBy($"event_type", $"dayn")
+      .agg(count(lit(1)).as("new_users"))
+    val wRun = Window.partitionBy($"event_type").orderBy($"dayn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select($"event_type", $"dayn", $"new_users",
+        sum($"new_users").over(wRun).as("cum_users"))
+      .orderBy($"event_type", $"dayn")
+  }
+
+  val cumulativeDistinctSql: String =
+    """WITH first_seen AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS dayn
+      |  FROM (
+      |    SELECT event_type, ts,
+      |      row_number() OVER (PARTITION BY event_type, user_id
+      |        ORDER BY ts, event_id) AS rn
+      |    FROM events)
+      |  WHERE rn = 1),
+      |daily AS (
+      |  SELECT event_type, dayn, CAST(COUNT(*) AS BIGINT) AS new_users
+      |  FROM first_seen GROUP BY 1, 2)
+      |SELECT event_type, dayn, new_users,
+      |  CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY dayn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM daily
+      |ORDER BY event_type, dayn""".stripMargin
 }

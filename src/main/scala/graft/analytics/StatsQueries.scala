@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -182,5 +183,72 @@ object StatsQueries {
     QueryDef("q_stats_contingency", contingencyChi2, Some(contingencyChi2Sql),
       "ST2 contingency table with chi-square contributions from one scan"),
     QueryDef("q_stats_regression", statsRegression, Some(statsRegressionSql),
-      "ST3 per-group OLS trend fit from exact integer sufficient statistics"))
+      "ST3 per-group OLS trend fit from exact integer sufficient statistics"),
+    QueryDef("q_rolling_zscore", rollingZscore, Some(rollingZscoreSql),
+      "ST4 trailing-window z-score anomalies from exact integer frame sums"))
+
+  // --- ST4: rolling z-score anomaly flags ---------------------------------
+
+  /** Trailing-7-day z-score anomaly detection on daily spend per event
+    * type: a day is flagged when its total deviates ≥ 2 sample standard
+    * deviations from its own trailing week. The moving mean/std come from
+    * exact integer frame sums (Σx, Σx² over cents in a ROWS frame), so
+    * both engines see identical sufficient statistics — the same
+    * discipline as ST3, applied to windows; `stddev` over a window would
+    * accumulate doubles in engine-specific order. sqrt/division are the
+    * only float steps; z is rounded at 4 and the flag tests the ROUNDED
+    * value, so the cross-engine cut is pinned.
+    *
+    * Scale: one daily rollup (the only pass over raw events), then a
+    * ROWS-frame window over |types|·|days| rows partitioned by type.
+    * Frames shorter than 7 days are warm-up, not anomalies. */
+  def rollingZscore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type",
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("dayn"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy($"event_type", $"dayn")
+      .agg(sum($"cents").as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"dayn")
+      .rowsBetween(-6, Window.currentRow)
+    val stats = daily
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s1", sum($"x").over(w))
+      .withColumn("s2", sum($"x" * $"x").over(w))
+      .filter($"cnt" === 7)
+    val mu = $"s1".cast("double") / $"cnt"
+    val variance = ($"s2".cast("double") - $"s1".cast("double") * mu) /
+      ($"cnt" - 1)
+    stats
+      .select($"event_type", $"dayn", $"x",
+        round(($"x".cast("double") - mu) / sqrt(variance), 4).as("z"))
+      .filter(abs($"z") >= 2.0)
+      .orderBy($"event_type", $"dayn")
+  }
+
+  val rollingZscoreSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS dayn,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |frames AS (
+      |  SELECT event_type, dayn, x,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS cnt,
+      |    CAST(SUM(x) OVER w AS BIGINT) AS s1,
+      |    CAST(SUM(x * x) OVER w AS BIGINT) AS s2
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY dayn
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |scored AS (
+      |  SELECT event_type, dayn, x,
+      |    round((CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+      |      / sqrt((CAST(s2 AS DOUBLE)
+      |              - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / cnt))
+      |             / (cnt - 1)), 4) AS z
+      |  FROM frames WHERE cnt = 7)
+      |SELECT event_type, dayn, x, z FROM scored
+      |WHERE abs(z) >= 2.0
+      |ORDER BY event_type, dayn""".stripMargin
 }

@@ -378,6 +378,49 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ST4/B6: rolling z-score and cumulative reach match local recompute") {
+    import graft.analytics.{BehaviorQueries, StatsQueries}
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("d"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+      .groupBy("event_type", "d").agg(sum("c").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // ST4: recompute every trailing-7 frame's z and derive the flag set
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.indices.filter(_ >= 6).flatMap { i =>
+        val frame = sorted.slice(i - 6, i + 1).map(_._3)
+        val n = 7.0
+        val mu = frame.sum.toDouble / n
+        val variance =
+          (frame.map(v => v.toDouble * v).sum - frame.sum.toDouble * mu) / 6.0
+        val z = BigDecimal((sorted(i)._3 - mu) / math.sqrt(variance))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (math.abs(z) >= 2.0) Some((et, sorted(i)._2, sorted(i)._3, z))
+        else None
+      }
+    }.toSet
+    val got = StatsQueries.rollingZscore(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dayn"),
+        r.getAs[Long]("x"), r.getAs[Double]("z"))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // B6: the reach curve is monotone and ends at the true distinct count
+    val reach = BehaviorQueries.cumulativeDistinct(spark, sf).collect()
+    val distinctUsers = Tables.events(spark, sf)
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    reach.groupBy(_.getAs[String]("event_type")).foreach { case (et, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("dayn"))
+      val cums = sorted.map(_.getAs[Long]("cum_users"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+      assert(cums.last === distinctUsers(et))
+      assert(sorted.map(_.getAs[Long]("new_users")).sum === distinctUsers(et))
+    }
+  }
+
   test("ST1/ST2: basket pairs and chi-square reconcile") {
     import graft.analytics.StatsQueries
     val pairs = StatsQueries.basketPairs(spark, sf).collect()
