@@ -397,5 +397,63 @@ object TextQueries {
     QueryDef("q_token_positions", tokenPositions, Some(tokenPositionsSql),
       "P2 positional generator (posexplode vs UNNEST ordinality)"),
     QueryDef("q_text_fingerprint", textFingerprint, Some(textFingerprintSql),
-      "X4 rolling-hash bottom-k document fingerprint"))
+      "X4 rolling-hash bottom-k document fingerprint"),
+    QueryDef("q_text_entropy", textEntropy, Some(textEntropySql),
+      "X4k character-entropy quality gate per language"))
+
+  // --- X4k: character-entropy quality gate --------------------------------
+
+  /** Shannon character entropy per document, rolled up per language — the
+    * gibberish/boilerplate detector of the quality tier (natural text sits
+    * in a narrow bits-per-char band; near-zero entropy is repeated filler,
+    * the ceiling is random noise). Computed as
+    * H = log2(n) − (Σ c·log2 c)/n over per-char counts, which needs ONE
+    * libm call per distinct character (≤ |alphabet| per doc) instead of a
+    * division inside the log.
+    *
+    * Scale: two hash aggregates — (doc, char) counts, then the per-doc
+    * fold — both map-side-combinable; the per-language rollup is
+    * constant-size. Per-doc entropy is rounded at 4 and the low-entropy
+    * flag tests the ROUNDED value, pinning the cross-engine cut (same
+    * discipline as ST4's z flag). */
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val charCounts = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(split($"text", "")).as("ch"))
+      .groupBy($"doc_id", $"lang", $"ch")
+      .agg(count(lit(1)).as("c"))
+    val perDoc = charCounts
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"c").as("n"),
+        sum($"c".cast("double") * log2($"c".cast("double"))).as("clog"))
+      .select($"doc_id", $"lang",
+        round(log2($"n".cast("double")) - $"clog" / $"n", 4).as("ent"))
+    perDoc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"ent" < 3.2, 1L).otherwise(0L)).as("n_low_entropy"),
+        round(min($"ent"), 4).as("min_ent"),
+        round(max($"ent"), 4).as("max_ent"))
+      .orderBy($"lang")
+  }
+
+  val textEntropySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, '')) AS ch
+      |  FROM documents),
+      |counts AS (
+      |  SELECT doc_id, lang, ch, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM chars GROUP BY 1, 2, 3),
+      |per_doc AS (
+      |  SELECT doc_id, lang,
+      |    round(log2(CAST(SUM(c) AS DOUBLE))
+      |      - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+      |        / CAST(SUM(c) AS BIGINT), 4) AS ent
+      |  FROM counts GROUP BY 1, 2)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN ent < 3.2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low_entropy,
+      |  round(MIN(ent), 4) AS min_ent,
+      |  round(MAX(ent), 4) AS max_ent
+      |FROM per_doc GROUP BY lang
+      |ORDER BY lang""".stripMargin
 }

@@ -193,6 +193,31 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("X4k entropy gate: doc counts reconcile, band matches local recompute") {
+    val rows = TextQueries.textEntropy(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    // recompute every doc's entropy locally; per-lang min/max must match
+    def ent(t: String): Double = {
+      val counts = t.toCharArray.groupBy(identity).values.map(_.length)
+      val n = t.length.toDouble
+      val h = (math.log(n) / math.log(2)) -
+        counts.map(c => c * (math.log(c) / math.log(2))).sum / n
+      BigDecimal(h).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byLang = docs.groupBy(_._1).view.mapValues(_.map(d => ent(d._2)))
+    rows.foreach { r =>
+      val es = byLang(r.getAs[String]("lang"))
+      assert(math.abs(r.getAs[Double]("min_ent") - es.min) < 1e-3)
+      assert(math.abs(r.getAs[Double]("max_ent") - es.max) < 1e-3)
+      assert(r.getAs[Long]("n_low_entropy") === es.count(_ < 3.2).toLong)
+      // natural-text band: positive, below the 31-symbol alphabet ceiling
+      assert(es.min > 0 && es.max < 5.0)
+    }
+  }
+
   test("prefix simjoin is EXACT: equals brute-force all-pairs Jaccard") {
     // the prefix filter must have zero false negatives (and the verify
     // step zero false positives) — compare against an unfiltered
