@@ -22,10 +22,13 @@ import org.apache.spark.sql.types.DoubleType
   * zero false negatives. The worst case (a corpus of near-identical docs)
   * is quadratic in the OUTPUT, which no exact algorithm avoids.
   *
-  * Plan: one exchange on `sh` for document frequencies, one window pass
-  * on `doc_id` for prefix ranks, an equi-join of prefix postings for
-  * candidates, then verification joins that touch only candidate pairs
-  * (O(cand · |set|), never corpus²).
+  * Plan: one aggregate for document frequencies (broadcast back onto the
+  * shingle stream), ONE doc_id exchange building the rarity-sorted
+  * per-doc array, one shingle exchange grouping prefix postings — whose
+  * rows carry their doc's full array, so pair expansion AND exact
+  * verification (`array_intersect`) run inside the posting list — and a
+  * final dedup exchange. Verification cost is O(pairs · |set|) local
+  * work, never corpus².
   *
   * Cross-engine determinism: the threshold test is integer cross-
   * multiplication (J ≥ 3/5 ⇔ 8·|∩| ≥ 3·(|A|+|B|)) — no float compare —
