@@ -127,7 +127,91 @@ object SimJoinQueries {
        |WHERE i.n_inter * ${DEN + NUM} >= (za.n_sh + zb.n_sh) * $NUM
        |ORDER BY a_id, b_id""".stripMargin
 
+  // --- X2i: exact containment join ----------------------------------------
+
+  /** Containment threshold c = 9/10. */
+  private val CNUM = 9
+  private val CDEN = 10
+
+  /** EXACT near-containment detection: pairs where ≥ 90% of the SMALLER
+    * doc's shingles appear in the larger doc — the "quoted in full" dedup
+    * case symmetric Jaccard structurally misses (a paragraph embedded in a
+    * long page shares all its shingles yet has near-zero Jaccard). Same
+    * prefix principle, asymmetric: if |A∩B| ≥ c·|A| then one of A's
+    * `|A| − ⌈c·|A|⌉ + 1` rarest shingles must be in B — so only the
+    * CONTAINED side is restricted to its prefix; the containing side
+    * posts its full shingle set. Candidate volume is Σ_prefix-shingle df,
+    * still rare-shingle-bounded; verification is the same in-bucket
+    * `array_intersect`. The containment test is integer cross-multiplied
+    * (10·|∩| ≥ 9·|A|). On THIS synthetic corpus every high-containment
+    * pair happens to also be X2h-Jaccard-similar (the planted near-dups
+    * are equal-length paraphrases); on a real corpus the operator's value
+    * is exactly the pairs X2h misses — small docs embedded in large ones.
+    */
+  def containJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", explode(array_distinct(DedupQueries.shingleArr)).as("sh"))
+    val df_ = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val docArr = sh.join(df_, "sh")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ranked"))
+      .select($"doc_id",
+        expr("transform(ranked, r -> r.sh)").as("arr"),
+        size($"ranked").cast("long").as("n_sh"))
+    // contained-side candidates: A's prefix rows, CARRYING A's array
+    // (candidate volume stays rare-shingle-bounded). The containing side
+    // must expose its FULL shingle set — A's prefix shingle is guaranteed
+    // somewhere in B, not in B's prefix, so a prefix×prefix bucket would
+    // silently drop true containments — as a light (b_id, sh) row stream
+    // (the raw shingle relation, no df join needed on this side).
+    val pre = docArr.select($"doc_id".as("a_id"), $"arr".as("arr_a"),
+      $"n_sh".as("a_n"), explode(expr(
+        s"slice(arr, 1, size(arr) - ($CNUM * size(arr) + ${CDEN - 1}) div $CDEN + 1)"))
+        .as("sh"))
+    val cand = pre
+      .join(sh.toDF("b_id", "sh"), Seq("sh"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"arr_a", $"a_n", $"b_id")
+      .distinct()
+    cand
+      .join(docArr.select($"doc_id".as("b_id"), $"arr".as("arr_b"),
+        $"n_sh".as("b_n")), "b_id")
+      // containment runs small-into-large; equal sizes tie-break on doc_id
+      .filter($"b_n" > $"a_n" || ($"b_n" === $"a_n" && $"b_id" > $"a_id"))
+      .select($"a_id", $"b_id",
+        size(array_intersect($"arr_a", $"arr_b")).cast("long").as("n_inter"),
+        $"a_n", $"b_n")
+      // containment ≥ 9/10 ⇔ 10·i ≥ 9·|A|
+      .filter($"n_inter" * CDEN >= $"a_n" * CNUM)
+      .select($"a_id", $"b_id", $"n_inter", $"a_n", $"b_n",
+        ($"n_inter".cast(DoubleType) / $"a_n").as("containment"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val containJoinSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${DedupQueries.shinglesSql}) AS sh
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.a_id, i.b_id, i.n_inter,
+       |  za.n_sh AS a_n, zb.n_sh AS b_n,
+       |  CAST(i.n_inter AS DOUBLE) / za.n_sh AS containment
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.a_id
+       |JOIN sizes zb ON zb.doc_id = i.b_id
+       |WHERE (zb.n_sh > za.n_sh OR (zb.n_sh = za.n_sh AND i.b_id > i.a_id))
+       |  AND i.n_inter * $CDEN >= za.n_sh * $CNUM
+       |ORDER BY a_id, b_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_simjoin_prefix", simjoinPrefix, Some(simjoinPrefixSql),
-      "X2h exact Jaccard self-join via rarity-ordered prefix filtering"))
+      "X2h exact Jaccard self-join via rarity-ordered prefix filtering"),
+    QueryDef("q_contain_join", containJoin, Some(containJoinSql),
+      "X2i exact near-containment join: asymmetric prefix filter"))
 }

@@ -245,6 +245,29 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("containment join is EXACT: equals brute-force small-into-large scan") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(
+        expr("CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) ELSE array(text) END")))
+        .as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = (for {
+      (a, sa) <- docs.toSeq
+      (b, sb) <- docs.toSeq
+      if sb.size > sa.size || (sb.size == sa.size && b > a)
+      i = (sa intersect sb).size
+      if i * 10 >= sa.size * 9
+    } yield (a, b) -> i.toLong).toMap
+    val got = ext.SimJoinQueries.containJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Long]("n_inter")).toMap
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
   test("knn brute: 5 neighbors per query, cosine in [-1,1] descending") {
     val rows = SimilarityQueries.knnBrute(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
