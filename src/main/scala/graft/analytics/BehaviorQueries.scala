@@ -297,13 +297,14 @@ object BehaviorQueries {
     * these cardinalities; same trick as the salted-agg tier). */
   def intervalConcurrency(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
-      .select($"event_id", $"event_type", $"ts")
-    val pts = ev.select($"event_type", $"ts".as("t"),
-        lit(1).as("delta"), $"event_id")
-      .unionAll(ev.select($"event_type",
-        ($"ts" + expr("INTERVAL 15 MINUTES")).as("t"),
-        lit(-1).as("delta"), $"event_id"))
+    // both boundary points of an interval come from ONE row via a 2-array
+    // explode — a union of two selects would scan the parquet twice
+    val pts = Tables.events(s, dir)
+      .select($"event_id", $"event_type", explode(array(
+        struct($"ts".as("t"), lit(1).as("delta")),
+        struct(($"ts" + expr("INTERVAL 15 MINUTES")).as("t"),
+          lit(-1).as("delta")))).as("p"))
+      .select($"event_type", $"p.t".as("t"), $"p.delta".as("delta"), $"event_id")
     val w = Window.partitionBy($"event_type").orderBy($"t", $"delta", $"event_id")
     val curve = pts.withColumn("conc", sum($"delta").over(w))
     val peaks = curve.groupBy($"event_type").agg(max($"conc").as("peak"))

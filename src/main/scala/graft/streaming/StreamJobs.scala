@@ -247,6 +247,22 @@ object StreamJobs {
         OutputMode.Append())
   }
 
+  /** B6 twin — cumulative reach as a stream: stateful streaming
+    * `dropDuplicates` keeps one state row per (event_type, user) and
+    * passes only FIRST occurrences downstream, where an update-mode
+    * running count per type converges to the batch distinct-user reach —
+    * the streaming form of B6's first-occurrence rewrite (exact streaming
+    * COUNT DISTINCT without holding an identity set in the aggregate; the
+    * dedup state IS the identity set, keyed and store-backed, and a
+    * production variant bounds it with `dropDuplicatesWithinWatermark`
+    * exactly like the T5 re-delivery test). */
+  def reachStream(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), col("user_id"))
+      .dropDuplicates("event_type", "user_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cum_users"))
+
   /** B4 twin — per-user Markov transitions as a stream: one ValueState row
     * per user carries the LAST seen event across batches, so each arriving
     * event emits exactly one (prev, next) transition — the incremental

@@ -167,6 +167,11 @@ class FunctionsSpec extends AnyFunSuite {
     val n = spark.sql("SELECT haversine_km(CAST(NULL AS DOUBLE), 0D, 0D, 0D)")
       .collect().head
     assert(n.isNullAt(0))
+    // jaro_winkler answers SQL and propagates nulls
+    val jw = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS j")
+      .as[Double].head()
+    assert(jw === 0.9611111111111111)
+    assert(spark.sql("SELECT jaro_winkler(NULL, 'x')").collect().head.isNullAt(0))
   }
 
   test("long_array_dot agrees with the aggregate/zip_with HOF form") {

@@ -216,6 +216,23 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("B6 twin: streaming reach converges to the batch cumulative distinct") {
+    val q = StreamJobs.reachStream(StreamJobs.eventsStream(spark, eventsDir))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("reach_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("reach_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the batch reach curve's final point per type IS the distinct count
+    val batch = graft.analytics.BehaviorQueries
+      .cumulativeDistinct(spark, sf).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (et, rows) =>
+        et -> rows.map(_.getAs[Long]("cum_users")).max
+      }
+    assert(streamed === batch)
+  }
+
   test("B4 twin: streaming Markov carry emits exactly the batch transitions") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
