@@ -185,7 +185,54 @@ object StatsQueries {
     QueryDef("q_stats_regression", statsRegression, Some(statsRegressionSql),
       "ST3 per-group OLS trend fit from exact integer sufficient statistics"),
     QueryDef("q_rolling_zscore", rollingZscore, Some(rollingZscoreSql),
-      "ST4 trailing-window z-score anomalies from exact integer frame sums"))
+      "ST4 trailing-window z-score anomalies from exact integer frame sums"),
+    QueryDef("q_exact_quantiles", exactQuantiles, Some(exactQuantilesSql),
+      "ST5 exact P10/P50/P90 order statistics via window rank, state-free"))
+
+  // --- ST5: exact multi-quantile via window rank --------------------------
+
+  /** Exact P10/P50/P90 of per-event spend per event type, computed as
+    * ORDER STATISTICS: rank every row within its group once, then keep
+    * the rows sitting at ⌈q·n⌉. The `percentile()` aggregate gives the
+    * same numbers with a collect-the-whole-group-into-one-buffer state —
+    * the A6 approx tier exists because that buffer is the scale failure;
+    * this is the exact path that stays distributed: the sort is Spark's
+    * spillable per-partition window sort, state per row is one long, and
+    * no single buffer ever holds a group.
+    *
+    * Determinism: values are integer cents; ⌈q·n⌉ is (k·n + 9) div 10 —
+    * integer-exact in both engines; rank ties break on event_id but the
+    * emitted VALUE at a rank is tie-independent. */
+  def exactQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
+    val wAll = Window.partitionBy($"event_type")
+    Tables.events(s, dir)
+      .select($"event_type", $"event_id",
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select($"event_type", $"cents", $"rn", $"n",
+        explode(expr("array(1, 5, 9)")).as("k"))
+      .filter($"rn" === expr("(k * n + 9) div 10"))
+      .select($"event_type",
+        ($"k".cast(DoubleType) / 10).as("q"), $"cents".as("value_cents"))
+      .orderBy($"event_type", $"q")
+  }
+
+  val exactQuantilesSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM events),
+      |hits AS (
+      |  SELECT event_type, cents, rn, n, unnest([1, 5, 9]) AS k
+      |  FROM ranked)
+      |SELECT event_type, CAST(k AS DOUBLE) / 10 AS q, cents AS value_cents
+      |FROM hits WHERE rn = (k * n + 9) // 10
+      |ORDER BY event_type, q""".stripMargin
 
   // --- ST4: rolling z-score anomaly flags ---------------------------------
 

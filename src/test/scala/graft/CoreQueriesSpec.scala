@@ -421,6 +421,22 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ST5 exact quantiles: rank-picked values equal a local sort's") {
+    import graft.analytics.StatsQueries
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = StatsQueries.exactQuantiles(spark, sf).collect()
+    assert(rows.length === byType.size * 3)
+    rows.foreach { r =>
+      val vs = byType(r.getAs[String]("event_type"))
+      val k = math.round(r.getAs[Double]("q") * 10).toInt
+      val rank = (k * vs.length + 9) / 10 // ⌈q·n⌉, 1-based
+      assert(r.getAs[Long]("value_cents") === vs(rank - 1))
+    }
+  }
+
   test("ST1/ST2: basket pairs and chi-square reconcile") {
     import graft.analytics.StatsQueries
     val pairs = StatsQueries.basketPairs(spark, sf).collect()
