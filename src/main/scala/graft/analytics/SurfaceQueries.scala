@@ -293,7 +293,108 @@ object SurfaceQueries {
       |  MIN(cust) AS min_cust
       |FROM p GROUP BY 1, 2 ORDER BY path""".stripMargin
 
+  // --- P17: URL canonicalization dedup ------------------------------------
+
+  /** Web-crawl URL canonicalization — the dedup primitive every crawl
+    * pipeline runs before content dedup: scheme-case, host-case, `www.`
+    * prefix, default `:443` port, trailing slash, tracking parameters
+    * (`utm_*`), and query-parameter ORDER are all surface noise that makes
+    * one page look like many. Raw URLs are synthesized from orders in
+    * three deliberately-divergent surface forms per logical page;
+    * canonicalization is pure narrow string work (regexp extracts + an
+    * array filter/sort for the query string — RE2∩Java patterns, the
+    * q_regex_suite dialect discipline), and the rollup reports how many
+    * raw forms collapsed per path.
+    *
+    * Scale: fully narrow until one hash agg on the canonical key — the
+    * exact shape a 100-TB crawl frontier dedup needs (the canonical URL
+    * then becomes the exact-dedup key of X1). */
+  def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.orders(s, dir)
+      .select($"o_orderkey".as("k"), $"o_custkey".as("cust"),
+        lower(replace($"o_orderpriority", lit(" "), lit("-"))).as("cat"))
+      .select(concat(
+        when($"k" % 3 === 0, lit("HTTPS://WWW.Shop.Example.com:443"))
+          .when($"k" % 3 === 1, lit("https://shop.example.com"))
+          .otherwise(lit("https://Shop.example.COM")),
+        lit("/cat/"), $"cat",
+        when($"k" % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when($"k" % 3 === 0, lit("utm_source=ad&")).otherwise(lit("")),
+        lit("cust="), $"cust".cast(StringType),
+        when($"k" % 5 === 0, lit("&utm_campaign=x")).otherwise(lit("")))
+        .as("url"))
+    val canon = raw.select($"url",
+      concat(lit("https://"),
+        regexp_replace(regexp_replace(
+          lower(regexp_extract($"url", "^[hH][tT][tT][pP][sS]://([^/?]+)", 1)),
+          "^www\\.", ""), ":443$", ""),
+        regexp_replace(
+          regexp_extract($"url", "^[hH][tT][tT][pP][sS]://[^/?]+([^?]*)", 1),
+          "/+$", ""),
+        when(expr("array_join(array_sort(filter(split(" +
+          "regexp_extract(url, '\\\\?(.*)$', 1), '&'), " +
+          "p -> substring(p, 1, 4) != 'utm_')), '&')") =!= "",
+          concat(lit("?"), expr("array_join(array_sort(filter(split(" +
+            "regexp_extract(url, '\\\\?(.*)$', 1), '&'), " +
+            "p -> substring(p, 1, 4) != 'utm_')), '&')")))
+          .otherwise(lit(""))).as("canonical"))
+    canon
+      .select(regexp_extract($"canonical", "^https://[^/]+(/[^/?]+/[^/?]+)", 1)
+        .as("path"), $"url", $"canonical")
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct($"url").as("n_raw_forms"),
+        countDistinct($"canonical").as("n_canonical"))
+      .select($"path", $"n_raw", $"n_raw_forms", $"n_canonical",
+        ($"n_raw_forms" - $"n_canonical").as("n_collapsed"))
+      .orderBy($"path")
+  }
+
+  val urlCanonicalSql: String =
+    """WITH raw AS (
+      |  SELECT
+      |    (CASE WHEN o_orderkey % 3 = 0 THEN 'HTTPS://WWW.Shop.Example.com:443'
+      |          WHEN o_orderkey % 3 = 1 THEN 'https://shop.example.com'
+      |          ELSE 'https://Shop.example.COM' END)
+      |    || '/cat/' || lower(replace(o_orderpriority, ' ', '-'))
+      |    || (CASE WHEN o_orderkey % 2 = 0 THEN '/' ELSE '' END)
+      |    || '?'
+      |    || (CASE WHEN o_orderkey % 3 = 0 THEN 'utm_source=ad&' ELSE '' END)
+      |    || 'cust=' || CAST(o_custkey AS VARCHAR)
+      |    || (CASE WHEN o_orderkey % 5 = 0 THEN '&utm_campaign=x' ELSE '' END)
+      |      AS url
+      |  FROM orders),
+      |canon AS (
+      |  SELECT url,
+      |    'https://'
+      |    || regexp_replace(regexp_replace(
+      |         lower(regexp_extract(url, '^[hH][tT][tT][pP][sS]://([^/?]+)', 1)),
+      |         '^www\.', ''), ':443$', '')
+      |    || regexp_replace(
+      |         regexp_extract(url, '^[hH][tT][tT][pP][sS]://[^/?]+([^?]*)', 1),
+      |         '/+$', '')
+      |    || (CASE WHEN array_to_string(list_sort(list_filter(string_split(
+      |           regexp_extract(url, '\?(.*)$', 1), '&'),
+      |           p -> substring(p, 1, 4) <> 'utm_')), '&') <> ''
+      |         THEN '?' || array_to_string(list_sort(list_filter(string_split(
+      |           regexp_extract(url, '\?(.*)$', 1), '&'),
+      |           p -> substring(p, 1, 4) <> 'utm_')), '&')
+      |         ELSE '' END) AS canonical
+      |  FROM raw)
+      |SELECT regexp_extract(canonical, '^https://[^/]+(/[^/?]+/[^/?]+)', 1)
+      |    AS path,
+      |  COUNT(*) AS n_raw,
+      |  COUNT(DISTINCT url) AS n_raw_forms,
+      |  COUNT(DISTINCT canonical) AS n_canonical,
+      |  COUNT(DISTINCT url) - COUNT(DISTINCT canonical) AS n_collapsed
+      |FROM canon GROUP BY 1
+      |ORDER BY path""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_url_canonical", urlCanonical, Some(urlCanonicalSql),
+      "P17 URL canonicalization dedup: narrow normalize + one hash agg"),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql),
       "XP6 PII redaction (email/number masking) with per-segment audit"),
     QueryDef("q_url_parse", urlParse, Some(urlParseSql),

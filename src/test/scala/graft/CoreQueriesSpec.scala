@@ -421,6 +421,24 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("P17 URL canonicalization: canonicals equal the logical page count") {
+    import graft.analytics.SurfaceQueries
+    val rows = SurfaceQueries.urlCanonical(spark, sf).collect()
+    // one logical page per (priority, customer); every surface form of it
+    // must collapse to exactly one canonical URL
+    val pages = Tables.orders(spark, sf)
+      .select(lower(regexp_replace(col("o_orderpriority"), " ", "-")).as("cat"),
+        col("o_custkey"))
+      .distinct().groupBy("cat").count()
+      .collect().map(r => "/cat/" + r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_canonical") === pages(r.getAs[String]("path")))
+      assert(r.getAs[Long]("n_collapsed") > 0) // the noise really collapses
+      assert(r.getAs[Long]("n_raw_forms") <= r.getAs[Long]("n_raw"))
+    }
+  }
+
   test("ST5 exact quantiles: rank-picked values equal a local sort's") {
     import graft.analytics.StatsQueries
     val byType = Tables.events(spark, sf)

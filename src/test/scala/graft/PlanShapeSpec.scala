@@ -147,6 +147,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!reg.contains("Join"), s"regression needs no join\n$reg")
     // q_simjoin_prefix + q_text_bm25: no cartesian anywhere
     assert(!planOf("q_simjoin_prefix").contains("CartesianProduct"))
+    // q_exact_quantiles: both windows (rank + group count) share ONE
+    // event_type exchange; the sort is per-partition
+    val eq = planOf("q_exact_quantiles")
+    assert(countOf(eq, "Exchange hashpartitioning\\(event_type") == 1,
+      s"quantile windows should share one event_type exchange\n$eq")
+    // q_rolling_zscore / q_cumulative_distinct: no join in either plan
+    assert(!planOf("q_rolling_zscore").contains("Join"))
+    assert(!planOf("q_cumulative_distinct").contains("Join"))
+    // q_text_entropy: two hash aggregates, narrow read schema
+    val te = planOf("q_text_entropy")
+    assert(!te.contains("Join") && !te.contains("Window"))
+    // q_contain_join: equi joins only
+    assert(!planOf("q_contain_join").contains("CartesianProduct"))
   }
 
   test("fuzzy join confines quadratic work to the name dictionary") {
