@@ -66,5 +66,86 @@ object SamplingQueries {
     QueryDef("q_sample_split", sampleSplit, Some(sampleSplitSql),
       "deterministic md5-keyed train/val/test split audit"),
     QueryDef("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql),
-      "deterministic stratified 1/8 sample per language"))
+      "deterministic stratified 1/8 sample per language"),
+    QueryDef("q_sample_neyman", sampleNeyman, Some(sampleNeymanSql),
+      "XP10 Neyman-allocated stratified sample: integer-exact allocation"))
+
+  /** Total sample budget for the Neyman allocation. */
+  private val BUDGET = 1000L
+
+  // --- XP10: variance-proportional (Neyman) stratified sampling -----------
+
+  /** Neyman allocation: when sampling a fixed budget across strata to
+    * estimate a mean, the variance-optimal split gives stratum h
+    * `n_h = budget · N_h·σ_h / Σ N·σ` — high-variance strata earn more
+    * rows than proportional allocation would give. The eval-set builder's
+    * sampler, computed end-to-end inside the engine.
+    *
+    * Determinism discipline: σ_h comes from exact integer sums (ST3's
+    * sufficient statistics) but sqrt is libm, so σ is quantized to an
+    * integer (round(σ·10⁴) as `sigma4`) and EVERYTHING downstream —
+    * weights N·σ₄, the Σ-weight normalizer, the per-stratum allocation
+    * `(budget · w) div Σw` — is 64-bit integer arithmetic: the
+    * allocation is bit-exact in both engines, no float ever crosses a
+    * floor boundary. The draw itself is the md5-ranked deterministic
+    * take (this module's house key), so the SAMPLE is reproducible too.
+    *
+    * Scale: one stats pass (hash agg), a single-row Σw broadcast (the
+    * accepted 1-row-BNLJ class), a 5-row allocation broadcast onto the
+    * ranked take's one window pass. */
+  def sampleNeyman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", $"event_id",
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"), sum($"cents").as("s1"),
+        sum($"cents" * $"cents").as("s2"))
+      .select($"event_type", $"n_total",
+        round(sqrt(($"s2".cast("double") -
+          $"s1".cast("double") * $"s1".cast("double") / $"n_total") /
+          ($"n_total" - 1)) * 10000).cast("long").as("sigma4"))
+      .withColumn("w", $"n_total" * $"sigma4")
+    val totW = stats.agg(sum($"w").as("tot_w"))
+    val alloc = stats.crossJoin(broadcast(totW))
+      .select($"event_type", $"n_total", $"sigma4",
+        expr(s"($BUDGET * w) div tot_w").as("alloc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+      .orderBy(md5($"event_id".cast("string")), $"event_id")
+    ev.join(broadcast(alloc), "event_type")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= $"alloc")
+      .groupBy($"event_type", $"n_total", $"sigma4", $"alloc")
+      .agg(count(lit(1)).as("n_taken"), sum($"event_id").as("sum_sampled_ids"))
+      .orderBy($"event_type")
+  }
+
+  val sampleNeymanSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |stats AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+       |    CAST(round(sqrt((CAST(SUM(cents * cents) AS DOUBLE)
+       |      - CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)
+       |        / COUNT(*)) / (COUNT(*) - 1)) * 10000) AS BIGINT) AS sigma4
+       |  FROM ev GROUP BY 1),
+       |weighted AS (SELECT *, n_total * sigma4 AS w FROM stats),
+       |alloc AS (
+       |  SELECT event_type, n_total, sigma4,
+       |    CAST(($BUDGET * w) // (SELECT SUM(w) FROM weighted) AS BIGINT) AS alloc
+       |  FROM weighted),
+       |ranked AS (
+       |  SELECT ev.event_type, ev.event_id, a.n_total, a.sigma4, a.alloc,
+       |    row_number() OVER (PARTITION BY ev.event_type
+       |      ORDER BY md5(CAST(ev.event_id AS VARCHAR)), ev.event_id) AS rn
+       |  FROM ev JOIN alloc a USING (event_type))
+       |SELECT event_type, n_total, sigma4, alloc,
+       |  CAST(COUNT(*) AS BIGINT) AS n_taken,
+       |  CAST(SUM(event_id) AS BIGINT) AS sum_sampled_ids
+       |FROM ranked WHERE rn <= alloc
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY event_type""".stripMargin
 }

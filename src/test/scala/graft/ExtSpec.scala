@@ -245,6 +245,25 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("XP10 Neyman: allocation is optimal-proportional and fully taken") {
+    val rows = SamplingQueries.sampleNeyman(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = 1000L
+    // floor allocation never exceeds the budget and loses < |strata| rows
+    val allocs = rows.map(_.getAs[Long]("alloc"))
+    assert(allocs.sum <= budget && allocs.sum > budget - rows.length)
+    rows.foreach { r =>
+      // the take is exact: every allocated slot is filled (alloc ≤ N here)
+      assert(r.getAs[Long]("n_taken") ===
+        math.min(r.getAs[Long]("alloc"), r.getAs[Long]("n_total")))
+      assert(r.getAs[Long]("sigma4") > 0)
+    }
+    // monotone in the weight: a stratum with larger N·σ never gets fewer
+    val byW = rows.sortBy(r => r.getAs[Long]("n_total") * r.getAs[Long]("sigma4"))
+    val allocByW = byW.map(_.getAs[Long]("alloc"))
+    assert(allocByW.zip(allocByW.tail).forall { case (a, b) => a <= b })
+  }
+
   test("containment join is EXACT: equals brute-force small-into-large scan") {
     val docs = Tables.documents(spark, sf)
       .withColumn("toks", split(col("text"), " "))

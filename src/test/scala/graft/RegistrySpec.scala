@@ -52,7 +52,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_dedup_semantic",
       // single-row corpus-stats aggregate (N, avgdl) crossed onto the
       // scored term rows — same class as q_text_tfidf
-      "q_text_bm25")
+      "q_text_bm25",
+      // single-row Σ-weight normalizer crossed onto the 5-row
+      // allocation table — same class as q_mix_weighted
+      "q_sample_neyman")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
