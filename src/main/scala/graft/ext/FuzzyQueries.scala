@@ -89,9 +89,79 @@ object FuzzyQueries {
       |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 5) >= 0.85
       |ORDER BY name_a, name_b""".stripMargin
 
+  // --- X2j: end-to-end entity resolution ----------------------------------
+
+  /** The composed entity-resolution operator: block (first char) → score
+    * (the codegen Jaro-Winkler expression, threshold on the rounded
+    * value) → cluster (the SAME bounded-round min-label + pointer-jump
+    * connected components the dedup tier uses, here over STRING name
+    * nodes) → canonical entity id (lexicographic min name) → entity
+    * table with name-variant membership and row support. Each stage is
+    * the scale shape already proven elsewhere: dictionary-space blocking
+    * (X2e), local codegen scoring, equi-join-only CC with localCheckpoint
+    * per round (X2d).
+    *
+    * Output: multi-name entities only (singletons are the uninteresting
+    * diagonal), with member counts and total part-row support — what a
+    * catalog-reconciliation job materializes. */
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Tables.part(s, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+    val a = names.select($"p_name".as("name_a"))
+    val b = names.select($"p_name".as("name_b"))
+    val pairs = a.join(b,
+        substring($"name_a", 1, 1) === substring($"name_b", 1, 1) &&
+          $"name_a" < $"name_b")
+      .filter(round(
+        graft.functions.JaroWinkler.jaroWinkler($"name_a", $"name_b"), 5) >= 0.85)
+      .select($"name_a".as("doc_a"), $"name_b".as("doc_b"))
+    val labels = DedupQueries.clusterLabels(s, pairs)
+      .select($"src".as("p_name"), $"lbl".as("entity_id"))
+    names.join(labels, Seq("p_name"), "left")
+      .select($"p_name", coalesce($"entity_id", $"p_name").as("entity_id"),
+        $"n_parts")
+      .groupBy($"entity_id")
+      .agg(count(lit(1)).as("n_names"), sum($"n_parts").as("n_parts_total"),
+        min($"p_name").as("first_name"), max($"p_name").as("last_name"))
+      .filter($"n_names" >= 2)
+      .orderBy($"entity_id")
+  }
+
+  val entityResolutionSql: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1),
+      |jw AS (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b
+      |  FROM names a JOIN names b
+      |    ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+      |   AND a.p_name < b.p_name
+      |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 5) >= 0.85),
+      |edges AS (
+      |  SELECT name_a AS src, name_b AS dst FROM jw
+      |  UNION ALL SELECT name_b AS src, name_a AS dst FROM jw),
+      |reach(src, lbl) AS (
+      |  SELECT src, dst AS lbl FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+      |labels AS (
+      |  SELECT src AS p_name, LEAST(src, MIN(lbl)) AS entity_id
+      |  FROM reach GROUP BY src),
+      |ent AS (
+      |  SELECT n.p_name, COALESCE(l.entity_id, n.p_name) AS entity_id,
+      |    n.n_parts
+      |  FROM names n LEFT JOIN labels l USING (p_name))
+      |SELECT entity_id, COUNT(*) AS n_names,
+      |  CAST(SUM(n_parts) AS BIGINT) AS n_parts_total,
+      |  MIN(p_name) AS first_name, MAX(p_name) AS last_name
+      |FROM ent GROUP BY entity_id HAVING COUNT(*) >= 2
+      |ORDER BY entity_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_fuzzy_name_join", fuzzyNameJoin, Some(fuzzyNameJoinSql),
       "X2e dictionary-space fuzzy join: blocked Levenshtein name pairs"),
     QueryDef("q_fuzzy_jarowinkler", fuzzyJaroWinkler, Some(fuzzyJaroWinklerSql),
-      "X2e' blocked Jaro-Winkler name pairs via custom codegen expression"))
+      "X2e' blocked Jaro-Winkler name pairs via custom codegen expression"),
+    QueryDef("q_entity_resolution", entityResolution, Some(entityResolutionSql),
+      "X2j composed ER: block -> JW score -> CC cluster -> entity table"))
 }

@@ -245,6 +245,36 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("X2j ER: entities equal the local transitive closure of JW pairs") {
+    import graft.functions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    val names = Tables.part(spark, sf)
+      .select("p_name").distinct().collect().map(_.getString(0)).sorted
+    // local blocked pairs at the same rounded threshold
+    val parent = scala.collection.mutable.Map(names.map(n => n -> n): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      i <- names.indices; j <- (i + 1) until names.length
+      if names(i)(0) == names(j)(0)
+      jw = BigDecimal(JaroWinkler.sim(UTF8String.fromString(names(i)),
+        UTF8String.fromString(names(j))))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jw >= 0.85
+    } {
+      val (ra, rb) = (find(names(i)), find(names(j)))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    val expected = names.groupBy(find).filter(_._2.length >= 2)
+      .map { case (root, ms) => root -> (ms.length.toLong, ms.min, ms.max) }
+    val got = FuzzyQueries.entityResolution(spark, sf).collect()
+      .map(r => r.getAs[String]("entity_id") ->
+        (r.getAs[Long]("n_names"), r.getAs[String]("first_name"),
+          r.getAs[String]("last_name"))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("XP10 Neyman: allocation is optimal-proportional and fully taken") {
     val rows = SamplingQueries.sampleNeyman(spark, sf).collect()
     assert(rows.nonEmpty)
