@@ -340,12 +340,17 @@ object SurfaceQueries {
             "regexp_extract(url, '\\\\?(.*)$', 1), '&'), " +
             "p -> substring(p, 1, 4) != 'utm_')), '&')")))
           .otherwise(lit(""))).as("canonical"))
+    // two-level aggregate: dedup the (url, canonical) forms FIRST, then
+    // count over the small form table — two countDistincts directly over
+    // the raw stream would Expand every long URL string row ×2
     canon
       .select(regexp_extract($"canonical", "^https://[^/]+(/[^/?]+/[^/?]+)", 1)
         .as("path"), $"url", $"canonical")
+      .groupBy($"path", $"url", $"canonical")
+      .agg(count(lit(1)).as("c"))
       .groupBy($"path")
-      .agg(count(lit(1)).as("n_raw"),
-        countDistinct($"url").as("n_raw_forms"),
+      .agg(sum($"c").as("n_raw"),
+        count(lit(1)).as("n_raw_forms"),
         countDistinct($"canonical").as("n_canonical"))
       .select($"path", $"n_raw", $"n_raw_forms", $"n_canonical",
         ($"n_raw_forms" - $"n_canonical").as("n_collapsed"))
