@@ -22,6 +22,7 @@ object Registry {
       analytics.EventQueries.defs ++
       analytics.BehaviorQueries.defs ++
       analytics.StatsQueries.defs ++
+      analytics.HierarchyQueries.defs ++
       analytics.LayoutQueries.defs ++
       analytics.WarehouseQueries.defs ++
       analytics.IncrementalQueries.defs ++

@@ -474,6 +474,27 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("R1 hierarchy closure: depth histogram equals a local recursive walk") {
+    import graft.analytics.HierarchyQueries
+    val keys = Tables.orders(spark, sf).select($"o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    // local ground truth: walk parent pointers sequentially (the thing the
+    // log-round pointer jumping must be equivalent to)
+    def depth(k: Long): Long = {
+      var (cur, d) = (k, 0L)
+      while (cur != cur / 7 && keys.contains(cur / 7)) { cur = cur / 7; d += 1 }
+      d
+    }
+    val hist = keys.toSeq.map(depth).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val rows = HierarchyQueries.hierarchyClosure(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum === keys.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") === hist(r.getAs[Long]("depth")))
+    }
+    assert(rows.map(_.getAs[Long]("depth")).toSet === hist.keySet)
+  }
+
   test("DPP: dim filter becomes a dynamic pruning filter on the fact scan") {
     val df = EventQueries.joinDppPruned(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
