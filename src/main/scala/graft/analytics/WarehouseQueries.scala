@@ -168,7 +168,9 @@ object WarehouseQueries {
     QueryDef("q_scd2_asof", scd2AsOf, Some(scd2AsOfSql),
       "M6 point-in-time fact join against the SCD2 dimension, no range join"),
     QueryDef("q_schema_evolution", schemaEvolution, Some(schemaEvolutionSql),
-      "S13 schema-evolution union read: unionByName with null backfill"))
+      "S13 schema-evolution union read: unionByName with null backfill"),
+    QueryDef("q_cdc_apply", cdcApply, Some(cdcApplySql),
+      "M7 CDC log apply: latest-op-wins compaction + tombstone-aware merge"))
 
   // --- M6: point-in-time (as-of) join against the SCD2 dimension ---------
 
@@ -285,4 +287,89 @@ object WarehouseQueries {
       |  COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS sum_price
       |FROM unioned GROUP BY 1
       |ORDER BY priority""".stripMargin
+
+  // --- M7: CDC log apply with delete tombstones ---------------------------
+
+  /** Apply a change-data-capture log onto a base snapshot: the log carries
+    * sequenced upserts (U), inserts (I) and delete TOMBSTONES (D); the
+    * final table is latest-op-wins per key, with a trailing D erasing the
+    * key and a U after a D reinstating it (log ops are upserts — the
+    * Debezium/Delta CDF apply rule). The log is derived deterministically
+    * from orders: seq 1 revises every 5th key (+10%), seq 2 tombstones
+    * every 11th, seq 3 reinstates every 55th at +20% (pinning the
+    * resurrect-after-delete corner), seq 4 inserts net-new keys past the
+    * broadcast max key (every 17th, the M2 idiom). Money is integer cents
+    * end-to-end (DECIMAL(18,2) ×100 → BIGINT), so every revision and sum
+    * is bit-exact in both engines. Output is the per-status audit of the
+    * applied table, split by row provenance (base-survivor vs cdc-written).
+    *
+    * Scale: log compaction is ONE window (row_number by seq desc) on the
+    * key — the standard CDC-compact shape; the apply is one full-outer
+    * join base×compacted-log. Tombstoned keys drop before the aggregate.
+    * No driver-side state; the log never needs to be re-sorted globally. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+        (Ops.money($"o_totalprice") * 100).cast("long").as("cents"))
+    val maxKey = broadcast(base.agg(max($"k").as("maxk")))
+    val u1 = base.where($"k" % 5 === 0)
+      .select($"k", $"st", expr("cents * 110 div 100").as("cents"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val d2 = base.where($"k" % 11 === 0)
+      .select($"k", $"st", lit(0L).as("cents"), lit(2L).as("seq"),
+        lit("D").as("op"))
+    val u3 = base.where($"k" % 55 === 0)
+      .select($"k", $"st", expr("cents * 120 div 100").as("cents"),
+        lit(3L).as("seq"), lit("U").as("op"))
+    val i4 = base.where($"k" % 17 === 0).crossJoin(maxKey)
+      .select(($"maxk" + $"k" + lit(1L)).as("k"), $"st", $"cents",
+        lit(4L).as("seq"), lit("I").as("op"))
+    val log = u1.unionByName(d2).unionByName(u3).unionByName(i4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"seq".desc)
+    val compacted = log
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"k".as("c_k"), $"st".as("c_st"), $"cents".as("c_cents"),
+        $"op".as("c_op"))
+    base.join(compacted, $"k" === $"c_k", "full_outer")
+      .where($"c_op".isNull || $"c_op" =!= "D")
+      .select(
+        coalesce($"c_st", $"st").as("o_orderstatus"),
+        when($"c_op".isNull, "base").otherwise("cdc").as("src"),
+        coalesce($"c_cents", $"cents").as("fc"))
+      .groupBy($"o_orderstatus", $"src")
+      .agg(count(lit(1)).as("n_rows"), sum($"fc").as("sum_cents"))
+      .orderBy($"o_orderstatus", $"src")
+  }
+
+  val cdcApplySql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |log AS (
+      |  SELECT k, st, cents * 110 // 100 AS cents, 1 AS seq, 'U' AS op
+      |  FROM base WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT k, st, 0, 2, 'D' FROM base WHERE k % 11 = 0
+      |  UNION ALL
+      |  SELECT k, st, cents * 120 // 100, 3, 'U' FROM base WHERE k % 55 = 0
+      |  UNION ALL
+      |  SELECT (SELECT MAX(k) FROM base) + k + 1, st, cents, 4, 'I'
+      |  FROM base WHERE k % 17 = 0),
+      |compacted AS (
+      |  SELECT k AS c_k, st AS c_st, cents AS c_cents, op AS c_op
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC)
+      |          AS rn FROM log)
+      |  WHERE rn = 1),
+      |applied AS (
+      |  SELECT COALESCE(c.c_st, b.st) AS o_orderstatus,
+      |    CASE WHEN c.c_op IS NULL THEN 'base' ELSE 'cdc' END AS src,
+      |    COALESCE(c.c_cents, b.cents) AS fc
+      |  FROM base b FULL OUTER JOIN compacted c ON b.k = c.c_k
+      |  WHERE c.c_op IS NULL OR c.c_op <> 'D')
+      |SELECT o_orderstatus, src, COUNT(*) AS n_rows,
+      |  CAST(SUM(fc) AS BIGINT) AS sum_cents
+      |FROM applied GROUP BY 1, 2 ORDER BY o_orderstatus, src""".stripMargin
 }

@@ -193,6 +193,24 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(byAction.values.sum == orders.length + nIns)
   }
 
+  test("M7 CDC apply: tombstones erase, late U reinstates, counts reconcile") {
+    import spark.implicits._
+    val keys = Tables.orders(spark, sf)
+      .select($"o_orderkey").as[Long].collect()
+    // local latest-op-wins replay per key
+    val erased = keys.count(k => k % 11 == 0 && k % 55 != 0).toLong
+    val inserted = keys.count(_ % 17 == 0).toLong
+    val cdcWritten = // keys whose compacted last op is U or I (not base)
+      keys.count(k => k % 55 == 0 || (k % 5 == 0 && k % 11 != 0)).toLong +
+        inserted
+    val rows = WarehouseQueries.cdcApply(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySrc("base") + bySrc("cdc") ===
+      keys.length - erased + inserted)
+    assert(bySrc("cdc") === cdcWritten)
+  }
+
   test("M4 incremental: merged partials equal the one-shot aggregation") {
     import spark.implicits._
     val oneShot = Tables.events(spark, sf)
