@@ -1,6 +1,6 @@
 package graft.analytics
 
-import graft.{QueryDef, Tables}
+import graft.{Ops, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -186,6 +186,8 @@ object StatsQueries {
       "ST3 per-group OLS trend fit from exact integer sufficient statistics"),
     QueryDef("q_rolling_zscore", rollingZscore, Some(rollingZscoreSql),
       "ST4 trailing-window z-score anomalies from exact integer frame sums"),
+    QueryDef("q_skyline_pareto", skylinePareto, Some(skylineParetoSql),
+      "ST6 Pareto dominance frontier via bucket-pruned running-max windows"),
     QueryDef("q_exact_quantiles", exactQuantiles, Some(exactQuantilesSql),
       "ST5 exact P10/P50/P90 order statistics via window rank, state-free"))
 
@@ -298,4 +300,93 @@ object StatsQueries {
       |SELECT event_type, dayn, x, z FROM scored
       |WHERE abs(z) >= 2.0
       |ORDER BY event_type, dayn""".stripMargin
+
+  // --- ST6: 2-D Pareto skyline (dominance frontier) -----------------------
+
+  /** Pruning bucket width for the skyline's distributed phase: $1000 of
+    * account balance (in cents). Constant-bounded bucket count for any
+    * corpus (the balance domain, not the row count, sets it). */
+  private val SKY_W = 100000L
+
+  /** Pareto frontier of customers on (account balance, lifetime spend):
+    * a customer is on the skyline iff no other customer has ≥ balance AND
+    * ≥ spend (with the pair distinct) — the dominance query curation uses
+    * to pick "best on at least one axis" exemplars.
+    *
+    * The naive formulation is an O(n²) dominance self-join. The skyline
+    * rewrite is: reduce to one row per distinct balance (max spend, via a
+    * hash-partitioned window), then one ordered pass computing the running
+    * max of spend over strictly-greater balances — a point survives iff
+    * its spend exceeds that running max.
+    *
+    * Scale: the ordered pass is made distribution-safe by bucket pruning:
+    * balances hash into constant-width range buckets, per-bucket max
+    * spends (tiny aggregate) give a suffix-max per bucket, and only points
+    * that beat every higher bucket's max — a vanishingly small candidate
+    * set for any data — reach the final exact window. Both windows that
+    * touch corpus-sized data are hash-PARTITIONED; the only unpartitioned
+    * windows run over the bucket table (constant rows) and the pruned
+    * candidates. Money is integer cents throughout. */
+  def skylinePareto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .select($"c_custkey",
+        (Ops.money($"c_acctbal") * 100).cast("long").as("bal_c"))
+    val spend = Tables.orders(s, dir)
+      .select($"o_custkey",
+        (Ops.money($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"o_custkey").agg(sum($"cents").as("spend_c"))
+    val pts = cust.join(spend, $"c_custkey" === $"o_custkey", "left")
+      .select($"bal_c", coalesce($"spend_c", lit(0L)).as("spend_c"))
+      .groupBy($"bal_c", $"spend_c").agg(count(lit(1)).as("n_customers"))
+    // one row per distinct balance: the max-spend point (keeps its count)
+    val perX = pts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"bal_c").orderBy($"spend_c".desc)))
+      .where($"rn" === 1).drop("rn")
+    // bucket pruning: suffix max over strictly-higher buckets
+    val bucketed = perX.withColumn("bkt", expr(s"bal_c div $SKY_W"))
+    val bmax = bucketed.groupBy($"bkt").agg(max($"spend_c").as("bym"))
+    val sfx = bmax.withColumn("sufmax", max($"bym").over(
+      Window.orderBy($"bkt".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val cand = bucketed.join(sfx.select($"bkt", $"sufmax"), Seq("bkt"))
+      .where($"sufmax".isNull || $"spend_c" > $"sufmax")
+    // exact frontier over the pruned candidates
+    cand
+      .withColumn("pm", max($"spend_c").over(
+        Window.orderBy($"bal_c".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .where($"pm".isNull || $"spend_c" > $"pm")
+      .select($"bal_c".as("bal_cents"), $"spend_c".as("spend_cents"),
+        $"n_customers")
+      .orderBy($"bal_cents")
+  }
+
+  /** DuckDB mirror states the SEMANTICS (per-x max + running max over
+    * greater x), not the bucket-pruned mechanics — the hash pins the
+    * frontier itself. */
+  val skylineParetoSql: String =
+    """WITH spend AS (
+      |  SELECT c_custkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c,
+      |    COALESCE(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT), 0) AS spend_c
+      |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT bal_c, spend_c, COUNT(*) AS n_customers
+      |  FROM spend GROUP BY 1, 2),
+      |perx AS (
+      |  SELECT bal_c, spend_c, n_customers, ROW_NUMBER()
+      |    OVER (PARTITION BY bal_c ORDER BY spend_c DESC) AS rn
+      |  FROM pts),
+      |sky AS (
+      |  SELECT bal_c, spend_c, n_customers,
+      |    MAX(spend_c) OVER (ORDER BY bal_c DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM perx WHERE rn = 1)
+      |SELECT bal_c AS bal_cents, spend_c AS spend_cents, n_customers
+      |FROM sky WHERE pm IS NULL OR spend_c > pm
+      |ORDER BY bal_cents""".stripMargin
 }

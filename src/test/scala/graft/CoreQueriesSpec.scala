@@ -474,6 +474,29 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ST6 skyline: bucket-pruned frontier equals brute-force dominance") {
+    import graft.analytics.StatsQueries
+    val pts = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf),
+        $"o_custkey" === $"c_custkey", "left")
+      .groupBy($"c_custkey", $"c_acctbal")
+      .agg(coalesce(sum(expr(
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as long)")), lit(0L))
+        .as("spend_c"))
+      .select(expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as long)")
+        .as("bal_c"), $"spend_c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val distinctPts = pts.distinct
+    val brute = distinctPts.filter { case (x, y) =>
+      !distinctPts.exists { case (x2, y2) =>
+        (x2, y2) != (x, y) && x2 >= x && y2 >= y
+      }
+    }.toSet
+    val got = StatsQueries.skylinePareto(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+  }
+
   test("R1 hierarchy closure: depth histogram equals a local recursive walk") {
     import graft.analytics.HierarchyQueries
     val keys = Tables.orders(spark, sf).select($"o_orderkey")
