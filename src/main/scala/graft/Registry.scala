@@ -23,6 +23,7 @@ object Registry {
       analytics.BehaviorQueries.defs ++
       analytics.StatsQueries.defs ++
       analytics.HierarchyQueries.defs ++
+      analytics.GeoQueries.defs ++
       analytics.LayoutQueries.defs ++
       analytics.WarehouseQueries.defs ++
       analytics.IncrementalQueries.defs ++

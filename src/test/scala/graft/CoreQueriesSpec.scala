@@ -497,6 +497,27 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("G4 grid spatial join: 3x3 cover is exact vs local brute force") {
+    import graft.analytics.GeoQueries
+    val M = 1000000L
+    val probes = Tables.customer(spark, sf).select($"c_custkey").as[Long]
+      .collect().map(k => (k, (k * 48271 + 11) % M, (k * 69621 + 7) % M))
+    val sites = Tables.supplier(spark, sf).select($"s_suppkey").as[Long]
+      .collect().map(k => ((k * 16807 + 3) % M, (k * 37333 + 5) % M))
+    val r2 = 50000L * 50000L
+    val local = probes.map { case (_, cx, cy) =>
+      val d2s = sites.map { case (sx, sy) =>
+        (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+      }.filter(_ <= r2)
+      (d2s.length.toLong, if (d2s.isEmpty) 0L else d2s.min)
+    }
+    val hist = local.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.map(_._2).sum)).toMap
+    val got = GeoQueries.geoGridJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === hist)
+  }
+
   test("R1 hierarchy closure: depth histogram equals a local recursive walk") {
     import graft.analytics.HierarchyQueries
     val keys = Tables.orders(spark, sf).select($"o_orderkey")
