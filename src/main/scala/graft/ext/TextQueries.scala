@@ -398,6 +398,8 @@ object TextQueries {
       "P2 positional generator (posexplode vs UNNEST ordinality)"),
     QueryDef("q_text_fingerprint", textFingerprint, Some(textFingerprintSql),
       "X4 rolling-hash bottom-k document fingerprint"),
+    QueryDef("q_text_lmscore", textLmScore, Some(textLmScoreSql),
+      "X4l char-bigram corpus LM fluency score, integer millionths"),
     QueryDef("q_text_entropy", textEntropy, Some(textEntropySql),
       "X4k character-entropy quality gate per language"))
 
@@ -456,4 +458,59 @@ object TextQueries {
       |  round(MAX(ent), 4) AS max_ent
       |FROM per_doc GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  // --- X4l: character-bigram language-model scoring -----------------------
+
+  /** Score every document against a char-bigram language model FIT ON THE
+    * CORPUS ITSELF — the self-supervised fluency gate of the quality tier
+    * (a doc whose bigrams are rare under the corpus distribution is
+    * boilerplate, gibberish, or out-of-domain; the perplexity idea with
+    * the log replaced by integer millionth-probabilities so every score
+    * is bit-exact across engines — no libm, no float sums).
+    *
+    * score(doc) = ⌊ Σ_bigram p_u(bigram) / n_bigrams ⌋ where
+    * p_u(b) = ⌊ corpus_count(b)·10⁶ / corpus_total ⌋.
+    *
+    * Scale: the model is one map-combinable hash aggregate whose size is
+    * bounded by |alphabet|² (not the corpus), so its totals window runs
+    * over constant rows and the score join BROADCASTS the model — the
+    * per-doc pass stays narrow. Two corpus passes (fit + transform), the
+    * unavoidable shape of self-supervised scoring. */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.documents(s, dir)
+      .where(length($"text") >= 2)
+      .select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+        .as("bg"))
+    val model = big.groupBy($"bg").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum($"cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select($"bg", expr("cnt * 1000000 div total").as("prob_u"))
+    big.join(broadcast(model), Seq("bg"))
+      .groupBy($"doc_id", $"lang")
+      .agg(expr("sum(prob_u) div count(1)").as("score_u"))
+      .groupBy($"lang", expr("score_u div 1000").as("band"))
+      .agg(count(lit(1)).as("n_docs"), sum($"score_u").as("sum_score_u"))
+      .orderBy($"lang", $"band")
+  }
+
+  val textLmScoreSql: String =
+    """WITH big AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, length(text)),
+      |                          i -> substring(text, i, 2))) AS bg
+      |  FROM documents WHERE length(text) >= 2),
+      |model AS (SELECT bg, COUNT(*) AS cnt FROM big GROUP BY bg),
+      |model2 AS (
+      |  SELECT bg, CAST(cnt * 1000000
+      |    // (SELECT CAST(SUM(cnt) AS BIGINT) FROM model) AS BIGINT) AS prob_u
+      |  FROM model),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(SUM(prob_u) // COUNT(*) AS BIGINT) AS score_u
+      |  FROM big JOIN model2 USING (bg) GROUP BY 1, 2)
+      |SELECT lang, CAST(score_u // 1000 AS BIGINT) AS band,
+      |  COUNT(*) AS n_docs, CAST(SUM(score_u) AS BIGINT) AS sum_score_u
+      |FROM scored GROUP BY 1, 2 ORDER BY lang, band""".stripMargin
 }

@@ -497,6 +497,29 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("X4l LM score: integer bigram scoring equals a local recompute") {
+    import graft.ext.TextQueries
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.length >= 2)
+    def bigrams(t: String) = (0 until t.length - 1).map(i => t.substring(i, i + 2))
+    val cnt = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    docs.foreach(d => bigrams(d._3).foreach(b => cnt(b) += 1))
+    val total = cnt.values.sum
+    val prob = cnt.map { case (b, c) => b -> c * 1000000L / total }
+    val scored = docs.map { case (_, lang, t) =>
+      val bs = bigrams(t)
+      (lang, bs.map(prob).sum / bs.length)
+    }
+    val hist = scored.groupBy(x => (x._1, x._2 / 1000)).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val got = TextQueries.textLmScore(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === hist)
+  }
+
   test("G4 grid spatial join: 3x3 cover is exact vs local brute force") {
     import graft.analytics.GeoQueries
     val M = 1000000L
