@@ -382,6 +382,39 @@ object CoreQueries {
       |  epoch_us(MAX(ts)) AS last_ts_us
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --- A9: deterministic per-group mode ----------------------------------
+
+  /** Modal value per group with a PINNED tie-break (highest count, then
+    * smallest value) — Spark's and DuckDB's built-in `mode()` both leave
+    * ties engine-defined, so the operator is expressed as the two-level
+    * shape that is also the scale-correct one: hash-count (group, value)
+    * pairs (map-side combinable), then a partitioned row_number picks the
+    * winner — no whole-group value buffer anywhere. Value domain is exact
+    * cents. */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .select($"event_type",
+        (Ops.money($"value") * 100).cast(LongType).as("cents"))
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"n".desc, $"cents".asc)
+    counts.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"event_type", $"cents".as("modal_cents"), $"n".as("n_occurrences"))
+      .orderBy($"event_type")
+  }
+
+  val aggModeSql: String =
+    """WITH counts AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, cents AS modal_cents, n AS n_occurrences FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY n DESC, cents ASC) AS rn
+      |  FROM counts) WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+
   // --- W4 + O2: top-k per group ------------------------------------------
   def windowTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -897,6 +930,8 @@ object CoreQueries {
       "A6c fixed-bin value histogram per group, clamped integer-cents bins"),
     QueryDef("q_agg_collect", aggCollect, Some(aggCollectSql),
       "A7 collect_set + sorted join"),
+    QueryDef("q_agg_mode", aggMode, Some(aggModeSql),
+      "A9 deterministic per-group mode via two-level count + ranked pick"),
     QueryDef("q_agg_first_last", aggFirstLast, Some(aggFirstLastSql),
       "A8 max_by/min_by latest-per-key"),
     QueryDef("q_window_topk", windowTopK, Some(windowTopKSql),

@@ -497,6 +497,21 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("A9 mode: winner is the true max-count value with pinned tie-break") {
+    val local = Tables.events(spark, sf)
+      .select($"event_type", expr(
+        "cast(cast(value as decimal(18,2)) * 100 as long)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues { g =>
+        val byVal = g.groupBy(_._2).view.mapValues(_.length.toLong)
+        val maxN = byVal.values.max
+        (byVal.filter(_._2 == maxN).keys.min, maxN)
+      }.toMap
+    val got = CoreQueries.aggMode(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === local)
+  }
+
   test("X4l LM score: integer bigram scoring equals a local recompute") {
     import graft.ext.TextQueries
     val docs = Tables.documents(spark, sf)
