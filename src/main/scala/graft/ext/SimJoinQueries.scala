@@ -209,9 +209,77 @@ object SimJoinQueries {
        |  AND i.n_inter * $CDEN >= za.n_sh * $CNUM
        |ORDER BY a_id, b_id""".stripMargin
 
+  // --- X2k: dedup-quality evaluation (LSH banding vs exact truth) --------
+
+  /** The evaluation a pipeline runs before trusting its banding config:
+    * the MinHash/LSH candidate pair set ([[DedupQueries.minhashPairs]],
+    * est-Jaccard ≥ 2/K) scored against the EXACT J ≥ 0.6 pair set
+    * ([[simjoinPrefix]]) — recall says how many true near-dup pairs the
+    * probabilistic tier catches, precision says how much of its candidate
+    * volume survives the strict bar. Output is one audit row with counts
+    * and integer-millionth ratios (NULL when a side is empty — nullif
+    * guards both engines identically).
+    *
+    * Scale: both inputs are the already-scale-shaped pair pipelines (the
+    * LSH side is the memoized cap-bounded bucket build, the exact side the
+    * prefix-filtered join); the comparison itself is one full-outer
+    * equi-join on the pair key + a single-row aggregate. */
+  def dedupEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lsh = DedupQueries.minhashPairs(s, dir)
+      .select($"doc_a", $"doc_b", lit(1L).as("l"))
+    val exact = simjoinPrefix(s, dir)
+      .select($"a_id".as("doc_a"), $"b_id".as("doc_b"), lit(1L).as("e"))
+    lsh.join(exact, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(coalesce($"l", lit(0L))).as("n_lsh"),
+        sum(coalesce($"e", lit(0L))).as("n_exact"),
+        sum(when($"l".isNotNull && $"e".isNotNull, 1L).otherwise(0L))
+          .as("n_both"))
+      .select($"n_lsh", $"n_exact", $"n_both",
+        expr("n_both * 1000000 div nullif(n_lsh, 0)").as("prec_ppm"),
+        expr("n_both * 1000000 div nullif(n_exact, 0)").as("rec_ppm"))
+  }
+
+  val dedupEvalSql: String =
+    s"""WITH ${DedupQueries.lshCandCtesSql},
+       |lsh AS (
+       |  SELECT doc_a, doc_b FROM cpairs
+       |  JOIN sigs sa ON doc_a = sa.doc_id
+       |  JOIN sigs sb ON doc_b = sb.doc_id
+       |  WHERE ${DedupQueries.estJaccardSql("sa", "sb")} >= ${2.0 / DedupQueries.K}),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${DedupQueries.shinglesSql}) AS sh
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |xinter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT i.doc_a, i.doc_b FROM xinter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE i.n_inter * ${DEN + NUM} >= (za.n_sh + zb.n_sh) * $NUM),
+       |joined AS (
+       |  SELECT COALESCE(l.ok, 0) AS l, COALESCE(e.ok, 0) AS e
+       |  FROM (SELECT doc_a, doc_b, 1 AS ok FROM lsh) l
+       |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS ok FROM exact) e
+       |    USING (doc_a, doc_b)),
+       |counts AS (
+       |  SELECT CAST(SUM(l) AS BIGINT) AS n_lsh,
+       |    CAST(SUM(e) AS BIGINT) AS n_exact,
+       |    CAST(SUM(l * e) AS BIGINT) AS n_both
+       |  FROM joined)
+       |SELECT n_lsh, n_exact, n_both,
+       |  CAST(n_both * 1000000 // nullif(n_lsh, 0) AS BIGINT) AS prec_ppm,
+       |  CAST(n_both * 1000000 // nullif(n_exact, 0) AS BIGINT) AS rec_ppm
+       |FROM counts""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_simjoin_prefix", simjoinPrefix, Some(simjoinPrefixSql),
       "X2h exact Jaccard self-join via rarity-ordered prefix filtering"),
     QueryDef("q_contain_join", containJoin, Some(containJoinSql),
-      "X2i exact near-containment join: asymmetric prefix filter"))
+      "X2i exact near-containment join: asymmetric prefix filter"),
+    QueryDef("q_dedup_eval", dedupEval, Some(dedupEvalSql),
+      "X2k banding quality audit: LSH candidates vs exact J>=0.6 truth"))
 }

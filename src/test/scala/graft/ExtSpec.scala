@@ -165,6 +165,19 @@ class ExtSpec extends AnyFunSuite {
       s"k-means refinement degraded recall: $overlap vs seed $overlap1")
   }
 
+  test("X2k dedup eval: counts equal the two tiers' real pair-set overlap") {
+    val lsh = DedupQueries.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimJoinQueries.simjoinPrefix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row = SimJoinQueries.dedupEval(spark, sf).collect().head
+    assert(row.getAs[Long]("n_lsh") === lsh.size)
+    assert(row.getAs[Long]("n_exact") === exact.size)
+    assert(row.getAs[Long]("n_both") === (lsh & exact).size)
+    val rec = row.getAs[Long]("rec_ppm")
+    assert(rec >= 0 && rec <= 1000000)
+  }
+
   test("X3h PQ ANN: exact re-rank scores, recall >= the coarse-tier bar") {
     val pq = SimilarityQueries.knnPq(spark, sf).collect()
     val brute = SimilarityQueries.knnBrute(spark, sf).collect()

@@ -47,6 +47,9 @@ class RegistrySpec extends AnyFunSuite {
       "q_sim_knn_sq8", "q_text_heavyhitters", "q_mix_weighted",
       // bounded single-row broadcast build side (max-key aggregate)
       "q_merge_upsert",
+      // same single-row max-key broadcast as q_merge_upsert (the CDC
+      // insert branch derives net-new keys past the actual max)
+      "q_cdc_apply",
       // K=16 broadcast centroid table crossed for k-means assignment,
       // same class as q_sim_knn_ivf2 (whose index it shares)
       "q_dedup_semantic",
