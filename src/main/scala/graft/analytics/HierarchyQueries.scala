@@ -90,8 +90,85 @@ object HierarchyQueries {
       |FROM walk JOIN nodes USING (k)
       |GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** R2: subtree rollup — for every node, the size and money mass of its
+    * full descendant subtree (self included), reported as the top-20
+    * heaviest subtrees. Needs the full ancestor CLOSURE (every
+    * (descendant, ancestor) pair), which pointer jumping alone doesn't
+    * emit; the generator is binary lifting: with jump_r = exact-2^r
+    * ancestor pairs and closure_r = all pairs at distance [1, 2^r),
+    *
+    *   closure_{r+1} = closure_r ∪ jump_r ∪ (jump_r ∘ closure_r)
+    *
+    * covers [1, 2^{r+1}) with every distance decomposed exactly once —
+    * tree paths are unique, so NO distinct/dedup pass is ever needed
+    * (a naive closure ∪ closure∘closure generates each pair many times
+    * and needs a shuffle-heavy dedup per round). 4 rounds cover depth
+    * < 32 — key spaces to 7^31.
+    *
+    * Scale: closure size is Σ depth(n) ≈ N·log7 N rows — the inherent
+    * output of a hierarchy-rollup, produced in log rounds of equi-joins;
+    * the rollup itself is one hash aggregate on the ancestor key, and the
+    * top-20 cut is a TakeOrdered, never a global sort. */
+  def hierarchyRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.orders(s, dir)
+      .select($"o_orderkey".as("k"), Ops.money($"o_totalprice").as("price"))
+    val keys = nodes.select($"k".as("pk"))
+    val edges = nodes.select($"k", expr("k div 7").as("pk"))
+      .where($"k" =!= $"pk").join(keys, Seq("pk"), "left_semi")
+      .select($"k".as("d"), $"pk".as("a"))
+      .localCheckpoint()
+    var jump = edges    // exact 2^0 ancestor pairs
+    var closure = edges // distances [1, 2)
+    for (_ <- 1 to 4) {
+      val j2 = jump.toDF("d", "m").join(jump.toDF("m", "a"), Seq("m"))
+        .select($"d", $"a").localCheckpoint()
+      val comp = j2.toDF("d", "m").join(closure.toDF("m", "a"), Seq("m"))
+        .select($"d", $"a")
+      closure = closure.unionByName(j2).unionByName(comp).localCheckpoint()
+      jump = j2
+    }
+    val withSelf = closure
+      .unionByName(nodes.select($"k".as("d"), $"k".as("a")))
+    withSelf.join(nodes.select($"k".as("d"), $"price"), Seq("d"))
+      .groupBy($"a")
+      .agg(count(lit(1)).as("n_subtree"),
+        sum($"price").cast("double").as("sum_price"))
+      .orderBy($"n_subtree".desc, $"a".asc)
+      .limit(20)
+      .select($"a".as("anc_key"), $"n_subtree", $"sum_price")
+  }
+
+  /** DuckDB mirror: the closure as a plain recursive walk up the parent
+    * chain — semantics, not the lifting mechanics, are what the hash
+    * pins. */
+  val hierarchyRollupSql: String =
+    """WITH RECURSIVE nodes AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders),
+      |anc AS (
+      |  SELECT n.k AS d, n.k // 7 AS a FROM nodes n
+      |  WHERE n.k <> n.k // 7
+      |    AND EXISTS (SELECT 1 FROM nodes p WHERE p.k = n.k // 7)
+      |  UNION ALL
+      |  SELECT w.d, x.k // 7 AS a FROM anc w JOIN nodes x ON w.a = x.k
+      |  WHERE x.k <> x.k // 7
+      |    AND EXISTS (SELECT 1 FROM nodes p WHERE p.k = x.k // 7)),
+      |cl AS (
+      |  SELECT d, a FROM anc
+      |  UNION ALL SELECT k, k FROM nodes),
+      |agg AS (
+      |  SELECT a AS anc_key, COUNT(*) AS n_subtree,
+      |    CAST(SUM(p.price) AS DOUBLE) AS sum_price
+      |  FROM cl JOIN nodes p ON cl.d = p.k GROUP BY a)
+      |SELECT anc_key, n_subtree, sum_price FROM agg
+      |ORDER BY n_subtree DESC, anc_key ASC LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_hierarchy_closure", hierarchyClosure,
       Some(hierarchyClosureSql),
-      "R1 recursive forest closure via log-round pointer jumping vs WITH RECURSIVE"))
+      "R1 recursive forest closure via log-round pointer jumping vs WITH RECURSIVE"),
+    QueryDef("q_hierarchy_rollup", hierarchyRollup,
+      Some(hierarchyRollupSql),
+      "R2 subtree size/money rollup via duplicate-free binary-lifting closure"))
 }

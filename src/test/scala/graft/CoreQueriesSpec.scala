@@ -577,6 +577,25 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("depth")).toSet === hist.keySet)
   }
 
+  test("R2 subtree rollup: lifted closure equals a local descendant walk") {
+    import graft.analytics.HierarchyQueries
+    val keys = Tables.orders(spark, sf).select($"o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    // local subtree sizes: count descendants (incl. self) per ancestor
+    val sizes = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    keys.foreach { k =>
+      var cur = k
+      sizes(cur) += 1
+      while (cur != cur / 7 && keys.contains(cur / 7)) {
+        cur = cur / 7; sizes(cur) += 1
+      }
+    }
+    val top = sizes.toSeq.sortBy { case (k, n) => (-n, k) }.take(20)
+    val got = HierarchyQueries.hierarchyRollup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === top.map { case (k, n) => (k, n) })
+  }
+
   test("DPP: dim filter becomes a dynamic pruning filter on the fact scan") {
     val df = EventQueries.joinDppPruned(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
