@@ -369,7 +369,64 @@ object PipelineQueries {
        |    // CAST(SUM(n_tok) AS BIGINT) AS BIGINT) AS top_decile_share_bp
        |FROM flagged GROUP BY source ORDER BY source""".stripMargin
 
+  // --- XP11: multi-signal quality-gate ensemble census --------------------
+
+  /** LM-score floor for the ensemble's fluency member (integer millionth
+    * units of [[TextQueries.lmScorePerDoc]]). */
+  private val LM_MIN = 3000L
+
+  /** The census a pipeline runs before composing quality gates: every
+    * document classified by all three independent quality signals at once
+    * — the rule family (Gopher/C4 bounds), the character-entropy band,
+    * and the corpus-LM fluency floor — so the 8-cell contingency per
+    * language shows how much each gate REALLY adds over the others
+    * (near-identical marginals ⇒ a redundant gate that costs a corpus
+    * pass for nothing).
+    *
+    * Determinism: rule and LM members are integer/boolean; the entropy
+    * cut tests the per-doc value ROUNDED at 4 (the X4k discipline). Docs
+    * with no bigrams default to failing the LM gate via a left join.
+    * Scale: three independent narrow/hash-agg corpus passes joined on
+    * doc_id (one co-partitioned shuffle), then a constant-size census. */
+  def qualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        when(TextQueries.qualityCol, 1L).otherwise(0L).as("q_rule"))
+    val ent = TextQueries.entropyPerDoc(s, dir).select($"doc_id", $"ent")
+    val lm = TextQueries.lmScorePerDoc(s, dir).select($"doc_id", $"score_u")
+    base.join(ent, Seq("doc_id"), "left").join(lm, Seq("doc_id"), "left")
+      .select($"lang", $"q_rule",
+        when(coalesce($"ent", lit(0.0)) >= 3.2, 1L).otherwise(0L).as("q_ent"),
+        when(coalesce($"score_u", lit(0L)) >= LM_MIN, 1L).otherwise(0L)
+          .as("q_lm"))
+      .groupBy($"lang", $"q_rule", $"q_ent", $"q_lm")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"q_rule", $"q_ent", $"q_lm")
+  }
+
+  val qualityEnsembleSql: String =
+    s"""WITH ${TextQueries.entropyPerDocCtesSql},
+       |${TextQueries.lmScoreCtesSql},
+       |base AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN ${TextQueries.qualityPredSql} THEN 1 ELSE 0 END AS q_rule
+       |  FROM documents)
+       |SELECT b.lang, CAST(b.q_rule AS BIGINT) AS q_rule,
+       |  CAST(CASE WHEN COALESCE(e.ent, 0.0) >= 3.2 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS q_ent,
+       |  CAST(CASE WHEN COALESCE(l.score_u, 0) >= $LM_MIN THEN 1 ELSE 0 END
+       |    AS BIGINT) AS q_lm,
+       |  COUNT(*) AS n_docs
+       |FROM base b
+       |LEFT JOIN per_doc e ON b.doc_id = e.doc_id
+       |LEFT JOIN lm_scored l ON b.doc_id = l.doc_id
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_quality_ensemble", qualityEnsemble, Some(qualityEnsembleSql),
+      "XP11 three-signal quality-gate contingency census per language"),
     QueryDef("q_chunk_documents", chunkDocuments, Some(chunkDocumentsSql),
       "XP5 overlapping fixed-size document chunking with offsets + hashes"),
     QueryDef("q_pack_sequences", packSequences, Some(packSequencesSql),

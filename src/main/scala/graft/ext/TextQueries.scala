@@ -418,18 +418,24 @@ object TextQueries {
     * constant-size. Per-doc entropy is rounded at 4 and the low-entropy
     * flag tests the ROUNDED value, pinning the cross-engine cut (same
     * discipline as ST4's z flag). */
-  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc rounded Shannon entropy — shared by the X4k gate and the
+    * XP11 ensemble census. */
+  private[ext] def entropyPerDoc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val charCounts = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select($"doc_id", $"lang", explode(split($"text", "")).as("ch"))
       .groupBy($"doc_id", $"lang", $"ch")
       .agg(count(lit(1)).as("c"))
-    val perDoc = charCounts
       .groupBy($"doc_id", $"lang")
       .agg(sum($"c").as("n"),
         sum($"c".cast("double") * log2($"c".cast("double"))).as("clog"))
       .select($"doc_id", $"lang",
         round(log2($"n".cast("double")) - $"clog" / $"n", 4).as("ent"))
+  }
+
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perDoc = entropyPerDoc(s, dir)
     perDoc.groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(when($"ent" < 3.2, 1L).otherwise(0L)).as("n_low_entropy"),
@@ -438,8 +444,10 @@ object TextQueries {
       .orderBy($"lang")
   }
 
-  val textEntropySql: String =
-    """WITH chars AS (
+  /** Oracle CTE chain ending in `per_doc`(doc_id, lang, ent) — the ONE
+    * SQL definition of per-doc entropy, shared with the XP11 census. */
+  private[ext] val entropyPerDocCtesSql: String =
+    """chars AS (
       |  SELECT doc_id, lang, unnest(string_split(text, '')) AS ch
       |  FROM documents),
       |counts AS (
@@ -450,7 +458,10 @@ object TextQueries {
       |    round(log2(CAST(SUM(c) AS DOUBLE))
       |      - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
       |        / CAST(SUM(c) AS BIGINT), 4) AS ent
-      |  FROM counts GROUP BY 1, 2)
+      |  FROM counts GROUP BY 1, 2)""".stripMargin
+
+  val textEntropySql: String =
+    s"""WITH $entropyPerDocCtesSql
       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(CASE WHEN ent < 3.2 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_low_entropy,
@@ -476,7 +487,10 @@ object TextQueries {
     * over constant rows and the score join BROADCASTS the model — the
     * per-doc pass stays narrow. Two corpus passes (fit + transform), the
     * unavoidable shape of self-supervised scoring. */
-  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc integer LM score — shared by the X4l bands and the XP11
+    * ensemble census. Docs shorter than 2 chars have no bigrams and are
+    * absent (callers left-join and default). */
+  private[ext] def lmScorePerDoc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val big = Tables.documents(s, dir)
       .where(length($"text") >= 2)
@@ -490,13 +504,20 @@ object TextQueries {
     big.join(broadcast(model), Seq("bg"))
       .groupBy($"doc_id", $"lang")
       .agg(expr("sum(prob_u) div count(1)").as("score_u"))
+  }
+
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lmScorePerDoc(s, dir)
       .groupBy($"lang", expr("score_u div 1000").as("band"))
       .agg(count(lit(1)).as("n_docs"), sum($"score_u").as("sum_score_u"))
       .orderBy($"lang", $"band")
   }
 
-  val textLmScoreSql: String =
-    """WITH big AS (
+  /** Oracle CTE chain ending in `lm_scored`(doc_id, lang, score_u) — the
+    * ONE SQL definition of the per-doc LM score, shared with XP11. */
+  private[ext] val lmScoreCtesSql: String =
+    """big AS (
       |  SELECT doc_id, lang,
       |    unnest(list_transform(range(1, length(text)),
       |                          i -> substring(text, i, 2))) AS bg
@@ -506,11 +527,14 @@ object TextQueries {
       |  SELECT bg, CAST(cnt * 1000000
       |    // (SELECT CAST(SUM(cnt) AS BIGINT) FROM model) AS BIGINT) AS prob_u
       |  FROM model),
-      |scored AS (
+      |lm_scored AS (
       |  SELECT doc_id, lang,
       |    CAST(SUM(prob_u) // COUNT(*) AS BIGINT) AS score_u
-      |  FROM big JOIN model2 USING (bg) GROUP BY 1, 2)
+      |  FROM big JOIN model2 USING (bg) GROUP BY 1, 2)""".stripMargin
+
+  val textLmScoreSql: String =
+    s"""WITH $lmScoreCtesSql
       |SELECT lang, CAST(score_u // 1000 AS BIGINT) AS band,
       |  COUNT(*) AS n_docs, CAST(SUM(score_u) AS BIGINT) AS sum_score_u
-      |FROM scored GROUP BY 1, 2 ORDER BY lang, band""".stripMargin
+      |FROM lm_scored GROUP BY 1, 2 ORDER BY lang, band""".stripMargin
 }

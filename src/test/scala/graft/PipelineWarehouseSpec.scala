@@ -193,6 +193,20 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(byAction.values.sum == orders.length + nIns)
   }
 
+  test("XP11 ensemble census: cells partition the corpus, flags are 0/1") {
+    import spark.implicits._
+    val rows = graft.ext.PipelineQueries.qualityEnsemble(spark, sf).collect()
+    val perLang = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val truth = Tables.documents(spark, sf).groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang === truth)
+    rows.foreach { r =>
+      Seq("q_rule", "q_ent", "q_lm").foreach(c =>
+        assert(r.getAs[Long](c) == 0L || r.getAs[Long](c) == 1L))
+    }
+  }
+
   test("M7 CDC apply: tombstones erase, late U reinstates, counts reconcile") {
     import spark.implicits._
     val keys = Tables.orders(spark, sf)
