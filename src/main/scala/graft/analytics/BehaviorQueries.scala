@@ -1,6 +1,6 @@
 package graft.analytics
 
-import graft.{QueryDef, Tables}
+import graft.{Ops, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -333,7 +333,63 @@ object BehaviorQueries {
       |GROUP BY c.event_type, p.peak
       |ORDER BY c.event_type""".stripMargin
 
+  // --- B7: RFM segmentation census ----------------------------------------
+
+  /** Recency-Frequency-Monetary segmentation: every customer scored into
+    * quartiles on each axis (recency = last order day, frequency = order
+    * count, monetary = lifetime cents), rolled up into the ≤64-cell
+    * segment census with exact money mass — the classic behavioral
+    * segmentation, expressed as three ntile windows over ONE per-customer
+    * aggregate. Each ntile orders by (metric, c_custkey): the tie-break
+    * makes bucket assignment a total order, so both engines cut the
+    * population identically (ntile fills the first n mod k buckets with
+    * one extra row in both).
+    *
+    * Scale: one hash aggregate orders→customers, then three global ntile
+    * sorts over the CUSTOMER table (dimension-sized, not fact-sized); the
+    * census is constant-size. Customers without orders are excluded by
+    * the inner join — the population RFM is defined on. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.orders(s, dir)
+      .select($"o_custkey".as("ck"),
+        // o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC, so the
+        // cast is a pure reinterpretation and matches DuckDB's epoch_us
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("dayn"),
+        (Ops.money($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"ck")
+      .agg(max($"dayn").as("r"), count(lit(1)).as("f"), sum($"cents").as("m"))
+    val seg = per
+      .withColumn("r_q", ntile(4).over(Window.orderBy($"r", $"ck")).cast("long"))
+      .withColumn("f_q", ntile(4).over(Window.orderBy($"f", $"ck")).cast("long"))
+      .withColumn("m_q", ntile(4).over(Window.orderBy($"m", $"ck")).cast("long"))
+    seg.groupBy($"r_q", $"f_q", $"m_q")
+      .agg(count(lit(1)).as("n_customers"), sum($"m").as("sum_cents"))
+      .orderBy($"r_q", $"f_q", $"m_q")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey AS ck,
+      |    MAX(epoch_us(o_orderdate) // 86400000000) AS r,
+      |    COUNT(*) AS f,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS m
+      |  FROM orders GROUP BY 1),
+      |seg AS (
+      |  SELECT ck, m,
+      |    CAST(ntile(4) OVER (ORDER BY r, ck) AS BIGINT) AS r_q,
+      |    CAST(ntile(4) OVER (ORDER BY f, ck) AS BIGINT) AS f_q,
+      |    CAST(ntile(4) OVER (ORDER BY m, ck) AS BIGINT) AS m_q
+      |  FROM per)
+      |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+      |  CAST(SUM(m) AS BIGINT) AS sum_cents
+      |FROM seg GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_rfm_segments", rfmSegments, Some(rfmSegmentsSql),
+      "B7 RFM quartile segmentation census via tie-broken ntile windows"),
     QueryDef("q_event_pattern", eventPattern, Some(eventPatternSql),
       "B1 sequence pattern matching: journey-string collapse + regex census"),
     QueryDef("q_rolling_distinct", rollingDistinct, Some(rollingDistinctSql),

@@ -780,7 +780,96 @@ object EventQueries {
       |  CAST(SUM(CASE WHEN cents > thr THEN cents ELSE 0 END) AS BIGINT) AS outlier_cents
       |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- J7: nearest-event temporal join ------------------------------------
+
+  /** Align every purchase to its temporally NEAREST non-purchase event of
+    * the same user — backward or forward, whichever is closer (ties to the
+    * earlier one) — the sensor-alignment generalization of the J5 as-of
+    * join (which only looks backward). Same single-shuffle discipline:
+    * both event classes interleave in ONE per-user ordered pass; an
+    * IGNORE-NULLS `last_value` carries the previous reference forward and
+    * an IGNORE-NULLS `first_value` over the following frame pulls the next
+    * one back, so no range/abs-difference predicate ever reaches a join.
+    * Reference-before-purchase at equal timestamps makes a same-instant
+    * reference match at gap 0 via the backward leg.
+    *
+    * Scale: one exchange on user_id shared by both window frames; output
+    * is the per-partner-type audit (match counts + exact µs gap mass).
+    * Purchases from users with no reference events land in 'none'. */
+  def nearestEvent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", Ops.epochUs($"ts").as("ts_us"), $"event_id",
+        $"event_type")
+    val tagged = ev.select($"user_id", $"ts_us", $"event_id",
+      when($"event_type" === "purchase", 1L).otherwise(0L).as("role"),
+      when($"event_type" =!= "purchase", $"ts_us").as("r_ts"),
+      when($"event_type" =!= "purchase", $"event_type").as("r_type"))
+    val ord = Window.partitionBy($"user_id")
+      .orderBy($"ts_us", $"role", $"event_id")
+    val wp = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = tagged
+      .withColumn("p_ts", last($"r_ts", ignoreNulls = true).over(wp))
+      .withColumn("p_type", last($"r_type", ignoreNulls = true).over(wp))
+      .withColumn("n_ts", first($"r_ts", ignoreNulls = true).over(wn))
+      .withColumn("n_type", first($"r_type", ignoreNulls = true).over(wn))
+      .where($"role" === 1)
+    val pickPrev = $"p_ts".isNotNull &&
+      ($"n_ts".isNull || ($"ts_us" - $"p_ts") <= ($"n_ts" - $"ts_us"))
+    joined
+      .select(
+        when(pickPrev, $"p_type")
+          .when($"n_ts".isNotNull, $"n_type")
+          .otherwise(lit("none")).as("partner_type"),
+        when(pickPrev, $"ts_us" - $"p_ts")
+          .when($"n_ts".isNotNull, $"n_ts" - $"ts_us")
+          .otherwise(lit(0L)).as("gap_us"))
+      .groupBy($"partner_type")
+      .agg(count(lit(1)).as("n_purchases"), sum($"gap_us").as("sum_gap_us"),
+        max($"gap_us").as("max_gap_us"))
+      .orderBy($"partner_type")
+  }
+
+  val nearestEventSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS role,
+      |    CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END AS r_ts,
+      |    CASE WHEN event_type <> 'purchase' THEN event_type END AS r_type
+      |  FROM events),
+      |j AS (
+      |  SELECT user_id, ts_us, role,
+      |    last_value(r_ts IGNORE NULLS) OVER wp AS p_ts,
+      |    last_value(r_type IGNORE NULLS) OVER wp AS p_type,
+      |    first_value(r_ts IGNORE NULLS) OVER wn AS n_ts,
+      |    first_value(r_type IGNORE NULLS) OVER wn AS n_type
+      |  FROM ev
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, role, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wn AS (PARTITION BY user_id ORDER BY ts_us, role, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |picked AS (
+      |  SELECT
+      |    CASE WHEN p_ts IS NOT NULL
+      |           AND (n_ts IS NULL OR (ts_us - p_ts) <= (n_ts - ts_us))
+      |         THEN p_type
+      |         WHEN n_ts IS NOT NULL THEN n_type
+      |         ELSE 'none' END AS partner_type,
+      |    CASE WHEN p_ts IS NOT NULL
+      |           AND (n_ts IS NULL OR (ts_us - p_ts) <= (n_ts - ts_us))
+      |         THEN ts_us - p_ts
+      |         WHEN n_ts IS NOT NULL THEN n_ts - ts_us
+      |         ELSE 0 END AS gap_us
+      |  FROM j WHERE role = 1)
+      |SELECT partner_type, COUNT(*) AS n_purchases,
+      |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+      |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+      |FROM picked GROUP BY 1 ORDER BY partner_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_join_nearest_event", nearestEvent, Some(nearestEventSql),
+      "J7 nearest-event temporal join: bidirectional as-of via one window pass"),
     QueryDef("q_gap_islands", gapIslands, Some(gapIslandsSql),
       "W6 gaps-and-islands consecutive-day activity streaks"),
     QueryDef("q_anomaly_p99", anomalyP99, Some(anomalyP99Sql),

@@ -186,6 +186,8 @@ object StatsQueries {
       "ST3 per-group OLS trend fit from exact integer sufficient statistics"),
     QueryDef("q_rolling_zscore", rollingZscore, Some(rollingZscoreSql),
       "ST4 trailing-window z-score anomalies from exact integer frame sums"),
+    QueryDef("q_mad_outliers", madOutliers, Some(madOutliersSql),
+      "ST7 median/MAD robust outlier gate from rank-picked order statistics"),
     QueryDef("q_skyline_pareto", skylinePareto, Some(skylineParetoSql),
       "ST6 Pareto dominance frontier via bucket-pruned running-max windows"),
     QueryDef("q_exact_quantiles", exactQuantiles, Some(exactQuantilesSql),
@@ -300,6 +302,82 @@ object StatsQueries {
       |SELECT event_type, dayn, x, z FROM scored
       |WHERE abs(z) >= 2.0
       |ORDER BY event_type, dayn""".stripMargin
+
+  // --- ST7: MAD-based robust outlier gate ---------------------------------
+
+  /** Robust per-group outlier detection: median + median-absolute-
+    * deviation instead of mean/stddev (one far outlier corrupts a z-score
+    * gate's own baseline; the ST4 failure mode this tier exists to
+    * avoid). Medians are LOWER order statistics picked by rank
+    * (row_number = (n+1) div 2 over the sorted group), so every value is
+    * an exact integer cent in both engines — no interpolated even-count
+    * median, no float. A point is an outlier when |x − med| > 3·MAD.
+    *
+    * Scale: two partitioned window passes (the second over the derived
+    * deviations) sharing the event_type hash partitioning, plus two tiny
+    * median-row joins back — the distributed-exact shape; percentile()'s
+    * whole-group buffer is exactly what this avoids (the ST5 argument,
+    * applied twice). */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type",
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"cents")
+    val ranked = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+    val med = ranked.where($"rn" === expr("(n + 1) div 2"))
+      .select($"event_type", $"cents".as("med_cents"))
+    val dev = ev.join(med, Seq("event_type"))
+      .select($"event_type", $"cents", $"med_cents",
+        abs($"cents" - $"med_cents").as("d"))
+    val wd = Window.partitionBy($"event_type").orderBy($"d")
+    val mad = dev
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .where($"rn" === expr("(n + 1) div 2"))
+      .select($"event_type", $"d".as("mad_cents"))
+    dev.join(mad, Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(max($"med_cents").as("med_cents"), max($"mad_cents").as("mad_cents"),
+        sum(when($"d" > lit(3L) * $"mad_cents", 1L).otherwise(0L))
+          .as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val madOutliersSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev),
+      |med AS (
+      |  SELECT event_type, cents AS med_cents FROM ranked
+      |  WHERE rn = (n + 1) // 2),
+      |dev AS (
+      |  SELECT e.event_type, e.cents, m.med_cents,
+      |    abs(e.cents - m.med_cents) AS d
+      |  FROM ev e JOIN med m USING (event_type)),
+      |dranked AS (
+      |  SELECT event_type, d,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev),
+      |mad AS (
+      |  SELECT event_type, d AS mad_cents FROM dranked
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT dev.event_type, MAX(dev.med_cents) AS med_cents,
+      |  MAX(mad.mad_cents) AS mad_cents,
+      |  CAST(SUM(CASE WHEN dev.d > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  COUNT(*) AS n
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
 
   // --- ST6: 2-D Pareto skyline (dominance frontier) -----------------------
 

@@ -596,6 +596,69 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got.toSeq === top.map { case (k, n) => (k, n) })
   }
 
+  test("ST7 MAD: medians are true order stats, outliers match local count") {
+    import graft.analytics.StatsQueries
+    val byType = Tables.events(spark, sf)
+      .select($"event_type", expr("cast(round(value * 100) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def lowerMedian(v: IndexedSeq[Long]) = v((v.length + 1) / 2 - 1)
+    StatsQueries.madOutliers(spark, sf).collect().foreach { r =>
+      val vs = byType(r.getString(0))
+      val med = lowerMedian(vs)
+      assert(r.getAs[Long]("med_cents") === med)
+      val mad = lowerMedian(vs.map(x => math.abs(x - med)).sorted)
+      assert(r.getAs[Long]("mad_cents") === mad)
+      assert(r.getAs[Long]("n_outliers") ===
+        vs.count(x => math.abs(x - med) > 3 * mad).toLong)
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+    }
+  }
+
+  test("B7 RFM: quartile populations balanced, census covers all buyers") {
+    import graft.analytics.BehaviorQueries
+    val rows = BehaviorQueries.rfmSegments(spark, sf).collect()
+    val buyers = Tables.orders(spark, sf).select($"o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === buyers)
+    // each axis's quartiles partition the population with sizes off by <= 1
+    Seq("r_q", "f_q", "m_q").foreach { ax =>
+      val byQ = rows.groupBy(_.getAs[Long](ax)).view
+        .mapValues(_.map(_.getAs[Long]("n_customers")).sum).values.toSeq
+      assert(byQ.size === 4)
+      assert(byQ.max - byQ.min <= 1)
+    }
+  }
+
+  test("J7 nearest event: each purchase pairs with its true closest ref") {
+    import graft.analytics.EventQueries
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", expr("unix_micros(ts)"), $"event_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val local = evs.filter(_._4 == "purchase").map { case (u, ts, id, _) =>
+      val refs = evs.filter(e => e._1 == u && e._4 != "purchase")
+      if (refs.isEmpty) ("none", 0L)
+      else {
+        // mirror the query's pick: backward leg wins ties; the backward
+        // candidate at equal ts sorts before the purchase (role order)
+        val prev = refs.filter(e => e._2 < ts || (e._2 == ts))
+          .sortBy(e => (e._2, e._3)).lastOption
+        val next = refs.filter(_._2 > ts).sortBy(e => (e._2, e._3)).headOption
+        (prev, next) match {
+          case (Some(p), n) if n.isEmpty || (ts - p._2) <= (n.get._2 - ts) =>
+            (p._4, ts - p._2)
+          case (_, Some(n)) => (n._4, n._2 - ts)
+          case _ => ("none", 0L)
+        }
+      }
+    }
+    val hist = local.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.map(_._2).sum, g.map(_._2).max)).toMap
+    val got = EventQueries.nearestEvent(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === hist)
+  }
+
   test("DPP: dim filter becomes a dynamic pruning filter on the fact scan") {
     val df = EventQueries.joinDppPruned(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
