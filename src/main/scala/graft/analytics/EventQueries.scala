@@ -780,7 +780,7 @@ object EventQueries {
       |  CAST(SUM(CASE WHEN cents > thr THEN cents ELSE 0 END) AS BIGINT) AS outlier_cents
       |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  // --- J7: nearest-event temporal join ------------------------------------
+  // --- J8: nearest-event temporal join ------------------------------------
 
   /** Align every purchase to its temporally NEAREST non-purchase event of
     * the same user — backward or forward, whichever is closer (ties to the
@@ -869,7 +869,7 @@ object EventQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_join_nearest_event", nearestEvent, Some(nearestEventSql),
-      "J7 nearest-event temporal join: bidirectional as-of via one window pass"),
+      "J8 nearest-event temporal join: bidirectional as-of via one window pass"),
     QueryDef("q_gap_islands", gapIslands, Some(gapIslandsSql),
       "W6 gaps-and-islands consecutive-day activity streaks"),
     QueryDef("q_anomaly_p99", anomalyP99, Some(anomalyP99Sql),

@@ -629,7 +629,7 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("J7 nearest event: each purchase pairs with its true closest ref") {
+  test("J8 nearest event: each purchase pairs with its true closest ref") {
     import graft.analytics.EventQueries
     val evs = Tables.events(spark, sf)
       .select($"user_id", expr("unix_micros(ts)"), $"event_id", $"event_type")

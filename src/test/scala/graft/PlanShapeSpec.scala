@@ -162,6 +162,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!planOf("q_contain_join").contains("CartesianProduct"))
   }
 
+  test("round-7b queries: partitioned windows, equi joins, narrow scans") {
+    // q_hierarchy_closure / q_hierarchy_rollup: pointer jumps and lifting
+    // compositions are equi joins only
+    assert(!planOf("q_hierarchy_closure").contains("CartesianProduct"))
+    assert(!planOf("q_hierarchy_rollup").contains("CartesianProduct"))
+    // q_geo_grid_join: the spatial join is an equi join on the packed cell
+    // id — never a nested-loop distance join
+    val geo = planOf("q_geo_grid_join")
+    assert(!geo.contains("BroadcastNestedLoopJoin") &&
+      !geo.contains("CartesianProduct"), s"grid join degraded:\n$geo")
+    // q_skyline_pareto: the corpus-sized windows (per-x max) are hash-
+    // partitioned; only the bucket table and pruned candidates hit the
+    // unpartitioned frontier windows
+    val sky = planOf("q_skyline_pareto")
+    assert("Sort \\[bal_c[^\\n]*\\], false,".r.findAllIn(sky).nonEmpty,
+      s"per-x reduction must sort per-partition:\n$sky")
+    // q_cdc_apply: ONE window (the seq-desc compaction) keyed on k; the
+    // apply is a shuffled full-outer equi join
+    val cdc = planOf("q_cdc_apply")
+    // the rn=1 compaction gets the WindowGroupLimit push-down (per-key
+    // top-1 pruned BEFORE the full window buffers anything)
+    assert(cdc.contains("WindowGroupLimit"),
+      s"CDC compaction lost the group-limit pushdown:\n$cdc")
+    assert(cdc.contains("FullOuter"), s"CDC apply joins full-outer:\n$cdc")
+    // q_text_lmscore: the bigram model broadcasts back onto the corpus
+    // pass (never a shuffle join against the model)
+    val lm = planOf("q_text_lmscore")
+    assert(lm.contains("BroadcastHashJoin"), s"LM model must broadcast:\n$lm")
+    // q_mad_outliers: both median windows hash-partition on event_type
+    val mad = planOf("q_mad_outliers")
+    assert(countOf(mad, "Exchange hashpartitioning\\(event_type") >= 1)
+    assert(!mad.contains(", true]") ||
+      "Sort \\[event_type[^\\n]*\\], false,".r.findAllIn(mad).nonEmpty,
+      s"median sorts must be per-partition:\n$mad")
+    // q_join_nearest_event: both directional frames share ONE user_id
+    // exchange (the J5 union+window discipline)
+    val ne = planOf("q_join_nearest_event")
+    assert(countOf(ne, "Exchange hashpartitioning\\(user_id") == 1,
+      s"nearest-event frames should share one user_id exchange:\n$ne")
+    // q_rfm_segments: ntile inputs are the customer-grain aggregate, and
+    // the orders scan appears exactly once
+    val rfm = planOf("q_rfm_segments")
+    assert(countOf(rfm, "Scan parquet") == 1,
+      s"RFM should aggregate one orders scan:\n$rfm")
+    // q_dedup_eval: the overlap is a shuffled equi join on the pair key
+    assert(!planOf("q_dedup_eval").contains("CartesianProduct"))
+    // q_quality_ensemble: three corpus passes meet on doc_id equi joins
+    assert(!planOf("q_quality_ensemble").contains("CartesianProduct"))
+  }
+
   test("fuzzy join confines quadratic work to the name dictionary") {
     val plan = planOf("q_fuzzy_name_join")
     // levenshtein must be computed above the dictionary aggregates, not
