@@ -418,9 +418,23 @@ object TextQueries {
     * constant-size. Per-doc entropy is rounded at 4 and the low-entropy
     * flag tests the ROUNDED value, pinning the cross-engine cut (same
     * discipline as ST4's z flag). */
+  /** Per-doc scorer tables are consumed by their own band/gate query AND
+    * the XP11 ensemble — memoize per (session, documents-content) like
+    * [[DedupQueries.minhashPairs]] so the corpus passes run once per
+    * session, not once per consumer. */
+  private val perDocCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def cacheKey(s: SparkSession, dir: String, tag: String): String =
+    s"$tag|${System.identityHashCode(s)}|" +
+      graft.GraftSession.contentKey(dir, Seq("documents"))
+
   /** Per-doc rounded Shannon entropy — shared by the X4k gate and the
     * XP11 ensemble census. */
-  private[ext] def entropyPerDoc(s: SparkSession, dir: String): DataFrame = {
+  private[ext] def entropyPerDoc(s: SparkSession, dir: String): DataFrame =
+    perDocCache.computeIfAbsent(cacheKey(s, dir, "ent"), _ =>
+      entropyPerDocPlan(s, dir).localCheckpoint())
+
+  private[graft] def entropyPerDocPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id", $"lang", explode(split($"text", "")).as("ch"))
@@ -490,7 +504,11 @@ object TextQueries {
   /** Per-doc integer LM score — shared by the X4l bands and the XP11
     * ensemble census. Docs shorter than 2 chars have no bigrams and are
     * absent (callers left-join and default). */
-  private[ext] def lmScorePerDoc(s: SparkSession, dir: String): DataFrame = {
+  private[ext] def lmScorePerDoc(s: SparkSession, dir: String): DataFrame =
+    perDocCache.computeIfAbsent(cacheKey(s, dir, "lm"), _ =>
+      lmScorePerDocPlan(s, dir).localCheckpoint())
+
+  private[graft] def lmScorePerDocPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val big = Tables.documents(s, dir)
       .where(length($"text") >= 2)

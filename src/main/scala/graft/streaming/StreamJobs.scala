@@ -345,6 +345,23 @@ object StreamJobs {
     * query's top-3 per language. */
   val WeightedReservoirK = 3
 
+  /** T-extra: stream-STATIC dimension enrichment — the streaming form of
+    * the J1 broadcast dim join. The static side is a plain batch
+    * DataFrame; Structured Streaming re-resolves it against each
+    * micro-batch, so a dim-table update between triggers is picked up
+    * without restarting the query (the standard slowly-refreshing-dim
+    * idiom). Broadcast keeps the join narrow — no stream-side state, no
+    * watermark needed: enrichment is stateless, and the downstream count
+    * runs in update/complete mode.
+    *
+    * Scale: identical plan per micro-batch to the batch J1 join — dim
+    * broadcast, stream side never shuffles for the join itself. */
+  def dimEnrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+
   def followerJoin(events: DataFrame): DataFrame = {
     val left = events
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))

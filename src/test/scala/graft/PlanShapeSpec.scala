@@ -187,8 +187,10 @@ class PlanShapeSpec extends AnyFunSuite {
       s"CDC compaction lost the group-limit pushdown:\n$cdc")
     assert(cdc.contains("FullOuter"), s"CDC apply joins full-outer:\n$cdc")
     // q_text_lmscore: the bigram model broadcasts back onto the corpus
-    // pass (never a shuffle join against the model)
-    val lm = planOf("q_text_lmscore")
+    // pass (never a shuffle join against the model). Probe the underlying
+    // scorer plan — the registered query serves the memoized checkpoint.
+    val lm = graft.ext.TextQueries.lmScorePerDocPlan(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(lm.contains("BroadcastHashJoin"), s"LM model must broadcast:\n$lm")
     // q_mad_outliers: both median windows hash-partition on event_type
     val mad = planOf("q_mad_outliers")

@@ -164,6 +164,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("stream-static dim enrichment matches the batch broadcast join") {
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "acquisition"),
+      ("logout", "session")).toDF("event_type", "category")
+    val q = StreamJobs.dimEnrichStream(
+        StreamJobs.eventsStream(spark, eventsDir), dim)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dim_enrich_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("dim_enrich_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("stream-stream interval join matches the batch J6 range join") {
     val q = StreamJobs.followerJoin(StreamJobs.eventsStream(spark, eventsDir))
       .writeStream.outputMode("append").format("memory")
