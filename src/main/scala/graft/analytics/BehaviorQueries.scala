@@ -387,7 +387,59 @@ object BehaviorQueries {
       |  CAST(SUM(m) AS BIGINT) AS sum_cents
       |FROM seg GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin
 
+  // --- B8: half-life decay scoring ----------------------------------------
+
+  /** Exponentially time-decayed engagement score per user: each event's
+    * cents weigh in at 2^-(days before the corpus' last day) — a one-day
+    * half-life — and the decayed mass ranks the top-20 most-recently-
+    * engaged spenders. The classic decay formula is pow(λ, Δt) in
+    * floating point, which is libm and engine-order dependent; a base-2
+    * half-life makes the weight an INTEGER BIT SHIFT (10⁶ div 2^Δdays),
+    * so every weight, product, and sum is exact 64-bit arithmetic in both
+    * engines. Weights vanish beyond 2^20 — the shift is clamped so the
+    * arithmetic never overflows however old the corpus.
+    *
+    * Scale: one daily per-user rollup (hash agg), one single-row
+    * broadcast of the corpus max day (the bounded-BNLJ class), one final
+    * hash agg + TakeOrdered 20. No window over corpus-sized data. */
+  def decayScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"user_id",
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("dayn"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy($"user_id", $"dayn")
+      .agg(sum($"cents").as("cents"))
+    val maxDay = broadcast(daily.agg(max($"dayn").as("maxd")))
+    daily.crossJoin(maxDay)
+      .select($"user_id",
+        ($"cents" * expr(
+          "1000000 div shiftleft(cast(1 as bigint), cast(least(maxd - dayn, 20) as int))"))
+          .as("wcents"))
+      .groupBy($"user_id")
+      .agg(expr("sum(wcents) div 1000000").as("decayed_cents"))
+      .orderBy($"decayed_cents".desc, $"user_id".asc)
+      .limit(20)
+  }
+
+  val decayScoreSql: String =
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS dayn,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT user_id,
+      |    cents * (1000000 // (CAST(1 AS BIGINT)
+      |      << least((SELECT MAX(dayn) FROM daily) - dayn, 20))) AS wcents
+      |  FROM daily)
+      |SELECT user_id, CAST(SUM(wcents) // 1000000 AS BIGINT) AS decayed_cents
+      |FROM w GROUP BY 1
+      |ORDER BY decayed_cents DESC, user_id ASC LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_decay_score", decayScore, Some(decayScoreSql),
+      "B8 half-life decayed engagement score via exact integer bit-shift weights"),
     QueryDef("q_rfm_segments", rfmSegments, Some(rfmSegmentsSql),
       "B7 RFM quartile segmentation census via tie-broken ntile windows"),
     QueryDef("q_event_pattern", eventPattern, Some(eventPatternSql),

@@ -41,7 +41,24 @@ object SimJoinQueries {
   private val NUM = 3
   private val DEN = 5
 
+  /** The exact pair table is consumed by its own query AND the X2k audit —
+    * memoized per (session, documents-content) like
+    * [[DedupQueries.minhashPairs]], so the prefix-join plan executes once
+    * per session. */
+  private val exactPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[ext] def exactPairs(s: SparkSession, dir: String): DataFrame =
+    exactPairCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}|" +
+        graft.GraftSession.contentKey(dir, Seq("documents")),
+      _ => simjoinPrefixPlan(s, dir).localCheckpoint())
+
   def simjoinPrefix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    exactPairs(s, dir).orderBy($"a_id", $"b_id")
+  }
+
+  private def simjoinPrefixPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, dir)
       .withColumn("toks", split($"text", " "))
@@ -92,9 +109,9 @@ object SimJoinQueries {
         ($"a_n" + $"b_n" - $"n_inter").as("n_union"),
         ($"n_inter".cast(DoubleType) / ($"a_n" + $"b_n" - $"n_inter")).as("jaccard"))
       // a pair verifies identically in every shared prefix bucket — one
-      // exchange dedups the duplicates
+      // exchange dedups the duplicates (presentation ORDER BY lives in
+      // the public query, after the memoized checkpoint)
       .distinct()
-      .orderBy($"a_id", $"b_id")
   }
 
   val simjoinPrefixSql: String =
@@ -228,7 +245,7 @@ object SimJoinQueries {
     import s.implicits._
     val lsh = DedupQueries.minhashPairs(s, dir)
       .select($"doc_a", $"doc_b", lit(1L).as("l"))
-    val exact = simjoinPrefix(s, dir)
+    val exact = exactPairs(s, dir)
       .select($"a_id".as("doc_a"), $"b_id".as("doc_b"), lit(1L).as("e"))
     lsh.join(exact, Seq("doc_a", "doc_b"), "full_outer")
       .agg(sum(coalesce($"l", lit(0L))).as("n_lsh"),

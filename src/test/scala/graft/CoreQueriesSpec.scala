@@ -629,6 +629,26 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("B8 decay score: bit-shift weights equal the local half-life sum") {
+    import graft.analytics.BehaviorQueries
+    val daily = Tables.events(spark, sf)
+      .select($"user_id",
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000"),
+        expr("cast(round(value * 100) as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val maxd = daily.keys.map(_._2).max
+    val local = daily.toSeq.groupBy(_._1._1).view.mapValues { g =>
+      g.map { case ((_, d), c) =>
+        c * (1000000L / (1L << math.min(maxd - d, 20L))) }.sum / 1000000L
+    }.toMap
+    val top = local.toSeq.sortBy { case (u, s) => (-s, u) }.take(20)
+    val got = BehaviorQueries.decayScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === top)
+  }
+
   test("J8 nearest event: each purchase pairs with its true closest ref") {
     import graft.analytics.EventQueries
     val evs = Tables.events(spark, sf)

@@ -61,7 +61,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_sample_neyman",
       // 128-row broadcast PQ codebook crossed for encode/LUT, same class
       // as the IVF centroid assignment
-      "q_sim_knn_pq")
+      "q_sim_knn_pq",
+      // single-row corpus-max-day aggregate crossed onto the daily
+      // rollup — same class as q_merge_upsert's max key
+      "q_decay_score")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
