@@ -845,6 +845,35 @@ object CoreQueries {
        |  COUNT(*) AS cnt
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --- J2b + skew: salted equi-join --------------------------------------
+  /** Hot-key-safe fact⋈fact join via [[graft.operators.Salting.saltedJoin]]:
+    * the left (fact) side salts each row into one of 8 sub-keys, the right
+    * side replicates 8× — so a key whose rows would all land on one reducer
+    * spreads over 8, at the cost of 8×|right| shuffle volume (the trade
+    * for a right side too big to broadcast but much smaller than the
+    * left; AQE's runtime skew split covers the SMJ case, this covers the
+    * planned-ahead one). The oracle is the plain join — salting must be
+    * result-invisible. Money in DECIMAL through the sum. */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", money($"l_extendedprice").as("price"))
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    graft.operators.Salting.saltedJoin(li, o, "l_orderkey", 8)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"price").cast(DoubleType).as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val joinSaltedSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   // --- A4: approximate distinct with an exact error-bound check ----------
   /** HLL++ estimates aren't reproducible in another engine, so the oracle
     * contract is: exact distinct counts (comparable) plus `approx_ok`, an
@@ -930,6 +959,8 @@ object CoreQueries {
       "A6c fixed-bin value histogram per group, clamped integer-cents bins"),
     QueryDef("q_agg_collect", aggCollect, Some(aggCollectSql),
       "A7 collect_set + sorted join"),
+    QueryDef("q_join_salted", joinSalted, Some(joinSaltedSql),
+      "J2b salted hot-key equi-join (8-way spread), result-invisible"),
     QueryDef("q_agg_mode", aggMode, Some(aggModeSql),
       "A9 deterministic per-group mode via two-level count + ranked pick"),
     QueryDef("q_agg_first_last", aggFirstLast, Some(aggFirstLastSql),

@@ -608,7 +608,49 @@ object DedupQueries {
        |LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --- X2l: cross-source contamination census -----------------------------
+
+  /** Where do near-duplicates CROSS source boundaries? A near-dup pair
+    * inside one source is ordinary redundancy; a pair straddling two
+    * sources is leakage — a mirror, a scrape-of-a-scrape, or eval data
+    * inside a training source (the between-SOURCE complement of X4's
+    * n-gram benchmark decontamination). One census over the memoized
+    * thresholded pair table: two dimension joins to attach sources, an
+    * unordered (least, greatest) source pair key, one hash count. Off-
+    * diagonal rows are the contamination audit. */
+  def dedupCrossSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    minhashPairs(s, dir).select($"doc_a", $"doc_b")
+      .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
+      .join(src.toDF("doc_b", "src_b"), Seq("doc_b"))
+      .select(least($"src_a", $"src_b").as("source_1"),
+        greatest($"src_a", $"src_b").as("source_2"))
+      .groupBy($"source_1", $"source_2")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_1", $"source_2")
+  }
+
+  val dedupCrossSourceSql: String =
+    s"""WITH $lshCandCtesSql,
+       |lshp AS (
+       |  SELECT doc_a, doc_b FROM cpairs
+       |  JOIN sigs sa ON doc_a = sa.doc_id
+       |  JOIN sigs sb ON doc_b = sb.doc_id
+       |  WHERE ${estJaccardSql("sa", "sb")} >= ${2.0 / K}),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT least(a.source, b.source) AS source_1,
+       |  greatest(a.source, b.source) AS source_2,
+       |  COUNT(*) AS n_pairs
+       |FROM lshp
+       |JOIN src a ON doc_a = a.doc_id
+       |JOIN src b ON doc_b = b.doc_id
+       |GROUP BY 1, 2 ORDER BY source_1, source_2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_cross_source", dedupCrossSource,
+      Some(dedupCrossSourceSql),
+      "X2l cross-source near-dup contamination census off the pair table"),
     QueryDef("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql),
       "X2f incremental delta-vs-corpus LSH dedup (standing bucket join)"),
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql),

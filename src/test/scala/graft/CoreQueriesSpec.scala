@@ -629,6 +629,22 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("J2b salted join equals the plain join; X2l census covers all pairs") {
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(l_extendedprice as decimal(18,2))")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = CoreQueries.joinSalted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted === plain)
+    val census = graft.ext.DedupQueries.dedupCrossSource(spark, sf).collect()
+    val totalPairs = graft.ext.DedupQueries.dedupMinhashLsh(spark, sf).count()
+    assert(census.map(_.getAs[Long]("n_pairs")).sum === totalPairs)
+    census.foreach(r => assert(r.getString(0) <= r.getString(1)))
+  }
+
   test("B8 decay score: bit-shift weights equal the local half-life sum") {
     import graft.analytics.BehaviorQueries
     val daily = Tables.events(spark, sf)
