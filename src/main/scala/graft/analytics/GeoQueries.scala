@@ -97,7 +97,114 @@ object GeoQueries {
        |  CAST(SUM(min_d2) AS BIGINT) AS sum_min_d2
        |FROM perp GROUP BY n_within ORDER BY n_within""".stripMargin
 
+  // --- G5: grid-density clustering (DBSCAN on cells) ----------------------
+
+  /** Density threshold: a cell is DENSE when it holds at least 2× the
+    * mean occupancy of occupied cells — scale-FREE (an absolute MINPTS
+    * makes every cell dense once the corpus outgrows it, collapsing the
+    * clustering into one component; a relative bar keeps the dense set a
+    * small, genuinely-above-background fraction at any sf). Compared by
+    * integer cross-multiplication: n_pts · n_cells ≥ 2 · n_total. */
+  private val DENSE_X = 2L
+
+  /** Grid-density clustering — the scale-correct DBSCAN approximation:
+    * instead of per-point ε-neighborhood queries (an all-pairs problem),
+    * points hash into R-wide cells, cells with ≥ [[MINPTS]] points are
+    * dense, and clusters are connected components of the dense-cell
+    * 8-adjacency graph. Adjacency on the packed cell id is a pure integer
+    * difference test (no wrap: the per-axis id bound exceeds the max
+    * occupied row by 2), and the components come from the dedup tier's
+    * bounded-round min-label propagation ([[graft.ext.DedupQueries]]) —
+    * the same machinery, reused on a graph whose size is CELL-bounded,
+    * not point-bounded. Isolated dense cells are singleton clusters.
+    *
+    * Scale: one corpus pass to cell counts; everything after runs on the
+    * dense-cell table (≤ (M/R)² rows regardless of data size). Output is
+    * the per-cluster census keyed by min member cell. */
+  /** Base-16 polynomial over the first 5 hex chars of an md5 column —
+    * a 20-bit uniform, exact in both engines (the XP7 idiom). The G4 LCG
+    * scatter is a low-discrepancy LATTICE (sequential keys × multiplier):
+    * fine for a radius join, useless for density clustering — no cell
+    * ever exceeds ~the mean. md5 coordinates are genuinely Poisson. */
+  private def hexPoly(col: String, fn: String): String =
+    (1 to 5).map(i =>
+      s"($fn('0123456789abcdef', substring($col, $i, 1)) - 1) * ${1L << (4 * (5 - i))}")
+      .mkString(" + ")
+
+  def geoDensityClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.customer(s, dir)
+      .select(md5(concat(lit("gx_"), $"c_custkey".cast("string"))).as("hx"),
+        md5(concat(lit("gy_"), $"c_custkey".cast("string"))).as("hy"))
+      .select((expr(hexPoly("hx", "instr")) % M).as("cx"),
+        (expr(hexPoly("hy", "instr")) % M).as("cy"))
+      .select(expr(s"(cx div $R) * $CELLS + (cy div $R)").as("cell"))
+      .groupBy($"cell").agg(count(lit(1)).as("n_pts"))
+    val tot = broadcast(cells.agg(sum($"n_pts").as("n_total"),
+      count(lit(1)).as("n_cells_tot")))
+    val dense = cells.crossJoin(tot)
+      .where($"n_pts" * $"n_cells_tot" >= lit(DENSE_X) * $"n_total")
+      .select($"cell", $"n_pts")
+    val nbr = dense.select($"cell")
+      .withColumn("dxy", explode(typedLit(
+        (for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 }
+          yield dx * CELLS + dy).toSeq)))
+      .select($"cell", ($"cell" + $"dxy").as("ncell"))
+    val pairs = nbr
+      .join(dense.select($"cell".as("ncell")), Seq("ncell"), "left_semi")
+      .where($"cell" < $"ncell")
+      .select($"cell".as("doc_a"), $"ncell".as("doc_b"))
+    val labels = graft.ext.DedupQueries.clusterLabels(s, pairs)
+      .select($"src".as("cell"), $"lbl")
+    dense.join(labels, Seq("cell"), "left")
+      .select(coalesce($"lbl", $"cell").as("cluster_id"), $"n_pts")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_cells"), sum($"n_pts").as("n_points"))
+      .orderBy($"cluster_id")
+  }
+
+  /** DuckDB mirror: same dense cells, adjacency as packed-id differences
+    * (CELLS−1, CELLS, CELLS+1, and 1 — the 8-neighborhood under a<b),
+    * components via the recursive min-label reach of the dedup oracle. */
+  val geoDensityClustersSql: String = {
+    val offs = Seq(1L, CELLS - 1, CELLS, CELLS + 1).mkString(", ")
+    s"""WITH RECURSIVE hs AS (
+       |  SELECT md5('gx_' || CAST(c_custkey AS VARCHAR)) AS hx,
+       |    md5('gy_' || CAST(c_custkey AS VARCHAR)) AS hy
+       |  FROM customer),
+       |pts AS (
+       |  SELECT (${hexPoly("hx", "strpos")}) % $M AS cx,
+       |    (${hexPoly("hy", "strpos")}) % $M AS cy
+       |  FROM hs),
+       |cells AS (
+       |  SELECT (cx // $R) * $CELLS + (cy // $R) AS cell, COUNT(*) AS n_pts
+       |  FROM pts GROUP BY 1),
+       |dense AS (
+       |  SELECT cell, n_pts FROM cells
+       |  WHERE n_pts * (SELECT COUNT(*) FROM cells)
+       |    >= $DENSE_X * (SELECT CAST(SUM(n_pts) AS BIGINT) FROM cells)),
+       |fpairs AS (
+       |  SELECT a.cell AS ca, b.cell AS cb
+       |  FROM dense a JOIN dense b ON b.cell - a.cell IN ($offs)),
+       |edges AS (
+       |  SELECT ca AS src, cb AS dst FROM fpairs
+       |  UNION ALL SELECT cb, ca FROM fpairs),
+       |reach(src, lbl) AS (
+       |  SELECT src, dst AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+       |labels AS (
+       |  SELECT src AS cell, LEAST(src, MIN(lbl)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT COALESCE(l.cluster_id, d.cell) AS cluster_id,
+       |  COUNT(*) AS n_cells, CAST(SUM(d.n_pts) AS BIGINT) AS n_points
+       |FROM dense d LEFT JOIN labels l ON d.cell = l.cell
+       |GROUP BY 1 ORDER BY cluster_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_geo_grid_join", geoGridJoin, Some(geoGridJoinSql),
-      "G4 within-radius spatial join via grid-cell bucketing (equi-join, exact)"))
+      "G4 within-radius spatial join via grid-cell bucketing (equi-join, exact)"),
+    QueryDef("q_geo_density", geoDensityClusters, Some(geoDensityClustersSql),
+      "G5 grid-density clustering: dense cells + 8-adjacency components"))
 }

@@ -535,6 +535,41 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("G5 density clusters: census equals a local union-find over cells") {
+    import graft.analytics.GeoQueries
+    val M = 1000000L; val R = 50000L; val CELLS = M / R + 2
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    def coord(tag: String, k: Long) = {
+      val h = md5hex(s"${tag}_$k")
+      (1 to 5).map(i =>
+        ("0123456789abcdef".indexOf(h(i - 1)).toLong) << (4 * (5 - i))).sum % M
+    }
+    val keys = Tables.customer(spark, sf).select($"c_custkey").as[Long].collect()
+    val counts = keys.map(k =>
+      (coord("gx", k) / R) * CELLS + coord("gy", k) / R)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (nTotal, nCells) = (counts.values.sum, counts.size.toLong)
+    val dense = counts.filter { case (_, n) => n * nCells >= 2 * nTotal }
+    // union-find over 8-adjacency of dense cells
+    val parent = scala.collection.mutable.Map(dense.keys.map(c => c -> c).toSeq: _*)
+    def find(c: Long): Long =
+      if (parent(c) == c) c else { parent(c) = find(parent(c)); parent(c) }
+    for (c <- dense.keys; dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0) {
+      val n = c + dx * CELLS + dy
+      if (dense.contains(n)) {
+        val (ra, rb) = (find(c), find(n))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val local = dense.keys.groupBy(find).map { case (root, cs) =>
+      (cs.min, (cs.size.toLong, cs.map(dense).sum))
+    }
+    val got = GeoQueries.geoDensityClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === local)
+  }
+
   test("G4 grid spatial join: 3x3 cover is exact vs local brute force") {
     import graft.analytics.GeoQueries
     val M = 1000000L

@@ -64,7 +64,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_sim_knn_pq",
       // single-row corpus-max-day aggregate crossed onto the daily
       // rollup — same class as q_merge_upsert's max key
-      "q_decay_score")
+      "q_decay_score",
+      // single-row occupancy-stats aggregate crossed onto the cell
+      // table for the scale-free density bar
+      "q_geo_density")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
