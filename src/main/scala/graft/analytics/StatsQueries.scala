@@ -186,6 +186,8 @@ object StatsQueries {
       "ST3 per-group OLS trend fit from exact integer sufficient statistics"),
     QueryDef("q_rolling_zscore", rollingZscore, Some(rollingZscoreSql),
       "ST4 trailing-window z-score anomalies from exact integer frame sums"),
+    QueryDef("q_trimmed_mean", trimmedMean, Some(trimmedMeanSql),
+      "ST8 10%-trimmed per-group mean via rank windows, integer cents"),
     QueryDef("q_mad_outliers", madOutliers, Some(madOutliersSql),
       "ST7 median/MAD robust outlier gate from rank-picked order statistics"),
     QueryDef("q_skyline_pareto", skylinePareto, Some(skylineParetoSql),
@@ -378,6 +380,47 @@ object StatsQueries {
       |  COUNT(*) AS n
       |FROM dev JOIN mad USING (event_type)
       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // --- ST8: trimmed (truncated) mean ---------------------------------------
+
+  /** 10%-trimmed per-group mean: drop the bottom and top ⌈n/10⌉ ranks,
+    * average the middle — the robust-location estimator between the mean
+    * (ST3's world) and the median (ST7's): resistant to tail garbage but
+    * still using 80% of the data. Rank-picked exactly like ST5/ST7 — one
+    * hash-partitioned window sort, integer cents, integer-div mean, no
+    * whole-group percentile buffer. */
+  def trimmedMean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type",
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"cents")
+    ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .withColumn("cut", expr("(n + 9) div 10"))
+      .where($"rn" > $"cut" && $"rn" <= $"n" - $"cut")
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), count(lit(1)).as("n_kept"),
+        sum($"cents").as("trimmed_sum_cents"),
+        expr("sum(cents) div count(1)").as("trimmed_mean_cents"))
+      .orderBy($"event_type")
+  }
+
+  val trimmedMeanSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY
+      |      CAST(round(value * 100) AS BIGINT)) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |kept AS (
+      |  SELECT event_type, cents, n FROM ranked
+      |  WHERE rn > (n + 9) // 10 AND rn <= n - (n + 9) // 10)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, COUNT(*) AS n_kept,
+      |  CAST(SUM(cents) AS BIGINT) AS trimmed_sum_cents,
+      |  CAST(SUM(cents) // COUNT(*) AS BIGINT) AS trimmed_mean_cents
+      |FROM kept GROUP BY 1 ORDER BY event_type""".stripMargin
 
   // --- ST6: 2-D Pareto skyline (dominance frontier) -----------------------
 

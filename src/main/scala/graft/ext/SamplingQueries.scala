@@ -62,7 +62,49 @@ object SamplingQueries {
       |      THEN doc_id END) AS last_sampled_id
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --- XP12: class-balanced downsampling ----------------------------------
+
+  /** Balance the corpus to the SMALLEST class: every language keeps
+    * exactly min-class-count documents, chosen by md5 rank (the
+    * deterministic draw of the split/stratified tier) — the undersampling
+    * complement of XP2's oversampling mixture (XP2 replicates small
+    * classes up to a budget; this cuts large classes down to the floor).
+    * Output audits per-language kept counts (all equal by construction)
+    * and the surviving char mass.
+    *
+    * Scale: one count aggregate, one single-row min broadcast (the
+    * bounded-BNLJ class), one hash-partitioned rank window, one census. */
+  def sampleBalanced(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"n_chars")
+    val minc = broadcast(docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+      .agg(min($"cnt").as("minc")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(md5(concat(lit("bal_"), $"doc_id".cast("string"))).asc,
+        $"doc_id".asc)
+    docs.withColumn("rn", row_number().over(w))
+      .crossJoin(minc)
+      .where($"rn" <= $"minc")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
+  val sampleBalancedSql: String =
+    """WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      |ranked AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY
+      |      md5('bal_' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM ranked WHERE rn <= (SELECT MIN(cnt) FROM counts)
+      |GROUP BY 1 ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sample_balanced", sampleBalanced, Some(sampleBalancedSql),
+      "XP12 class-balanced undersampling to the min class, md5-ranked draw"),
     QueryDef("q_sample_split", sampleSplit, Some(sampleSplitSql),
       "deterministic md5-keyed train/val/test split audit"),
     QueryDef("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql),

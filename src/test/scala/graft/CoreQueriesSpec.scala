@@ -535,6 +535,26 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("ST8 trimmed mean + XP12 balance: local recompute and equal classes") {
+    import graft.analytics.StatsQueries
+    val byType = Tables.events(spark, sf)
+      .select($"event_type", expr("cast(round(value * 100) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    StatsQueries.trimmedMean(spark, sf).collect().foreach { r =>
+      val vs = byType(r.getString(0))
+      val cut = (vs.length + 9) / 10
+      val kept = vs.slice(cut, vs.length - cut)
+      assert(r.getAs[Long]("n_kept") === kept.length.toLong)
+      assert(r.getAs[Long]("trimmed_sum_cents") === kept.sum)
+      assert(r.getAs[Long]("trimmed_mean_cents") === kept.sum / kept.length)
+    }
+    val bal = graft.ext.SamplingQueries.sampleBalanced(spark, sf).collect()
+    val minClass = Tables.documents(spark, sf).groupBy($"lang").count()
+      .agg(min($"count")).as[Long].head()
+    assert(bal.map(_.getAs[Long]("n_kept")).toSet === Set(minClass))
+  }
+
   test("G5 density clusters: census equals a local union-find over cells") {
     import graft.analytics.GeoQueries
     val M = 1000000L; val R = 50000L; val CELLS = M / R + 2

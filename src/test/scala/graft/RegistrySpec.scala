@@ -67,7 +67,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_decay_score",
       // single-row occupancy-stats aggregate crossed onto the cell
       // table for the scale-free density bar
-      "q_geo_density")
+      "q_geo_density",
+      // single-row min-class-count aggregate crossed onto the ranked
+      // docs — same class as q_decay_score
+      "q_sample_balanced")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
