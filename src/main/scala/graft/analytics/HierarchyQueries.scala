@@ -164,10 +164,68 @@ object HierarchyQueries {
       |SELECT anc_key, n_subtree, sum_price FROM agg
       |ORDER BY n_subtree DESC, anc_key ASC LIMIT 20""".stripMargin
 
+  /** R3: materialized paths — the `/root/…/node` path-string column a
+    * warehouse denormalizes onto hierarchy tables (org charts, BOM,
+    * category trees) so descendant queries become prefix filters. Built
+    * with the same pointer doubling as R1, with each jump CONCATENATING
+    * the two path segments it composes: the state (node → anc) carries
+    * the path from anc (exclusive) down to node (inclusive), so
+    * seg(a2→a1) || seg(a1→node) is exactly seg(a2→node) and after
+    * ceil(log2 D) rounds every node holds its full root path — log-round
+    * string assembly, never a depth-long sequential walk.
+    *
+    * Output: the 20 deepest nodes (ties on key) with their paths — the
+    * rows a prefix-filter consumer would index. */
+  def hierarchyPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.orders(s, dir).select($"o_orderkey".as("k"))
+    val cand = nodes.select($"k", expr("k div 7").as("pk"))
+    val keys = nodes.select($"k".as("pk"))
+    val roots = cand.where($"k" === $"pk").select($"k")
+      .unionByName(
+        cand.where($"k" =!= $"pk").join(keys, Seq("pk"), "left_anti")
+          .select($"k"))
+    val nonRoots =
+      cand.where($"k" =!= $"pk").join(keys, Seq("pk"), "left_semi")
+    var st = roots.select($"k".as("node"), $"k".as("anc"), lit(0L).as("dist"),
+      lit("").as("pth"))
+      .unionByName(nonRoots.select($"k".as("node"), $"pk".as("anc"),
+        lit(1L).as("dist"), concat(lit("/"), $"k".cast("string")).as("pth")))
+      .localCheckpoint()
+    for (_ <- 1 to JUMPS) {
+      val hop = st.select($"node".as("h_node"), $"anc".as("h_anc"),
+        $"dist".as("h_dist"), $"pth".as("h_pth"))
+      st = st.join(hop, st("anc") === hop("h_node"))
+        .select($"node", $"h_anc".as("anc"), ($"dist" + $"h_dist").as("dist"),
+          concat($"h_pth", $"pth").as("pth"))
+        .localCheckpoint()
+    }
+    st.select($"node".as("k"), $"dist".as("depth"),
+      concat($"anc".cast("string"), $"pth").as("path"))
+      .orderBy($"depth".desc, $"k".asc)
+      .limit(20)
+  }
+
+  val hierarchyPathsSql: String =
+    """WITH RECURSIVE nodes AS (SELECT o_orderkey AS k FROM orders),
+      |walk AS (
+      |  SELECT k, CAST(0 AS BIGINT) AS depth, CAST(k AS VARCHAR) AS path
+      |  FROM nodes n0
+      |  WHERE k = k // 7
+      |     OR NOT EXISTS (SELECT 1 FROM nodes p WHERE p.k = n0.k // 7)
+      |  UNION ALL
+      |  SELECT n.k, w.depth + 1, w.path || '/' || CAST(n.k AS VARCHAR)
+      |  FROM nodes n
+      |  JOIN walk w ON n.k // 7 = w.k AND n.k <> n.k // 7)
+      |SELECT k, depth, path FROM walk
+      |ORDER BY depth DESC, k ASC LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_hierarchy_closure", hierarchyClosure,
       Some(hierarchyClosureSql),
       "R1 recursive forest closure via log-round pointer jumping vs WITH RECURSIVE"),
+    QueryDef("q_hierarchy_paths", hierarchyPaths, Some(hierarchyPathsSql),
+      "R3 materialized root paths assembled by concatenating pointer jumps"),
     QueryDef("q_hierarchy_rollup", hierarchyRollup,
       Some(hierarchyRollupSql),
       "R2 subtree size/money rollup via duplicate-free binary-lifting closure"))

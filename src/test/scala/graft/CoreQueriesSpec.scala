@@ -535,6 +535,25 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("R3 paths: every emitted path is the true root walk of its node") {
+    import graft.analytics.HierarchyQueries
+    val keys = Tables.orders(spark, sf).select($"o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    def pathOf(k: Long): String = {
+      var chain = List(k); var cur = k
+      while (cur != cur / 7 && keys.contains(cur / 7)) {
+        cur = cur / 7; chain = cur :: chain
+      }
+      chain.mkString("/")
+    }
+    val rows = HierarchyQueries.hierarchyPaths(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getString(2) === pathOf(r.getLong(0)))
+      assert(r.getLong(1) === r.getString(2).count(_ == '/').toLong)
+    }
+  }
+
   test("ST8 trimmed mean + XP12 balance: local recompute and equal classes") {
     import graft.analytics.StatsQueries
     val byType = Tables.events(spark, sf)
