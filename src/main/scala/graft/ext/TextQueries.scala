@@ -518,6 +518,11 @@ object TextQueries {
     val model = big.groupBy($"bg").agg(count(lit(1)).as("cnt"))
       .withColumn("total", sum($"cnt").over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
+      // cnt·10⁶ overflows int64 only when ONE bigram exceeds ~9.2e12
+      // occurrences — at a 2% share that is a ~500 TB text corpus; past
+      // that, pre-scale the divisor (cnt div (total div 10⁶)) in BOTH
+      // engines (coarser at small corpora, which is why it isn't the
+      // default here)
       .select($"bg", expr("cnt * 1000000 div total").as("prob_u"))
     big.join(broadcast(model), Seq("bg"))
       .groupBy($"doc_id", $"lang")

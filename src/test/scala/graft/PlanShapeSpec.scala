@@ -212,6 +212,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!planOf("q_dedup_eval").contains("CartesianProduct"))
     // q_quality_ensemble: three corpus passes meet on doc_id equi joins
     assert(!planOf("q_quality_ensemble").contains("CartesianProduct"))
+    // q_trimmed_mean: rank + count windows share ONE event_type exchange
+    val tm = planOf("q_trimmed_mean")
+    assert(countOf(tm, "Exchange hashpartitioning\\(event_type") == 1,
+      s"trimmed-mean windows should share one exchange:\n$tm")
+    // q_decay_score / q_sample_balanced: no window ever touches
+    // corpus-sized data unpartitioned (rollup/rank windows are keyed)
+    assert(!planOf("q_decay_score").contains("Window ["))
+    val sb = planOf("q_sample_balanced")
+    assert("Sort \\[lang[^\\n]*\\], false,".r.findAllIn(sb).nonEmpty,
+      s"balance rank sort must be per-partition:\n$sb")
+    // q_geo_density / q_hierarchy_paths: equi joins only
+    assert(!planOf("q_geo_density").contains("CartesianProduct"))
+    assert(!planOf("q_hierarchy_paths").contains("CartesianProduct"))
   }
 
   test("fuzzy join confines quadratic work to the name dictionary") {
