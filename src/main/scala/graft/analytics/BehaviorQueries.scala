@@ -437,7 +437,63 @@ object BehaviorQueries {
       |FROM w GROUP BY 1
       |ORDER BY decayed_cents DESC, user_id ASC LIMIT 20""".stripMargin
 
+  // --- B9: Gini concentration audit ---------------------------------------
+
+  /** How concentrated is spend across users, per event type? The Gini
+    * coefficient from its rank formula
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted user
+    * totals — computed as integer BASIS POINTS by cross-multiplication
+    * (gini_bp = (2·Σ(rank·x) − (n+1)·Σx)·10⁴ div (n·Σx)), so the only
+    * division is the final integer one and both engines produce the
+    * identical value. The mixture-design audit: a Gini near 1 says a
+    * handful of users dominate the event mass (XP8's top-decile share is
+    * the coarse version; this is the full-distribution scalar).
+    *
+    * Scale: one fact-table hash aggregate to user grain, one
+    * hash-partitioned rank window per type, one census row per type.
+    * Σ(rank·x) fits int64 while n·max_user_cents < 9.2e18 — beyond that,
+    * bucket the rank formula (the XP8 decile path). */
+  def giniConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.events(s, dir)
+      .select($"event_type", $"user_id",
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy($"event_type", $"user_id")
+      .agg(sum($"cents").as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"c".asc, $"user_id".asc)
+    per.withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"), sum($"c").as("sum_cents"),
+        sum($"rn" * $"c").as("rc"))
+      .select($"event_type", $"n_users", $"sum_cents",
+        expr("(2 * rc - (n_users + 1) * sum_cents) * 10000" +
+          " div (n_users * sum_cents)").as("gini_bp"))
+      .orderBy($"event_type")
+  }
+
+  val giniConcentrationSql: String =
+    """WITH per AS (
+      |  SELECT event_type, user_id,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, c, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY c ASC, user_id ASC) AS rn
+      |  FROM per),
+      |agg AS (
+      |  SELECT event_type, COUNT(*) AS n_users,
+      |    CAST(SUM(c) AS BIGINT) AS sum_cents,
+      |    CAST(SUM(rn * c) AS BIGINT) AS rc
+      |  FROM ranked GROUP BY 1)
+      |SELECT event_type, n_users, sum_cents,
+      |  CAST((2 * rc - (n_users + 1) * sum_cents) * 10000
+      |    // (n_users * sum_cents) AS BIGINT) AS gini_bp
+      |FROM agg ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_gini_concentration", giniConcentration,
+      Some(giniConcentrationSql),
+      "B9 exact-integer Gini concentration of user spend per event type"),
     QueryDef("q_decay_score", decayScore, Some(decayScoreSql),
       "B8 half-life decayed engagement score via exact integer bit-shift weights"),
     QueryDef("q_rfm_segments", rfmSegments, Some(rfmSegmentsSql),

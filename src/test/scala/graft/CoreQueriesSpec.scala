@@ -535,6 +535,28 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("B9 Gini: basis points equal the local rank formula, bounded [0,1)") {
+    import graft.analytics.BehaviorQueries
+    val per = Tables.events(spark, sf)
+      .select($"event_type", $"user_id",
+        expr("cast(round(value * 100) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toSeq
+      .groupBy(_._1._1)
+    val local = per.map { case (tpe, g) =>
+      val xs = g.sortBy { case ((_, u), c) => (c, u) }.map(_._2)
+      val n = xs.length.toLong
+      val sum = xs.sum
+      val rc = xs.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      tpe -> ((2 * rc - (n + 1) * sum) * 10000 / (n * sum))
+    }
+    BehaviorQueries.giniConcentration(spark, sf).collect().foreach { r =>
+      val g = r.getAs[Long]("gini_bp")
+      assert(g === local(r.getString(0)))
+      assert(g >= 0 && g < 10000)
+    }
+  }
+
   test("R3 paths: every emitted path is the true root walk of its node") {
     import graft.analytics.HierarchyQueries
     val keys = Tables.orders(spark, sf).select($"o_orderkey")
