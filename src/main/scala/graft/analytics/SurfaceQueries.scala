@@ -397,7 +397,53 @@ object SurfaceQueries {
       |FROM canon GROUP BY 1
       |ORDER BY path""".stripMargin
 
+  // --- P18: NULL-semantics suite -------------------------------------------
+
+  /** The ANSI null corner cases pinned as one census — the semantics bugs
+    * hide in: null-safe equality (`<=>` / IS NOT DISTINCT FROM, true when
+    * BOTH sides are null, where `=` is UNKNOWN), COUNT(*) vs COUNT(col)
+    * (the latter skips nulls), COUNT(DISTINCT col) ignoring nulls while
+    * GROUP BY makes nulls ONE group, and null placement in ORDER BY
+    * (Spark defaults NULLS FIRST asc, DuckDB NULLS LAST — the suite pins
+    * it EXPLICITLY, the repo-wide rule). Nullable columns are derived
+    * with nullif so both engines see identical null patterns.
+    *
+    * Scale: one narrow projection + one hash aggregate. */
+  def nullSemantics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir).select(
+      nullif($"o_orderstatus", lit("F")).as("a"),
+      nullif($"o_orderstatus", lit("O")).as("b"),
+      nullif($"o_orderpriority", lit("1-URGENT")).as("p"))
+    base.groupBy($"a")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"p").as("n_p_nonnull"),
+        countDistinct($"p").as("n_p_distinct"),
+        sum(when($"a" <=> $"b", 1L).otherwise(0L)).as("n_nullsafe_eq"),
+        sum(when($"a" === $"b", 1L).otherwise(0L)).as("n_plain_eq"),
+        sum(when(!($"a" <=> $"b"), 1L).otherwise(0L)).as("n_distinct_from"))
+      .orderBy($"a".asc_nulls_first)
+  }
+
+  val nullSemanticsSql: String =
+    """WITH base AS (
+      |  SELECT nullif(o_orderstatus, 'F') AS a,
+      |    nullif(o_orderstatus, 'O') AS b,
+      |    nullif(o_orderpriority, '1-URGENT') AS p
+      |  FROM orders)
+      |SELECT a, COUNT(*) AS n_rows,
+      |  COUNT(p) AS n_p_nonnull,
+      |  CAST(COUNT(DISTINCT p) AS BIGINT) AS n_p_distinct,
+      |  CAST(SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_nullsafe_eq,
+      |  CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq,
+      |  CAST(SUM(CASE WHEN a IS DISTINCT FROM b THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_distinct_from
+      |FROM base GROUP BY a ORDER BY a NULLS FIRST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_null_semantics", nullSemantics, Some(nullSemanticsSql),
+      "P18 ANSI null-semantics census: null-safe eq, null groups, ordering"),
     QueryDef("q_url_canonical", urlCanonical, Some(urlCanonicalSql),
       "P17 URL canonicalization dedup: narrow normalize + one hash agg"),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql),

@@ -535,6 +535,30 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("P18 nulls: null-safe eq counts both-null rows, plain eq never does") {
+    import graft.analytics.SurfaceQueries
+    val rows = SurfaceQueries.nullSemantics(spark, sf).collect()
+    // 3 statuses: a null ⇔ status F; first row is the null-a group
+    assert(rows.head.isNullAt(0))
+    rows.foreach { r =>
+      val (nullsafe, plain) = (r.getAs[Long]("n_nullsafe_eq"),
+        r.getAs[Long]("n_plain_eq"))
+      if (r.isNullAt(0)) {
+        // a null, b = 'F' (non-null): neither predicate can be true;
+        // a=b is UNKNOWN, a<=>b is false
+        assert(nullsafe === 0L && plain === 0L)
+        assert(r.getAs[Long]("n_distinct_from") === r.getAs[Long]("n_rows"))
+      } else if (r.getString(0) == "O") {
+        // a='O', b null: same — never equal under either operator
+        assert(nullsafe === 0L && plain === 0L)
+      } else {
+        // a=b='P': both operators agree on non-null equal values
+        assert(nullsafe === r.getAs[Long]("n_rows") && plain === nullsafe)
+      }
+      assert(r.getAs[Long]("n_p_nonnull") <= r.getAs[Long]("n_rows"))
+    }
+  }
+
   test("B9 Gini: basis points equal the local rank formula, bounded [0,1)") {
     import graft.analytics.BehaviorQueries
     val per = Tables.events(spark, sf)
