@@ -490,7 +490,83 @@ object BehaviorQueries {
       |    // (n_users * sum_cents) AS BIGINT) AS gini_bp
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // --- B10: interval-union coverage ----------------------------------------
+
+  /** Measure of the UNION of intervals per event type: each event opens a
+    * 15-minute active window; overlapping and touching windows merge, and
+    * the operator reports how many merged blocks remain, how much time
+    * they cover, and the uncovered gap inside the observed span — the
+    * sweep-line complement of B5 (which asks how DEEP the overlap gets,
+    * this asks how WIDE it spreads). ±1 boundary points in one per-type
+    * ordered pass; ties process opens before closes (delta DESC) so
+    * half-open touching intervals [a,b)∪[b,c) merge, as interval algebra
+    * says they must. A block starts where the running sum steps 0→1 and
+    * ends where it returns to 0; k-th start pairs with k-th end by rank.
+    *
+    * Scale: ONE event_type exchange shared by the sweep window and both
+    * rank windows (all partitioned); never an interval self-join. */
+  def intervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dur = 900000000L // 15 min in µs
+    val ev = Tables.events(s, dir)
+      .select($"event_type", Ops.epochUs($"ts").as("t0"))
+    val pts = ev.select($"event_type", $"t0".as("t"), lit(1L).as("delta"))
+      .unionByName(ev.select($"event_type", ($"t0" + dur).as("t"),
+        lit(-1L).as("delta")))
+    val ord = Window.partitionBy($"event_type")
+      .orderBy($"t".asc, $"delta".desc)
+    val swept = pts.withColumn("cum", sum($"delta").over(
+      ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val starts = swept.where($"delta" === 1 && $"cum" === 1)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"t", $"delta".desc)))
+      .select($"event_type", $"rnk", $"t".as("s_t"))
+    val ends = swept.where($"delta" === -1 && $"cum" === 0)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"t", $"delta".desc)))
+      .select($"event_type", $"rnk", $"t".as("e_t"))
+    starts.join(ends, Seq("event_type", "rnk"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum($"e_t" - $"s_t").as("covered_us"),
+        (max($"e_t") - min($"s_t")).as("span_us"))
+      .select($"event_type", $"n_blocks", $"covered_us",
+        ($"span_us" - $"covered_us").as("uncovered_us"))
+      .orderBy($"event_type")
+  }
+
+  val intervalCoverageSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS t0 FROM events),
+      |pts AS (
+      |  SELECT event_type, t0 AS t, CAST(1 AS BIGINT) AS delta FROM ev
+      |  UNION ALL
+      |  SELECT event_type, t0 + 900000000, -1 FROM ev),
+      |swept AS (
+      |  SELECT event_type, t, delta,
+      |    SUM(delta) OVER (PARTITION BY event_type
+      |      ORDER BY t ASC, delta DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM pts),
+      |starts AS (
+      |  SELECT event_type, t AS s_t, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY t, delta DESC) AS rnk
+      |  FROM swept WHERE delta = 1 AND cum = 1),
+      |ends AS (
+      |  SELECT event_type, t AS e_t, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY t, delta DESC) AS rnk
+      |  FROM swept WHERE delta = -1 AND cum = 0)
+      |SELECT s.event_type, COUNT(*) AS n_blocks,
+      |  CAST(SUM(e.e_t - s.s_t) AS BIGINT) AS covered_us,
+      |  CAST(MAX(e.e_t) - MIN(s.s_t) - SUM(e.e_t - s.s_t) AS BIGINT)
+      |    AS uncovered_us
+      |FROM starts s JOIN ends e USING (event_type, rnk)
+      |GROUP BY 1 ORDER BY s.event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_interval_coverage", intervalCoverage,
+      Some(intervalCoverageSql),
+      "B10 interval-union coverage: merged blocks + covered/uncovered time"),
     QueryDef("q_gini_concentration", giniConcentration,
       Some(giniConcentrationSql),
       "B9 exact-integer Gini concentration of user spend per event type"),

@@ -535,6 +535,32 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("B10 coverage: merged blocks equal a local interval-union sweep") {
+    import graft.analytics.BehaviorQueries
+    val dur = 900000000L
+    val byType = Tables.events(spark, sf)
+      .select($"event_type", expr("unix_micros(ts)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val local = byType.map { case (tpe, ts) =>
+      var blocks = List.empty[(Long, Long)]
+      ts.foreach { t =>
+        blocks match {
+          case (s0, e0) :: rest if t <= e0 =>
+            blocks = (s0, math.max(e0, t + dur)) :: rest
+          case _ => blocks = (t, t + dur) :: blocks
+        }
+      }
+      val cov = blocks.map { case (a, b) => b - a }.sum
+      tpe -> (blocks.length.toLong, cov,
+        blocks.map(_._2).max - blocks.map(_._1).min - cov)
+    }
+    val got = BehaviorQueries.intervalCoverage(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === local)
+  }
+
   test("P18 nulls: null-safe eq counts both-null rows, plain eq never does") {
     import graft.analytics.SurfaceQueries
     val rows = SurfaceQueries.nullSemantics(spark, sf).collect()
