@@ -563,7 +563,67 @@ object BehaviorQueries {
       |FROM starts s JOIN ends e USING (event_type, rnk)
       |GROUP BY 1 ORDER BY s.event_type""".stripMargin
 
+  // --- B11: audience-overlap (Jaccard) matrix ------------------------------
+
+  /** Pairwise audience overlap between event types: for every unordered
+    * type pair, |users doing both| / |users doing either| in integer ppm —
+    * the co-audience matrix behind "does segment A predict segment B".
+    * Computed without any user-level join: ONE aggregate builds each
+    * user's distinct type SET (bounded by |types|), a narrow explode
+    * emits that set's internal pairs (≤ C(|types|,2) per user), and a
+    * constant-size count per pair meets the per-type totals for the
+    * union denominator (|A∪B| = |A|+|B|−|A∩B|).
+    *
+    * Scale: one user_id exchange + constant-size joins — never a
+    * fact×fact self-join on user. */
+  def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(array_sort(collect_set($"event_type")).as("types"))
+    val pairs = perUser.select(explode(expr(
+      "flatten(transform(types, a -> " +
+        "transform(filter(types, b -> b > a), b -> struct(a AS ta, b AS tb))))"))
+      .as("p"))
+      .groupBy($"p.ta".as("type_a"), $"p.tb".as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val totals = Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+    pairs
+      .join(totals.select($"event_type".as("type_a"), $"n".as("n_a")), "type_a")
+      .join(totals.select($"event_type".as("type_b"), $"n".as("n_b")), "type_b")
+      .select($"type_a", $"type_b", $"n_both",
+        expr("n_both * 1000000 div (n_a + n_b - n_both)").as("jaccard_ppm"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val audienceOverlapSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+      |  FROM events GROUP BY user_id),
+      |pairs AS (
+      |  SELECT p.ta AS type_a, p.tb AS type_b, COUNT(*) AS n_both
+      |  FROM (
+      |    SELECT unnest(flatten(list_transform(types, a ->
+      |      list_transform(list_filter(types, b -> b > a),
+      |                     b -> {'ta': a, 'tb': b})))) AS p
+      |    FROM per_user)
+      |  GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT p.type_a, p.type_b, p.n_both,
+      |  CAST(p.n_both * 1000000 // (ta.n + tb.n - p.n_both) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM pairs p
+      |JOIN totals ta ON p.type_a = ta.event_type
+      |JOIN totals tb ON p.type_b = tb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_audience_overlap", audienceOverlap, Some(audienceOverlapSql),
+      "B11 pairwise audience Jaccard matrix from per-user type sets"),
     QueryDef("q_interval_coverage", intervalCoverage,
       Some(intervalCoverageSql),
       "B10 interval-union coverage: merged blocks + covered/uncovered time"),

@@ -535,6 +535,20 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("B11 overlap: jaccard matches local set intersections per pair") {
+    import graft.analytics.BehaviorQueries
+    val users = Tables.events(spark, sf)
+      .select($"event_type", $"user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    BehaviorQueries.audienceOverlap(spark, sf).collect().foreach { r =>
+      val (a, b) = (users(r.getString(0)), users(r.getString(1)))
+      val both = (a & b).size.toLong
+      assert(r.getAs[Long]("n_both") === both)
+      assert(r.getAs[Long]("jaccard_ppm") === both * 1000000 / (a | b).size)
+    }
+  }
+
   test("B10 coverage: merged blocks equal a local interval-union sweep") {
     import graft.analytics.BehaviorQueries
     val dur = 900000000L
