@@ -186,6 +186,9 @@ object StatsQueries {
       "ST3 per-group OLS trend fit from exact integer sufficient statistics"),
     QueryDef("q_rolling_zscore", rollingZscore, Some(rollingZscoreSql),
       "ST4 trailing-window z-score anomalies from exact integer frame sums"),
+    QueryDef("q_cusum_changepoint", cusumChangepoint,
+      Some(cusumChangepointSql),
+      "ST9 CUSUM change-point day per type, exact cross-multiplied integers"),
     QueryDef("q_trimmed_mean", trimmedMean, Some(trimmedMeanSql),
       "ST8 10%-trimmed per-group mean via rank windows, integer cents"),
     QueryDef("q_mad_outliers", madOutliers, Some(madOutliersSql),
@@ -380,6 +383,68 @@ object StatsQueries {
       |  COUNT(*) AS n
       |FROM dev JOIN mad USING (event_type)
       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // --- ST9: CUSUM change-point detection -----------------------------------
+
+  /** Where did the daily-spend regime change? The CUSUM statistic: the day
+    * maximizing the deviation of the cumulative sum from the straight line
+    * it would follow under a constant rate — argmax_i |cum_i − i·total/n|,
+    * cross-multiplied to |n·cum_i − i·total| so the statistic is an exact
+    * BIGINT (no division until never; ties resolve to the earliest day).
+    * The one-pass, exactly-reproducible member of the change-point family
+    * (binary-segmentation recursions build on exactly this primitive).
+    *
+    * Scale: the daily rollup is the only corpus pass; the CUSUM windows
+    * (row index + running sum + argmax rank) all share ONE event_type
+    * exchange over |types|·|days| rows. */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type",
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("dayn"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy($"event_type", $"dayn")
+      .agg(sum($"cents").as("x"))
+    val ord = Window.partitionBy($"event_type").orderBy($"dayn")
+    val whole = Window.partitionBy($"event_type")
+    val scored = daily
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum($"x").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("total", sum($"x").over(whole))
+      .withColumn("dev", abs($"n" * $"cum" - $"i" * $"total"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"dev".desc, $"dayn".asc)))
+      .where($"rn" === 1)
+      .select($"event_type", $"n".as("n_days"), $"dayn".as("cp_dayn"),
+        $"dev".as("max_dev"))
+      .orderBy($"event_type")
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS dayn,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, dayn,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY dayn)
+      |      AS BIGINT) AS i,
+      |    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY dayn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM daily)
+      |SELECT event_type, n AS n_days, dayn AS cp_dayn,
+      |  abs(n * cum - i * total) AS max_dev
+      |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |        ORDER BY abs(n * cum - i * total) DESC, dayn ASC) AS rn
+      |      FROM scored)
+      |WHERE rn = 1 ORDER BY event_type""".stripMargin
 
   // --- ST8: trimmed (truncated) mean ---------------------------------------
 

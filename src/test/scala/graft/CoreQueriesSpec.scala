@@ -535,6 +535,32 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("ST9 CUSUM: change-point day equals the local argmax deviation") {
+    import graft.analytics.StatsQueries
+    val daily = Tables.events(spark, sf)
+      .select($"event_type",
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000"),
+        expr("cast(round(value * 100) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toSeq
+      .groupBy(_._1._1)
+    val local = daily.map { case (tpe, g) =>
+      val xs = g.sortBy(_._1._2).map { case ((_, d), x) => (d, x) }
+      val n = xs.length.toLong
+      val total = xs.map(_._2).sum
+      var cum = 0L
+      val devs = xs.zipWithIndex.map { case ((d, x), i) =>
+        cum += x; (d, math.abs(n * cum - (i + 1) * total))
+      }
+      val best = devs.maxBy { case (d, dev) => (dev, -d) }
+      tpe -> (n, best._1, best._2)
+    }
+    StatsQueries.cusumChangepoint(spark, sf).collect().foreach { r =>
+      assert(local(r.getString(0)) ===
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    }
+  }
+
   test("B11 overlap: jaccard matches local set intersections per pair") {
     import graft.analytics.BehaviorQueries
     val users = Tables.events(spark, sf)
