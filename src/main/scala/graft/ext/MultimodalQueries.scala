@@ -216,7 +216,64 @@ object MultimodalQueries {
       |    k -> substring(hx, k*16+1, 2)), '') AS stride_sig
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** X-multimodal dedup: perceptual GRADIENT hash (the dHash family) over
+    * the binary payload — bit i is set when stride-sampled byte i exceeds
+    * byte i+1, so the 15-bit hash captures the payload's coarse "shape"
+    * and survives small edits (the property content hashes lack and
+    * near-dup detection needs). Bytes come from the same 16-position
+    * stride sample as the resize signature; byte values decode from hex
+    * pairs through the instr/strpos alphabet polynomial (exact integers,
+    * engine-identical). Output is the 16-band census with per-band
+    * distinct-hash counts — collisions (n_docs > n_hashes) are the
+    * near-dup candidates at corpus scale. Payloads under 128 bytes are
+    * excluded (every stride position must exist: Spark's instr('', …)
+    * and DuckDB's strpos diverge on empty needles).
+    *
+    * Scale: fully narrow per-row arithmetic + one 16-group aggregate —
+    * the same zero-shuffle shape as the simhash tier. */
+  def mediaPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"doc_id" < 200 &&
+        octet_length($"text".cast(BinaryType)) >= 128)
+      .withColumn("hx", hex($"text".cast(BinaryType)))
+      .withColumn("vals", expr(
+        "transform(sequence(0, 15), k -> " +
+          "(instr('0123456789ABCDEF', substring(hx, k*16+1, 1)) - 1) * 16 + " +
+          "(instr('0123456789ABCDEF', substring(hx, k*16+2, 1)) - 1))"))
+      .withColumn("phash", expr(
+        "aggregate(sequence(0, 14), 0L, (acc, i) -> acc + " +
+          "IF(element_at(vals, i+1) > element_at(vals, i+2), " +
+          "shiftleft(cast(1 as bigint), i), 0L))"))
+      .groupBy(expr("phash div 2048").as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"phash").as("n_hashes"))
+      .orderBy($"band")
+  }
+
+  val mediaPhashSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx
+      |  FROM documents
+      |  WHERE doc_id < 200 AND octet_length(CAST(text AS BLOB)) >= 128),
+      |v AS (
+      |  SELECT doc_id, list_transform(range(0, 16), k ->
+      |    (strpos('0123456789ABCDEF', substring(hx, k*16+1, 1)) - 1) * 16
+      |    + (strpos('0123456789ABCDEF', substring(hx, k*16+2, 1)) - 1)) AS vals
+      |  FROM h),
+      |p AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 16), i ->
+      |    CASE WHEN vals[i] > vals[i+1]
+      |         THEN (CAST(1 AS BIGINT) << (i-1)) ELSE 0 END)) AS BIGINT)
+      |    AS phash
+      |  FROM v)
+      |SELECT phash // 2048 AS band, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT phash) AS BIGINT) AS n_hashes
+      |FROM p GROUP BY 1 ORDER BY band""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_multimodal_phash", mediaPhash, Some(mediaPhashSql),
+      "X-multimodal perceptual gradient-hash (dHash) banding census"),
     QueryDef("q_multimodal_meta", mediaMeta, Some(mediaMetaSql),
       "binary media column + metadata/frame-sample plumbing (decode stubbed)"),
     QueryDef("q_multimodal_features", mediaFeatures, Some(mediaFeaturesSql),

@@ -430,6 +430,25 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal phash: bits equal a local dHash over the stride bytes") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+      .filter(_._2.length >= 128)
+    def phash(b: Array[Byte]): Long = {
+      val vals = (0 until 16).map(k => b(k * 8) & 0xff)
+      (0 until 15).map(i => if (vals(i) > vals(i + 1)) 1L << i else 0L).sum
+    }
+    val local = docs.map(d => phash(d._2))
+      .groupBy(_ / 2048).view
+      .mapValues(g => (g.length.toLong, g.distinct.length.toLong)).toMap
+    val got = MultimodalQueries.mediaPhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === local)
+  }
+
   test("multimodal decodePartitioned: batched stub decode round-trips") {
     val media = Tables.documents(spark, sf).limit(10)
       .select($"doc_id", $"text".cast("binary"))
