@@ -621,7 +621,61 @@ object BehaviorQueries {
       |JOIN totals tb ON p.type_b = tb.event_type
       |ORDER BY type_a, type_b""".stripMargin
 
+  // --- B12: day-of-week seasonality index -----------------------------------
+
+  /** Seasonality profile: for each (event type, day-of-week), the average
+    * daily spend relative to the type's overall daily average, in integer
+    * basis points (10000 = flat). idx = (dow_sum/n_dow)/(total/n_days),
+    * cross-multiplied to dow_sum·n_days·10⁴ div (n_dow·total) so the only
+    * division is the final integer one. The calendar-mixture audit: a
+    * weekday-skewed source needs its sampling weights time-balanced.
+    *
+    * Scale: one daily rollup pass, then constant-size (|types|·7) math.
+    * ISO dow from the day number: epoch day 0 = Thursday = ISO 4.
+    * dow_sum·n_days·10⁴ fits int64 up to ~$170B per type-year; past that,
+    * divide the basis points in two stages in BOTH engines. */
+  def seasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type",
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("dayn"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy($"event_type", $"dayn")
+      .agg(sum($"cents").as("x"))
+      .withColumn("dow", expr("(dayn + 3) % 7 + 1")) // ISO 1=Mon … 7=Sun
+    val perDow = daily.groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("n_dow"), sum($"x").as("dow_sum"))
+    val perType = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"x").as("total"))
+    perDow.join(perType, Seq("event_type"))
+      .select($"event_type", $"dow", $"n_dow",
+        expr("dow_sum * n_days * 10000 div (n_dow * total)").as("index_bp"))
+      .orderBy($"event_type", $"dow")
+  }
+
+  val seasonalIndexSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS dayn,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT event_type, x, (dayn + 3) % 7 + 1 AS dow FROM daily),
+      |per_dow AS (
+      |  SELECT event_type, dow, COUNT(*) AS n_dow,
+      |    CAST(SUM(x) AS BIGINT) AS dow_sum
+      |  FROM d2 GROUP BY 1, 2),
+      |per_type AS (
+      |  SELECT event_type, COUNT(*) AS n_days, CAST(SUM(x) AS BIGINT) AS total
+      |  FROM d2 GROUP BY 1)
+      |SELECT p.event_type, p.dow, p.n_dow,
+      |  CAST(p.dow_sum * t.n_days * 10000 // (p.n_dow * t.total) AS BIGINT)
+      |    AS index_bp
+      |FROM per_dow p JOIN per_type t USING (event_type)
+      |ORDER BY event_type, dow""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_seasonal_index", seasonalIndex, Some(seasonalIndexSql),
+      "B12 day-of-week seasonality index in exact integer basis points"),
     QueryDef("q_audience_overlap", audienceOverlap, Some(audienceOverlapSql),
       "B11 pairwise audience Jaccard matrix from per-user type sets"),
     QueryDef("q_interval_coverage", intervalCoverage,

@@ -535,6 +535,23 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("B12 seasonality: dow-weighted mean of indices recovers 10000 bp") {
+    import graft.analytics.BehaviorQueries
+    val rows = BehaviorQueries.seasonalIndex(spark, sf).collect()
+    assert(rows.length === 35)
+    // exact identity: Σ_dow n_dow · (dow_sum·n_days·1e4 / (n_dow·total))
+    // = 1e4·n_days before flooring — so the n_dow-weighted mean of the
+    // FLOORED indices lands within 1 bp of flat per type
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val nDays = g.map(_.getAs[Long]("n_dow")).sum
+      val wsum = g.map(r =>
+        r.getAs[Long]("n_dow") * r.getAs[Long]("index_bp")).sum
+      assert(math.abs(wsum.toDouble / nDays - 10000.0) <= 1.0,
+        s"weighted mean ${wsum.toDouble / nDays}")
+      g.foreach(r => assert(r.getAs[Long]("index_bp") > 0))
+    }
+  }
+
   test("ST9 CUSUM: change-point day equals the local argmax deviation") {
     import graft.analytics.StatsQueries
     val daily = Tables.events(spark, sf)
