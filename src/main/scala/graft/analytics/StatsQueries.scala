@@ -186,6 +186,8 @@ object StatsQueries {
       "ST3 per-group OLS trend fit from exact integer sufficient statistics"),
     QueryDef("q_rolling_zscore", rollingZscore, Some(rollingZscoreSql),
       "ST4 trailing-window z-score anomalies from exact integer frame sums"),
+    QueryDef("q_basket_lift", basketLift, Some(basketLiftSql),
+      "ST10 association-rule lift/confidence in ppm over the top pairs"),
     QueryDef("q_cusum_changepoint", cusumChangepoint,
       Some(cusumChangepointSql),
       "ST9 CUSUM change-point day per type, exact cross-multiplied integers"),
@@ -383,6 +385,65 @@ object StatsQueries {
       |  COUNT(*) AS n
       |FROM dev JOIN mad USING (event_type)
       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // --- ST10: association rules (lift / confidence) --------------------------
+
+  /** The association-rule metrics over ST1's top pairs: for each of the
+    * top-20 co-occurring part pairs, support (n_both), the directed
+    * confidences P(b|a), P(a|b), and lift = P(a,b)/(P(a)·P(b)) — all in
+    * integer ppm by cross-multiplication (lift_ppm =
+    * n_both·N·10⁶ div (n_a·n_b); n_both·N ≤ N² < int64 for N < 3e9
+    * baskets, and the ·10⁶ happens after one division at real scale —
+    * here the direct form is exact and identical in both engines).
+    * Lift > 1e6 ppm = genuinely associated, not just both popular — the
+    * reason support alone (ST1) can't rank rules.
+    *
+    * Scale: per-part counts are one hash aggregate; the expensive pair
+    * mining is ST1's bounded-basket expansion, and the metric joins touch
+    * only the 20 surviving rows + a single-row N broadcast. */
+  def basketLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val pairs = li.join(li.toDF("ok", "pk2"), "ok")
+      .filter($"pk" < $"pk2")
+      .groupBy($"pk".as("part1"), $"pk2".as("part2"))
+      .agg(count(lit(1)).as("n_both"))
+      .orderBy($"n_both".desc, $"part1".asc, $"part2".asc)
+      .limit(20)
+    val perPart = li.groupBy($"pk").agg(count(lit(1)).as("n"))
+    val nOrders = broadcast(li.select($"ok").distinct()
+      .agg(count(lit(1)).as("n_orders")))
+    pairs
+      .join(perPart.select($"pk".as("part1"), $"n".as("n_a")), "part1")
+      .join(perPart.select($"pk".as("part2"), $"n".as("n_b")), "part2")
+      .crossJoin(nOrders)
+      .select($"part1", $"part2", $"n_both",
+        expr("n_both * 1000000 div n_a").as("conf_a_to_b_ppm"),
+        expr("n_both * 1000000 div n_b").as("conf_b_to_a_ppm"),
+        expr("n_both * n_orders * 1000000 div (n_a * n_b)").as("lift_ppm"))
+      .orderBy($"n_both".desc, $"part1".asc, $"part2".asc)
+  }
+
+  val basketLiftSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS part1, b.pk AS part2, COUNT(*) AS n_both
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2
+      |  ORDER BY n_both DESC, part1, part2 LIMIT 20),
+      |per_part AS (SELECT pk, COUNT(*) AS n FROM li GROUP BY pk),
+      |n_ord AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li)
+      |SELECT p.part1, p.part2, p.n_both,
+      |  CAST(p.n_both * 1000000 // pa.n AS BIGINT) AS conf_a_to_b_ppm,
+      |  CAST(p.n_both * 1000000 // pb.n AS BIGINT) AS conf_b_to_a_ppm,
+      |  CAST(p.n_both * (SELECT n_orders FROM n_ord) * 1000000
+      |    // (pa.n * pb.n) AS BIGINT) AS lift_ppm
+      |FROM pairs p
+      |JOIN per_part pa ON p.part1 = pa.pk
+      |JOIN per_part pb ON p.part2 = pb.pk
+      |ORDER BY n_both DESC, part1, part2""".stripMargin
 
   // --- ST9: CUSUM change-point detection -----------------------------------
 

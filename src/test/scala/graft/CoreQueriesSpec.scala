@@ -535,6 +535,28 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("ST10 lift: metrics recompute from raw basket counts") {
+    import graft.analytics.StatsQueries
+    val baskets = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    val byPair = baskets.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    StatsQueries.basketLift(spark, sf).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val both = byPair((a, b))
+      assert(r.getAs[Long]("n_both") === both)
+      assert(r.getAs[Long]("conf_a_to_b_ppm") === both * 1000000 / byPart(a))
+      assert(r.getAs[Long]("conf_b_to_a_ppm") === both * 1000000 / byPart(b))
+      assert(r.getAs[Long]("lift_ppm") ===
+        both * nOrders * 1000000 / (byPart(a) * byPart(b)))
+    }
+  }
+
   test("B12 seasonality: dow-weighted mean of indices recovers 10000 bp") {
     import graft.analytics.BehaviorQueries
     val rows = BehaviorQueries.seasonalIndex(spark, sf).collect()

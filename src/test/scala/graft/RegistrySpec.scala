@@ -70,7 +70,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_geo_density",
       // single-row min-class-count aggregate crossed onto the ranked
       // docs — same class as q_decay_score
-      "q_sample_balanced")
+      "q_sample_balanced",
+      // single-row basket-count aggregate crossed onto the 20
+      // surviving pair rows — same class as q_text_tfidf
+      "q_basket_lift")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
