@@ -867,7 +867,68 @@ object EventQueries {
       |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
       |FROM picked GROUP BY 1 ORDER BY partner_type""".stripMargin
 
+  // --- B13: multi-step ordered funnel --------------------------------------
+
+  /** Three-step STRICTLY-ORDERED funnel signup → click → purchase: a user
+    * advances to step k only with an event AFTER their step-(k−1) time —
+    * the earliest-completion semantics (each step takes its MIN qualifying
+    * time, which maximizes downstream conversion counts and makes the
+    * census deterministic). The 2-step q_funnel_conversion generalized to
+    * the chained form real funnel analytics needs.
+    *
+    * Scale: one conditional aggregate per step, each joined back
+    * co-partitioned on user_id — the per-step state is one timestamp per
+    * user, never an event buffer; all three passes reuse the user_id
+    * hash partitioning. Step delays are exact µs sums. */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_type", Ops.epochUs($"ts").as("t"))
+    val s1 = e.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"t").as("t1"))
+    val s2 = e.where($"event_type" === "click")
+      .join(s1, Seq("user_id"))
+      .where($"t" > $"t1")
+      .groupBy($"user_id").agg(min($"t").as("t2"), min($"t1").as("t1b"))
+    val s3 = e.where($"event_type" === "purchase")
+      .join(s2, Seq("user_id"))
+      .where($"t" > $"t2")
+      .groupBy($"user_id").agg(min($"t").as("t3"), min($"t2").as("t2b"))
+    s1.join(s2.select($"user_id", $"t2", $"t1b"), Seq("user_id"), "left")
+      .join(s3.select($"user_id", $"t3", $"t2b"), Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_step1"),
+        count($"t2").as("n_step2"),
+        count($"t3").as("n_step3"),
+        coalesce(sum($"t2" - $"t1b"), lit(0L)).as("sum_d12_us"),
+        coalesce(sum($"t3" - $"t2b"), lit(0L)).as("sum_d23_us"))
+  }
+
+  val funnelStepsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |s1 AS (
+      |  SELECT user_id, MIN(t) AS t1 FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.t) AS t2, MIN(s1.t1) AS t1b
+      |  FROM e JOIN s1 ON e.user_id = s1.user_id AND e.t > s1.t1
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.t) AS t3, MIN(s2.t2) AS t2b
+      |  FROM e JOIN s2 ON e.user_id = s2.user_id AND e.t > s2.t2
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT COUNT(*) AS n_step1,
+      |  COUNT(s2.t2) AS n_step2,
+      |  COUNT(s3.t3) AS n_step3,
+      |  CAST(COALESCE(SUM(s2.t2 - s2.t1b), 0) AS BIGINT) AS sum_d12_us,
+      |  CAST(COALESCE(SUM(s3.t3 - s3.t2b), 0) AS BIGINT) AS sum_d23_us
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_funnel_steps", funnelSteps, Some(funnelStepsSql),
+      "B13 three-step strictly-ordered funnel with exact step delays"),
     QueryDef("q_join_nearest_event", nearestEvent, Some(nearestEventSql),
       "J8 nearest-event temporal join: bidirectional as-of via one window pass"),
     QueryDef("q_gap_islands", gapIslands, Some(gapIslandsSql),

@@ -535,6 +535,32 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("B13 funnel steps: counts equal a local earliest-completion chain") {
+    import graft.analytics.EventQueries
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    var (n1, n2, n3, d12, d23) = (0L, 0L, 0L, 0L, 0L)
+    evs.values.foreach { g =>
+      val t1 = g.filter(_._2 == "signup").map(_._3).sorted.headOption
+      t1.foreach { a =>
+        n1 += 1
+        val t2 = g.filter(e => e._2 == "click" && e._3 > a).map(_._3)
+          .sorted.headOption
+        t2.foreach { b =>
+          n2 += 1; d12 += b - a
+          val t3 = g.filter(e => e._2 == "purchase" && e._3 > b).map(_._3)
+            .sorted.headOption
+          t3.foreach { c => n3 += 1; d23 += c - b }
+        }
+      }
+    }
+    val r = EventQueries.funnelSteps(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((n1, n2, n3, d12, d23)))
+  }
+
   test("ST10 lift: metrics recompute from raw basket counts") {
     import graft.analytics.StatsQueries
     val baskets = Tables.lineitem(spark, sf)
