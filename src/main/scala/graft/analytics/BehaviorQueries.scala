@@ -673,7 +673,58 @@ object BehaviorQueries {
       |FROM per_dow p JOIN per_type t USING (event_type)
       |ORDER BY event_type, dow""".stripMargin
 
+  // --- B14: DAU/MAU stickiness ----------------------------------------------
+
+  /** Stickiness per calendar month: mean daily active users over monthly
+    * active users, in integer ppm — stickiness_ppm = Σ_day DAU_day · 10⁶
+    * div (n_days · MAU). 10⁶ ppm = every monthly user active every
+    * observed day. The product-analytics engagement scalar, exact in both
+    * engines (distinct counts and one final integer division).
+    *
+    * Scale: DAU is one (day, user) dedup aggregate, MAU one (month, user)
+    * dedup — both map-side-combinable hash aggs; the ratio math runs on
+    * |months| rows. */
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(date_format($"ts", "yyyy-MM").as("month"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("dayn"),
+        $"user_id")
+    val dau = ev.select($"month", $"dayn", $"user_id").distinct()
+      .groupBy($"month", $"dayn").agg(count(lit(1)).as("dau"))
+      .groupBy($"month")
+      .agg(count(lit(1)).as("n_days"), sum($"dau").as("sum_dau"))
+    val mau = ev.select($"month", $"user_id").distinct()
+      .groupBy($"month").agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("month"))
+      .select($"month", $"n_days", $"mau",
+        expr("sum_dau * 1000000 div (n_days * mau)").as("stickiness_ppm"))
+      .orderBy($"month")
+  }
+
+  val stickinessSql: String =
+    """WITH ev AS (
+      |  SELECT strftime(ts, '%Y-%m') AS month,
+      |    epoch_us(date_trunc('day', ts)) // 86400000000 AS dayn,
+      |    user_id
+      |  FROM events),
+      |dau AS (
+      |  SELECT month, COUNT(*) AS n_days,
+      |    CAST(SUM(dau) AS BIGINT) AS sum_dau
+      |  FROM (SELECT month, dayn, COUNT(DISTINCT user_id) AS dau
+      |        FROM ev GROUP BY 1, 2)
+      |  GROUP BY month),
+      |mau AS (
+      |  SELECT month, COUNT(DISTINCT user_id) AS mau FROM ev GROUP BY 1)
+      |SELECT d.month, d.n_days, m.mau,
+      |  CAST(d.sum_dau * 1000000 // (d.n_days * m.mau) AS BIGINT)
+      |    AS stickiness_ppm
+      |FROM dau d JOIN mau m USING (month)
+      |ORDER BY month""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stickiness", stickiness, Some(stickinessSql),
+      "B14 DAU/MAU stickiness per month in exact integer ppm"),
     QueryDef("q_seasonal_index", seasonalIndex, Some(seasonalIndexSql),
       "B12 day-of-week seasonality index in exact integer basis points"),
     QueryDef("q_audience_overlap", audienceOverlap, Some(audienceOverlapSql),

@@ -535,6 +535,25 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("B14 stickiness: ppm equals the local DAU/MAU ratio per month") {
+    import graft.analytics.BehaviorQueries
+    val evs = Tables.events(spark, sf)
+      .select(date_format($"ts", "yyyy-MM"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000"), $"user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val local = evs.groupBy(_._1).map { case (m, g) =>
+      val sumDau = g.map(e => (e._2, e._3)).distinct
+        .groupBy(_._1).values.map(_.size.toLong).sum
+      val nDays = g.map(_._2).distinct.length.toLong
+      val mau = g.map(_._3).distinct.length.toLong
+      m -> (nDays, mau, sumDau * 1000000 / (nDays * mau))
+    }
+    BehaviorQueries.stickiness(spark, sf).collect().foreach { r =>
+      assert(local(r.getString(0)) ===
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    }
+  }
+
   test("B13 funnel steps: counts equal a local earliest-completion chain") {
     import graft.analytics.EventQueries
     val evs = Tables.events(spark, sf)
