@@ -31,16 +31,31 @@ object StatsQueries {
     * BoundedCollect pattern first). The aggregate's key space is the
     * pair dictionary, pruned by the final TakeOrderedAndProject top-k —
     * no global sort materializes. */
+  /** The mined top-20 pair table is consumed by ST1 AND ST10 — memoized
+    * per (session, lineitem content), the minhashPairs pattern, so the
+    * quadratic-in-basket expansion runs once per session. */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def topPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}|" +
+        graft.GraftSession.contentKey(dir, Seq("lineitem")),
+      _ => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+        li.join(li.toDF("ok", "pk2"), "ok")
+          .filter($"pk" < $"pk2")
+          .groupBy($"pk".as("part1"), $"pk2".as("part2"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy($"n_orders".desc, $"part1".asc, $"part2".asc)
+          .limit(20)
+          .localCheckpoint()
+      })
+
   def basketPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val pairs = li.join(li.toDF("ok", "pk2"), "ok")
-      .filter($"pk" < $"pk2")
-    pairs.groupBy($"pk".as("part1"), $"pk2".as("part2"))
-      .agg(count(lit(1)).as("n_orders"))
-      .orderBy($"n_orders".desc, $"part1".asc, $"part2".asc)
-      .limit(20)
+    topPairs(s, dir).orderBy($"n_orders".desc, $"part1".asc, $"part2".asc)
   }
 
   val basketPairsSql: String =
@@ -405,12 +420,8 @@ object StatsQueries {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val pairs = li.join(li.toDF("ok", "pk2"), "ok")
-      .filter($"pk" < $"pk2")
-      .groupBy($"pk".as("part1"), $"pk2".as("part2"))
-      .agg(count(lit(1)).as("n_both"))
-      .orderBy($"n_both".desc, $"part1".asc, $"part2".asc)
-      .limit(20)
+    val pairs = topPairs(s, dir)
+      .select($"part1", $"part2", $"n_orders".as("n_both"))
     val perPart = li.groupBy($"pk").agg(count(lit(1)).as("n"))
     val nOrders = broadcast(li.select($"ok").distinct()
       .agg(count(lit(1)).as("n_orders")))
