@@ -40,18 +40,20 @@ object StatsQueries {
     pairCache.computeIfAbsent(
       s"${System.identityHashCode(s)}|" +
         graft.GraftSession.contentKey(dir, Seq("lineitem")),
-      _ => {
-        import s.implicits._
-        val li = Tables.lineitem(s, dir)
-          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-        li.join(li.toDF("ok", "pk2"), "ok")
-          .filter($"pk" < $"pk2")
-          .groupBy($"pk".as("part1"), $"pk2".as("part2"))
-          .agg(count(lit(1)).as("n_orders"))
-          .orderBy($"n_orders".desc, $"part1".asc, $"part2".asc)
-          .limit(20)
-          .localCheckpoint()
-      })
+      _ => topPairsPlan(s, dir).localCheckpoint())
+
+  /** The un-memoized mining plan (PlanShapeSpec pins its shape). */
+  private[graft] def topPairsPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    li.join(li.toDF("ok", "pk2"), "ok")
+      .filter($"pk" < $"pk2")
+      .groupBy($"pk".as("part1"), $"pk2".as("part2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"part1".asc, $"part2".asc)
+      .limit(20)
+  }
 
   def basketPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -60,7 +60,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("basket pairs: equi join on the basket key, top-k without global sort") {
-    val plan = planOf("q_basket_pairs")
+    // the registered query serves the memoized checkpoint (shared with
+    // ST10); probe the underlying mining plan for the shape pins
+    val plan = graft.analytics.StatsQueries.topPairsPlan(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       s"pair expansion must stay an equi join:\n$plan")
