@@ -535,6 +535,27 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got === hist)
   }
 
+  test("DQ2 drift: L1 basis points equal a local mix comparison") {
+    import graft.analytics.QualityGate
+    val cnts = Tables.orders(spark, sf)
+      .select(date_format($"o_orderdate", "yyyy-MM"), $"o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val months = cnts.keys.map(_._1).toSeq.distinct.sorted
+    val prios = cnts.keys.map(_._2).toSet
+    val tot = months.map(m =>
+      m -> prios.toSeq.map(p => cnts.getOrElse((m, p), 0L)).sum).toMap
+    val local = months.sliding(2).map { case Seq(mp, mc) =>
+      val num = prios.toSeq.map(p =>
+        math.abs(cnts.getOrElse((mc, p), 0L) * tot(mp) -
+          cnts.getOrElse((mp, p), 0L) * tot(mc))).sum
+      (mp, mc) -> num * 10000 / (tot(mc) * tot(mp))
+    }.toMap
+    val got = QualityGate.mixDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === local)
+  }
+
   test("B14 stickiness: ppm equals the local DAU/MAU ratio per month") {
     import graft.analytics.BehaviorQueries
     val evs = Tables.events(spark, sf)

@@ -73,7 +73,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_sample_balanced",
       // single-row basket-count aggregate crossed onto the 20
       // surviving pair rows — same class as q_text_tfidf
-      "q_basket_lift")
+      "q_basket_lift",
+      // |priorities|-row broadcast grid crossed onto the calendar-
+      // bounded month-pair table — same class as q_mix_weighted
+      "q_mix_drift")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
