@@ -27,9 +27,14 @@ object Bench {
     // passes no args and benches everything)
     val subset: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => subset.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // Measurement protocol (since round 8): each query runs TWICE and the
+    // recorded time is the MIN of the pair. A single-shot run conflates the
+    // plan's cost with box noise (GC pauses, page-cache state, JIT warmth)
+    // — round 7 saw untouched queries drift ±5x between rounds, exceeding
+    // the per-round signal. min-of-2 bounds one-sided noise; the raw pair
+    // is kept in the JSON ("raw") so a reader can audit run-to-run spread,
+    // and per-tier subtotals ("tiers") attribute drift to a module.
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // Execute the RETURNED Dataset's own (already-planned) physical plan:
       // Dataset.count() would build a fresh QueryExecution from the logical
@@ -43,9 +48,30 @@ object Bench {
           System.err.println(s"GRAFT_BENCH_FAIL $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
           -1L
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val benched = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+    // Pass 1 in registry order (first consumers absorb memoized builds the
+    // same way every round), then pass 2 in the same order.
+    val pass1 = benched.map { case (name, fn) => name -> timed(name, fn) }
+    val pass2 = benched.map { case (name, fn) => name -> timed(name, fn) }
+    val raw: Seq[(String, (Double, Double))] =
+      pass1.zip(pass2).map { case ((n, t1), (_, t2)) => n -> (t1, t2) }
+    val results: Map[String, Double] =
+      raw.map { case (n, (t1, t2)) => n -> math.min(t1, t2) }.toMap
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rawJson = raw.sortBy(_._1)
+      .map { case (k, (t1, t2)) => s"\"" + k + "\":[" + t1 + "," + t2 + "]" }
+      .mkString("{", ",", "}")
+    val tierOf = Registry.tierOf
+    val tiers = results.toSeq
+      .groupBy { case (n, _) => tierOf.getOrElse(n, "other") }
+      .map { case (t, xs) => t -> xs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+      .map { case (t, v) => s"\"" + t + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full form (with the per-query map, ~3.5 KB) goes to the file and the
@@ -57,7 +83,7 @@ object Bench {
     // let Catalyst prune unreferenced expensive columns — per-query times
     // are NOT comparable across that boundary.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2","queries":$qs,"raw":$rawJson,"tiers":$tiers,"sf":"$sfDir"}"""
     val compactJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** User entry point: a SparkSession wired for this engine — custom
   * functions/rules registered, scale-sane defaults — plus SQL-surface
@@ -77,6 +77,32 @@ object GraftSession {
       }
       prefix
     })
+  }
+
+  /** Lineage-flattening checkpoint for iterative operators (pointer-jump
+    * hierarchy rounds, connected-components label propagation, PageRank).
+    *
+    * Default: `localCheckpoint()` — executor block storage, which keeps the
+    * lineage flat but is NOT fault-tolerant: losing an executor forfeits
+    * its blocks and there is no lineage left to recompute them from. Fine
+    * on local[n] (one JVM — if it dies the job is gone anyway); a real
+    * risk on a 1000-executor cluster where single-executor loss is routine.
+    *
+    * Opt-in reliable mode: set `spark.graft.checkpoint.dir` to a durable
+    * store (HDFS/S3 path) and every iterative round writes a RELIABLE
+    * checkpoint there instead — executor loss then costs re-reading one
+    * round's files, never restarting the whole iteration. Off by default
+    * because each reliable round pays a full write+read round-trip, which
+    * only buys anything when executors can actually be lost. */
+  def ckpt(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.checkpoint.dir").filter(_.nonEmpty) match {
+      case Some(d) =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
   }
 
   private val cboLock = new Object

@@ -14,32 +14,41 @@ final case class QueryDef(
     doc: String = "")
 
 object Registry {
+  /** Query groups keyed by tier name (the contributing module). The bench
+    * reports a per-tier subtotal for each group so drift is attributable
+    * to a tier, not just the grand total. */
+  def groups: Seq[(String, Seq[QueryDef])] = Seq(
+    "core" -> analytics.CoreQueries.defs,
+    "cbo" -> analytics.CboQueries.defs,
+    "subquery" -> analytics.SubqueryQueries.defs,
+    "event" -> analytics.EventQueries.defs,
+    "behavior" -> analytics.BehaviorQueries.defs,
+    "stats" -> analytics.StatsQueries.defs,
+    "hierarchy" -> analytics.HierarchyQueries.defs,
+    "geo" -> analytics.GeoQueries.defs,
+    "layout" -> analytics.LayoutQueries.defs,
+    "warehouse" -> analytics.WarehouseQueries.defs,
+    "incremental" -> analytics.IncrementalQueries.defs,
+    "surface" -> analytics.SurfaceQueries.defs,
+    "quality" -> analytics.QualityGate.defs,
+    "fuzzy" -> ext.FuzzyQueries.defs,
+    "profile" -> analytics.Profiler.defs,
+    "ingest" -> ingest.IngestQueries.defs,
+    "dedup" -> ext.DedupQueries.defs,
+    "simjoin" -> ext.SimJoinQueries.defs,
+    "graph" -> ext.GraphQueries.defs,
+    "curate" -> ext.CurateQueries.defs,
+    "similarity" -> ext.SimilarityQueries.defs,
+    "text" -> ext.TextQueries.defs,
+    "retrieval" -> ext.RetrievalQueries.defs,
+    "sampling" -> ext.SamplingQueries.defs,
+    "pipeline" -> ext.PipelineQueries.defs,
+    "multimodal" -> ext.MultimodalQueries.defs)
+
   /** All query groups, assembled by SparkEntry. */
-  def all: Seq[QueryDef] =
-    analytics.CoreQueries.defs ++
-      analytics.CboQueries.defs ++
-      analytics.SubqueryQueries.defs ++
-      analytics.EventQueries.defs ++
-      analytics.BehaviorQueries.defs ++
-      analytics.StatsQueries.defs ++
-      analytics.HierarchyQueries.defs ++
-      analytics.GeoQueries.defs ++
-      analytics.LayoutQueries.defs ++
-      analytics.WarehouseQueries.defs ++
-      analytics.IncrementalQueries.defs ++
-      analytics.SurfaceQueries.defs ++
-      analytics.QualityGate.defs ++
-      ext.FuzzyQueries.defs ++
-      analytics.Profiler.defs ++
-      ingest.IngestQueries.defs ++
-      ext.DedupQueries.defs ++
-      ext.SimJoinQueries.defs ++
-      ext.GraphQueries.defs ++
-      ext.CurateQueries.defs ++
-      ext.SimilarityQueries.defs ++
-      ext.TextQueries.defs ++
-      ext.RetrievalQueries.defs ++
-      ext.SamplingQueries.defs ++
-      ext.PipelineQueries.defs ++
-      ext.MultimodalQueries.defs
+  def all: Seq[QueryDef] = groups.flatMap(_._2)
+
+  /** query name -> tier name (for the bench's per-tier subtotals). */
+  def tierOf: Map[String, String] =
+    groups.flatMap { case (tier, qs) => qs.map(_.name -> tier) }.toMap
 }

@@ -28,19 +28,40 @@ object HierarchyQueries {
     * flooring `//` agree. */
   private val JUMPS = 5
 
-  /** R1: flatten the forest to (node → root, depth) by path doubling and
-    * emit the per-depth audit rollup (population + exact money mass per
-    * level) — the compact shape a lineage/rollup job reports.
+  /** Shared pointer-jump state, memoized per (session, orders content) —
+    * the basket-pair/minhashPairs pattern. R1 (closure) and R3 (paths)
+    * walk the SAME forest with the SAME doubling rounds; carrying both
+    * the hop distance and the path segment in one state means the 5
+    * join+checkpoint rounds run once per session and each consumer is a
+    * projection: closure reads `dist`, paths reads `pth`. The extra path
+    * column costs R1 nothing material (it is Σ depth(n) characters,
+    * the same order as the state itself). */
+  private val jumpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def jumpState(s: SparkSession, dir: String): DataFrame =
+    jumpCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}|" +
+        graft.GraftSession.contentKey(dir, Seq("orders")),
+      _ => graft.GraftSession.ckpt(jumpStatePlan(s, dir)))
+
+  /** The un-memoized jump build (PlanShapeSpec pins its shape).
     *
     * Scale: root/non-root classification is one left_anti against the node
     * set; each jump round is one equi-join of the pointer table with
-    * itself (shuffle on the ancestor key) + localCheckpoint to keep the
-    * lineage flat — log-bounded rounds, never a depth-proportional chain.
-    * No driver-side state, no assumption the tree fits anywhere. */
-  def hierarchyClosure(s: SparkSession, dir: String): DataFrame = {
+    * itself (shuffle on the ancestor key) + a lineage-flattening
+    * checkpoint ([[graft.GraftSession.ckpt]] — reliable when
+    * `spark.graft.checkpoint.dir` is set) — log-bounded rounds, never a
+    * depth-proportional chain. No driver-side state, no assumption the
+    * tree fits anywhere.
+    *
+    * State: (node, anc, dist, pth). Roots point at themselves with dist 0
+    * and an empty segment, so jumping is idempotent once a pointer reaches
+    * its root; `pth` carries the path from anc (exclusive) down to node
+    * (inclusive), so each jump's concat seg(a2→a1) || seg(a1→node) is
+    * exactly seg(a2→node). */
+  private[graft] def jumpStatePlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nodes = Tables.orders(s, dir)
-      .select($"o_orderkey".as("k"), Ops.money($"o_totalprice").as("price"))
+    val nodes = Tables.orders(s, dir).select($"o_orderkey".as("k"))
     val cand = nodes.select($"k", expr("k div 7").as("pk"))
     val keys = nodes.select($"k".as("pk"))
     // Roots: self-parent (k = 0) or parent key absent from the node set.
@@ -50,20 +71,33 @@ object HierarchyQueries {
           .select($"k"))
     val nonRoots =
       cand.where($"k" =!= $"pk").join(keys, Seq("pk"), "left_semi")
-    // Pointer state: (node, anc, dist). Roots point at themselves with
-    // dist 0, so jumping is idempotent once a pointer reaches its root.
-    var st = roots.select($"k".as("node"), $"k".as("anc"), lit(0L).as("dist"))
+    var st = roots.select($"k".as("node"), $"k".as("anc"), lit(0L).as("dist"),
+      lit("").as("pth"))
       .unionByName(nonRoots.select($"k".as("node"), $"pk".as("anc"),
-        lit(1L).as("dist")))
-      .localCheckpoint()
+        lit(1L).as("dist"), concat(lit("/"), $"k".cast("string")).as("pth")))
+    st = graft.GraftSession.ckpt(st)
     for (_ <- 1 to JUMPS) {
       val hop = st.select($"node".as("h_node"), $"anc".as("h_anc"),
-        $"dist".as("h_dist"))
-      st = st.join(hop, st("anc") === hop("h_node"))
-        .select($"node", $"h_anc".as("anc"), ($"dist" + $"h_dist").as("dist"))
-        .localCheckpoint()
+        $"dist".as("h_dist"), $"pth".as("h_pth"))
+      st = graft.GraftSession.ckpt(
+        st.join(hop, st("anc") === hop("h_node"))
+          .select($"node", $"h_anc".as("anc"),
+            ($"dist" + $"h_dist").as("dist"),
+            concat($"h_pth", $"pth").as("pth")))
     }
-    st.select($"node".as("k"), $"dist".as("depth"))
+    st
+  }
+
+  /** R1: flatten the forest to (node → root, depth) by path doubling and
+    * emit the per-depth audit rollup (population + exact money mass per
+    * level) — the compact shape a lineage/rollup job reports. Consumes the
+    * memoized [[jumpState]]; the only work here is one join to re-attach
+    * prices and one hash aggregate on depth. */
+  def hierarchyClosure(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.orders(s, dir)
+      .select($"o_orderkey".as("k"), Ops.money($"o_totalprice").as("price"))
+    jumpState(s, dir).select($"node".as("k"), $"dist".as("depth"))
       .join(nodes, Seq("k"))
       .groupBy($"depth")
       .agg(count(lit(1)).as("n_nodes"), sum($"price").cast("double")
@@ -117,15 +151,17 @@ object HierarchyQueries {
     val edges = nodes.select($"k", expr("k div 7").as("pk"))
       .where($"k" =!= $"pk").join(keys, Seq("pk"), "left_semi")
       .select($"k".as("d"), $"pk".as("a"))
-      .localCheckpoint()
-    var jump = edges    // exact 2^0 ancestor pairs
-    var closure = edges // distances [1, 2)
+    val edgesCk = graft.GraftSession.ckpt(edges)
+    var jump = edgesCk    // exact 2^0 ancestor pairs
+    var closure = edgesCk // distances [1, 2)
     for (_ <- 1 to 4) {
-      val j2 = jump.toDF("d", "m").join(jump.toDF("m", "a"), Seq("m"))
-        .select($"d", $"a").localCheckpoint()
+      val j2 = graft.GraftSession.ckpt(
+        jump.toDF("d", "m").join(jump.toDF("m", "a"), Seq("m"))
+          .select($"d", $"a"))
       val comp = j2.toDF("d", "m").join(closure.toDF("m", "a"), Seq("m"))
         .select($"d", $"a")
-      closure = closure.unionByName(j2).unionByName(comp).localCheckpoint()
+      closure = graft.GraftSession.ckpt(
+        closure.unionByName(j2).unionByName(comp))
       jump = j2
     }
     val withSelf = closure
@@ -175,33 +211,14 @@ object HierarchyQueries {
     * string assembly, never a depth-long sequential walk.
     *
     * Output: the 20 deepest nodes (ties on key) with their paths — the
-    * rows a prefix-filter consumer would index. */
+    * rows a prefix-filter consumer would index. Consumes the memoized
+    * [[jumpState]] (shared with R1); the only work here is the projection
+    * prepending the root key and a top-20 TakeOrdered. */
   def hierarchyPaths(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nodes = Tables.orders(s, dir).select($"o_orderkey".as("k"))
-    val cand = nodes.select($"k", expr("k div 7").as("pk"))
-    val keys = nodes.select($"k".as("pk"))
-    val roots = cand.where($"k" === $"pk").select($"k")
-      .unionByName(
-        cand.where($"k" =!= $"pk").join(keys, Seq("pk"), "left_anti")
-          .select($"k"))
-    val nonRoots =
-      cand.where($"k" =!= $"pk").join(keys, Seq("pk"), "left_semi")
-    var st = roots.select($"k".as("node"), $"k".as("anc"), lit(0L).as("dist"),
-      lit("").as("pth"))
-      .unionByName(nonRoots.select($"k".as("node"), $"pk".as("anc"),
-        lit(1L).as("dist"), concat(lit("/"), $"k".cast("string")).as("pth")))
-      .localCheckpoint()
-    for (_ <- 1 to JUMPS) {
-      val hop = st.select($"node".as("h_node"), $"anc".as("h_anc"),
-        $"dist".as("h_dist"), $"pth".as("h_pth"))
-      st = st.join(hop, st("anc") === hop("h_node"))
-        .select($"node", $"h_anc".as("anc"), ($"dist" + $"h_dist").as("dist"),
-          concat($"h_pth", $"pth").as("pth"))
-        .localCheckpoint()
-    }
-    st.select($"node".as("k"), $"dist".as("depth"),
-      concat($"anc".cast("string"), $"pth").as("path"))
+    jumpState(s, dir)
+      .select($"node".as("k"), $"dist".as("depth"),
+        concat($"anc".cast("string"), $"pth").as("path"))
       .orderBy($"depth".desc, $"k".asc)
       .limit(20)
   }

@@ -244,22 +244,21 @@ object DedupQueries {
         struct(col("doc_a").as("u"), col("doc_b").as("v")),
         struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
       .select(col("e.u").as("src"), col("e.v").as("dst"))
-      .localCheckpoint() // eager: the LSH pair plan executes exactly once
-    var cur = edges.groupBy($"src")
-      .agg(least($"src", min($"dst")).as("lbl"))
-      .localCheckpoint()
+    val edgesCk = // eager: the LSH pair plan executes exactly once
+      graft.GraftSession.ckpt(edges)
+    var cur = graft.GraftSession.ckpt(edgesCk.groupBy($"src")
+      .agg(least($"src", min($"dst")).as("lbl")))
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < CC_MAX_ITERS) {
       // propagate: lbl(x) <- min(lbl(x), min over neighbors' labels);
       // checkpointed so the jump self-join below doesn't compute it twice
-      val nbr = edges
+      val nbr = edgesCk
         .join(cur.select($"src".as("dst"), $"lbl".as("nlbl")), "dst")
         .groupBy($"src").agg(min($"nlbl").as("mn"))
-      val prop = cur.join(nbr, Seq("src"), "left")
+      val prop = graft.GraftSession.ckpt(cur.join(nbr, Seq("src"), "left")
         .select($"src", $"lbl".as("old"),
-          least($"lbl", coalesce($"mn", $"lbl")).as("lbl"))
-        .localCheckpoint()
+          least($"lbl", coalesce($"mn", $"lbl")).as("lbl")))
       // pointer-jump: lbl(x) <- lbl(lbl(x)) — labels are doc ids, so the
       // label table doubles as the jump table; halves remaining depth.
       // cur's label rides along as `old`, making the convergence check a
@@ -269,9 +268,9 @@ object DedupQueries {
           col("a.lbl") === col("b.jsrc"), "left")
         .select(col("a.src").as("src"), col("a.old").as("old"),
           coalesce(col("b.jlbl"), col("a.lbl")).as("lbl"))
-        .localCheckpoint()
-      changed = next.filter($"lbl" =!= $"old").count()
-      cur = next.select($"src", $"lbl")
+      val nextCk = graft.GraftSession.ckpt(next)
+      changed = nextCk.filter($"lbl" =!= $"old").count()
+      cur = nextCk.select($"src", $"lbl")
       iters += 1
     }
     require(changed == 0,

@@ -71,6 +71,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k should not materialize a global sort:\n$plan")
   }
 
+  test("hierarchy: closure and paths consume one shared memoized jump state") {
+    val closure = planOf("q_hierarchy_closure")
+    val paths = planOf("q_hierarchy_paths")
+    // paths is a pure projection + top-k over the checkpointed jump state:
+    // no joins may remain in its plan
+    assert(paths.contains("Scan ExistingRDD"), s"paths not memoized:\n$paths")
+    assert(!paths.contains("Join"), s"paths rebuilds the jump rounds:\n$paths")
+    // closure re-attaches prices with exactly one equi-join against the
+    // checkpointed state — never the 5 jump-round joins
+    assert(closure.contains("Scan ExistingRDD"),
+      s"closure not memoized:\n$closure")
+    assert(countOf(closure, "Join") == 1,
+      s"closure should have exactly the price re-attach join:\n$closure")
+    // the un-memoized build itself stays equi-join only
+    val build = graft.analytics.HierarchyQueries.jumpStatePlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!build.contains("CartesianProduct") &&
+      !build.contains("BroadcastNestedLoopJoin"), s"jump build:\n$build")
+  }
+
   test("behavior queries: no nested-loop joins, no Expand, bounded shape") {
     Seq("q_event_pattern", "q_rolling_distinct", "q_bitmap_presence")
       .foreach { q =>

@@ -27,6 +27,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable-checkpoint flag: an iterative round runs through checkpoint(dir)") {
+    // Default is localCheckpoint (executor-local, not fault-tolerant);
+    // setting spark.graft.checkpoint.dir opts iterative operators into
+    // RELIABLE checkpoints — the cluster-scale mode where executor loss
+    // costs one round's files, not the whole iteration.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      val st = graft.analytics.HierarchyQueries.jumpStatePlan(spark, sf)
+      // the jump build checkpoints every round; under the flag those are
+      // reliable checkpoints, so the plan bottoms out in an RDD scan and
+      // checkpoint files exist under the configured dir
+      assert(st.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"))
+      val n = st.count()
+      assert(n > 0)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no reliable checkpoint files written under $dir")
+      // depth histogram must match the localCheckpoint path's semantics:
+      // same row count as the plain (default-mode) build
+      spark.conf.unset("spark.graft.checkpoint.dir")
+      val plain = graft.analytics.HierarchyQueries.jumpStatePlan(spark, sf)
+      assert(plain.count() === n)
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.dir")
+    }
+  }
+
   test("salted join agrees with direct join") {
     val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
     val o = Tables.orders(spark, sf)
