@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** One decoded media record (decode itself is STUBBED — see [[MediaDecode]]). */
+/** One decoded media record — see [[MediaDecode]] for the tiered decode. */
 final case class MediaMeta(
     doc_id: Long, byte_len: Long, magic_hex: String,
     width: Int, height: Int, n_frames: Int)
@@ -13,12 +13,16 @@ final case class MediaMeta(
 /** Multimodal-column plumbing (SURVEY.md §2.9, builder-prompt multimodal
   * requirement): media as opaque `binary` columns + typed metadata.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
-  * [[MediaDecode.decodeStub]] derives fake-but-deterministic dimensions from
-  * byte length. Everything around it is real Spark plumbing: binary column
-  * handling, batched per-partition decode via mapPartitions on a typed
-  * Dataset (the Scala analogue of mapInPandas batches), stride-based frame
-  * sampling, and metadata extraction with codegen'd built-ins.
+  * Container METADATA decode is REAL — pure-JVM header parsing for PNG
+  * (IHDR), BMP (INFOHEADER/COREHEADER), GIF (logical screen) at fixed
+  * offsets, a JPEG SOFn marker-segment scan, and an ImageIO header-read
+  * fallback. Only full PIXEL decode is stubbed ([[MediaDecode.decodeStub]],
+  * the deterministic fake non-image payloads fall through to) — the
+  * container has no raster codecs. Everything around it is real Spark
+  * plumbing: binary column handling, batched per-partition decode via
+  * mapPartitions on a typed Dataset (the Scala analogue of mapInPandas
+  * batches), stride-based frame sampling, and metadata extraction with
+  * codegen'd built-ins.
   *
   * The `documents.text` bytes stand in for media payloads since the test
   * data has no binary table; at scale the binary column comes straight from
@@ -69,6 +73,46 @@ object MediaDecode {
     } else None
   }
 
+  /** REAL JPEG dimension scan — walks the marker-segment stream from SOI
+    * (ITU T.81 B.2) looking for a frame header SOFn (0xC0–0xCF except the
+    * non-frame DHT/JPG/DAC markers 0xC4/0xC8/0xCC) and reads the
+    * big-endian height/width that sit at fixed offsets inside the SOF
+    * payload (after the 2-byte length and 1-byte precision). Pure byte
+    * arithmetic over the binary column — no codec, no pixel work, and
+    * unlike the ImageIO tier no reader registry/stream allocation: the
+    * per-row cost is the APPn/DQT/DHT segment lengths it skips. Returns
+    * None on anything structurally non-JPEG (falls through to the next
+    * decode tier). */
+  def decodeJpegSof(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if (u8(i) != 0xff) return None
+      val marker = u8(i + 1)
+      if (marker == 0xff) { i += 1 } // fill byte before a marker
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+        i += 2 // standalone marker: TEM / RSTn / (stray) SOI — no length
+      } else if (marker == 0xd9) {
+        return None // EOI reached without a frame header
+      } else {
+        val len = be16(i + 2)
+        if (len < 2 || i + 2 + len > bytes.length) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 9) return None
+          val h = be16(i + 5)
+          val w = be16(i + 7)
+          return if (w > 0 && h > 0) Some((w, h, 1)) else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
   /** JDK ImageIO dimension read — header-only, NOT a pixel decode: the
     * format reader's `getWidth/getHeight` parse just the container
     * metadata (for JPEG, the SOF segment), so a large payload costs
@@ -101,11 +145,12 @@ object MediaDecode {
   javax.imageio.ImageIO.setUseCache(false)
 
   /** Decode tiers: fixed-offset header parse (cheap, no pixel work) →
-    * ImageIO full decode (real formats the header parse can't size, e.g.
-    * JPEG) → deterministic stub for non-image payloads (what the synthetic
-    * text-bytes corpus hits). */
+    * JPEG SOFn segment scan (pure byte arithmetic) → ImageIO header read
+    * (any remaining registered format) → deterministic stub for non-image
+    * payloads (what the synthetic text-bytes corpus hits). */
   def decode(bytes: Array[Byte]): (Int, Int, Int) =
     decodeHeader(bytes)
+      .orElse(decodeJpegSof(bytes))
       .orElse(decodeImageIO(bytes))
       .getOrElse(decodeStub(bytes))
 
@@ -123,6 +168,56 @@ object MediaDecode {
       }
     }
   }
+}
+
+/** Deterministic, structurally valid media payloads built byte-for-byte to
+  * each format's public spec — the binary-column analogue of the reference's
+  * API contract fixtures (`tests/integration/test_cta_api_response.py:20-40`
+  * pins the shape of what the pipeline consumes; these pin the container
+  * formats the decode tier consumes). Every builder returns a FIXED length
+  * for a given format, so an oracle can state byte_len without parsing. */
+object MediaFixtures {
+  private def crc32(bytes: Array[Byte]): Array[Byte] = {
+    val c = new java.util.zip.CRC32
+    c.update(bytes)
+    val v = c.getValue
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  }
+  private def be32(v: Int) = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+  private def le32(v: Int) = Array(
+    v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+
+  /** 45 bytes: signature + IHDR (real CRC32) + IEND. */
+  def png(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val ihdrBody = "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 2, 0, 0, 0)
+    val iendBody = "IEND".getBytes("US-ASCII")
+    sig ++ be32(13) ++ ihdrBody ++ crc32(ihdrBody) ++
+      be32(0) ++ iendBody ++ crc32(iendBody)
+  }
+
+  /** 23 bytes: SOI + SOF0 (len 17: precision, dims, 3 components) + EOI. */
+  def jpeg(w: Int, h: Int): Array[Byte] =
+    Array(0xff, 0xd8, 0xff, 0xc0).map(_.toByte) ++ be16(17) ++
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++
+      Array(3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte) ++
+      Array(0xff, 0xd9).map(_.toByte)
+
+  /** 14 bytes: GIF89a logical-screen descriptor + trailer. */
+  def gif(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++
+      Array(0x70, 0, 0, 0x3b).map(_.toByte)
+
+  /** 54 bytes: BITMAPFILEHEADER + BITMAPINFOHEADER (no pixel array). */
+  def bmp(w: Int, h: Int): Array[Byte] =
+    "BM".getBytes("US-ASCII") ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      Array.fill[Byte](24)(0)
 }
 
 object MultimodalQueries {
@@ -271,7 +366,58 @@ object MultimodalQueries {
       |  CAST(COUNT(DISTINCT phash) AS BIGINT) AS n_hashes
       |FROM p GROUP BY 1 ORDER BY band""".stripMargin
 
+  /** Real-format dimension census: structurally valid PNG/JPEG/GIF/BMP
+    * payloads (built to spec by [[MediaFixtures]], dims a function of
+    * doc_id) flow through the typed batched-decode path, and the REAL
+    * header parsers — PNG IHDR / BMP INFOHEADER / GIF screen descriptor
+    * fixed offsets, JPEG SOFn segment scan — extract width/height from the
+    * bytes. The oracle states the generation formula directly, so the
+    * hash match holds iff the decode tier read the right integers out of
+    * every real header (the stub would emit byte-length-derived dims and
+    * fail). This is the reference's contract-test discipline
+    * (`tests/integration/test_cta_api_response.py:20-40`) applied to the
+    * binary column.
+    *
+    * Scale: fixture synthesis stands in for reading a binary parquet
+    * column; decode is the narrow per-partition batch map — zero shuffle
+    * until the presentation sort. */
+  def mediaDims(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir).filter($"doc_id" < 60)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val w = 16 + (id % 7).toInt * 3
+        val h = 9 + (id % 5).toInt * 2
+        val bytes = (id % 4) match {
+          case 0 => MediaFixtures.png(w, h)
+          case 1 => MediaFixtures.jpeg(w, h)
+          case 2 => MediaFixtures.gif(w, h)
+          case _ => MediaFixtures.bmp(w, h)
+        }
+        (id, bytes)
+      }
+    MediaDecode.decodePartitioned(media)
+      .toDF()
+      .select($"doc_id", $"magic_hex", $"byte_len", $"width", $"height")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the expected metadata as pure formula — magic bytes and fixed
+    * container length per format, dims from the generator. Anything the
+    * parsers misread diverges here. */
+  val mediaDimsSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 4 WHEN 0 THEN '89504e47' WHEN 1 THEN 'ffd8ffc0'
+      |    WHEN 2 THEN '47494638' ELSE '424d3600' END AS magic_hex,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 45 WHEN 1 THEN 23
+      |    WHEN 2 THEN 14 ELSE 54 END AS BIGINT) AS byte_len,
+      |  CAST(16 + (doc_id % 7) * 3 AS INTEGER) AS width,
+      |  CAST(9 + (doc_id % 5) * 2 AS INTEGER) AS height
+      |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_multimodal_dims", mediaDims, Some(mediaDimsSql),
+      "real-format dims census: PNG IHDR/BMP/GIF fixed offsets + JPEG SOFn scan over spec-built fixtures"),
     QueryDef("q_multimodal_phash", mediaPhash, Some(mediaPhashSql),
       "X-multimodal perceptual gradient-hash (dHash) banding census"),
     QueryDef("q_multimodal_meta", mediaMeta, Some(mediaMetaSql),

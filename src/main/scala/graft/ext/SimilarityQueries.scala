@@ -980,7 +980,72 @@ object SimilarityQueries {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  // --- X3i: unified ANN evaluation ---------------------------------------
+  /** Recall@5 of every approximate tier against the SHARED brute-force
+    * truth, in integer ppm — the `q_dedup_eval` discipline applied to the
+    * ANN family: the audit row a real pipeline consults before choosing a
+    * method/config, declared on the oracle surface instead of living only
+    * in a spec.
+    *
+    * Semantics: truth = brute top-5 pairs (q_id, vec_id); per method,
+    * n_pred = pairs returned, hits = pairs also in truth, recall_ppm =
+    * (1e6 · hits) div |truth| — all integer-exact, so the hash pins it.
+    *
+    * Scale: each tier's plan is its declared one (bucketed / list-probed /
+    * code-scanned); the eval adds one left join of the union of
+    * predictions (≤ 5·|Q| rows per method) against the truth pairs and a
+    * 5-row aggregate. The denominator is a single-row broadcast (allowed
+    * BNLJ class). Truth is checkpointed so the brute pass — the one
+    * intentionally expensive input — executes exactly once. */
+  def annEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = graft.GraftSession.ckpt(
+      knnBrute(s, dir).select($"q_id", $"vec_id"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> knnIvf(s, dir), "ivf2" -> knnIvf2(s, dir),
+      "lsh" -> knnLsh(s, dir), "pq" -> knnPq(s, dir),
+      "sq8" -> knnSq8(s, dir))
+    val preds = methods.map { case (nm, df) =>
+      df.select(lit(nm).as("method"), $"q_id", $"vec_id")
+    }.reduce(_.unionByName(_))
+    val perMethod = preds
+      .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy($"method")
+      .agg(count(lit(1)).as("n_pred"),
+        sum(coalesce($"hit", lit(0L))).as("hits"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    perMethod.crossJoin(broadcast(nTruth))
+      .select($"method", $"n_pred", $"hits",
+        expr("(1000000 * hits) div n_truth").as("recall_ppm"))
+      .orderBy($"method")
+  }
+
+  /** DuckDB mirror: each tier's full oracle SQL embedded as a scoped
+    * subquery (inner CTEs shadow cleanly), joined pair-for-pair against
+    * the brute truth. Assembled by concatenation — NOT stripMargin — so
+    * the embedded, already-stripped tier SQLs cannot lose margin pipes. */
+  val annEvalSql: String = {
+    val ms = Seq("ivf" -> knnIvfSql, "ivf2" -> knnIvf2Sql,
+      "lsh" -> knnLshSql, "pq" -> knnPqSql, "sq8" -> knnSq8Sql)
+    val ctes = ms.map { case (nm, q) =>
+      s"p_$nm AS (SELECT q_id, vec_id FROM (\n$q\n) t_$nm)"
+    }.mkString(",\n")
+    val stats = ms.map { case (nm, _) =>
+      s"SELECT '$nm' AS method,\n" +
+        s"  (SELECT COUNT(*) FROM p_$nm) AS n_pred,\n" +
+        s"  (SELECT COUNT(*) FROM p_$nm p JOIN truth t" +
+        " ON p.q_id = t.q_id AND p.vec_id = t.vec_id) AS hits"
+    }.mkString("\nUNION ALL\n")
+    "WITH truth AS (SELECT q_id, vec_id FROM (\n" + knnBruteSql +
+      "\n) t_truth),\n" + ctes + ",\nstats AS (\n" + stats + ")\n" +
+      "SELECT method, n_pred, hits,\n" +
+      "  (1000000 * hits) // (SELECT COUNT(*) FROM truth) AS recall_ppm\n" +
+      "FROM stats ORDER BY method"
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ann_eval", annEval, Some(annEvalSql),
+      "X3i ANN audit: integer-ppm recall@5 of LSH/IVF/IVF2/SQ8/PQ vs shared brute truth"),
     QueryDef("q_sim_knn_pq", knnPq, Some(knnPqSql),
       "X3h product-quantization ANN: Lloyd-refined 8x16 codebooks, ADC scan, exact re-rank"),
     QueryDef("q_sim_knn_brute", knnBrute, Some(knnBruteSql),

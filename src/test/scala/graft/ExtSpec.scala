@@ -199,6 +199,37 @@ class ExtSpec extends AnyFunSuite {
       s"PQ recall too low: $overlap/${brute.length}")
   }
 
+  test("X3i ANN eval: per-method rows equal the real prediction/truth overlap") {
+    val truth = SimilarityQueries.knnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val collected: Map[String, Set[(Long, Long)]] = Map(
+      "ivf" -> SimilarityQueries.knnIvf(spark, sf),
+      "ivf2" -> SimilarityQueries.knnIvf2(spark, sf),
+      "lsh" -> SimilarityQueries.knnLsh(spark, sf),
+      "pq" -> SimilarityQueries.knnPq(spark, sf),
+      "sq8" -> SimilarityQueries.knnSq8(spark, sf))
+      .map { case (nm, df) => nm -> df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet }
+    val rows = SimilarityQueries.annEval(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("method")).toSeq ===
+      Seq("ivf", "ivf2", "lsh", "pq", "sq8"))
+    rows.foreach { r =>
+      val m = r.getAs[String]("method")
+      val preds = collected(m)
+      assert(r.getAs[Long]("n_pred") === preds.size.toLong, m)
+      val hits = (preds & truth).size.toLong
+      assert(r.getAs[Long]("hits") === hits, m)
+      assert(r.getAs[Long]("recall_ppm") ===
+        1000000L * hits / truth.size, m)
+    }
+    // the declared recall bars, now read off the audit row itself
+    val ppm = rows.map(r =>
+      r.getAs[String]("method") -> r.getAs[Long]("recall_ppm")).toMap
+    assert(ppm("pq") >= 500000L, s"PQ recall bar: $ppm")
+    assert(ppm("sq8") >= 600000L, s"SQ8 recall bar: $ppm")
+    assert(ppm("ivf2") >= 600000L, s"IVF2 recall bar: $ppm")
+  }
+
   test("graph tier: degrees and triangles reconcile with the pair set") {
     val pairs = DedupQueries.dedupMinhashLsh(spark, sf).collect()
     val deg = GraphQueries.graphDegrees(spark, sf).collect()
@@ -522,6 +553,50 @@ class ExtSpec extends AnyFunSuite {
     assert(MediaDecode.decode(bytes) === ((7, 5, 1)))
     // non-image bytes: ImageIO returns None (no throw), stub takes over
     assert(MediaDecode.decodeImageIO("plain text".getBytes) === None)
+  }
+
+  test("JPEG SOFn scan sizes a real JDK-encoded JPEG and the spec fixture") {
+    // a REAL 9x6 JPEG from the JDK encoder: the scan must walk the
+    // encoder's actual APP0/DQT/DHT segments before finding SOF0
+    val img = new java.awt.image.BufferedImage(
+      9, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(4, 3, 0x3366cc)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val real = bos.toByteArray
+    assert(MediaDecode.decodeJpegSof(real) === Some((9, 6, 1)))
+    assert(MediaDecode.decode(real) === ((9, 6, 1)))
+    // the spec-built fixture parses to its constructed dims
+    val fx = MediaFixtures.jpeg(31, 17)
+    assert(fx.length === 23)
+    assert(MediaDecode.decodeJpegSof(fx) === Some((31, 17, 1)))
+    // structurally broken streams fall through, never throw
+    assert(MediaDecode.decodeJpegSof("plain text".getBytes) === None)
+    assert(MediaDecode.decodeJpegSof(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) === None) // empty SOI/EOI
+    assert(MediaDecode.decodeJpegSof(
+      Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x03).map(_.toByte)) === None) // truncated SOF
+    // and every fixture format round-trips through the real parsers
+    assert(MediaDecode.decode(MediaFixtures.png(800, 600)) === ((800, 600, 1)))
+    assert(MediaDecode.decode(MediaFixtures.gif(12, 34)) === ((12, 34, 1)))
+    assert(MediaDecode.decode(MediaFixtures.bmp(320, 240)) === ((320, 240, 1)))
+    // the PNG fixture is a fully valid file: the JDK decoder reads it too
+    assert(MediaDecode.decodeImageIO(MediaFixtures.png(5, 4)) === Some((5, 4, 1)))
+  }
+
+  test("q_multimodal_dims: decoded dims equal the generator formula per row") {
+    val rows = MultimodalQueries.mediaDims(spark, sf).collect()
+    assert(rows.length === 60)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") === 16 + (id % 7).toInt * 3, s"doc $id")
+      assert(r.getAs[Int]("height") === 9 + (id % 5).toInt * 2, s"doc $id")
+      val expMagic = (id % 4) match {
+        case 0 => "89504e47"; case 1 => "ffd8ffc0"
+        case 2 => "47494638"; case _ => "424d3600"
+      }
+      assert(r.getAs[String]("magic_hex") === expMagic, s"doc $id")
+    }
   }
 
   test("multimodal query magic matches the mapPartitions decode path") {

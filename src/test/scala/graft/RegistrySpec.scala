@@ -28,6 +28,22 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("every registered query name is documented in SURVEY.md") {
+    // SURVEY §8 is the human-facing coverage ledger; this keeps it honest
+    // by machine — a query landing without its SURVEY line fails here.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val missing = Registry.all.map(_.name).filterNot(survey.contains)
+    assert(missing.isEmpty,
+      s"queries missing from SURVEY.md: ${missing.mkString(", ")}")
+    // and the check itself must be able to fail: a name not in the
+    // registry (nor SURVEY) is correctly reported missing
+    val synthetic = "q_registry_spec_synthetic_omission"
+    assert(!survey.contains(synthetic))
+    assert((Registry.all.map(_.name) :+ synthetic)
+      .filterNot(survey.contains) === Seq(synthetic))
+  }
+
   test("no undeclared cartesian/nested-loop join in any declared query") {
     // Intentional bounded-build-side broadcast NLJs (documented in-source):
     //  - knnBrute: tiny query batch × corpus is the brute-force baseline
@@ -76,7 +92,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_basket_lift",
       // |priorities|-row broadcast grid crossed onto the calendar-
       // bounded month-pair table — same class as q_mix_weighted
-      "q_mix_drift")
+      "q_mix_drift",
+      // composes the ANN tiers above (brute/ivf/sq8/pq plans appear as
+      // subplans) plus one single-row truth-count broadcast denominator
+      "q_ann_eval")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
