@@ -4,7 +4,7 @@ import graft.{Ops, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Co-occurrence and statistical-test operators: market-basket pair
   * mining and contingency-table chi-square — the analytics a feature/
@@ -215,7 +215,10 @@ object StatsQueries {
     QueryDef("q_skyline_pareto", skylinePareto, Some(skylineParetoSql),
       "ST6 Pareto dominance frontier via bucket-pruned running-max windows"),
     QueryDef("q_exact_quantiles", exactQuantiles, Some(exactQuantilesSql),
-      "ST5 exact P10/P50/P90 order statistics via window rank, state-free"))
+      "ST5 exact P10/P50/P90 order statistics via window rank, state-free"),
+    QueryDef("q_exact_quantiles_dist", exactQuantilesDist,
+      Some(exactQuantilesSql),
+      "ST5b distributed exact quantiles: range histogram + per-bucket rank refinement, no whole-group sort"))
 
   // --- ST5: exact multi-quantile via window rank --------------------------
 
@@ -261,6 +264,68 @@ object StatsQueries {
       |SELECT event_type, CAST(k AS DOUBLE) / 10 AS q, cents AS value_cents
       |FROM hits WHERE rn = (k * n + 9) // 10
       |ORDER BY event_type, q""".stripMargin
+
+  // --- ST5b: distributed exact quantiles ----------------------------------
+
+  /** The same ⌈q·n⌉ order statistics as [[exactQuantiles]], computed so
+    * that NO single reducer ever sorts a whole group — the scale path
+    * ST5's caveat promised (with a handful of event types, ST5's
+    * per-type window puts a type's entire population on one task).
+    *
+    * Two passes over the facts:
+    *   1. Range histogram: each row lands in a fixed-width value bucket
+    *      (`cents >> 10`, an arithmetic shift = floor-division, monotone
+    *      in cents so bucket order IS value order); one hash aggregate
+    *      yields per-(type, bucket) counts — a table of size
+    *      |types|·|occupied buckets|, independent of row count.
+    *   2. Rank refinement: running totals over that SMALL histogram find,
+    *      for every target rank k = (q·n) computed integer-exactly, the
+    *      one bucket containing it and the rank REMAINING inside that
+    *      bucket (k minus rows in all earlier buckets). Only owning
+    *      buckets' rows survive a broadcast semi-join, and the final
+    *      row_number window partitions by (type, bucket) — each sorted
+    *      partition holds one bucket's occupancy (corpus/2^10-ish rows),
+    *      never a type's population. Equal values share a bucket by
+    *      construction, so the event_id tiebreak stays inside one
+    *      partition and the picked value is identical to ST5's.
+    *
+    * The oracle is ST5's own SQL — the point is plan shape, not new
+    * semantics; a dedicated spec pins row-for-row equality with ST5 and
+    * the bucketed window in the plan. */
+  def exactQuantilesDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def facts = Tables.events(s, dir)
+      .select($"event_type", $"event_id",
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .withColumn("bucket", shiftright($"cents", 10))
+    // pass 1: the range histogram (small)
+    val hist = facts.groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy($"event_type").orderBy($"bucket")
+    val cum = hist
+      .withColumn("cum", sum($"c").over(wb))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+    // locate each target rank's owning bucket + within-bucket rank
+    val targets = cum
+      .select($"event_type", $"bucket", $"c", $"cum", $"n",
+        explode(expr("array(1, 5, 9)")).as("k"))
+      .withColumn("krank", expr("(k * n + 9) div 10"))
+      .filter($"krank" > $"cum" - $"c" && $"krank" <= $"cum")
+      .select($"event_type", $"bucket", $"k",
+        ($"krank" - ($"cum" - $"c")).as("local_rank"))
+    // pass 2: rank only inside owning buckets
+    val wLocal = Window.partitionBy($"event_type", $"bucket")
+      .orderBy($"cents", $"event_id")
+    facts
+      .join(broadcast(targets.select($"event_type", $"bucket").distinct()),
+        Seq("event_type", "bucket"), "left_semi")
+      .withColumn("lrn", row_number().over(wLocal).cast(LongType))
+      .join(broadcast(targets), Seq("event_type", "bucket"))
+      .filter($"lrn" === $"local_rank")
+      .select($"event_type", ($"k".cast(DoubleType) / 10).as("q"),
+        $"cents".as("value_cents"))
+      .orderBy($"event_type", $"q")
+  }
 
   // --- ST4: rolling z-score anomaly flags ---------------------------------
 

@@ -1043,7 +1043,111 @@ object SimilarityQueries {
       "FROM stats ORDER BY method"
   }
 
+  // --- X3j: nprobe recall/cost frontier -----------------------------------
+  /** The recall/cost frontier of the learned-IVF index AS DATA: one audit
+    * row per probe depth (nprobe ∈ 1,2,4,8) with candidate volume and
+    * integer-ppm recall@5 vs the shared brute truth — what `q_dedup_eval`
+    * does for banding config, applied to the knob every IVF deployment
+    * tunes. Because every tier re-ranks with EXACT cosine, a query's
+    * candidate sets are nested across depths, so hits = |candidates ∩
+    * truth| and recall is provably monotone in nprobe (asserted in
+    * ExtSpec); n_pred is the cost axis.
+    *
+    * Scale: the assignment/probe ranking is computed once (one O(n·K)
+    * broadcast pass); candidates are scored once, tagged with the probe
+    * rank of their bucket, and each depth is a filter + per-depth top-5
+    * window over candidate rows only — the frontier costs one candidate
+    * scan, not one index run per config. */
+  def annFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val maxProbe = 8
+    val e = quantized(s, dir)
+    val ranked = kmAssign(e, learnedCents(e))
+    val assign = ranked.filter($"crn" === 1)
+      .select($"vec_id", $"c_id".as("bucket"))
+    val probes = ranked.filter($"vec_id" < 20 && $"crn" <= maxProbe)
+      .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"),
+        $"c_id".as("bucket"), $"crn".as("probe_rank"))
+    // each vector lives in exactly one list, so (q_id, vec_id) is unique
+    // and carries the probe depth at which it first becomes visible
+    val cand = probes.join(assign, Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(e, Seq("vec_id"))
+      .select($"q_id", $"vec_id", $"probe_rank",
+        cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+    val truth = graft.GraftSession.ckpt(
+      knnBrute(s, dir).select($"q_id", $"vec_id"))
+    val byLevel = cand
+      .select($"q_id", $"vec_id", $"probe_rank", $"cos_sim",
+        explode(typedLit(Seq(1, 2, 4, 8))).as("nprobe"))
+      .filter($"probe_rank" <= $"nprobe")
+    val w = Window.partitionBy($"nprobe", $"q_id")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+    val top = byLevel.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    top.join(truth.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_pred"),
+        sum(coalesce($"hit", lit(0L))).as("hits"))
+      .crossJoin(broadcast(nTruth))
+      .select($"nprobe".cast(LongType).as("nprobe"), $"n_pred", $"hits",
+        expr("(1000000 * hits) div n_truth").as("recall_ppm"))
+      .orderBy($"nprobe")
+  }
+
+  /** DuckDB mirror: the shared unrolled k-means CTEs provide the trained
+    * assignment ranking; candidates join through it, score once, and each
+    * depth is a filter over the probe rank — then the brute truth embeds
+    * as a scoped subquery exactly as in [[annEvalSql]]. */
+  val annFrontierSql: String =
+    s"""WITH $kmeansCtesSql,
+       |assign AS (SELECT vec_id, c_id FROM aranked3 WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_id, crn AS probe_rank
+       |  FROM aranked3 WHERE vec_id < 20 AND crn <= 8),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id, p.probe_rank
+       |  FROM probes p
+       |  JOIN assign a ON p.c_id = a.c_id AND a.vec_id <> p.q_id),
+       |cdots AS (
+       |  SELECT c.q_id, c.vec_id, c.probe_rank, SUM(v1.qv * v2.qv) AS dot
+       |  FROM cand c
+       |  JOIN vq v1 ON v1.vec_id = c.q_id
+       |  JOIN vq v2 ON v2.vec_id = c.vec_id AND v1.g = v2.g
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT cd.q_id, cd.vec_id, cd.probe_rank,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn.nrm AS DOUBLE)) *
+       |      sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+       |  FROM cdots cd
+       |  JOIN norms qn ON cd.q_id = qn.vec_id
+       |  JOIN norms vn ON cd.vec_id = vn.vec_id),
+       |byl AS (
+       |  SELECT l.nprobe, sc.q_id, sc.vec_id,
+       |    row_number() OVER (PARTITION BY l.nprobe, sc.q_id
+       |      ORDER BY sc.cos_sim DESC, sc.vec_id ASC) AS rnk
+       |  FROM scored sc
+       |  JOIN (SELECT unnest([1, 2, 4, 8]) AS nprobe) l
+       |    ON sc.probe_rank <= l.nprobe),
+       |topk AS (SELECT nprobe, q_id, vec_id FROM byl WHERE rnk <= 5),
+       |truth AS (SELECT q_id, vec_id FROM (
+       |$knnBruteSql
+       |) t_truth),
+       |stats AS (
+       |  SELECT p.nprobe, COUNT(*) AS n_pred,
+       |    CAST(SUM(CASE WHEN t.q_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits
+       |  FROM topk p
+       |  LEFT JOIN truth t ON p.q_id = t.q_id AND p.vec_id = t.vec_id
+       |  GROUP BY 1)
+       |SELECT CAST(nprobe AS BIGINT) AS nprobe, n_pred, hits,
+       |  (1000000 * hits) // (SELECT COUNT(*) FROM truth) AS recall_ppm
+       |FROM stats ORDER BY nprobe""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ann_frontier", annFrontier, Some(annFrontierSql),
+      "X3j IVF nprobe recall/cost frontier: one audit row per probe depth vs brute truth"),
     QueryDef("q_ann_eval", annEval, Some(annEvalSql),
       "X3i ANN audit: integer-ppm recall@5 of LSH/IVF/IVF2/SQ8/PQ vs shared brute truth"),
     QueryDef("q_sim_knn_pq", knnPq, Some(knnPqSql),

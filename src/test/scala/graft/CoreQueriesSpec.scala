@@ -455,6 +455,29 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ST5b distributed quantiles equal ST5 row-for-row; window is bucketed") {
+    import graft.analytics.StatsQueries
+    val st5 = StatsQueries.exactQuantiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val dist = StatsQueries.exactQuantilesDist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(dist.toSeq === st5.toSeq)
+    // the fact-grain rank window partitions by (type, BUCKET) — a bucket's
+    // occupancy per sorted partition, never a type's whole population
+    val plan = StatsQueries.exactQuantilesDist(spark, sf)
+      .queryExecution.executedPlan.toString
+    val rankWindows = "Window \\[row_number[^\\n]*".r.findAllIn(plan).toSeq
+    assert(rankWindows.nonEmpty)
+    rankWindows.foreach { w =>
+      assert(w.contains("bucket#"), s"unbucketed fact-grain rank window:\n$w")
+    }
+    // ST5 (the semantics oracle) is exactly the shape ST5b removes:
+    val st5Plan = StatsQueries.exactQuantiles(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Window \\[row_number[^\\n]*".r.findAllIn(st5Plan)
+      .exists(!_.contains("bucket#")))
+  }
+
   test("ST1/ST2: basket pairs and chi-square reconcile") {
     import graft.analytics.StatsQueries
     val pairs = StatsQueries.basketPairs(spark, sf).collect()

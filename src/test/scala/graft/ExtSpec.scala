@@ -230,6 +230,23 @@ class ExtSpec extends AnyFunSuite {
     assert(ppm("ivf2") >= 600000L, s"IVF2 recall bar: $ppm")
   }
 
+  test("X3j ANN frontier: recall is monotone in nprobe; depth-8 beats depth-1") {
+    val rows = SimilarityQueries.annFrontier(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq === Seq(1L, 2L, 4L, 8L))
+    val recalls = rows.map(_.getAs[Long]("recall_ppm"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nprobe: ${recalls.mkString(",")}")
+    val preds = rows.map(_.getAs[Long]("n_pred"))
+    assert(preds.zip(preds.tail).forall { case (a, b) => a <= b },
+      s"candidate volume not monotone: ${preds.mkString(",")}")
+    // probing half the lists must recover most of the true top-5 here
+    assert(recalls.last >= 800000L, s"depth-8 recall: ${recalls.last}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("n_pred"))
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+    }
+  }
+
   test("graph tier: degrees and triangles reconcile with the pair set") {
     val pairs = DedupQueries.dedupMinhashLsh(spark, sf).collect()
     val deg = GraphQueries.graphDegrees(spark, sf).collect()

@@ -95,7 +95,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_mix_drift",
       // composes the ANN tiers above (brute/ivf/sq8/pq plans appear as
       // subplans) plus one single-row truth-count broadcast denominator
-      "q_ann_eval")
+      "q_ann_eval",
+      // K-row centroid assignment broadcast + brute-truth subplan, same
+      // classes as q_sim_knn_ivf2 / q_ann_eval
+      "q_ann_frontier")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
