@@ -401,7 +401,56 @@ object TextQueries {
     QueryDef("q_text_lmscore", textLmScore, Some(textLmScoreSql),
       "X4l char-bigram corpus LM fluency score, integer millionths"),
     QueryDef("q_text_entropy", textEntropy, Some(textEntropySql),
-      "X4k character-entropy quality gate per language"))
+      "X4k character-entropy quality gate per language"),
+    QueryDef("q_bpe_pairs", bpePairs, Some(bpePairsSql),
+      "X4m BPE merge-pair statistics over the word dictionary (tokenizer training pass)"))
+
+  // --- X4m: BPE merge-pair statistics --------------------------------------
+
+  /** The statistics pass of byte-pair-encoding tokenizer training: count
+    * every adjacent symbol pair across the corpus and surface the top
+    * merge candidates. Uses the classic BPE factorization — ONE corpus
+    * pass builds the word-frequency DICTIONARY (a hash aggregate over
+    * word types), then pair expansion runs over the dictionary only,
+    * weighted by word frequency: pair_count = Σ_word freq(word) ·
+    * occurrences(pair, word). Every subsequent merge round of a real BPE
+    * trainer re-walks this dictionary (types, not tokens), which is why
+    * training stays tractable at 100 TB: the corpus is touched once, the
+    * per-round cost is |dictionary| — this query IS that round shape.
+    *
+    * Single-character words contribute no pairs and are filtered before
+    * expansion (also required for correctness: Spark's `sequence(1, 0)`
+    * generates a DESCENDING sequence rather than an empty one). All
+    * counts are exact integers. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    words
+      .filter(length($"w") >= 2)
+      .select($"freq", explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair")
+      .agg(sum($"freq").as("n"))
+      .orderBy($"n".desc, $"pair".asc)
+      .limit(20)
+  }
+
+  val bpePairsSql: String =
+    """WITH words AS (
+      |  SELECT w, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0 GROUP BY w),
+      |pairs AS (
+      |  SELECT substring(w, CAST(i AS INT), 2) AS pair, freq
+      |  FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+      |        FROM words WHERE length(w) >= 2))
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+      |FROM pairs GROUP BY pair
+      |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
 
   // --- X4k: character-entropy quality gate --------------------------------
 
