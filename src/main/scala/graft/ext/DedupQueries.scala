@@ -646,7 +646,104 @@ object DedupQueries {
        |JOIN src b ON doc_b = b.doc_id
        |GROUP BY 1, 2 ORDER BY source_1, source_2""".stripMargin
 
+  // --- X2m: banding-config sweep ------------------------------------------
+
+  /** The banding frontier AS DATA — the X2k audit generalized across the
+    * (r rows per band, b = K/r bands) axis every LSH deployment tunes: for
+    * r ∈ {1, 2, 4}, a candidate pair shares at least one of the K/r bands
+    * formed by concatenating r consecutive signature components, under the
+    * SAME capped-bucket discipline as the production pipeline; each config
+    * is scored against the exact J ≥ 0.6 truth
+    * ([[SimJoinQueries.exactPairs]], memoized). Theory says
+    * P(candidate) = 1 − (1 − J^r)^(K/r) — longer bands trade recall for
+    * precision; this row set shows the actual trade on the actual corpus,
+    * which is what picks the config.
+    *
+    * Scale: signatures are the zero-shuffle build; all three configs'
+    * bands ride ONE explode (8+4+2 = 14 rows per doc); buckets stay
+    * cap-bounded per (r, band, value) via [[graft.functions.BoundedCollect]]
+    * (ids-only member form); pair expansion is local to a bucket; the
+    * truth comparison is an equi-join on the pair key plus a 3-row
+    * aggregate. */
+  def dedupBandSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rs = Seq(1, 2, 4)
+    val bandStructs = rs.flatMap { r =>
+      (0 until K / r).map { j =>
+        struct(lit(r).as("r"), lit(j).as("b"),
+          concat((r * j until r * j + r).map(i => col(s"h$i")): _*).as("v"))
+      }
+    }
+    val bands = minhashSigs(s, dir)
+      .select($"doc_id", explode(array(bandStructs: _*)).as("band"))
+      .select($"doc_id", $"band.r".as("r"), $"band.b".as("b"),
+        $"band.v".as("v"))
+    val bounded = udaf(graft.functions.BoundedCollect.docIds(BUCKET_CAP))
+    val members = bands.groupBy($"r", $"b", $"v")
+      .agg(bounded($"doc_id").as("ms"))
+      .filter(size($"ms") >= 2 && size($"ms") <= BUCKET_CAP)
+    val cand = members
+      .select($"r", explode(expr(
+        "flatten(transform(ms, x -> filter(transform(ms, y -> " +
+          "struct(x AS doc_a, y AS doc_b)), p -> p.doc_a < p.doc_b)))"))
+        .as("p"))
+      .select($"r", $"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
+      .distinct()
+    val truth = SimJoinQueries.exactPairs(s, dir)
+      .select($"a_id".as("doc_a"), $"b_id".as("doc_b"), lit(1L).as("e"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    cand.join(truth, Seq("doc_a", "doc_b"), "left")
+      .groupBy($"r")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce($"e", lit(0L))).as("n_both"))
+      .crossJoin(broadcast(nTruth))
+      .select($"r".cast(LongType).as("rows_per_band"),
+        expr(s"$K div r").cast(LongType).as("n_bands"),
+        $"n_cand", $"n_both",
+        expr("n_both * 1000000 div nullif(n_cand, 0)").as("prec_ppm"),
+        expr("n_both * 1000000 div nullif(n_truth, 0)").as("rec_ppm"))
+      .orderBy($"rows_per_band")
+  }
+
+  val dedupBandSweepSql: String = {
+    val rsSeq = Seq(1, 2, 4)
+    val bandsSql = rsSeq.flatMap { r =>
+      (0 until K / r).map { j =>
+        val v = (r * j until r * j + r).map(i => s"h$i").mkString(" || ")
+        s"SELECT doc_id, $r AS r, $j AS b, $v AS v FROM sigs"
+      }
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $minhashSigsSql,
+       |sbands AS (
+       |  $bandsSql),
+       |okb AS (
+       |  SELECT r, b, v FROM sbands GROUP BY r, b, v
+       |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $BUCKET_CAP),
+       |inb AS (SELECT sbands.* FROM sbands JOIN okb USING (r, b, v)),
+       |scand AS (
+       |  SELECT DISTINCT x.r, x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM inb x JOIN inb y
+       |    ON x.r = y.r AND x.b = y.b AND x.v = y.v
+       |    AND x.doc_id < y.doc_id),
+       |${SimJoinQueries.exactTruthCtesSql},
+       |stats AS (
+       |  SELECT c.r, COUNT(*) AS n_cand,
+       |    CAST(SUM(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_both
+       |  FROM scand c
+       |  LEFT JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+       |  GROUP BY 1)
+       |SELECT CAST(r AS BIGINT) AS rows_per_band,
+       |  CAST($K // r AS BIGINT) AS n_bands, n_cand, n_both,
+       |  CAST(n_both * 1000000 // nullif(n_cand, 0) AS BIGINT) AS prec_ppm,
+       |  CAST(n_both * 1000000 // nullif((SELECT COUNT(*) FROM exact), 0)
+       |    AS BIGINT) AS rec_ppm
+       |FROM stats ORDER BY rows_per_band""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_band_sweep", dedupBandSweep, Some(dedupBandSweepSql),
+      "X2m banding-config frontier: per-(r,b) candidate precision/recall vs exact truth"),
     QueryDef("q_dedup_cross_source", dedupCrossSource,
       Some(dedupCrossSourceSql),
       "X2l cross-source near-dup contamination census off the pair table"),

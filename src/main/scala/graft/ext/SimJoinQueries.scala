@@ -257,14 +257,12 @@ object SimJoinQueries {
         expr("n_both * 1000000 div nullif(n_exact, 0)").as("rec_ppm"))
   }
 
-  val dedupEvalSql: String =
-    s"""WITH ${DedupQueries.lshCandCtesSql},
-       |lsh AS (
-       |  SELECT doc_a, doc_b FROM cpairs
-       |  JOIN sigs sa ON doc_a = sa.doc_id
-       |  JOIN sigs sb ON doc_b = sb.doc_id
-       |  WHERE ${DedupQueries.estJaccardSql("sa", "sb")} >= ${2.0 / DedupQueries.K}),
-       |sh AS (
+  /** Shared truth CTE chain — the exact J ≥ 0.6 pair set (`exact`): the
+    * ONE oracle definition of ground truth, interpolated by the X2k audit
+    * and the X2m banding sweep so a threshold change cannot diverge
+    * between them. */
+  private[ext] val exactTruthCtesSql: String =
+    s"""sh AS (
        |  SELECT DISTINCT doc_id, unnest(${DedupQueries.shinglesSql}) AS sh
        |  FROM documents),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -276,7 +274,16 @@ object SimJoinQueries {
        |  SELECT i.doc_a, i.doc_b FROM xinter i
        |  JOIN sizes za ON za.doc_id = i.doc_a
        |  JOIN sizes zb ON zb.doc_id = i.doc_b
-       |  WHERE i.n_inter * ${DEN + NUM} >= (za.n_sh + zb.n_sh) * $NUM),
+       |  WHERE i.n_inter * ${DEN + NUM} >= (za.n_sh + zb.n_sh) * $NUM)""".stripMargin
+
+  val dedupEvalSql: String =
+    s"""WITH ${DedupQueries.lshCandCtesSql},
+       |lsh AS (
+       |  SELECT doc_a, doc_b FROM cpairs
+       |  JOIN sigs sa ON doc_a = sa.doc_id
+       |  JOIN sigs sb ON doc_b = sb.doc_id
+       |  WHERE ${DedupQueries.estJaccardSql("sa", "sb")} >= ${2.0 / DedupQueries.K}),
+       |$exactTruthCtesSql,
        |joined AS (
        |  SELECT COALESCE(l.ok, 0) AS l, COALESCE(e.ok, 0) AS e
        |  FROM (SELECT doc_a, doc_b, 1 AS ok FROM lsh) l

@@ -49,4 +49,12 @@ object BoundedCollect {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[DocSig]]()
 
   def docSigs(cap: Int): BoundedCollect[DocSig] = new BoundedCollect[DocSig](cap)
+
+  /** Ids-only bucket member — for consumers that pair docs without scoring
+    * signatures (e.g. the banding-config sweep). */
+  implicit val longElemEnc: Encoder[Long] = Encoders.scalaLong
+  implicit val longSeqEnc: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+
+  def docIds(cap: Int): BoundedCollect[Long] = new BoundedCollect[Long](cap)
 }

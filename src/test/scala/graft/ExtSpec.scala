@@ -247,6 +247,23 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("X2m banding sweep: 3 config rows, sane ratios, shorter bands recall more") {
+    val rows = DedupQueries.dedupBandSweep(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("rows_per_band")).toSeq === Seq(1L, 2L, 4L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bands") ===
+        8L / r.getAs[Long]("rows_per_band"))
+      assert(r.getAs[Long]("n_both") <= r.getAs[Long]("n_cand"))
+      assert(r.getAs[Long]("rec_ppm") <= 1000000L)
+      assert(r.getAs[Long]("prec_ppm") <= 1000000L)
+    }
+    // banding theory on this (deterministic) corpus: single-component
+    // bands are the recall ceiling of the family
+    val rec = rows.map(_.getAs[Long]("rec_ppm"))
+    assert(rec.head >= rec.last,
+      s"r=1 should out-recall r=4: ${rec.mkString(",")}")
+  }
+
   test("graph tier: degrees and triangles reconcile with the pair set") {
     val pairs = DedupQueries.dedupMinhashLsh(spark, sf).collect()
     val deg = GraphQueries.graphDegrees(spark, sf).collect()

@@ -98,7 +98,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_ann_eval",
       // K-row centroid assignment broadcast + brute-truth subplan, same
       // classes as q_sim_knn_ivf2 / q_ann_eval
-      "q_ann_frontier")
+      "q_ann_frontier",
+      // single-row truth-count broadcast denominator, same class as
+      // q_ann_eval
+      "q_dedup_band_sweep")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
