@@ -403,7 +403,9 @@ object TextQueries {
     QueryDef("q_text_entropy", textEntropy, Some(textEntropySql),
       "X4k character-entropy quality gate per language"),
     QueryDef("q_bpe_pairs", bpePairs, Some(bpePairsSql),
-      "X4m BPE merge-pair statistics over the word dictionary (tokenizer training pass)"))
+      "X4m BPE merge-pair statistics over the word dictionary (tokenizer training pass)"),
+    QueryDef("q_bpe_merge", bpeMerge, Some(bpeMergeSql),
+      "X4n BPE merge application: top pair merged into symbols, pairs recounted"))
 
   // --- X4m: BPE merge-pair statistics --------------------------------------
 
@@ -450,6 +452,84 @@ object TextQueries {
       |        FROM words WHERE length(w) >= 2))
       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
       |FROM pairs GROUP BY pair
+      |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
+
+  // --- X4n: BPE merge application ------------------------------------------
+
+  /** One full BPE merge round: the winning pair of [[bpePairs]] is merged
+    * into a single symbol in every dictionary word (left-to-right,
+    * non-overlapping — the standard BPE application order), and adjacent
+    * SYMBOL pairs are recounted over the updated dictionary. The merge is
+    * applied with pure string algebra both engines share: a word's symbol
+    * sequence is its characters joined with `|`, the merge is one literal
+    * `replace('x|y' → 'xy')` (literal replace is LTR non-overlapping in
+    * both engines, and a merged 2-char symbol can never re-match the
+    * 1-char pattern — exactly the overlap rule BPE requires), and round-2
+    * pairs label as `sym+sym` so multi-char symbols stay unambiguous.
+    *
+    * Together with [[bpePairs]] this is the full training iteration shape:
+    * count → argmax → apply → recount, every step dictionary-bounded (word
+    * TYPES, not corpus tokens), which is what lets real BPE training loop
+    * thousands of merges over a 100-TB corpus after ONE corpus pass. */
+  def bpeMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    val top = words
+      .filter(length($"w") >= 2)
+      .select($"freq", explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(sum($"freq").as("n"))
+      .orderBy($"n".desc, $"pair".asc)
+      .limit(1)
+      .select($"pair")
+    words
+      .crossJoin(broadcast(top))
+      .withColumn("syms", split(
+        replace(concat_ws("|", split($"w", "")),
+          concat(substring($"pair", 1, 1), lit("|"), substring($"pair", 2, 1)),
+          $"pair"),
+        "\\|"))
+      .filter(size($"syms") >= 2)
+      .select($"freq", explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> concat(element_at(syms, i), '+', element_at(syms, i + 1)))"))
+        .as("pair"))
+      .groupBy($"pair").agg(sum($"freq").as("n"))
+      .orderBy($"n".desc, $"pair".asc)
+      .limit(20)
+  }
+
+  val bpeMergeSql: String =
+    """WITH words AS (
+      |  SELECT w, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0 GROUP BY w),
+      |top1 AS (
+      |  SELECT pair FROM (
+      |    SELECT substring(w, CAST(i AS INT), 2) AS pair,
+      |      CAST(SUM(freq) AS BIGINT) AS n
+      |    FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+      |          FROM words WHERE length(w) >= 2)
+      |    GROUP BY 1)
+      |  ORDER BY n DESC, pair ASC LIMIT 1),
+      |merged AS (
+      |  SELECT freq, string_split(
+      |    replace(array_to_string(string_split(w, ''), '|'),
+      |      substring(pair, 1, 1) || '|' || substring(pair, 2, 1), pair),
+      |    '|') AS syms
+      |  FROM words, top1),
+      |pairs2 AS (
+      |  SELECT syms[CAST(i AS INT)] || '+' || syms[CAST(i + 1 AS INT)] AS pair,
+      |    freq
+      |  FROM (SELECT freq, syms,
+      |          unnest(generate_series(1, len(syms) - 1)) AS i
+      |        FROM merged WHERE len(syms) >= 2))
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+      |FROM pairs2 GROUP BY pair
       |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
 
   // --- X4k: character-entropy quality gate --------------------------------

@@ -101,7 +101,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_ann_frontier",
       // single-row truth-count broadcast denominator, same class as
       // q_ann_eval
-      "q_dedup_band_sweep")
+      "q_dedup_band_sweep",
+      // single-row winning-merge broadcast crossed onto the dictionary —
+      // same class as q_merge_upsert's max key
+      "q_bpe_merge")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
