@@ -105,7 +105,49 @@ object Profiler {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Join-key skew census over the J2 fact join key — the pre-flight a
+    * pipeline runs BEFORE deciding whether a join needs the salting path
+    * ([[graft.operators.Salting]]) or AQE's skew handling: total rows,
+    * key-dictionary size, the heaviest key's row count and corpus share
+    * (integer ppm), and how many keys run hotter than 2× the mean
+    * (compared by exact cross-multiplication, no float division).
+    *
+    * Scale: one hash aggregate builds the per-key dictionary (partial
+    * aggregation absorbs the skew this query measures); the census is a
+    * single-row aggregate over the dictionary with the totals attached as
+    * a single-row broadcast. */
+  def skewCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perKey = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("c"))
+    val totals = perKey.agg(sum($"c").as("n_rows"),
+      count(lit(1)).as("n_keys"), max($"c").as("mx"))
+    perKey.crossJoin(broadcast(totals))
+      .groupBy($"n_rows", $"n_keys", $"mx")
+      .agg(sum(when($"c" * $"n_keys" > $"n_rows" * 2, 1L).otherwise(0L))
+        .as("n_hot_keys"))
+      .select($"n_rows", $"n_keys", $"mx".as("max_key_rows"),
+        expr("mx * 1000000 div n_rows").as("max_share_ppm"),
+        $"n_hot_keys")
+  }
+
+  val skewCensusSql: String =
+    """WITH per_key AS (
+      |  SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+      |    CAST(MAX(c) AS BIGINT) AS mx
+      |  FROM per_key)
+      |SELECT n_rows, n_keys, mx AS max_key_rows,
+      |  CAST(mx * 1000000 // n_rows AS BIGINT) AS max_share_ppm,
+      |  CAST(SUM(CASE WHEN c * n_keys > n_rows * 2 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hot_keys
+      |FROM per_key, tot
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_profile_lineitem", profileLineitem, Some(profileLineitemSql),
-      "single-pass per-column data-quality profile"))
+      "single-pass per-column data-quality profile"),
+    QueryDef("q_skew_census", skewCensus, Some(skewCensusSql),
+      "join-key skew census: heaviest-key share + hot-key count, the salting pre-flight"))
 }

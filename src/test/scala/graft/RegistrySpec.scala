@@ -104,7 +104,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_dedup_band_sweep",
       // single-row winning-merge broadcast crossed onto the dictionary —
       // same class as q_merge_upsert's max key
-      "q_bpe_merge")
+      "q_bpe_merge",
+      // single-row totals broadcast crossed onto the key dictionary —
+      // same class as q_geo_density's occupancy stats
+      "q_skew_census")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
