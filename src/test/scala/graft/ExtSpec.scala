@@ -247,6 +247,46 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("X4m/X4n BPE: merge eliminates the winning pair; counts match a local recount") {
+    val r1 = TextQueries.bpePairs(spark, sf).collect()
+    assert(r1.length === 20)
+    val counts = r1.map(_.getAs[Long]("n"))
+    assert(counts.sameElements(counts.sortBy(-(_: Long))))
+    val top = r1.head.getAs[String]("pair")
+    assert(top.length === 2)
+    val r2 = TextQueries.bpeMerge(spark, sf).collect()
+    // LTR non-overlapping application removes EVERY adjacent occurrence of
+    // the winning pair: its symbol-pair label cannot appear in round 2
+    val topLabel = s"${top(0)}+${top(1)}"
+    assert(!r2.map(_.getAs[String]("pair")).contains(topLabel),
+      s"winning pair $topLabel survived its own merge")
+    // round-2 counts agree with a local dictionary recount
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val local = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, freq) =>
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      w.foreach { c =>
+        if (syms.nonEmpty && syms.last == top(0).toString &&
+            c == top(1)) { syms(syms.length - 1) = top }
+        else syms += c.toString
+      }
+      syms.sliding(2).foreach { p =>
+        if (p.length == 2) {
+          val k = s"${p(0)}+${p(1)}"
+          local(k) = local.getOrElse(k, 0L) + freq
+        }
+      }
+    }
+    r2.foreach { r =>
+      assert(r.getAs[Long]("n") === local(r.getAs[String]("pair")),
+        r.getAs[String]("pair"))
+    }
+  }
+
   test("X2m banding sweep: 3 config rows, sane ratios, shorter bands recall more") {
     val rows = DedupQueries.dedupBandSweep(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("rows_per_band")).toSeq === Seq(1L, 2L, 4L))
