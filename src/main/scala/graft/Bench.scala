@@ -73,6 +73,14 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (t, v) => s"\"" + t + "\":" + v }
       .mkString("{", ",", "}")
+    // Queries whose pass-1 time absorbed a session-memoized shared build
+    // (jump state, trained IVF index, minhash pairs, per-doc scorers):
+    // flagged heuristically from the raw pair so cross-round per-query
+    // deltas can be interpreted — a large pass1/pass2 gap on a memo
+    // consumer is build cost, not plan drift.
+    val absorbers = raw.collect {
+      case (n, (t1, t2)) if t1 - t2 > 1.0 && t2 > 0 && t1 / t2 > 3.0 => n
+    }.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full form (with the per-query map, ~3.5 KB) goes to the file and the
     // stderr sentinel; the driver's stdout tail capture is only 2,000 chars,
@@ -83,7 +91,7 @@ object Bench {
     // let Catalyst prune unreferenced expensive columns — per-query times
     // are NOT comparable across that boundary.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2","queries":$qs,"raw":$rawJson,"tiers":$tiers,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2","queries":$qs,"raw":$rawJson,"tiers":$tiers,"warmup_absorbers":$absorbers,"sf":"$sfDir"}"""
     val compactJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -405,7 +405,9 @@ object TextQueries {
     QueryDef("q_bpe_pairs", bpePairs, Some(bpePairsSql),
       "X4m BPE merge-pair statistics over the word dictionary (tokenizer training pass)"),
     QueryDef("q_bpe_merge", bpeMerge, Some(bpeMergeSql),
-      "X4n BPE merge application: top pair merged into symbols, pairs recounted"))
+      "X4n BPE merge application: top pair merged into symbols, pairs recounted"),
+    QueryDef("q_bpe_train", bpeTrain, Some(bpeTrainSql),
+      "X4o multi-round BPE training: ordered merge table over N checkpointed rounds"))
 
   // --- X4m: BPE merge-pair statistics --------------------------------------
 
@@ -467,6 +469,13 @@ object TextQueries {
     * 1-char pattern — exactly the overlap rule BPE requires), and round-2
     * pairs label as `sym+sym` so multi-char symbols stay unambiguous.
     *
+    * The string algebra reserves `|` (symbol delimiter) and `+` (pair
+    * label separator): a corpus word containing either would corrupt the
+    * merge/labels, so such words are excluded from the dictionary up
+    * front — identically on both engines, keeping the oracle exact. The
+    * general-alphabet form is [[bpeTrain]], whose non-printable sentinel
+    * and (ls, rs) columns avoid reserved printable characters entirely.
+    *
     * Together with [[bpePairs]] this is the full training iteration shape:
     * count → argmax → apply → recount, every step dictionary-bounded (word
     * TYPES, not corpus tokens), which is what lets real BPE training loop
@@ -475,7 +484,7 @@ object TextQueries {
     import s.implicits._
     val words = Tables.documents(s, dir)
       .select(explode(split($"text", " ")).as("w"))
-      .filter(length($"w") > 0)
+      .filter(length($"w") > 0 && !$"w".contains("|") && !$"w".contains("+"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
     val top = words
       .filter(length($"w") >= 2)
@@ -507,7 +516,8 @@ object TextQueries {
     """WITH words AS (
       |  SELECT w, COUNT(*) AS freq FROM (
       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      |  WHERE length(w) > 0 GROUP BY w),
+      |  WHERE length(w) > 0 AND NOT contains(w, '|') AND NOT contains(w, '+')
+      |  GROUP BY w),
       |top1 AS (
       |  SELECT pair FROM (
       |    SELECT substring(w, CAST(i AS INT), 2) AS pair,
@@ -531,6 +541,120 @@ object TextQueries {
       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
       |FROM pairs2 GROUP BY pair
       |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
+
+  // --- X4o: multi-round BPE training ---------------------------------------
+
+  /** Number of merge rounds [[bpeTrain]] runs; the oracle SQL is unrolled to
+    * the same depth, so both derive from this one constant. */
+  val BpeTrainRounds = 4
+
+  /** Non-printable symbol delimiter for [[bpeTrain]]'s dictionary strings.
+    * Corpus words containing it are excluded (identically in the oracle);
+    * unlike [[bpeMerge]]'s printable `|`/`+` it can't collide with real
+    * text, and merge output uses (ls, rs) columns so no label separator is
+    * needed at all. */
+  private val BpeSent = "\u0001"
+
+  /** Canonical left-to-right greedy application of one merge (ls, rs) to a
+    * symbol sequence held as a sentinel-joined string: fold over the
+    * symbols, merging when the accumulated string's LAST symbol is `ls`
+    * and the next symbol is `rs`. Because symbols never contain the
+    * sentinel, `endswith(acc, sent || ls)` is exactly "last symbol == ls",
+    * and a just-merged symbol (`ls || rs`) can never re-match as `ls` —
+    * the scan continues after the merged pair, which is the canonical BPE
+    * overlap rule (e.g. `aaaaa` + (a,a) → `aa aa a`). DuckDB's
+    * `list_reduce` shares the first-element-as-init convention with the
+    * `slice`-based init here, so both engines run the identical fold. */
+  private val bpeFoldExpr: String =
+    """aggregate(slice(s, 2, size(s) - 1), element_at(s, 1),
+      |  (acc, x) -> CASE
+      |    WHEN x = rs AND acc = ls THEN concat(ls, rs)
+      |    WHEN x = rs AND endswith(acc, concat(char(1), ls))
+      |      THEN concat(substring(acc, 1, length(acc) - length(ls)), ls, rs)
+      |    ELSE concat(acc, char(1), x) END)""".stripMargin
+
+  /** Full multi-round BPE tokenizer training: [[BpeTrainRounds]] bounded,
+    * checkpointed count→argmax→apply rounds over the word-TYPE dictionary,
+    * emitting the ordered merge table — the vocab artifact a tokenizer
+    * training job actually ships. Composes the [[bpePairs]] statistics
+    * pass and the [[bpeMerge]] application round into the real training
+    * loop: the corpus is touched ONCE (the word-frequency hash aggregate);
+    * every round after that is dictionary-bounded (pair explode + argmax +
+    * a per-word fold), which is precisely why BPE training stays tractable
+    * at 100 TB — thousands of merges cost |dictionary| each, not |corpus|.
+    * Each round's dictionary and winning pair go through
+    * [[graft.GraftSession.ckpt]] (the CC/hierarchy iteration discipline),
+    * so lineage stays flat and, in reliable-checkpoint mode, an executor
+    * loss costs one round, not the loop.
+    *
+    * Ties in the argmax break on (n DESC, ls ASC, rs ASC) — a total order,
+    * so the merge table is deterministic on both engines. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0 && !$"w".contains(BpeSent))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    var dict = words.select(concat_ws(BpeSent, split($"w", "")).as("d"), $"freq")
+    var out: DataFrame = null
+    for (r <- 1 to BpeTrainRounds) {
+      val syms = dict.withColumn("s", split($"d", BpeSent))
+      val top = graft.GraftSession.ckpt(
+        syms.filter(size($"s") >= 2)
+          .select($"freq", explode(expr(
+            "transform(sequence(1, size(s) - 1), " +
+              "i -> named_struct('ls', element_at(s, i), 'rs', element_at(s, i + 1)))"))
+            .as("p"))
+          .groupBy($"p.ls".as("ls"), $"p.rs".as("rs"))
+          .agg(sum($"freq").as("n"))
+          .orderBy($"n".desc, $"ls".asc, $"rs".asc)
+          .limit(1))
+      val row = top.select(lit(r.toLong).as("round"), $"ls", $"rs", $"n")
+      out = if (out == null) row else out.unionByName(row)
+      if (r < BpeTrainRounds)
+        dict = graft.GraftSession.ckpt(
+          syms.crossJoin(broadcast(top.select($"ls", $"rs")))
+            .select(expr(bpeFoldExpr).as("d"), $"freq"))
+    }
+    out.orderBy($"round")
+  }
+
+  /** DuckDB mirror of [[bpeTrain]]: the same [[BpeTrainRounds]] rounds
+    * unrolled as CTEs (the `q_sim_knn_ivf2` Lloyd-round precedent), with
+    * `list_reduce` running the identical merge fold. */
+  val bpeTrainSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH words AS (
+        |  SELECT w, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 AND NOT contains(w, chr(1)) GROUP BY w),
+        |syms1 AS (SELECT string_split(w, '') AS s, freq FROM words)""".stripMargin)
+    for (r <- 1 to BpeTrainRounds) {
+      sb.append(s""",
+        |top$r AS (
+        |  SELECT ls, rs, CAST(SUM(freq) AS BIGINT) AS n
+        |  FROM (SELECT s[CAST(i AS INT)] AS ls, s[CAST(i + 1 AS INT)] AS rs, freq
+        |        FROM (SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i
+        |              FROM syms$r WHERE len(s) >= 2))
+        |  GROUP BY ls, rs ORDER BY n DESC, ls ASC, rs ASC LIMIT 1)""".stripMargin)
+      if (r < BpeTrainRounds)
+        sb.append(s""",
+          |syms${r + 1} AS (
+          |  SELECT string_split(list_reduce(s, (acc, x) -> CASE
+          |      WHEN x = rs AND acc = ls THEN ls || rs
+          |      WHEN x = rs AND ends_with(acc, chr(1) || ls)
+          |        THEN substr(acc, 1, length(acc) - length(ls)) || ls || rs
+          |      ELSE acc || chr(1) || x END), chr(1)) AS s, freq
+          |  FROM syms$r, top$r)""".stripMargin)
+    }
+    sb.append("\nSELECT * FROM (")
+    sb.append((1 to BpeTrainRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, ls, rs, n FROM top$r")
+      .mkString("\nUNION ALL "))
+    sb.append(") ORDER BY round")
+    sb.toString
+  }
 
   // --- X4k: character-entropy quality gate --------------------------------
 

@@ -287,6 +287,47 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("X4o BPE training: merge table matches a local reference trainer") {
+    val rows = TextQueries.bpeTrain(spark, sf).collect()
+    assert(rows.length === TextQueries.BpeTrainRounds)
+    assert(rows.map(_.getAs[Long]("round")).toSeq ===
+      (1 to TextQueries.BpeTrainRounds).map(_.toLong))
+    // local reference: canonical greedy-LTR BPE over the word-type dictionary
+    var dict: Array[(Vector[String], Long)] = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).count()
+      .collect().map(r => r.getString(0).toVector.map(_.toString) -> r.getLong(1))
+    rows.foreach { row =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, freq) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + freq
+        }
+      }
+      val ((ls, rs), n) =
+        counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+      val r = row.getAs[Long]("round")
+      assert(row.getAs[String]("ls") === ls, s"round $r ls")
+      assert(row.getAs[String]("rs") === rs, s"round $r rs")
+      assert(row.getAs[Long]("n") === n, s"round $r n")
+      dict = dict.map { case (syms, freq) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == ls && x == rs)
+            out(out.length - 1) = ls + rs
+          else out += x
+        }
+        (out.toVector, freq)
+      }
+    }
+    // round 1 is exactly q_bpe_pairs' argmax (the composed-loop contract)
+    val p1 = TextQueries.bpePairs(spark, sf).collect().head
+    assert(rows(0).getAs[String]("ls") + rows(0).getAs[String]("rs") ===
+      p1.getAs[String]("pair"))
+    assert(rows(0).getAs[Long]("n") === p1.getAs[Long]("n"))
+  }
+
   test("X2m banding sweep: 3 config rows, sane ratios, shorter bands recall more") {
     val rows = DedupQueries.dedupBandSweep(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("rows_per_band")).toSeq === Seq(1L, 2L, 4L))

@@ -105,6 +105,9 @@ class RegistrySpec extends AnyFunSuite {
       // single-row winning-merge broadcast crossed onto the dictionary —
       // same class as q_merge_upsert's max key
       "q_bpe_merge",
+      // the same single-row winning-merge broadcast, once per training
+      // round (the composed multi-round form of q_bpe_merge)
+      "q_bpe_train",
       // single-row totals broadcast crossed onto the key dictionary —
       // same class as q_geo_density's occupancy stats
       "q_skew_census")
@@ -121,6 +124,20 @@ class RegistrySpec extends AnyFunSuite {
       cart ++ bnlj
     }
     assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  test("bench tier attribution is total: no query can fall into 'other'") {
+    // Bench maps each query to its tier via Registry.tierOf with an
+    // "other" fallback; the per-tier subtotals are the drift-attribution
+    // tool, so an unmapped query would silently pollute them. Every
+    // declared query must resolve to a real tier.
+    val tierOf = Registry.tierOf
+    val unmapped = SparkEntry.queries.keySet.filterNot(tierOf.contains)
+    assert(unmapped.isEmpty, s"queries without a tier: ${unmapped.mkString(", ")}")
+    // and the check itself can fail: a name outside the registry is unmapped
+    assert(!tierOf.contains("q_registry_spec_synthetic_unmapped"))
+    assert((SparkEntry.queries.keySet + "q_registry_spec_synthetic_unmapped")
+      .filterNot(tierOf.contains) === Set("q_registry_spec_synthetic_unmapped"))
   }
 
   test("driver entry runs and returns rows (smoke contract)") {
