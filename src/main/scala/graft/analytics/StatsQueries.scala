@@ -268,60 +268,81 @@ object StatsQueries {
   // --- ST5b: distributed exact quantiles ----------------------------------
 
   /** The same ⌈q·n⌉ order statistics as [[exactQuantiles]], computed so
-    * that NO single reducer ever sorts a whole group — the scale path
-    * ST5's caveat promised (with a handful of event types, ST5's
-    * per-type window puts a type's entire population on one task).
+    * that no single reducer ever sorts a whole group — and in this form
+    * so that NO row-level sort happens at all: quantile VALUES are read
+    * off cumulative histograms, never picked by ranking fact rows.
     *
-    * Two passes over the facts:
-    *   1. Range histogram: each row lands in a fixed-width value bucket
-    *      (`cents >> 10`, an arithmetic shift = floor-division, monotone
-    *      in cents so bucket order IS value order); one hash aggregate
-    *      yields per-(type, bucket) counts — a table of size
-    *      |types|·|occupied buckets|, independent of row count.
-    *   2. Rank refinement: running totals over that SMALL histogram find,
-    *      for every target rank k = (q·n) computed integer-exactly, the
-    *      one bucket containing it and the rank REMAINING inside that
-    *      bucket (k minus rows in all earlier buckets). Only owning
-    *      buckets' rows survive a broadcast semi-join, and the final
-    *      row_number window partitions by (type, bucket) — each sorted
-    *      partition holds one bucket's occupancy (corpus/2^10-ish rows),
-    *      never a type's population. Equal values share a bucket by
-    *      construction, so the event_id tiebreak stays inside one
-    *      partition and the picked value is identical to ST5's.
+    * Three hash-aggregate passes over the facts:
+    *   1. Envelope: per-type (min, max, n). The bucket width derives from
+    *      the ACTUAL value range — `w1 = (hi - lo) div 1024 + 1` — so the
+    *      histogram spans ~1024 occupied buckets however the values are
+    *      distributed. (The round-8 fixed `cents >> 10` shift assumed a
+    *      roughly uniform spread; a heavy-tailed range could concentrate
+    *      one bucket.)
+    *   2. Range histogram: per-(type, bucket) counts; running totals over
+    *      this SMALL table locate, for each target rank k = ⌈q·n⌉
+    *      (integer-exact), the owning bucket and the rank remaining
+    *      inside it (k minus rows in all earlier buckets).
+    *   3. Value refinement: a per-VALUE histogram inside owning buckets
+    *      only (a broadcast semi-join keeps every other bucket out of the
+    *      shuffle). The running total over its DISTINCT values yields the
+    *      answer directly — the value v with cum(<v) < local_rank ≤
+    *      cum(≤v). Equal values collapse to one histogram row, so
+    *      value-frequency skew (the worst case for any sort-based rank:
+    *      millions of rows tied at one value) SHRINKS this input instead
+    *      of concentrating a partition; the refinement window reads at
+    *      most min(w1, |bucket rows|) rows however skewed the data.
     *
-    * The oracle is ST5's own SQL — the point is plan shape, not new
-    * semantics; a dedicated spec pins row-for-row equality with ST5 and
-    * the bucketed window in the plan. */
+    * No row_number over facts and no event_id tiebreak: all rows tied at
+    * a value share that value, so the histogram pick emits exactly ST5's
+    * value at every rank. The oracle is ST5's own SQL — the point is
+    * plan shape, not new semantics; the spec pins row-for-row equality
+    * with ST5, the rank-window-free plan, and the tie-collapse bound
+    * under a deliberately skewed distribution. */
   def exactQuantilesDist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def facts = Tables.events(s, dir)
-      .select($"event_type", $"event_id",
-        expr("cast(round(value * 100) as bigint)").as("cents"))
-      .withColumn("bucket", shiftright($"cents", 10))
-    // pass 1: the range histogram (small)
-    val hist = facts.groupBy($"event_type", $"bucket")
-      .agg(count(lit(1)).as("c"))
+    exactQuantilesOf(Tables.events(s, dir)
+      .select($"event_type",
+        expr("cast(round(value * 100) as bigint)").as("cents")))
+  }
+
+  /** [[exactQuantilesDist]]'s engine over an arbitrary (event_type,
+    * cents) fact set — factored out so specs can feed adversarially
+    * skewed distributions. */
+  private[graft] def exactQuantilesOf(facts: DataFrame): DataFrame = {
+    val s = facts.sparkSession
+    import s.implicits._
+    // pass 1: per-type envelope → range-adaptive bucket width
+    val stats = facts.groupBy($"event_type")
+      .agg(min($"cents").as("lo"), max($"cents").as("hi"),
+        count(lit(1)).as("n"))
+      .withColumn("w1", expr("(hi - lo) div 1024 + 1"))
+    val bucketed = facts
+      .join(broadcast(stats.select($"event_type", $"lo", $"w1")),
+        Seq("event_type"))
+      .withColumn("bucket", expr("(cents - lo) div w1"))
+    // pass 2: the range histogram (≤ ~1025 buckets per type)
     val wb = Window.partitionBy($"event_type").orderBy($"bucket")
-    val cum = hist
+    val targets = bucketed.groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum($"c").over(wb))
-      .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
-    // locate each target rank's owning bucket + within-bucket rank
-    val targets = cum
+      .join(broadcast(stats.select($"event_type", $"n")), Seq("event_type"))
       .select($"event_type", $"bucket", $"c", $"cum", $"n",
         explode(expr("array(1, 5, 9)")).as("k"))
       .withColumn("krank", expr("(k * n + 9) div 10"))
       .filter($"krank" > $"cum" - $"c" && $"krank" <= $"cum")
       .select($"event_type", $"bucket", $"k",
         ($"krank" - ($"cum" - $"c")).as("local_rank"))
-    // pass 2: rank only inside owning buckets
-    val wLocal = Window.partitionBy($"event_type", $"bucket")
-      .orderBy($"cents", $"event_id")
-    facts
+    // pass 3: per-VALUE refinement histogram inside owning buckets only
+    val wv = Window.partitionBy($"event_type", $"bucket").orderBy($"cents")
+    bucketed
       .join(broadcast(targets.select($"event_type", $"bucket").distinct()),
         Seq("event_type", "bucket"), "left_semi")
-      .withColumn("lrn", row_number().over(wLocal).cast(LongType))
+      .groupBy($"event_type", $"bucket", $"cents")
+      .agg(count(lit(1)).as("vc"))
+      .withColumn("vcum", sum($"vc").over(wv))
       .join(broadcast(targets), Seq("event_type", "bucket"))
-      .filter($"lrn" === $"local_rank")
+      .filter($"local_rank" > $"vcum" - $"vc" && $"local_rank" <= $"vcum")
       .select($"event_type", ($"k".cast(DoubleType) / 10).as("q"),
         $"cents".as("value_cents"))
       .orderBy($"event_type", $"q")

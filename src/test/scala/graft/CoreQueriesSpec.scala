@@ -455,27 +455,48 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("ST5b distributed quantiles equal ST5 row-for-row; window is bucketed") {
+  test("ST5b distributed quantiles equal ST5 row-for-row; plan is rank-window-free") {
     import graft.analytics.StatsQueries
     val st5 = StatsQueries.exactQuantiles(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
     val dist = StatsQueries.exactQuantilesDist(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
     assert(dist.toSeq === st5.toSeq)
-    // the fact-grain rank window partitions by (type, BUCKET) — a bucket's
-    // occupancy per sorted partition, never a type's whole population
+    // no fact-grain rank anywhere: values come off cumulative histograms,
+    // so the only windows run over per-bucket / per-value aggregates
     val plan = StatsQueries.exactQuantilesDist(spark, sf)
       .queryExecution.executedPlan.toString
-    val rankWindows = "Window \\[row_number[^\\n]*".r.findAllIn(plan).toSeq
-    assert(rankWindows.nonEmpty)
-    rankWindows.foreach { w =>
-      assert(w.contains("bucket#"), s"unbucketed fact-grain rank window:\n$w")
-    }
+    assert(!plan.contains("row_number"), s"rank window survived:\n$plan")
     // ST5 (the semantics oracle) is exactly the shape ST5b removes:
     val st5Plan = StatsQueries.exactQuantiles(spark, sf)
       .queryExecution.executedPlan.toString
     assert("Window \\[row_number[^\\n]*".r.findAllIn(st5Plan)
       .exists(!_.contains("bucket#")))
+  }
+
+  test("ST5b skew bound: heavy value ties collapse the refinement input") {
+    import graft.analytics.StatsQueries
+    import spark.implicits._
+    // Adversarial shape for any fixed-width or sort-based plan: 50k rows
+    // tied at one value plus a sparse tail spanning a 500M-cent range.
+    // The round-8 fixed `cents >> 10` shift would drop ~all rows in one
+    // bucket; the adaptive width + per-VALUE refinement reduce the
+    // owning bucket's refinement input to ONE histogram row.
+    val tied = Seq.fill(50000)(("skew", 700L))
+    val tail = (1 to 500).map(i => ("skew", i * 1000000L))
+    val facts = (tied ++ tail).toDF("event_type", "cents").repartition(8)
+    val rows = StatsQueries.exactQuantilesOf(facts).collect()
+    val vs = (tied ++ tail).map(_._2).sorted.toIndexedSeq
+    val n = vs.length
+    val expect = Seq(1, 5, 9).map(k => (k / 10.0, vs((k * n + 9) / 10 - 1)))
+    assert(rows.map(r => (r.getDouble(1), r.getLong(2))).toSeq === expect)
+    // the bound itself: the p50 owning bucket holds 50k rows but exactly
+    // one DISTINCT value — the refinement window reads 1 row, not 50k
+    val w1 = (vs.last - vs.head) / 1024 + 1
+    val medBucket = (700L - vs.head) / w1
+    val inBucket = vs.filter(v => (v - vs.head) / w1 == medBucket)
+    assert(inBucket.length === 50000)
+    assert(inBucket.distinct.length === 1)
   }
 
   test("ST1/ST2: basket pairs and chi-square reconcile") {
