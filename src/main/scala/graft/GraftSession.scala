@@ -38,8 +38,37 @@ object GraftSession {
     }
   }
 
-  private val statsDone =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Session-scoped memo store: one value map per LIVE SparkSession,
+    * weak-keyed on the session instance itself (SparkSession does not
+    * override equals, so WeakHashMap gives identity semantics). Guards the
+    * two failure modes of identityHashCode-keyed string maps: a stopped,
+    * GC'd session's identity hash being reused by a new session — which
+    * would be handed DataFrames bound to dead (local)checkpoint blocks —
+    * and entries pinning checkpointed data for the JVM lifetime. Entries
+    * become unreachable with their session. */
+  private val sessionMemos =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, AnyRef]]()
+
+  /** Memoize `build` per (live session, key). A failed build records
+    * nothing (the next caller retries). Builds are serialized per session
+    * under a reentrant lock, so a build may itself consult the memo —
+    * concurrent first callers block until the value exists, the
+    * computeIfAbsent contract the former per-module maps relied on. */
+  def memo[A <: AnyRef](s: SparkSession, key: String)(build: => A): A = {
+    val m = sessionMemos.synchronized {
+      var mm = sessionMemos.get(s)
+      if (mm == null) {
+        mm = new java.util.HashMap[String, AnyRef]()
+        sessionMemos.put(s, mm)
+      }
+      mm
+    }
+    m.synchronized {
+      var v = m.get(key)
+      if (v == null) { v = build; m.put(key, v) }
+      v.asInstanceOf[A]
+    }
+  }
 
   /** Fingerprint a set of tables' parquet files (names/sizes/mtimes) so a
     * regenerated sf dir yields a different cache key — the same staleness
@@ -67,7 +96,7 @@ object GraftSession {
   def ensureStats(spark: SparkSession, dir: String,
       tables: Seq[String]): String = {
     val key = contentKey(dir, tables)
-    statsDone.computeIfAbsent(s"${System.identityHashCode(spark)}|$key", _ => {
+    memo(spark, s"cbo_stats|$key") {
       val prefix = s"cbo_${key}_"
       tables.foreach { t =>
         val name = prefix + t
@@ -76,7 +105,7 @@ object GraftSession {
         spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
       }
       prefix
-    })
+    }
   }
 
   /** Lineage-flattening checkpoint for iterative operators (pointer-jump
@@ -93,13 +122,31 @@ object GraftSession {
     * checkpoint there instead — executor loss then costs re-reading one
     * round's files, never restarting the whole iteration. Off by default
     * because each reliable round pays a full write+read round-trip, which
-    * only buys anything when executors can actually be lost. */
+    * only buys anything when executors can actually be lost.
+    *
+    * The SparkContext checkpoint dir is applied on FIRST use and
+    * SparkContext offers no unset — a later, different
+    * `spark.graft.checkpoint.dir` cannot take effect for the context's
+    * lifetime, so such a mismatch is loudly warned rather than silently
+    * ignored. Checkpoint files accumulate per round: long-lived sessions
+    * should enable `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * (files are then removed when the checkpointed RDD is GC'd) or point
+    * the dir at storage with a retention/TTL policy. */
   def ckpt(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.checkpoint.dir").filter(_.nonEmpty) match {
       case Some(d) =>
-        if (s.sparkContext.getCheckpointDir.isEmpty)
-          s.sparkContext.setCheckpointDir(d)
+        val sc = s.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        // setCheckpointDir stores the path fully qualified (e.g. a file:
+        // scheme prefix), so compare with that tolerance
+        else if (!sc.getCheckpointDir.exists(cur =>
+            cur == d || cur.stripPrefix("file:") == d || cur.endsWith(d)))
+          System.err.println(
+            s"[graft] WARNING: spark.graft.checkpoint.dir=$d differs from " +
+              s"the context's established checkpoint dir " +
+              s"${sc.getCheckpointDir.get}; SparkContext offers no reset — " +
+              "reliable checkpoints keep writing to the established dir")
         df.checkpoint()
       case None => df.localCheckpoint()
     }

@@ -36,13 +36,11 @@ object HierarchyQueries {
     * projection: closure reads `dist`, paths reads `pth`. The extra path
     * column costs R1 nothing material (it is Σ depth(n) characters,
     * the same order as the state itself). */
-  private val jumpCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def jumpState(s: SparkSession, dir: String): DataFrame =
-    jumpCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|" +
-        graft.GraftSession.contentKey(dir, Seq("orders")),
-      _ => graft.GraftSession.ckpt(jumpStatePlan(s, dir)))
+    graft.GraftSession.memo(s, "hierarchy_jump|" +
+        graft.GraftSession.contentKey(dir, Seq("orders"))) {
+      graft.GraftSession.ckpt(jumpStatePlan(s, dir))
+    }
 
   /** The un-memoized jump build (PlanShapeSpec pins its shape).
     *

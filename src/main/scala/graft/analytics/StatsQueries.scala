@@ -34,13 +34,11 @@ object StatsQueries {
   /** The mined top-20 pair table is consumed by ST1 AND ST10 — memoized
     * per (session, lineitem content), the minhashPairs pattern, so the
     * quadratic-in-basket expansion runs once per session. */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def topPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|" +
-        graft.GraftSession.contentKey(dir, Seq("lineitem")),
-      _ => topPairsPlan(s, dir).localCheckpoint())
+    graft.GraftSession.memo(s, "basket_top_pairs|" +
+        graft.GraftSession.contentKey(dir, Seq("lineitem"))) {
+      topPairsPlan(s, dir).localCheckpoint()
+    }
 
   /** The un-memoized mining plan (PlanShapeSpec pins its shape). */
   private[graft] def topPairsPlan(s: SparkSession, dir: String): DataFrame = {

@@ -123,18 +123,16 @@ object DedupQueries {
     * pipeline all consume it — so, like the cluster table below, it
     * materializes once per (session, dir) (localCheckpoint) instead of
     * re-running the LSH plan per consumer. */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   // Key on the documents.parquet content fingerprint (names/sizes/mtimes),
   // not the directory path alone — a regenerated sf dir in the same JVM
   // must NOT serve stale checkpointed pairs (same staleness contract as
-  // ensureStats / dppFactsPath).
-  private def docsKey(s: SparkSession, dir: String): String =
-    s"${System.identityHashCode(s)}|" +
-      graft.GraftSession.contentKey(dir, Seq("documents"))
+  // ensureStats / dppFactsPath). Session scoping (and death-with-session)
+  // comes from GraftSession.memo's weak keying.
   private[ext] def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent(docsKey(s, dir), _ =>
-      minhashPairsPlan(s, dir).localCheckpoint())
+    graft.GraftSession.memo(s, "minhash_pairs|" +
+        graft.GraftSession.contentKey(dir, Seq("documents"))) {
+      minhashPairsPlan(s, dir).localCheckpoint()
+    }
 
   /** The un-materialized LSH pair plan ([[dedupMinhashLsh]] without the
     * presentation sort). */
@@ -284,12 +282,14 @@ object DedupQueries {
     * downstream queries ([[dedupClusters]], [[dedupKeep]]) consume it, so
     * it memoizes the checkpointed label run instead of re-running the
     * LSH + CC iteration per consumer. */
-  private val ccCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def memberLabels(s: SparkSession, dir: String): DataFrame =
-    ccCache.computeIfAbsent(docsKey(s, dir), _ =>
+    graft.GraftSession.memo(s, "cc_members|" +
+        graft.GraftSession.contentKey(dir, Seq("documents"))) {
+      // nested memo consult (minhashPairs) is fine: the per-session memo
+      // lock is reentrant
       clusterLabels(s, minhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
-        .select(col("lbl").as("cluster_id"), col("src").as("doc_id")))
+        .select(col("lbl").as("cluster_id"), col("src").as("doc_id"))
+    }
 
   /** Members of each cluster ranked by the canonical-pick order (longest
     * text, ties to the smallest doc_id): rn = 1 is the doc a dedup pass

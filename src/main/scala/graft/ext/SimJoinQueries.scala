@@ -45,13 +45,11 @@ object SimJoinQueries {
     * memoized per (session, documents-content) like
     * [[DedupQueries.minhashPairs]], so the prefix-join plan executes once
     * per session. */
-  private val exactPairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private[ext] def exactPairs(s: SparkSession, dir: String): DataFrame =
-    exactPairCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|" +
-        graft.GraftSession.contentKey(dir, Seq("documents")),
-      _ => simjoinPrefixPlan(s, dir).localCheckpoint())
+    graft.GraftSession.memo(s, "simjoin_exact_pairs|" +
+        graft.GraftSession.contentKey(dir, Seq("documents"))) {
+      simjoinPrefixPlan(s, dir).localCheckpoint()
+    }
 
   def simjoinPrefix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

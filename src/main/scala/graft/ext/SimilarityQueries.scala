@@ -378,18 +378,26 @@ object SimilarityQueries {
     * probes the same index instead of re-running the Lloyd rounds per
     * query. Only the three id/rank longs are materialized — embeddings
     * re-attach by vec_id where a consumer needs them. */
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def rankedAssign(s: SparkSession, dir: String): DataFrame =
-    indexCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|" +
-        graft.GraftSession.contentKey(dir, Seq("embeddings")),
-      _ => {
-        import s.implicits._
-        val e = quantized(s, dir)
-        graft.GraftSession.ckpt(
-          kmAssign(e, learnedCents(e)).select($"vec_id", $"c_id", $"crn"))
-      })
+    graft.GraftSession.memo(s, "ivf_ranked|" +
+        graft.GraftSession.contentKey(dir, Seq("embeddings"))) {
+      import s.implicits._
+      val e = quantized(s, dir)
+      graft.GraftSession.ckpt(
+        kmAssign(e, learnedCents(e)).select($"vec_id", $"c_id", $"crn"))
+    }
+
+  /** The brute-force top-5 truth pairs (q_id, vec_id), memoized per
+    * (session, embeddings content) exactly like [[rankedAssign]]: the one
+    * intentionally expensive input of the ANN audit tier, built and
+    * checkpointed ONCE and shared by `q_ann_eval` and `q_ann_frontier`
+    * (each previously checkpointed its own copy). */
+  private[graft] def bruteTruth(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.memo(s, "ann_truth|" +
+        graft.GraftSession.contentKey(dir, Seq("embeddings"))) {
+      import s.implicits._
+      graft.GraftSession.ckpt(knnBrute(s, dir).select($"q_id", $"vec_id"))
+    }
 
   def knnIvf2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1019,12 +1027,12 @@ object SimilarityQueries {
     * code-scanned); the eval adds one left join of the union of
     * predictions (≤ 5·|Q| rows per method) against the truth pairs and a
     * 5-row aggregate. The denominator is a single-row broadcast (allowed
-    * BNLJ class). Truth is checkpointed so the brute pass — the one
-    * intentionally expensive input — executes exactly once. */
+    * BNLJ class). Truth comes from the session-memoized [[bruteTruth]],
+    * so the brute pass — the one intentionally expensive input —
+    * executes exactly once per session, shared with the frontier. */
   def annEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val truth = graft.GraftSession.ckpt(
-      knnBrute(s, dir).select($"q_id", $"vec_id"))
+    val truth = bruteTruth(s, dir)
     val methods: Seq[(String, DataFrame)] = Seq(
       "ivf" -> knnIvf(s, dir), "ivf2" -> knnIvf2(s, dir),
       "lsh" -> knnLsh(s, dir), "pq" -> knnPq(s, dir),
@@ -1101,8 +1109,7 @@ object SimilarityQueries {
       .join(e, Seq("vec_id"))
       .select($"q_id", $"vec_id", $"probe_rank",
         cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
-    val truth = graft.GraftSession.ckpt(
-      knnBrute(s, dir).select($"q_id", $"vec_id"))
+    val truth = bruteTruth(s, dir)
     val byLevel = cand
       .select($"q_id", $"vec_id", $"probe_rank", $"cos_sim",
         explode(typedLit(Seq(1, 2, 4, 8))).as("nprobe"))

@@ -675,17 +675,16 @@ object TextQueries {
     * the XP11 ensemble — memoize per (session, documents-content) like
     * [[DedupQueries.minhashPairs]] so the corpus passes run once per
     * session, not once per consumer. */
-  private val perDocCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def cacheKey(s: SparkSession, dir: String, tag: String): String =
-    s"$tag|${System.identityHashCode(s)}|" +
+  private def cacheKey(dir: String, tag: String): String =
+    s"perdoc_$tag|" +
       graft.GraftSession.contentKey(dir, Seq("documents"))
 
   /** Per-doc rounded Shannon entropy — shared by the X4k gate and the
     * XP11 ensemble census. */
   private[ext] def entropyPerDoc(s: SparkSession, dir: String): DataFrame =
-    perDocCache.computeIfAbsent(cacheKey(s, dir, "ent"), _ =>
-      entropyPerDocPlan(s, dir).localCheckpoint())
+    graft.GraftSession.memo(s, cacheKey(dir, "ent")) {
+      entropyPerDocPlan(s, dir).localCheckpoint()
+    }
 
   private[graft] def entropyPerDocPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -758,8 +757,9 @@ object TextQueries {
     * ensemble census. Docs shorter than 2 chars have no bigrams and are
     * absent (callers left-join and default). */
   private[ext] def lmScorePerDoc(s: SparkSession, dir: String): DataFrame =
-    perDocCache.computeIfAbsent(cacheKey(s, dir, "lm"), _ =>
-      lmScorePerDocPlan(s, dir).localCheckpoint())
+    graft.GraftSession.memo(s, cacheKey(dir, "lm")) {
+      lmScorePerDocPlan(s, dir).localCheckpoint()
+    }
 
   private[graft] def lmScorePerDocPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

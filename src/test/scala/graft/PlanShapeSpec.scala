@@ -91,6 +91,21 @@ class PlanShapeSpec extends AnyFunSuite {
       !build.contains("BroadcastNestedLoopJoin"), s"jump build:\n$build")
   }
 
+  test("ANN audit: eval and frontier share ONE materialized brute truth") {
+    import graft.ext.SimilarityQueries
+    // the memo hands back the same checkpointed DataFrame instance —
+    // the brute pass (the one intentionally expensive input) runs once
+    val t1 = SimilarityQueries.bruteTruth(spark, sf)
+    val t2 = SimilarityQueries.bruteTruth(spark, sf)
+    assert(t1 eq t2, "brute truth rebuilt instead of memoized")
+    // both consumers read the checkpoint (ExistingRDD), not a live brute
+    // subplan: each plan carries the truth as a scanned artifact
+    Seq("q_ann_eval", "q_ann_frontier").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("Scan ExistingRDD"), s"$q truth not memoized:\n$plan")
+    }
+  }
+
   test("behavior queries: no nested-loop joins, no Expand, bounded shape") {
     Seq("q_event_pattern", "q_rolling_distinct", "q_bitmap_presence")
       .foreach { q =>

@@ -52,6 +52,17 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(plain.count() === n)
     } finally {
       spark.conf.unset("spark.graft.checkpoint.dir")
+      // SparkContext offers no checkpoint-dir unset, so the context keeps
+      // pointing at this (now deleted) temp dir for the rest of the shared
+      // suite — harmless while no other test opts into reliable mode, and
+      // GraftSession.ckpt now WARNS if a different dir is configured later.
+      // Delete the tree so the suite leaves no checkpoint files behind.
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
   }
 
