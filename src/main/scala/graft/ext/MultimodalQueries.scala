@@ -154,6 +154,54 @@ object MediaDecode {
       .orElse(decodeImageIO(bytes))
       .getOrElse(decodeStub(bytes))
 
+  /** REAL pixel decode for the one codec-free raster container: BMP
+    * BI_RGB 24bpp (the pixel array is literal BGR bytes at a
+    * header-declared offset — the format's public spec, no entropy coding
+    * anywhere). Handles bottom-up (positive height) and top-down
+    * (negative height) row order and the 4-byte row padding. Returns the
+    * row-major LUMINANCE grid — integer ITU-R BT.601 weights
+    * (299·R + 587·G + 114·B)/1000 — or None for anything that isn't an
+    * uncompressed 24bpp BMP (other formats keep their header-only tiers;
+    * this container has no codecs). */
+  def decodeBmpGray(bytes: Array[Byte]): Option[Array[Array[Int]]] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (bytes.length < 54 || u8(0) != 'B' || u8(1) != 'M') return None
+    val pixOff = le32(10)
+    if (le32(14) < 40) return None // need BITMAPINFOHEADER-or-later
+    val w = le32(18)
+    val hRaw = le32(22)
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0) return None
+    // planes must be 1, 24 bits/pixel, BI_RGB (no compression)
+    if (le16(26) != 1 || le16(28) != 24 || le32(30) != 0) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (pixOff < 54 || pixOff.toLong + stride.toLong * h > bytes.length) return None
+    Some(Array.tabulate(h, w) { (y, x) =>
+      val row = if (hRaw < 0) y else h - 1 - y
+      val o = pixOff + row * stride + x * 3
+      (u8(o + 2) * 299 + u8(o + 1) * 587 + u8(o) * 114) / 1000
+    })
+  }
+
+  /** Classic 9×8 difference hash over a luminance grid: nearest-neighbor
+    * sample onto a 9-wide × 8-tall grid, bit j·8+i set when the sampled
+    * pixel at column i outranks its right neighbor — 64 bits of coarse
+    * gradient structure that survive re-encoding and small edits. Sampling
+    * is integer-exact (`x = i·w div 9`, `y = j·h div 8`) so an oracle can
+    * restate it as a formula. */
+  def dhash64(g: Array[Array[Int]]): Long = {
+    val h = g.length
+    val w = g(0).length
+    var acc = 0L
+    for (j <- 0 until 8; i <- 0 until 8) {
+      val y = j * h / 8
+      if (g(y)(i * w / 9) > g(y)((i + 1) * w / 9)) acc |= 1L << (j * 8 + i)
+    }
+    acc
+  }
+
   /** Batched per-partition decode: one "decoder init" per partition (the
     * expensive part for real codecs), then record-at-a-time decode — the
     * shape a vectorized decode batch would take. */
@@ -218,7 +266,30 @@ object MediaFixtures {
     "BM".getBytes("US-ASCII") ++ le32(54) ++ le32(0) ++ le32(54) ++
       le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
       Array.fill[Byte](24)(0)
+
+  /** Complete BI_RGB 24bpp BMP WITH pixel data: headers + a bottom-up,
+    * row-padded BGR pixel array where pixel (x, y) — y counted from the
+    * TOP — is the grayscale byte `pix(x, y)` in all three channels.
+    * 54 + rowstride·h bytes, every one placed by the public spec. */
+  def bmpRaster(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val header =
+      "BM".getBytes("US-ASCII") ++ le32(54 + stride * h) ++ le32(0) ++
+        le32(54) ++ le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        Array.fill[Byte](24)(0)
+    val px = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (pix(x, y) & 0xff).toByte
+      val o = (h - 1 - y) * stride + x * 3
+      px(o) = v; px(o + 1) = v; px(o + 2) = v
+    }
+    header ++ px
+  }
 }
+
+/** One per-doc raster perceptual hash — see [[MultimodalQueries.mediaPhashRaster]]. */
+final case class RasterHash(
+    doc_id: Long, width: Int, height: Int, dhash_hi: Long, dhash_lo: Long)
 
 object MultimodalQueries {
 
@@ -415,7 +486,69 @@ object MultimodalQueries {
       |  CAST(9 + (doc_id % 5) * 2 AS INTEGER) AS height
       |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
 
+  /** Perceptual dHash over REAL PIXELS: complete 24bpp BMP payloads
+    * (spec-built with a deterministic per-doc grayscale gradient) flow
+    * through [[MediaDecode.decodeBmpGray]] — an actual raster decode:
+    * header-declared pixel offset, bottom-up row order, 4-byte row
+    * padding, BGR channel order, BT.601 luminance — and the classic 9×8
+    * [[MediaDecode.dhash64]] runs over the decoded grid. The 64-bit hash
+    * ships as two 32-bit halves (engines disagree on 1<<63 overflow).
+    *
+    * The oracle restates pixel generation + sampling + comparison as
+    * pure formula, so the hash match holds iff every pixel byte was read
+    * from its spec-mandated position — a byte-stub or an off-by-one in
+    * stride/padding/channel order flips bits. (This closes the round-8
+    * gap: feature tiers computed over payload BYTES; here the hash is
+    * computed over decoded RASTER pixels. Non-BMP formats keep the
+    * header-only tiers — the container ships no entropy codecs.)
+    *
+    * Scale: same shape as the dims census — synthesis stands in for a
+    * binary parquet column; decode + hash are the narrow batched
+    * mapPartitions map; zero shuffle before the presentation sort. */
+  def mediaPhashRaster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir).filter($"doc_id" < 60)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val w = 16 + (id % 7).toInt * 3
+        val h = 9 + (id % 5).toInt * 2
+        (id, MediaFixtures.bmpRaster(w, h,
+          (x, y) => (x * 7 + y * 13 + id.toInt * 31) % 256))
+      }
+    media.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val g = MediaDecode.decodeBmpGray(bytes).getOrElse(
+          sys.error(s"doc $id: fixture is not a decodable 24bpp BMP"))
+        val hash = MediaDecode.dhash64(g)
+        RasterHash(id, g(0).length, g.length, hash >>> 32, hash & 0xffffffffL)
+      }
+    }.toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the dHash bit condition as formula. Pixel (x, y) of doc d is
+    * (x·7 + y·13 + d·31) mod 256 (gray in all channels ⇒ BT.601 luminance
+    * is the value itself); sample x_i = i·w div 9, y_j = j·h div 8; bit
+    * j·8+i set iff the sampled value outranks its right neighbor. */
+  val mediaPhashRasterSql: String = {
+    val w = "(16 + (doc_id % 7) * 3)"
+    val h = "(9 + (doc_id % 5) * 2)"
+    def vAt(xExpr: String) =
+      s"(($xExpr) * 7 + ((k // 8) * $h // 8) * 13 + doc_id * 31) % 256"
+    val bit =
+      s"CASE WHEN ${vAt(s"(k % 8) * $w // 9")} > ${vAt(s"((k % 8) + 1) * $w // 9")}" +
+        " THEN CAST(1 AS BIGINT) << CAST(k % 32 AS INTEGER) ELSE CAST(0 AS BIGINT) END"
+    s"""SELECT doc_id,
+       |  CAST($w AS INTEGER) AS width,
+       |  CAST($h AS INTEGER) AS height,
+       |  CAST(list_sum(list_transform(range(32, 64), k -> $bit)) AS BIGINT) AS dhash_hi,
+       |  CAST(list_sum(list_transform(range(0, 32), k -> $bit)) AS BIGINT) AS dhash_lo
+       |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_multimodal_phash_raster", mediaPhashRaster, Some(mediaPhashRasterSql),
+      "dHash over REAL decoded BMP rasters: pixel-exact decode (offset/stride/BGR/BT.601) + 9x8 gradient hash"),
     QueryDef("q_multimodal_dims", mediaDims, Some(mediaDimsSql),
       "real-format dims census: PNG IHDR/BMP/GIF fixed offsets + JPEG SOFn scan over spec-built fixtures"),
     QueryDef("q_multimodal_phash", mediaPhash, Some(mediaPhashSql),

@@ -328,6 +328,42 @@ class ExtSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("n") === p1.getAs[Long]("n"))
   }
 
+  test("BMP raster decode is pixel-exact: padding, bottom-up and top-down rows") {
+    import graft.ext.{MediaDecode, MediaFixtures}
+    // w=5 forces row padding: stride 16 carries 15 payload bytes + 1 pad
+    val w = 5; val h = 3
+    def pix(x: Int, y: Int): Int = (x * 50 + y * 10) % 256
+    val bytes = MediaFixtures.bmpRaster(w, h, pix)
+    assert(bytes.length === 54 + 16 * h)
+    val g = MediaDecode.decodeBmpGray(bytes)
+      .getOrElse(fail("fixture did not decode"))
+    assert(g.length === h && g(0).length === w)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g(y)(x) === pix(x, y), s"pixel ($x,$y)")
+    // flip the INFOHEADER height negative: same stored rows must now be
+    // read top-down, i.e. the decoded grid is the vertical mirror
+    val td = bytes.clone()
+    val neg = -h
+    td(22) = neg.toByte; td(23) = (neg >> 8).toByte
+    td(24) = (neg >> 16).toByte; td(25) = (neg >> 24).toByte
+    val g2 = MediaDecode.decodeBmpGray(td)
+      .getOrElse(fail("top-down variant did not decode"))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g2(y)(x) === pix(x, h - 1 - y), s"top-down pixel ($x,$y)")
+    // non-BMP and truncated payloads fall through, never throw
+    assert(MediaDecode.decodeBmpGray("not a bitmap".getBytes).isEmpty)
+    assert(MediaDecode.decodeBmpGray(bytes.take(60)).isEmpty)
+  }
+
+  test("dHash gradient extremes: rising rows hash to 0, falling rows to all-ones") {
+    import graft.ext.MediaDecode
+    // exact 9x8 grid: sample points are the pixels themselves
+    val rising = Array.tabulate(8, 9)((_, x) => x * 10)
+    assert(MediaDecode.dhash64(rising) === 0L)
+    val falling = Array.tabulate(8, 9)((_, x) => 100 - x * 10)
+    assert(MediaDecode.dhash64(falling) === -1L) // all 64 bits set
+  }
+
   test("X2m banding sweep: 3 config rows, sane ratios, shorter bands recall more") {
     val rows = DedupQueries.dedupBandSweep(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("rows_per_band")).toSeq === Seq(1L, 2L, 4L))
