@@ -378,14 +378,62 @@ object SimilarityQueries {
     * probes the same index instead of re-running the Lloyd rounds per
     * query. Only the three id/rank longs are materialized — embeddings
     * re-attach by vec_id where a consumer needs them. */
-  private def rankedAssign(s: SparkSession, dir: String): DataFrame =
+  /** The trained coarse quantizer itself (c_id, c_qe, c_nrm — K rows),
+    * memoized per (session, embeddings content): the static side a
+    * streaming ingest job re-resolves per micro-batch
+    * ([[graft.streaming.StreamJobs.annIngestStream]]), and the input
+    * [[rankedAssign]] assigns the batch corpus against. */
+  private[graft] def trainedCents(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.memo(s, "ivf_cents|" +
+        graft.GraftSession.contentKey(dir, Seq("embeddings"))) {
+      graft.GraftSession.ckpt(learnedCents(quantized(s, dir)))
+    }
+
+  private[graft] def rankedAssign(s: SparkSession, dir: String): DataFrame =
     graft.GraftSession.memo(s, "ivf_ranked|" +
         graft.GraftSession.contentKey(dir, Seq("embeddings"))) {
       import s.implicits._
-      val e = quantized(s, dir)
       graft.GraftSession.ckpt(
-        kmAssign(e, learnedCents(e)).select($"vec_id", $"c_id", $"crn"))
+        kmAssign(quantized(s, dir), trainedCents(s, dir))
+          .select($"vec_id", $"c_id", $"crn"))
     }
+
+  /** Quantize a raw (vec_id, embedding) relation into the shared
+    * (vec_id, qe, nrm) form — the prep step both batch and streaming
+    * assignment share. */
+  private[graft] def quantizeRaw(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs.select($"vec_id", q6Arr($"embedding").as("qe"))
+      .select($"vec_id", $"qe", dotQ($"qe", $"qe").as("nrm"))
+  }
+
+  /** Nearest-centroid assignment with NO rank window and NO aggregation
+    * state: the K centroids ride along as ONE packed array column
+    * (broadcast; on a stream the static side is re-resolved every
+    * micro-batch) and the argmax is a per-row fold over that array —
+    * legal on an unbounded stream because each vector's bucket is a pure
+    * function of the row. The fold keeps (best cos, best c_id) with ties
+    * to the smaller centroid id — [[kmAssign]]'s (c_cos DESC, c_id ASC)
+    * order — and is fold-order-independent, so the packed list's order
+    * can't matter. Returns (vec_id, c_id). */
+  private[graft] def assignStateless(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val packed = cents.agg(
+      collect_list(struct($"c_id", $"c_qe", $"c_nrm")).as("cs"))
+    val init = struct(lit(-2.0).cast(DoubleType).as("cos"), lit(-1L).as("cid"))
+    val folded = aggregate($"cs", init, (acc, c) => {
+      val cos = cosine(dotQ($"qe", c.getField("c_qe")), $"nrm",
+        c.getField("c_nrm"))
+      val better = cos > acc.getField("cos") ||
+        (cos === acc.getField("cos") &&
+          c.getField("c_id") < acc.getField("cid"))
+      when(better,
+        struct(cos.as("cos"), c.getField("c_id").as("cid"))).otherwise(acc)
+    })
+    quantizeRaw(vecs)
+      .join(broadcast(packed), lit(true))
+      .select($"vec_id", folded.getField("cid").as("c_id"))
+  }
 
   /** The brute-force top-5 truth pairs (q_id, vec_id), memoized per
     * (session, embeddings content) exactly like [[rankedAssign]]: the one

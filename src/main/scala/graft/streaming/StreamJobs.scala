@@ -362,6 +362,33 @@ object StreamJobs {
       .agg(count(lit(1)).as("n"),
         sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
 
+  /** Parquet-backed embeddings stream (X3 streaming-ingest twin input). */
+  def embeddingsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+  }
+
+  /** T-extra/X3: streaming incremental ANN ingest — the [[dimEnrichStream]]
+    * pattern applied to the learned IVF index. New vectors are assigned to
+    * the trained coarse quantizer as they arrive: the K-row centroid table
+    * is the STATIC side (re-resolved against each micro-batch, so a
+    * re-trained index is picked up without restarting the query), packed
+    * into one broadcast array, and the argmax is a per-row fold — no rank
+    * window, no aggregation state, nothing keyed on vector id. At 100 TB
+    * this ingests an unbounded vector feed with O(K) state per executor
+    * (the broadcast), which is what makes "precompute the corpus
+    * assignment at ingest" — the contract every IVF consumer here assumes
+    * — operationally real. StreamingSpec pins stream == batch assignment
+    * (`rankedAssign` crn=1) vector-for-vector. */
+  def annIngestStream(vecs: DataFrame, cents: DataFrame): DataFrame =
+    graft.ext.SimilarityQueries.assignStateless(vecs, cents)
+
   def followerJoin(events: DataFrame): DataFrame = {
     val left = events
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))

@@ -16,6 +16,32 @@ class StreamingSpec extends AnyFunSuite {
   val sf = TestSpark.sf0001
   import spark.implicits._
 
+  test("X3 streaming ANN ingest equals the batch index assignment") {
+    import graft.ext.SimilarityQueries
+    // two part files in one drop dir → two micro-batches (maxFiles 1)
+    val tmp = Files.createTempDirectory("graft-emb-stream").toString
+    val emb = Tables.embeddings(spark, sf)
+    emb.filter($"vec_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(tmp)
+    emb.filter($"vec_id" % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(tmp)
+    val q = StreamJobs.annIngestStream(
+        StreamJobs.embeddingsStream(spark, tmp, maxFilesPerTrigger = Some(1)),
+        SimilarityQueries.trainedCents(spark, sf))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ann_ingest_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("ann_ingest_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the batch truth: the trained index's own corpus assignment
+    val batch = SimilarityQueries.rankedAssign(spark, sf)
+      .filter($"crn" === 1).select($"vec_id", $"c_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch,
+      "stream assignment diverged from the batch index")
+  }
+
   private def eventsDir: String = {
     val tmp = Files.createTempDirectory("graft-events-stream").toString
     java.nio.file.Files.copy(
