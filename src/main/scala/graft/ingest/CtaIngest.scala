@@ -112,6 +112,27 @@ object CtaIngest {
     out.as[TrainObservation]
   }
 
+  /** S5 — encode [[normalize]]d observations back into the reference's
+    * stored raw-record shape (the Firehose NDJSON line,
+    * get_train_status.py:111-122 record build / CtaSchemas.rawRecord):
+    * every field a string, timestamps ISO-8601 seconds, booleans '1'/'0'.
+    * This is the write half of the EP2→EP3 handoff — [[compact]] reads
+    * exactly this shape back. */
+  def toRawRecords(normalized: DataFrame): DataFrame = {
+    def iso(c: String) = date_format(col(c), "yyyy-MM-dd'T'HH:mm:ss")
+    def bit(c: String) = when(col(c), "1").otherwise("0")
+    normalized.select(
+      col("train_id"),
+      iso("observed_at").as("current_timestamp"),
+      iso("prediction_generated_at").as("prediction_generated_timestamp"),
+      col("destination_station"), col("next_station"),
+      iso("next_station_arrival_at").as("next_station_arrival_time"),
+      bit("is_approaching_station").as("is_approaching_station"),
+      bit("is_train_delayed").as("is_train_delayed"),
+      col("lat").cast(StringType), col("lon").cast(StringType),
+      col("heading").cast(StringType))
+  }
+
   /** EP3 — daily compaction (reference bucket_raw_data.py:82-117): read a
     * raw NDJSON day prefix, dedup exact at-least-once duplicates
     * (SURVEY.md O4 — the Firehose re-drive at get_train_status.py:60-76 can

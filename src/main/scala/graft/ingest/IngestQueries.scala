@@ -179,6 +179,70 @@ object IngestQueries {
        |GROUP BY line, line_name ORDER BY line""".stripMargin
   }
 
+  /** EP2+EP3 — the reference's complete daily pipeline composed under ONE
+    * hash gate: poll fixtures (with a Firehose re-drive duplicating the Red
+    * batch, reference get_train_status.py:60-76) → [[CtaIngest.normalize]]
+    * (EP2 parse→explode→project, get_train_status.py:89-138) →
+    * [[CtaIngest.toRawRecords]] S5 NDJSON encode → REAL file landing →
+    * [[CtaIngest.compact]] (EP3 dedup + load_date-partitioned parquet,
+    * reference bucket_raw_data.py:82-117) → read the landed lake back →
+    * per-(load_date, line) census. Nothing is simulated: the census rows
+    * are whatever compact actually wrote through the filesystem, so the
+    * oracle hash pins the whole ingest→encode→land→dedup→partition chain.
+    * At 100 TB each stage is the narrow / single-exchange plan its own
+    * query tier already certifies (ingest is shuffle-free, compact's dedup
+    * is one hash exchange, the census one more). */
+  def pipelineDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-daily").toString
+    val rawDir = s"$tmp/raw"
+    val lakeDir = s"$tmp/lake"
+    val feeds = CtaFixtures.feedDf(s)
+    val redriven = feeds.unionByName(feeds.filter($"line" === "Red"))
+    CtaIngest.toRawRecords(CtaIngest.normalize(redriven))
+      .write.mode("overwrite").json(rawDir)
+    CtaIngest.compact(s, rawDir, lakeDir)
+    s.read.parquet(lakeDir)
+      .withColumn("line", split($"train_id", "#")(1))
+      .groupBy(date_format($"load_date", "yyyy-MM-dd").as("load_date"), $"line")
+      .agg(count(lit(1)).as("n_obs"),
+        countDistinct($"train_id").as("n_trains"),
+        sum(($"is_train_delayed" === "1").cast("long")).as("n_delayed"),
+        sum(($"is_approaching_station" === "1").cast("long")).as("n_approaching"))
+      .orderBy($"load_date", $"line")
+  }
+
+  /** The oracle replays the same chain on the inline fixture: normalize to
+    * the string raw-record fields, re-drive Red, dedup on the compact key
+    * (train_id, current_timestamp — full-row DISTINCT is equivalent because
+    * re-driven records are byte-identical copies), roll up by the derived
+    * load_date. */
+  val pipelineDailySql: String =
+    s"""$oracleTrains,
+       |normalized AS (
+       |  SELECT
+       |    strftime(CAST(poll_ts AS TIMESTAMP), '%Y-%m-%d') || '#' || line || '#'
+       |      || json_extract_string(t, '$$.rn') || '#'
+       |      || json_extract_string(t, '$$.trDr') AS train_id,
+       |    line,
+       |    strftime(CAST(poll_ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS current_ts,
+       |    json_extract_string(t, '$$.isApp') AS is_app,
+       |    json_extract_string(t, '$$.isDly') AS is_dly
+       |  FROM trains),
+       |redriven AS (
+       |  SELECT * FROM normalized
+       |  UNION ALL
+       |  SELECT * FROM normalized WHERE line = 'Red'),
+       |deduped AS (
+       |  SELECT DISTINCT train_id, line, current_ts, is_app, is_dly FROM redriven)
+       |SELECT
+       |  strftime(CAST(current_ts AS TIMESTAMP), '%Y-%m-%d') AS load_date,
+       |  line, COUNT(*) AS n_obs,
+       |  COUNT(DISTINCT train_id) AS n_trains,
+       |  CAST(SUM(CAST(is_dly = '1' AS BIGINT)) AS BIGINT) AS n_delayed,
+       |  CAST(SUM(CAST(is_app = '1' AS BIGINT)) AS BIGINT) AS n_approaching
+       |FROM deduped GROUP BY load_date, line ORDER BY load_date, line""".stripMargin
+
   /** P12 — geo math scalar via the custom codegen'd Haversine expression
     * (graft.functions.Haversine): distance of each observed train from the
     * Loop (41.8781, -87.6298), meter-rounded so libm ulp differences between
@@ -220,5 +284,7 @@ object IngestQueries {
     QueryDef("q_ingest_dedup", ingestDedup, Some(ingestDedupSql),
       "O4 at-least-once duplicate removal on the natural key"),
     QueryDef("q_ingest_line_dim", ingestLineDim, Some(ingestLineDimSql),
-      "J1/S8 broadcast join to the static line dimension"))
+      "J1/S8 broadcast join to the static line dimension"),
+    QueryDef("q_pipeline_daily", pipelineDaily, Some(pipelineDailySql),
+      "EP2+EP3 composed daily pipeline: normalize → encode → land → compact → census"))
 }

@@ -75,18 +75,7 @@ class IngestSpec extends AnyFunSuite {
     val rawDir = s"$tmp/raw"
     val outDir = s"$tmp/processed"
     // land the normalized fixture as NDJSON raw records, duplicated once
-    val rec = CtaIngest.normalize(CtaFixtures.feedDf(spark))
-      .select(
-        $"train_id",
-        date_format($"observed_at", "yyyy-MM-dd'T'HH:mm:ss").as("current_timestamp"),
-        date_format($"prediction_generated_at", "yyyy-MM-dd'T'HH:mm:ss")
-          .as("prediction_generated_timestamp"),
-        $"destination_station", $"next_station",
-        date_format($"next_station_arrival_at", "yyyy-MM-dd'T'HH:mm:ss")
-          .as("next_station_arrival_time"),
-        when($"is_approaching_station", "1").otherwise("0").as("is_approaching_station"),
-        when($"is_train_delayed", "1").otherwise("0").as("is_train_delayed"),
-        $"lat".cast("string"), $"lon".cast("string"), $"heading".cast("string"))
+    val rec = CtaIngest.toRawRecords(CtaIngest.normalize(CtaFixtures.feedDf(spark)))
     rec.unionByName(rec).write.json(rawDir) // duplicated: at-least-once sim
     CtaIngest.compact(spark, rawDir, outDir)
     val back = spark.read.parquet(outDir)
