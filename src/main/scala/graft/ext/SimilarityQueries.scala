@@ -936,6 +936,16 @@ object SimilarityQueries {
       pqUpdate(e, pqEncode(e, cb))
     }
 
+  /** The identity-layout trained codebook, memoized per (session,
+    * embeddings content) like [[rankedAssign]]: `q_sim_knn_pq` and the
+    * identity arm of the `q_ann_opq` permutation audit train it ONCE per
+    * session — a real deployment ships the codebook as an artifact. */
+  private def pqCodebookMemo(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.memo(s, "pq_cb|" +
+        graft.GraftSession.contentKey(dir, Seq("embeddings"))) {
+      graft.GraftSession.ckpt(pqCodebook(quantized(s, dir)))
+    }
+
   /** Product-quantization ANN: encode every vector as [[PQ_M]] nearest-
     * codeword ids (exact integer L2, ties on cid), score candidates by
     * asymmetric distance computation — the query's 4×8 partial-dot lookup
@@ -949,10 +959,18 @@ object SimilarityQueries {
     * equi-join on (m, cid) + one hash aggregate — per query it reads 4
     * ints per corpus vector instead of 64 longs, which is the point of
     * PQ; only C×|Q| rows ever touch full vectors again. */
-  def knnPq(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = quantized(s, dir)
-    val cb = pqCodebook(e)
+  def knnPq(s: SparkSession, dir: String): DataFrame =
+    knnPqOn(quantized(s, dir), pqCodebookMemo(s, dir))
+
+  /** The PQ pipeline over an arbitrary (vec_id, qe, nrm) layout and its
+    * trained codebook — shared by `q_sim_knn_pq` (identity layout,
+    * memoized codebook) and the `q_ann_opq` permutation-family audit
+    * (each permuted layout trains its own). Inner products and norms are
+    * permutation-invariant, so the exact re-rank is identical across
+    * layouts; only the subspace split — what the codebooks must fit —
+    * changes. */
+  private def knnPqOn(e: DataFrame, cb: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val sv = expr(s"slice(qe, m * $PQ_SUB + 1, $PQ_SUB)")
     val codes = pqEncode(e, cb)
     val lut = e.where($"vec_id" < 20).join(broadcast(cb), lit(true))
@@ -1003,14 +1021,21 @@ object SimilarityQueries {
        |cb$n AS (
        |  SELECT m, cid, list(mj ORDER BY j) AS cw FROM updd$n GROUP BY 1, 2)""".stripMargin
 
-  val knnPqSql: String = {
+  /** The identity vector layout: plain micro-unit quantization. */
+  private val qvIdentitySql: String =
+    """qv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+      |  FROM embeddings)""".stripMargin
+
+  /** Full PQ pipeline SQL over an injected qv CTE block (the vector
+    * layout) — identity for [[knnPqSql]], variance-permuted chains for
+    * [[annOpqSql]]. */
+  private def pqPipelineSql(qvBlock: String): String = {
     val training = (1 to PQ_ROUNDS)
       .map(r => s"${pqUpdCte(r)},\n${pqEncCte(r)}").mkString(",\n")
     s"""WITH $normsCte,
-       |qv AS (
-       |  SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
-       |  FROM embeddings),
+       |$qvBlock,
        |seedv AS (
        |  SELECT qe, ROW_NUMBER() OVER (ORDER BY
        |      md5('pq_' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cid
@@ -1059,6 +1084,8 @@ object SimilarityQueries {
        |  FROM scored) WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
   }
+
+  val knnPqSql: String = pqPipelineSql(qvIdentitySql)
 
   // --- X3i: unified ANN evaluation ---------------------------------------
   /** Recall@5 of every approximate tier against the SHARED brute-force
@@ -1226,7 +1253,149 @@ object SimilarityQueries {
        |  (1000000 * hits) // (SELECT COUNT(*) FROM truth) AS recall_ppm
        |FROM stats ORDER BY nprobe""".stripMargin
 
+  // --- X3k: OPQ permutation-family search for PQ ---------------------------
+
+  /** The two structured candidate permutations, derived from per-dimension
+    * variance: rank every dimension by the exact integer variance
+    * surrogate n·Σx² − (Σx)² (ties on dim index), then lay ranks out
+    *  - interleaved: rank r → subspace r mod M, slot r div M (each
+    *    subspace gets one dim from every variance octile), and
+    *  - snaked: boustrophedon over rank rows, balancing the SUM of
+    *    variance per subspace rather than the spread.
+    * Emitted as two 64-slot permutation arrays in ONE 1-row relation
+    * (position t holds the source dim index). At 100 TB the moments come
+    * from one narrow corpus pass (or the q_embed_dimstats sample — the
+    * integer surrogate overflows int64 beyond ~10⁵ rows at this
+    * quantization, so production ranks from the sampled fit). */
+  private def dimPerms(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val ranked = e.select(posexplode($"qe").as(Seq("j", "x")))
+      .groupBy($"j")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+      .select($"j", ($"n" * $"sxx" - $"sx" * $"sx").as("v"))
+      .withColumn("r",
+        row_number().over(Window.orderBy($"v".desc, $"j".asc)) - lit(1))
+    val pos = ranked.select($"j",
+      expr(s"(r % $PQ_M) * $PQ_SUB + r div $PQ_M").as("p_inter"),
+      expr(s"(CASE WHEN (r div $PQ_M) % 2 = 0 THEN r % $PQ_M " +
+        s"ELSE ${PQ_M - 1} - (r % $PQ_M) END) * $PQ_SUB + r div $PQ_M")
+        .as("p_snake"))
+    pos.agg(
+      transform(array_sort(collect_list(struct($"p_inter".as("p"), $"j"))),
+        c => c.getField("j")).as("pm_inter"),
+      transform(array_sort(collect_list(struct($"p_snake".as("p"), $"j"))),
+        c => c.getField("j")).as("pm_snake"))
+  }
+
+  /** Apply a permutation array to the qe layout. The permutation is
+    * orthogonal, so dot products and norms are untouched — `nrm` is
+    * carried through, and the exact re-rank stays bit-identical. */
+  private def permApply(e: DataFrame, pms: DataFrame, pmCol: String): DataFrame = {
+    import e.sparkSession.implicits._
+    e.crossJoin(broadcast(pms.select(col(pmCol).as("pm"))))
+      .select($"vec_id",
+        expr(s"transform(sequence(0, ${DIM - 1}), " +
+          "t -> element_at(qe, element_at(pm, t + 1) + 1))").as("qe"),
+        $"nrm")
+  }
+
+  /** OPQ as it survives contact with a declarative engine: instead of a
+    * learned dense rotation (gradient OPQ), search a STRUCTURED family of
+    * layouts — identity, variance-interleave, variance-snake — by running
+    * the full PQ pipeline under each and reading recall@5 against the
+    * shared memoized brute truth; `chosen` marks the argmax, ties broken
+    * toward identity (the free layout). On isotropic data the search
+    * degenerates to identity — which IS the honest OPQ answer there, and
+    * this audit row is what shows it; on anisotropic or correlated
+    * corpora the permuted arms win and get picked by the same row.
+    *
+    * Scale: the family is a constant (3), each arm is the declared PQ
+    * plan, truth is the session-memoized [[bruteTruth]], and the
+    * permutation derivation is one narrow moments pass + a 64-row rank —
+    * model selection on a validation slice, the way a real deployment
+    * tunes its index. */
+  def annOpq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir)
+    val pms = dimPerms(e)
+    val variants: Seq[(String, DataFrame)] = Seq(
+      "pq_identity" -> knnPqOn(e, pqCodebookMemo(s, dir)),
+      "opq_interleave" -> {
+        val pe = permApply(e, pms, "pm_inter"); knnPqOn(pe, pqCodebook(pe))
+      },
+      "opq_snake" -> {
+        val pe = permApply(e, pms, "pm_snake"); knnPqOn(pe, pqCodebook(pe))
+      })
+    val truth = bruteTruth(s, dir)
+    val preds = variants.map { case (nm, df) =>
+      df.select(lit(nm).as("variant"), $"q_id", $"vec_id")
+    }.reduce(_.unionByName(_))
+    val per = preds
+      .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy($"variant")
+      .agg(count(lit(1)).as("n_pred"),
+        sum(coalesce($"hit", lit(0L))).as("hits"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val scoredV = per.crossJoin(broadcast(nTruth))
+      .select($"variant", $"n_pred", $"hits",
+        expr("(1000000 * hits) div n_truth").as("recall_ppm"))
+    val w = Window.orderBy($"recall_ppm".desc,
+      ($"variant" === "pq_identity").desc, $"variant".asc)
+    scoredV.withColumn("chosen", row_number().over(w) === 1)
+      .orderBy($"variant")
+  }
+
+  /** DuckDB mirror: each arm embeds the full PQ pipeline SQL over its own
+    * qv layout — identity, or the variance-rank permutation chain — then
+    * the truth join and argmax selection mirror [[annEvalSql]]'s shape.
+    * Assembled by concatenation (NOT stripMargin) like the eval. */
+  val annOpqSql: String = {
+    val qv0 = qvIdentitySql.replaceFirst("qv AS", "qv0 AS")
+    def permChain(posExpr: String): String =
+      s"$qv0,\n" +
+        s"dimv AS (\n" +
+        s"  SELECT j.j AS j,\n" +
+        s"    CAST(CAST(COUNT(*) AS BIGINT) * SUM(v.qe[j.j + 1] * v.qe[j.j + 1])\n" +
+        s"      - SUM(v.qe[j.j + 1]) * SUM(v.qe[j.j + 1]) AS BIGINT) AS v\n" +
+        s"  FROM qv0 v, (SELECT unnest(range(0, $DIM)) AS j) j GROUP BY 1),\n" +
+        s"rankd AS (\n" +
+        s"  SELECT j, ROW_NUMBER() OVER (ORDER BY v DESC, j ASC) - 1 AS r FROM dimv),\n" +
+        s"permtab AS (SELECT j, $posExpr AS p FROM rankd),\n" +
+        s"pmt AS (SELECT list(j ORDER BY p) AS pm FROM permtab),\n" +
+        s"qv AS (\n" +
+        s"  SELECT v.vec_id, list_transform(range(0, $DIM),\n" +
+        s"    t -> v.qe[p.pm[t + 1] + 1]) AS qe\n" +
+        s"  FROM qv0 v, pmt p)"
+    val variants = Seq(
+      "pq_identity" -> qvIdentitySql,
+      "opq_interleave" -> permChain(s"(r % $PQ_M) * $PQ_SUB + r // $PQ_M"),
+      "opq_snake" -> permChain(
+        s"(CASE WHEN (r // $PQ_M) % 2 = 0 THEN r % $PQ_M " +
+          s"ELSE ${PQ_M - 1} - (r % $PQ_M) END) * $PQ_SUB + r // $PQ_M"))
+    val ctes = variants.map { case (nm, qvBlock) =>
+      s"p_$nm AS (SELECT q_id, vec_id FROM (\n${pqPipelineSql(qvBlock)}\n) t_$nm)"
+    }.mkString(",\n")
+    val stats = variants.map { case (nm, _) =>
+      s"SELECT '$nm' AS variant,\n" +
+        s"  (SELECT COUNT(*) FROM p_$nm) AS n_pred,\n" +
+        s"  (SELECT COUNT(*) FROM p_$nm p JOIN truth t" +
+        " ON p.q_id = t.q_id AND p.vec_id = t.vec_id) AS hits"
+    }.mkString("\nUNION ALL\n")
+    "WITH truth AS (SELECT q_id, vec_id FROM (\n" + knnBruteSql +
+      "\n) t_truth),\n" + ctes + ",\nstats AS (\n" + stats + "),\n" +
+      "recs AS (SELECT variant, n_pred, hits,\n" +
+      "  (1000000 * hits) // (SELECT COUNT(*) FROM truth) AS recall_ppm\n" +
+      "FROM stats)\n" +
+      "SELECT variant, n_pred, hits, recall_ppm,\n" +
+      "  ROW_NUMBER() OVER (ORDER BY recall_ppm DESC,\n" +
+      "    (variant = 'pq_identity') DESC, variant ASC) = 1 AS chosen\n" +
+      "FROM recs ORDER BY variant"
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ann_opq", annOpq, Some(annOpqSql),
+      "X3k OPQ layout search: PQ recall audit under identity/interleave/snake permutations"),
     QueryDef("q_ann_frontier", annFrontier, Some(annFrontierSql),
       "X3j IVF nprobe recall/cost frontier: one audit row per probe depth vs brute truth"),
     QueryDef("q_ann_eval", annEval, Some(annEvalSql),
