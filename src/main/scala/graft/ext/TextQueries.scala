@@ -407,7 +407,9 @@ object TextQueries {
     QueryDef("q_bpe_merge", bpeMerge, Some(bpeMergeSql),
       "X4n BPE merge application: top pair merged into symbols, pairs recounted"),
     QueryDef("q_bpe_train", bpeTrain, Some(bpeTrainSql),
-      "X4o multi-round BPE training: ordered merge table over N checkpointed rounds"))
+      "X4o multi-round BPE training: ordered merge table over N checkpointed rounds"),
+    QueryDef("q_bpe_encode", bpeEncode, Some(bpeEncodeSql),
+      "X4p tokenizer inference: apply the trained merge table, emit the token census"))
 
   // --- X4m: BPE merge-pair statistics --------------------------------------
 
@@ -591,11 +593,34 @@ object TextQueries {
     * so the merge table is deterministic on both engines. */
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = Tables.documents(s, dir)
+    bpeMergeTable(s, dir).orderBy($"round")
+  }
+
+  /** The corpus word-TYPE dictionary (d = sentinel-joined chars, freq) —
+    * the shared input of training and encode. */
+  private def bpeDict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0 && !$"w".contains(BpeSent))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
-    var dict = words.select(concat_ws(BpeSent, split($"w", "")).as("d"), $"freq")
+      .select(concat_ws(BpeSent, split($"w", "")).as("d"), $"freq")
+  }
+
+  /** The trained merge table (round, ls, rs, n), memoized per (session,
+    * documents content): the vocab ARTIFACT — trained once per session,
+    * shared by `q_bpe_train` (which declares it) and `q_bpe_encode`
+    * (which applies it), exactly how a real pipeline trains a tokenizer
+    * once and tokenizes with it everywhere. */
+  private def bpeMergeTable(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.memo(s, "bpe_merges|" +
+        graft.GraftSession.contentKey(dir, Seq("documents"))) {
+      graft.GraftSession.ckpt(bpeTrainLoop(s, dir))
+    }
+
+  private def bpeTrainLoop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var dict = bpeDict(s, dir)
     var out: DataFrame = null
     for (r <- 1 to BpeTrainRounds) {
       val syms = dict.withColumn("s", split($"d", BpeSent))
@@ -616,13 +641,48 @@ object TextQueries {
           syms.crossJoin(broadcast(top.select($"ls", $"rs")))
             .select(expr(bpeFoldExpr).as("d"), $"freq"))
     }
-    out.orderBy($"round")
+    out
+  }
+
+  /** X4p — the INFERENCE half of the tokenizer: apply the trained merge
+    * table to the corpus in merge-rank order (each merge greedily
+    * left-to-right via the same [[bpeFoldExpr]] the trainer uses — train
+    * and encode share one application semantics by construction) and emit
+    * the token census: every surviving token with the number of word
+    * types it appears in and its total corpus occurrences. After
+    * [[BpeTrainRounds]] merges the vocabulary is the character set plus
+    * one fused symbol per merge row.
+    *
+    * Scale: encoding is dictionary-bounded like training — the corpus
+    * pass is the one word-frequency aggregate, then each merge is a
+    * per-type fold against a broadcast 1-row merge; a real deployment
+    * encodes with the memoized artifact ([[bpeMergeTable]]) instead of
+    * retraining, which is what the session memo makes literal. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMergeTable(s, dir)
+    var dict = bpeDict(s, dir)
+    for (r <- 1 to BpeTrainRounds) {
+      val m = merges.filter($"round" === r.toLong).select($"ls", $"rs")
+      dict = graft.GraftSession.ckpt(
+        dict.withColumn("s", split($"d", BpeSent))
+          .crossJoin(broadcast(m))
+          .select(expr(bpeFoldExpr).as("d"), $"freq"))
+    }
+    dict.select($"d", $"freq", explode(split($"d", BpeSent)).as("token"))
+      .groupBy($"token")
+      .agg(countDistinct($"d").as("n_types"), sum($"freq").as("n_occ"))
+      .orderBy($"token")
   }
 
   /** DuckDB mirror of [[bpeTrain]]: the same [[BpeTrainRounds]] rounds
     * unrolled as CTEs (the `q_sim_knn_ivf2` Lloyd-round precedent), with
     * `list_reduce` running the identical merge fold. */
-  val bpeTrainSql: String = {
+  /** The unrolled training CTE chain (words → syms1 → top1 → … → topN),
+    * shared by [[bpeTrainSql]] and [[bpeEncodeSql]]; with `finalApply` the
+    * chain continues through syms(N+1) — the dictionary with ALL N merges
+    * applied, which is what encoding consumes. */
+  private def bpeRoundsCtesSql(finalApply: Boolean): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH words AS (
@@ -638,7 +698,7 @@ object TextQueries {
         |        FROM (SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i
         |              FROM syms$r WHERE len(s) >= 2))
         |  GROUP BY ls, rs ORDER BY n DESC, ls ASC, rs ASC LIMIT 1)""".stripMargin)
-      if (r < BpeTrainRounds)
+      if (r < BpeTrainRounds || finalApply)
         sb.append(s""",
           |syms${r + 1} AS (
           |  SELECT string_split(list_reduce(s, (acc, x) -> CASE
@@ -648,6 +708,11 @@ object TextQueries {
           |      ELSE acc || chr(1) || x END), chr(1)) AS s, freq
           |  FROM syms$r, top$r)""".stripMargin)
     }
+    sb.toString
+  }
+
+  val bpeTrainSql: String = {
+    val sb = new StringBuilder(bpeRoundsCtesSql(finalApply = false))
     sb.append("\nSELECT * FROM (")
     sb.append((1 to BpeTrainRounds).map(r =>
       s"SELECT CAST($r AS BIGINT) AS round, ls, rs, n FROM top$r")
@@ -655,6 +720,18 @@ object TextQueries {
     sb.append(") ORDER BY round")
     sb.toString
   }
+
+  /** DuckDB mirror of [[bpeEncode]]: the training chain unrolled through
+    * the final application, then the token census off the fully-merged
+    * dictionary. */
+  val bpeEncodeSql: String =
+    bpeRoundsCtesSql(finalApply = true) + s""",
+      |toks AS (
+      |  SELECT array_to_string(s, chr(1)) AS d, freq, unnest(s) AS token
+      |  FROM syms${BpeTrainRounds + 1})
+      |SELECT token, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_types,
+      |  CAST(SUM(freq) AS BIGINT) AS n_occ
+      |FROM toks GROUP BY token ORDER BY token""".stripMargin
 
   // --- X4k: character-entropy quality gate --------------------------------
 

@@ -346,6 +346,48 @@ class ExtSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("n") === p1.getAs[Long]("n"))
   }
 
+  test("X4p BPE encode: census matches a local encoder and conserves characters") {
+    val merges = TextQueries.bpeTrain(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[String]("ls"), r.getAs[String]("rs")))
+    var dict: Array[(Vector[String], Long)] = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).count()
+      .collect().map(r => r.getString(0).toVector.map(_.toString) -> r.getLong(1))
+    merges.foreach { case (ls, rs) =>
+      dict = dict.map { case (syms, freq) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == ls && x == rs)
+            out(out.length - 1) = ls + rs
+          else out += x
+        }
+        (out.toVector, freq)
+      }
+    }
+    val types = scala.collection.mutable.Map.empty[String, Long]
+    val occ = scala.collection.mutable.Map.empty[String, Long]
+    dict.foreach { case (syms, freq) =>
+      syms.distinct.foreach(t => types(t) = types.getOrElse(t, 0L) + 1L)
+      syms.foreach(t => occ(t) = occ.getOrElse(t, 0L) + freq)
+    }
+    val rows = TextQueries.bpeEncode(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("token")).toSet === occ.keySet)
+    rows.foreach { r =>
+      val t = r.getAs[String]("token")
+      assert(r.getAs[Long]("n_types") === types(t), s"n_types($t)")
+      assert(r.getAs[Long]("n_occ") === occ(t), s"n_occ($t)")
+    }
+    // tokenization is lossless: total characters are conserved
+    val charsOut = rows.map(r =>
+      r.getAs[Long]("n_occ") * r.getAs[String]("token").length).sum
+    val charsIn = dict.map { case (syms, freq) => syms.map(_.length).sum * freq }.sum
+    assert(charsOut === charsIn)
+    // every arm of the vocab shows up: at least one multi-char (merged) token
+    assert(rows.exists(_.getAs[String]("token").length > 1))
+  }
+
   test("BMP raster decode is pixel-exact: padding, bottom-up and top-down rows") {
     import graft.ext.{MediaDecode, MediaFixtures}
     // w=5 forces row padding: stride 16 carries 15 payload bytes + 1 pad
