@@ -946,6 +946,17 @@ object SimilarityQueries {
       graft.GraftSession.ckpt(pqCodebook(quantized(s, dir)))
     }
 
+  /** The encoded corpus (vec_id, m, cid — [[PQ_M]] nibble codes per
+    * vector) under the identity layout, memoized: the code table is the
+    * second index artifact a PQ deployment ships (computed at ingest),
+    * shared by `q_sim_knn_pq`'s scan and the IVF-PQ composition. */
+  private def pqCodesMemo(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.memo(s, "pq_codes|" +
+        graft.GraftSession.contentKey(dir, Seq("embeddings"))) {
+      graft.GraftSession.ckpt(
+        pqEncode(quantized(s, dir), pqCodebookMemo(s, dir)))
+    }
+
   /** Product-quantization ANN: encode every vector as [[PQ_M]] nearest-
     * codeword ids (exact integer L2, ties on cid), score candidates by
     * asymmetric distance computation — the query's 4×8 partial-dot lookup
@@ -959,8 +970,15 @@ object SimilarityQueries {
     * equi-join on (m, cid) + one hash aggregate — per query it reads 4
     * ints per corpus vector instead of 64 longs, which is the point of
     * PQ; only C×|Q| rows ever touch full vectors again. */
-  def knnPq(s: SparkSession, dir: String): DataFrame =
-    knnPqOn(quantized(s, dir), pqCodebookMemo(s, dir))
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir)
+    val adc = pqCodesMemo(s, dir)
+      .join(pqLut(e, pqCodebookMemo(s, dir)), Seq("m", "cid"))
+      .where($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id").agg(sum($"part").as("adc_dot"))
+    exactTop5(adcTopC(adc, e), e)
+  }
 
   /** The PQ pipeline over an arbitrary (vec_id, qe, nrm) layout and its
     * trained codebook — shared by `q_sim_knn_pq` (identity layout,
@@ -971,18 +989,37 @@ object SimilarityQueries {
     * changes. */
   private def knnPqOn(e: DataFrame, cb: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
-    val sv = expr(s"slice(qe, m * $PQ_SUB + 1, $PQ_SUB)")
     val codes = pqEncode(e, cb)
-    val lut = e.where($"vec_id" < 20).join(broadcast(cb), lit(true))
-      .select($"vec_id".as("q_id"), $"m", $"cid", dotQ(sv, $"cw").as("part"))
-    val adc = codes.join(lut, Seq("m", "cid"))
+    val adc = codes.join(pqLut(e, cb), Seq("m", "cid"))
       .where($"vec_id" =!= $"q_id")
       .groupBy($"q_id", $"vec_id").agg(sum($"part").as("adc_dot"))
-    val cand = adc.join(e.select($"vec_id", $"nrm"), Seq("vec_id"))
+    exactTop5(adcTopC(adc, e), e)
+  }
+
+  /** The per-query 8×16 partial-dot lookup table (ADC's query-side half). */
+  private def pqLut(e: DataFrame, cb: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val sv = expr(s"slice(qe, m * $PQ_SUB + 1, $PQ_SUB)")
+    e.where($"vec_id" < 20).join(broadcast(cb), lit(true))
+      .select($"vec_id".as("q_id"), $"m", $"cid", dotQ(sv, $"cw").as("part"))
+  }
+
+  /** Keep the ADC-ranked top [[PQ_C]] candidates per query (norm-adjusted,
+    * ties on vec_id). */
+  private def adcTopC(adc: DataFrame, e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    adc.join(e.select($"vec_id", $"nrm"), Seq("vec_id"))
       .withColumn("rn", row_number().over(Window.partitionBy($"q_id")
         .orderBy(($"adc_dot".cast(DoubleType) / sqrt($"nrm".cast(DoubleType)))
           .desc, $"vec_id".asc)))
       .where($"rn" <= PQ_C).select($"q_id", $"vec_id")
+  }
+
+  /** Exact integer-cosine re-rank of a (q_id, vec_id) candidate relation
+    * to the top-5 surface every ANN tier emits. Permutation-safe: dot
+    * products and norms are layout-invariant. */
+  private def exactTop5(cand: DataFrame, e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val q = e.where($"vec_id" < 20)
       .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"))
     val scored = cand.join(broadcast(q), Seq("q_id")).join(e, Seq("vec_id"))
@@ -993,6 +1030,34 @@ object SimilarityQueries {
       .filter($"rnk" <= 5)
       .orderBy($"q_id", $"rnk")
       .select($"q_id", $"rnk", $"vec_id", $"cos_sim")
+  }
+
+  /** X3l — the composed 100-TB ANN architecture (IVF-PQ / IndexIVFPQ
+    * shape): the learned coarse quantizer PRUNES (queries see only their
+    * [[NPROBE2]] nearest inverted lists — the memoized [[rankedAssign]]
+    * index), PQ codes SCORE the surviving candidates by ADC (8 nibbles
+    * per vector read instead of 64 longs — the memoized [[pqCodesMemo]]),
+    * and the exact re-rank touches only the top [[PQ_C]]. Per query the
+    * work is |corpus|·(nprobe/K) code reads + C full vectors — the
+    * multiplicative composition of the IVF and PQ reductions, which is
+    * the plan FAISS-class systems run at billion scale. Both index
+    * artifacts are trained once per session and shared with their own
+    * tiers (`q_sim_knn_ivf2`, `q_sim_knn_pq`). */
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir)
+    val ranked = rankedAssign(s, dir)
+    val assign = ranked.filter($"crn" === 1)
+      .select($"vec_id", $"c_id".as("bucket"))
+    val probes = ranked.filter($"vec_id" < 20 && $"crn" <= NPROBE2)
+      .select($"vec_id".as("q_id"), $"c_id".as("bucket"))
+    val cands = probes.join(assign, Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id").distinct()
+    val adc = cands.join(pqCodesMemo(s, dir), Seq("vec_id"))
+      .join(pqLut(e, pqCodebookMemo(s, dir)), Seq("q_id", "m", "cid"))
+      .groupBy($"q_id", $"vec_id").agg(sum($"part").as("adc_dot"))
+    exactTop5(adcTopC(adc, e), e)
   }
 
   /** One encode round in SQL: L2 to every codeword of cb$n, argmin. */
@@ -1031,11 +1096,14 @@ object SimilarityQueries {
   /** Full PQ pipeline SQL over an injected qv CTE block (the vector
     * layout) — identity for [[knnPqSql]], variance-permuted chains for
     * [[annOpqSql]]. */
-  private def pqPipelineSql(qvBlock: String): String = {
+  /** PQ training + corpus codes + per-query LUT as a reusable CTE block
+    * (ends at `lut`; codes live in `codes{PQ_ROUNDS}`): shared by the
+    * full-scan PQ pipeline and the IVF-PQ composition. Does NOT define
+    * `norms` — the enclosing WITH supplies it. */
+  private def pqTrainCtesSql(qvBlock: String): String = {
     val training = (1 to PQ_ROUNDS)
       .map(r => s"${pqUpdCte(r)},\n${pqEncCte(r)}").mkString(",\n")
-    s"""WITH $normsCte,
-       |$qvBlock,
+    s"""$qvBlock,
        |seedv AS (
        |  SELECT qe, ROW_NUMBER() OVER (ORDER BY
        |      md5('pq_' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cid
@@ -1052,12 +1120,13 @@ object SimilarityQueries {
        |  SELECT v.vec_id AS q_id, c.m, c.cid,
        |    CAST(list_sum(list_transform(range(1, ${PQ_SUB + 1}),
        |      j -> v.qe[c.m * $PQ_SUB + j] * c.cw[j])) AS BIGINT) AS part
-       |  FROM qv v CROSS JOIN cb$PQ_ROUNDS c WHERE v.vec_id < 20),
-       |adc AS (
-       |  SELECT l.q_id, cd.vec_id, CAST(SUM(l.part) AS BIGINT) AS adc_dot
-       |  FROM codes$PQ_ROUNDS cd JOIN lut l ON cd.m = l.m AND cd.cid = l.cid
-       |  WHERE cd.vec_id <> l.q_id GROUP BY 1, 2),
-       |cand AS (
+       |  FROM qv v CROSS JOIN cb$PQ_ROUNDS c WHERE v.vec_id < 20)""".stripMargin
+  }
+
+  /** The ADC top-C → exact re-rank tail (consumes an `adc` CTE and
+    * `norms`), ending in the top-5 SELECT every ANN tier emits. */
+  private def pqRerankTailSql: String =
+    s"""cand AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT a.q_id, a.vec_id, ROW_NUMBER() OVER (PARTITION BY a.q_id
        |      ORDER BY CAST(a.adc_dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE))
@@ -1083,9 +1152,38 @@ object SimilarityQueries {
        |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
        |  FROM scored) WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
-  }
+
+  private def pqPipelineSql(qvBlock: String): String =
+    s"""WITH $normsCte,
+       |${pqTrainCtesSql(qvBlock)},
+       |adc AS (
+       |  SELECT l.q_id, cd.vec_id, CAST(SUM(l.part) AS BIGINT) AS adc_dot
+       |  FROM codes$PQ_ROUNDS cd JOIN lut l ON cd.m = l.m AND cd.cid = l.cid
+       |  WHERE cd.vec_id <> l.q_id GROUP BY 1, 2),
+       |$pqRerankTailSql""".stripMargin
 
   val knnPqSql: String = pqPipelineSql(qvIdentitySql)
+
+  /** DuckDB mirror of [[knnIvfPq]]: the unrolled k-means chain provides
+    * the pruning index, the PQ chain provides codes + LUT, and the ADC
+    * runs only over the probed candidate pairs. */
+  val knnIvfPqSql: String =
+    s"""WITH $kmeansCtesSql,
+       |${pqTrainCtesSql(qvIdentitySql)},
+       |assign AS (SELECT vec_id, c_id AS bucket FROM aranked3 WHERE crn = 1),
+       |probes AS (SELECT vec_id AS q_id, c_id AS bucket FROM aranked3
+       |  WHERE vec_id < 20 AND crn <= $NPROBE2),
+       |cands AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probes p JOIN assign a ON p.bucket = a.bucket
+       |  WHERE a.vec_id <> p.q_id),
+       |adc AS (
+       |  SELECT ca.q_id, ca.vec_id, CAST(SUM(l.part) AS BIGINT) AS adc_dot
+       |  FROM cands ca
+       |  JOIN codes$PQ_ROUNDS cd ON cd.vec_id = ca.vec_id
+       |  JOIN lut l ON l.q_id = ca.q_id AND cd.m = l.m AND cd.cid = l.cid
+       |  GROUP BY 1, 2),
+       |$pqRerankTailSql""".stripMargin
 
   // --- X3i: unified ANN evaluation ---------------------------------------
   /** Recall@5 of every approximate tier against the SHARED brute-force
@@ -1110,8 +1208,8 @@ object SimilarityQueries {
     val truth = bruteTruth(s, dir)
     val methods: Seq[(String, DataFrame)] = Seq(
       "ivf" -> knnIvf(s, dir), "ivf2" -> knnIvf2(s, dir),
-      "lsh" -> knnLsh(s, dir), "pq" -> knnPq(s, dir),
-      "sq8" -> knnSq8(s, dir))
+      "ivfpq" -> knnIvfPq(s, dir), "lsh" -> knnLsh(s, dir),
+      "pq" -> knnPq(s, dir), "sq8" -> knnSq8(s, dir))
     val preds = methods.map { case (nm, df) =>
       df.select(lit(nm).as("method"), $"q_id", $"vec_id")
     }.reduce(_.unionByName(_))
@@ -1133,7 +1231,8 @@ object SimilarityQueries {
     * the embedded, already-stripped tier SQLs cannot lose margin pipes. */
   val annEvalSql: String = {
     val ms = Seq("ivf" -> knnIvfSql, "ivf2" -> knnIvf2Sql,
-      "lsh" -> knnLshSql, "pq" -> knnPqSql, "sq8" -> knnSq8Sql)
+      "ivfpq" -> knnIvfPqSql, "lsh" -> knnLshSql,
+      "pq" -> knnPqSql, "sq8" -> knnSq8Sql)
     val ctes = ms.map { case (nm, q) =>
       s"p_$nm AS (SELECT q_id, vec_id FROM (\n$q\n) t_$nm)"
     }.mkString(",\n")
@@ -1320,7 +1419,7 @@ object SimilarityQueries {
     val e = quantized(s, dir)
     val pms = dimPerms(e)
     val variants: Seq[(String, DataFrame)] = Seq(
-      "pq_identity" -> knnPqOn(e, pqCodebookMemo(s, dir)),
+      "pq_identity" -> knnPq(s, dir),
       "opq_interleave" -> {
         val pe = permApply(e, pms, "pm_inter"); knnPqOn(pe, pqCodebook(pe))
       },
@@ -1402,6 +1501,8 @@ object SimilarityQueries {
       "X3i ANN audit: integer-ppm recall@5 of LSH/IVF/IVF2/SQ8/PQ vs shared brute truth"),
     QueryDef("q_sim_knn_pq", knnPq, Some(knnPqSql),
       "X3h product-quantization ANN: Lloyd-refined 8x16 codebooks, ADC scan, exact re-rank"),
+    QueryDef("q_sim_knn_ivfpq", knnIvfPq, Some(knnIvfPqSql),
+      "X3l composed IVF-PQ ANN: coarse-quantizer pruning + ADC scan of probed lists"),
     QueryDef("q_sim_knn_brute", knnBrute, Some(knnBruteSql),
       "X3 brute-force cosine top-k (correctness baseline)"),
     QueryDef("q_sim_knn_lsh", knnLsh, Some(knnLshSql),
