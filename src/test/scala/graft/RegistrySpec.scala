@@ -110,7 +110,15 @@ class RegistrySpec extends AnyFunSuite {
       "q_bpe_train",
       // single-row totals broadcast crossed onto the key dictionary —
       // same class as q_geo_density's occupancy stats
-      "q_skew_census")
+      "q_skew_census",
+      // three PQ arms: 32-row codebook broadcast onto the corpus (the
+      // q_sim_knn_pq class) + 1-row permutation-array broadcast + the
+      // single-row truth-count denominator of the eval class
+      "q_ann_opq",
+      // 32-row codebook broadcast for the query-side LUT + the brute
+      // subplans' classes — candidates themselves come from an equi-join
+      // on the probed lists, never a loop join
+      "q_sim_knn_ivfpq")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
