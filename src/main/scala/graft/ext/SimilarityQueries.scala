@@ -940,7 +940,7 @@ object SimilarityQueries {
     * embeddings content) like [[rankedAssign]]: `q_sim_knn_pq` and the
     * identity arm of the `q_ann_opq` permutation audit train it ONCE per
     * session — a real deployment ships the codebook as an artifact. */
-  private def pqCodebookMemo(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqCodebookMemo(s: SparkSession, dir: String): DataFrame =
     pqCbMemo(s, dir, "", quantized(s, dir))
 
   /** The encoded corpus (vec_id, m, cid — [[PQ_M]] nibble codes per

@@ -612,7 +612,7 @@ object TextQueries {
     * shared by `q_bpe_train` (which declares it) and `q_bpe_encode`
     * (which applies it), exactly how a real pipeline trains a tokenizer
     * once and tokenizes with it everywhere. */
-  private def bpeMergeTable(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bpeMergeTable(s: SparkSession, dir: String): DataFrame =
     graft.GraftSession.memo(s, "bpe_merges|" +
         graft.GraftSession.contentKey(dir, Seq("documents"))) {
       graft.GraftSession.ckpt(bpeTrainLoop(s, dir))

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet persistence for trained index ARTIFACTS — the cross-
+  * session completion of the in-session `GraftSession.memo` discipline.
+  * Everything the similarity/dedup/text tiers train once and probe many
+  * times (the learned IVF centroid table, the PQ codebook and corpus code
+  * table, the BPE merge table, z-score fits) is a small deterministic
+  * relation; a real deployment trains it in one job, SHIPS it, and every
+  * consumer — batch queries, the streaming ingest twins that re-resolve
+  * their static side per micro-batch ([[graft.streaming.StreamJobs
+  * .dimEnrichStream]]/[[graft.streaming.StreamJobs.annIngestStream]]) —
+  * loads the current version by name.
+  *
+  * Layout: `root/name/v=N/…parquet` plus `root/name/_latest` holding N.
+  * Versions are immutable once written; [[save]] writes v=N+1 and then
+  * atomically points `_latest` at it (rename-over, the
+  * `StreamJobs.latestStateUpsert` crash-safety pattern), so a reader
+  * never observes a half-written version: it either resolves the old
+  * pointer or the new one. A streaming consumer that re-resolves
+  * [[load]] per micro-batch therefore picks up a re-trained artifact
+  * without restart — and an aborted save leaves only an unreferenced
+  * v-directory behind, never a broken pointer.
+  *
+  * Scale: artifacts are index-sized (K centroids, M×K codewords, N merge
+  * rows), not corpus-sized — single-digit parquet files; the corpus-sized
+  * PQ code table still fits the same shape since it is written once at
+  * ingest and only scanned afterwards.
+  */
+object ArtifactStore {
+
+  private def fs(s: SparkSession, p: Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def latestPath(root: String, name: String) =
+    new Path(s"$root/$name/_latest")
+
+  /** Highest version currently published for `name`, 0 if none. */
+  def latestVersion(s: SparkSession, root: String, name: String): Int = {
+    val lp = latestPath(root, name)
+    val f = fs(s, lp)
+    if (!f.exists(lp)) 0
+    else {
+      val in = f.open(lp)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Persist `df` as the next version of `name`; returns the version
+    * written. The version directory is fully written BEFORE the pointer
+    * moves. */
+  def save(df: DataFrame, root: String, name: String): Int = {
+    val s = df.sparkSession
+    val v = latestVersion(s, root, name) + 1
+    df.write.mode("overwrite").parquet(s"$root/$name/v=$v")
+    val lp = latestPath(root, name)
+    val tmp = new Path(s"$root/$name/_latest.tmp")
+    val f = fs(s, lp)
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(lp)) f.delete(lp, false)
+    f.rename(tmp, lp)
+    v
+  }
+
+  /** Load the latest published version of `name` (or an explicit
+    * `version`). Fails fast if nothing was ever published. */
+  def load(s: SparkSession, root: String, name: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(s, root, name))
+    require(v > 0, s"no published version of artifact '$name' under $root")
+    s.read.parquet(s"$root/$name/v=$v")
+  }
+}
