@@ -409,7 +409,9 @@ object TextQueries {
     QueryDef("q_bpe_train", bpeTrain, Some(bpeTrainSql),
       "X4o multi-round BPE training: ordered merge table over N checkpointed rounds"),
     QueryDef("q_bpe_encode", bpeEncode, Some(bpeEncodeSql),
-      "X4p tokenizer inference: apply the trained merge table, emit the token census"))
+      "X4p tokenizer inference: apply the trained merge table, emit the token census"),
+    QueryDef("q_tokens_per_doc", tokensPerDoc, Some(tokensPerDocSql),
+      "X4q per-document exact token counts under the trained BPE vocab"))
 
   // --- X4m: BPE merge-pair statistics --------------------------------------
 
@@ -567,13 +569,16 @@ object TextQueries {
     * overlap rule (e.g. `aaaaa` + (a,a) → `aa aa a`). DuckDB's
     * `list_reduce` shares the first-element-as-init convention with the
     * `slice`-based init here, so both engines run the identical fold. */
-  private val bpeFoldExpr: String =
-    """aggregate(slice(s, 2, size(s) - 1), element_at(s, 1),
-      |  (acc, x) -> CASE
-      |    WHEN x = rs AND acc = ls THEN concat(ls, rs)
-      |    WHEN x = rs AND endswith(acc, concat(char(1), ls))
-      |      THEN concat(substring(acc, 1, length(acc) - length(ls)), ls, rs)
-      |    ELSE concat(acc, char(1), x) END)""".stripMargin
+  private def bpeFoldExprOn(sE: String, acc2: String = "acc",
+      x2: String = "x"): String =
+    s"""aggregate(slice($sE, 2, size($sE) - 1), element_at($sE, 1),
+       |  ($acc2, $x2) -> CASE
+       |    WHEN $x2 = rs AND $acc2 = ls THEN concat(ls, rs)
+       |    WHEN $x2 = rs AND endswith($acc2, concat(char(1), ls))
+       |      THEN concat(substring($acc2, 1, length($acc2) - length(ls)), ls, rs)
+       |    ELSE concat($acc2, char(1), $x2) END)""".stripMargin
+
+  private val bpeFoldExpr: String = bpeFoldExprOn("s")
 
   /** Full multi-round BPE tokenizer training: [[BpeTrainRounds]] bounded,
     * checkpointed count→argmax→apply rounds over the word-TYPE dictionary,
@@ -660,19 +665,96 @@ object TextQueries {
     * retraining, which is what the session memo makes literal. */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val merges = bpeMergeTable(s, dir)
-    var dict = bpeDict(s, dir)
-    for (r <- 1 to BpeTrainRounds) {
-      val m = merges.filter($"round" === r.toLong).select($"ls", $"rs")
-      dict = graft.GraftSession.ckpt(
-        dict.withColumn("s", split($"d", BpeSent))
-          .crossJoin(broadcast(m))
-          .select(expr(bpeFoldExpr).as("d"), $"freq"))
-    }
+    val dict = applyMerges(bpeDict(s, dir), bpeMergeTable(s, dir), Seq("freq"),
+      ckptRounds = true)
     dict.select($"d", $"freq", explode(split($"d", BpeSent)).as("token"))
       .groupBy($"token")
       .agg(countDistinct($"d").as("n_types"), sum($"freq").as("n_occ"))
       .orderBy($"token")
+  }
+
+  /** Apply the full trained merge table to a relation carrying a
+    * sentinel-joined symbol column `d`, in merge-rank order. Each round
+    * is a broadcast of ONE merge row crossed onto the relation + a
+    * narrow per-row fold; `ckptRounds` opts the small type dictionary
+    * into per-round checkpointing. ([[tokensPerDocOf]] runs the same
+    * folds per-word INSIDE a row via `transform` — same semantics, array
+    * form.) */
+  private[graft] def applyMerges(df: DataFrame, merges: DataFrame,
+      carry: Seq[String], ckptRounds: Boolean = false): DataFrame = {
+    import df.sparkSession.implicits._
+    var out = df
+    for (r <- 1 to BpeTrainRounds) {
+      val m = merges.filter($"round" === r.toLong).select($"ls", $"rs")
+      val folded = out.withColumn("s", split($"d", BpeSent))
+        .crossJoin(broadcast(m))
+        .select(expr(bpeFoldExpr).as("d") +: carry.map(col): _*)
+      out = if (ckptRounds) graft.GraftSession.ckpt(folded) else folded
+    }
+    out
+  }
+
+  /** X4q — the tokenizer applied at corpus scale: per-document token
+    * counts under the trained merge table, the number every packing /
+    * chunking / context-budget planner actually consumes (`q_pack_chunks`
+    * approximates tokens by characters; this is the exact count the
+    * trained vocab produces). Deliberately computed per ROW (words array
+    * → per-word merge folds inside `transform` → an in-row sum): the
+    * whole query is a narrow map pass over the corpus — no explode, no
+    * shuffle, no per-doc aggregation state — which is both the fastest
+    * batch plan at 100 TB and exactly what makes the streaming twin
+    * ([[graft.streaming.StreamJobs.tokenizeStream]]) legal on an
+    * unbounded feed with zero keyed state. */
+  def tokensPerDoc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tokensPerDocOf(Tables.documents(s, dir), bpeMergeTable(s, dir))
+      .orderBy($"doc_id")
+  }
+
+  /** Shared core of [[tokensPerDoc]] and the streaming twin: works on any
+    * (doc_id, text) relation, batch or streaming. Docs whose every word
+    * is filtered (empty after split) drop out, matching the exploded
+    * oracle form. */
+  private[graft] def tokensPerDocOf(docs: DataFrame, merges: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    var out = docs.select($"doc_id", expr(
+      "transform(filter(split(text, ' '), " +
+        "w -> length(w) > 0 AND NOT contains(w, char(1))), " +
+        "w -> concat_ws(char(1), split(w, '')))").as("ws"))
+    for (r <- 1 to BpeTrainRounds) {
+      val m = merges.filter($"round" === r.toLong).select($"ls", $"rs")
+      out = out.crossJoin(broadcast(m)).select($"doc_id", expr(
+        s"transform(ws, d -> ${bpeFoldExprOn("split(d, char(1))")})").as("ws"))
+    }
+    out.select($"doc_id", size($"ws").cast(LongType).as("n_words"),
+      expr("aggregate(ws, CAST(0 AS BIGINT), " +
+        "(tot, d) -> tot + size(split(d, char(1))))").as("n_tokens"))
+      .filter($"n_words" > 0)
+  }
+
+  /** DuckDB mirror: the training chain provides top1..topN; the per-doc
+    * word stream runs the same fold against each in order. */
+  val tokensPerDocSql: String = {
+    val sb = new StringBuilder(bpeRoundsCtesSql(finalApply = false))
+    sb.append(s""",
+      |docw0 AS (
+      |  SELECT doc_id, string_split(w, '') AS s FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0 AND NOT contains(w, chr(1)))""".stripMargin)
+    for (r <- 1 to BpeTrainRounds)
+      sb.append(s""",
+        |docw$r AS (
+        |  SELECT doc_id, string_split(list_reduce(s, (acc, x) -> CASE
+        |      WHEN x = rs AND acc = ls THEN ls || rs
+        |      WHEN x = rs AND ends_with(acc, chr(1) || ls)
+        |        THEN substr(acc, 1, length(acc) - length(ls)) || ls || rs
+        |      ELSE acc || chr(1) || x END), chr(1)) AS s
+        |  FROM docw${r - 1}, top$r)""".stripMargin)
+    sb.append(s"""
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(len(s)) AS BIGINT) AS n_tokens
+      |FROM docw$BpeTrainRounds GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    sb.toString
   }
 
   /** DuckDB mirror of [[bpeTrain]]: the same [[BpeTrainRounds]] rounds

@@ -389,6 +389,17 @@ object StreamJobs {
   def annIngestStream(vecs: DataFrame, cents: DataFrame): DataFrame =
     graft.ext.SimilarityQueries.assignStateless(vecs, cents)
 
+  /** X4q streaming twin — tokenize an unbounded document feed with the
+    * TRAINED merge table as the static side (re-resolved per micro-batch,
+    * so a re-trained vocab — e.g. a new `ArtifactStore` version passed by
+    * the caller — applies without restart). Tokenization is a pure
+    * per-row function (explode → 4 broadcast merge folds → per-doc agg
+    * within the batch's complete docs), so the stream carries no keyed
+    * state. Emits (doc_id, n_words, n_tokens) exactly as the batch
+    * `q_tokens_per_doc`; StreamingSpec pins the equivalence. */
+  def tokenizeStream(docs: DataFrame, merges: DataFrame): DataFrame =
+    graft.ext.TextQueries.tokensPerDocOf(docs, merges)
+
   def followerJoin(events: DataFrame): DataFrame = {
     val left = events
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))

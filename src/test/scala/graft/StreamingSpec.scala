@@ -3,6 +3,7 @@ package graft
 import graft.analytics.EventQueries
 import graft.streaming._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -15,6 +16,31 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf0001
   import spark.implicits._
+
+  test("X4q streaming tokenizer equals batch q_tokens_per_doc") {
+    import graft.ext.TextQueries
+    val tmp = Files.createTempDirectory("graft-doc-stream").toString
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    docs.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(tmp)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val q = StreamJobs
+      .tokenizeStream(stream, TextQueries.bpeMergeTable(spark, sf))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tok_stream_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("tok_stream_out").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val batch = TextQueries.tokensPerDoc(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch, "stream tokenization diverged from batch")
+  }
 
   test("X3 streaming ANN ingest equals the batch index assignment") {
     import graft.ext.SimilarityQueries
