@@ -212,4 +212,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("AQEShuffleRead coalesced"),
       s"expected AQE-coalesced shuffle read:\n$plan")
   }
+
+  test("AQE splits a runtime-skewed sort-merge join partition") {
+    // the UNPLANNED-skew leg, complementing q_join_salted (which handles
+    // skew known ahead of time): one synthetic hot key dominates the left
+    // side; with the skew thresholds scaled to test data, AQE must detect
+    // the oversized partition at runtime and split it (SMJ marked
+    // skew=true) — at 100 TB this is the safety net for the hot keys the
+    // skew census did NOT predict. Join hints are avoided so the join
+    // stays a genuine SMJ.
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // ~50k rows of ONE key with a fat payload (≈10 MB partition) vs a
+      // few thousand singleton keys — one shuffle partition far beyond
+      // both the absolute threshold and factor×median
+      val hot = spark.range(0, 55000).select(
+        when($"id" < 50000, lit(7L)).otherwise($"id").as("k"),
+        concat(lit("p"), expr("repeat(uuid(), 5)")).as("pay"))
+      val right = spark.range(0, 8000).select($"id".as("k"),
+        concat(lit("dim_"), $"id").as("tag"))
+      val joined = hot.join(right, Seq("k"))
+        .groupBy($"tag").agg(sum(length($"pay")).as("bytes"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected an AQE skew-split SMJ (skew=true):\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
