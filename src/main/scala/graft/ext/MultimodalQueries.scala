@@ -191,6 +191,16 @@ object MediaDecode {
     * gradient structure that survive re-encoding and small edits. Sampling
     * is integer-exact (`x = i·w div 9`, `y = j·h div 8`) so an oracle can
     * restate it as a formula. */
+  /** Nearest-neighbor raster resize — the thumbnail/feature-downsample
+    * step of an image pipeline, on the decoded grid: target pixel (i, j)
+    * samples source (i·w div tw, j·h div th). Integer arithmetic only,
+    * so the oracle can restate it as formula. */
+  def resizeNN(g: Array[Array[Int]], tw: Int, th: Int): Array[Array[Int]] = {
+    val h = g.length
+    val w = g(0).length
+    Array.tabulate(th, tw)((j, i) => g(j * h / th)(i * w / tw))
+  }
+
   def dhash64(g: Array[Array[Int]]): Long = {
     val h = g.length
     val w = g(0).length
@@ -290,6 +300,14 @@ object MediaFixtures {
 /** One per-doc raster perceptual hash — see [[MultimodalQueries.mediaPhashRaster]]. */
 final case class RasterHash(
     doc_id: Long, width: Int, height: Int, dhash_hi: Long, dhash_lo: Long)
+
+/** One per-doc 4×4 nearest-neighbor thumbnail, one long per thumbnail
+  * row (4 gray bytes, little-endian) — see
+  * [[MultimodalQueries.mediaResize]]. */
+final case class RasterThumb(
+    doc_id: Long, width: Int, height: Int,
+    thumb_r0: Long, thumb_r1: Long, thumb_r2: Long, thumb_r3: Long,
+    mean_px: Long)
 
 object MultimodalQueries {
 
@@ -546,7 +564,69 @@ object MultimodalQueries {
        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
   }
 
+  /** Resize over REAL PIXELS — the second honest raster op: the same
+    * spec-built BMP payloads decode through [[MediaDecode.decodeBmpGray]]
+    * and downsample via [[MediaDecode.resizeNN]] to a 4×4 thumbnail (the
+    * feature-extraction shape every image pipeline runs before embedding
+    * / dedup). The 16 gray bytes ship packed 8-per-long plus the integer
+    * mean — all integer arithmetic, so the oracle restates pixel
+    * generation + NN sampling as formula and the hash pins every sampled
+    * byte's source coordinate.
+    *
+    * Scale: identical to the phash tier — narrow batched mapPartitions
+    * decode+resize, zero shuffle before the presentation sort; at 100 TB
+    * the same map emits a thumbnail column for a downstream embedding
+    * model instead of packed longs. */
+  def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir).filter($"doc_id" < 60)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val w = 16 + (id % 7).toInt * 3
+        val h = 9 + (id % 5).toInt * 2
+        (id, MediaFixtures.bmpRaster(w, h,
+          (x, y) => (x * 7 + y * 13 + id.toInt * 31) % 256))
+      }
+    media.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val g = MediaDecode.decodeBmpGray(bytes).getOrElse(
+          sys.error(s"doc $id: fixture is not a decodable 24bpp BMP"))
+        val t = MediaDecode.resizeNN(g, 4, 4)
+        def packRow(j: Int): Long =
+          (0 until 4).map(i => t(j)(i).toLong << (8 * i)).sum
+        RasterThumb(id, g(0).length, g.length,
+          packRow(0), packRow(1), packRow(2), packRow(3),
+          t.flatten.map(_.toLong).sum / 16)
+      }
+    }.toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: thumbnail pixel (i, j) of doc d is the generator formula
+    * evaluated at the NN source coordinate (i·w div 4, j·h div 4). */
+  val mediaResizeSql: String = {
+    val w = "(16 + (doc_id % 7) * 3)"
+    val h = "(9 + (doc_id % 5) * 2)"
+    def vAt(i: String, j: String) =
+      s"((($i) * $w // 4) * 7 + (($j) * $h // 4) * 13 + doc_id * 31) % 256"
+    def row(j: Int) =
+      s"CAST(list_sum(list_transform(range(0, 4),\n" +
+        s"    k -> CAST(${vAt("k", j.toString)} AS BIGINT) << CAST(8 * k AS INTEGER))) AS BIGINT) AS thumb_r$j"
+    s"""SELECT doc_id,
+       |  CAST($w AS INTEGER) AS width,
+       |  CAST($h AS INTEGER) AS height,
+       |  ${row(0)},
+       |  ${row(1)},
+       |  ${row(2)},
+       |  ${row(3)},
+       |  CAST(list_sum(list_transform(range(0, 16),
+       |    k -> CAST(${vAt("k % 4", "k // 4")} AS BIGINT))) // 16 AS BIGINT) AS mean_px
+       |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_multimodal_resize", mediaResize, Some(mediaResizeSql),
+      "NN thumbnail over REAL decoded BMP rasters: 4x4 downsample, packed gray bytes + mean"),
     QueryDef("q_multimodal_phash_raster", mediaPhashRaster, Some(mediaPhashRasterSql),
       "dHash over REAL decoded BMP rasters: pixel-exact decode (offset/stride/BGR/BT.601) + 9x8 gradient hash"),
     QueryDef("q_multimodal_dims", mediaDims, Some(mediaDimsSql),

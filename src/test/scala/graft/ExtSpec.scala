@@ -422,6 +422,18 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[String]("token").length > 1))
   }
 
+  test("NN resize samples the exact source coordinates") {
+    import graft.ext.MediaDecode
+    // 6x4 source, distinct values; 4x4 target samples x = i*6/4, y = j*4/4
+    val g = Array.tabulate(4, 6)((y, x) => y * 10 + x)
+    val t = MediaDecode.resizeNN(g, 4, 4)
+    for (j <- 0 until 4; i <- 0 until 4)
+      assert(t(j)(i) === g(j * 4 / 4)(i * 6 / 4), s"($i,$j)")
+    // degenerate: upsampling a 1x1 grid replicates the pixel
+    assert(MediaDecode.resizeNN(Array(Array(42)), 3, 3).flatten.toSeq ===
+      Seq.fill(9)(42))
+  }
+
   test("BMP raster decode is pixel-exact: padding, bottom-up and top-down rows") {
     import graft.ext.{MediaDecode, MediaFixtures}
     // w=5 forces row padding: stride 16 carries 15 payload bytes + 1 pad
