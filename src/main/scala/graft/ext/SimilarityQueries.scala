@@ -409,8 +409,9 @@ object SimilarityQueries {
 
   /** Nearest-centroid assignment with NO rank window and NO aggregation
     * state: the K centroids ride along as ONE packed array column
-    * (broadcast; on a stream the static side is re-resolved every
-    * micro-batch) and the argmax is a per-row fold over that array —
+    * (broadcast; for index-refresh-without-restart run this inside
+    * `foreachBatch` with a per-batch `ArtifactStore.load` — see
+    * ArtifactSpec) and the argmax is a per-row fold over that array —
     * legal on an unbounded stream because each vector's bucket is a pure
     * function of the row. The fold keeps (best cos, best c_id) with ties
     * to the smaller centroid id — [[kmAssign]]'s (c_cos DESC, c_id ASC)

@@ -19,10 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * atomically points `_latest` at it (rename-over, the
   * `StreamJobs.latestStateUpsert` crash-safety pattern), so a reader
   * never observes a half-written version: it either resolves the old
-  * pointer or the new one. A streaming consumer that re-resolves
-  * [[load]] per micro-batch therefore picks up a re-trained artifact
-  * without restart — and an aborted save leaves only an unreferenced
-  * v-directory behind, never a broken pointer.
+  * pointer or the new one. A streaming consumer picks up a re-trained
+  * artifact WITHOUT restart by calling [[load]] per micro-batch inside
+  * `foreachBatch` — a fresh load resolves the current pointer and lists
+  * the new version directory, whereas a static DataFrame bound at query
+  * start pins its original file listing (plan re-execution does not
+  * re-list; both behaviors are pinned in ArtifactSpec). An aborted save
+  * leaves only an unreferenced v-directory behind, never a broken
+  * pointer.
   *
   * Scale: artifacts are index-sized (K centroids, M×K codewords, N merge
   * rows), not corpus-sized — single-digit parquet files; the corpus-sized

@@ -347,12 +347,15 @@ object StreamJobs {
 
   /** T-extra: stream-STATIC dimension enrichment — the streaming form of
     * the J1 broadcast dim join. The static side is a plain batch
-    * DataFrame; Structured Streaming re-resolves it against each
-    * micro-batch, so a dim-table update between triggers is picked up
-    * without restarting the query (the standard slowly-refreshing-dim
-    * idiom). Broadcast keeps the join narrow — no stream-side state, no
-    * watermark needed: enrichment is stateless, and the downstream count
-    * runs in update/complete mode.
+    * DataFrame whose PLAN re-executes per micro-batch — but a path-backed
+    * parquet static pins its file listing when the streaming query is
+    * analyzed (plan re-execution does NOT re-list; ArtifactSpec pins this
+    * engine behavior), so a dim REFRESH between triggers is delivered by
+    * re-creating the static per batch inside `foreachBatch` (e.g. a fresh
+    * [[graft.sources.ArtifactStore.load]]) — the slowly-refreshing-dim
+    * idiom demonstrated end-to-end in ArtifactSpec. Broadcast keeps the
+    * join narrow — no stream-side state, no watermark needed: enrichment
+    * is stateless, and the downstream count runs in update/complete mode.
     *
     * Scale: identical plan per micro-batch to the batch J1 join — dim
     * broadcast, stream side never shuffles for the join itself. */
@@ -377,22 +380,26 @@ object StreamJobs {
   /** T-extra/X3: streaming incremental ANN ingest — the [[dimEnrichStream]]
     * pattern applied to the learned IVF index. New vectors are assigned to
     * the trained coarse quantizer as they arrive: the K-row centroid table
-    * is the STATIC side (re-resolved against each micro-batch, so a
-    * re-trained index is picked up without restarting the query), packed
-    * into one broadcast array, and the argmax is a per-row fold — no rank
-    * window, no aggregation state, nothing keyed on vector id. At 100 TB
-    * this ingests an unbounded vector feed with O(K) state per executor
-    * (the broadcast), which is what makes "precompute the corpus
-    * assignment at ingest" — the contract every IVF consumer here assumes
-    * — operationally real. StreamingSpec pins stream == batch assignment
-    * (`rankedAssign` crn=1) vector-for-vector. */
+    * is the STATIC side, packed into one broadcast array, and the argmax
+    * is a per-row fold — no rank window, no aggregation state, nothing
+    * keyed on vector id. A RE-TRAINED index is picked up without
+    * restarting the stream by running this transform inside `foreachBatch`
+    * with a per-batch [[graft.sources.ArtifactStore.load]] (ArtifactSpec
+    * demonstrates the version flip mid-stream; a static bound at
+    * query start pins its file listing). At 100 TB this ingests an
+    * unbounded vector feed with O(K) state per executor (the broadcast),
+    * which is what makes "precompute the corpus assignment at ingest" —
+    * the contract every IVF consumer here assumes — operationally real.
+    * StreamingSpec pins stream == batch assignment (`rankedAssign` crn=1)
+    * vector-for-vector. */
   def annIngestStream(vecs: DataFrame, cents: DataFrame): DataFrame =
     graft.ext.SimilarityQueries.assignStateless(vecs, cents)
 
   /** X4q streaming twin — tokenize an unbounded document feed with the
-    * TRAINED merge table as the static side (re-resolved per micro-batch,
-    * so a re-trained vocab — e.g. a new `ArtifactStore` version passed by
-    * the caller — applies without restart). Tokenization is a pure
+    * TRAINED merge table as the static side (a re-trained vocab applies
+    * without restart via the same `foreachBatch` + per-batch
+    * `ArtifactStore.load` pattern as [[annIngestStream]]). Tokenization
+    * is a pure
     * per-row function (explode → 4 broadcast merge folds → per-doc agg
     * within the batch's complete docs), so the stream carries no keyed
     * state. Emits (doc_id, n_words, n_tokens) exactly as the batch

@@ -52,6 +52,78 @@ class ArtifactSpec extends AnyFunSuite {
     }
   }
 
+  test("engine behavior: a static bound at stream start pins its file listing") {
+    // the reason refresh goes through foreachBatch: plan re-execution per
+    // micro-batch does NOT re-list a path-backed parquet static — rows
+    // landing after query start keep joining the ORIGINAL dim snapshot
+    val tmp = Files.createTempDirectory("graft-pin").toString
+    val dimDir = s"$tmp/dim"; val feedDir = s"$tmp/feed"
+    Seq((1L, "old")).toDF("k", "tag").write.parquet(dimDir)
+    Seq((1L, 100L)).toDF("k", "x").coalesce(1).write.mode("append").parquet(feedDir)
+    val dim = spark.read.parquet(dimDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val q = stream.join(dim, Seq("k"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pin_probe").start()
+    try {
+      q.processAllAvailable()
+      Seq((1L, "new")).toDF("k", "tag").write.mode("append").parquet(dimDir)
+      Seq((1L, 200L)).toDF("k", "x").coalesce(1).write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      val tags = spark.table("pin_probe").collect()
+        .map(r => (r.getLong(1), r.getString(2)))
+      // post-publish rows still see only the pinned snapshot
+      assert(tags.filter(_._1 == 200L).map(_._2).toSet === Set("old"))
+    } finally q.stop()
+  }
+
+  test("a re-published version is picked up MID-STREAM via foreachBatch reload") {
+    val tmp = Files.createTempDirectory("graft-flip").toString
+    val root = s"$tmp/store"; val feedDir = s"$tmp/feed"
+    val cents = SimilarityQueries.trainedCents(spark, sf)
+    ArtifactStore.save(cents, root, "cents") // v1
+    val emb = Tables.embeddings(spark, sf)
+    emb.filter($"vec_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(feedDir)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int)]()
+    val q = StreamJobs.embeddingsStream(spark, feedDir, maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the refresh pattern: re-load the artifact EVERY batch
+        val s = batch.sparkSession
+        val ver = ArtifactStore.latestVersion(s, root, "cents")
+        StreamJobs.annIngestStream(batch, ArtifactStore.load(s, root, "cents"))
+          .collect().foreach(r => out.add((r.getLong(0), r.getLong(1), ver)))
+      }.start()
+    try {
+      q.processAllAvailable()
+      // re-train: v2 shifts every centroid id by 10000 — visibly distinct
+      // from any v1 id (seed vec_ids < 500) while preserving structure
+      ArtifactStore.save(
+        cents.withColumn("c_id", $"c_id" + 10000L), root, "cents")
+      emb.filter($"vec_id" % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val rows = out.asScala.toSeq
+    val (b1, b2) = rows.partition(_._3 === 1)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    // batch 1 assigned against v1, batch 2 against the re-published v2
+    // (same structure, ids shifted) — the flip happened WITHOUT restart
+    val batchTruth = SimilarityQueries.rankedAssign(spark, sf)
+      .filter($"crn" === 1).select($"vec_id", $"c_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    b1.foreach { case (v, c, _) => assert(c === batchTruth(v), s"v1 vec $v") }
+    b2.foreach { case (v, c, _) =>
+      assert(c === batchTruth(v) + 10000L, s"v2 vec $v")
+    }
+  }
+
   test("a consumer off the LOADED index equals the in-session assignment") {
     val root = Files.createTempDirectory("graft-artifacts-c").toString
     ArtifactStore.save(SimilarityQueries.trainedCents(spark, sf), root, "ivf_cents")
