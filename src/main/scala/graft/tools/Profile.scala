@@ -55,6 +55,12 @@ object Profile {
         println(s"cand rows: ${time("cand join+distinct")(cand.count())}")
         val full = graft.ext.SimJoinQueries.simjoinPrefix(s, dir)
         time("full query")(full.queryExecution.toRdd.count())
+      case n if n.startsWith("explain:") =>
+        // print the executed plan for any declared query
+        val df = graft.SparkEntry.queries(n.stripPrefix("explain:"))(spark, dir)
+        df.queryExecution.toRdd.count() // finalize AQE
+        println(s"=== ${n.stripPrefix("explain:")} ===")
+        println(df.queryExecution.executedPlan.toString)
       case n =>
         val fn = graft.SparkEntry.queries(n)
         time(s"$n cold")(fn(spark, dir).queryExecution.toRdd.count())

@@ -118,7 +118,11 @@ class RegistrySpec extends AnyFunSuite {
       // 32-row codebook broadcast for the query-side LUT + the brute
       // subplans' classes — candidates themselves come from an equi-join
       // on the probed lists, never a loop join
-      "q_sim_knn_ivfpq")
+      "q_sim_knn_ivfpq",
+      // four 1-row merge-rule broadcasts crossed onto the doc scan (the
+      // q_bpe_merge class, once per training round); everything else in
+      // the plan is a narrow per-row fold
+      "q_tokens_per_doc")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
