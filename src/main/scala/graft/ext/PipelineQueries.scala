@@ -424,7 +424,111 @@ object PipelineQueries {
        |GROUP BY 1, 2, 3, 4
        |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // --- XP13: corpus-level boilerplate span scrub (C4-style) -------------
+
+  /** Span width in words and the hotness bar (distinct docs) for
+    * [[spanScrub]]. */
+  private val SCRUB_W = 3
+  private val SCRUB_MIN_DOCS = 3
+
+  /** C4-style corpus-level boilerplate removal: every document splits into
+    * fixed non-overlapping [[SCRUB_W]]-word spans (plus an always-kept
+    * sub-span tail); a span is boilerplate when it occurs in ≥
+    * [[SCRUB_MIN_DOCS]] DISTINCT documents; boilerplate span instances are
+    * scrubbed and each document reassembled from its surviving spans in
+    * position order. Emits the per-source impact census with a
+    * content-pinning checksum: per-doc `md5(scrubbed)` → first 12 hex
+    * chars → 48-bit int → mod 1e9+7 → SUM (commutative, so no giant
+    * ordered string concat — the checksum stays O(1) per group at any
+    * scale, yet a single wrong byte in any reassembled doc changes it).
+    *
+    * Scale: ONE explode + hash-agg shuffle builds the hot-span set — the
+    * explode feeds per-doc DISTINCT spans, so the "distinct docs"
+    * count is a plain COUNT with map-side partial aggregation, never a
+    * count-distinct expand. The hot set is small by nature (boilerplate
+    * is what repeats; ~200 spans here) and rides ONE single-row broadcast
+    * onto the doc scan — exactly C4's in-memory hot-line set. Scrub,
+    * reassembly, and the checksum are then fully NARROW per-row array
+    * ops; the final census is a tiny per-source aggregate. No shuffle
+    * ever carries document bodies. */
+  def spanScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spans = Tables.documents(s, dir)
+      .select($"doc_id", $"source", split($"text", " ").as("w"))
+      .withColumn("n_spans", expr(s"size(w) div $SCRUB_W"))
+      // sequence(0, n_spans) is never empty (n_spans >= 0), so no
+      // descending-sequence surprise at n_spans = 0; the slice keeps
+      // exactly the n_spans full spans and drops the probe element
+      .withColumn("spans", expr(
+        s"""slice(transform(sequence(0L, n_spans),
+           |  i -> array_join(slice(w, CAST(i * $SCRUB_W + 1 AS INT), $SCRUB_W), ' ')),
+           |  1, CAST(n_spans AS INT))""".stripMargin))
+      .withColumn("tail", expr(
+        s"array_join(slice(w, CAST(n_spans * $SCRUB_W + 1 AS INT), " +
+          s"size(w) - CAST(n_spans * $SCRUB_W AS INT)), ' ')"))
+    val hot = spans
+      .select(explode(array_distinct($"spans")).as("span"))
+      .groupBy($"span").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= SCRUB_MIN_DOCS)
+      .agg(coalesce(sort_array(collect_list($"span")),
+        array().cast("array<string>")).as("hot"))
+    spans.crossJoin(broadcast(hot))
+      .withColumn("kept", expr("filter(spans, x -> NOT array_contains(hot, x))"))
+      .withColumn("scrubbed", expr(
+        "concat_ws(' ', nullif(array_join(kept, ' '), ''), nullif(tail, ''))"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size($"spans")).as("spans_total"),
+        sum(size($"spans") - size($"kept")).as("spans_removed"),
+        sum(when(size($"spans") > size($"kept"), 1L).otherwise(0L))
+          .as("docs_touched"),
+        sum(length($"scrubbed")).as("chars_out"),
+        sum(expr("CAST(conv(substring(md5(scrubbed), 1, 12), 16, 10) AS BIGINT)" +
+          " % 1000000007")).as("scrub_sum"))
+      .orderBy($"source")
+  }
+
+  val spanScrubSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |sp AS (
+       |  SELECT doc_id, source, w,
+       |    CAST(len(w) // $SCRUB_W AS BIGINT) AS n_spans FROM d),
+       |spans AS (
+       |  SELECT doc_id, source, n_spans,
+       |    CASE WHEN n_spans = 0 THEN CAST([] AS VARCHAR[]) ELSE
+       |      list_transform(generate_series(0, n_spans - 1),
+       |        i -> array_to_string(list_slice(w, i*$SCRUB_W + 1, i*$SCRUB_W + $SCRUB_W), ' ')) END AS spans,
+       |    array_to_string(list_slice(w, n_spans*$SCRUB_W + 1, len(w)), ' ') AS tail
+       |  FROM sp),
+       |hot AS (
+       |  SELECT span FROM (
+       |    SELECT doc_id, unnest(list_distinct(spans)) AS span FROM spans) t
+       |  GROUP BY span HAVING COUNT(*) >= $SCRUB_MIN_DOCS),
+       |hotl AS (
+       |  SELECT COALESCE(list(span ORDER BY span), CAST([] AS VARCHAR[])) AS hot
+       |  FROM hot),
+       |scrub AS (
+       |  SELECT s.doc_id, s.source, len(s.spans) AS ns,
+       |    len(list_filter(s.spans, x -> NOT list_contains(h.hot, x))) AS nk,
+       |    concat_ws(' ',
+       |      NULLIF(array_to_string(
+       |        list_filter(s.spans, x -> NOT list_contains(h.hot, x)), ' '), ''),
+       |      NULLIF(s.tail, '')) AS scrubbed
+       |  FROM spans s CROSS JOIN hotl h)
+       |SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(ns) AS BIGINT) AS spans_total,
+       |  CAST(SUM(ns - nk) AS BIGINT) AS spans_removed,
+       |  CAST(SUM(CASE WHEN ns > nk THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+       |  CAST(SUM(length(scrubbed)) AS BIGINT) AS chars_out,
+       |  CAST(SUM(CAST('0x' || substr(md5(scrubbed), 1, 12) AS BIGINT) % 1000000007) AS BIGINT) AS scrub_sum
+       |FROM scrub GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_span_scrub", spanScrub, Some(spanScrubSql),
+      "XP13 C4-style corpus-level boilerplate span scrub with content checksum"),
     QueryDef("q_quality_ensemble", qualityEnsemble, Some(qualityEnsembleSql),
       "XP11 three-signal quality-gate contingency census per language"),
     QueryDef("q_chunk_documents", chunkDocuments, Some(chunkDocumentsSql),

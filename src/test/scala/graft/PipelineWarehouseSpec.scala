@@ -276,6 +276,45 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(got.nonEmpty) // the check is vacuous on an empty pair set
   }
 
+  test("XP13 span scrub: census equals a local brute-force scrub") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect()
+    // brute reimplementation of the declared semantics: 3-word
+    // non-overlapping spans, hot = present in >= 3 distinct docs,
+    // reassemble survivors + tail in position order
+    val W = 3
+    val perDoc = docs.map { case (id, src, text) =>
+      val w = text.split(" ", -1)
+      val n = w.length / W
+      val spans = (0 until n).map(i => w.slice(i * W, i * W + W).mkString(" "))
+      val tail = w.drop(n * W).mkString(" ")
+      (id, src, spans, tail)
+    }
+    val hot = perDoc.flatMap { case (id, _, spans, _) => spans.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.length >= 3).keySet
+    val scrubbed = perDoc.map { case (id, src, spans, tail) =>
+      val kept = spans.filterNot(hot)
+      val txt = Seq(kept.mkString(" "), tail).filter(_.nonEmpty).mkString(" ")
+      (src, spans.length.toLong, kept.length.toLong, txt)
+    }
+    def chk(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000007L
+    }
+    val expect = scrubbed.groupBy(_._1).map { case (src, rs) =>
+      Row(src, rs.length.toLong, rs.map(_._2).sum, rs.map(r => r._2 - r._3).sum,
+        rs.count(r => r._2 > r._3).toLong, rs.map(_._4.length.toLong).sum,
+        rs.map(r => chk(r._4)).sum)
+    }.toSeq.sortBy(_.getString(0))
+    val got = PipelineQueries.spanScrub(spark, sf).collect().toSeq
+    assert(got == expect)
+    // the operator must actually remove something at this scale
+    assert(got.map(_.getLong(3)).sum > 0)
+  }
+
   test("M3 variant: typed VARIANT path agrees with string JSON path") {
     import spark.implicits._
     val viaVariant = WarehouseQueries.variantExtract(spark, sf).collect()

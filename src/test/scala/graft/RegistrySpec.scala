@@ -122,7 +122,10 @@ class RegistrySpec extends AnyFunSuite {
       // four 1-row merge-rule broadcasts crossed onto the doc scan (the
       // q_bpe_merge class, once per training round); everything else in
       // the plan is a narrow per-row fold
-      "q_tokens_per_doc")
+      "q_tokens_per_doc",
+      // single-row hot-span-set broadcast crossed onto the doc scan (the
+      // q_bpe_merge class); scrub and checksum are narrow per-row ops
+      "q_span_scrub")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
