@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{Haversine, JaroWinkler, LongArrayDot, Sq8Code}
+import graft.functions.{Haversine, JaroWinkler, LongArrayDot, SortedArrayContains, Sq8Code}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.longArrayDotEntry)
     e.injectFunction(GraftExtensions.sq8CodeEntry)
     e.injectFunction(GraftExtensions.jaroWinklerEntry)
+    e.injectFunction(GraftExtensions.sortedContainsEntry)
     e.injectOptimizerRule(_ => HaversineBoundingBox)
   }
 }
@@ -69,6 +70,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
     jaroWinklerBuilder)
 
+  private def sortedContainsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "sorted_contains(sorted array<string>, string)")
+    SortedArrayContains(args(0), args(1))
+  }
+
+  val sortedContainsEntry: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("sorted_contains"),
+    new ExpressionInfo(classOf[SortedArrayContains].getName, "sorted_contains"),
+    sortedContainsBuilder)
+
   /** Install on an already-built session (idempotent). */
   def registerOn(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -79,5 +90,7 @@ object GraftExtensions {
       "sq8_code", sq8CodeBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", jaroWinklerBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_contains", sortedContainsBuilder, "built-in")
   }
 }

@@ -241,4 +241,73 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT long_array_dot(array(2L, 3L), array(5L, 7L))").as[Long].head()
     assert(v === 31L)
   }
+
+  test("sorted_contains: binary search agrees with array_contains on sorted input") {
+    import graft.functions.SortedArrayContains
+    GraftExtensions.registerOn(spark)
+    // range-backed random-ish strings so codegen runs (not constant-folded);
+    // compare against array_contains element-for-element over sorted arrays
+    val df = spark.range(500)
+      .select($"id",
+        sort_array(array(
+          concat(lit("w"), ($"id" % 13).cast("string")),
+          concat(lit("w"), ($"id" % 7).cast("string")),
+          concat(lit("q"), ($"id" % 5).cast("string")))).as("arr"),
+        concat(lit("w"), ($"id" % 11).cast("string")).as("probe"))
+    val pairs = df.select(
+        SortedArrayContains.sortedContains($"arr", $"probe").as("bs"),
+        array_contains($"arr", $"probe").as("lin"))
+      .collect()
+    pairs.foreach(r => assert(r.getBoolean(0) === r.getBoolean(1)))
+    // codegen: the Project carrying it sits inside a WholeStageCodegen stage
+    val plan = df.select(SortedArrayContains.sortedContains($"arr", $"probe"))
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[sorted_contains".r.findFirstIn(plan).isDefined, plan)
+    // SQL surface + null semantics mirroring array_contains on sorted input:
+    // NULL array / NULL probe → NULL
+    assert(spark.sql(
+      "SELECT sorted_contains(CAST(NULL AS ARRAY<STRING>), 'x')").collect().head.isNullAt(0))
+    assert(spark.sql(
+      "SELECT sorted_contains(array('a','b'), CAST(NULL AS STRING))").collect().head.isNullAt(0))
+    // empty array → false; present → true; absent (no nulls) → false
+    assert(spark.sql("SELECT sorted_contains(CAST(array() AS ARRAY<STRING>), 'x')")
+      .as[Boolean].head() === false)
+    assert(spark.sql("SELECT sorted_contains(sort_array(array('c','a','b')), 'b')")
+      .as[Boolean].head() === true)
+    assert(spark.sql("SELECT sorted_contains(sort_array(array('c','a','b')), 'z')")
+      .as[Boolean].head() === false)
+    // absent but null element present (nulls sort FIRST under asc) → NULL,
+    // exactly array_contains's three-valued answer
+    val withNull = spark.sql(
+      "SELECT sorted_contains(sort_array(array('b', CAST(NULL AS STRING), 'a')), 'z')," +
+        "       array_contains(sort_array(array('b', CAST(NULL AS STRING), 'a')), 'z')")
+      .collect().head
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+    // and a match still wins over the null element
+    assert(spark.sql(
+      "SELECT sorted_contains(sort_array(array('b', CAST(NULL AS STRING), 'a')), 'a')")
+      .as[Boolean].head() === true)
+  }
+
+  test("sorted_contains interpreted eval (the HOF filter path) matches codegen") {
+    import graft.functions.SortedArrayContains
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(xs: Seq[String]): ArrayData =
+      ArrayData.toArrayData(xs.sorted.map(x =>
+        if (x == null) null else UTF8String.fromString(x)).toArray[Any])
+    // exhaustive probe sweep over a 1000-element sorted array — every
+    // element found, every gap absent
+    val xs = (0 until 1000).map(i => f"s$i%04d")
+    val a = arr(xs)
+    xs.foreach(x => assert(SortedArrayContains.search(a, UTF8String.fromString(x)) === true))
+    assert(SortedArrayContains.search(a, UTF8String.fromString("s0999x")) === false)
+    assert(SortedArrayContains.search(a, UTF8String.fromString("")) === false)
+    assert(SortedArrayContains.search(a, UTF8String.fromString("zzz")) === false)
+    // single-element and two-element edges
+    val one = arr(Seq("m"))
+    assert(SortedArrayContains.search(one, UTF8String.fromString("m")) === true)
+    assert(SortedArrayContains.search(one, UTF8String.fromString("a")) === false)
+    assert(SortedArrayContains.search(one, UTF8String.fromString("z")) === false)
+  }
 }

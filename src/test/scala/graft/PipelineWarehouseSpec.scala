@@ -315,6 +315,28 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(got.map(_.getLong(3)).sum > 0)
   }
 
+  test("XP13 hot-set cap: top-K by distinct-doc count, ties by span text") {
+    import spark.implicits._
+    // aa in 5 docs, bb in 4, cc+dd tie at 3, ee below the bar at 2;
+    // within-doc duplicates must not inflate the distinct-doc count
+    val spansDf = Seq(
+      Seq("aa", "bb", "cc", "dd", "aa"),
+      Seq("aa", "bb", "cc", "ee"),
+      Seq("aa", "bb", "cc", "dd"),
+      Seq("aa", "bb", "dd", "ee"),
+      Seq("aa")
+    ).toDF("spans")
+    def hot(k: Int): Seq[String] =
+      PipelineQueries.hotSpans(spansDf, 3, k)
+        .collect().head.getSeq[String](0)
+    assert(hot(10) === Seq("aa", "bb", "cc", "dd")) // cap above: all qualify
+    assert(hot(3) === Seq("aa", "bb", "cc")) // cc beats dd on the nd=3 tie
+    assert(hot(2) === Seq("aa", "bb")) // strict nd order
+    assert(hot(1) === Seq("aa"))
+    // the bar itself still applies under a generous cap
+    assert(!hot(10).contains("ee"))
+  }
+
   test("M3 variant: typed VARIANT path agrees with string JSON path") {
     import spark.implicits._
     val viaVariant = WarehouseQueries.variantExtract(spark, sf).collect()

@@ -281,4 +281,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(plan, "parse_json") <= 1,
       s"props must be parsed into VARIANT once, plan:\n$plan")
   }
+
+  test("span scrub: capped hot set, binary-search probe, no linear scan") {
+    val plan = planOf("q_span_scrub")
+    // membership is the O(log K) binary search, never array_contains's
+    // linear scan of the corpus-proportional hot list
+    assert(plan.contains("sorted_contains"), s"binary-search probe missing:\n$plan")
+    assert(!plan.contains("array_contains"), s"linear probe crept back:\n$plan")
+    // the cap plans as TakeOrderedAndProject (per-partition top-K + driver
+    // merge of K rows), NOT a global sort of all qualifying spans
+    assert(plan.contains("TakeOrderedAndProject"), s"hot-set cap not a top-K:\n$plan")
+    // the hot set rides one single-row broadcast onto the doc scan; doc
+    // bodies are never shuffled (only the census agg + ORDER BY exchange)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(countOf(plan, "Exchange hashpartitioning\\(span") == 1,
+      s"hot-set build should shuffle spans exactly once:\n$plan")
+  }
 }
