@@ -119,9 +119,9 @@ class RegistrySpec extends AnyFunSuite {
       // subplans' classes — candidates themselves come from an equi-join
       // on the probed lists, never a loop join
       "q_sim_knn_ivfpq",
-      // four 1-row merge-rule broadcasts crossed onto the doc scan (the
-      // q_bpe_merge class, once per training round); everything else in
-      // the plan is a narrow per-row fold
+      // ONE single-row broadcast of the whole ordered merge table crossed
+      // onto the doc scan (the q_bpe_merge class); everything else in the
+      // plan is a narrow per-row fused fold
       "q_tokens_per_doc",
       // single-row hot-span-set broadcast crossed onto the doc scan (the
       // q_bpe_merge class); scrub and checksum are narrow per-row ops
