@@ -82,6 +82,17 @@ object Bench {
       case (n, (t1, t2)) if t1 - t2 > 1.0 && t2 > 0 && t1 / t2 > 3.0 => n
     }.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Bench self-defense: any single query consuming an outsized share of
+    // the round's whole budget is flagged in the JSON itself (share >10%
+    // of total or >10 s absolute), so a pathological plan is caught by the
+    // harness the round it lands, not by a reader diffing per-query maps.
+    val slowOutliers = results.toSeq
+      .filter { case (_, v) => v > 10.0 || (total > 0 && v / total > 0.10) }
+      .sortBy(-_._2)
+      .map { case (n, v) =>
+        val share = if (total > 0) v / total else 0.0
+        s"""{"query":"$n","sec":$v,"share":${math.round(share * 1000) / 1000.0}}"""
+      }.mkString("[", ",", "]")
     // Full form (with the per-query map, ~3.5 KB) goes to the file and the
     // stderr sentinel; the driver's stdout tail capture is only 2,000 chars,
     // so the LAST stdout line must be the compact form (~90 chars) or the
@@ -91,7 +102,7 @@ object Bench {
     // let Catalyst prune unreferenced expensive columns — per-query times
     // are NOT comparable across that boundary.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2","queries":$qs,"raw":$rawJson,"tiers":$tiers,"warmup_absorbers":$absorbers,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2","queries":$qs,"raw":$rawJson,"tiers":$tiers,"warmup_absorbers":$absorbers,"slow_outliers":$slowOutliers,"sf":"$sfDir"}"""
     val compactJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -185,6 +185,39 @@ object MediaDecode {
     })
   }
 
+  /** Full-raster decode via the JDK's registered entropy decoders
+    * (PNG/JPEG/GIF — the formats a real crawl actually contains),
+    * returning the row-major luminance grid. Samples are read from the
+    * DECODED raster directly (`Raster.getSample`), NOT via `getRGB`:
+    * `getRGB` routes through a ColorModel→sRGB color-space conversion
+    * that is not identity even for grayscale images and would break
+    * pixel-exactness. Band 0 alone for single-band images; the same
+    * integer ITU-R BT.601 weights as the BMP tier over bands 0/1/2 for
+    * color. None for payloads no registered reader decodes. */
+  def decodeImageIOGray(bytes: Array[Byte]): Option[Array[Array[Int]]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val r = img.getRaster
+        val bands = r.getNumBands
+        Some(Array.tabulate(img.getHeight, img.getWidth) { (y, x) =>
+          if (bands >= 3)
+            (r.getSample(x, y, 0) * 299 + r.getSample(x, y, 1) * 587 +
+              r.getSample(x, y, 2) * 114) / 1000
+          else r.getSample(x, y, 0)
+        })
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Raster decode tiers: codec-free BMP byte parse (cheap, no reader
+    * registry) → full ImageIO entropy decode (PNG/JPEG/GIF) → None for
+    * genuinely undecodable payloads — callers keep their deterministic
+    * stubs for those, so only the truly opaque tail is stubbed. */
+  def decodeRasterGray(bytes: Array[Byte]): Option[Array[Array[Int]]] =
+    decodeBmpGray(bytes).orElse(decodeImageIOGray(bytes))
+
   /** Classic 9×8 difference hash over a luminance grid: nearest-neighbor
     * sample onto a 9-wide × 8-tall grid, bit j·8+i set when the sampled
     * pixel at column i outranks its right neighbor — 64 bits of coarse
@@ -294,6 +327,36 @@ object MediaFixtures {
       px(o) = v; px(o + 1) = v; px(o + 2) = v
     }
     header ++ px
+  }
+
+  /** Complete 8-bit GRAYSCALE PNG (color type 0) WITH pixel data: real
+    * IHDR/IDAT/IEND chunks with spec CRC32s, scanlines prefixed with
+    * filter byte 0 and zlib-deflated (`java.util.zip.Deflater`) — so
+    * reading it back is a true entropy decode (inflate + defilter), not
+    * a byte copy. Pixel (x, y), y from the top, is the gray byte
+    * `pix(x, y)`. */
+  def pngRaster(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val ihdrBody = "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 0, 0, 0, 0) // bit depth 8, color type 0 (grayscale)
+    val raw = new Array[Byte]((w + 1) * h)
+    for (y <- 0 until h) {
+      raw(y * (w + 1)) = 0 // per-row filter: None
+      for (x <- 0 until w)
+        raw(y * (w + 1) + 1 + x) = (pix(x, y) & 0xff).toByte
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val zip = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) zip.write(buf, 0, d.deflate(buf))
+    d.end()
+    val idatBody = "IDAT".getBytes("US-ASCII") ++ zip.toByteArray
+    val iendBody = "IEND".getBytes("US-ASCII")
+    sig ++ be32(13) ++ ihdrBody ++ crc32(ihdrBody) ++
+      be32(idatBody.length - 4) ++ idatBody ++ crc32(idatBody) ++
+      be32(0) ++ iendBody ++ crc32(iendBody)
   }
 }
 
@@ -504,21 +567,23 @@ object MultimodalQueries {
       |  CAST(9 + (doc_id % 5) * 2 AS INTEGER) AS height
       |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
 
-  /** Perceptual dHash over REAL PIXELS: complete 24bpp BMP payloads
-    * (spec-built with a deterministic per-doc grayscale gradient) flow
-    * through [[MediaDecode.decodeBmpGray]] — an actual raster decode:
-    * header-declared pixel offset, bottom-up row order, 4-byte row
-    * padding, BGR channel order, BT.601 luminance — and the classic 9×8
-    * [[MediaDecode.dhash64]] runs over the decoded grid. The 64-bit hash
+  /** Perceptual dHash over REAL PIXELS in TWO real containers: even docs
+    * carry a complete 24bpp BMP, odd docs a complete zlib-compressed
+    * grayscale PNG — both spec-built with the SAME deterministic per-doc
+    * gradient — and both flow through [[MediaDecode.decodeRasterGray]]:
+    * the codec-free BMP byte parse (header-declared pixel offset,
+    * bottom-up rows, 4-byte padding, BGR, BT.601) or a full ImageIO
+    * entropy decode (inflate + defilter for PNG). The classic 9×8
+    * [[MediaDecode.dhash64]] runs over the decoded grid; the 64-bit hash
     * ships as two 32-bit halves (engines disagree on 1<<63 overflow).
     *
     * The oracle restates pixel generation + sampling + comparison as
-    * pure formula, so the hash match holds iff every pixel byte was read
-    * from its spec-mandated position — a byte-stub or an off-by-one in
-    * stride/padding/channel order flips bits. (This closes the round-8
-    * gap: feature tiers computed over payload BYTES; here the hash is
-    * computed over decoded RASTER pixels. Non-BMP formats keep the
-    * header-only tiers — the container ships no entropy codecs.)
+    * pure formula — container-blind, since both containers encode the
+    * identical raster — so the hash match holds iff every pixel byte was
+    * recovered from its spec-mandated position THROUGH both decode
+    * paths: a byte-stub, an off-by-one in stride/padding/channel order,
+    * or a color-space-shifted PNG read flips bits. Stubs remain only for
+    * payloads no registered reader decodes.
     *
     * Scale: same shape as the dims census — synthesis stands in for a
     * binary parquet column; decode + hash are the narrow batched
@@ -530,13 +595,14 @@ object MultimodalQueries {
       .map { id =>
         val w = 16 + (id % 7).toInt * 3
         val h = 9 + (id % 5).toInt * 2
-        (id, MediaFixtures.bmpRaster(w, h,
-          (x, y) => (x * 7 + y * 13 + id.toInt * 31) % 256))
+        val pix = (x: Int, y: Int) => (x * 7 + y * 13 + id.toInt * 31) % 256
+        (id, if (id % 2 == 0) MediaFixtures.bmpRaster(w, h, pix)
+             else MediaFixtures.pngRaster(w, h, pix))
       }
     media.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        val g = MediaDecode.decodeBmpGray(bytes).getOrElse(
-          sys.error(s"doc $id: fixture is not a decodable 24bpp BMP"))
+        val g = MediaDecode.decodeRasterGray(bytes).getOrElse(
+          sys.error(s"doc $id: fixture did not raster-decode"))
         val hash = MediaDecode.dhash64(g)
         RasterHash(id, g(0).length, g.length, hash >>> 32, hash & 0xffffffffL)
       }
@@ -565,13 +631,14 @@ object MultimodalQueries {
   }
 
   /** Resize over REAL PIXELS — the second honest raster op: the same
-    * spec-built BMP payloads decode through [[MediaDecode.decodeBmpGray]]
-    * and downsample via [[MediaDecode.resizeNN]] to a 4×4 thumbnail (the
-    * feature-extraction shape every image pipeline runs before embedding
-    * / dedup). The 16 gray bytes ship packed 8-per-long plus the integer
-    * mean — all integer arithmetic, so the oracle restates pixel
-    * generation + NN sampling as formula and the hash pins every sampled
-    * byte's source coordinate.
+    * BMP/PNG mixed-container payloads decode through
+    * [[MediaDecode.decodeRasterGray]] and downsample via
+    * [[MediaDecode.resizeNN]] to a 4×4 thumbnail (the feature-extraction
+    * shape every image pipeline runs before embedding / dedup). The 16
+    * gray bytes ship packed 8-per-long plus the integer mean — all
+    * integer arithmetic, so the oracle restates pixel generation + NN
+    * sampling as a container-blind formula and the hash pins every
+    * sampled byte's source coordinate through both decode paths.
     *
     * Scale: identical to the phash tier — narrow batched mapPartitions
     * decode+resize, zero shuffle before the presentation sort; at 100 TB
@@ -584,13 +651,14 @@ object MultimodalQueries {
       .map { id =>
         val w = 16 + (id % 7).toInt * 3
         val h = 9 + (id % 5).toInt * 2
-        (id, MediaFixtures.bmpRaster(w, h,
-          (x, y) => (x * 7 + y * 13 + id.toInt * 31) % 256))
+        val pix = (x: Int, y: Int) => (x * 7 + y * 13 + id.toInt * 31) % 256
+        (id, if (id % 2 == 0) MediaFixtures.bmpRaster(w, h, pix)
+             else MediaFixtures.pngRaster(w, h, pix))
       }
     media.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        val g = MediaDecode.decodeBmpGray(bytes).getOrElse(
-          sys.error(s"doc $id: fixture is not a decodable 24bpp BMP"))
+        val g = MediaDecode.decodeRasterGray(bytes).getOrElse(
+          sys.error(s"doc $id: fixture did not raster-decode"))
         val t = MediaDecode.resizeNN(g, 4, 4)
         def packRow(j: Int): Long =
           (0 until 4).map(i => t(j)(i).toLong << (8 * i)).sum
@@ -626,9 +694,9 @@ object MultimodalQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_resize", mediaResize, Some(mediaResizeSql),
-      "NN thumbnail over REAL decoded BMP rasters: 4x4 downsample, packed gray bytes + mean"),
+      "NN thumbnail over REAL decoded BMP+PNG rasters: 4x4 downsample, packed gray bytes + mean"),
     QueryDef("q_multimodal_phash_raster", mediaPhashRaster, Some(mediaPhashRasterSql),
-      "dHash over REAL decoded BMP rasters: pixel-exact decode (offset/stride/BGR/BT.601) + 9x8 gradient hash"),
+      "dHash over REAL decoded rasters, BMP byte-parse + PNG ImageIO inflate: pixel-exact + 9x8 gradient hash"),
     QueryDef("q_multimodal_dims", mediaDims, Some(mediaDimsSql),
       "real-format dims census: PNG IHDR/BMP/GIF fixed offsets + JPEG SOFn scan over spec-built fixtures"),
     QueryDef("q_multimodal_phash", mediaPhash, Some(mediaPhashSql),

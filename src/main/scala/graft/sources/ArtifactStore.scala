@@ -54,9 +54,18 @@ object ArtifactStore {
     }
   }
 
+  /** Versions retained by [[save]]'s post-publish prune: the newly
+    * published version plus `RETAIN - 1` predecessors (rollback window).
+    * Without a bound, a daily re-train accumulates version directories
+    * forever — each index-sized, but unbounded count is still a leak. */
+  val Retain = 3
+
   /** Persist `df` as the next version of `name`; returns the version
     * written. The version directory is fully written BEFORE the pointer
-    * moves. */
+    * moves; only after the pointer flips are versions older than the
+    * newest [[Retain]] deleted, so the prune can never touch a directory
+    * `_latest` still resolves to — a reader that resolved the pointer
+    * before the flip reads a version inside the retention window. */
   def save(df: DataFrame, root: String, name: String): Int = {
     val s = df.sparkSession
     val v = latestVersion(s, root, name) + 1
@@ -69,7 +78,32 @@ object ArtifactStore {
     finally out.close()
     if (f.exists(lp)) f.delete(lp, false)
     f.rename(tmp, lp)
+    // keep-last-K retention, AFTER the pointer moved: list the v=N
+    // directories (including any unreferenced leftovers from aborted
+    // saves) and drop everything older than the newest Retain versions
+    val dir = new Path(s"$root/$name")
+    f.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("v=")) {
+        val old = scala.util.Try(n.stripPrefix("v=").toInt)
+          .toOption.exists(_ <= v - Retain)
+        if (old) f.delete(st.getPath, true)
+      }
+    }
     v
+  }
+
+  /** All version numbers currently on disk for `name`, ascending —
+    * retention audit surface (the published one is [[latestVersion]]). */
+  def versionsOnDisk(s: SparkSession, root: String, name: String): Seq[Int] = {
+    val dir = new Path(s"$root/$name")
+    val f = fs(s, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("v=").toInt).toOption)
+      .sorted
   }
 
   /** Load the latest published version of `name` (or an explicit

@@ -74,19 +74,29 @@ object StreamJobs {
       }
 
   /** Streaming `events` source from a parquet directory (the test harness
-    * drops sf parquet files in). `ts` arrives as TIMESTAMP(NANOS) — read as
-    * long, truncate to µs exactly like the batch path (Tables.events). */
+    * drops sf parquet files in). `ts` has shipped as TIMESTAMP(NANOS)
+    * (→ read as long, truncate to µs) and as naive timestamp[us]
+    * (→ TIMESTAMP_NTZ, cast under the UTC session) across testdata
+    * generations — sniff the batch-read schema once and normalize exactly
+    * like the batch path (Tables.events), so stream==batch pins hold. */
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
     val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val reader = spark.readStream.schema(raw)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = reader.parquet(dir)
+    tsType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** T3 — tumbling daily counts with an explicit 1-hour watermark (T5). */

@@ -52,6 +52,26 @@ class ArtifactSpec extends AnyFunSuite {
     }
   }
 
+  test("retention keeps the newest Retain versions and the pointer always resolves") {
+    val root = Files.createTempDirectory("graft-artifacts-ret").toString
+    (1 to 5).foreach { i =>
+      assert(ArtifactStore.save(spark.range(i.toLong).toDF("id"), root, "dim") === i)
+      // after EVERY publish: pointer resolves and loads the new version whole
+      assert(ArtifactStore.latestVersion(spark, root, "dim") === i)
+      assert(ArtifactStore.load(spark, root, "dim").count() === i.toLong)
+      // disk holds exactly the newest Retain versions (fewer while warming up)
+      val expect = (math.max(i - ArtifactStore.Retain + 1, 1) to i).toSeq
+      assert(ArtifactStore.versionsOnDisk(spark, root, "dim") === expect)
+    }
+    // rollback window: both predecessors still pinnable…
+    assert(ArtifactStore.load(spark, root, "dim", Some(4)).count() === 4L)
+    assert(ArtifactStore.load(spark, root, "dim", Some(3)).count() === 3L)
+    // …while pruned versions are really gone
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ArtifactStore.load(spark, root, "dim", Some(1))
+    }
+  }
+
   test("engine behavior: a static bound at stream start pins its file listing") {
     // the reason refresh goes through foreachBatch: plan re-execution per
     // micro-batch does NOT re-list a path-backed parquet static — rows

@@ -461,6 +461,49 @@ class ExtSpec extends AnyFunSuite {
     assert(MediaDecode.decodeBmpGray(bytes.take(60)).isEmpty)
   }
 
+  test("PNG raster decode is pixel-exact through the ImageIO inflate tier") {
+    import graft.ext.{MediaDecode, MediaFixtures}
+    val w = 13; val h = 7
+    def pix(x: Int, y: Int): Int = (x * 19 + y * 41 + 5) % 256
+    val bytes = MediaFixtures.pngRaster(w, h, pix)
+    // a REAL compressed stream: IDAT exists and the payload is not the
+    // raw scanlines (deflate actually ran)
+    assert(new String(bytes.slice(37, 41), "US-ASCII") === "IDAT")
+    // the BMP byte-parse must NOT claim it; the dispatch reaches ImageIO
+    assert(MediaDecode.decodeBmpGray(bytes).isEmpty)
+    val g = MediaDecode.decodeRasterGray(bytes)
+      .getOrElse(fail("PNG fixture did not decode"))
+    assert(g.length === h && g(0).length === w)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g(y)(x) === pix(x, y), s"pixel ($x,$y)")
+    // undecodable payloads still fall through to None, never throw
+    assert(MediaDecode.decodeRasterGray("not an image".getBytes).isEmpty)
+    assert(MediaDecode.decodeImageIOGray(bytes.take(50)).isEmpty)
+  }
+
+  test("JPEG payloads full-decode through the same raster tier (lossy-bounded)") {
+    import graft.ext.MediaDecode
+    // encode a smooth gradient through the JDK's own JPEG writer — the
+    // decode side is then a REAL entropy decode of a REAL JPEG stream;
+    // values are lossy-codec-approximate, so the pin is dims-exact +
+    // bounded per-pixel error, not byte equality (why the oracled rows
+    // use BMP/PNG: those pins ARE byte-exact).
+    val w = 32; val h = 24
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    def pix(x: Int, y: Int): Int = 64 + (x * 3 + y * 2) % 128
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, pix(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val g = MediaDecode.decodeRasterGray(out.toByteArray)
+      .getOrElse(fail("JPEG payload did not decode"))
+    assert(g.length === h && g(0).length === w)
+    val maxErr = (for (y <- 0 until h; x <- 0 until w)
+      yield math.abs(g(y)(x) - pix(x, y))).max
+    assert(maxErr <= 24, s"JPEG round-trip drifted by $maxErr")
+  }
+
   test("dHash gradient extremes: rising rows hash to 0, falling rows to all-ones") {
     import graft.ext.MediaDecode
     // exact 9x8 grid: sample points are the pixels themselves

@@ -76,6 +76,41 @@ class StreamingSpec extends AnyFunSuite {
     tmp
   }
 
+  /** Drop a single synthetic event into a streaming source dir whose `ts`
+    * ENCODING matches whatever the dir's existing events file uses (nanos
+    * long or naive µs timestamp — the testdata has shipped both), staging
+    * then moving the bare part-file in: the file stream source does not
+    * recurse into non-partition subdirectories, so a directory-shaped
+    * write would be silently ignored. A physical-type mismatch against
+    * the sniffed stream schema fails the whole query, so the sentinel
+    * must mirror the source file, not pick an encoding of its own. */
+  private def dropSentinel(tmp: String, name: String, eventId: Long,
+      tsUs: Long, userId: Long, value: Double): Unit = {
+    import org.apache.spark.sql.types._
+    val tsType = spark.read.parquet(tmp).schema("ts").dataType
+    val tsVal: Any = tsType match {
+      case LongType => tsUs * 1000L // nanos
+      case _ => java.time.LocalDateTime.ofEpochSecond(
+        tsUs / 1000000L, ((tsUs % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stage = Files.createTempDirectory(s"graft-sentinel-$eventId")
+      .toString + "/out"
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          eventId, tsVal, userId, "view", value, "{}")),
+        schema)
+      .coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/$name"))
+  }
+
   test("T3 streaming tumbling daily counts match the batch query") {
     val q = StreamJobs.tumblingDaily(StreamJobs.eventsStream(spark, eventsDir))
       .writeStream.outputMode("append").format("memory")
@@ -348,34 +383,9 @@ class StreamingSpec extends AnyFunSuite {
       // the final ~gap+delay of real sessions) and batch 3 fires the rest.
       val maxUs = Tables.events(spark, sf)
         .agg(max(unix_micros($"ts"))).head().getLong(0)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("props",
-          org.apache.spark.sql.types.StringType)))
       Seq(10L, 20L).zipWithIndex.foreach { case (days, i) =>
-        val ns = (maxUs + days * 24 * 3600 * 1000 * 1000) * 1000
-        // stage then move the bare part-file in: the file stream source
-        // does not recurse into non-partition subdirectories, so a
-        // directory-shaped write would be silently ignored
-        val stage = Files.createTempDirectory(s"graft-sentinel$i").toString + "/out"
-        spark.createDataFrame(
-            java.util.List.of(
-              org.apache.spark.sql.Row(999999L + i, ns, 999999L, "view", 0.0, "{}")),
-            schema)
-          .coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$tmp/zz_sentinel$i.parquet"))
+        dropSentinel(tmp, s"zz_sentinel$i.parquet", 999999L + i,
+          maxUs + days * 24 * 3600 * 1000000L, 999999L, 0.0)
       }
       val q = StreamJobs.timerSessions(
           StreamJobs.eventsStream(spark, tmp, maxFilesPerTrigger = Some(1)))
@@ -444,29 +454,8 @@ class StreamingSpec extends AnyFunSuite {
     // consumed the original file, so without the `_old` restore the merge
     // would see empty prior state and the swap would then delete the only
     // surviving copy — state silently collapses to this single key.
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props",
-        org.apache.spark.sql.types.StringType)))
-    val stage = Files.createTempDirectory("graft-upsert-sentinel").toString + "/out"
-    spark.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(
-          424242L, 1735689600L * 1000000000L, 424242L, "view", 1.0, "{}")),
-        schema)
-      .coalesce(1).write.parquet(stage)
-    val part = new java.io.File(stage).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(s"$tmp/zz_new_user.parquet"))
+    dropSentinel(tmp, "zz_new_user.parquet", 424242L,
+      1735689600L * 1000000L, 424242L, 1.0)
     runOnce()
     val after = spark.read.parquet(state)
       .select($"user_id").collect().map(_.getLong(0)).toSet
