@@ -51,6 +51,37 @@ object SimJoinQueries {
       simjoinPrefixPlan(s, dir).localCheckpoint()
     }
 
+  /** The rarity-ranked per-document shingle index — `(doc_id, arr, n_sh)`
+    * with `arr` sorted by (global df asc, shingle asc) — is the shared
+    * substrate of the WHOLE exact-similarity family: the symmetric
+    * prefix join reads it once, the asymmetric containment join reads it
+    * THREE times (contained-side prefix, containing-side postings,
+    * containing-side verification arrays). Building it costs two
+    * exchanges (shingle df agg + doc_id regroup) over the full exploded
+    * shingle relation — the dominant cost of every consumer (profiled:
+    * ~2 s of q_contain_join's ~3 s at sf0.1 was index rebuild, run twice
+    * in one plan) — so it is memoized per (session, documents-content)
+    * and checkpointed: train once, probe everywhere, the
+    * [[graft.sources.ArtifactStore]] shape in-session. In a deployment
+    * this relation IS the persisted artifact a re-ranking or dedup
+    * service ships alongside the corpus. */
+  private[ext] def docIndex(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.memo(s, "simjoin_doc_index|" +
+        graft.GraftSession.contentKey(dir, Seq("documents"))) {
+      import s.implicits._
+      val sh = Tables.documents(s, dir)
+        .withColumn("toks", split($"text", " "))
+        .select($"doc_id", explode(array_distinct(DedupQueries.shingleArr)).as("sh"))
+      val df_ = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      sh.join(df_, "sh")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ranked"))
+        .select($"doc_id",
+          expr("transform(ranked, r -> r.sh)").as("arr"),
+          size($"ranked").cast("long").as("n_sh"))
+        .localCheckpoint()
+    }
+
   def simjoinPrefix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     exactPairs(s, dir).orderBy($"a_id", $"b_id")
@@ -58,22 +89,11 @@ object SimJoinQueries {
 
   private def simjoinPrefixPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
-      .withColumn("toks", split($"text", " "))
-      .select($"doc_id", explode(array_distinct(DedupQueries.shingleArr)).as("sh"))
-    // global shingle rarity — partial-agg count, scale-safe on hot shingles
-    val df_ = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-    // ONE doc_id exchange builds the whole per-doc index: the
-    // rarity-sorted shingle array (sort_array on (df, sh) structs — ties
-    // impossible, shingles are distinct per doc) doubles as set size AND
+    // the memoized rarity-ranked index: the sorted shingle array (ties
+    // impossible — shingles are distinct per doc) doubles as set size AND
     // verification payload, so no later stage touches the exploded
     // shingle relation again
-    val docArr = sh.join(df_, "sh")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ranked"))
-      .select($"doc_id",
-        expr("transform(ranked, r -> r.sh)").as("arr"),
-        size($"ranked").cast("long").as("n_sh"))
+    val docArr = docIndex(s, dir)
     // prefix length n − ⌈t·n⌉ + 1, with ⌈3n/5⌉ = (3n+4) div 5. Each
     // prefix-shingle posting row CARRIES its doc's full array, so pair
     // expansion and exact verification happen inside the posting list —
@@ -165,28 +185,24 @@ object SimJoinQueries {
     */
   def containJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
-      .withColumn("toks", split($"text", " "))
-      .select($"doc_id", explode(array_distinct(DedupQueries.shingleArr)).as("sh"))
-    val df_ = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-    val docArr = sh.join(df_, "sh")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ranked"))
-      .select($"doc_id",
-        expr("transform(ranked, r -> r.sh)").as("arr"),
-        size($"ranked").cast("long").as("n_sh"))
+    // every side of this plan reads the ONE memoized ranked index — the
+    // profiled alternative (rebuilding the shingle/df/regroup pipeline
+    // inline) re-ran the two index exchanges per reference, dominating
+    // the query's cost
+    val docArr = docIndex(s, dir)
     // contained-side candidates: A's prefix rows, CARRYING A's array
     // (candidate volume stays rare-shingle-bounded). The containing side
     // must expose its FULL shingle set — A's prefix shingle is guaranteed
     // somewhere in B, not in B's prefix, so a prefix×prefix bucket would
     // silently drop true containments — as a light (b_id, sh) row stream
-    // (the raw shingle relation, no df join needed on this side).
+    // re-exploded from the index (no df join needed on this side).
     val pre = docArr.select($"doc_id".as("a_id"), $"arr".as("arr_a"),
       $"n_sh".as("a_n"), explode(expr(
         s"slice(arr, 1, size(arr) - ($CNUM * size(arr) + ${CDEN - 1}) div $CDEN + 1)"))
         .as("sh"))
+    val postings = docArr.select($"doc_id".as("b_id"), explode($"arr").as("sh"))
     val cand = pre
-      .join(sh.toDF("b_id", "sh"), Seq("sh"))
+      .join(postings, Seq("sh"))
       .filter($"a_id" =!= $"b_id")
       .select($"a_id", $"arr_a", $"a_n", $"b_id")
       .distinct()

@@ -55,6 +55,44 @@ object Profile {
         println(s"cand rows: ${time("cand join+distinct")(cand.count())}")
         val full = graft.ext.SimJoinQueries.simjoinPrefix(s, dir)
         time("full query")(full.queryExecution.toRdd.count())
+      case "containjoin-stages" =>
+        // stage-wise cost attribution for q_contain_join (r9 watch-item)
+        import org.apache.spark.sql.functions._
+        import graft.Tables
+        val s = spark
+        import s.implicits._
+        val shArr2 = when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), " +
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .otherwise(array(col("text")))
+        val sh = Tables.documents(s, dir)
+          .withColumn("toks", split($"text", " "))
+          .select($"doc_id", explode(array_distinct(shArr2)).as("sh"))
+        val df_ = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        val docArr = sh.join(df_, "sh")
+          .groupBy($"doc_id")
+          .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ranked"))
+          .select($"doc_id", expr("transform(ranked, r -> r.sh)").as("arr"),
+            size($"ranked").cast("long").as("n_sh"))
+        time("docArr build")(docArr.count())
+        val pre = docArr.select($"doc_id".as("a_id"), $"arr".as("arr_a"),
+          $"n_sh".as("a_n"), explode(expr(
+            "slice(arr, 1, size(arr) - (9 * size(arr) + 9) div 10 + 1)")).as("sh"))
+        time("pre explode")(pre.count())
+        val postings = sh.toDF("b_id", "sh")
+        println(s"posting rows: ${time("postings count")(postings.count())}")
+        val candHeavy = pre.join(postings, Seq("sh"))
+          .filter($"a_id" =!= $"b_id")
+          .select($"a_id", $"arr_a", $"a_n", $"b_id").distinct()
+        println(s"cand rows (arrays through distinct): ${time("cand heavy")(candHeavy.count())}")
+        val candLight = pre.select($"a_id", $"sh").join(postings, Seq("sh"))
+          .filter($"a_id" =!= $"b_id")
+          .select($"a_id", $"b_id").distinct()
+        println(s"cand rows (ids-only distinct): ${time("cand light")(candLight.count())}")
+        time("full query warm1")(graft.ext.SimJoinQueries
+          .containJoin(s, dir).queryExecution.toRdd.count())
+        time("full query warm2")(graft.ext.SimJoinQueries
+          .containJoin(s, dir).queryExecution.toRdd.count())
       case n if n.startsWith("explain:") =>
         // print the executed plan for any declared query
         val df = graft.SparkEntry.queries(n.stripPrefix("explain:"))(spark, dir)
