@@ -82,6 +82,54 @@ object PipelineQueries {
        |  CAST(CAST(SUM(n_tok) AS BIGINT) * 10000 // $PACK_BUDGET AS BIGINT) AS fill_bp
        |FROM c GROUP BY 1, 2, 3 ORDER BY lang, source, bin""".stripMargin
 
+  // --- XP1b: packing budgeted by the TRAINED tokenizer ------------------
+
+  /** [[packSequences]] with the estimate replaced by the REAL number: the
+    * per-doc token counts the trained BPE vocab actually produces
+    * ([[TextQueries.tokensPerDocOf]] — the memoized merge table applied
+    * as one fused per-row fold, carrying (lang, source) through so NO
+    * join is needed), feeding the identical windowed-cumsum first-fit.
+    * This completes the assembly chain: train the tokenizer → count real
+    * tokens per doc → budget training sequences in those tokens — a
+    * packer budgeting estimates mis-fills every bin by the estimate's
+    * error, which compounds at 100 TB into over-long (truncated) or
+    * under-filled (wasted compute) sequences.
+    *
+    * Scale: identical to [[packSequences]] — the token counting is a
+    * narrow map pass (single-row merge-table broadcast), then one hash
+    * exchange on the (lang, source) stream key for the window. */
+  def packExactTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextQueries.tokensPerDocOf(
+        Tables.documents(s, dir), TextQueries.bpeMergeTable(s, dir),
+        carry = Seq("lang", "source"))
+      .select($"lang", $"source", $"doc_id", $"n_tokens".as("n_tok"))
+    val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $PACK_BUDGET"))
+      .groupBy($"lang", $"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
+      .withColumn("fill_bp", expr(s"bin_tokens * 10000 div $PACK_BUDGET"))
+      .orderBy($"lang", $"source", $"bin")
+  }
+
+  val packExactTokensSql: String =
+    TextQueries.tokensPerDocCteSql + s""",
+       |t2 AS (
+       |  SELECT d.lang, d.source, t.doc_id, t.n_tokens AS n_tok
+       |  FROM tokc t JOIN documents d ON t.doc_id = d.doc_id),
+       |c2 AS (
+       |  SELECT lang, source, doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t2)
+       |SELECT lang, source, CAST(cum_before // $PACK_BUDGET AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       |  CAST(CAST(SUM(n_tok) AS BIGINT) * 10000 // $PACK_BUDGET AS BIGINT) AS fill_bp
+       |FROM c2 GROUP BY 1, 2, 3 ORDER BY lang, source, bin""".stripMargin
+
   // --- XP2: mixture re-weighting (oversampling to a target mix) ---------
 
   /** Re-weight the corpus toward a uniform per-language token budget by
@@ -565,6 +613,8 @@ object PipelineQueries {
       "XP5 overlapping fixed-size document chunking with offsets + hashes"),
     QueryDef("q_pack_sequences", packSequences, Some(packSequencesSql),
       "XP1 contiguous-fill sequence packing into fixed token budgets"),
+    QueryDef("q_pack_exact_tokens", packExactTokens, Some(packExactTokensSql),
+      "XP1b sequence packing budgeted by EXACT trained-BPE token counts (no estimate)"),
     QueryDef("q_mix_weighted", mixWeighted, Some(mixWeightedSql),
       "XP2 mixture re-weighting: integer oversampling to a uniform lang budget"),
     QueryDef("q_text_scrub", scrubDenylist, Some(scrubDenylistSql),

@@ -740,13 +740,14 @@ object TextQueries {
     * once. An array-accumulator fold variant was measured 3× SLOWER than
     * even the per-round form — interpreted HOF append-copies dominate —
     * hence strings + native replace. */
-  private[graft] def tokensPerDocOf(docs: DataFrame, merges: DataFrame): DataFrame = {
+  private[graft] def tokensPerDocOf(docs: DataFrame, merges: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     import docs.sparkSession.implicits._
     val mk = "char(1)" // the symbol marker
     val wrapWord = // one word -> \1c1\1\1c2\1... (chars joined by \1\1, ends closed)
       s"concat($mk, array_join(split(w, ''), concat($mk, $mk)), $mk)"
     docs.crossJoin(broadcast(mergesRow(merges)))
-      .select($"doc_id",
+      .select(($"doc_id" +: carry.map(col)) ++ Seq(
         expr("size(filter(split(text, ' '), " +
           "w -> length(w) > 0 AND NOT contains(w, char(1))))")
           .cast(LongType).as("n_words"),
@@ -756,10 +757,10 @@ object TextQueries {
             "w -> length(w) > 0 AND NOT contains(w, char(1))), " +
             s"w -> $wrapWord), ' '), " +
             s"(e, m) -> replace(e, concat($mk, m.ls, $mk, $mk, m.rs, $mk), " +
-            s"concat($mk, m.ls, m.rs, $mk)))").as("e"))
-      .select($"doc_id", $"n_words",
+            s"concat($mk, m.ls, m.rs, $mk)))").as("e")): _*)
+      .select(($"doc_id" +: carry.map(col)) ++ Seq($"n_words",
         ((length($"e") - length(expr("replace(e, char(1), '')"))) / 2)
-          .cast(LongType).as("n_tokens"))
+          .cast(LongType).as("n_tokens")): _*)
       .filter($"n_words" > 0)
   }
 
@@ -773,9 +774,11 @@ object TextQueries {
       .select(expr("transform(mr, m -> struct(m.ls AS ls, m.rs AS rs))").as("ms"))
   }
 
-  /** DuckDB mirror: the training chain provides top1..topN; the per-doc
-    * word stream runs the same fold against each in order. */
-  val tokensPerDocSql: String = {
+  /** CTE chain ending in `tokc(doc_id, n_words, n_tokens)` — the exact
+    * per-doc counts under the trained vocab (training chain + per-doc
+    * merge folds), shared by [[tokensPerDocSql]] and the exact-token
+    * packer's oracle ([[PipelineQueries.packExactTokensSql]]). */
+  private[graft] def tokensPerDocCteSql: String = {
     val sb = new StringBuilder(bpeRoundsCtesSql(finalApply = false))
     sb.append(s""",
       |docw0 AS (
@@ -791,12 +794,19 @@ object TextQueries {
         |        THEN substr(acc, 1, length(acc) - length(ls)) || ls || rs
         |      ELSE acc || chr(1) || x END), chr(1)) AS s
         |  FROM docw${r - 1}, top$r)""".stripMargin)
-    sb.append(s"""
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-      |  CAST(SUM(len(s)) AS BIGINT) AS n_tokens
-      |FROM docw$BpeTrainRounds GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    sb.append(s""",
+      |tokc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |    CAST(SUM(len(s)) AS BIGINT) AS n_tokens
+      |  FROM docw$BpeTrainRounds GROUP BY doc_id)""".stripMargin)
     sb.toString
   }
+
+  /** DuckDB mirror: the training chain provides top1..topN; the per-doc
+    * word stream runs the same fold against each in order. */
+  val tokensPerDocSql: String =
+    tokensPerDocCteSql +
+      "\nSELECT doc_id, n_words, n_tokens FROM tokc ORDER BY doc_id"
 
   /** DuckDB mirror of [[bpeTrain]]: the same [[BpeTrainRounds]] rounds
     * unrolled as CTEs (the `q_sim_knn_ivf2` Lloyd-round precedent), with

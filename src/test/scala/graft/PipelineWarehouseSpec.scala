@@ -41,6 +41,51 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("XP1b exact-token packing: bins budget the trained vocab's real counts") {
+    val bins = PipelineQueries.packExactTokens(spark, sf).collect()
+    assert(bins.nonEmpty)
+    // the fill-rate column is checked AGAINST THE VOCAB: per stream, the
+    // packed token mass must equal the sum of q_tokens_per_doc's exact
+    // per-doc counts — a packer still budgeting the \S{1,4} estimate
+    // cannot reconcile (the estimate over-counts multi-merge words)
+    val exact = graft.ext.TextQueries.tokensPerDoc(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select(col("doc_id"),
+        col("lang"), col("source")), "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val packed = bins.groupBy(r => (r.getString(0), r.getString(1))).map {
+      case (k, rs) => k -> (rs.map(_.getLong(4)).sum, rs.map(_.getLong(3)).sum)
+    }
+    assert(packed == exact,
+      "packed token mass diverged from the trained vocab's exact counts")
+    // full structural pin: a local brute-force replay of the contiguous
+    // fill over the exact per-doc counts reproduces every bin row.
+    // (UNLIKE the estimate packer, bin ids may legitimately skip — a doc
+    // whose exact count exceeds the budget consumes multiple bins' worth
+    // of prefix — so the pin is row-set equality, not contiguity.)
+    val perDoc = graft.ext.TextQueries.tokensPerDoc(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select(col("doc_id"),
+        col("lang"), col("source")), "doc_id")
+      .select(col("lang"), col("source"), col("doc_id"), col("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = perDoc.groupBy(d => (d._1, d._2)).flatMap { case ((l, s), ds) =>
+      var cum = 0L
+      ds.sortBy(_._3).map { d =>
+        val bin = cum / 256; cum += d._4; (l, s, bin, d._4)
+      }.groupBy(_._3).map { case (bin, xs) =>
+        val t = xs.map(_._4).sum
+        (l, s, bin, xs.length.toLong, t, t * 10000 / 256)
+      }
+    }.toSet
+    val got = bins.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected, "bin rows diverged from the local replay")
+  }
+
   test("XP2 mixing: repeat factors are minimal and copies are dense") {
     val out = PipelineQueries.mixWeighted(spark, sf).collect()
     val perLangTok = out.groupBy(_.getString(0)).map { case (l, rs) =>
