@@ -1000,12 +1000,21 @@ object SimilarityQueries {
     * permutation-invariant, so the exact re-rank is identical across
     * layouts; only the subspace split — what the codebooks must fit —
     * changes. */
-  private def knnPqOn(e: DataFrame, cb: DataFrame, codes: DataFrame): DataFrame = {
+  private def knnPqOn(e: DataFrame, cb: DataFrame, codes: DataFrame,
+      rerankE: DataFrame = null): DataFrame = {
     import e.sparkSession.implicits._
+    // Permuted layouts leave dots/norms bit-identical, so ranking off the
+    // layout itself equals ranking off the original. The SCALED rotation
+    // arm must rank and re-rank off the ORIGINAL layout instead (as its
+    // oracle does): sqrt(2n) is not exactly sqrt(2)·sqrt(n) in IEEE, so
+    // mixing scaled ADC dots with scaled norms would drift ulps from the
+    // oracle's scaled-dot/original-norm arithmetic. Monotonicity is
+    // unaffected either way — the scale is a per-query constant.
+    val re = Option(rerankE).getOrElse(e)
     val adc = codes.join(pqLut(e, cb), Seq("m", "cid"))
       .where($"vec_id" =!= $"q_id")
       .groupBy($"q_id", $"vec_id").agg(sum($"part").as("adc_dot"))
-    exactTop5(adcTopC(adc, e), e)
+    exactTop5(adcTopC(adc, re), re)
   }
 
   /** The per-query 8×16 partial-dot lookup table (ADC's query-side half). */
@@ -1387,7 +1396,7 @@ object SimilarityQueries {
       .select($"j", ($"n" * $"sxx" - $"sx" * $"sx").as("v"))
       .withColumn("r",
         row_number().over(Window.orderBy($"v".desc, $"j".asc)) - lit(1))
-    val pos = ranked.select($"j",
+    val pos = ranked.select($"j", $"r",
       expr(s"(r % $PQ_M) * $PQ_SUB + r div $PQ_M").as("p_inter"),
       expr(s"(CASE WHEN (r div $PQ_M) % 2 = 0 THEN r % $PQ_M " +
         s"ELSE ${PQ_M - 1} - (r % $PQ_M) END) * $PQ_SUB + r div $PQ_M")
@@ -1396,7 +1405,11 @@ object SimilarityQueries {
       transform(array_sort(collect_list(struct($"p_inter".as("p"), $"j"))),
         c => c.getField("j")).as("pm_inter"),
       transform(array_sort(collect_list(struct($"p_snake".as("p"), $"j"))),
-        c => c.getField("j")).as("pm_snake"))
+        c => c.getField("j")).as("pm_snake"),
+      // dims in plain variance-rank order — the pairing table the learned
+      // rotation consumes (rank p marries rank DIM-1-p)
+      transform(array_sort(collect_list(struct($"r".as("p"), $"j"))),
+        c => c.getField("j")).as("pm_rank"))
   }
 
   /** Apply a permutation array to the qe layout. The permutation is
@@ -1411,17 +1424,43 @@ object SimilarityQueries {
         $"nrm")
   }
 
-  /** OPQ as it survives contact with a declarative engine: instead of a
-    * learned dense rotation (gradient OPQ), search a STRUCTURED family of
-    * layouts — identity, variance-interleave, variance-snake — by running
-    * the full PQ pipeline under each and reading recall@5 against the
-    * shared memoized brute truth; `chosen` marks the argmax, ties broken
-    * toward identity (the free layout). On isotropic data the search
-    * degenerates to identity — which IS the honest OPQ answer there, and
-    * this audit row is what shows it; on anisotropic or correlated
-    * corpora the permuted arms win and get picked by the same row.
+  /** The learned-ROTATION arm: one integer-exact Givens sweep. Pair the
+    * rank-p-variance dimension with the rank-(DIM−1−p) dimension (the
+    * learned part — hi-lo pairing equalizes per-pair energy, the
+    * published OPQ objective) and rotate every pair by 45°, kept integer
+    * by dropping the 1/√2: output slot 2p = hi + lo, slot 2p+1 =
+    * hi − lo. The transform is √2 × an orthogonal matrix, so EVERY dot
+    * product and squared norm scales by exactly 2 — (a+b)² + (a−b)² =
+    * 2(a²+b²) — rankings are preserved exactly, integer arithmetic
+    * stays exact (values ≤ 2× the quantized magnitude), and nrm carries
+    * as 2·nrm with no recompute. Consecutive output pairs land in the
+    * same subspace, so each subspace holds 4 near-equal-energy pairs —
+    * variance balanced by construction, not by permutation shuffling. */
+  private def rotApply(e: DataFrame, pms: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val hi = "element_at(qe, element_at(pm, CAST((t div 2) + 1 AS INT)) + 1)"
+    val lo = s"element_at(qe, element_at(pm, CAST($DIM - (t div 2) AS INT)) + 1)"
+    e.crossJoin(broadcast(pms.select(col("pm_rank").as("pm"))))
+      .select($"vec_id",
+        expr(s"transform(sequence(0, ${DIM - 1}), t -> " +
+          s"CASE WHEN t % 2 = 0 THEN $hi + $lo ELSE $hi - $lo END)").as("qe"),
+        ($"nrm" * 2).as("nrm"))
+  }
+
+  /** OPQ as it survives contact with a declarative engine: instead of
+    * gradient OPQ, search a STRUCTURED family of orthogonal transforms —
+    * identity, variance-interleave, variance-snake, and one LEARNED
+    * Givens-sweep rotation ([[rotApply]]: 45° butterflies on the hi-lo
+    * variance pairing, integer-exact via the uniform √2 scale) — by
+    * running the full PQ pipeline under each and reading recall@5
+    * against the shared memoized brute truth; `chosen` marks the argmax,
+    * ties broken toward identity (the free layout). On isotropic data
+    * the search degenerates to identity — which IS the honest OPQ answer
+    * there, and this audit row is what shows it; on anisotropic or
+    * correlated corpora the rotated/permuted arms win and get picked by
+    * the same row.
     *
-    * Scale: the family is a constant (3), each arm is the declared PQ
+    * Scale: the family is a constant (4), each arm is the declared PQ
     * plan, truth is the session-memoized [[bruteTruth]], and the
     * permutation derivation is one narrow moments pass + a 64-row rank —
     * model selection on a validation slice, the way a real deployment
@@ -1435,10 +1474,16 @@ object SimilarityQueries {
       val cb = pqCbMemo(s, dir, tag, pe)
       knnPqOn(pe, cb, pqCodesTagMemo(s, dir, tag, pe, cb))
     }
+    val rotated = rotApply(e, pms)
+    val cbRot = pqCbMemo(s, dir, "_rot", rotated)
     val variants: Seq[(String, DataFrame)] = Seq(
       "pq_identity" -> knnPq(s, dir),
       "opq_interleave" -> arm("_inter", "pm_inter"),
-      "opq_snake" -> arm("_snake", "pm_snake"))
+      "opq_snake" -> arm("_snake", "pm_snake"),
+      // the learned rotation: trains/encodes on the rotated layout,
+      // ranks + re-ranks on the original (see knnPqOn)
+      "opq_rotate" -> knnPqOn(rotated, cbRot,
+        pqCodesTagMemo(s, dir, "_rot", rotated, cbRot), rerankE = e))
     val truth = bruteTruth(s, dir)
     val preds = variants.map { case (nm, df) =>
       df.select(lit(nm).as("variant"), $"q_id", $"vec_id")
@@ -1464,7 +1509,7 @@ object SimilarityQueries {
     * Assembled by concatenation (NOT stripMargin) like the eval. */
   val annOpqSql: String = {
     val qv0 = qvIdentitySql.replaceFirst("qv AS", "qv0 AS")
-    def permChain(posExpr: String): String =
+    val rankCtes =
       s"$qv0,\n" +
         s"dimv AS (\n" +
         s"  SELECT j.j AS j,\n" +
@@ -1472,19 +1517,34 @@ object SimilarityQueries {
         s"      - SUM(v.qe[j.j + 1]) * SUM(v.qe[j.j + 1]) AS BIGINT) AS v\n" +
         s"  FROM qv0 v, (SELECT unnest(range(0, $DIM)) AS j) j GROUP BY 1),\n" +
         s"rankd AS (\n" +
-        s"  SELECT j, ROW_NUMBER() OVER (ORDER BY v DESC, j ASC) - 1 AS r FROM dimv),\n" +
+        s"  SELECT j, ROW_NUMBER() OVER (ORDER BY v DESC, j ASC) - 1 AS r FROM dimv)"
+    def permChain(posExpr: String): String =
+      s"$rankCtes,\n" +
         s"permtab AS (SELECT j, $posExpr AS p FROM rankd),\n" +
         s"pmt AS (SELECT list(j ORDER BY p) AS pm FROM permtab),\n" +
         s"qv AS (\n" +
         s"  SELECT v.vec_id, list_transform(range(0, $DIM),\n" +
         s"    t -> v.qe[p.pm[t + 1] + 1]) AS qe\n" +
         s"  FROM qv0 v, pmt p)"
+    // the learned rotation: hi-lo variance pairing + 45° butterfly,
+    // kept integer by the uniform √2 scale (see rotApply)
+    val rotChain =
+      s"$rankCtes,\n" +
+        s"pmt AS (SELECT list(j ORDER BY r) AS pm FROM rankd),\n" +
+        s"qv AS (\n" +
+        s"  SELECT v.vec_id, list_transform(range(0, $DIM),\n" +
+        s"    t -> CASE WHEN t % 2 = 0\n" +
+        s"      THEN v.qe[p.pm[t // 2 + 1] + 1] + v.qe[p.pm[$DIM - t // 2] + 1]\n" +
+        s"      ELSE v.qe[p.pm[t // 2 + 1] + 1] - v.qe[p.pm[$DIM - t // 2] + 1]\n" +
+        s"      END) AS qe\n" +
+        s"  FROM qv0 v, pmt p)"
     val variants = Seq(
       "pq_identity" -> qvIdentitySql,
       "opq_interleave" -> permChain(s"(r % $PQ_M) * $PQ_SUB + r // $PQ_M"),
       "opq_snake" -> permChain(
         s"(CASE WHEN (r // $PQ_M) % 2 = 0 THEN r % $PQ_M " +
-          s"ELSE ${PQ_M - 1} - (r % $PQ_M) END) * $PQ_SUB + r // $PQ_M"))
+          s"ELSE ${PQ_M - 1} - (r % $PQ_M) END) * $PQ_SUB + r // $PQ_M"),
+      "opq_rotate" -> rotChain)
     val ctes = variants.map { case (nm, qvBlock) =>
       s"p_$nm AS (SELECT q_id, vec_id FROM (\n${pqPipelineSql(qvBlock)}\n) t_$nm)"
     }.mkString(",\n")
@@ -1507,7 +1567,7 @@ object SimilarityQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_ann_opq", annOpq, Some(annOpqSql),
-      "X3k OPQ layout search: PQ recall audit under identity/interleave/snake permutations"),
+      "X3k OPQ transform search: PQ recall audit under identity/interleave/snake/learned-Givens-rotation"),
     QueryDef("q_ann_frontier", annFrontier, Some(annFrontierSql),
       "X3j IVF nprobe recall/cost frontier: one audit row per probe depth vs brute truth"),
     QueryDef("q_ann_eval", annEval, Some(annEvalSql),

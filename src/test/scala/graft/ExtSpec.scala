@@ -237,9 +237,9 @@ class ExtSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("variant"), r.getAs[Long]("recall_ppm"),
         r.getAs[Boolean]("chosen")))
     assert(rows.map(_._1).sorted ===
-      Array("opq_interleave", "opq_snake", "pq_identity"))
+      Array("opq_interleave", "opq_rotate", "opq_snake", "pq_identity"))
     // every arm predicts the full 20x5 surface
-    assert(rows.length === 3 && rows.count(_._3) === 1)
+    assert(rows.length === 4 && rows.count(_._3) === 1)
     val chosen = rows.find(_._3).get
     val identity = rows.find(_._1 == "pq_identity").get
     assert(chosen._2 === rows.map(_._2).max,
