@@ -411,7 +411,11 @@ object TextQueries {
     QueryDef("q_bpe_encode", bpeEncode, Some(bpeEncodeSql),
       "X4p tokenizer inference: apply the trained merge table, emit the token census"),
     QueryDef("q_tokens_per_doc", tokensPerDoc, Some(tokensPerDocSql),
-      "X4q per-document exact token counts under the trained BPE vocab"))
+      "X4q per-document exact token counts under the trained BPE vocab"),
+    QueryDef("q_bpe_vocab", bpeVocab, Some(bpeVocabSql),
+      "X4r-a the trained vocab table: base chars 0..B-1 + merge-rank token ids"),
+    QueryDef("q_token_ids", tokenIds, Some(tokenIdsSql),
+      "X4r-b the tokenized corpus: per-doc ordered token-id sequences under the trained vocab"))
 
   // --- X4m: BPE merge-pair statistics --------------------------------------
 
@@ -740,24 +744,31 @@ object TextQueries {
     * once. An array-accumulator fold variant was measured 3× SLOWER than
     * even the per-round form — interpreted HOF append-copies dominate —
     * hence strings + native replace. */
-  private[graft] def tokensPerDocOf(docs: DataFrame, merges: DataFrame,
-      carry: Seq[String] = Nil): DataFrame = {
-    import docs.sparkSession.implicits._
+  /** The whole-doc MARKED encoding after every merge: each symbol wrapped
+    * in \u0001 markers, words joined by single spaces — the fused fold
+    * whose correctness argument lives on [[tokensPerDocOf]]. Requires the
+    * single-row `ms` merge array in scope (from [[mergesRow]]). */
+  private val markedDocExpr: String = {
     val mk = "char(1)" // the symbol marker
     val wrapWord = // one word -> \1c1\1\1c2\1... (chars joined by \1\1, ends closed)
       s"concat($mk, array_join(split(w, ''), concat($mk, $mk)), $mk)"
+    "aggregate(ms, " +
+      "array_join(transform(filter(split(text, ' '), " +
+      "w -> length(w) > 0 AND NOT contains(w, char(1))), " +
+      s"w -> $wrapWord), ' '), " +
+      s"(e, m) -> replace(e, concat($mk, m.ls, $mk, $mk, m.rs, $mk), " +
+      s"concat($mk, m.ls, m.rs, $mk)))"
+  }
+
+  private[graft] def tokensPerDocOf(docs: DataFrame, merges: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    import docs.sparkSession.implicits._
     docs.crossJoin(broadcast(mergesRow(merges)))
       .select(($"doc_id" +: carry.map(col)) ++ Seq(
         expr("size(filter(split(text, ' '), " +
           "w -> length(w) > 0 AND NOT contains(w, char(1))))")
           .cast(LongType).as("n_words"),
-        expr(
-          "aggregate(ms, " +
-            "array_join(transform(filter(split(text, ' '), " +
-            "w -> length(w) > 0 AND NOT contains(w, char(1))), " +
-            s"w -> $wrapWord), ' '), " +
-            s"(e, m) -> replace(e, concat($mk, m.ls, $mk, $mk, m.rs, $mk), " +
-            s"concat($mk, m.ls, m.rs, $mk)))").as("e")): _*)
+        expr(markedDocExpr).as("e")): _*)
       .select(($"doc_id" +: carry.map(col)) ++ Seq($"n_words",
         ((length($"e") - length(expr("replace(e, char(1), '')"))) / 2)
           .cast(LongType).as("n_tokens")): _*)
@@ -807,6 +818,129 @@ object TextQueries {
   val tokensPerDocSql: String =
     tokensPerDocCteSql +
       "\nSELECT doc_id, n_words, n_tokens FROM tokc ORDER BY doc_id"
+
+  // --- X4r: real token IDs — the vocab table + the tokenized corpus ------
+
+  /** X4r-a — the vocab table the trained tokenizer implies, laid out the
+    * way every shipped BPE vocab file is: base symbols (each character
+    * the word dictionary contains) take ids 0..B−1 in byte order; merge
+    * r's product token takes id B+r−1 (merge-rank keyed). Scale: the
+    * alphabet is bounded, so the one-partition rank window is a
+    * constant-size step, not a corpus sort; merges ride the memoized
+    * trained table. */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chars = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0 && !$"w".contains(BpeSent))
+      .select(explode(split($"w", "")).as("token"))
+      .distinct()
+    val base = chars
+      .withColumn("token_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"token")) - 1).cast(LongType))
+      .withColumn("round", lit(0L))
+    val nb = chars.agg(count(lit(1)).as("nb"))
+    val merged = bpeMergeTable(s, dir).crossJoin(broadcast(nb))
+      .select(concat($"ls", $"rs").as("token"),
+        ($"nb" + $"round" - 1).as("token_id"), $"round")
+    base.select($"token", $"token_id", $"round")
+      .unionByName(merged).orderBy($"token_id")
+  }
+
+  val bpeVocabSql: String = {
+    val mtok = (1 to BpeTrainRounds).map(r =>
+      s"SELECT ls || rs AS token, CAST(nb.nb + $r - 1 AS BIGINT) AS token_id, " +
+        s"CAST($r AS BIGINT) AS round FROM top$r, nb")
+      .mkString("\nUNION ALL\n")
+    bpeRoundsCtesSql(finalApply = false) + s""",
+      |chars AS (SELECT DISTINCT unnest(string_split(w, '')) AS token FROM words),
+      |nb AS (SELECT COUNT(*) AS nb FROM chars),
+      |base AS (
+      |  SELECT token,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY token ASC) - 1 AS BIGINT) AS token_id,
+      |    CAST(0 AS BIGINT) AS round
+      |  FROM chars)
+      |SELECT token, token_id, round FROM base
+      |UNION ALL
+      |$mtok
+      |ORDER BY token_id""".stripMargin
+  }
+
+  /** X4r-b — the tokenized corpus itself: every document's ordered token
+    * stream under the trained merge table as (doc_id, pos, token_id,
+    * token), ids from [[bpeVocab]]. This IS the artifact a training
+    * pipeline materializes (what a data loader batches);
+    * [[tokensPerDoc]]'s n_tokens is exactly COUNT(*) per doc here, and
+    * concatenating a doc's tokens restores its filtered words
+    * (both spec-pinned). Token extraction re-reads the SAME marked
+    * string the count query folds ([[markedDocExpr]]): split on the
+    * marker and drop the empty/space separators — symbols survive in
+    * document order.
+    *
+    * Scale: the same narrow marked-fold map as tokensPerDoc, one
+    * posexplode (the output is corpus-sized BY DEFINITION — it is the
+    * tokenized corpus), and a broadcast vocab equi-join; no shuffle
+    * before the presentation sort. */
+  def tokenIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = bpeVocab(s, dir).select($"token", $"token_id")
+    Tables.documents(s, dir)
+      .crossJoin(broadcast(mergesRow(bpeMergeTable(s, dir))))
+      .select($"doc_id", expr(markedDocExpr).as("e"))
+      .select($"doc_id", posexplode(expr(
+        "filter(split(e, char(1)), p -> p <> '' AND p <> ' ')"))
+        .as(Seq("pos0", "token")))
+      .join(broadcast(vocab), Seq("token"))
+      .select($"doc_id", ($"pos0" + 1).cast(LongType).as("pos"),
+        $"token_id", $"token")
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** DuckDB mirror: the per-word fold chain again, but carrying the word
+    * position and unnesting each word's final symbol list with its
+    * in-word ordinal — (wpos, tpos) reconstructs document order. */
+  val tokenIdsSql: String = {
+    val sb = new StringBuilder(bpeRoundsCtesSql(finalApply = false))
+    sb.append(s""",
+      |dw0 AS (
+      |  SELECT doc_id, wpos, string_split(w, '') AS s FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |      generate_subscripts(string_split(text, ' '), 1) AS wpos
+      |    FROM documents)
+      |  WHERE length(w) > 0 AND NOT contains(w, chr(1)))""".stripMargin)
+    for (r <- 1 to BpeTrainRounds)
+      sb.append(s""",
+        |dw$r AS (
+        |  SELECT doc_id, wpos, string_split(list_reduce(s, (acc, x) -> CASE
+        |      WHEN x = rs AND acc = ls THEN ls || rs
+        |      WHEN x = rs AND ends_with(acc, chr(1) || ls)
+        |        THEN substr(acc, 1, length(acc) - length(ls)) || ls || rs
+        |      ELSE acc || chr(1) || x END), chr(1)) AS s
+        |  FROM dw${r - 1}, top$r)""".stripMargin)
+    val mtok = (1 to BpeTrainRounds).map(r =>
+      s"SELECT ls || rs AS token, CAST(nb.nb + $r - 1 AS BIGINT) AS token_id " +
+        s"FROM top$r, nb").mkString("\n  UNION ALL\n  ")
+    sb.append(s""",
+      |tokstream AS (
+      |  SELECT doc_id, wpos, unnest(s) AS token, generate_subscripts(s, 1) AS tpos
+      |  FROM dw$BpeTrainRounds),
+      |chars AS (SELECT DISTINCT unnest(string_split(w, '')) AS token FROM words),
+      |nb AS (SELECT COUNT(*) AS nb FROM chars),
+      |vocab AS (
+      |  SELECT token,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY token ASC) - 1 AS BIGINT) AS token_id
+      |  FROM chars
+      |  UNION ALL
+      |  $mtok)
+      |SELECT t.doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |    ORDER BY t.wpos, t.tpos) AS BIGINT) AS pos,
+      |  v.token_id, t.token
+      |FROM tokstream t JOIN vocab v USING (token)
+      |ORDER BY doc_id, pos""".stripMargin)
+    sb.toString
+  }
 
   /** DuckDB mirror of [[bpeTrain]]: the same [[BpeTrainRounds]] rounds
     * unrolled as CTEs (the `q_sim_knn_ivf2` Lloyd-round precedent), with

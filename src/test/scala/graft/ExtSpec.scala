@@ -558,6 +558,42 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("X4r token ids: sequences reconstruct the text and reconcile counts + vocab") {
+    val vocab = TextQueries.bpeVocab(spark, sf).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("token_id"),
+        r.getAs[Long]("round")))
+    // ids are dense 0..V-1; base chars in byte order precede merge tokens
+    // in merge-rank order
+    assert(vocab.map(_._2).sorted.toSeq === (0L until vocab.length.toLong))
+    val (base, merged) = vocab.partition(_._3 == 0L)
+    assert(base.sortBy(_._2).map(_._1).toSeq === base.map(_._1).sorted.toSeq)
+    assert(merged.sortBy(_._2).map(_._3).toSeq ===
+      merged.map(_._3).sorted.toSeq)
+    assert(base.map(_._2).max < merged.map(_._2).min)
+    val vmap = vocab.map(v => v._2 -> v._1).toMap
+    val ids = TextQueries.tokenIds(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("token_id"), r.getAs[String]("token")))
+    // every row's token IS its vocab id's token
+    ids.foreach(t => assert(vmap(t._3) == t._4, s"id/token mismatch: $t"))
+    // per-doc counts reconcile exactly with q_tokens_per_doc
+    val perDoc = ids.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val counted = TextQueries.tokensPerDoc(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(perDoc == counted, "token-id stream diverged from exact counts")
+    // decoding round-trip: concatenating a doc's tokens in pos order
+    // restores its filtered words byte-for-byte
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.groupBy(_._1).foreach { case (doc, rows) =>
+      val decoded = rows.sortBy(_._2).map(_._4).mkString
+      val expected = texts(doc).split(" ", -1)
+        .filter(w => w.nonEmpty && !w.contains('\u0001')).mkString
+      assert(decoded == expected, s"doc $doc failed the decode round-trip")
+    }
+  }
+
   test("X4k entropy gate: doc counts reconcile, band matches local recompute") {
     val rows = TextQueries.textEntropy(spark, sf).collect()
     val docs = Tables.documents(spark, sf)

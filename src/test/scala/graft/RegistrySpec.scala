@@ -126,6 +126,13 @@ class RegistrySpec extends AnyFunSuite {
       // the same single-row merge-table broadcast feeding the packer's
       // window — the q_tokens_per_doc class
       "q_pack_exact_tokens",
+      // single-row alphabet-count broadcast crossed onto the (tiny)
+      // merge table — the q_bpe_merge class
+      "q_bpe_vocab",
+      // merge-table broadcast (q_tokens_per_doc class) + the vocab's
+      // alphabet-count broadcast; the vocab lookup itself is a broadcast
+      // HASH equi-join on token
+      "q_token_ids",
       // single-row hot-span-set broadcast crossed onto the doc scan (the
       // q_bpe_merge class); scrub and checksum are narrow per-row ops
       "q_span_scrub")
