@@ -130,6 +130,106 @@ object PipelineQueries {
        |  CAST(CAST(SUM(n_tok) AS BIGINT) * 10000 // $PACK_BUDGET AS BIGINT) AS fill_bp
        |FROM c2 GROUP BY 1, 2, 3 ORDER BY lang, source, bin""".stripMargin
 
+  // --- XP14: the composed corpus-assembly pipeline ----------------------
+
+  /** The whole LLM-corpus assembly chain as ONE audited query — what
+    * `q_pipeline_daily` is for the reference's ingest, this is for the
+    * training-data tiers: quality gate ([[TextQueries.qualityCol]], the
+    * Gopher/C4 rule family) → exact-dedup keep (canonical = min doc_id
+    * per md5(text)) → EXACT token counting under the trained BPE vocab →
+    * contiguous-fill packing — emitting one per-stream audit row
+    * (input/quality/kept censuses, packed token mass, bin counts). A
+    * pipeline is more than its stages: this row hash-pins the stage
+    * COMPOSITION (a doc dropped by quality must never reach the packer;
+    * dedup must run on the quality survivors, not the raw corpus).
+    *
+    * Scale: gate + token counting are narrow maps (single-row merge
+    * broadcast); dedup is one md5-key exchange; packing is the one
+    * stream-key window; audits are small aggregates LEFT-joined so a
+    * stream whose docs all fail the gate still reports its census. */
+  def pipelineCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val census = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("n_docs"))
+    val qd = docs.filter(TextQueries.qualityCol)
+    val qc = qd.groupBy($"lang", $"source").agg(count(lit(1)).as("n_quality"))
+    val kept = qd.select($"doc_id", $"lang", $"source", $"text",
+        md5($"text").as("h"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"h").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+    val kc = kept.groupBy($"lang", $"source").agg(count(lit(1)).as("n_kept"))
+    val toks = TextQueries.tokensPerDocOf(
+        kept.select($"doc_id", $"text", $"lang", $"source"),
+        TextQueries.bpeMergeTable(s, dir), carry = Seq("lang", "source"))
+      .select($"lang", $"source", $"doc_id", $"n_tokens".as("n_tok"))
+    val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bins = toks
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $PACK_BUDGET"))
+      .groupBy($"lang", $"source", $"bin")
+      .agg(sum($"n_tok").as("bin_tokens"))
+    val pk = bins.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_bins"), sum($"bin_tokens").as("total_tokens"),
+        sum(when($"bin_tokens" >= PACK_BUDGET, 1L).otherwise(0L))
+          .as("n_full_bins"))
+    census
+      .join(qc, Seq("lang", "source"), "left")
+      .join(kc, Seq("lang", "source"), "left")
+      .join(pk, Seq("lang", "source"), "left")
+      .select($"lang", $"source", $"n_docs",
+        coalesce($"n_quality", lit(0L)).as("n_quality"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"total_tokens", lit(0L)).as("total_tokens"),
+        coalesce($"n_bins", lit(0L)).as("n_bins"),
+        coalesce($"n_full_bins", lit(0L)).as("n_full_bins"))
+      .orderBy($"lang", $"source")
+  }
+
+  val pipelineCorpusSql: String =
+    TextQueries.tokensPerDocCteSql + s""",
+       |qd AS (
+       |  SELECT doc_id, lang, source, md5(text) AS h FROM documents
+       |  WHERE ${TextQueries.qualityPredSql}),
+       |kept AS (
+       |  SELECT doc_id, lang, source FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+       |    FROM qd) WHERE rn = 1),
+       |ptoks AS (
+       |  SELECT k.lang, k.source, k.doc_id, t.n_tokens AS n_tok
+       |  FROM kept k JOIN tokc t ON k.doc_id = t.doc_id),
+       |pc AS (
+       |  SELECT lang, source, doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM ptoks),
+       |bins AS (
+       |  SELECT lang, source, cum_before // $PACK_BUDGET AS bin,
+       |    CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+       |  FROM pc GROUP BY 1, 2, 3),
+       |pk AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_bins,
+       |    CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(CASE WHEN bin_tokens >= $PACK_BUDGET THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_full_bins
+       |  FROM bins GROUP BY 1, 2),
+       |census AS (
+       |  SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2),
+       |qc AS (SELECT lang, source, COUNT(*) AS n_quality FROM qd GROUP BY 1, 2),
+       |kc AS (SELECT lang, source, COUNT(*) AS n_kept FROM kept GROUP BY 1, 2)
+       |SELECT c.lang, c.source, c.n_docs,
+       |  COALESCE(q.n_quality, 0) AS n_quality,
+       |  COALESCE(k.n_kept, 0) AS n_kept,
+       |  COALESCE(p.total_tokens, 0) AS total_tokens,
+       |  COALESCE(p.n_bins, 0) AS n_bins,
+       |  COALESCE(p.n_full_bins, 0) AS n_full_bins
+       |FROM census c
+       |LEFT JOIN qc q ON c.lang = q.lang AND c.source = q.source
+       |LEFT JOIN kc k ON c.lang = k.lang AND c.source = k.source
+       |LEFT JOIN pk p ON c.lang = p.lang AND c.source = p.source
+       |ORDER BY c.lang, c.source""".stripMargin
+
   // --- XP2: mixture re-weighting (oversampling to a target mix) ---------
 
   /** Re-weight the corpus toward a uniform per-language token budget by
@@ -615,6 +715,8 @@ object PipelineQueries {
       "XP1 contiguous-fill sequence packing into fixed token budgets"),
     QueryDef("q_pack_exact_tokens", packExactTokens, Some(packExactTokensSql),
       "XP1b sequence packing budgeted by EXACT trained-BPE token counts (no estimate)"),
+    QueryDef("q_pipeline_corpus", pipelineCorpus, Some(pipelineCorpusSql),
+      "XP14 composed corpus assembly: quality gate -> exact-dedup keep -> exact-token packing, one audit row per stream"),
     QueryDef("q_mix_weighted", mixWeighted, Some(mixWeightedSql),
       "XP2 mixture re-weighting: integer oversampling to a uniform lang budget"),
     QueryDef("q_text_scrub", scrubDenylist, Some(scrubDenylistSql),

@@ -21,7 +21,7 @@ object TextQueries {
   /** Per-doc quality predicate over a `text` column — token-count bounds,
     * punctuation ratio, stopword floor (the Gopher/C4 rule family).
     * Shared by [[textStats]] and the composed curation pipeline. */
-  private[ext] def qualityCol: org.apache.spark.sql.Column = {
+  private[graft] def qualityCol: org.apache.spark.sql.Column = {
     val toks = split(col("text"), " ")
     val tokenCnt = size(toks).cast(LongType)
     val punctCnt =
@@ -884,17 +884,27 @@ object TextQueries {
     * before the presentation sort. */
   def tokenIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vocab = bpeVocab(s, dir).select($"token", $"token_id")
-    Tables.documents(s, dir)
-      .crossJoin(broadcast(mergesRow(bpeMergeTable(s, dir))))
+    tokenIdsOf(Tables.documents(s, dir), bpeMergeTable(s, dir),
+      bpeVocab(s, dir))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** Shared core of [[tokenIds]] and the streaming twin
+    * ([[graft.streaming.StreamJobs.tokenIdsStream]]): works on any
+    * (doc_id, text) relation, batch or streaming — the merge table and
+    * vocab ride as broadcast statics, everything else is the stateless
+    * narrow map + posexplode, so stream == batch row-for-row. */
+  private[graft] def tokenIdsOf(docs: DataFrame, merges: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.crossJoin(broadcast(mergesRow(merges)))
       .select($"doc_id", expr(markedDocExpr).as("e"))
       .select($"doc_id", posexplode(expr(
         "filter(split(e, char(1)), p -> p <> '' AND p <> ' ')"))
         .as(Seq("pos0", "token")))
-      .join(broadcast(vocab), Seq("token"))
+      .join(broadcast(vocab.select($"token", $"token_id")), Seq("token"))
       .select($"doc_id", ($"pos0" + 1).cast(LongType).as("pos"),
         $"token_id", $"token")
-      .orderBy($"doc_id", $"pos")
   }
 
   /** DuckDB mirror: the per-word fold chain again, but carrying the word

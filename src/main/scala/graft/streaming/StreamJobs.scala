@@ -417,6 +417,16 @@ object StreamJobs {
   def tokenizeStream(docs: DataFrame, merges: DataFrame): DataFrame =
     graft.ext.TextQueries.tokensPerDocOf(docs, merges)
 
+  /** X4r streaming twin — tokenizer inference emitting TOKEN IDS on an
+    * unbounded document feed: merge table + vocab ride as broadcast
+    * statics (in deployment, `ArtifactStore.load`-ed per batch), the
+    * rest is the same stateless narrow map + per-row explode as the
+    * batch query — no shuffle, no keyed state, so stream == batch
+    * row-for-row (StreamingSpec pins it). */
+  def tokenIdsStream(docs: DataFrame, merges: DataFrame,
+      vocab: DataFrame): DataFrame =
+    graft.ext.TextQueries.tokenIdsOf(docs, merges, vocab)
+
   def followerJoin(events: DataFrame): DataFrame = {
     val left = events
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))

@@ -86,6 +86,38 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(got == expected, "bin rows diverged from the local replay")
   }
 
+  test("XP14 corpus assembly: stages compose — local replay of gate, dedup, pack") {
+    val out = PipelineQueries.pipelineCorpus(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    assert(out.nonEmpty)
+    // stage monotonicity + internal consistency per stream
+    out.values.foreach { case (nd, nq, nk, _, nb, nf) =>
+      assert(nd >= nq && nq >= nk)
+      assert(nf <= nb)
+    }
+    // local replay: quality gate + min-doc_id-per-md5 keep decides the
+    // survivor set; the packed token mass must equal the exact counts of
+    // EXACTLY those survivors (a pipeline packing pre-dedup or pre-gate
+    // docs cannot reconcile)
+    val gated = graft.Tables.documents(spark, sf)
+      .filter(graft.ext.TextQueries.qualityCol)
+      .select(col("doc_id"), col("lang"), col("source"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    val keep = gated.groupBy(_._4).values.map(_.minBy(_._1)._1).toSet
+    val exact = graft.ext.TextQueries.tokensPerDoc(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val expTokens = gated.filter(d => keep(d._1))
+      .groupBy(d => (d._2, d._3)).view
+      .mapValues(_.map(d => exact.getOrElse(d._1, 0L)).sum).toMap
+    out.foreach { case (k, (_, _, _, tot, _, _)) =>
+      assert(tot == expTokens.getOrElse(k, 0L),
+        s"stream $k packed mass diverged from the survivor replay")
+    }
+  }
+
   test("XP2 mixing: repeat factors are minimal and copies are dense") {
     val out = PipelineQueries.mixWeighted(spark, sf).collect()
     val perLangTok = out.groupBy(_.getString(0)).map { case (l, rs) =>

@@ -133,6 +133,9 @@ class RegistrySpec extends AnyFunSuite {
       // alphabet-count broadcast; the vocab lookup itself is a broadcast
       // HASH equi-join on token
       "q_token_ids",
+      // the composed assembly pipeline carries the same single-row
+      // merge-table broadcast through its token-counting stage
+      "q_pipeline_corpus",
       // single-row hot-span-set broadcast crossed onto the doc scan (the
       // q_bpe_merge class); scrub and checksum are narrow per-row ops
       "q_span_scrub")

@@ -42,6 +42,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch, "stream tokenization diverged from batch")
   }
 
+  test("X4r streaming token-id emission equals batch q_token_ids") {
+    import graft.ext.TextQueries
+    val tmp = Files.createTempDirectory("graft-docid-stream").toString
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    docs.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(tmp)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val q = StreamJobs
+      .tokenIdsStream(stream, TextQueries.bpeMergeTable(spark, sf),
+        TextQueries.bpeVocab(spark, sf))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tokid_stream_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("tokid_stream_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("token_id"), r.getAs[String]("token"))).toSet
+    val batch = TextQueries.tokenIds(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("token_id"), r.getAs[String]("token"))).toSet
+    assert(streamed.size === batch.size)
+    assert(streamed === batch, "stream token ids diverged from batch")
+  }
+
   test("X3 streaming ANN ingest equals the batch index assignment") {
     import graft.ext.SimilarityQueries
     // two part files in one drop dir → two micro-batches (maxFiles 1)
