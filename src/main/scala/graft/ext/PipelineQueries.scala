@@ -149,18 +149,27 @@ object PipelineQueries {
     * stream whose docs all fail the gate still reports its census. */
   def pipelineCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val census = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("n_docs"))
-    val qd = docs.filter(TextQueries.qualityCol)
-    val qc = qd.groupBy($"lang", $"source").agg(count(lit(1)).as("n_quality"))
-    val kept = qd.select($"doc_id", $"lang", $"source", $"text",
-        md5($"text").as("h"))
+    // ONE staged pass computes every per-doc verdict: quality flag, md5
+    // group, canonical rank, keep decision. Members of one md5 group
+    // share their text byte-for-byte, hence their quality verdict — so
+    // ranking over the PLAIN md5 partition (not the quality-filtered
+    // one) and requiring isq && rn==1 is exactly "dedup the quality
+    // survivors", with one fewer scan and one fewer window. (An earlier
+    // draft derived census/gate/dedup as independent branches: Catalyst
+    // re-derived the doc scan per consumer — 8 scans in the plan.)
+    val staged = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source", $"text",
+        TextQueries.qualityCol.as("isq"), md5($"text").as("h"))
       .withColumn("rn",
         row_number().over(Window.partitionBy($"h").orderBy($"doc_id")))
-      .filter($"rn" === 1)
-    val kc = kept.groupBy($"lang", $"source").agg(count(lit(1)).as("n_kept"))
+      .withColumn("keep", $"isq" && $"rn" === 1)
+    // all three censuses from one aggregate over the staged relation
+    val census = staged.groupBy($"lang", $"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"isq".cast("long")).as("n_quality"),
+      sum($"keep".cast("long")).as("n_kept"))
     val toks = TextQueries.tokensPerDocOf(
-        kept.select($"doc_id", $"text", $"lang", $"source"),
+        staged.filter($"keep").select($"doc_id", $"text", $"lang", $"source"),
         TextQueries.bpeMergeTable(s, dir), carry = Seq("lang", "source"))
       .select($"lang", $"source", $"doc_id", $"n_tokens".as("n_tok"))
     val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
@@ -175,12 +184,8 @@ object PipelineQueries {
         sum(when($"bin_tokens" >= PACK_BUDGET, 1L).otherwise(0L))
           .as("n_full_bins"))
     census
-      .join(qc, Seq("lang", "source"), "left")
-      .join(kc, Seq("lang", "source"), "left")
       .join(pk, Seq("lang", "source"), "left")
-      .select($"lang", $"source", $"n_docs",
-        coalesce($"n_quality", lit(0L)).as("n_quality"),
-        coalesce($"n_kept", lit(0L)).as("n_kept"),
+      .select($"lang", $"source", $"n_docs", $"n_quality", $"n_kept",
         coalesce($"total_tokens", lit(0L)).as("total_tokens"),
         coalesce($"n_bins", lit(0L)).as("n_bins"),
         coalesce($"n_full_bins", lit(0L)).as("n_full_bins"))

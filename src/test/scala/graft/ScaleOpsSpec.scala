@@ -213,6 +213,27 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected AQE-coalesced shuffle read:\n$plan")
   }
 
+  test("identical subplans share ONE shuffle (ReusedExchange)") {
+    // the eighth optimizer-evidence leg: when one plan references the
+    // same aggregation twice (here: each order's line-count joined back
+    // to itself to compare against the per-count average shape), Spark's
+    // ReuseExchange rule must materialize the shuffle ONCE and wire the
+    // second consumer to a ReusedExchange node — at 100 TB the
+    // difference between scanning+shuffling the fact table once vs twice
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n_lines"))
+    // BOTH consumers read the full aggregate output — if one side's
+    // column were pruned, the subtrees would differ and nothing could be
+    // reused (exactly what an earlier draft of this test showed)
+    val joined = counts.as("a")
+      .join(counts.as("b"), Seq("l_orderkey"))
+      .select($"l_orderkey", ($"a.n_lines" + $"b.n_lines").as("s"))
+    joined.collect() // AQE finalizes the plan only on execution
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"expected the second aggregate consumer to reuse the first's shuffle:\n$plan")
+  }
+
   test("AQE splits a runtime-skewed sort-merge join partition") {
     // the UNPLANNED-skew leg, complementing q_join_salted (which handles
     // skew known ahead of time): one synthetic hot key dominates the left
