@@ -52,6 +52,22 @@ class ArtifactSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizer off LOADED artifacts equals the in-session token stream") {
+    // the tokenizer deployment story end-to-end: train, SHIP merge table
+    // + vocab through the versioned store, and tokenize off the loaded
+    // copies — token-id output must be identical to the in-session path
+    val root = Files.createTempDirectory("graft-artifacts-tok").toString
+    assert(ArtifactStore.save(
+      TextQueries.bpeMergeTable(spark, sf), root, "bpe_merges") === 1)
+    assert(ArtifactStore.save(
+      TextQueries.bpeVocab(spark, sf), root, "bpe_vocab") === 1)
+    val fromLoaded = TextQueries.tokenIdsOf(
+      graft.Tables.documents(spark, sf).select($"doc_id", $"text"),
+      ArtifactStore.load(spark, root, "bpe_merges"),
+      ArtifactStore.load(spark, root, "bpe_vocab"))
+    assert(rowSet(fromLoaded) === rowSet(TextQueries.tokenIds(spark, sf)))
+  }
+
   test("retention keeps the newest Retain versions and the pointer always resolves") {
     val root = Files.createTempDirectory("graft-artifacts-ret").toString
     (1 to 5).foreach { i =>
