@@ -130,6 +130,61 @@ object PipelineQueries {
        |  CAST(CAST(SUM(n_tok) AS BIGINT) * 10000 // $PACK_BUDGET AS BIGINT) AS fill_bp
        |FROM c2 GROUP BY 1, 2, 3 ORDER BY lang, source, bin""".stripMargin
 
+  // --- XP1c: the packing MANIFEST -----------------------------------------
+
+  /** The artifact a data loader actually reads: for every packed
+    * sequence (bin), WHICH documents compose it, in what order, at what
+    * token offset — (bin, seq_pos, doc_id, n_tok, start_off). The
+    * census queries ([[packSequences]]/[[packExactTokens]]) say how full
+    * the bins are; this says what is inside them, budgeted by the same
+    * exact trained-vocab counts. `start_off = cum_before mod budget` is
+    * the doc's first-token offset inside its starting bin (a doc longer
+    * than the budget overflows into the following bins by first-fit
+    * semantics — the manifest records where it STARTS, which with n_tok
+    * fully determines the layout).
+    *
+    * Scale: the token counting is the same narrow fused fold; the two
+    * windows share the (lang, source) hash exchange (the bin-local rank
+    * re-sorts inside partitions, no second corpus shuffle of new data);
+    * output is one row per kept document — corpus-linear, the manifest's
+    * inherent size. */
+  def packManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextQueries.tokensPerDocOf(
+        Tables.documents(s, dir), TextQueries.bpeMergeTable(s, dir),
+        carry = Seq("lang", "source"))
+      .select($"lang", $"source", $"doc_id", $"n_tokens".as("n_tok"))
+    val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $PACK_BUDGET"))
+      .withColumn("start_off", expr(s"cum_before % $PACK_BUDGET"))
+      .withColumn("seq_pos",
+        row_number().over(Window.partitionBy($"lang", $"source", $"bin")
+          .orderBy($"doc_id")).cast("long"))
+      .select($"lang", $"source", $"bin", $"seq_pos", $"doc_id",
+        $"n_tok", $"start_off")
+      .orderBy($"lang", $"source", $"bin", $"seq_pos")
+  }
+
+  val packManifestSql: String =
+    TextQueries.tokensPerDocCteSql + s""",
+       |t3 AS (
+       |  SELECT d.lang, d.source, t.doc_id, t.n_tokens AS n_tok
+       |  FROM tokc t JOIN documents d ON t.doc_id = d.doc_id),
+       |c3 AS (
+       |  SELECT lang, source, doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t3)
+       |SELECT lang, source, CAST(cum_before // $PACK_BUDGET AS BIGINT) AS bin,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY lang, source, cum_before // $PACK_BUDGET
+       |    ORDER BY doc_id) AS BIGINT) AS seq_pos,
+       |  doc_id, n_tok,
+       |  CAST(cum_before % $PACK_BUDGET AS BIGINT) AS start_off
+       |FROM c3 ORDER BY lang, source, bin, seq_pos""".stripMargin
+
   // --- XP14: the composed corpus-assembly pipeline ----------------------
 
   /** The whole LLM-corpus assembly chain as ONE audited query — what
@@ -722,6 +777,8 @@ object PipelineQueries {
       "XP1b sequence packing budgeted by EXACT trained-BPE token counts (no estimate)"),
     QueryDef("q_pipeline_corpus", pipelineCorpus, Some(pipelineCorpusSql),
       "XP14 composed corpus assembly: quality gate -> exact-dedup keep -> exact-token packing, one audit row per stream"),
+    QueryDef("q_pack_manifest", packManifest, Some(packManifestSql),
+      "XP1c the packing manifest: per-bin doc composition with exact-token offsets (what a loader reads)"),
     QueryDef("q_mix_weighted", mixWeighted, Some(mixWeightedSql),
       "XP2 mixture re-weighting: integer oversampling to a uniform lang budget"),
     QueryDef("q_text_scrub", scrubDenylist, Some(scrubDenylistSql),

@@ -86,6 +86,35 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(got == expected, "bin rows diverged from the local replay")
   }
 
+  test("XP1c manifest: bin composition reconciles with the census, offsets valid") {
+    val man = PipelineQueries.packManifest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(man.nonEmpty)
+    // a doc STARTS inside its bin: offset within [0, budget)
+    man.foreach(m => assert(m._7 >= 0 && m._7 < 256L, s"offset out of range: $m"))
+    man.groupBy(m => (m._1, m._2, m._3)).foreach { case (k, rows) =>
+      // seq_pos dense from 1 in doc_id order
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._4).toSeq === (1L to rows.length.toLong), s"ranks not dense at $k")
+      // offsets replay: each doc starts where the previous mass left off
+      // (mod budget), within the stream's running total
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(b._7 === (a._7 + a._6) % 256L ||
+          (a._7 + a._6) >= 256L, // a bin-overflowing doc resets the offset chain
+          s"offset chain broken between $a and $b")
+      }
+    }
+    // reconciliation: the manifest's per-bin doc count and token mass ARE
+    // the census's n_docs / bin_tokens
+    val census = PipelineQueries.packExactTokens(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val manAgg = man.groupBy(m => (m._1, m._2, m._3)).view
+      .mapValues(rows => (rows.length.toLong, rows.map(_._6).sum)).toMap
+    assert(manAgg == census, "manifest diverged from the bin census")
+  }
+
   test("XP14 corpus assembly: stages compose — local replay of gate, dedup, pack") {
     val out = PipelineQueries.pipelineCorpus(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -136,6 +136,8 @@ class RegistrySpec extends AnyFunSuite {
       // the composed assembly pipeline carries the same single-row
       // merge-table broadcast through its token-counting stage
       "q_pipeline_corpus",
+      // the manifest reads the same single-row merge-table broadcast
+      "q_pack_manifest",
       // single-row hot-span-set broadcast crossed onto the doc scan (the
       // q_bpe_merge class); scrub and checksum are narrow per-row ops
       "q_span_scrub")
