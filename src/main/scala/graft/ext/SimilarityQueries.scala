@@ -471,6 +471,82 @@ object SimilarityQueries {
       .select($"q_id", $"rnk", $"vec_id", $"cos_sim")
   }
 
+  /** X3m — FILTERED ANN: top-5 under a metadata predicate (`label = 1`,
+    * ~10% selectivity), the vector-database staple every retrieval stack
+    * needs ("nearest docs in English", "nearest images with a license").
+    * The plan is the PRE-filter architecture: the predicate restricts
+    * the inverted LISTS before probing — the filtered assign table is
+    * selectivity·|corpus| rows, so per-query scan cost drops to
+    * s·|list|·nprobe — rather than post-filtering a full top-k (which
+    * under-returns: a top-5 over all labels may contain zero qualifying
+    * rows). Same memoized trained index, same exact re-rank; only the
+    * candidate stream is filtered.
+    *
+    * Scale: the filter composes with the list equi-join as an ordinary
+    * pushed predicate on the assign side — no new shuffle, no new index;
+    * at lower selectivity the same plan degrades gracefully toward
+    * brute-over-matching (which is the correct asymptote). */
+  /** Filtered probes widen to [[NPROBE_F]] lists: at selectivity s each
+    * probed list holds only ~s·|list| qualifying candidates, so holding
+    * nprobe fixed starves the candidate pool (measured: 55% recall at
+    * nprobe=4 vs 60%+ plain) — the standard filtered-search compensation
+    * is to probe more lists, keeping candidates·s roughly constant. */
+  private val NPROBE_F = 6
+
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir)
+    val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+    val ranked = rankedAssign(s, dir)
+    val assign = ranked.filter($"crn" === 1)
+      .join(lab.filter($"label" === 1).select($"vec_id"), Seq("vec_id"))
+      .select($"vec_id", $"c_id".as("bucket"))
+    val probes = ranked.filter($"vec_id" < 20 && $"crn" <= NPROBE_F)
+      .select($"vec_id", $"c_id".as("bucket"))
+      .join(e, Seq("vec_id"))
+      .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"),
+        $"bucket")
+    val scored = probes.join(assign, Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(e, Seq("vec_id"))
+      .select($"q_id", $"vec_id",
+        cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= 5)
+      .orderBy($"q_id", $"rnk")
+      .select($"q_id", $"rnk", $"vec_id", $"cos_sim")
+  }
+
+  lazy val knnFilteredSql: String =
+    s"""WITH $kmeansCtesSql,
+       |assign AS (
+       |  SELECT r.vec_id, r.c_id AS bucket FROM aranked3 r
+       |  JOIN embeddings l ON r.vec_id = l.vec_id
+       |  WHERE r.crn = 1 AND l.label = 1),
+       |probes AS (SELECT vec_id AS q_id, c_id AS bucket FROM aranked3
+       |  WHERE vec_id < 20 AND crn <= $NPROBE_F),
+       |cands AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probes p JOIN assign a ON p.bucket = a.bucket
+       |  WHERE a.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT ca.q_id, ca.vec_id,
+       |    CAST(${dotSql("q.embedding", "v.embedding")} AS DOUBLE)
+       |      / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+       |  FROM cands ca
+       |  JOIN embeddings q ON ca.q_id = q.vec_id
+       |  JOIN embeddings v ON ca.vec_id = v.vec_id
+       |  JOIN norms qn ON ca.q_id = qn.vec_id
+       |  JOIN norms vn ON ca.vec_id = vn.vec_id, $idxSql
+       |  GROUP BY ca.q_id, ca.vec_id, qn.nrm, vn.nrm)
+       |SELECT q_id, rnk, vec_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+
   /** DuckDB mirror of the k-means loop, unrolled: centroids live in long
     * (c_id, g, m) form; each round is one assignment CTE + one floor-div
     * means CTE. `//` floors in DuckDB, matching [[floorDivMean]]. Ends at
@@ -1568,6 +1644,8 @@ object SimilarityQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_ann_opq", annOpq, Some(annOpqSql),
       "X3k OPQ transform search: PQ recall audit under identity/interleave/snake/learned-Givens-rotation"),
+    QueryDef("q_sim_knn_filtered", knnFiltered, Some(knnFilteredSql),
+      "X3m filtered ANN: top-5 under a metadata predicate via PRE-filtered inverted lists"),
     QueryDef("q_ann_frontier", annFrontier, Some(annFrontierSql),
       "X3j IVF nprobe recall/cost frontier: one audit row per probe depth vs brute truth"),
     QueryDef("q_ann_eval", annEval, Some(annEvalSql),

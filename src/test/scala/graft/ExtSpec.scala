@@ -232,6 +232,48 @@ class ExtSpec extends AnyFunSuite {
       s"IVF-PQ recall too low: $overlap/${brute.length}")
   }
 
+  test("X3m filtered ANN: predicate holds, scores exact, recall vs filtered brute") {
+    val rows = SimilarityQueries.knnFiltered(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("q_id")).distinct.length === 20)
+    // every returned neighbor satisfies the predicate — the property
+    // post-filtering a plain top-5 would NOT give you
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r =>
+      assert(labels(r.getAs[Long]("vec_id")) === 1, s"predicate violated: $r"))
+    // filtered brute-force truth: exact top-5 among label=1 vectors
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000).toLong).toArray,
+        r.getInt(2)))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val truth = e.filter(_._1 < 20).flatMap { q =>
+      e.filter(v => v._3 == 1 && v._1 != q._1)
+        .map(v => (q._1, v._1, cos(q._2, v._2)))
+        .sortBy(t => (-t._3, t._2)).take(5)
+    }
+    val truthSet = truth.map(t => (t._1, t._2)).toSet
+    val truthScore = truth.map(t => (t._1, t._2) -> t._3).toMap
+    // any pair both return must carry the identical exact cosine
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      truthScore.get(k).foreach(b =>
+        assert(math.abs(b - r.getAs[Double]("cos_sim")) < 1e-12))
+    }
+    // nprobe=4 over 10%-selectivity lists keeps >= 60% of the true
+    // filtered top-5 (the plain-IVF bar)
+    val overlap = rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).count(truthSet)
+    assert(overlap >= (truthSet.size * 6) / 10,
+      s"filtered recall too low: $overlap/${truthSet.size}")
+  }
+
   test("X3k OPQ layout search: chosen maximizes recall, never below identity PQ") {
     val rows = SimilarityQueries.annOpq(spark, sf).collect()
       .map(r => (r.getAs[String]("variant"), r.getAs[Long]("recall_ppm"),
