@@ -93,6 +93,42 @@ object Bench {
         val share = if (total > 0) v / total else 0.0
         s"""{"query":"$n","sec":$v,"share":${math.round(share * 1000) / 1000.0}}"""
       }.mkString("[", ",", "]")
+    // Bench regression self-defense (companion to slow_outliers, which only
+    // catches ABSOLUTE hogs): compare each query's min to the prior recorded
+    // run's min and flag >1.5x creep. The prior run is the bench_out.json
+    // committed by the previous round's sweep — read BEFORE this run
+    // overwrites it — so a q_url_canonical-style relative regression is
+    // flagged by the harness the round it lands. Only flagged when the
+    // prior file benched the same sf dir and the current time is >0.5 s
+    // (sub-half-second queries drift 2x on box noise alone; that band is
+    // slow_outliers'/raw's job, not a regression signal).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val priorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", outFile)
+    val prior: Map[String, Double] = try {
+      import org.json4s._
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(priorFile)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val j = org.json4s.jackson.JsonMethods.parse(txt)
+      j \ "sf" match {
+        case JString(s) if s == sfDir =>
+          j \ "queries" match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty
+          }
+        case _ => Map.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val regressions = results.toSeq
+      .flatMap { case (n, cur) => prior.get(n).map(p => (n, cur, p)) }
+      .filter { case (_, cur, p) => p > 0 && cur > 0.5 && cur / p > 1.5 }
+      .sortBy { case (_, cur, p) => -(cur / p) }
+      .map { case (n, cur, p) =>
+        s"""{"query":"$n","sec":$cur,"prior_sec":$p,"ratio":${math.round(cur / p * 100) / 100.0}}"""
+      }.mkString("[", ",", "]")
     // Full form (with the per-query map, ~3.5 KB) goes to the file and the
     // stderr sentinel; the driver's stdout tail capture is only 2,000 chars,
     // so the LAST stdout line must be the compact form (~90 chars) or the
@@ -102,10 +138,9 @@ object Bench {
     // let Catalyst prune unreferenced expensive columns — per-query times
     // are NOT comparable across that boundary.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2","queries":$qs,"raw":$rawJson,"tiers":$tiers,"warmup_absorbers":$absorbers,"slow_outliers":$slowOutliers,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2","queries":$qs,"raw":$rawJson,"tiers":$tiers,"warmup_absorbers":$absorbers,"slow_outliers":$slowOutliers,"regressions":$regressions,"sf":"$sfDir"}"""
     val compactJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outFile),

@@ -325,21 +325,23 @@ object SurfaceQueries {
         lit("cust="), $"cust".cast(StringType),
         when($"k" % 5 === 0, lit("&utm_campaign=x")).otherwise(lit("")))
         .as("url"))
-    val canon = raw.select($"url",
-      concat(lit("https://"),
-        regexp_replace(regexp_replace(
-          lower(regexp_extract($"url", "^[hH][tT][tT][pP][sS]://([^/?]+)", 1)),
-          "^www\\.", ""), ":443$", ""),
-        regexp_replace(
-          regexp_extract($"url", "^[hH][tT][tT][pP][sS]://[^/?]+([^?]*)", 1),
-          "/+$", ""),
-        when(expr("array_join(array_sort(filter(split(" +
-          "regexp_extract(url, '\\\\?(.*)$', 1), '&'), " +
-          "p -> substring(p, 1, 4) != 'utm_')), '&')") =!= "",
-          concat(lit("?"), expr("array_join(array_sort(filter(split(" +
-            "regexp_extract(url, '\\\\?(.*)$', 1), '&'), " +
-            "p -> substring(p, 1, 4) != 'utm_')), '&')")))
-          .otherwise(lit(""))).as("canonical"))
+    // hoist the sorted non-utm query string into ONE projected column so
+    // the `\?(.*)$` extract + split/filter/sort runs once per row — the
+    // guard and the value branch below both reuse `qs`
+    val canon = raw
+      .withColumn("qs", expr("array_join(array_sort(filter(split(" +
+        "regexp_extract(url, '\\\\?(.*)$', 1), '&'), " +
+        "p -> substring(p, 1, 4) != 'utm_')), '&')"))
+      .select($"url",
+        concat(lit("https://"),
+          regexp_replace(regexp_replace(
+            lower(regexp_extract($"url", "^[hH][tT][tT][pP][sS]://([^/?]+)", 1)),
+            "^www\\.", ""), ":443$", ""),
+          regexp_replace(
+            regexp_extract($"url", "^[hH][tT][tT][pP][sS]://[^/?]+([^?]*)", 1),
+            "/+$", ""),
+          when($"qs" =!= "", concat(lit("?"), $"qs"))
+            .otherwise(lit(""))).as("canonical"))
     // two-level aggregate: dedup the (url, canonical) forms FIRST, then
     // count over the small form table — two countDistincts directly over
     // the raw stream would Expand every long URL string row ×2

@@ -902,7 +902,12 @@ object TextQueries {
       .select($"doc_id", posexplode(expr(
         "filter(split(e, char(1)), p -> p <> '' AND p <> ' ')"))
         .as(Seq("pos0", "token")))
-      .join(broadcast(vocab.select($"token", $"token_id")), Seq("token"))
+      // two different merges can concatenate to the SAME token string
+      // (e.g. (a,bc) and (ab,c) both yield "abc"); the id space keeps both
+      // rows but the encoder must map each string to ONE id — keep the
+      // earliest (min) id, mirrored by the oracle's GROUP BY token
+      .join(broadcast(vocab.groupBy($"token")
+        .agg(min($"token_id").as("token_id"))), Seq("token"))
       .select($"doc_id", ($"pos0" + 1).cast(LongType).as("pos"),
         $"token_id", $"token")
   }
@@ -942,12 +947,13 @@ object TextQueries {
       |    CAST(ROW_NUMBER() OVER (ORDER BY token ASC) - 1 AS BIGINT) AS token_id
       |  FROM chars
       |  UNION ALL
-      |  $mtok)
+      |  $mtok),
+      |vocab_u AS (SELECT token, MIN(token_id) AS token_id FROM vocab GROUP BY token)
       |SELECT t.doc_id,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
       |    ORDER BY t.wpos, t.tpos) AS BIGINT) AS pos,
       |  v.token_id, t.token
-      |FROM tokstream t JOIN vocab v USING (token)
+      |FROM tokstream t JOIN vocab_u v USING (token)
       |ORDER BY doc_id, pos""".stripMargin)
     sb.toString
   }

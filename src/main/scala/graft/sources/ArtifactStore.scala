@@ -107,7 +107,16 @@ object ArtifactStore {
   }
 
   /** Load the latest published version of `name` (or an explicit
-    * `version`). Fails fast if nothing was ever published. */
+    * `version`). Fails fast if nothing was ever published.
+    *
+    * Explicit-version loads only resolve inside the [[Retain]]-deep
+    * rollback window: [[save]]'s post-publish prune deletes anything
+    * older, so pinning `version` more than `Retain - 1` saves back fails
+    * (AnalysisException on the missing directory). The store assumes a
+    * SINGLE WRITER per artifact name; a reader that resolved the OLDEST
+    * retained version races a concurrent save's prune — readers wanting
+    * a stable snapshot should resolve `_latest` (always at least one
+    * save away from the prune horizon) or copy the version out. */
   def load(s: SparkSession, root: String, name: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(s, root, name))

@@ -82,7 +82,12 @@ object StreamJobs {
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    // the sniff batch-reads the directory; on an EMPTY source dir (the
+    // harness-drops-files-in-later scenario) that read throws, so fall
+    // back to the long-nanos default and let the normalizer below handle
+    // whichever generation lands first
+    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(LongType)
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),

@@ -266,7 +266,8 @@ class ExtSpec extends AnyFunSuite {
       truthScore.get(k).foreach(b =>
         assert(math.abs(b - r.getAs[Double]("cos_sim")) < 1e-12))
     }
-    // nprobe=4 over 10%-selectivity lists keeps >= 60% of the true
+    // nprobe=6 over 10%-selectivity lists (NPROBE_F, widened from the
+    // plain-IVF 4 for candidate parity) keeps >= 60% of the true
     // filtered top-5 (the plain-IVF bar)
     val overlap = rows.map(r =>
       (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).count(truthSet)
