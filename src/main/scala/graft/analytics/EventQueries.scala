@@ -200,6 +200,57 @@ object EventQueries {
       | AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
       |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin
 
+  // --- J6b: LEFT OUTER range join -----------------------------------------
+  // "Every event, WITH its followers when they exist" — the enrichment-
+  // with-maybe-missing-events fusion of J3 (left outer) and J6 (range),
+  // and the batch anchor of the streaming left-outer interval join
+  // ([[graft.streaming.StreamJobs.followerJoinOuter]]). Same bucketized
+  // equi-join scale path as [[rangeJoinFollowers]]; the left-outer twist
+  // is that the 2-bucket probe explode makes PER-BUCKET null rows
+  // meaningless (a matched event still gets a null row from its other
+  // bucket), so match verdicts are settled by a per-event aggregate
+  // FIRST — count(r_id) ignores the null bucket rows — before the
+  // per-type rollup. Two hash aggregates, no extra shuffle vs the inner
+  // form (the first agg reuses the join's (user_id,bucket) exchange only
+  // one key off; both are narrow relative to the join output).
+  def rangeJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 600L * 1000 * 1000 // 10 minutes
+    val e = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", epochUs($"ts").as("us"))
+    val left = e.withColumn("bucket",
+      explode(array(floor($"us" / windowUs), floor($"us" / windowUs) + 1)))
+    val right = e.select($"user_id".as("r_user"), $"event_id".as("r_id"),
+      floor($"us" / windowUs).as("bucket"), $"us".as("r_us"))
+    left.join(right,
+        $"user_id" === $"r_user" && left("bucket") === right("bucket") &&
+          $"r_us" > $"us" && $"r_us" - $"us" <= windowUs,
+        "left_outer")
+      .groupBy($"event_id", $"event_type")
+      .agg(count($"r_id").as("n_followers"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"n_followers").as("n_pairs"),
+        count(when($"n_followers" > 0, 1)).as("n_with_follower"),
+        count(when($"n_followers" === 0, 1)).as("n_lonely"))
+      .orderBy($"event_type")
+  }
+
+  val rangeJoinOuterSql: String =
+    """WITH per_event AS (
+      |  SELECT a.event_id, a.event_type, COUNT(b.event_id) AS n_followers
+      |  FROM events a LEFT JOIN events b
+      |    ON a.user_id = b.user_id
+      |   AND epoch_us(b.ts) > epoch_us(a.ts)
+      |   AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+      |  GROUP BY a.event_id, a.event_type)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(n_followers) AS BIGINT) AS n_pairs,
+      |  COUNT(*) FILTER (WHERE n_followers > 0) AS n_with_follower,
+      |  COUNT(*) FILTER (WHERE n_followers = 0) AS n_lonely
+      |FROM per_event GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- P5: datetime scalar suite -----------------------------------------
   def datetimeScalars(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -955,6 +1006,8 @@ object EventQueries {
       "J5 native as-of join exec vs DuckDB ASOF JOIN oracle"),
     QueryDef("q_join_range_followers", rangeJoinFollowers, Some(rangeJoinFollowersSql),
       "J6 range join, bucketized for scale"),
+    QueryDef("q_join_range_outer", rangeJoinOuter, Some(rangeJoinOuterSql),
+      "J6b LEFT OUTER range join, batch anchor of the streaming outer interval join"),
     QueryDef("q_scalar_datetime", datetimeScalars, Some(datetimeScalarsSql),
       "P5 datetime scalar suite"),
     QueryDef("q_json_extract", jsonExtract, Some(jsonExtractSql),

@@ -486,22 +486,41 @@ object SimilarityQueries {
     * pushed predicate on the assign side — no new shuffle, no new index;
     * at lower selectivity the same plan degrades gracefully toward
     * brute-over-matching (which is the correct asymptote). */
-  /** Filtered probes widen to [[NPROBE_F]] lists: at selectivity s each
-    * probed list holds only ~s·|list| qualifying candidates, so holding
-    * nprobe fixed starves the candidate pool (measured: 55% recall at
-    * nprobe=4 vs 60%+ plain) — the standard filtered-search compensation
-    * is to probe more lists, keeping candidates·s roughly constant. */
-  private val NPROBE_F = 6
+  /** Filtered probes use a SELECTIVITY-ADAPTIVE depth: at selectivity s
+    * each probed list holds only ~s·|list| qualifying candidates, so a
+    * fixed nprobe starves the candidate pool as predicates get rarer
+    * (measured: 55% recall at nprobe=4 over the ~10% label lists vs 60%+
+    * plain). The standard compensation is candidate-pool PARITY — probe
+    * `ceil(base / s)` lists so candidates·s stays roughly constant —
+    * clamped to [base, K]. The clamp's upper edge is the correct
+    * asymptote: once every list is probed the search is exact
+    * brute-over-matching. s is MEASURED in-plan (one tiny aggregate that
+    * broadcasts; at 100 TB this is a table-stats lookup), so the depth
+    * tracks the predicate with no hand-tuned constant per filter; the
+    * chosen depth is emitted as an audit row by
+    * `q_sim_knn_filtered_audit`, which pins recall at two different
+    * selectivities. */
+  /** `ceil(NPROBE2 / s)` clamped to `[NPROBE2, IVF_K]`, integer-exact
+    * over (n_total, n_match) columns — identical text in Spark SQL and
+    * DuckDB modulo the floor-div spelling. */
+  private def adaptiveNprobeExpr(floorDiv: String): String =
+    s"least($IVF_K, greatest($NPROBE2, " +
+      s"($NPROBE2 * n_total + n_match - 1) $floorDiv n_match))"
 
   def knnFiltered(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = quantized(s, dir)
     val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
     val ranked = rankedAssign(s, dir)
+    val sel = lab.agg(count(lit(1)).as("n_total"),
+        count(when($"label" === 1, 1)).as("n_match"))
+      .selectExpr(s"${adaptiveNprobeExpr("div")} AS nprobe")
     val assign = ranked.filter($"crn" === 1)
       .join(lab.filter($"label" === 1).select($"vec_id"), Seq("vec_id"))
       .select($"vec_id", $"c_id".as("bucket"))
-    val probes = ranked.filter($"vec_id" < 20 && $"crn" <= NPROBE_F)
+    val probes = ranked.filter($"vec_id" < 20)
+      .crossJoin(broadcast(sel))
+      .filter($"crn" <= $"nprobe")
       .select($"vec_id", $"c_id".as("bucket"))
       .join(e, Seq("vec_id"))
       .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"),
@@ -521,12 +540,17 @@ object SimilarityQueries {
 
   lazy val knnFilteredSql: String =
     s"""WITH $kmeansCtesSql,
+       |sel AS (
+       |  SELECT COUNT(*) AS n_total,
+       |    COUNT(*) FILTER (WHERE label = 1) AS n_match
+       |  FROM embeddings),
+       |np AS (SELECT ${adaptiveNprobeExpr("//")} AS nprobe FROM sel),
        |assign AS (
        |  SELECT r.vec_id, r.c_id AS bucket FROM aranked3 r
        |  JOIN embeddings l ON r.vec_id = l.vec_id
        |  WHERE r.crn = 1 AND l.label = 1),
-       |probes AS (SELECT vec_id AS q_id, c_id AS bucket FROM aranked3
-       |  WHERE vec_id < 20 AND crn <= $NPROBE_F),
+       |probes AS (SELECT vec_id AS q_id, c_id AS bucket FROM aranked3, np
+       |  WHERE vec_id < 20 AND crn <= np.nprobe),
        |cands AS (
        |  SELECT DISTINCT p.q_id, a.vec_id
        |  FROM probes p JOIN assign a ON p.bucket = a.bucket
@@ -546,6 +570,152 @@ object SimilarityQueries {
        |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
        |  FROM scored) WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
+
+  // --- X3m': filtered-ANN selectivity audit --------------------------------
+  /** The adaptive-depth rule AS DATA: one audit row per predicate tier —
+    * `label = 1` (~10% selectivity) and `label >= 5` (~50%) — carrying
+    * the measured match count, selectivity in ppm, the CHOSEN nprobe,
+    * and integer-ppm recall@5 against that predicate's filtered-brute
+    * truth. At ~10% the parity rule saturates the clamp (nprobe = K =
+    * all lists), which makes the search exact brute-over-matching —
+    * recall is provably 1.0 and ExtSpec pins it as an equality; at ~50%
+    * the rule picks an intermediate depth (≈ ceil(base/s) < K) and the
+    * recall bar is the plain-IVF 60%. The row is the evidence the depth
+    * tracks the predicate, not a constant.
+    *
+    * Scale: both legs share the memoized trained index; each adds one
+    * tiny selectivity aggregate (broadcast), the filtered list join, and
+    * the per-query top-5 window over probed candidates only. The truth
+    * legs are each a brute pass over the MATCHING subset (s·|corpus| per
+    * query) — the audit's intentional cost, same class as
+    * [[bruteTruth]]. */
+  def knnFilteredAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir)
+    val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+    val ranked = rankedAssign(s, dir)
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+
+    def leg(tag: String, pred: org.apache.spark.sql.Column): DataFrame = {
+      val sel = lab.agg(count(lit(1)).as("n_total"),
+          count(when(pred, 1)).as("n_match"))
+        .selectExpr("n_match", "(1000000 * n_match) div n_total AS sel_ppm",
+          s"${adaptiveNprobeExpr("div")} AS nprobe")
+      val matchIds = lab.filter(pred).select($"vec_id")
+      val assign = ranked.filter($"crn" === 1).join(matchIds, Seq("vec_id"))
+        .select($"vec_id", $"c_id".as("bucket"))
+      val probes = ranked.filter($"vec_id" < 20)
+        .crossJoin(broadcast(sel.select($"nprobe")))
+        .filter($"crn" <= $"nprobe")
+        .select($"vec_id", $"c_id".as("bucket"))
+        .join(e, Seq("vec_id"))
+        .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"),
+          $"bucket")
+      val pairs = probes.join(assign, Seq("bucket"))
+        .filter($"vec_id" =!= $"q_id")
+        .join(e, Seq("vec_id"))
+        .select($"q_id", $"vec_id",
+          cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+        .distinct()
+        .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+        .select($"q_id", $"vec_id")
+      val qs = e.filter($"vec_id" < 20).toDF("q_id", "q_emb", "q_nrm")
+      val truth = e.join(matchIds, Seq("vec_id"))
+        .join(broadcast(qs), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+        .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+        .select($"q_id", $"vec_id")
+      val stats = pairs
+        .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_pred"), sum(coalesce($"hit", lit(0L))).as("hits"))
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      stats.crossJoin(broadcast(nT)).crossJoin(broadcast(sel))
+        .select(lit(tag).as("pred"), $"n_match", $"sel_ppm", $"nprobe",
+          $"n_pred", $"hits",
+          expr("(1000000 * hits) div n_truth").as("recall_ppm"))
+    }
+    leg("label_eq_1", $"label" === 1)
+      .unionByName(leg("label_ge_5", $"label" >= 5))
+      .orderBy($"pred")
+  }
+
+  /** DuckDB mirror of [[knnFilteredAudit]]: the shared k-means chain,
+    * then per predicate a (selectivity, nprobe) CTE pair, the filtered
+    * probe pipeline, and that predicate's filtered-brute truth. */
+  lazy val knnFilteredAuditSql: String = {
+    def legSql(tag: String, predSql: String): String =
+      s"""sel_$tag AS (
+         |  SELECT COUNT(*) AS n_total,
+         |    COUNT(*) FILTER (WHERE $predSql) AS n_match
+         |  FROM embeddings),
+         |np_$tag AS (
+         |  SELECT n_match, (1000000 * n_match) // n_total AS sel_ppm,
+         |    ${adaptiveNprobeExpr("//")} AS nprobe
+         |  FROM sel_$tag),
+         |match_$tag AS (SELECT vec_id FROM embeddings WHERE $predSql),
+         |assign_$tag AS (
+         |  SELECT r.vec_id, r.c_id AS bucket FROM aranked3 r
+         |  JOIN match_$tag m ON r.vec_id = m.vec_id
+         |  WHERE r.crn = 1),
+         |probes_$tag AS (
+         |  SELECT vec_id AS q_id, c_id AS bucket FROM aranked3, np_$tag
+         |  WHERE vec_id < 20 AND crn <= np_$tag.nprobe),
+         |cands_$tag AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id
+         |  FROM probes_$tag p JOIN assign_$tag a ON p.bucket = a.bucket
+         |  WHERE a.vec_id <> p.q_id),
+         |scored_$tag AS (
+         |  SELECT ca.q_id, ca.vec_id,
+         |    CAST(${dotSql("q.embedding", "v.embedding")} AS DOUBLE)
+         |      / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+         |  FROM cands_$tag ca
+         |  JOIN embeddings q ON ca.q_id = q.vec_id
+         |  JOIN embeddings v ON ca.vec_id = v.vec_id
+         |  JOIN norms qn ON ca.q_id = qn.vec_id
+         |  JOIN norms vn ON ca.vec_id = vn.vec_id, $idxSql
+         |  GROUP BY ca.q_id, ca.vec_id, qn.nrm, vn.nrm),
+         |p_$tag AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+         |    FROM scored_$tag) WHERE rnk <= 5),
+         |tdots_$tag AS (
+         |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         |    ${dotSql("q.embedding", "v.embedding")} AS dot
+         |  FROM embeddings q
+         |  JOIN embeddings v ON q.vec_id <> v.vec_id
+         |    AND v.vec_id IN (SELECT vec_id FROM match_$tag), $idxSql
+         |  WHERE q.vec_id < 20
+         |  GROUP BY 1, 2),
+         |tsc_$tag AS (
+         |  SELECT q_id, tdots_$tag.vec_id AS vec_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+         |  FROM tdots_$tag
+         |  JOIN norms qn ON q_id = qn.vec_id
+         |  JOIN norms vn ON tdots_$tag.vec_id = vn.vec_id),
+         |truth_$tag AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+         |    FROM tsc_$tag) WHERE rnk <= 5)""".stripMargin
+    def statSql(tag: String): String =
+      s"SELECT '$tag' AS pred,\n" +
+        s"  (SELECT n_match FROM np_$tag) AS n_match,\n" +
+        s"  (SELECT sel_ppm FROM np_$tag) AS sel_ppm,\n" +
+        s"  (SELECT nprobe FROM np_$tag) AS nprobe,\n" +
+        s"  (SELECT COUNT(*) FROM p_$tag) AS n_pred,\n" +
+        s"  (SELECT COUNT(*) FROM p_$tag p JOIN truth_$tag t" +
+        " ON p.q_id = t.q_id AND p.vec_id = t.vec_id) AS hits,\n" +
+        s"  (1000000 * (SELECT COUNT(*) FROM p_$tag p JOIN truth_$tag t" +
+        " ON p.q_id = t.q_id AND p.vec_id = t.vec_id))" +
+        s" // (SELECT COUNT(*) FROM truth_$tag) AS recall_ppm"
+    s"WITH $kmeansCtesSql,\n" +
+      legSql("label_eq_1", "label = 1") + ",\n" +
+      legSql("label_ge_5", "label >= 5") + "\n" +
+      statSql("label_eq_1") + "\nUNION ALL\n" + statSql("label_ge_5") +
+      "\nORDER BY pred"
+  }
 
   /** DuckDB mirror of the k-means loop, unrolled: centroids live in long
     * (c_id, g, m) form; each round is one assignment CTE + one floor-div
@@ -1346,6 +1516,186 @@ object SimilarityQueries {
       "FROM stats ORDER BY method"
   }
 
+  // --- X3n: recall after deletion ------------------------------------------
+  /** The delete-path audit row: what happens to IVF recall when vectors
+    * are TOMBSTONED out of a published index vs retraining from scratch
+    * on the survivors. The tombstone set is the deterministic predicate
+    * `vec_id % 7 = 3` (≈14% of the corpus — a real retention pass);
+    * truth is the brute top-5 over the SURVIVING corpus for surviving
+    * queries (a deleted vector must never be served, and a deleted query
+    * is no longer a query).
+    *
+    *  - `ivf_post_delete`: the index trained BEFORE the deletes (centroid
+    *    pick + probe ranking over the full corpus, exactly [[knnIvf]]'s),
+    *    served with tombstone-FILTERED inverted lists — the
+    *    `ArtifactStore.loadSurviving` serving path, where a delete is
+    *    visible immediately and no corpus-sized rewrite happened.
+    *  - `ivf_retrained`: centroids re-picked and lists rebuilt from the
+    *    survivors only — what a full [[graft.sources.ArtifactStore
+    *    .compact]] + retrain cycle converges to.
+    *
+    * The two rows land side by side so the drift the delete path accrues
+    * before its next retrain is a NUMBER in the oracle surface (ExtSpec
+    * additionally pins: no tombstoned id in either leg's output, and the
+    * filtered-serving leg equals a from-scratch reassignment of the
+    * survivors under the SAME centroids — the compaction equivalence).
+    *
+    * Scale: both legs are the standard IVF plan (broadcast centroids,
+    * equi-join on bucket); the tombstone filter is a pushed-down
+    * predicate on the list scan, NOT an extra join, exactly how the
+    * anti-join serving path behaves when the tombstone set broadcasts. */
+  def annDeleteEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", q6Arr($"embedding").as("qe"))
+      .select($"vec_id", $"qe", dotQ($"qe", $"qe").as("nrm"))
+    val keep = ($"vec_id" % 7) =!= 3
+    val surv = e.filter(keep)
+
+    // one IVF leg: centroids picked from `centSrc`, probe ranking over
+    // `rankCorpus`, lists + queries restricted by `keepCond`
+    def leg(centSrc: DataFrame, rankCorpus: DataFrame,
+        keepCond: org.apache.spark.sql.Column): DataFrame = {
+      val cents = centSrc
+        .orderBy(md5(concat(lit("ivf_"), $"vec_id".cast(StringType))).asc,
+          $"vec_id".asc)
+        .limit(IVF_K)
+        .toDF("c_id", "c_qe", "c_nrm")
+      val scoredCents = rankCorpus.join(broadcast(cents), lit(true))
+        .select($"vec_id", $"qe", $"nrm", $"c_id",
+          cosine(dotQ($"qe", $"c_qe"), $"nrm", $"c_nrm").as("c_cos"))
+      val wAssign = Window.partitionBy($"vec_id")
+        .orderBy($"c_cos".desc, $"c_id".asc)
+      val ranked = scoredCents.withColumn("crn", row_number().over(wAssign))
+      val assign = ranked.filter($"crn" === 1 && keepCond)
+        .select($"vec_id", $"c_id".as("bucket"))
+      val probes = ranked.filter($"vec_id" < 20 && keepCond && $"crn" <= NPROBE)
+        .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"),
+          $"c_id".as("bucket"))
+      val scored = probes.join(assign, Seq("bucket"))
+        .filter($"vec_id" =!= $"q_id")
+        .join(e, Seq("vec_id"))
+        .select($"q_id", $"vec_id",
+          cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+        .distinct()
+      val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"q_id", $"vec_id")
+    }
+    val postDelete = leg(e, e, keep)
+    val retrained = leg(surv, surv, lit(true))
+
+    val q = surv.filter($"vec_id" < 20).toDF("q_id", "q_emb", "q_nrm")
+    val truthScored = surv.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+    val wT = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    val truth = truthScored.withColumn("rnk", row_number().over(wT))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"vec_id")
+
+    val preds = Seq("ivf_post_delete" -> postDelete,
+      "ivf_retrained" -> retrained).map { case (nm, df) =>
+      df.select(lit(nm).as("method"), $"q_id", $"vec_id")
+    }.reduce(_.unionByName(_))
+    val perMethod = preds
+      .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy($"method")
+      .agg(count(lit(1)).as("n_pred"),
+        sum(coalesce($"hit", lit(0L))).as("hits"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    perMethod.crossJoin(broadcast(nTruth))
+      .select($"method", $"n_pred", $"hits",
+        expr("(1000000 * hits) div n_truth").as("recall_ppm"))
+      .orderBy($"method")
+  }
+
+  /** DuckDB mirror of [[annDeleteEval]]: [[knnIvfSql]]'s CTE chain twice
+    * (full-corpus index with filtered lists; survivor-trained index),
+    * plus the survivor brute truth, folded into the [[annEvalSql]] stats
+    * shape. */
+  val annDeleteEvalSql: String = {
+    def legSql(tag: String, centWhere: String, rankWhere: String,
+        listWhere: String): String =
+      s"""cent_$tag AS (
+         |  SELECT vec_id FROM embeddings $centWhere
+         |  ORDER BY md5('ivf_' || CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT $IVF_K),
+         |cs_$tag AS (
+         |  SELECT v.vec_id, c.vec_id AS c_id,
+         |    CAST(${dotSql("v.embedding", "c.embedding")} AS DOUBLE)
+         |      / (sqrt(CAST(vn.nrm AS DOUBLE)) * sqrt(CAST(cn.nrm AS DOUBLE))) AS c_cos
+         |  FROM embeddings v
+         |  JOIN norms vn ON v.vec_id = vn.vec_id
+         |  JOIN embeddings c ON c.vec_id IN (SELECT vec_id FROM cent_$tag)
+         |  JOIN norms cn ON c.vec_id = cn.vec_id, $idxSql
+         |  $rankWhere
+         |  GROUP BY v.vec_id, c.vec_id, vn.nrm, cn.nrm),
+         |rk_$tag AS (
+         |  SELECT vec_id, c_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id ASC) AS crn
+         |  FROM cs_$tag),
+         |assign_$tag AS (SELECT vec_id, c_id AS bucket FROM rk_$tag
+         |  WHERE crn = 1 $listWhere),
+         |probes_$tag AS (SELECT vec_id AS q_id, c_id AS bucket FROM rk_$tag
+         |  WHERE vec_id < 20 AND crn <= $NPROBE $listWhere),
+         |cands_$tag AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id
+         |  FROM probes_$tag p JOIN assign_$tag a ON p.bucket = a.bucket
+         |  WHERE a.vec_id <> p.q_id),
+         |scored_$tag AS (
+         |  SELECT ca.q_id, ca.vec_id,
+         |    CAST(${dotSql("q.embedding", "v.embedding")} AS DOUBLE)
+         |      / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+         |  FROM cands_$tag ca
+         |  JOIN embeddings q ON ca.q_id = q.vec_id
+         |  JOIN embeddings v ON ca.vec_id = v.vec_id
+         |  JOIN norms qn ON ca.q_id = qn.vec_id
+         |  JOIN norms vn ON ca.vec_id = vn.vec_id, $idxSql
+         |  GROUP BY ca.q_id, ca.vec_id, qn.nrm, vn.nrm),
+         |p_$tag AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+         |    FROM scored_$tag) WHERE rnk <= 5)""".stripMargin
+    val pd = legSql("pd", "", "", "AND vec_id % 7 <> 3")
+    val rt = legSql("rt", "WHERE vec_id % 7 <> 3",
+      "WHERE v.vec_id % 7 <> 3", "")
+    val stats = Seq("ivf_post_delete" -> "p_pd", "ivf_retrained" -> "p_rt")
+      .map { case (nm, cte) =>
+        s"SELECT '$nm' AS method,\n" +
+          s"  (SELECT COUNT(*) FROM $cte) AS n_pred,\n" +
+          s"  (SELECT COUNT(*) FROM $cte p JOIN truth t" +
+          " ON p.q_id = t.q_id AND p.vec_id = t.vec_id) AS hits"
+      }.mkString("\nUNION ALL\n")
+    s"""WITH $normsCte,
+       |$pd,
+       |$rt,
+       |dots_t AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+       |    ${dotSql("q.embedding", "v.embedding")} AS dot
+       |  FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id, $idxSql
+       |  WHERE q.vec_id < 20 AND q.vec_id % 7 <> 3 AND v.vec_id % 7 <> 3
+       |  GROUP BY 1, 2),
+       |scored_t AS (
+       |  SELECT q_id, dots_t.vec_id AS vec_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+       |  FROM dots_t
+       |  JOIN norms qn ON q_id = qn.vec_id
+       |  JOIN norms vn ON dots_t.vec_id = vn.vec_id),
+       |truth AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |    FROM scored_t) WHERE rnk <= 5),
+       |stats AS (
+       |$stats)
+       |SELECT method, n_pred, hits,
+       |  (1000000 * hits) // (SELECT COUNT(*) FROM truth) AS recall_ppm
+       |FROM stats ORDER BY method""".stripMargin
+  }
+
   // --- X3j: nprobe recall/cost frontier -----------------------------------
   /** The recall/cost frontier of the learned-IVF index AS DATA: one audit
     * row per probe depth (nprobe ∈ 1,2,4,8) with candidate volume and
@@ -1645,11 +1995,15 @@ object SimilarityQueries {
     QueryDef("q_ann_opq", annOpq, Some(annOpqSql),
       "X3k OPQ transform search: PQ recall audit under identity/interleave/snake/learned-Givens-rotation"),
     QueryDef("q_sim_knn_filtered", knnFiltered, Some(knnFilteredSql),
-      "X3m filtered ANN: top-5 under a metadata predicate via PRE-filtered inverted lists"),
+      "X3m filtered ANN: top-5 under a metadata predicate via PRE-filtered inverted lists, selectivity-adaptive nprobe"),
+    QueryDef("q_sim_knn_filtered_audit", knnFilteredAudit, Some(knnFilteredAuditSql),
+      "X3m' filtered-ANN audit: measured selectivity, chosen nprobe, recall vs filtered-brute truth at two predicate tiers"),
     QueryDef("q_ann_frontier", annFrontier, Some(annFrontierSql),
       "X3j IVF nprobe recall/cost frontier: one audit row per probe depth vs brute truth"),
     QueryDef("q_ann_eval", annEval, Some(annEvalSql),
       "X3i ANN audit: integer-ppm recall@5 of LSH/IVF/IVF2/SQ8/PQ vs shared brute truth"),
+    QueryDef("q_ann_delete_eval", annDeleteEval, Some(annDeleteEvalSql),
+      "X3n delete-path audit: tombstone-filtered IVF vs survivor-retrained IVF vs survivor brute truth"),
     QueryDef("q_sim_knn_pq", knnPq, Some(knnPqSql),
       "X3h product-quantization ANN: Lloyd-refined 8x16 codebooks, ADC scan, exact re-rank"),
     QueryDef("q_sim_knn_ivfpq", knnIvfPq, Some(knnIvfPqSql),

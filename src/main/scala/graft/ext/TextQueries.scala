@@ -889,6 +889,33 @@ object TextQueries {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** X4r-c — the PRODUCTION write path of the tokenized corpus: lands
+    * [[tokenIds]]'s relation as a versioned artifact with NO global
+    * sort. The oracle query ends in `orderBy(doc_id, pos)` for hash
+    * determinism — a RANGE exchange that re-shuffles the entire
+    * corpus-sized output just to present it sorted; the artifact a data
+    * loader actually reads doesn't need global order, it needs (a) each
+    * document's tokens CO-LOCATED in one file and (b) in-order within
+    * the document. Both fall out of the pipeline's own shape: the fold +
+    * posexplode is narrow over the documents scan, so each output
+    * partition holds complete documents (a doc never splits across
+    * partitions), and a partition-local `sortWithinPartitions` orders
+    * (doc_id, pos) with no exchange at all. ArtifactSpec pins the plan
+    * (zero shuffle exchanges, zero RangePartitioning) and round-trips
+    * the loaded artifact equal to the oracle query modulo order. */
+  def tokenIdsArtifactFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tokenIdsOf(Tables.documents(s, dir), bpeMergeTable(s, dir),
+      bpeVocab(s, dir))
+      .sortWithinPartitions($"doc_id", $"pos")
+  }
+
+  /** Write [[tokenIdsArtifactFrame]] as the next version of `name` in
+    * the store; returns the version written. */
+  def tokenIdsArtifact(s: SparkSession, dir: String, root: String,
+      name: String = "token_ids"): Int =
+    graft.sources.ArtifactStore.save(tokenIdsArtifactFrame(s, dir), root, name)
+
   /** Shared core of [[tokenIds]] and the streaming twin
     * ([[graft.streaming.StreamJobs.tokenIdsStream]]): works on any
     * (doc_id, text) relation, batch or streaming — the merge table and

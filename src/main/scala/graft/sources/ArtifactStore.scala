@@ -106,6 +106,65 @@ object ArtifactStore {
       .sorted
   }
 
+  // --- tombstones: the delete path of a published artifact ---------------
+  // A 100-TB vector store must REMOVE vectors, not only add them (the
+  // retention-by-predicate concern, applied to the index). Deletes are
+  // decoupled from the corpus-sized artifact rewrite: each delete batch
+  // appends key rows to an append-only tombstone LOG next to the
+  // versioned data (`root/name/_tombstones/`); readers subtract the log
+  // ([[loadSurviving]]) so a delete is visible immediately, and a
+  // periodic [[compact]] folds the log into a fresh data version and
+  // clears it. Log append is O(batch), compaction is one anti-join — no
+  // per-delete rewrite of the artifact.
+
+  private def tombDir(root: String, name: String) =
+    new Path(s"$root/$name/_tombstones")
+
+  /** Append delete keys to `name`'s tombstone log. Idempotent at the
+    * semantic level: tombstoning an id twice (or an id not in the data)
+    * just adds log rows the anti-join ignores. */
+  def tombstone(ids: DataFrame, root: String, name: String): Unit =
+    ids.write.mode("append").parquet(tombDir(root, name).toString)
+
+  /** The current tombstone log (distinct keys), empty-schema-free: None
+    * when no delete has ever been recorded. */
+  def tombstones(s: SparkSession, root: String, name: String): Option[DataFrame] = {
+    val d = tombDir(root, name)
+    if (!fs(s, d).exists(d)) None else Some(s.read.parquet(d.toString).distinct())
+  }
+
+  /** The latest published version MINUS the tombstone log — the read-side
+    * view that makes a delete visible BEFORE compaction lands. `key` is
+    * the artifact's identity column (e.g. `vec_id`). */
+  def loadSurviving(s: SparkSession, root: String, name: String,
+      key: String): DataFrame = {
+    val data = load(s, root, name)
+    tombstones(s, root, name) match {
+      case None => data
+      case Some(t) => data.join(t.select(key), Seq(key), "left_anti")
+    }
+  }
+
+  /** Fold the tombstone log into the data: publish a new version holding
+    * only surviving rows, then clear the log. Returns the new version
+    * (or the current one untouched when the log is empty). Crash-safe in
+    * the same sense as [[save]]: if the process dies between the publish
+    * and the log delete, the next compact re-applies the same tombstones
+    * to rows that no longer exist — a no-op anti-join — and clears the
+    * log then. Single writer assumed, like [[save]]. */
+  def compact(s: SparkSession, root: String, name: String,
+      key: String): Int = {
+    tombstones(s, root, name) match {
+      case None => latestVersion(s, root, name)
+      case Some(t) =>
+        val survivors = load(s, root, name)
+          .join(t.select(key), Seq(key), "left_anti")
+        val v = save(survivors, root, name)
+        fs(s, tombDir(root, name)).delete(tombDir(root, name), true)
+        v
+    }
+  }
+
   /** Load the latest published version of `name` (or an explicit
     * `version`). Fails fast if nothing was ever published.
     *

@@ -410,6 +410,29 @@ object StreamJobs {
   def annIngestStream(vecs: DataFrame, cents: DataFrame): DataFrame =
     graft.ext.SimilarityQueries.assignStateless(vecs, cents)
 
+  /** X3 delete path — the tombstone feed of [[annIngestStream]]'s index:
+    * an unbounded stream of deleted vector ids lands each micro-batch in
+    * the published code table's append-only tombstone log
+    * ([[graft.sources.ArtifactStore.tombstone]]). A delete is visible to
+    * every prober at its NEXT `loadSurviving` (per-batch load inside
+    * `foreachBatch`, the same refresh-without-restart pattern as the
+    * insert side) — immediately, without touching the corpus-sized code
+    * table; a periodic [[graft.sources.ArtifactStore.compact]] folds the
+    * log into a fresh version. Exactly-once is the log's idempotence, not
+    * the checkpoint's: a re-delivered delete batch appends duplicate ids
+    * the distinct + anti-join ignore. ArtifactSpec pins post-delete
+    * probes == a from-scratch assignment of the surviving vectors, and
+    * compaction == the same relation with the log cleared. */
+  def annDeleteStream(deletes: DataFrame, root: String, name: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deletes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.ArtifactStore.tombstone(
+          batch.select("vec_id"), root, name)
+      }
+
   /** X4q streaming twin — tokenize an unbounded document feed with the
     * TRAINED merge table as the static side (a re-trained vocab applies
     * without restart via the same `foreachBatch` + per-batch
@@ -444,6 +467,44 @@ object StreamJobs {
         col("user_id") === col("r_user") &&
           col("r_ts") > col("ts") &&
           col("r_ts") <= col("ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("event_id"), col("r_id"), col("event_type"))
+  }
+
+  /** T7b — the LEFT OUTER form of [[followerJoin]]: the standard
+    * enrichment-with-maybe-missing-events pattern (batch anchor: the J3
+    * left-outer row and the J6 range join, fused — `q_join_range_outer`).
+    * Matches emit as soon as both sides arrive, exactly like the inner
+    * join; an event with NO follower inside its 10-minute window emits
+    * one null-padded row — but only once the WATERMARK has closed the
+    * window (wm > ts + 10 min), because until then a matching follower
+    * could still arrive. The null rows are therefore a deferred,
+    * watermark-gated emission: a drained drop-dir does NOT yield them
+    * for the trailing ~70 min of event time until newer data advances
+    * the watermark past each row's window (StreamingSpec drives this
+    * with a far-future sentinel and pins the full row set — inner pairs
+    * AND the null set — against the batch left-outer range join).
+    *
+    * State-eviction bound: a LEFT row is retained until the watermark
+    * passes `ts + 10 min` (its window close, at which point the match
+    * verdict is final and the row either already matched or emits the
+    * null form); a RIGHT row is retained until the watermark passes
+    * `r_ts` (no left row with an open window can still want it). With
+    * the 1-hour watermark delay both sides hold O(events in the last
+    * 70 minutes of event time) — bounded state regardless of stream
+    * length, the property that lets this run forever at 100 TB/day. */
+  def followerJoinOuter(events: DataFrame): DataFrame = {
+    val left = events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val right = events
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", "1 hour")
+    left.join(right,
+        col("user_id") === col("r_user") &&
+          col("r_ts") > col("ts") &&
+          col("r_ts") <= col("ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
       .select(col("event_id"), col("r_id"), col("event_type"))
   }
 }

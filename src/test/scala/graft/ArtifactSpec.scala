@@ -160,6 +160,100 @@ class ArtifactSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenized-corpus artifact: no-shuffle write path round-trips the oracle query") {
+    import graft.ext.TextQueries
+    // plan pin: the artifact frame has NO shuffle exchange of any kind —
+    // in particular no RangePartitioning (the oracle query's global
+    // sort). Broadcast exchanges (merge table, vocab) are the design.
+    val frame = TextQueries.tokenIdsArtifactFrame(spark, sf)
+    val plan = frame.queryExecution.sparkPlan
+    assert(!plan.toString.toLowerCase.contains("rangepartitioning"),
+      s"global sort leaked into the artifact write path:\n$plan")
+    // the corpus-sized path must be shuffle-free; the constant-size
+    // broadcast BUILD sides (merge table, vocab dedup) may aggregate
+    // internally — only shuffles OUTSIDE a broadcast subtree count
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    def corpusShuffles(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: BroadcastExchangeExec => Nil
+      case s: ShuffleExchangeExec =>
+        s +: s.children.flatMap(corpusShuffles)
+      case other => other.children.flatMap(corpusShuffles)
+    }
+    assert(corpusShuffles(plan).isEmpty,
+      s"shuffle exchange on the corpus path:\n$plan")
+    // round-trip: loaded artifact == the oracle query, modulo order
+    val root = Files.createTempDirectory("graft-tokids").toString
+    val v = TextQueries.tokenIdsArtifact(spark, sf, root)
+    assert(v === 1)
+    val loaded = ArtifactStore.load(spark, root, "token_ids").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("token_id"), r.getAs[String]("token"))).toSet
+    val oracle = TextQueries.tokenIds(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("token_id"), r.getAs[String]("token"))).toSet
+    assert(loaded.size === oracle.size)
+    assert(loaded === oracle)
+    // co-location: a document's tokens never split across part files
+    val files = ArtifactStore.load(spark, root, "token_ids")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().groupBy($"doc_id").count().filter($"count" > 1).count()
+    assert(files === 0L, "a document's tokens split across part files")
+  }
+
+  test("streaming deletes tombstone the code table; compaction equals rebuild on survivors") {
+    val tmp = Files.createTempDirectory("graft-tomb").toString
+    val root = s"$tmp/store"; val delDir = s"$tmp/deletes"
+    val ck = s"$tmp/ck"
+    // publish the served artifact: the corpus code table (vec_id -> c_id)
+    val cents = SimilarityQueries.trainedCents(spark, sf)
+    val codes = StreamJobs.annIngestStream(Tables.embeddings(spark, sf), cents)
+    ArtifactStore.save(codes, root, "codes") // v1
+    // a delete feed arrives in two micro-batches: vec_id % 7 == 3
+    val dels = Tables.embeddings(spark, sf).select($"vec_id")
+      .filter($"vec_id" % 7 === 3)
+    dels.filter($"vec_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(delDir)
+    dels.filter($"vec_id" % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(delDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType)))
+    val delStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(delDir)
+    val q = StreamJobs.annDeleteStream(delStream, root, "codes", ck).start()
+    try q.processAllAvailable() finally q.stop()
+    // 1) deletes are visible BEFORE compaction via the surviving view,
+    //    and equal a from-scratch assignment of the surviving vectors
+    //    under the SAME centroids (the post-delete == rebuild pin)
+    val surviving = ArtifactStore
+      .loadSurviving(spark, root, "codes", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = StreamJobs.annIngestStream(
+        Tables.embeddings(spark, sf).filter($"vec_id" % 7 =!= 3), cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(surviving === rebuilt, "tombstone view != rebuild on survivors")
+    assert(!surviving.keys.exists(_ % 7 == 3), "a deleted id survived")
+    // 2) compaction folds the log into a fresh version and clears it
+    val v2 = ArtifactStore.compact(spark, root, "codes", "vec_id")
+    assert(v2 === 2)
+    assert(ArtifactStore.tombstones(spark, root, "codes").isEmpty,
+      "tombstone log not cleared by compaction")
+    val compacted = ArtifactStore.load(spark, root, "codes")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compacted === rebuilt, "compacted artifact != rebuild on survivors")
+    // 3) a second compact with an empty log is a no-op (no new version)
+    assert(ArtifactStore.compact(spark, root, "codes", "vec_id") === 2)
+    // 4) idempotence: re-delivering the same delete batch after
+    //    compaction is harmless (anti-join finds nothing to remove)
+    ArtifactStore.tombstone(dels, root, "codes")
+    val again = ArtifactStore
+      .loadSurviving(spark, root, "codes", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === rebuilt)
+  }
+
   test("a consumer off the LOADED index equals the in-session assignment") {
     val root = Files.createTempDirectory("graft-artifacts-c").toString
     ArtifactStore.save(SimilarityQueries.trainedCents(spark, sf), root, "ivf_cents")

@@ -266,13 +266,47 @@ class ExtSpec extends AnyFunSuite {
       truthScore.get(k).foreach(b =>
         assert(math.abs(b - r.getAs[Double]("cos_sim")) < 1e-12))
     }
-    // nprobe=6 over 10%-selectivity lists (NPROBE_F, widened from the
-    // plain-IVF 4 for candidate parity) keeps >= 60% of the true
-    // filtered top-5 (the plain-IVF bar)
+    // the selectivity-adaptive depth (ceil(4/s) clamped to K=16; the
+    // ~10% label saturates the clamp -> all lists probed) keeps >= 60%
+    // of the true filtered top-5 (the plain-IVF bar; the audit query
+    // pins the exact numbers per selectivity tier)
     val overlap = rows.map(r =>
       (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).count(truthSet)
     assert(overlap >= (truthSet.size * 6) / 10,
       s"filtered recall too low: $overlap/${truthSet.size}")
+  }
+
+  test("X3m' filtered-ANN audit: adaptive depth tracks selectivity, recall holds at both tiers") {
+    val rows = SimilarityQueries.knnFilteredAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("pred") -> r).toMap
+    assert(rows.keySet === Set("label_eq_1", "label_ge_5"))
+    val rare = rows("label_eq_1"); val common = rows("label_ge_5")
+    // ~10% selectivity saturates the parity clamp: all K=16 lists probed
+    // -> the search is exact brute-over-matching, recall EXACTLY 1.0
+    assert(rare.getAs[Long]("nprobe") === 16L)
+    assert(rare.getAs[Long]("recall_ppm") === 1000000L)
+    // ~50% selectivity picks an intermediate depth: strictly fewer lists
+    // than the clamp, strictly more than the unfiltered base, and the
+    // plain-IVF 60% bar still holds
+    val np = common.getAs[Long]("nprobe")
+    assert(np > 4L && np < 16L, s"expected intermediate depth, got $np")
+    assert(common.getAs[Long]("recall_ppm") >= 600000L,
+      s"50%-tier recall ${common.getAs[Long]("recall_ppm")}")
+    // the depths differ — the rule tracks the predicate, not a constant
+    assert(rare.getAs[Long]("nprobe") > np)
+  }
+
+  test("X3n delete-path audit: both legs serve full k for surviving queries") {
+    val rows = SimilarityQueries.annDeleteEval(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted ===
+      Array("ivf_post_delete", "ivf_retrained"))
+    // 17 surviving queries (20 minus vec_ids 3/10/17) x top-5: a deleted
+    // query is not served, and neither leg under-returns — the tombstone
+    // filter thins lists but nprobe=2 over K=16 still has >=5 candidates
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pred") === 85L, r.getString(0))
+      assert(r.getAs[Long]("hits") > 0L && r.getAs[Long]("recall_ppm") > 0L)
+    }
   }
 
   test("X3k OPQ layout search: chosen maximizes recall, never below identity PQ") {

@@ -318,6 +318,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream LEFT OUTER interval join matches batch after watermark closure") {
+    val tmp = eventsDir
+    val q = StreamJobs.followerJoinOuter(StreamJobs.eventsStream(spark, tmp))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("follower_outer_out").start()
+    try {
+      q.processAllAvailable()
+      // Null rows are watermark-gated: after draining the corpus the
+      // watermark sits at max(ts) - 1h, so no event's 10-min window is
+      // closed yet — only inner matches have emitted. Drop a far-future
+      // sentinel (max(ts) + 2h, a user id outside the corpus) to push the
+      // watermark past EVERY original event's window close and flush the
+      // complete null-row set. The sentinel's own window stays open, so
+      // it emits nothing itself.
+      val maxUs = Tables.events(spark, sf)
+        .agg(max(unix_micros($"ts"))).head.getLong(0)
+      dropSentinel(tmp, "wm_flush.parquet", eventId = 999999001L,
+        tsUs = maxUs + 7200L * 1000000L, userId = 999999L, value = 0.0)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(id: Long, rid: Any, et: String) =
+      (id, Option(rid).map(_.asInstanceOf[Long]).getOrElse(-1L), et)
+    val streamed = spark.table("follower_outer_out").collect()
+      .map(r => key(r.getLong(0), r.get(1), r.getString(2))).toSet
+    // batch left-outer range join over the original corpus (sentinel
+    // excluded: its window never closed, so the stream emitted nothing
+    // for it — exact equality below proves that too)
+    val e = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    val rgt = e.select($"event_id".as("r_id"), $"user_id".as("r_user"),
+      $"ts".as("r_ts"))
+    val batch = e.join(rgt,
+        $"user_id" === $"r_user" && $"r_ts" > $"ts" &&
+          $"r_ts" <= $"ts" + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select($"event_id", $"r_id", $"event_type").collect()
+      .map(r => key(r.getLong(0), r.get(1), r.getString(2))).toSet
+    assert(streamed.nonEmpty && (streamed -- batch).isEmpty,
+      s"stream emitted rows batch does not have: ${(streamed -- batch).take(5)}")
+    assert((batch -- streamed).isEmpty,
+      s"batch rows the stream never emitted (null set incomplete): ${(batch -- streamed).take(5)}")
+    // and the null set is genuinely non-trivial on this corpus
+    assert(streamed.exists(_._2 == -1L), "no null-padded rows emitted")
+  }
+
   test("T6 transformWithState running totals match the batch aggregate") {
     // transformWithState (Spark 4 arbitrary-state API) only runs on the
     // RocksDB state store; scope the provider to this query.
