@@ -329,6 +329,57 @@ object MediaFixtures {
     header ++ px
   }
 
+  /** Complete GIF89a WITH pixel data: 256-entry identity-grayscale
+    * global color table (entry i = (i,i,i), so the palette INDEX is the
+    * gray value), image descriptor, and a REAL LZW-coded raster — so
+    * reading it back is a true LZW entropy decode, closing the last
+    * header-only container in the honest-raster tier. The encoder uses
+    * the spec's fixed-width escape hatch: 8-bit min code size → 9-bit
+    * codes, every pixel emitted as a LITERAL root code with a CLEAR
+    * (256) re-issued every 254 pixels so the decoder's string table
+    * tops out at 510 entries and the code width never leaves 9 bits —
+    * a valid, decoder-agnostic LZW stream (sidesteps the early-change
+    * width quirk) built byte-by-byte from the public spec, no codec
+    * library on the WRITE side. Pixel (x, y), y from the top, is the
+    * byte `pix(x, y)`. */
+  def gifRaster(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background index, aspect ratio
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    out.write(0x2c) // image separator
+    out.write(le16(0)); out.write(le16(0)) // image position
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0) // no local color table, not interlaced
+    out.write(8) // LZW minimum code size
+    val code = new java.io.ByteArrayOutputStream()
+    var cur = 0; var nbits = 0
+    def put(c: Int): Unit = { // 9-bit little-endian bit packing
+      cur |= c << nbits; nbits += 9
+      while (nbits >= 8) { code.write(cur & 0xff); cur >>= 8; nbits -= 8 }
+    }
+    put(256) // initial CLEAR
+    var n = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      put(pix(x, y) & 0xff)
+      n += 1
+      if (n % 254 == 0) put(256) // keep the decoder table under 511
+    }
+    put(257) // end of information
+    if (nbits > 0) code.write(cur & 0xff)
+    val data = code.toByteArray
+    var off = 0
+    while (off < data.length) { // 255-byte sub-blocks
+      val len = math.min(255, data.length - off)
+      out.write(len); out.write(data, off, len); off += len
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   /** Complete 8-bit GRAYSCALE PNG (color type 0) WITH pixel data: real
     * IHDR/IDAT/IEND chunks with spec CRC32s, scanlines prefixed with
     * filter byte 0 and zlib-deflated (`java.util.zip.Deflater`) — so
@@ -567,13 +618,15 @@ object MultimodalQueries {
       |  CAST(9 + (doc_id % 5) * 2 AS INTEGER) AS height
       |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
 
-  /** Perceptual dHash over REAL PIXELS in TWO real containers: even docs
-    * carry a complete 24bpp BMP, odd docs a complete zlib-compressed
-    * grayscale PNG — both spec-built with the SAME deterministic per-doc
-    * gradient — and both flow through [[MediaDecode.decodeRasterGray]]:
-    * the codec-free BMP byte parse (header-declared pixel offset,
-    * bottom-up rows, 4-byte padding, BGR, BT.601) or a full ImageIO
-    * entropy decode (inflate + defilter for PNG). The classic 9×8
+  /** Perceptual dHash over REAL PIXELS in THREE real containers: docs
+    * rotate mod 3 through a complete 24bpp BMP, a complete
+    * zlib-compressed grayscale PNG, and a complete LZW-coded indexed
+    * GIF — all spec-built with the SAME deterministic per-doc gradient —
+    * and all flow through [[MediaDecode.decodeRasterGray]]: the
+    * codec-free BMP byte parse (header-declared pixel offset, bottom-up
+    * rows, 4-byte padding, BGR, BT.601) or a full ImageIO entropy
+    * decode (inflate + defilter for PNG; LZW string-table decode +
+    * identity-gray palette for GIF). The classic 9×8
     * [[MediaDecode.dhash64]] runs over the decoded grid; the 64-bit hash
     * ships as two 32-bit halves (engines disagree on 1<<63 overflow).
     *
@@ -596,8 +649,11 @@ object MultimodalQueries {
         val w = 16 + (id % 7).toInt * 3
         val h = 9 + (id % 5).toInt * 2
         val pix = (x: Int, y: Int) => (x * 7 + y * 13 + id.toInt * 31) % 256
-        (id, if (id % 2 == 0) MediaFixtures.bmpRaster(w, h, pix)
-             else MediaFixtures.pngRaster(w, h, pix))
+        (id, (id % 3) match {
+          case 0 => MediaFixtures.bmpRaster(w, h, pix)
+          case 1 => MediaFixtures.pngRaster(w, h, pix)
+          case _ => MediaFixtures.gifRaster(w, h, pix)
+        })
       }
     media.mapPartitions { it =>
       it.map { case (id, bytes) =>
@@ -631,7 +687,7 @@ object MultimodalQueries {
   }
 
   /** Resize over REAL PIXELS — the second honest raster op: the same
-    * BMP/PNG mixed-container payloads decode through
+    * BMP/PNG/GIF mixed-container payloads decode through
     * [[MediaDecode.decodeRasterGray]] and downsample via
     * [[MediaDecode.resizeNN]] to a 4×4 thumbnail (the feature-extraction
     * shape every image pipeline runs before embedding / dedup). The 16
@@ -652,8 +708,11 @@ object MultimodalQueries {
         val w = 16 + (id % 7).toInt * 3
         val h = 9 + (id % 5).toInt * 2
         val pix = (x: Int, y: Int) => (x * 7 + y * 13 + id.toInt * 31) % 256
-        (id, if (id % 2 == 0) MediaFixtures.bmpRaster(w, h, pix)
-             else MediaFixtures.pngRaster(w, h, pix))
+        (id, (id % 3) match {
+          case 0 => MediaFixtures.bmpRaster(w, h, pix)
+          case 1 => MediaFixtures.pngRaster(w, h, pix)
+          case _ => MediaFixtures.gifRaster(w, h, pix)
+        })
       }
     media.mapPartitions { it =>
       it.map { case (id, bytes) =>

@@ -571,6 +571,57 @@ object SimilarityQueries {
        |  FROM scored) WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** Serve FILTERED top-5 for a batch of arriving query vectors against
+    * the published index — the per-micro-batch core of the streaming
+    * filtered-ANN twin ([[graft.streaming.StreamJobs
+    * .annFilteredServeStream]]), also usable as a plain batch serve.
+    * `cents` is the trained coarse quantizer (in deployment,
+    * `ArtifactStore.load`-ed per batch — the refresh-without-restart
+    * pattern), `corpus` the indexed (vec_id, embedding, label) relation.
+    * Each query is centroid-scored against the broadcast quantizer,
+    * probes its adaptive-nprobe nearest lists ([[adaptiveNprobeExpr]] —
+    * same in-plan selectivity measurement as [[knnFiltered]]), and
+    * re-ranks exactly over the label-filtered candidates. Because the
+    * probe ranking is the same deterministic cosine + tie-break the
+    * trained [[rankedAssign]] stores, serving a corpus member re-derives
+    * exactly its stored probe order — StreamingSpec pins stream == batch
+    * [[knnFiltered]] row-for-row.
+    *
+    * Contains per-query rank windows, so on a stream it runs inside
+    * `foreachBatch` (every micro-batch is a complete batch relation) —
+    * the same deployment shape as the artifact-refresh consumers. */
+  private[graft] def filteredServe(queryVecs: DataFrame, cents: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    import queryVecs.sparkSession.implicits._
+    val e = quantizeRaw(corpus.select($"vec_id", $"embedding"))
+    val lab = corpus.select($"vec_id", $"label")
+    val sel = lab.agg(count(lit(1)).as("n_total"),
+        count(when($"label" === 1, 1)).as("n_match"))
+      .selectExpr(s"${adaptiveNprobeExpr("div")} AS nprobe")
+    val assign = assignStateless(corpus.select($"vec_id", $"embedding"), cents)
+      .join(lab.filter($"label" === 1).select($"vec_id"), Seq("vec_id"))
+      .select($"vec_id", $"c_id".as("bucket"))
+    val qScored = quantizeRaw(queryVecs).join(broadcast(cents), lit(true))
+      .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"),
+        $"c_id",
+        cosine(dotQ($"qe", $"c_qe"), $"nrm", $"c_nrm").as("c_cos"))
+    val wP = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"c_id".asc)
+    val probes = qScored.withColumn("crn", row_number().over(wP))
+      .crossJoin(broadcast(sel))
+      .filter($"crn" <= $"nprobe")
+      .select($"q_id", $"q_emb", $"q_nrm", $"c_id".as("bucket"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    probes.join(assign, Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(e, Seq("vec_id"))
+      .select($"q_id", $"vec_id",
+        cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+      .distinct()
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"rnk", $"vec_id", $"cos_sim")
+  }
+
   // --- X3m': filtered-ANN selectivity audit --------------------------------
   /** The adaptive-depth rule AS DATA: one audit row per predicate tier —
     * `label = 1` (~10% selectivity) and `label >= 5` (~50%) — carrying

@@ -433,6 +433,19 @@ object StreamJobs {
           batch.select("vec_id"), root, name)
       }
 
+  /** X3m streaming twin — serve FILTERED top-5 for an unbounded feed of
+    * query vectors against the published index: the metadata-predicate
+    * path of `q_sim_knn_filtered` composed with [[annIngestStream]]'s
+    * loaded-artifact pattern. The static sides (trained quantizer,
+    * indexed corpus + labels) broadcast; the per-query rank windows mean
+    * this transform runs inside `foreachBatch` (each micro-batch is a
+    * complete batch relation — the artifact-refresh deployment shape,
+    * where the quantizer is re-`load`ed per batch). StreamingSpec pins
+    * stream == batch `knnFiltered` on the filtered result set. */
+  def annFilteredServeStream(queryVecs: DataFrame, cents: DataFrame,
+      corpus: DataFrame): DataFrame =
+    graft.ext.SimilarityQueries.filteredServe(queryVecs, cents, corpus)
+
   /** X4q streaming twin — tokenize an unbounded document feed with the
     * TRAINED merge table as the static side (a re-trained vocab applies
     * without restart via the same `foreachBatch` + per-batch

@@ -558,6 +558,23 @@ class ExtSpec extends AnyFunSuite {
     assert(MediaDecode.decodeImageIOGray(bytes.take(50)).isEmpty)
   }
 
+  test("GIF raster decode is pixel-exact through the ImageIO LZW tier") {
+    import graft.ext.{MediaDecode, MediaFixtures}
+    // big enough that the encoder re-issues CLEAR codes mid-stream
+    // (w*h = 551 > 2*254), so the table-reset path is exercised too
+    val w = 29; val h = 19
+    def pix(x: Int, y: Int): Int = (x * 23 + y * 37 + 11) % 256
+    val bytes = MediaFixtures.gifRaster(w, h, pix)
+    assert(new String(bytes.take(6), "US-ASCII") === "GIF89a")
+    // a REAL LZW stream: the coded raster is 9 bits/pixel, not raw bytes
+    assert(MediaDecode.decodeBmpGray(bytes).isEmpty)
+    val g = MediaDecode.decodeRasterGray(bytes)
+      .getOrElse(fail("GIF fixture did not decode"))
+    assert(g.length === h && g(0).length === w)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g(y)(x) === pix(x, y), s"pixel ($x,$y)")
+  }
+
   test("JPEG payloads full-decode through the same raster tier (lossy-bounded)") {
     import graft.ext.MediaDecode
     // encode a smooth gradient through the JDK's own JPEG writer — the

@@ -140,7 +140,17 @@ class RegistrySpec extends AnyFunSuite {
       "q_pack_manifest",
       // single-row hot-span-set broadcast crossed onto the doc scan (the
       // q_bpe_merge class); scrub and checksum are narrow per-row ops
-      "q_span_scrub")
+      "q_span_scrub",
+      // single-row adaptive-nprobe broadcast crossed onto the probe
+      // ranking (the selectivity measurement) — the q_ann_eval
+      // denominator class; candidates still come from the list equi-join
+      "q_sim_knn_filtered",
+      // the same single-row nprobe/selectivity broadcast per predicate
+      // tier + the single-row truth-count denominator of the eval class
+      "q_sim_knn_filtered_audit",
+      // single-row truth-count broadcast denominator over the survivor
+      // truth — the q_ann_eval class
+      "q_ann_delete_eval")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString

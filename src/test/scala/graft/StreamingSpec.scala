@@ -96,6 +96,37 @@ class StreamingSpec extends AnyFunSuite {
       "stream assignment diverged from the batch index")
   }
 
+  test("X3m streaming filtered-ANN serve equals the batch filtered query") {
+    import graft.ext.SimilarityQueries
+    // the query feed: the 20 query vectors arrive in two micro-batches
+    val tmp = Files.createTempDirectory("graft-fserve-stream").toString
+    val qs = Tables.embeddings(spark, sf).filter($"vec_id" < 20)
+    qs.filter($"vec_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(tmp)
+    qs.filter($"vec_id" % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(tmp)
+    val cents = SimilarityQueries.trainedCents(spark, sf)
+    val corpus = Tables.embeddings(spark, sf)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double)]()
+    val q = StreamJobs.embeddingsStream(spark, tmp, maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-batch serve against the (re-loadable) published statics
+        StreamJobs.annFilteredServeStream(batch, cents, corpus)
+          .collect().foreach(r => out.add((r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getDouble(3))))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = out.asScala.toSet
+    val batchRows = SimilarityQueries.knnFiltered(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSet
+    assert(streamed.size === batchRows.size)
+    assert(streamed === batchRows,
+      "streaming filtered serve diverged from batch q_sim_knn_filtered")
+  }
+
   private def eventsDir: String = {
     val tmp = Files.createTempDirectory("graft-events-stream").toString
     java.nio.file.Files.copy(
