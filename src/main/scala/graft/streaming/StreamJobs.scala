@@ -505,7 +505,24 @@ object StreamJobs {
     * the 1-hour watermark delay both sides hold O(events in the last
     * 70 minutes of event time) — bounded state regardless of stream
     * length, the property that lets this run forever at 100 TB/day. */
-  def followerJoinOuter(events: DataFrame): DataFrame = {
+  def followerJoinOuter(events: DataFrame): DataFrame =
+    followerJoinWithType(events, "left_outer")
+
+  /** T7c — the FULL OUTER form: [[followerJoinOuter]]'s null-padded
+    * no-follower rows PLUS the symmetric right side — events with no
+    * PRECEDING same-user event inside the 10-minute window (null left
+    * columns), i.e. session STARTERS, emitted when the watermark passes
+    * the right row's event time (its preceding-window verdict is final
+    * once no left row with `ts < r_ts` can still arrive). Same bounded
+    * state as the left-outer form; StreamingSpec pins the complete
+    * three-part row set (pairs, follower-less, starters) against the
+    * batch full-outer range join after a sentinel-driven watermark
+    * flush. */
+  def followerJoinFull(events: DataFrame): DataFrame =
+    followerJoinWithType(events, "full_outer")
+
+  private def followerJoinWithType(events: DataFrame,
+      joinType: String): DataFrame = {
     val left = events
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
       .withWatermark("ts", "1 hour")
@@ -517,7 +534,7 @@ object StreamJobs {
         col("user_id") === col("r_user") &&
           col("r_ts") > col("ts") &&
           col("r_ts") <= col("ts") + expr("INTERVAL 10 MINUTES"),
-        "left_outer")
+        joinType)
       .select(col("event_id"), col("r_id"), col("event_type"))
   }
 }

@@ -575,6 +575,46 @@ class ExtSpec extends AnyFunSuite {
       assert(g(y)(x) === pix(x, y), s"pixel ($x,$y)")
   }
 
+  test("WAV PCM decode is sample-exact and the chunk walk skips foreign chunks") {
+    import graft.ext.{MediaDecode, MediaFixtures}
+    def smp(t: Int): Int = ((t * 61 + 7) % 65536) - 32768
+    val bytes = MediaFixtures.wavPcm16(8000, 321, smp)
+    val (rate, got) = MediaDecode.decodeWavPcm16(bytes)
+      .getOrElse(fail("WAV fixture did not decode"))
+    assert(rate === 8000 && got.length === 321)
+    for (t <- 0 until 321) assert(got(t) === smp(t), s"sample $t")
+    // a real WAV carries LIST/fact chunks before data: splice a foreign
+    // chunk (odd length -> exercises word alignment) between fmt and
+    // data and the walk must still land on the samples
+    val fmtEnd = 12 + 8 + 16
+    val junk = "joke".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array.fill[Byte](5)(0x55) ++
+      Array[Byte](0) // pad to word boundary
+    val spliced = bytes.take(fmtEnd) ++ junk ++ bytes.drop(fmtEnd)
+    val (r2, got2) = MediaDecode.decodeWavPcm16(spliced)
+      .getOrElse(fail("chunk walk broke on a foreign chunk"))
+    assert(r2 === 8000 && got2.toSeq === got.toSeq)
+    // non-PCM / stereo / truncated payloads fall through to None
+    assert(MediaDecode.decodeWavPcm16("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(MediaDecode.decodeWavPcm16(bytes.take(50)).isEmpty)
+  }
+
+  test("animated GIF frame decode is frame- and pixel-exact") {
+    import graft.ext.{MediaDecode, MediaFixtures}
+    val w = 13; val h = 9; val nf = 4
+    def pixF(x: Int, y: Int, f: Int): Int = (x * 5 + y * 17 + f * 41 + 3) % 256
+    val bytes = MediaFixtures.gifAnimRaster(w, h, nf, pixF)
+    val frames = MediaDecode.decodeFramesGray(bytes)
+      .getOrElse(fail("animated GIF did not decode"))
+    assert(frames.length === nf)
+    for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+      assert(frames(f)(y)(x) === pixF(x, y, f), s"frame $f pixel ($x,$y)")
+    // a single-frame payload reports exactly one frame
+    assert(MediaDecode.decodeFramesGray(
+      MediaFixtures.gifRaster(5, 4, (x, y) => x + y)).get.length === 1)
+    assert(MediaDecode.decodeFramesGray("not media".getBytes).isEmpty)
+  }
+
   test("JPEG payloads full-decode through the same raster tier (lossy-bounded)") {
     import graft.ext.MediaDecode
     // encode a smooth gradient through the JDK's own JPEG writer — the

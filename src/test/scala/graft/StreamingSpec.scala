@@ -394,6 +394,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_._2 == -1L), "no null-padded rows emitted")
   }
 
+  test("stream-stream FULL OUTER interval join adds the starter rows symmetrically") {
+    val tmp = eventsDir
+    val q = StreamJobs.followerJoinFull(StreamJobs.eventsStream(spark, tmp))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("follower_full_out").start()
+    try {
+      q.processAllAvailable()
+      val maxUs = Tables.events(spark, sf)
+        .agg(max(unix_micros($"ts"))).head.getLong(0)
+      dropSentinel(tmp, "wm_flush_full.parquet", eventId = 999999002L,
+        tsUs = maxUs + 7200L * 1000000L, userId = 999998L, value = 0.0)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(-1L),
+        Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(-1L),
+        Option(r.get(2)).map(_.asInstanceOf[String]).getOrElse("<null>"))
+    val streamed = spark.table("follower_full_out").collect().map(key).toSet
+    val e = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    val rgt = e.select($"event_id".as("r_id"), $"user_id".as("r_user"),
+      $"ts".as("r_ts"))
+    val batch = e.join(rgt,
+        $"user_id" === $"r_user" && $"r_ts" > $"ts" &&
+          $"r_ts" <= $"ts" + expr("INTERVAL 10 MINUTES"),
+        "full_outer")
+      .select($"event_id", $"r_id", $"event_type").collect().map(key).toSet
+    assert((streamed -- batch).isEmpty,
+      s"stream-only rows: ${(streamed -- batch).take(5)}")
+    assert((batch -- streamed).isEmpty,
+      s"batch-only rows (outer sets incomplete): ${(batch -- streamed).take(5)}")
+    // both null directions genuinely occur on this corpus
+    assert(streamed.exists(r => r._2 == -1L && r._1 != -1L), "no follower-less rows")
+    assert(streamed.exists(r => r._1 == -1L && r._2 != -1L), "no starter rows")
+  }
+
   test("T6 transformWithState running totals match the batch aggregate") {
     // transformWithState (Spark 4 arbitrary-state API) only runs on the
     // RocksDB state store; scope the provider to this query.
