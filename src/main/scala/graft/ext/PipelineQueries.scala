@@ -764,6 +764,97 @@ object PipelineQueries {
        |  CAST(SUM(CAST('0x' || substr(md5(scrubbed), 1, 12) AS BIGINT) % 1000000007) AS BIGINT) AS scrub_sum
        |FROM scrub GROUP BY source ORDER BY source""".stripMargin
 
+  // --- XP15: token-budget mixture assembly (downsample to target weights)
+
+  /** Global token budget for [[mixSample]] as a fraction of the corpus:
+    * B = total_tokens div MIX_DIV. */
+  private val MIX_DIV = 3L
+
+  /** Assemble a training mixture to explicit per-domain TARGET weights by
+    * deterministic downsampling — the "hit the target mix" op (DoReMi /
+    * Pile-style domain weights) and the complement of XP2's oversampler:
+    * XP2 replicates under-represented domains up to a budget; this cuts
+    * over-represented ones down to their share. Domain = `source`;
+    * weight w_s = 1 + (source ordinal mod 4) stands in for a learned
+    * weight table (at scale: a broadcast |domains|-row config relation).
+    * Source s receives b_s = B·w_s div Σw tokens of the global budget
+    * B = T div 3, and keeps its md5-ranked doc prefix: a doc survives iff
+    * the cumulative tokens BEFORE it are under b_s, so every funded
+    * domain keeps ≥1 doc and overshoot is bounded by one document (the
+    * classic take-until-crossed rule, exact and order-independent).
+    * Emits the per-domain audit — weight, funded budget, docs/tokens
+    * kept, and the signed budget delta (negative = domain exhausted its
+    * corpus under budget, the "not enough data at this weight" signal a
+    * mixture designer needs).
+    *
+    * Scale: one narrow scan computes per-doc tokens; per-domain totals
+    * and the weight table are a |domains|-row broadcast; the global
+    * budget is a single-row broadcast (accepted single-row-BNLJ class);
+    * the only corpus-wide exchange is ONE hash partition by domain for
+    * the rank/cumsum window — thousands of independent domains at 100 TB,
+    * no global sort. The kept set itself is the window's filtered output
+    * (here reduced to the audit so the oracle hash is small). */
+  def mixSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"source", $"doc_id", nTok("text").as("n_tok"),
+        (lit(1L) + substring($"source", 4, 10).cast("long") % 4L).as("w"))
+    val global = toks.agg(sum($"n_tok").as("t_total"))
+      .select(expr(s"t_total div $MIX_DIV").as("b_global"))
+    val sumw = toks.groupBy($"source").agg(first($"w").as("w"))
+      .agg(sum($"w").as("sum_w"))
+    val winRank = Window.partitionBy($"source")
+      .orderBy(md5(concat(lit("mix_"), $"doc_id".cast("string"))).asc,
+        $"doc_id".asc)
+    val ranked = toks
+      .withColumn("cum_before",
+        coalesce(sum($"n_tok").over(winRank.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(global))
+      .crossJoin(broadcast(sumw))
+      .withColumn("budget_toks", expr("(b_global * w) div sum_w"))
+    ranked
+      .groupBy($"source", $"w", $"budget_toks")
+      .agg(
+        sum(when($"cum_before" < $"budget_toks", 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when($"cum_before" < $"budget_toks", $"n_tok").otherwise(0L))
+          .as("toks_kept"))
+      .withColumn("budget_delta", $"toks_kept" - $"budget_toks")
+      .select($"source", $"w", $"budget_toks", $"n_kept", $"toks_kept",
+        $"budget_delta")
+      .orderBy($"source")
+  }
+
+  val mixSampleSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, doc_id, ${nTokSql("text")} AS n_tok,
+       |    1 + CAST(substr(source, 4) AS BIGINT) % 4 AS w
+       |  FROM documents),
+       |gtot AS (SELECT SUM(n_tok) // $MIX_DIV AS b_global FROM toks),
+       |sw AS (SELECT SUM(w) AS sum_w FROM
+       |  (SELECT source, MIN(w) AS w FROM toks GROUP BY 1)),
+       |ranked AS (
+       |  SELECT source, doc_id, n_tok, w,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY
+       |      md5('mix_' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before
+       |  FROM toks),
+       |funded AS (
+       |  SELECT r.source, r.w, r.n_tok, r.cum_before,
+       |    (g.b_global * r.w) // s.sum_w AS budget_toks
+       |  FROM ranked r CROSS JOIN gtot g CROSS JOIN sw s)
+       |SELECT source, CAST(w AS BIGINT) AS w,
+       |  CAST(budget_toks AS BIGINT) AS budget_toks,
+       |  CAST(SUM(CASE WHEN cum_before < budget_toks THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN cum_before < budget_toks THEN n_tok ELSE 0 END)
+       |    AS BIGINT) AS toks_kept,
+       |  CAST(SUM(CASE WHEN cum_before < budget_toks THEN n_tok ELSE 0 END)
+       |    - budget_toks AS BIGINT) AS budget_delta
+       |FROM funded GROUP BY source, w, budget_toks ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_span_scrub", spanScrub, Some(spanScrubSql),
       "XP13 C4-style corpus-level boilerplate span scrub with content checksum"),
@@ -781,6 +872,8 @@ object PipelineQueries {
       "XP1c the packing manifest: per-bin doc composition with exact-token offsets (what a loader reads)"),
     QueryDef("q_mix_weighted", mixWeighted, Some(mixWeightedSql),
       "XP2 mixture re-weighting: integer oversampling to a uniform lang budget"),
+    QueryDef("q_mix_sample", mixSample, Some(mixSampleSql),
+      "XP15 token-budget mixture assembly: md5-ranked downsample to target domain weights"),
     QueryDef("q_text_scrub", scrubDenylist, Some(scrubDenylistSql),
       "XP3 denylist token scrubbing with per-stratum impact audit"),
     QueryDef("q_quality_ntile", qualityNtile, Some(qualityNtileSql),

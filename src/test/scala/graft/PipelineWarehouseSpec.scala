@@ -443,6 +443,49 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(!hot(10).contains("ee"))
   }
 
+  test("XP15 mix sample: audit equals a local greedy-prefix replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .collect()
+    def nTok(t: String): Long = "\\S{1,4}".r.findAllIn(t).size.toLong
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = docs.map { case (src, id, t) => (src, id, nTok(t)) }
+    val total = toks.map(_._3).sum
+    val bGlobal = total / 3
+    def wOf(src: String) = 1L + src.drop(3).toLong % 4L
+    val sumW = toks.map(_._1).distinct.map(wOf).sum
+    val expect = toks.groupBy(_._1).map { case (src, rs) =>
+      val budget = bGlobal * wOf(src) / sumW
+      val ranked = rs.sortBy { case (_, id, _) => (md5hex(s"mix_$id"), id) }
+      var cum = 0L; var kept = 0L; var keptToks = 0L
+      ranked.foreach { case (_, _, n) =>
+        if (cum < budget) { kept += 1; keptToks += n }
+        cum += n
+      }
+      src -> (wOf(src), budget, kept, keptToks, keptToks - budget)
+    }
+    val got = PipelineQueries.mixSample(spark, sf).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (w, b, k, kt, d) = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) == ((w, b, k, kt, d)), s"row diverged: $r")
+    }
+    // every funded domain keeps >= 1 doc; positive overshoot is bounded
+    // by ONE document (the doc that crossed the budget)
+    got.filter(_.getLong(2) > 0).foreach { r =>
+      assert(r.getLong(3) >= 1L, s"funded domain kept nothing: $r")
+    }
+    val maxDoc = toks.map(_._3).max
+    got.foreach { r =>
+      assert(r.getLong(5) <= maxDoc, s"overshoot exceeds one doc: $r")
+    }
+    // the sampler actually cuts: total kept tokens well under the corpus
+    assert(got.map(_.getLong(4)).sum < total)
+  }
+
   test("M3 variant: typed VARIANT path agrees with string JSON path") {
     import spark.implicits._
     val viaVariant = WarehouseQueries.variantExtract(spark, sf).collect()
