@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -154,9 +154,200 @@ object RetrievalQueries {
        |ORDER BY phrase""".stripMargin
   }
 
+  // --- X4s: hybrid retrieval (lexical + dense, RRF fusion) ----------------
+
+  /** The hybrid query batch: each query is a (query doc id, keyword terms)
+    * pair — the dense arm searches with the query doc's own embedding
+    * (documents and embeddings share the id space), the lexical arm with
+    * its terms. Constant-size; at scale this is a broadcast
+    * (query_id, term) relation plus a broadcast query-vector batch. */
+  private val HYBRID: Seq[(Long, Seq[String])] = Seq(
+    3L -> Seq("vector", "spark"),
+    11L -> Seq("window", "data"),
+    17L -> Seq("hash", "join"))
+  private val ARM_K = 20
+  private val FUSE_K = 10
+  private val RRF_B = 60L
+  private val DIM = 64
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the retrieval shape a
+    * RAG stack actually serves: a sparse/lexical ranker (the X4i BM25
+    * aggregation, restricted per query to its term set) and a dense
+    * ranker (exact integer-quantized cosine against the query doc's
+    * embedding, the X3a arm) each produce a top-[[ARM_K]] list, fused by
+    * RRF with INTEGER reciprocal weights `1000000 div (B + rank)` — rank
+    * arithmetic only, so the fused score is bit-exact in any engine and
+    * summation-order-free (the classic RRF formula's 1/(60+r) doubles
+    * would be the only float in the pipeline; scaling to integer division
+    * keeps the whole query in BIGINT). Docs found by only one arm fuse
+    * with the missing arm contributing 0 (rank emitted as 0 = absent).
+    *
+    * Scale: both arms are per-query top-K bounded BEFORE the fusion join,
+    * so fusion touches ≤ 2·K rows per query regardless of corpus size.
+    * The lexical arm's tf stream is pruned by the term `isin` filter at
+    * the scan; the dense arm broadcasts the |queries| vectors and streams
+    * the corpus once; per-arm top-K is a bounded window per query id.
+    * Nothing in the plan is corpus×corpus. */
+  def hybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val allTerms = HYBRID.flatMap(_._2).distinct
+    val qterms = HYBRID.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("q_id", "tok")
+
+    // lexical arm: BM25 per query over its own term subset
+    val dl = docs.select($"doc_id", size(split($"text", " ")).cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter($"tok".isin(allTerms: _*))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val lexScored = tf
+      .join(broadcast(qterms), "tok")
+      .join(broadcast(df_), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .filter($"doc_id" =!= $"q_id")
+      .select($"q_id", $"doc_id",
+        (log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+          ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))).as("c"))
+      .groupBy($"q_id", $"doc_id")
+      .agg(round(sum($"c"), 5).as("score"))
+    val wLex = Window.partitionBy($"q_id").orderBy($"score".desc, $"doc_id".asc)
+    val lexTop = lexScored
+      .withColumn("lex_rnk", row_number().over(wLex).cast(LongType))
+      .filter($"lex_rnk" <= ARM_K)
+      .select($"q_id", $"doc_id", $"lex_rnk")
+
+    // dense arm: exact integer-quantized cosine (the X3a arithmetic)
+    def q6(x: Column): Column = floor(x.cast(DoubleType) * 1000000L)
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => q6(x)).as("qe"))
+      .select($"vec_id", $"qe",
+        graft.functions.LongArrayDot.longArrayDot($"qe", $"qe").as("nrm"))
+    val qvec = emb.filter($"vec_id".isin(HYBRID.map(_._1): _*))
+      .toDF("q_id", "q_emb", "q_nrm")
+    val denseScored = emb.join(broadcast(qvec), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("doc_id"),
+        (graft.functions.LongArrayDot.longArrayDot($"q_emb", $"qe")
+          .cast(DoubleType) /
+          (sqrt($"q_nrm".cast(DoubleType)) * sqrt($"nrm".cast(DoubleType))))
+          .as("cos_sim"))
+    val wVec = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"doc_id".asc)
+    val vecTop = denseScored
+      .withColumn("vec_rnk", row_number().over(wVec).cast(LongType))
+      .filter($"vec_rnk" <= ARM_K)
+      .select($"q_id", $"doc_id", $"vec_rnk")
+
+    // RRF fusion: integer reciprocal weights, absent arm contributes 0
+    val fused = lexTop.join(vecTop, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        expr(s"coalesce(1000000 div ($RRF_B + lex_rnk), 0)" +
+          s" + coalesce(1000000 div ($RRF_B + vec_rnk), 0)"))
+    val wFuse = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id".asc)
+    fused
+      .withColumn("rnk", row_number().over(wFuse).cast(LongType))
+      .filter($"rnk" <= FUSE_K)
+      .select($"q_id", $"rnk", $"doc_id", $"rrf",
+        coalesce($"lex_rnk", lit(0L)).as("lex_rnk"),
+        coalesce($"vec_rnk", lit(0L)).as("vec_rnk"))
+      .orderBy($"q_id", $"rnk")
+  }
+
+  val hybridRetrievalSql: String = {
+    val qtermRows = HYBRID.flatMap { case (q, ts) =>
+      ts.map(t => s"($q, '$t')")
+    }.mkString(", ")
+    val allTerms = HYBRID.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val qids = HYBRID.map(_._1).mkString(", ")
+    def q6Sql(x: String) = s"CAST(floor(CAST($x AS DOUBLE) * 1000000) AS BIGINT)"
+    s"""WITH qt(q_id, tok) AS (VALUES $qtermRows),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)
+       |  WHERE tok IN ($allTerms)
+       |  GROUP BY 1, 2),
+       |dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |lex_scored AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    round(SUM(
+       |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+       |      (tf * 2.2) /
+       |      (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 5) AS score
+       |  FROM tf
+       |  JOIN qt ON qt.tok = tf.tok
+       |  JOIN dfs ON dfs.tok = tf.tok
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  WHERE tf.doc_id <> qt.q_id
+       |  GROUP BY 1, 2),
+       |lex_top AS (
+       |  SELECT q_id, doc_id, lex_rnk FROM (
+       |    SELECT q_id, doc_id, CAST(row_number() OVER (
+       |      PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS BIGINT)
+       |      AS lex_rnk
+       |    FROM lex_scored)
+       |  WHERE lex_rnk <= $ARM_K),
+       |nrm AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(${q6Sql("embedding[i.g]")} * ${q6Sql("embedding[i.g]")})
+       |      AS BIGINT) AS nrm
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $DIM)) AS g) i
+       |  GROUP BY vec_id),
+       |dots AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id AS doc_id,
+       |    CAST(SUM(${q6Sql("q.embedding[i.g]")} * ${q6Sql("v.embedding[i.g]")})
+       |      AS BIGINT) AS dot
+       |  FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id,
+       |    (SELECT unnest(generate_series(1, $DIM)) AS g) i
+       |  WHERE q.vec_id IN ($qids)
+       |  GROUP BY 1, 2),
+       |vec_top AS (
+       |  SELECT q_id, doc_id, vec_rnk FROM (
+       |    SELECT q_id, dots.doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY
+       |        CAST(dot AS DOUBLE) / (sqrt(CAST(qn.nrm AS DOUBLE)) *
+       |          sqrt(CAST(vn.nrm AS DOUBLE))) DESC,
+       |        dots.doc_id ASC) AS BIGINT) AS vec_rnk
+       |    FROM dots
+       |    JOIN nrm qn ON dots.q_id = qn.vec_id
+       |    JOIN nrm vn ON dots.doc_id = vn.vec_id)
+       |  WHERE vec_rnk <= $ARM_K),
+       |fused AS (
+       |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(1000000 // ($RRF_B + l.lex_rnk), 0)
+       |      + COALESCE(1000000 // ($RRF_B + v.vec_rnk), 0) AS rrf,
+       |    COALESCE(l.lex_rnk, 0) AS lex_rnk,
+       |    COALESCE(v.vec_rnk, 0) AS vec_rnk
+       |  FROM lex_top l FULL OUTER JOIN vec_top v
+       |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+       |SELECT q_id, rnk, doc_id, rrf, lex_rnk, vec_rnk FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= $FUSE_K
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_text_bm25", textBm25, Some(textBm25Sql),
       "X4i BM25 ranked retrieval: filtered tf agg + broadcast corpus stats"),
     QueryDef("q_phrase_search", phraseSearch, Some(phraseSearchSql),
-      "X4j overlapping phrase occurrence census via narrow array-HOF scan"))
+      "X4j overlapping phrase occurrence census via narrow array-HOF scan"),
+    QueryDef("q_retrieval_hybrid", hybridRetrieval, Some(hybridRetrievalSql),
+      "X4s hybrid retrieval: BM25 + dense-cosine arms fused by integer RRF"))
 }

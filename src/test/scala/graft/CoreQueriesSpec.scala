@@ -378,6 +378,43 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("X4s hybrid RRF: fused score reconciles with the emitted arm ranks") {
+    import graft.ext.RetrievalQueries
+    val rows = RetrievalQueries.hybridRetrieval(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet === Set(3L, 11L, 17L))
+    byQ.foreach { case (q, rs) =>
+      // dense contiguous fused ranks, ordered by (rrf desc, doc_id asc)
+      assert(rs.map(_.getAs[Long]("rnk")).toSeq === (1L to rs.length.toLong))
+      val keys = rs.map(r => (-r.getAs[Long]("rrf"), r.getAs[Long]("doc_id")))
+      assert(keys.sameElements(keys.sorted), s"q=$q not RRF-ordered")
+      rs.foreach { r =>
+        val lex = r.getAs[Long]("lex_rnk")
+        val vec = r.getAs[Long]("vec_rnk")
+        // arm ranks are 0 (absent) or within the arm's top-K window
+        assert(lex >= 0 && lex <= 20 && vec >= 0 && vec <= 20)
+        assert(lex > 0 || vec > 0, s"row with no contributing arm: $r")
+        // the fused score IS the integer RRF of the emitted arm ranks
+        val exp = (if (lex > 0) 1000000L / (60 + lex) else 0L) +
+          (if (vec > 0) 1000000L / (60 + vec) else 0L)
+        assert(r.getAs[Long]("rrf") === exp, s"rrf mismatch: $r")
+        // the query doc never retrieves itself through either arm
+        assert(r.getAs[Long]("doc_id") !== q)
+      }
+    }
+    // a doc surfaced by BOTH arms must outrank one surfaced at the same
+    // single-arm rank: RRF(l, v) > RRF(l, absent) for any v
+    byQ.values.flatten.filter(r =>
+      r.getAs[Long]("lex_rnk") > 0 && r.getAs[Long]("vec_rnk") > 0)
+      .foreach { both =>
+        val single = byQ(both.getAs[Long]("q_id")).filter(r =>
+          r.getAs[Long]("lex_rnk") === both.getAs[Long]("lex_rnk") &&
+            r.getAs[Long]("vec_rnk") === 0L)
+        single.foreach(s =>
+          assert(both.getAs[Long]("rrf") > s.getAs[Long]("rrf")))
+      }
+  }
+
   test("ST4/B6: rolling z-score and cumulative reach match local recompute") {
     import graft.analytics.{BehaviorQueries, StatsQueries}
     val daily = Tables.events(spark, sf)
