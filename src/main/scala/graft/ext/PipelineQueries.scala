@@ -855,6 +855,76 @@ object PipelineQueries {
        |    - budget_toks AS BIGINT) AS budget_delta
        |FROM funded GROUP BY source, w, budget_toks ORDER BY source""".stripMargin
 
+  // --- XP16: deterministic epoch shuffle of the packed corpus -----------
+
+  /** The training-order permutation: each epoch reads the packed bins in
+    * a seeded md5 order — a different global interleaving of every
+    * (lang, source) stream per epoch, which is what breaks the
+    * within-stream ordering correlations a sequential reader would bake
+    * into training. The permutation is computed on the bin MANIFEST
+    * (|bins| rows, 4–5 orders of magnitude smaller than the corpus), so
+    * NO data moves: the loader just reads bins in manifest order, and a
+    * new epoch is a new manifest sort, not a corpus rewrite. Keying on
+    * md5(epoch, stream, bin) makes every epoch's order a deterministic
+    * pure function — reproducible across runs, engines, and cluster
+    * sizes, and auditable (this query IS the audit).
+    *
+    * Scale: bins come from the same single stream-key window as XP1; the
+    * per-epoch `row_number` is the one total-order op and it runs over
+    * manifest-sized input. Both epochs share one bin derivation. */
+  private val EPOCHS = Seq("ep0", "ep1")
+
+  def packShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"lang", $"source", $"doc_id", nTok("text").as("n_tok"))
+    val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bins = toks
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $PACK_BUDGET"))
+      .groupBy($"lang", $"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
+    val keyed = bins
+      .withColumn("epoch", explode(array(EPOCHS.map(lit): _*)))
+      .withColumn("shuf_key", md5(concat_ws("_",
+        $"epoch", $"lang", $"source", $"bin".cast("string"))))
+    val wPos = Window.partitionBy($"epoch")
+      .orderBy($"shuf_key".asc, $"lang".asc, $"source".asc, $"bin".asc)
+    keyed
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .select($"epoch", $"pos", $"lang", $"source", $"bin",
+        $"n_docs", $"bin_tokens")
+      .orderBy($"epoch", $"pos")
+  }
+
+  val packShuffleSql: String = {
+    val epochRows = EPOCHS.map(e => s"('$e')").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT lang, source, doc_id, ${nTokSql("text")} AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, source, doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM toks),
+       |bins AS (
+       |  SELECT lang, source, CAST(cum_before // $PACK_BUDGET AS BIGINT) AS bin,
+       |    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+       |  FROM c GROUP BY 1, 2, 3),
+       |ep(epoch) AS (VALUES $epochRows),
+       |keyed AS (
+       |  SELECT ep.epoch, b.lang, b.source, b.bin, b.n_docs, b.bin_tokens,
+       |    md5(concat_ws('_', ep.epoch, b.lang, b.source,
+       |      CAST(b.bin AS VARCHAR))) AS shuf_key
+       |  FROM bins b CROSS JOIN ep)
+       |SELECT epoch, CAST(row_number() OVER (PARTITION BY epoch ORDER BY
+       |    shuf_key ASC, lang ASC, source ASC, bin ASC) AS BIGINT) AS pos,
+       |  lang, source, bin, n_docs, bin_tokens
+       |FROM keyed
+       |ORDER BY epoch, pos""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_span_scrub", spanScrub, Some(spanScrubSql),
       "XP13 C4-style corpus-level boilerplate span scrub with content checksum"),
@@ -874,6 +944,8 @@ object PipelineQueries {
       "XP2 mixture re-weighting: integer oversampling to a uniform lang budget"),
     QueryDef("q_mix_sample", mixSample, Some(mixSampleSql),
       "XP15 token-budget mixture assembly: md5-ranked downsample to target domain weights"),
+    QueryDef("q_pack_shuffle", packShuffle, Some(packShuffleSql),
+      "XP16 seeded per-epoch training-order shuffle over the bin manifest (no data movement)"),
     QueryDef("q_text_scrub", scrubDenylist, Some(scrubDenylistSql),
       "XP3 denylist token scrubbing with per-stratum impact audit"),
     QueryDef("q_quality_ntile", qualityNtile, Some(qualityNtileSql),

@@ -486,6 +486,33 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(got.map(_.getLong(4)).sum < total)
   }
 
+  test("XP16 pack shuffle: each epoch is a distinct bijection over the bins") {
+    val rows = PipelineQueries.packShuffle(spark, sf).collect()
+    val byEpoch = rows.groupBy(_.getString(0))
+    assert(byEpoch.keySet == Set("ep0", "ep1"))
+    // same bin set in both epochs, each exactly once, dense positions
+    val binSets = byEpoch.view.mapValues(_.map(r =>
+      (r.getString(2), r.getString(3), r.getLong(4))).toSet).toMap
+    assert(binSets("ep0") == binSets("ep1"))
+    byEpoch.foreach { case (e, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length.toLong),
+        s"$e positions not a dense permutation")
+    }
+    // the epochs order the bins DIFFERENTLY (the point of reshuffling)
+    val orderOf = byEpoch.view.mapValues(_.sortBy(_.getLong(1)).map(r =>
+      (r.getString(2), r.getString(3), r.getLong(4))).toSeq).toMap
+    assert(orderOf("ep0") != orderOf("ep1"), "epoch orders identical")
+    // bins match the XP1 packer exactly (same derivation, same counts)
+    val packed = PipelineQueries.packSequences(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    byEpoch("ep0").foreach { r =>
+      val k = (r.getString(2), r.getString(3), r.getLong(4))
+      assert(packed(k) == ((r.getLong(5), r.getLong(6))),
+        s"bin census diverged from the packer: $k")
+    }
+  }
+
   test("M3 variant: typed VARIANT path agrees with string JSON path") {
     import spark.implicits._
     val viaVariant = WarehouseQueries.variantExtract(spark, sf).collect()
