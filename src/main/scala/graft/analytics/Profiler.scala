@@ -53,15 +53,37 @@ object Profiler {
         mn.as(s"${f.name}__min"), mx.as(s"${f.name}__max"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    // pass 2: melt → hash-dedup → per-column distinct counts
+    // pass 2: melt → hash-dedup → per-column distinct counts. The melt
+    // keeps each value in its NATIVE type family (long / double /
+    // string) instead of rendering everything to strings — the distinct
+    // count only needs injectivity WITHIN a column, which the identity
+    // mapping gives for free, and skipping ~N·|numeric cols| string
+    // allocations cuts the melt's dominant cost.
+    val nullL = lit(null).cast(LongType)
+    val nullD = lit(null).cast(DoubleType)
+    val nullS = lit(null).cast(StringType)
     val kvs = cols.map { f =>
-      struct(lit(f.name).as("c"), col(f.name).cast(StringType).as("v"))
+      val (vl, vd, vs) = f.dataType match {
+        case DoubleType => (nullL, col(f.name), nullS)
+        case FloatType => (nullL, col(f.name).cast(DoubleType), nullS)
+        case _: TimestampType | _: TimestampNTZType =>
+          (unix_micros(col(f.name).cast(TimestampType)), nullD, nullS)
+        case _: StringType => (nullL, nullD, col(f.name))
+        case _: NumericType | _: BooleanType =>
+          (col(f.name).cast(LongType), nullD, nullS)
+        case _ => (nullL, nullD, col(f.name).cast(StringType))
+      }
+      struct(lit(f.name).as("c"), vl.as("vl"), vd.as("vd"), vs.as("vs"))
     }
     val distincts = df
       .select(explode(array(kvs: _*)).as("kv"))
-      .select(col("kv.c").as("col_name"), col("kv.v").as("v"))
-      .where(col("v").isNotNull) // COUNT(DISTINCT) ignores nulls
-      .groupBy(col("col_name"), col("v")).agg(first(lit(1)))
+      .select(col("kv.c").as("col_name"),
+        col("kv.vl").as("vl"), col("kv.vd").as("vd"), col("kv.vs").as("vs"))
+      // COUNT(DISTINCT) ignores nulls: a null value has all three
+      // typed slots null
+      .where(col("vl").isNotNull || col("vd").isNotNull || col("vs").isNotNull)
+      .groupBy(col("col_name"), col("vl"), col("vd"), col("vs"))
+      .agg(first(lit(1)))
       .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
     val entries = cols.map { f =>
       struct(lit(f.name).as("col_name"),

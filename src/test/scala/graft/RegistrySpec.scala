@@ -150,7 +150,14 @@ class RegistrySpec extends AnyFunSuite {
       "q_sim_knn_filtered_audit",
       // single-row truth-count broadcast denominator over the survivor
       // truth — the q_ann_eval class
-      "q_ann_delete_eval")
+      "q_ann_delete_eval",
+      // single-row global-budget + |domains|-weight-sum broadcasts
+      // crossed onto the ranked scan — the accepted single-row class;
+      // the rank/cumsum window is a hash partition on the domain key
+      "q_mix_sample",
+      // the BM25 arm's single-row corpus-stats broadcast (the
+      // q_text_bm25 class); both arms and the fusion are equi-joins
+      "q_retrieval_hybrid")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
