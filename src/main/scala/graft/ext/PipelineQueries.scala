@@ -925,6 +925,124 @@ object PipelineQueries {
        |ORDER BY epoch, pos""".stripMargin
   }
 
+  // --- XP17: incremental (append-only) packing --------------------------
+
+  /** Pack ONLY a delta of new documents against the checkpointed packing
+    * STATE of the existing corpus — the daily-append form of XP1: at
+    * 100 TB the corpus is packed once and each day's arrivals must
+    * continue the layout without touching (or even reading) yesterday's
+    * bins. The per-stream state is two numbers — total packed tokens
+    * `t_packed` and the doc count of the last (possibly partial) bin —
+    * exactly what a production manifest checkpoint carries. A delta doc's
+    * placement is then pure arithmetic on the state + the delta-local
+    * cumsum: `bin = (t_packed + cum_delta_before) div budget`, `seq_pos`
+    * continues the shared boundary bin's count and restarts elsewhere.
+    * Because XP1's first-fit orders streams by doc_id, appending docs
+    * with larger ids NEVER perturbs existing bins — the incremental
+    * output equals a full repack restricted to the delta (the spec pins
+    * exactly that, row for row).
+    *
+    * The delta here is doc_id > 0.7·max (the oracle-mirrorable stand-in
+    * for "today's arrivals"); the state is derived from the retained
+    * corpus in one aggregate, standing in for a manifest read.
+    *
+    * Scale: the state relation is |streams| rows (broadcast); the delta
+    * is the only windowed input — the whole operator is O(delta), not
+    * O(corpus), which is the point. */
+  def packIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"lang", $"source", $"doc_id", nTok("text").as("n_tok"))
+    val thr = toks.agg(expr("max(doc_id) * 7 div 10").as("thr"))
+    val split = toks.crossJoin(broadcast(thr))
+    // checkpoint state per stream: packed token total + docs in the
+    // last (boundary) bin of the existing corpus
+    val corpus = split.filter($"doc_id" <= $"thr")
+    val wC = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy($"lang", $"source")
+    // one windowed pass + one aggregate: t_stream is the stream's total
+    // (constant per stream), so `bin == t_stream div budget` marks the
+    // docs sitting in the boundary (last, possibly partial) bin
+    val st = corpus
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(wC), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $PACK_BUDGET"))
+      .withColumn("t_stream", sum($"n_tok").over(wAll))
+      .groupBy($"lang", $"source")
+      .agg(max($"t_stream").as("t_packed"),
+        sum(when($"bin" === expr(s"t_stream div $PACK_BUDGET"), 1L)
+          .otherwise(0L)).as("n_last_bin"))
+    // delta placement: state + delta-local cumsum, O(delta) windowed work
+    val delta = split.filter($"doc_id" > $"thr")
+    val wD = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = delta
+      .withColumn("cum_d", coalesce(sum($"n_tok").over(wD), lit(0L)))
+      .join(broadcast(st), Seq("lang", "source"), "left")
+      .withColumn("t_packed", coalesce($"t_packed", lit(0L)))
+      .withColumn("n_last_bin", coalesce($"n_last_bin", lit(0L)))
+      .withColumn("cum_before", $"t_packed" + $"cum_d")
+      .withColumn("bin", expr(s"cum_before div $PACK_BUDGET"))
+      .withColumn("start_off", expr(s"cum_before % $PACK_BUDGET"))
+    placed
+      .withColumn("rn_bin", row_number().over(
+        Window.partitionBy($"lang", $"source", $"bin").orderBy($"doc_id"))
+        .cast("long"))
+      .withColumn("seq_pos",
+        when($"bin" === expr(s"t_packed div $PACK_BUDGET"),
+          $"rn_bin" + $"n_last_bin").otherwise($"rn_bin"))
+      .select($"lang", $"source", $"bin", $"seq_pos", $"doc_id",
+        $"n_tok", $"start_off")
+      .orderBy($"lang", $"source", $"bin", $"seq_pos")
+  }
+
+  val packIncrementalSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, source, doc_id, ${nTokSql("text")} AS n_tok
+       |  FROM documents),
+       |thr AS (SELECT MAX(doc_id) * 7 // 10 AS thr FROM toks),
+       |corpus AS (
+       |  SELECT t.lang, t.source, t.doc_id, t.n_tok,
+       |    COALESCE(SUM(t.n_tok) OVER (PARTITION BY t.lang, t.source
+       |      ORDER BY t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before
+       |  FROM toks t CROSS JOIN thr WHERE t.doc_id <= thr.thr),
+       |corpus2 AS (
+       |  SELECT lang, source, doc_id, n_tok, cum_before,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY lang, source) AS BIGINT)
+       |      AS t_stream
+       |  FROM corpus),
+       |st AS (
+       |  SELECT lang, source, CAST(MAX(t_stream) AS BIGINT) AS t_packed,
+       |    CAST(SUM(CASE WHEN cum_before // $PACK_BUDGET =
+       |      t_stream // $PACK_BUDGET THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_last_bin
+       |  FROM corpus2 GROUP BY 1, 2),
+       |delta AS (
+       |  SELECT t.lang, t.source, t.doc_id, t.n_tok,
+       |    COALESCE(SUM(t.n_tok) OVER (PARTITION BY t.lang, t.source
+       |      ORDER BY t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_d
+       |  FROM toks t CROSS JOIN thr WHERE t.doc_id > thr.thr),
+       |placed AS (
+       |  SELECT d.lang, d.source, d.doc_id, d.n_tok,
+       |    COALESCE(s.t_packed, 0) AS t_packed,
+       |    COALESCE(s.n_last_bin, 0) AS n_last_bin,
+       |    COALESCE(s.t_packed, 0) + d.cum_d AS cum_before
+       |  FROM delta d LEFT JOIN st s
+       |    ON d.lang = s.lang AND d.source = s.source)
+       |SELECT lang, source,
+       |  CAST(cum_before // $PACK_BUDGET AS BIGINT) AS bin,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY lang, source,
+       |      cum_before // $PACK_BUDGET ORDER BY doc_id)
+       |    + CASE WHEN cum_before // $PACK_BUDGET = t_packed // $PACK_BUDGET
+       |      THEN n_last_bin ELSE 0 END AS BIGINT) AS seq_pos,
+       |  doc_id, n_tok,
+       |  CAST(cum_before % $PACK_BUDGET AS BIGINT) AS start_off
+       |FROM placed
+       |ORDER BY lang, source, bin, seq_pos""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_span_scrub", spanScrub, Some(spanScrubSql),
       "XP13 C4-style corpus-level boilerplate span scrub with content checksum"),
@@ -946,6 +1064,8 @@ object PipelineQueries {
       "XP15 token-budget mixture assembly: md5-ranked downsample to target domain weights"),
     QueryDef("q_pack_shuffle", packShuffle, Some(packShuffleSql),
       "XP16 seeded per-epoch training-order shuffle over the bin manifest (no data movement)"),
+    QueryDef("q_pack_incremental", packIncremental, Some(packIncrementalSql),
+      "XP17 append-only incremental packing: delta placed by checkpoint state, O(delta) work"),
     QueryDef("q_text_scrub", scrubDenylist, Some(scrubDenylistSql),
       "XP3 denylist token scrubbing with per-stratum impact audit"),
     QueryDef("q_quality_ntile", qualityNtile, Some(qualityNtileSql),

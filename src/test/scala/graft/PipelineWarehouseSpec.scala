@@ -513,6 +513,42 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("XP17 incremental packing equals a full repack restricted to the delta") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"source", $"doc_id", $"text")
+      .as[(String, String, Long, String)].collect()
+    def nTok(t: String): Long = "\\S{1,4}".r.findAllIn(t).size.toLong
+    val thr = docs.map(_._3).max * 7 / 10
+    // full-repack manifest replay over the WHOLE corpus (the layout the
+    // incremental path must continue exactly)
+    val full = docs.groupBy(d => (d._1, d._2)).toSeq.flatMap { case ((l, src), ds) =>
+      var cum = 0L
+      val binPos = scala.collection.mutable.Map[Long, Long]()
+      ds.sortBy(_._3).map { case (_, _, id, t) =>
+        val n = nTok(t)
+        val bin = cum / 256L
+        val pos = binPos.getOrElse(bin, 0L) + 1
+        binPos(bin) = pos
+        val row = (l, src, bin, pos, id, n, cum % 256L)
+        cum += n
+        row
+      }
+    }.toSet
+    val expected = full.filter(_._5 > thr)
+    val got = PipelineQueries.packIncremental(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected,
+      s"incremental diverged from full repack: extra=${got -- expected} " +
+        s"missing=${expected -- got}")
+    // the delta must actually share a boundary bin with the corpus
+    // somewhere (otherwise the state-continuation path went untested)
+    val corpusBins = full.filter(_._5 <= thr).map(r => (r._1, r._2, r._3))
+    assert(got.exists(r => corpusBins.contains((r._1, r._2, r._3))),
+      "no delta doc landed in a corpus boundary bin at this SF")
+  }
+
   test("M3 variant: typed VARIANT path agrees with string JSON path") {
     import spark.implicits._
     val viaVariant = WarehouseQueries.variantExtract(spark, sf).collect()

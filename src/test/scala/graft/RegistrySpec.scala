@@ -157,7 +157,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_mix_sample",
       // the BM25 arm's single-row corpus-stats broadcast (the
       // q_text_bm25 class); both arms and the fusion are equi-joins
-      "q_retrieval_hybrid")
+      "q_retrieval_hybrid",
+      // single-row delta-threshold broadcast crossed onto the scan;
+      // the state join is a broadcast HASH equi-join on the stream key
+      "q_pack_incremental")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
