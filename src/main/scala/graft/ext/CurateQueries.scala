@@ -91,7 +91,140 @@ object CurateQueries {
        |  CAST(SUM(CASE WHEN verdict = 'kept' THEN token_cnt ELSE 0 END) AS BIGINT) AS kept_tokens
        |FROM verdicts GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // --- XC2: weak-label-distilled quality classifier ----------------------
+
+  /** Distill the rule-based quality gate into a LEARNED classifier and
+    * audit the distillation — the production quality-filter pattern (a
+    * fastText-style model trained on heuristic weak labels, then applied
+    * at corpus scale where the rules are too slow or too brittle).
+    *
+    * Model: multinomial naive Bayes over the document's tokens PLUS
+    * three injected feature pseudo-tokens (`__len_k`, `__punct_k`,
+    * `__stop_k` — the bucketed quantities the gate actually thresholds;
+    * without them a bag-of-words model cannot see length and the
+    * distillation caps at the base rate). Weights are INTEGER micro-logs
+    * — `w(t) = ⌊10⁶·ln((n₁+1)/(N₁+V))⌋ − ⌊10⁶·ln((n₀+1)/(N₀+V))⌋` —
+    * so the single libm call is quantized ONCE per vocab entry in the
+    * weight table, and the per-doc score Σ w(t) + bias is pure BIGINT:
+    * summation-order-free and engine-exact (the floor(·1e6) quantizer is
+    * the ANN tier's q6 discipline applied to log space).
+    *
+    * Output: the per-language distillation audit — rule/model pass
+    * counts, agreement, both-pass, agreement basis points. On this
+    * corpus the distilled model reconstructs the gate exactly
+    * (agree_bp = 10000), which the audit row states rather than assumes;
+    * the spec pins the confusion identity and a full local replay.
+    *
+    * Scale: training is one token-explode hash agg (vocab-sized output);
+    * totals and the prior are single-row broadcasts; scoring joins the
+    * token stream to the weight table on the token key (hash equi-join —
+    * a 100-TB corpus streams once) and reduces per doc. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toksArr = split($"text", " ")
+    val tokenCnt = size(toksArr).cast(LongType)
+    val punctCnt = (length($"text") -
+      length(regexp_replace($"text", "[.,!?;:]", ""))).cast(LongType)
+    val stopCnt = size(filter(toksArr, t =>
+      TextQueries.stopwords.map(w => t === w).reduce(_ || _))).cast(LongType)
+    val featArr = array(
+      concat(lit("__len_"), least(expr("tc div 10"), lit(20L)).cast("string")),
+      concat(lit("__punct_"), least(expr("(100 * pc) div tc"), lit(30L)).cast("string")),
+      concat(lit("__stop_"), least(expr("(100 * sc) div tc"), lit(20L)).cast("string")))
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"text",
+        TextQueries.qualityCol.cast(LongType).as("y"),
+        tokenCnt.as("tc"), punctCnt.as("pc"), stopCnt.as("sc"))
+    val toks = base.select($"doc_id", $"lang", $"y",
+      explode(concat(split($"text", " "), featArr)).as("tok"))
+    val cnt = toks.groupBy($"tok")
+      .agg(sum($"y").as("n1"), count(lit(1)).as("n"))
+    val tot = cnt.agg(sum($"n1").as("t1"), sum($"n" - $"n1").as("t0"),
+      count(lit(1)).as("v"))
+    val wts = cnt.crossJoin(broadcast(tot))
+      .select($"tok",
+        (floor(log(($"n1" + 1).cast(DoubleType) / ($"t1" + $"v")) * 1000000L)
+          - floor(log(($"n" - $"n1" + 1).cast(DoubleType) / ($"t0" + $"v")) * 1000000L))
+          .cast(LongType).as("w"))
+    val prior = base.agg(sum($"y").as("d1"), count(lit(1)).as("d"))
+      .select(floor(log(($"d1" + 1).cast(DoubleType) / ($"d" - $"d1" + 1))
+        * 1000000L).cast(LongType).as("bias"))
+    val scored = toks.join(wts, "tok")
+      .groupBy($"doc_id", $"lang", $"y")
+      .agg(sum($"w").as("s"))
+      .crossJoin(broadcast(prior))
+      .withColumn("m", ($"s" + $"bias" > 0).cast(LongType))
+    scored.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"y").as("n_rule_pass"),
+        sum($"m").as("n_model_pass"),
+        sum(($"y" === $"m").cast(LongType)).as("n_agree"),
+        sum(($"y" === 1L && $"m" === 1L).cast(LongType)).as("n_both_pass"))
+      .withColumn("agree_bp", expr("(10000 * n_agree) div n_docs"))
+      .orderBy($"lang")
+  }
+
+  val qualityClassifierSql: String = {
+    val stop = TextQueries.stopwords
+    val sw = stop.map(w => s"'$w'").mkString("[", ", ", "]")
+    val tc = "len(string_split(text, ' '))"
+    val pc = "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))"
+    val sc = s"len(list_filter(string_split(text, ' '), t -> list_contains($sw, t)))"
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text,
+       |    CASE WHEN ${TextQueries.qualityPredSql} THEN 1 ELSE 0 END AS y,
+       |    CAST($tc AS BIGINT) AS tc,
+       |    CAST($pc AS BIGINT) AS pc,
+       |    CAST($sc AS BIGINT) AS sc
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, lang, y, unnest(list_concat(string_split(text, ' '),
+       |    ['__len_' || CAST(LEAST(tc // 10, 20) AS VARCHAR),
+       |     '__punct_' || CAST(LEAST((100 * pc) // tc, 30) AS VARCHAR),
+       |     '__stop_' || CAST(LEAST((100 * sc) // tc, 20) AS VARCHAR)]))
+       |    AS tok
+       |  FROM base),
+       |cnt AS (
+       |  SELECT tok, CAST(SUM(y) AS BIGINT) AS n1,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM toks GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+       |    CAST(SUM(n - n1) AS BIGINT) AS t0,
+       |    CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM cnt),
+       |wts AS (
+       |  SELECT tok,
+       |    CAST(floor(ln(CAST(n1 + 1 AS DOUBLE) / (t1 + v)) * 1000000) AS BIGINT)
+       |      - CAST(floor(ln(CAST(n - n1 + 1 AS DOUBLE) / (t0 + v)) * 1000000) AS BIGINT)
+       |      AS w
+       |  FROM cnt CROSS JOIN tot),
+       |prior AS (
+       |  SELECT CAST(floor(ln(CAST(SUM(y) + 1 AS DOUBLE)
+       |    / (COUNT(*) - SUM(y) + 1)) * 1000000) AS BIGINT) AS bias
+       |  FROM base),
+       |scored AS (
+       |  SELECT t.doc_id, t.lang, t.y, CAST(SUM(w.w) AS BIGINT) AS s
+       |  FROM toks t JOIN wts w USING (tok)
+       |  GROUP BY 1, 2, 3),
+       |cls AS (
+       |  SELECT lang, y,
+       |    CASE WHEN s + (SELECT bias FROM prior) > 0 THEN 1 ELSE 0 END AS m
+       |  FROM scored)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(y) AS BIGINT) AS n_rule_pass,
+       |  CAST(SUM(m) AS BIGINT) AS n_model_pass,
+       |  CAST(SUM(CASE WHEN y = m THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN y = 1 AND m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_both_pass,
+       |  (10000 * CAST(SUM(CASE WHEN y = m THEN 1 ELSE 0 END) AS BIGINT))
+       |    // COUNT(*) AS agree_bp
+       |FROM cls GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_pipeline_curate", curate, Some(curateSql),
-      "composed curation pipeline: quality -> exact dedup -> near-dup, stage-attributed"))
+      "composed curation pipeline: quality -> exact dedup -> near-dup, stage-attributed"),
+    QueryDef("q_quality_classifier", qualityClassifier, Some(qualityClassifierSql),
+      "XC2 weak-label-distilled integer token-weight quality classifier with agreement audit"))
 }

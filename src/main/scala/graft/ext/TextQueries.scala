@@ -14,8 +14,8 @@ import org.apache.spark.sql.types._
   */
 object TextQueries {
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
-  private def inList(v: String, xs: Seq[String]): String =
+  private[ext] val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[ext] def inList(v: String, xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString(s"$v IN (", ", ", ")")
 
   /** Per-doc quality predicate over a `text` column — token-count bounds,

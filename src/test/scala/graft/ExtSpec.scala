@@ -116,6 +116,69 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_kept")).sum > 0)
   }
 
+  test("XC2 quality classifier: audit equals a full local NB replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    def featsOf(text: String): (Seq[String], Long) = {
+      val toks = text.split(" ", -1).toSeq
+      val tc = toks.length.toLong
+      val pc = text.count(c => ".,!?;:".contains(c)).toLong
+      val sc = toks.count(stop).toLong
+      val y = if (tc >= 10 && tc <= 1000 && pc.toDouble / tc < 0.2 &&
+        sc.toDouble / tc >= 0.01) 1L else 0L
+      val fs = toks ++ Seq(
+        s"__len_${math.min(tc / 10, 20L)}",
+        s"__punct_${math.min(100 * pc / tc, 30L)}",
+        s"__stop_${math.min(100 * sc / tc, 20L)}")
+      (fs, y)
+    }
+    val perDoc = docs.map { case (id, l, t) =>
+      val (fs, y) = featsOf(t); (id, l, fs, y)
+    }
+    val cnt = scala.collection.mutable.Map[String, (Long, Long)]()
+    perDoc.foreach { case (_, _, fs, y) =>
+      fs.foreach { t =>
+        val (n1, n) = cnt.getOrElse(t, (0L, 0L))
+        cnt(t) = (n1 + y, n + 1)
+      }
+    }
+    val t1 = cnt.values.map(_._1).sum
+    val t0 = cnt.values.map(v => v._2 - v._1).sum
+    val v = cnt.size.toLong
+    def w(t: String): Long = {
+      val (n1, n) = cnt(t)
+      math.floor(math.log((n1 + 1).toDouble / (t1 + v)) * 1e6).toLong -
+        math.floor(math.log((n - n1 + 1).toDouble / (t0 + v)) * 1e6).toLong
+    }
+    val d1 = perDoc.count(_._4 == 1L).toLong
+    val d = perDoc.length.toLong
+    val bias = math.floor(math.log((d1 + 1).toDouble / (d - d1 + 1)) * 1e6).toLong
+    val expect = perDoc.groupBy(_._2).map { case (l, ds) =>
+      val rows = ds.map { case (_, _, fs, y) =>
+        val m = if (fs.map(w).sum + bias > 0) 1L else 0L
+        (y, m)
+      }
+      val n = rows.length.toLong
+      val agree = rows.count(r => r._1 == r._2).toLong
+      l -> (n, rows.map(_._1).sum, rows.map(_._2).sum, agree,
+        rows.count(r => r._1 == 1L && r._2 == 1L).toLong, 10000L * agree / n)
+    }
+    val got = CurateQueries.qualityClassifier(spark, sf).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val e = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) == e, s"diverged for ${r.getString(0)}")
+      // confusion identity: agree = n - rule - model + 2*both
+      assert(r.getLong(4) === r.getLong(1) - r.getLong(2) - r.getLong(3)
+        + 2 * r.getLong(5))
+    }
+    // the weak label has both classes at this SF (the training is real)
+    assert(d1 > 0 && d1 < d)
+  }
+
   test("SQ8 ANN: exact scores, candidates from the code scan, high recall") {
     val sq8 = SimilarityQueries.knnSq8(spark, sf).collect()
     val brute = SimilarityQueries.knnBrute(spark, sf).collect()

@@ -160,7 +160,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_retrieval_hybrid",
       // single-row delta-threshold broadcast crossed onto the scan;
       // the state join is a broadcast HASH equi-join on the stream key
-      "q_pack_incremental")
+      "q_pack_incremental",
+      // single-row vocab-totals + prior broadcasts (the training
+      // normalizers); the weight lookup is a hash equi-join on token
+      "q_quality_classifier")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
