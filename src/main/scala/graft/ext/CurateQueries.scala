@@ -119,8 +119,12 @@ object CurateQueries {
     * totals and the prior are single-row broadcasts; scoring joins the
     * token stream to the weight table on the token key (hash equi-join —
     * a 100-TB corpus streams once) and reduces per doc. */
-  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Featurized token stream for the XC2 classifier: the document's own
+    * tokens plus the three bucketed feature pseudo-tokens, with the weak
+    * label `y` carried per row. Shared by training, batch scoring, and
+    * the streaming scoring twin. */
+  private[graft] def nbFeatures(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val toksArr = split($"text", " ")
     val tokenCnt = size(toksArr).cast(LongType)
     val punctCnt = (length($"text") -
@@ -131,12 +135,27 @@ object CurateQueries {
       concat(lit("__len_"), least(expr("tc div 10"), lit(20L)).cast("string")),
       concat(lit("__punct_"), least(expr("(100 * pc) div tc"), lit(30L)).cast("string")),
       concat(lit("__stop_"), least(expr("(100 * sc) div tc"), lit(20L)).cast("string")))
-    val base = Tables.documents(s, dir)
+    docs
       .select($"doc_id", $"lang", $"text",
         TextQueries.qualityCol.cast(LongType).as("y"),
         tokenCnt.as("tc"), punctCnt.as("pc"), stopCnt.as("sc"))
-    val toks = base.select($"doc_id", $"lang", $"y",
-      explode(concat(split($"text", " "), featArr)).as("tok"))
+      .select($"doc_id", $"lang", $"y",
+        explode(concat(split($"text", " "), featArr)).as("tok"))
+  }
+
+  /** Bias row key inside the trained model table — the model ships as ONE
+    * relation (token → weight, plus this row), which is what makes it a
+    * single [[graft.sources.ArtifactStore]] artifact. Underscore-prefixed
+    * names cannot collide with corpus tokens split on spaces... but
+    * `__len_k` et al ARE such names, so the bias key gets its own prefix. */
+  private[graft] val BiasKey = "__model_bias__"
+
+  /** Train the XC2 model: integer micro-log NB weights per token plus the
+    * prior bias row under [[BiasKey]]. Vocab-sized output — an
+    * index-sized artifact, not corpus-sized. */
+  private[graft] def nbTrain(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = nbFeatures(docs)
     val cnt = toks.groupBy($"tok")
       .agg(sum($"y").as("n1"), count(lit(1)).as("n"))
     val tot = cnt.agg(sum($"n1").as("t1"), sum($"n" - $"n1").as("t0"),
@@ -146,15 +165,36 @@ object CurateQueries {
         (floor(log(($"n1" + 1).cast(DoubleType) / ($"t1" + $"v")) * 1000000L)
           - floor(log(($"n" - $"n1" + 1).cast(DoubleType) / ($"t0" + $"v")) * 1000000L))
           .cast(LongType).as("w"))
-    val prior = base.agg(sum($"y").as("d1"), count(lit(1)).as("d"))
-      .select(floor(log(($"d1" + 1).cast(DoubleType) / ($"d" - $"d1" + 1))
-        * 1000000L).cast(LongType).as("bias"))
-    val scored = toks.join(wts, "tok")
+    val prior = docs
+      .select(TextQueries.qualityCol.cast(LongType).as("y"))
+      .agg(sum($"y").as("d1"), count(lit(1)).as("d"))
+      .select(lit(BiasKey).as("tok"),
+        floor(log(($"d1" + 1).cast(DoubleType) / ($"d" - $"d1" + 1))
+          * 1000000L).cast(LongType).as("w"))
+    wts.unionByName(prior)
+  }
+
+  /** Score documents against a TRAINED model relation (in deployment:
+    * `ArtifactStore.load`-ed — the streaming twin re-resolves it per
+    * micro-batch). Emits (doc_id, lang, y, s, m); stateless beyond the
+    * per-doc reduce, so stream == batch row-for-row. */
+  private[graft] def nbScore(docs: DataFrame, model: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bias = model.filter($"tok" === BiasKey)
+      .select($"w".as("bias"))
+    val wts = model.filter($"tok" =!= BiasKey)
+    nbFeatures(docs).join(wts, "tok")
       .groupBy($"doc_id", $"lang", $"y")
       .agg(sum($"w").as("s"))
-      .crossJoin(broadcast(prior))
+      .crossJoin(broadcast(bias))
       .withColumn("m", ($"s" + $"bias" > 0).cast(LongType))
-    scored.groupBy($"lang")
+      .select($"doc_id", $"lang", $"y", $"s", $"m")
+  }
+
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    nbScore(docs, nbTrain(docs)).groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum($"y").as("n_rule_pass"),
         sum($"m").as("n_model_pass"),

@@ -468,6 +468,20 @@ object StreamJobs {
       vocab: DataFrame): DataFrame =
     graft.ext.TextQueries.tokenIdsOf(docs, merges, vocab)
 
+  /** XC2 streaming twin — score an unbounded document feed against the
+    * TRAINED quality-classifier model (one weight relation including its
+    * [[graft.ext.CurateQueries.BiasKey]] bias row) as the static side:
+    * the "train once on weak labels, gate the feed forever" deployment
+    * of the distilled quality filter. Featurization is a pure per-row
+    * map; the weight lookup is a broadcast-able equi-join; the per-doc
+    * score reduce is why this transform runs inside `foreachBatch` (each
+    * micro-batch is a complete batch relation — the artifact-refresh
+    * shape, where the model is re-`ArtifactStore.load`-ed per batch and
+    * a re-trained filter applies without restart). ArtifactSpec pins the
+    * stream off the LOADED model == the in-session batch scorer. */
+  def qualityScoreStream(docs: DataFrame, model: DataFrame): DataFrame =
+    graft.ext.CurateQueries.nbScore(docs, model)
+
   def followerJoin(events: DataFrame): DataFrame = {
     val left = events
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))

@@ -268,4 +268,38 @@ class ArtifactSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaStore === batch)
   }
+
+  test("quality model off the LOADED artifact scores a stream equal to batch") {
+    import graft.ext.CurateQueries
+    // the distilled-filter deployment: train on weak labels, SHIP the one
+    // weight relation (bias row included), gate the document feed off the
+    // loaded copy via per-batch foreachBatch reload
+    val root = Files.createTempDirectory("graft-artifacts-q").toString
+    val docs = Tables.documents(spark, sf)
+    assert(ArtifactStore.save(CurateQueries.nbTrain(docs), root, "quality_nb") === 1)
+    val tmp = Files.createTempDirectory("graft-qdoc-stream").toString
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(tmp)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(tmp)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Long)]()
+    val q = StreamJobs.docsStream(spark, tmp, maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val model = ArtifactStore.load(spark, root, "quality_nb")
+        out.synchronized {
+          out ++= StreamJobs.qualityScoreStream(batch, model).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+              r.getLong(3), r.getLong(4)))
+        }
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val batchRows = CurateQueries.nbScore(docs, CurateQueries.nbTrain(docs))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out.toSet === batchRows,
+      "stream scoring off the loaded model diverged from batch")
+    assert(out.size === batchRows.size)
+  }
 }

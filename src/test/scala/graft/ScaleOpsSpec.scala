@@ -234,6 +234,42 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected the second aggregate consumer to reuse the first's shuffle:\n$plan")
   }
 
+  test("parquet answers MIN/MAX/COUNT from footers (aggregate pushdown)") {
+    // the ninth optimizer-evidence leg: an unfiltered MIN/MAX/COUNT over
+    // a parquet table must be answered from row-group STATISTICS, not a
+    // data scan — at 100 TB that is the difference between touching
+    // every page of the fact table and reading a few thousand footers.
+    // Pushdown requires the DSv2 parquet reader, so the v1 fallback list
+    // is cleared for this test only (and restored).
+    val conf = spark.conf
+    val prevV1 = conf.get("spark.sql.sources.useV1SourceList")
+    val prevAgg = conf.getOption("spark.sql.parquet.aggregatePushdown")
+    try {
+      conf.set("spark.sql.sources.useV1SourceList", "")
+      conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val df = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(min($"l_extendedprice").as("mn"),
+          max($"l_extendedprice").as("mx"),
+          count(lit(1)).as("n"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MIN(l_extendedprice), " +
+        "MAX(l_extendedprice), COUNT(*)]"),
+        s"expected the aggregate pushed into the parquet scan:\n$plan")
+      // and the pushed answer must agree with the executed v1 path
+      val viaV1 = Tables.lineitem(spark, sf)
+        .agg(min($"l_extendedprice"), max($"l_extendedprice"), count(lit(1)))
+        .head()
+      assert(df.head() === viaV1)
+    } finally {
+      conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      prevAgg match {
+        case Some(v) => conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None => conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+    }
+  }
+
   test("AQE splits a runtime-skewed sort-merge join partition") {
     // the UNPLANNED-skew leg, complementing q_join_salted (which handles
     // skew known ahead of time): one synthetic hot key dominates the left
