@@ -761,9 +761,12 @@ object MultimodalQueries {
     * Scale: same shape as the dims census — synthesis stands in for a
     * binary parquet column; decode + hash are the narrow batched
     * mapPartitions map; zero shuffle before the presentation sort. */
-  def mediaPhashRaster(s: SparkSession, dir: String): DataFrame = {
+  /** Decoded-raster dHashes for docs with id < n — the mixed
+    * BMP/PNG/GIF fixture synthesis + real container decode shared by the
+    * phash census (n = 60) and the near-dup hash join (n = 120). */
+  private def rasterHashes(s: SparkSession, dir: String, n: Long): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, dir).filter($"doc_id" < 60)
+    val media = Tables.documents(s, dir).filter($"doc_id" < n)
       .select($"doc_id").as[Long]
       .map { id =>
         val w = 16 + (id % 7).toInt * 3
@@ -783,14 +786,20 @@ object MultimodalQueries {
         RasterHash(id, g(0).length, g.length, hash >>> 32, hash & 0xffffffffL)
       }
     }.toDF()
-      .orderBy($"doc_id")
+  }
+
+  def mediaPhashRaster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rasterHashes(s, dir, 60L).orderBy($"doc_id")
   }
 
   /** Oracle: the dHash bit condition as formula. Pixel (x, y) of doc d is
     * (x·7 + y·13 + d·31) mod 256 (gray in all channels ⇒ BT.601 luminance
     * is the value itself); sample x_i = i·w div 9, y_j = j·h div 8; bit
     * j·8+i set iff the sampled value outranks its right neighbor. */
-  val mediaPhashRasterSql: String = {
+  /** DuckDB restatement of the per-doc raster dHash (generation +
+    * sampling + comparison as pure formula) for docs with id < n. */
+  private def rasterHashesSql(n: Long): String = {
     val w = "(16 + (doc_id % 7) * 3)"
     val h = "(9 + (doc_id % 5) * 2)"
     def vAt(xExpr: String) =
@@ -803,8 +812,94 @@ object MultimodalQueries {
        |  CAST($h AS INTEGER) AS height,
        |  CAST(list_sum(list_transform(range(32, 64), k -> $bit)) AS BIGINT) AS dhash_hi,
        |  CAST(list_sum(list_transform(range(0, 32), k -> $bit)) AS BIGINT) AS dhash_lo
-       |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
+       |FROM documents WHERE doc_id < $n""".stripMargin
   }
+
+  val mediaPhashRasterSql: String =
+    rasterHashesSql(60L) + "\nORDER BY doc_id"
+
+  /** Max Hamming distance for [[mediaNearDup]] and its band count. With
+    * T < BANDS the multi-index scheme is EXACT by pigeonhole: ≤T
+    * differing bits spread over 4 disjoint 16-bit bands leave at least
+    * one band identical, so every qualifying pair shares a bucket. */
+  private val NEARDUP_N = 120L
+  private val NEARDUP_T = 3L
+
+  /** IMAGE near-dup detection over decoded rasters — the multimodal
+    * completion of the X2 text-dedup family: every image pipeline dedups
+    * by perceptual-hash distance, and the scalable form is multi-index
+    * hashing (band the 64-bit dHash into 4 disjoint 16-bit keys; any two
+    * hashes within Hamming ≤ [[NEARDUP_T]] MUST collide on ≥1 band by
+    * pigeonhole, so candidates come only from equi-join buckets — never
+    * an all-pairs scan — and recall is exactly 1, not probabilistic).
+    * Candidates then verify by exact popcount on the hi/lo halves.
+    * Output: the per-distance pair census (d = 0 are hash-identical
+    * images, the exact-dup tier; 1..T the near-dups).
+    *
+    * The corpus is the raster-fixture family (BMP/PNG/GIF rotate, real
+    * container decode), widened to 120 docs so band buckets genuinely
+    * collide across size classes.
+    *
+    * Scale: band explode is ×4 narrow; the self-join is an equi-join on
+    * (band, value) — bucket sizes are the 1/65536 hash marginals (skew
+    * capped the X2 way if a degenerate corpus concentrates a bucket);
+    * verification is O(candidates) integer popcounts. */
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = rasterHashes(s, dir, NEARDUP_N)
+      .select($"doc_id", $"dhash_hi", $"dhash_lo")
+    val bandCols = Seq(
+      (0, $"dhash_lo".bitwiseAND(lit(65535L))),
+      (1, shiftright($"dhash_lo", 16).bitwiseAND(lit(65535L))),
+      (2, $"dhash_hi".bitwiseAND(lit(65535L))),
+      (3, shiftright($"dhash_hi", 16).bitwiseAND(lit(65535L))))
+    val banded = h.select($"doc_id", $"dhash_hi", $"dhash_lo",
+      explode(array(bandCols.map { case (i, c) =>
+        struct(lit(i).as("band"), c.as("bv"))
+      }: _*)).as("b"))
+      .select($"doc_id", $"dhash_hi", $"dhash_lo", $"b.band", $"b.bv")
+    val a = banded.toDF("a_id", "a_hi", "a_lo", "band", "bv")
+    val bb = banded.toDF("b_id", "b_hi", "b_lo", "band", "bv")
+    val cands = a.join(bb, Seq("band", "bv"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"a_hi", $"a_lo", $"b_hi", $"b_lo")
+      .distinct()
+    cands
+      .withColumn("hamming",
+        (bit_count($"a_hi".bitwiseXOR($"b_hi"))
+          + bit_count($"a_lo".bitwiseXOR($"b_lo"))).cast("long"))
+      .filter($"hamming" <= NEARDUP_T)
+      .groupBy($"hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        min($"a_id").as("min_a"), max($"b_id").as("max_b"))
+      .orderBy($"hamming")
+  }
+
+  val mediaNearDupSql: String =
+    s"""WITH hashes AS (
+       |${rasterHashesSql(NEARDUP_N)}),
+       |banded AS (
+       |  SELECT doc_id, dhash_hi, dhash_lo, b.band,
+       |    CASE b.band WHEN 0 THEN dhash_lo & 65535
+       |      WHEN 1 THEN (dhash_lo >> 16) & 65535
+       |      WHEN 2 THEN dhash_hi & 65535
+       |      ELSE (dhash_hi >> 16) & 65535 END AS bv
+       |  FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.dhash_hi AS a_hi, a.dhash_lo AS a_lo,
+       |    b.dhash_hi AS b_hi, b.dhash_lo AS b_lo
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT a_id, b_id,
+       |    CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo))
+       |      AS BIGINT) AS hamming
+       |  FROM cands)
+       |SELECT hamming, COUNT(*) AS n_pairs,
+       |  MIN(a_id) AS min_a, MAX(b_id) AS max_b
+       |FROM pairs WHERE hamming <= $NEARDUP_T
+       |GROUP BY 1 ORDER BY hamming""".stripMargin
 
   /** Resize over REAL PIXELS — the second honest raster op: the same
     * BMP/PNG/GIF mixed-container payloads decode through
@@ -1004,6 +1099,8 @@ object MultimodalQueries {
       "NN thumbnail over REAL decoded BMP+PNG rasters: 4x4 downsample, packed gray bytes + mean"),
     QueryDef("q_multimodal_phash_raster", mediaPhashRaster, Some(mediaPhashRasterSql),
       "dHash over REAL decoded rasters, BMP byte-parse + PNG ImageIO inflate: pixel-exact + 9x8 gradient hash"),
+    QueryDef("q_multimodal_neardup", mediaNearDup, Some(mediaNearDupSql),
+      "image near-dup join: multi-index dHash banding (exact by pigeonhole) + popcount verify"),
     QueryDef("q_multimodal_dims", mediaDims, Some(mediaDimsSql),
       "real-format dims census: PNG IHDR/BMP/GIF fixed offsets + JPEG SOFn scan over spec-built fixtures"),
     QueryDef("q_multimodal_phash", mediaPhash, Some(mediaPhashSql),

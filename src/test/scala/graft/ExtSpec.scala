@@ -116,6 +116,44 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_kept")).sum > 0)
   }
 
+  test("image near-dup: banded join census equals brute-force all-pairs") {
+    import graft.ext.MultimodalQueries
+    // local brute truth from the pixel formula (the oracle's restatement):
+    // every pair within Hamming <= 3 must be found — the pigeonhole
+    // exactness claim, checked against a path with no banding at all
+    def dhashOf(id: Long): Long = {
+      val w = 16 + (id % 7).toInt * 3
+      val h = 9 + (id % 5).toInt * 2
+      def v(x: Int, y: Int) = (x * 7 + y * 13 + id.toInt * 31) % 256
+      var bits = 0L
+      for (j <- 0 until 8; i <- 0 until 8) {
+        val y = j * h / 8
+        if (v(i * w / 9, y) > v((i + 1) * w / 9, y))
+          bits |= 1L << (j * 8 + i)
+      }
+      bits
+    }
+    val hs = (0L until 120L).map(id => id -> dhashOf(id)).toMap
+    val brute = (for {
+      a <- 0L until 120L; b <- (a + 1) until 120L
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b))
+      if d <= 3
+    } yield (d.toLong, a, b)).toSeq
+    val expect = brute.groupBy(_._1).map { case (d, ps) =>
+      d -> (ps.length.toLong, ps.map(_._2).min, ps.map(_._3).max)
+    }
+    val got = MultimodalQueries.mediaNearDup(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      assert(expect(r.getLong(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3))),
+        s"distance ${r.getLong(0)} census diverged from brute force")
+    }
+    // the fixture family must exercise both tiers: hash-identical images
+    // (d = 0, the exact tier) AND true near-dups (0 < d <= 3)
+    assert(expect.contains(0L) && expect.keySet.exists(d => d > 0L))
+  }
+
   test("XC2 quality classifier: audit equals a full local NB replay") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
