@@ -468,6 +468,49 @@ object StreamJobs {
       vocab: DataFrame): DataFrame =
     graft.ext.TextQueries.tokenIdsOf(docs, merges, vocab)
 
+  /** XP17 streaming twin — pack an unbounded APPEND-ONLY document feed
+    * into training bins, carrying exactly the checkpoint state the batch
+    * incremental packer ([[graft.ext.PipelineQueries.packIncremental]])
+    * reconstructs from the manifest: per (lang, source) stream, the
+    * packed-token total plus the current bin's doc count — O(1) state
+    * per stream, never O(corpus). Each arriving doc's placement is pure
+    * arithmetic on that state (`bin = t div budget`, seq_pos continues
+    * the current bin or restarts), so the stream emits manifest rows
+    * identical to a batch first-fit over the whole corpus — pinned in
+    * StreamingSpec against a local full replay across a 2-batch split.
+    * Docs are sorted by doc_id within each micro-batch group; ACROSS
+    * batches the feed must be append-only in doc_id per stream (the same
+    * monotonicity the batch incremental path assumes — a late lower id
+    * would belong to an already-sealed bin in any packer). */
+  def packStream(docs: DataFrame): Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    val budget = 256L
+    docs.select(col("lang"), col("source"), col("doc_id"),
+        regexp_count(col("text"), lit("\\S{1,4}")).cast("long").as("n_tok"))
+      .as[PackIn]
+      .groupByKey(d => (d.lang, d.source))
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((lang, source), it, state) =>
+          val st0 = state.getOption.getOrElse(PackState(0L, 0L, 0L))
+          var t = st0.tPacked
+          var lastBin = st0.lastBin
+          var lastCount = st0.lastCount
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            val bin = t / budget
+            val pos = if (bin == lastBin && lastCount > 0) lastCount + 1 else 1L
+            val row = PackOut(lang, source, bin, pos, d.doc_id, d.n_tok,
+              t % budget)
+            lastBin = bin
+            lastCount = pos
+            t += d.n_tok
+            row
+          }
+          state.update(PackState(t, lastBin, lastCount))
+          out.iterator
+      }
+  }
+
   /** XC2 streaming twin — score an unbounded document feed against the
     * TRAINED quality-classifier model (one weight relation including its
     * [[graft.ext.CurateQueries.BiasKey]] bias row) as the static side:
@@ -561,6 +604,19 @@ final case class ScoredDoc(lang: String, doc_id: Long, n_tok: Long, score: Doubl
   * top-k entries plus a monotone seen-counter (lets the test identify each
   * key's final emission without timestamps). */
 final case class ReservoirState(top: List[ScoredDoc], seen: Long)
+
+/** One tokenized document entering [[StreamJobs.packStream]]. */
+final case class PackIn(lang: String, source: String, doc_id: Long, n_tok: Long)
+
+/** Packer checkpoint state per (lang, source) stream — the SAME two-ish
+  * numbers the batch incremental packer derives from yesterday's
+  * manifest: packed-token total, current bin id, and its doc count. */
+final case class PackState(tPacked: Long, lastBin: Long, lastCount: Long)
+
+/** One packing-manifest row as emitted by [[StreamJobs.packStream]]. */
+final case class PackOut(
+    lang: String, source: String, bin: Long, seq_pos: Long, doc_id: Long,
+    n_tok: Long, start_off: Long)
 
 /** One reservoir row as emitted per micro-batch. */
 final case class ReservoirOut(

@@ -70,6 +70,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch, "stream token ids diverged from batch")
   }
 
+  test("XP17 streaming packer equals a batch first-fit over the whole corpus") {
+    import graft.streaming.StreamJobs
+    val tmp = Files.createTempDirectory("graft-pack-stream").toString
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"source", $"doc_id", $"text")
+    // append-only split: the second batch's doc_ids are all LARGER —
+    // the monotonicity the incremental state machine assumes
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val cut = ids(ids.length / 2)
+    docs.filter($"doc_id" <= cut).coalesce(1).write.mode("append").parquet(tmp)
+    Thread.sleep(1100) // distinct mtimes => deterministic file order
+    docs.filter($"doc_id" > cut).coalesce(1).write.mode("append").parquet(tmp)
+    val q = StreamJobs.packStream(
+        StreamJobs.docsStream(spark, tmp, maxFilesPerTrigger = Some(1)))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pack_stream_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("pack_stream_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    // batch truth: local first-fit replay over the full corpus in doc_id
+    // order (the XP1/XP17 manifest semantics)
+    def nTok(t: String): Long = "\\S{1,4}".r.findAllIn(t).size.toLong
+    val all = docs.as[(String, String, Long, String)].collect()
+    val expected = all.groupBy(d => (d._1, d._2)).toSeq.flatMap {
+      case ((l, src), ds) =>
+        var cum = 0L
+        val binPos = scala.collection.mutable.Map[Long, Long]()
+        ds.sortBy(_._3).map { case (_, _, id, t) =>
+          val n = nTok(t)
+          val bin = cum / 256L
+          val pos = binPos.getOrElse(bin, 0L) + 1
+          binPos(bin) = pos
+          val row = (l, src, bin, pos, id, n, cum % 256L)
+          cum += n
+          row
+        }
+    }.toSet
+    assert(streamed.size === expected.size)
+    assert(streamed === expected,
+      "stream packing diverged from the batch first-fit manifest")
+    // the split must actually cross bin boundaries mid-stream somewhere:
+    // at least one stream has rows from both batches in the SAME bin
+    val crossing = expected.groupBy(r => (r._1, r._2, r._3)).exists {
+      case (_, rows) => rows.exists(_._5 <= cut) && rows.exists(_._5 > cut)
+    }
+    assert(crossing, "no bin spanned the batch split at this SF")
+  }
+
   test("X3 streaming ANN ingest equals the batch index assignment") {
     import graft.ext.SimilarityQueries
     // two part files in one drop dir → two micro-batches (maxFiles 1)
