@@ -2042,9 +2042,112 @@ object SimilarityQueries {
       "FROM recs ORDER BY variant"
   }
 
+  // --- X3o: RANGE (radius) search + IVF recall audit ----------------------
+
+  /** Cosine radius for [[annRange]] — ~4–5 true matches per query on this
+    * isotropic corpus at sf0.01 (match counts scale with the corpus; the
+    * audit is count-based so any SF works). */
+  private val RANGE_TAU = 0.3
+
+  /** RANGE SEARCH — "every vector within cosine ≥ τ", the other
+    * first-class vector-store API besides top-k (Faiss `range_search`;
+    * dedup-by-radius and recall-oriented retrieval both need the full
+    * thresholded SET, which a fixed-k top-k cannot deliver: k too small
+    * under-returns dense neighborhoods, k too large wastes scan). The
+    * brute arm streams the corpus once against the broadcast query batch
+    * and thresholds exactly; the IVF arm probes the same memoized
+    * trained index as the top-k tiers ([[rankedAssign]], [[NPROBE2]]
+    * lists) and thresholds the probed candidates. Output is the
+    * per-query audit — true count, probed-found count, integer recall —
+    * making the probe-miss structure (a true match whose list was not
+    * probed) visible as data, exactly the X3i eval discipline applied to
+    * radius semantics.
+    *
+    * Scale: brute truth is one corpus pass per (small) query batch — the
+    * honest baseline; the IVF arm's per-query scan is |corpus|/K·nprobe
+    * rows. Both threshold on the SAME exact integer-quantized cosine, so
+    * found ⊆ true by construction and recall is exact. */
+  def annRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir)
+    val qs = e.filter($"vec_id" < 20)
+      .toDF("q_id", "q_emb", "q_nrm")
+    val truth = e.join(broadcast(qs), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+      .filter($"cos_sim" >= RANGE_TAU)
+      .groupBy($"q_id").agg(count(lit(1)).as("n_true"))
+    val ranked = rankedAssign(s, dir)
+    val assign = ranked.filter($"crn" === 1)
+      .select($"vec_id", $"c_id".as("bucket"))
+    val probes = ranked.filter($"vec_id" < 20 && $"crn" <= NPROBE2)
+      .select($"vec_id", $"c_id".as("bucket"))
+      .join(e, Seq("vec_id"))
+      .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"),
+        $"bucket")
+    val found = probes.join(assign, Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(e, Seq("vec_id"))
+      .select($"q_id", $"vec_id",
+        cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+      .distinct()
+      .filter($"cos_sim" >= RANGE_TAU)
+      .groupBy($"q_id").agg(count(lit(1)).as("n_found"))
+    qs.select($"q_id")
+      .join(truth, Seq("q_id"), "left")
+      .join(found, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"n_true", lit(0L)).as("n_true"),
+        coalesce($"n_found", lit(0L)).as("n_found"))
+      .withColumn("recall_pct",
+        expr("(100 * n_found) div greatest(n_true, 1)"))
+      .orderBy($"q_id")
+  }
+
+  val annRangeSql: String =
+    s"""WITH $kmeansCtesSql,
+       |tdots AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id, SUM(q.qv * v.qv) AS dot
+       |  FROM vq q JOIN vq v ON q.g = v.g AND q.vec_id <> v.vec_id
+       |  WHERE q.vec_id < 20
+       |  GROUP BY 1, 2),
+       |truthv AS (
+       |  SELECT d.q_id, d.vec_id,
+       |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(qn.nrm AS DOUBLE)) *
+       |      sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+       |  FROM tdots d
+       |  JOIN norms qn ON d.q_id = qn.vec_id
+       |  JOIN norms vn ON d.vec_id = vn.vec_id),
+       |truth AS (
+       |  SELECT q_id, COUNT(*) AS n_true FROM truthv
+       |  WHERE cos_sim >= $RANGE_TAU GROUP BY 1),
+       |assign AS (SELECT vec_id, c_id AS bucket FROM aranked3 WHERE crn = 1),
+       |probes AS (SELECT vec_id AS q_id, c_id AS bucket FROM aranked3
+       |  WHERE vec_id < 20 AND crn <= $NPROBE2),
+       |cands AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probes p JOIN assign a ON p.bucket = a.bucket
+       |  WHERE a.vec_id <> p.q_id),
+       |found AS (
+       |  SELECT t.q_id, COUNT(*) AS n_found
+       |  FROM truthv t JOIN cands c ON t.q_id = c.q_id AND t.vec_id = c.vec_id
+       |  WHERE t.cos_sim >= $RANGE_TAU GROUP BY 1)
+       |SELECT q.vec_id AS q_id,
+       |  CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+       |  CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
+       |  CAST((100 * COALESCE(f.n_found, 0))
+       |    // GREATEST(COALESCE(t.n_true, 0), 1) AS BIGINT) AS recall_pct
+       |FROM embeddings q
+       |LEFT JOIN truth t ON q.vec_id = t.q_id
+       |LEFT JOIN found f ON q.vec_id = f.q_id
+       |WHERE q.vec_id < 20
+       |ORDER BY q_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_ann_opq", annOpq, Some(annOpqSql),
       "X3k OPQ transform search: PQ recall audit under identity/interleave/snake/learned-Givens-rotation"),
+    QueryDef("q_ann_range", annRange, Some(annRangeSql),
+      "X3o range (radius) search: thresholded set via brute + IVF-probed arms, per-query recall audit"),
     QueryDef("q_sim_knn_filtered", knnFiltered, Some(knnFilteredSql),
       "X3m filtered ANN: top-5 under a metadata predicate via PRE-filtered inverted lists, selectivity-adaptive nprobe"),
     QueryDef("q_sim_knn_filtered_audit", knnFilteredAudit, Some(knnFilteredAuditSql),

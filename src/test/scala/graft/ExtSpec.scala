@@ -116,6 +116,36 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_kept")).sum > 0)
   }
 
+  test("X3o range search: true counts match a local brute replay, found <= true") {
+    import graft.ext.SimilarityQueries
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+      .toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val trueCounts = (0L until 20L).map { q =>
+      q -> emb.count { case (v, ev) => v != q && cos(emb(q), ev) >= 0.3 }.toLong
+    }.toMap
+    val rows = SimilarityQueries.annRange(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (q, nt, nf, rp) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nt === trueCounts(q), s"q=$q true count diverged from brute replay")
+      assert(nf <= nt, s"q=$q found exceeds true (impossible: same threshold)")
+      assert(rp === 100L * nf / math.max(nt, 1L), s"q=$q recall formula broken")
+    }
+    // the radius actually selects something at this SF
+    assert(rows.map(_.getLong(1)).sum > 0)
+  }
+
   test("image near-dup: banded join census equals brute-force all-pairs") {
     import graft.ext.MultimodalQueries
     // local brute truth from the pixel formula (the oracle's restatement):

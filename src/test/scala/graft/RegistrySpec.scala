@@ -163,7 +163,11 @@ class RegistrySpec extends AnyFunSuite {
       "q_pack_incremental",
       // single-row vocab-totals + prior broadcasts (the training
       // normalizers); the weight lookup is a hash equi-join on token
-      "q_quality_classifier")
+      "q_quality_classifier",
+      // the brute-truth arm streams the corpus against the 20-row
+      // broadcast query batch (the q_sim_knn_brute class); the IVF arm
+      // is equi-joins on the probed lists
+      "q_ann_range")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
