@@ -846,18 +846,7 @@ object MultimodalQueries {
     * verification is O(candidates) integer popcounts. */
   def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h = rasterHashes(s, dir, NEARDUP_N)
-      .select($"doc_id", $"dhash_hi", $"dhash_lo")
-    val bandCols = Seq(
-      (0, $"dhash_lo".bitwiseAND(lit(65535L))),
-      (1, shiftright($"dhash_lo", 16).bitwiseAND(lit(65535L))),
-      (2, $"dhash_hi".bitwiseAND(lit(65535L))),
-      (3, shiftright($"dhash_hi", 16).bitwiseAND(lit(65535L))))
-    val banded = h.select($"doc_id", $"dhash_hi", $"dhash_lo",
-      explode(array(bandCols.map { case (i, c) =>
-        struct(lit(i).as("band"), c.as("bv"))
-      }: _*)).as("b"))
-      .select($"doc_id", $"dhash_hi", $"dhash_lo", $"b.band", $"b.bv")
+    val banded = nearDupIndex(s, dir)
     val a = banded.toDF("a_id", "a_hi", "a_lo", "band", "bv")
     val bb = banded.toDF("b_id", "b_hi", "b_lo", "band", "bv")
     val cands = a.join(bb, Seq("band", "bv"))
@@ -900,6 +889,70 @@ object MultimodalQueries {
        |  MIN(a_id) AS min_a, MAX(b_id) AS max_b
        |FROM pairs WHERE hamming <= $NEARDUP_T
        |GROUP BY 1 ORDER BY hamming""".stripMargin
+
+  /** The banded hash INDEX of [[mediaNearDup]]'s corpus — (band, bv,
+    * doc_id, dhash_hi, dhash_lo), 4 rows per image: what a production
+    * image-dedup service persists (via
+    * [[graft.sources.ArtifactStore]]) and probes per arriving image.
+    * Index-sized ×4, never pixel data. */
+  private[graft] def nearDupIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bandHashes(rasterHashes(s, dir, NEARDUP_N)
+      .select($"doc_id", $"dhash_hi", $"dhash_lo"))
+  }
+
+  /** Band a (doc_id, dhash_hi, dhash_lo) relation into the 4 disjoint
+    * 16-bit multi-index keys. */
+  private[graft] def bandHashes(h: DataFrame): DataFrame = {
+    import h.sparkSession.implicits._
+    val bandCols = Seq(
+      (0, $"dhash_lo".bitwiseAND(lit(65535L))),
+      (1, shiftright($"dhash_lo", 16).bitwiseAND(lit(65535L))),
+      (2, $"dhash_hi".bitwiseAND(lit(65535L))),
+      (3, shiftright($"dhash_hi", 16).bitwiseAND(lit(65535L))))
+    h.select($"doc_id", $"dhash_hi", $"dhash_lo",
+      explode(array(bandCols.map { case (i, c) =>
+        struct(lit(i).as("band"), c.as("bv"))
+      }: _*)).as("b"))
+      .select($"doc_id", $"dhash_hi", $"dhash_lo", $"b.band", $"b.bv")
+  }
+
+  /** Decode + hash a batch of raw image payloads — the narrow map an
+    * arriving image stream runs before probing the index. */
+  private[graft] def hashImages(images: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val g = MediaDecode.decodeRasterGray(bytes).getOrElse(
+          sys.error(s"image $id: payload did not raster-decode"))
+        val hash = MediaDecode.dhash64(g)
+        (id, hash >>> 32, hash & 0xffffffffL)
+      }
+    }.toDF("doc_id", "dhash_hi", "dhash_lo")
+  }
+
+  /** Probe arriving images against a published banded index: decode →
+    * dHash → band → equi-join on (band, value) → exact popcount ≤
+    * [[NEARDUP_T]] — emits (new_id, corpus_id, hamming), each match
+    * once. Recall is exactly 1 by the same pigeonhole as
+    * [[mediaNearDup]]. Shared by the batch path and
+    * [[graft.streaming.StreamJobs.imageNearDupServeStream]]. */
+  private[graft] def nearDupServe(images: Dataset[(Long, Array[Byte])],
+      index: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    val probe = bandHashes(hashImages(images))
+      .toDF("new_id", "n_hi", "n_lo", "band", "bv")
+    val idx = index.toDF("corpus_id", "c_hi", "c_lo", "band", "bv")
+    probe.join(idx, Seq("band", "bv"))
+      .filter($"new_id" =!= $"corpus_id")
+      .select($"new_id", $"corpus_id", $"n_hi", $"n_lo", $"c_hi", $"c_lo")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count($"n_hi".bitwiseXOR($"c_hi"))
+          + bit_count($"n_lo".bitwiseXOR($"c_lo"))).cast("long"))
+      .filter($"hamming" <= NEARDUP_T)
+      .select($"new_id", $"corpus_id", $"hamming")
+  }
 
   /** Resize over REAL PIXELS — the second honest raster op: the same
     * BMP/PNG/GIF mixed-container payloads decode through

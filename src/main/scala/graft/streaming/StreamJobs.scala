@@ -511,6 +511,23 @@ object StreamJobs {
       }
   }
 
+  /** Multimodal serve twin — probe an unbounded IMAGE feed against the
+    * PUBLISHED banded dHash index (the [[graft.ext.MultimodalQueries
+    * .mediaNearDup]] corpus structure, persisted through
+    * [[graft.sources.ArtifactStore]] like every other trained static):
+    * per arriving image, decode → dHash → band → equi-join the 4
+    * multi-index keys → exact popcount ≤ 3 — "is this image already in
+    * the corpus (or nearly)?", the admission check every multimodal
+    * ingest runs before paying storage/compute for a duplicate frame.
+    * Recall 1 by pigeonhole; decode+hash is a narrow typed map, the
+    * probe a stream-static equi-join; the per-match dedup (`distinct`
+    * across shared bands) is why it runs inside `foreachBatch` with the
+    * index re-loaded per batch (the artifact-refresh shape).
+    * ArtifactSpec pins stream == batch serve off the loaded index. */
+  def imageNearDupServeStream(images: Dataset[(Long, Array[Byte])],
+      index: DataFrame): DataFrame =
+    graft.ext.MultimodalQueries.nearDupServe(images, index)
+
   /** XC2 streaming twin — score an unbounded document feed against the
     * TRAINED quality-classifier model (one weight relation including its
     * [[graft.ext.CurateQueries.BiasKey]] bias row) as the static side:

@@ -269,6 +269,74 @@ class ArtifactSpec extends AnyFunSuite {
     assert(viaStore === batch)
   }
 
+  test("image near-dup serve off the LOADED index equals batch and formula truth") {
+    import graft.ext.{MediaFixtures, MultimodalQueries}
+    // publish the corpus's banded dHash index, then admit a feed of NEW
+    // images (ids 200..229, same generator family so near-dups exist)
+    // against the loaded copy — stream == batch == brute formula truth
+    val root = Files.createTempDirectory("graft-artifacts-img").toString
+    assert(ArtifactStore.save(
+      MultimodalQueries.nearDupIndex(spark, sf), root, "image_dhash_index") === 1)
+    def payload(id: Long): Array[Byte] = {
+      val w = 16 + (id % 7).toInt * 3
+      val h = 9 + (id % 5).toInt * 2
+      val pix = (x: Int, y: Int) => (x * 7 + y * 13 + id.toInt * 31) % 256
+      (id % 3) match {
+        case 0 => MediaFixtures.bmpRaster(w, h, pix)
+        case 1 => MediaFixtures.pngRaster(w, h, pix)
+        case _ => MediaFixtures.gifRaster(w, h, pix)
+      }
+    }
+    val newIds = (200L until 230L).toSeq
+    val tmp = Files.createTempDirectory("graft-img-stream").toString
+    newIds.grouped(15).zipWithIndex.foreach { case (ids, i) =>
+      ids.map(id => (id, payload(id))).toDF("doc_id", "payload")
+        .coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val idx = ArtifactStore.load(spark, root, "image_dhash_index")
+        val imgs = batch.select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+        out.synchronized {
+          out ++= StreamJobs.imageNearDupServeStream(imgs, idx).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    // brute truth from the pixel formula: new × corpus, Hamming <= 3
+    def dhashOf(id: Long): Long = {
+      val w = 16 + (id % 7).toInt * 3
+      val h = 9 + (id % 5).toInt * 2
+      def v(x: Int, y: Int) = (x * 7 + y * 13 + id.toInt * 31) % 256
+      var bits = 0L
+      for (j <- 0 until 8; i <- 0 until 8) {
+        val y = j * h / 8
+        if (v(i * w / 9, y) > v((i + 1) * w / 9, y))
+          bits |= 1L << (j * 8 + i)
+      }
+      bits
+    }
+    val truth = (for {
+      n <- newIds; c <- 0L until 120L
+      d = java.lang.Long.bitCount(dhashOf(n) ^ dhashOf(c))
+      if d <= 3
+    } yield (n, c, d.toLong)).toSet
+    assert(truth.nonEmpty, "fixture family produced no cross near-dups")
+    assert(out.toSet === truth,
+      "streamed serve diverged from the brute formula truth")
+  }
+
   test("quality model off the LOADED artifact scores a stream equal to batch") {
     import graft.ext.CurateQueries
     // the distilled-filter deployment: train on weak labels, SHIP the one
