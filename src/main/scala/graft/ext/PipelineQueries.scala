@@ -799,10 +799,14 @@ object PipelineQueries {
     val toks = Tables.documents(s, dir)
       .select($"source", $"doc_id", nTok("text").as("n_tok"),
         (lit(1L) + substring($"source", 4, 10).cast("long") % 4L).as("w"))
-    val global = toks.agg(sum($"n_tok").as("t_total"))
-      .select(expr(s"t_total div $MIX_DIV").as("b_global"))
-    val sumw = toks.groupBy($"source").agg(first($"w").as("w"))
-      .agg(sum($"w").as("sum_w"))
+    // ONE per-source aggregate feeds BOTH normalizers (global budget and
+    // weight sum) as a single single-row broadcast — an earlier draft
+    // aggregated them as two independent branches and Catalyst re-derived
+    // the corpus scan (and its regexp token count) for each
+    val glob = toks.groupBy($"source")
+      .agg(sum($"n_tok").as("t_s"), first($"w").as("w_s"))
+      .agg(sum($"t_s").as("t_total"), sum($"w_s").as("sum_w"))
+      .select(expr(s"t_total div $MIX_DIV").as("b_global"), $"sum_w")
     val winRank = Window.partitionBy($"source")
       .orderBy(md5(concat(lit("mix_"), $"doc_id".cast("string"))).asc,
         $"doc_id".asc)
@@ -810,8 +814,7 @@ object PipelineQueries {
       .withColumn("cum_before",
         coalesce(sum($"n_tok").over(winRank.rowsBetween(
           Window.unboundedPreceding, -1)), lit(0L)))
-      .crossJoin(broadcast(global))
-      .crossJoin(broadcast(sumw))
+      .crossJoin(broadcast(glob))
       .withColumn("budget_toks", expr("(b_global * w) div sum_w"))
     ranked
       .groupBy($"source", $"w", $"budget_toks")
@@ -831,9 +834,12 @@ object PipelineQueries {
        |  SELECT source, doc_id, ${nTokSql("text")} AS n_tok,
        |    1 + CAST(substr(source, 4) AS BIGINT) % 4 AS w
        |  FROM documents),
-       |gtot AS (SELECT SUM(n_tok) // $MIX_DIV AS b_global FROM toks),
-       |sw AS (SELECT SUM(w) AS sum_w FROM
-       |  (SELECT source, MIN(w) AS w FROM toks GROUP BY 1)),
+       |persrc AS (
+       |  SELECT source, SUM(n_tok) AS t_s, MIN(w) AS w_s
+       |  FROM toks GROUP BY 1),
+       |gtot AS (
+       |  SELECT SUM(t_s) // $MIX_DIV AS b_global, SUM(w_s) AS sum_w
+       |  FROM persrc),
        |ranked AS (
        |  SELECT source, doc_id, n_tok, w,
        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY
@@ -843,8 +849,8 @@ object PipelineQueries {
        |  FROM toks),
        |funded AS (
        |  SELECT r.source, r.w, r.n_tok, r.cum_before,
-       |    (g.b_global * r.w) // s.sum_w AS budget_toks
-       |  FROM ranked r CROSS JOIN gtot g CROSS JOIN sw s)
+       |    (g.b_global * r.w) // g.sum_w AS budget_toks
+       |  FROM ranked r CROSS JOIN gtot g)
        |SELECT source, CAST(w AS BIGINT) AS w,
        |  CAST(budget_toks AS BIGINT) AS budget_toks,
        |  CAST(SUM(CASE WHEN cum_before < budget_toks THEN 1 ELSE 0 END)
