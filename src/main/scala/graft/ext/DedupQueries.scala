@@ -741,7 +741,99 @@ object DedupQueries {
        |FROM stats ORDER BY rows_per_band""".stripMargin
   }
 
+  // --- X1c: exact repeated-substring spans (suffix-array-style dedup) ----
+
+  /** Fixed fingerprint window for [[substringDedup]] — the minimum
+    * duplicated-substring length the scan detects (chars; the published
+    * ExactSubstr threshold is ~50 tokens, scaled to this corpus's short
+    * synthetic docs). */
+  private val SUBSTR_W = 40
+
+  /** Exact repeated-SUBSTRING spans across the corpus — the
+    * character-level complement of line-keyed span scrubbing: find every
+    * maximal span whose every length-[[SUBSTR_W]] window also occurs
+    * elsewhere in the corpus (another doc OR another offset of the same
+    * doc), i.e. the spans an exact-substring deduplicator would cut.
+    * Published design this re-expresses Spark-first: suffix-array
+    * ExactSubstr dedup. A suffix array is a single-machine structure; the
+    * distributed equivalent is (1) every char position emits its W-char
+    * window, (2) windows group on their content — positions sharing a
+    * window are exactly the positions a suffix array would place in one
+    * LCP≥W run, (3) per doc, surviving positions p, p' merge into one
+    * span while p' − p ≤ W (their windows overlap or touch), a
+    * gaps-islands pass. All three stages are hash-partitioned narrow
+    * aggregates — O(total chars) rows, the same asymptotics as suffix
+    * array construction, but embarrassingly parallel with no global
+    * structure.
+    *
+    * Scale: the shuffle carries corpus × W bytes because the group key is
+    * the window STRING (kept for byte-exact oracle parity). The 100-TB
+    * variant keys on an 8-byte rolling hash and verifies true equality
+    * within each hash bucket before declaring a duplicate — same plan
+    * shape, W× less shuffle, still exact (verification removes
+    * collisions). Output is the span table a scrubber consumes. */
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pos = Tables.documents(s, dir)
+      .filter(length($"text") >= SUBSTR_W)
+      .select($"doc_id",
+        explode(sequence(lit(1), length($"text") - (SUBSTR_W - 1))).as("p"),
+        $"text")
+      .select($"doc_id", $"p".cast(LongType).as("p"),
+        $"text".substr($"p", lit(SUBSTR_W)).as("win"))
+    val dupPos = pos
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"win")))
+      .filter($"n" > 1)
+      .select($"doc_id", $"p")
+    val wd = Window.partitionBy($"doc_id").orderBy($"p")
+    val spans = dupPos
+      .withColumn("brk",
+        when($"p" - lag($"p", 1).over(wd) <= SUBSTR_W, 0L).otherwise(1L))
+      .withColumn("g", sum($"brk").over(wd))
+      .groupBy($"doc_id", $"g")
+      .agg(min($"p").as("s"), (max($"p") + (SUBSTR_W - 1)).as("e"))
+    spans
+      .withColumn("span_id",
+        row_number().over(Window.partitionBy($"doc_id").orderBy($"s"))
+          .cast(LongType))
+      .select($"doc_id", $"span_id", $"s", $"e",
+        ($"e" - $"s" + 1L).as("span_chars"))
+      .orderBy($"doc_id", $"span_id")
+  }
+
+  val substringDedupSql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id,
+       |    CAST(unnest(generate_series(1, length(text) - ${SUBSTR_W - 1}))
+       |      AS BIGINT) AS p,
+       |    text
+       |  FROM documents WHERE length(text) >= $SUBSTR_W),
+       |win AS (
+       |  SELECT doc_id, p,
+       |    substr(text, CAST(p AS INTEGER), $SUBSTR_W) AS win FROM pos),
+       |dup AS (SELECT win FROM win GROUP BY win HAVING count(*) > 1),
+       |dpos AS (
+       |  SELECT w.doc_id, w.p FROM win w JOIN dup d ON w.win = d.win),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+       |      <= $SUBSTR_W THEN 0 ELSE 1 END AS brk
+       |  FROM dpos),
+       |grp AS (
+       |  SELECT doc_id, p,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl),
+       |spans AS (
+       |  SELECT doc_id, min(p) AS s, max(p) + ${SUBSTR_W - 1} AS e
+       |  FROM grp GROUP BY doc_id, g)
+       |SELECT doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS BIGINT)
+       |    AS span_id,
+       |  s, e, e - s + 1 AS span_chars
+       |FROM spans ORDER BY doc_id, span_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_substring_dedup", substringDedup, Some(substringDedupSql),
+      "X1c exact repeated-substring spans (distributed ExactSubstr: window fingerprints + gaps-islands merge)"),
     QueryDef("q_dedup_band_sweep", dedupBandSweep, Some(dedupBandSweepSql),
       "X2m banding-config frontier: per-(r,b) candidate precision/recall vs exact truth"),
     QueryDef("q_dedup_cross_source", dedupCrossSource,

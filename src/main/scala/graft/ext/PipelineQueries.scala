@@ -1049,7 +1049,79 @@ object PipelineQueries {
        |FROM placed
        |ORDER BY lang, source, bin, seq_pos""".stripMargin
 
+  // --- XP18: length-bucketed batching / padding-waste audit --------------
+
+  /** Docs per training batch for [[packPadding]]. */
+  private val BATCH_B = 8L
+
+  /** Padding-waste audit of PADDED batching (the alternative to sequence
+    * packing when document boundaries must survive — SFT, contrastive
+    * pairs, rerankers): a batch of B docs is padded to its longest
+    * member, so cost = rows × max(n_tok). Compares the NAIVE batch order
+    * (arrival = doc_id) against LENGTH-BUCKETED batching (sort by n_tok
+    * within the language, then cut batches of B) — the standard
+    * padding-minimization move in every training loader — and emits the
+    * saving in integer basis points.
+    *
+    * Scale: both arms are one window rank + one grouped aggregate,
+    * hash-partitioned by language; no global sort (each language sorts
+    * independently inside its partition). The bucketed arm's sort is the
+    * same exchange the naive arm already pays — the saving is free at any
+    * scale, which is exactly the audit's point. */
+  def packPadding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"lang", $"doc_id", nTok("text").as("n_tok"))
+    def arm(order: Seq[org.apache.spark.sql.Column], out: String) = {
+      val w = Window.partitionBy($"lang").orderBy(order: _*)
+      toks
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("b", expr(s"(rn - 1) div $BATCH_B"))
+        .groupBy($"lang", $"b")
+        .agg((count(lit(1)) * max($"n_tok")).as("pad"))
+        .groupBy($"lang").agg(sum($"pad").as(out))
+    }
+    val naive = arm(Seq($"doc_id"), "naive_pad_tok")
+    val bucketed = arm(Seq($"n_tok", $"doc_id"), "bucket_pad_tok")
+    val base = toks.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tok_sum"))
+    base.join(naive, Seq("lang")).join(bucketed, Seq("lang"))
+      .select($"lang", $"n_docs", $"tok_sum", $"naive_pad_tok",
+        $"bucket_pad_tok",
+        expr("(naive_pad_tok - bucket_pad_tok) * 10000 div naive_pad_tok")
+          .as("saved_bp"))
+      .orderBy($"lang")
+  }
+
+  val packPaddingSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, doc_id, ${nTokSql("text")} AS n_tok FROM documents),
+       |naive AS (
+       |  SELECT lang, CAST(SUM(pad) AS BIGINT) AS naive_pad_tok FROM (
+       |    SELECT lang, b, count(*) * max(n_tok) AS pad FROM (
+       |      SELECT lang, n_tok,
+       |        (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+       |          // $BATCH_B AS b
+       |      FROM toks) GROUP BY lang, b) GROUP BY lang),
+       |bucketed AS (
+       |  SELECT lang, CAST(SUM(pad) AS BIGINT) AS bucket_pad_tok FROM (
+       |    SELECT lang, b, count(*) * max(n_tok) AS pad FROM (
+       |      SELECT lang, n_tok,
+       |        (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok, doc_id)
+       |          - 1) // $BATCH_B AS b
+       |      FROM toks) GROUP BY lang, b) GROUP BY lang),
+       |base AS (
+       |  SELECT lang, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT)
+       |    AS tok_sum FROM toks GROUP BY lang)
+       |SELECT lang, n_docs, tok_sum, naive_pad_tok, bucket_pad_tok,
+       |  CAST((naive_pad_tok - bucket_pad_tok) * 10000 // naive_pad_tok
+       |    AS BIGINT) AS saved_bp
+       |FROM base JOIN naive USING (lang) JOIN bucketed USING (lang)
+       |ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_pack_padding", packPadding, Some(packPaddingSql),
+      "XP18 padding-waste audit: naive vs length-bucketed padded batching per language"),
     QueryDef("q_span_scrub", spanScrub, Some(spanScrubSql),
       "XP13 C4-style corpus-level boilerplate span scrub with content checksum"),
     QueryDef("q_quality_ensemble", qualityEnsemble, Some(qualityEnsembleSql),

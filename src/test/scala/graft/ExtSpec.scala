@@ -1200,6 +1200,44 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("X1c substring dedup: spans equal a brute window-fingerprint replay") {
+    val W = 40
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val wins = docs.flatMap { case (id, t) =>
+      if (t.length < W) Seq.empty
+      else (0 to t.length - W).map(p => (id, p + 1L, t.substring(p, p + W)))
+    }
+    val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val dup = wins.filter(w => counts(w._3) > 1).map(w => (w._1, w._2))
+    val expect = dup.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val spans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var s0 = sorted.head; var last = sorted.head
+      sorted.tail.foreach { p =>
+        if (p - last <= W) last = p
+        else { spans += ((s0, last + W - 1)); s0 = p; last = p }
+      }
+      spans += ((s0, last + W - 1))
+      spans.zipWithIndex.map { case ((a, b), i) =>
+        (id, (i + 1).toLong, a, b, b - a + 1)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = DedupQueries.substringDedup(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === expect)
+    // the corpus must actually contain duplicated substrings at this scale,
+    // and merged spans never overlap within a doc
+    assert(got.nonEmpty)
+    got.groupBy(_._1).values.foreach { rs =>
+      rs.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 > a._4)
+        case _ =>
+      }
+    }
+  }
+
   test("multimodal query magic matches the mapPartitions decode path") {
     val q = MultimodalQueries.mediaMeta(spark, sf)
       .select($"doc_id", lower($"magic_hex").as("magic_hex"))

@@ -443,6 +443,38 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(!hot(10).contains("ee"))
   }
 
+  test("XP18 padding audit: equals a brute replay of both batching arms") {
+    import spark.implicits._
+    val B = 8
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"doc_id", $"text").as[(String, Long, String)]
+      .collect()
+    def nTok(t: String): Long = "\\S{1,4}".r.findAllIn(t).size.toLong
+    val toks = docs.map { case (l, id, t) => (l, id, nTok(t)) }
+    def padded(ordered: Seq[Long]): Long =
+      ordered.grouped(B).map(g => g.size.toLong * g.max).sum
+    val expect = toks.groupBy(_._1).map { case (lang, rs) =>
+      val naive = padded(rs.sortBy(_._2).map(_._3))
+      val bucket = padded(rs.sortBy(r => (r._3, r._2)).map(_._3))
+      lang -> (rs.size.toLong, rs.map(_._3).sum, naive, bucket,
+        (naive - bucket) * 10000 / naive)
+    }
+    val got = PipelineQueries.packPadding(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (nDocs, tokSum, naive, bucket, savedBp) = expect(r.getString(0))
+      assert(r.getLong(1) === nDocs)
+      assert(r.getLong(2) === tokSum)
+      assert(r.getLong(3) === naive)
+      assert(r.getLong(4) === bucket)
+      assert(r.getLong(5) === savedBp)
+      // bucketing can never cost more than arrival order, and padded cost
+      // is bounded below by the true token mass
+      assert(bucket <= naive)
+      assert(bucket >= tokSum)
+    }
+  }
+
   test("XP15 mix sample: audit equals a local greedy-prefix replay") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
