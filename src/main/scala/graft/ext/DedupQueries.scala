@@ -781,6 +781,14 @@ object DedupQueries {
         $"text")
       .select($"doc_id", $"p".cast(LongType).as("p"),
         $"text".substr($"p", lit(SUBSTR_W)).as("win"))
+    // duplicated positions via count-over-window: one exchange of
+    // (doc_id, p, win) + a per-partition sort. Both sort-free rewrites
+    // measured SLOWER at sf0.1 (hash agg + semi join 7.3 s, hash agg with
+    // collect_list 7.5 s, vs 3.2 s here): the window strings mostly don't
+    // combine map-side, so the aggregate pays the same exchange plus
+    // string-keyed hash-table work, while the probe side re-derives every
+    // window a second time. Sorting 40-char binaries in Tungsten is the
+    // cheaper dedup at this shape.
     val dupPos = pos
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"win")))
       .filter($"n" > 1)
@@ -830,6 +838,52 @@ object DedupQueries {
        |    AS span_id,
        |  s, e, e - s + 1 AS span_chars
        |FROM spans ORDER BY doc_id, span_id""".stripMargin
+
+  /** Per-position window FINGERPRINTS (xxhash64 of each [[SUBSTR_W]]-char
+    * window) — the 8-byte production key [[substringDedup]]'s scaladoc
+    * promises: W× smaller than carrying the window text. Shared by the
+    * published index and the admission probe so both sides hash
+    * identically. */
+  private[graft] def windowFingerprints(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.filter(length($"text") >= SUBSTR_W)
+      .select($"doc_id",
+        explode(sequence(lit(1), length($"text") - (SUBSTR_W - 1))).as("p"),
+        $"text")
+      .select($"doc_id", $"p".cast(LongType).as("p"),
+        xxhash64($"text".substr($"p", lit(SUBSTR_W))).as("win_h"))
+  }
+
+  /** The publishable corpus fingerprint index for streaming admission:
+    * DISTINCT window fingerprints, one 8-byte value per distinct 40-char
+    * window — the standing "what substrings does the corpus already
+    * contain" structure, persisted via [[graft.sources.ArtifactStore]]
+    * like every other trained static. Distinct-only keeps it bounded by
+    * corpus content, not corpus length × duplication. */
+  def substringIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    windowFingerprints(Tables.documents(s, dir)).select($"win_h").distinct()
+  }
+
+  /** X1c admission probe — "how much of this document is ALREADY in the
+    * corpus?": each of the doc's window fingerprints probes the published
+    * index; the hit fraction (integer basis points) is the
+    * exact-substring-overlap signal an ingest gate thresholds before
+    * paying storage/tokenization for a near-copy. The equi-join on the
+    * 8-byte fingerprint is the only exchange; per-doc agg is narrow.
+    * Docs shorter than the window emit no row (no fingerprint = no
+    * evidence either way). Collisions (~2⁻⁶⁴ per probe) can only
+    * overcount bp — the admission decision tolerates that; the exact
+    * span-level answer stays [[substringDedup]]'s job. */
+  def substringOverlapOf(docs: DataFrame, index: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    windowFingerprints(docs)
+      .join(index.select($"win_h", lit(1L).as("hit")), Seq("win_h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .withColumn("overlap_bp", expr("n_hit * 10000 div n_win"))
+  }
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_substring_dedup", substringDedup, Some(substringDedupSql),

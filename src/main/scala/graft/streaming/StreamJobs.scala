@@ -528,6 +528,21 @@ object StreamJobs {
       index: DataFrame): DataFrame =
     graft.ext.MultimodalQueries.nearDupServe(images, index)
 
+  /** X1c streaming twin — exact-substring ADMISSION against the published
+    * corpus fingerprint index ([[graft.ext.DedupQueries.substringIndex]],
+    * persisted through [[graft.sources.ArtifactStore]]): per arriving
+    * document, every 40-char window's 8-byte xxhash64 fingerprint probes
+    * the index and the hit fraction (basis points) is the "already
+    * substantially in the corpus" signal an ingest gate thresholds —
+    * dedup-at-ingest, so a near-copy never reaches tokenization. The
+    * probe is a stream-static equi-join on the fingerprint plus one
+    * per-doc agg (why it runs inside `foreachBatch`, with the index
+    * re-`load`ed per batch — the artifact-refresh shape shared by every
+    * serve twin here). ArtifactSpec pins stream off the LOADED index ==
+    * batch, full-overlap docs == 10000 bp, alien-alphabet docs == 0 bp. */
+  def substringAdmitStream(docs: DataFrame, index: DataFrame): DataFrame =
+    graft.ext.DedupQueries.substringOverlapOf(docs, index)
+
   /** XC2 streaming twin — score an unbounded document feed against the
     * TRAINED quality-classifier model (one weight relation including its
     * [[graft.ext.CurateQueries.BiasKey]] bias row) as the static side:

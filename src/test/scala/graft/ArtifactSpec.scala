@@ -337,6 +337,59 @@ class ArtifactSpec extends AnyFunSuite {
       "streamed serve diverged from the brute formula truth")
   }
 
+  test("substring admission off the LOADED index equals batch, with bp anchors") {
+    import graft.ext.DedupQueries
+    val root = Files.createTempDirectory("graft-artifacts-substr").toString
+    assert(ArtifactStore.save(
+      DedupQueries.substringIndex(spark, sf), root, "substr_index") === 1)
+    // feed: one verbatim corpus copy (must probe 10000 bp), one mixed doc
+    // (corpus fragment + alien tail), one fully-alien doc (digits never
+    // occur in the word-soup corpus -> 0 bp)
+    val corpus = Tables.documents(spark, sf)
+      .filter(length($"text") >= 120).orderBy($"doc_id")
+      .select($"text").as[String].take(2)
+    val feed = Seq(
+      (9001L, corpus(0)),
+      (9002L, corpus(1).substring(0, 80) + " 0123456789012345678901234567890123456789012345"),
+      (9003L, "0123456789!@#$%0123456789!@#$%0123456789!@#$%0123456789!@#$%0123456789!@#$%0123456789"))
+    val tmp = Files.createTempDirectory("graft-substr-stream").toString
+    feed.grouped(2).foreach { g =>
+      g.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val idx = ArtifactStore.load(spark, root, "substr_index")
+        out.synchronized {
+          out ++= StreamJobs.substringAdmitStream(batch, idx).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    // stream == batch off the same loaded artifact
+    val batchRows = DedupQueries.substringOverlapOf(
+        spark.read.parquet(tmp),
+        ArtifactStore.load(spark, root, "substr_index"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet === batchRows.toSet)
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(byDoc(9001L)._4 === 10000L, "verbatim corpus copy must fully hit")
+    assert(byDoc(9003L)._4 === 0L, "alien-alphabet doc must miss entirely")
+    val mixed = byDoc(9002L)
+    assert(mixed._4 > 0L && mixed._4 < 10000L,
+      s"mixed doc should partially hit, got $mixed")
+  }
+
   test("quality model off the LOADED artifact scores a stream equal to batch") {
     import graft.ext.CurateQueries
     // the distilled-filter deployment: train on weak labels, SHIP the one

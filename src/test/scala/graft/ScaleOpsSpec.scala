@@ -270,6 +270,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a join infers IsNotNull and pushes it into both parquet scans") {
+    // the tenth optimizer-evidence leg: InferFiltersFromConstraints. An
+    // inner equi-join implies its keys are non-null; Catalyst must turn
+    // that constraint into an explicit filter and push it down to BOTH
+    // scans (PushedFilters: [IsNotNull(...)]) — at 100 TB this skips
+    // null-heavy row groups on the fact side before the shuffle, a filter
+    // nobody wrote. Asserted on the executed plan, not the logical one.
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey", $"c_name")
+    val j = o.join(c, $"o_custkey" === $"c_custkey")
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_custkey)]"),
+      s"expected inferred IsNotNull pushed to the orders scan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey)]"),
+      s"expected inferred IsNotNull pushed to the customer scan:\n$plan")
+  }
+
+  test("a provably-empty side collapses the whole join without scanning") {
+    // the eleventh optimizer-evidence leg: PropagateEmptyRelation. A side
+    // whose filter folds to false becomes an empty LocalRelation, and the
+    // inner join above it collapses to empty at OPTIMIZATION time — the
+    // executed plan must contain no file scan at all. The real-world shape
+    // is a partition predicate outside the calendar (yesterday's job
+    // re-run against an already-compacted range): the 100-TB fact table
+    // must not be listed, let alone read.
+    val li = Tables.lineitem(spark, sf)
+    val empty = li.filter(lit(1) === lit(2)).select($"l_orderkey")
+    val j = Tables.orders(spark, sf)
+      .join(empty, $"o_orderkey" === $"l_orderkey")
+    assert(j.count() === 0L)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("BatchScan"),
+      s"expected the empty side to erase every scan:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      s"expected an empty LocalTableScan stub:\n$plan")
+  }
+
   test("AQE splits a runtime-skewed sort-merge join partition") {
     // the UNPLANNED-skew leg, complementing q_join_salted (which handles
     // skew known ahead of time): one synthetic hot key dominates the left
