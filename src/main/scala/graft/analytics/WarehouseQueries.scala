@@ -158,7 +158,68 @@ object WarehouseQueries {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // --- M8: cross-format sink/source round-trip --------------------------
+
+  /** Land a fact slice through EVERY columnar/text sink the engine serves
+    * (parquet, ORC, CSV) and read each landing back through its own
+    * source, proving content-identical round-trips: one audit row per
+    * format, all three rows byte-equal to the parquet-derived oracle or
+    * the hash gate fails. The columns are chosen to be format-exact —
+    * integers, integer cents, and a formatted date string — because CSV
+    * has no type system of its own (the read-back applies an explicit
+    * schema; floats through text would be the classic silent-corruption
+    * path, so they are converted BEFORE the sink, which is the production
+    * rule this query encodes).
+    *
+    * Scale: the slice aggregates are two-phase hash aggs; the landings
+    * are write-once temp dirs sized by the slice. The audit shape (per
+    * format: counts, exact sums, distinct keys, min/max) is what a
+    * migration job runs after re-encoding a 100-TB table into a new
+    * format — full-content comparison without a row-by-row join. */
+  def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+        (Ops.money($"l_quantity") * 100).cast("long").as("qty_cents"),
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    slice.write.mode("overwrite").parquet(s"$tmp/parquet")
+    slice.write.mode("overwrite").orc(s"$tmp/orc")
+    slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    val schema = slice.schema
+    val back = Seq(
+      "csv" -> s.read.schema(schema).option("header", "true").csv(s"$tmp/csv"),
+      "orc" -> s.read.schema(schema).orc(s"$tmp/orc"),
+      "parquet" -> s.read.schema(schema).parquet(s"$tmp/parquet"))
+    back.map { case (fmt, df) =>
+      df.agg(count(lit(1)).as("n_rows"),
+          sum($"qty_cents").as("qty_cents_sum"),
+          count_distinct($"l_orderkey").as("n_orders"),
+          min($"ship").as("min_ship"), max($"ship").as("max_ship"))
+        .select(lit(fmt).as("fmt"), $"n_rows", $"qty_cents_sum",
+          $"n_orders", $"min_ship", $"max_ship")
+    }.reduce(_.unionByName(_)).orderBy($"fmt")
+  }
+
+  val formatRoundtripSql: String =
+    """WITH agg AS (
+      |  SELECT count(*) AS n_rows,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS qty_cents_sum,
+      |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |    MIN(strftime(l_shipdate, '%Y-%m-%d')) AS min_ship,
+      |    MAX(strftime(l_shipdate, '%Y-%m-%d')) AS max_ship
+      |  FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT f.fmt, a.n_rows, a.qty_cents_sum, a.n_orders, a.min_ship,
+      |  a.max_ship
+      |FROM (SELECT 'csv' AS fmt UNION ALL SELECT 'orc'
+      |      UNION ALL SELECT 'parquet') f
+      |CROSS JOIN agg a ORDER BY f.fmt""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_format_roundtrip", formatRoundtrip, Some(formatRoundtripSql),
+      "M8 cross-format sink/source round-trip audit: parquet/ORC/CSV land + read-back, content-equal"),
     QueryDef("q_scd2_intervals", scd2Intervals, Some(scd2IntervalsSql),
       "M1 SCD Type-2 validity intervals from a change stream"),
     QueryDef("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql),

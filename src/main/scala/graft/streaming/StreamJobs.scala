@@ -610,6 +610,33 @@ object StreamJobs {
   def followerJoinFull(events: DataFrame): DataFrame =
     followerJoinWithType(events, "full_outer")
 
+  /** T7d — the LEFT SEMI form: "was this event followed within 10
+    * minutes?" as a row-preserving EXISTS — each event emits AT MOST
+    * once, on its first arriving follower, never once per follower like
+    * the inner form (the streaming twin of the batch J4 semi join, as
+    * [[followerJoinOuter]] is of J3). Emission is immediate (a match is a
+    * final verdict — no watermark gating needed on the output), and the
+    * state bound tightens vs inner: a matched left row can leave the
+    * store at once, an unmatched one when the watermark closes its
+    * window; right rows evict exactly as in [[followerJoin]].
+    * StreamingSpec pins the emitted set equal to the batch left-semi
+    * range join over the same corpus. */
+  def followerJoinSemi(events: DataFrame): DataFrame = {
+    val left = events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val right = events
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", "1 hour")
+    left.join(right,
+        col("user_id") === col("r_user") &&
+          col("r_ts") > col("ts") &&
+          col("r_ts") <= col("ts") + expr("INTERVAL 10 MINUTES"),
+        "left_semi")
+      .select(col("event_id"), col("event_type"))
+  }
+
   private def followerJoinWithType(events: DataFrame,
       joinType: String): DataFrame = {
     val left = events

@@ -443,6 +443,19 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(!hot(10).contains("ee"))
   }
 
+  test("M8 format round-trip: ORC and CSV read back content-equal to parquet") {
+    import spark.implicits._
+    val rows = WarehouseQueries.formatRoundtrip(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("csv", "orc", "parquet"))
+    val metrics = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4), r.getString(5))).distinct
+    assert(metrics.length === 1,
+      s"formats disagree after round-trip: ${rows.mkString(", ")}")
+    val direct = Tables.lineitem(spark, sf)
+      .filter($"l_returnflag" === "R").count()
+    assert(metrics.head._1 === direct)
+  }
+
   test("XP18 padding audit: equals a brute replay of both batching arms") {
     import spark.implicits._
     val B = 8

@@ -479,6 +479,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(r => r._1 == -1L && r._2 != -1L), "no starter rows")
   }
 
+  test("stream-stream LEFT SEMI interval join equals the batch EXISTS, once per event") {
+    val q = StreamJobs.followerJoinSemi(StreamJobs.eventsStream(spark, eventsDir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("follower_semi_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamedRows = spark.table("follower_semi_out").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // at most ONCE per event — the semi contract the inner join breaks
+    assert(streamedRows.length === streamedRows.distinct.length,
+      "semi join emitted an event more than once")
+    val e = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    val rgt = e.select($"event_id".as("r_id"), $"user_id".as("r_user"),
+      $"ts".as("r_ts"))
+    val batch = e.join(rgt,
+        $"user_id" === $"r_user" && $"r_ts" > $"ts" &&
+          $"r_ts" <= $"ts" + expr("INTERVAL 10 MINUTES"),
+        "left_semi")
+      .select($"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamedRows.toSet === batch,
+      s"stream semi set diverged: only-stream=${(streamedRows.toSet -- batch).take(5)} only-batch=${(batch -- streamedRows.toSet).take(5)}")
+  }
+
   test("T6 transformWithState running totals match the batch aggregate") {
     // transformWithState (Spark 4 arbitrary-state API) only runs on the
     // RocksDB state store; scope the provider to this query.
