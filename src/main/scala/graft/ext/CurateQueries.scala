@@ -262,7 +262,61 @@ object CurateQueries {
        |FROM cls GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // --- XC3: k-anonymity release audit ------------------------------------
+
+  /** Class-size threshold below which a quasi-identifier equivalence
+    * class counts as re-identifying. */
+  private val ANON_K = 5L
+
+  /** k-anonymity audit over the corpus's quasi-identifiers — the release
+    * check run before publishing a dataset: docs sharing a QI tuple
+    * (lang, source, 50-char length bucket) form an equivalence class; any
+    * class smaller than k = [[ANON_K]] makes its members re-identifiable
+    * by those attributes alone (the standard k-anonymity criterion, the
+    * complement of the content-level PII redaction pass). Emits the
+    * per-language risk census: classes, under-k classes, documents at
+    * risk, and the risk fraction in basis points — what a suppression or
+    * generalization step would have to fix.
+    *
+    * Scale: two map-side-combinable hash aggregates (QI tuple → class
+    * size → per-language rollup); class count is bounded by the QI
+    * domain, not the corpus. */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val classes = Tables.documents(s, dir)
+      .select($"lang", $"source",
+        expr("n_chars div 50").as("len_bkt"))
+      .groupBy($"lang", $"source", $"len_bkt")
+      .agg(count(lit(1)).as("n"))
+    classes.groupBy($"lang")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when($"n" < ANON_K, 1L).otherwise(0L)).as("small_classes"),
+        sum(when($"n" < ANON_K, $"n").otherwise(0L)).as("docs_at_risk"),
+        min($"n").as("min_class"),
+        sum($"n").as("n_docs"))
+      .select($"lang", $"n_classes", $"small_classes", $"docs_at_risk",
+        $"min_class",
+        expr("docs_at_risk * 10000 div n_docs").as("risk_bp"))
+      .orderBy($"lang")
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH classes AS (
+       |  SELECT lang, source, n_chars // 50 AS len_bkt, count(*) AS n
+       |  FROM documents GROUP BY lang, source, len_bkt)
+       |SELECT lang, count(*) AS n_classes,
+       |  CAST(SUM(CASE WHEN n < $ANON_K THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS small_classes,
+       |  CAST(SUM(CASE WHEN n < $ANON_K THEN n ELSE 0 END) AS BIGINT)
+       |    AS docs_at_risk,
+       |  MIN(n) AS min_class,
+       |  CAST(SUM(CASE WHEN n < $ANON_K THEN n ELSE 0 END) * 10000
+       |    // SUM(n) AS BIGINT) AS risk_bp
+       |FROM classes GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_k_anonymity", kAnonymity, Some(kAnonymitySql),
+      "XC3 k-anonymity release audit: under-k quasi-identifier classes and docs at risk per language"),
     QueryDef("q_pipeline_curate", curate, Some(curateSql),
       "composed curation pipeline: quality -> exact dedup -> near-dup, stage-attributed"),
     QueryDef("q_quality_classifier", qualityClassifier, Some(qualityClassifierSql),

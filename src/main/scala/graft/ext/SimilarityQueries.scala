@@ -1850,6 +1850,113 @@ object SimilarityQueries {
        |  (1000000 * hits) // (SELECT COUNT(*) FROM truth) AS recall_ppm
        |FROM stats ORDER BY nprobe""".stripMargin
 
+  // --- X3q: ADC rerank-depth frontier -------------------------------------
+
+  /** Rerank depths swept by [[annRerankFrontier]]. */
+  private val RERANK_DEPTHS = Seq(5, 10, 20, 40)
+
+  /** X3q — the RERANK-DEPTH frontier, the other tuning axis of a
+    * PQ-backed index besides nprobe ([[annFrontier]]): how many
+    * ADC-ranked candidates must the exact re-rank read back to recover
+    * the true top-5? ADC compresses 64 dims to 8 nibble lookups, so its
+    * ranking is approximate — the re-rank repairs it, and depth C is the
+    * exact-read budget per query (the dominant serving cost: C full
+    * vectors fetched per query at 100 TB). The sweep scores the exact
+    * cosine ONCE for the deepest C and derives every shallower depth by
+    * filtering the carried ADC rank — one candidate join, not one per
+    * depth; recall vs the session-memoized brute truth in integer ppm.
+    * Read together with [[annFrontier]] this answers the actual
+    * deployment question: spend the next millisecond on more probes or
+    * on a deeper re-rank. */
+  def annRerankFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir)
+    val adc = pqCodesMemo(s, dir)
+      .join(pqLut(e, pqCodebookMemo(s, dir)), Seq("m", "cid"))
+      .where($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id").agg(sum($"part").as("adc_dot"))
+    val maxDepth = RERANK_DEPTHS.max
+    val ranked = adc.join(e.select($"vec_id", $"nrm"), Seq("vec_id"))
+      .withColumn("adc_rn", row_number().over(Window.partitionBy($"q_id")
+        .orderBy(($"adc_dot".cast(DoubleType) / sqrt($"nrm".cast(DoubleType)))
+          .desc, $"vec_id".asc)))
+      .where($"adc_rn" <= maxDepth)
+      .select($"q_id", $"vec_id", $"adc_rn")
+    val q = e.where($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"qe".as("q_emb"), $"nrm".as("q_nrm"))
+    val scored = ranked.join(broadcast(q), Seq("q_id")).join(e, Seq("vec_id"))
+      .select($"q_id", $"vec_id", $"adc_rn",
+        cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+    val byDepth = scored
+      .select($"q_id", $"vec_id", $"adc_rn", $"cos_sim",
+        explode(typedLit(RERANK_DEPTHS)).as("depth"))
+      .filter($"adc_rn" <= $"depth")
+    val w = Window.partitionBy($"depth", $"q_id")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+    val top = byDepth.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+    val truth = bruteTruth(s, dir)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    top.join(truth.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy($"depth")
+      .agg(count(lit(1)).as("n_pred"),
+        sum(coalesce($"hit", lit(0L))).as("hits"))
+      .crossJoin(broadcast(nTruth))
+      .select($"depth".cast(LongType).as("rerank_depth"), $"n_pred",
+        $"hits", expr("(1000000 * hits) div n_truth").as("recall_ppm"))
+      .orderBy($"rerank_depth")
+  }
+
+  val annRerankFrontierSql: String =
+    s"""WITH $normsCte,
+       |${pqTrainCtesSql(qvIdentitySql)},
+       |adc AS (
+       |  SELECT l.q_id, cd.vec_id, CAST(SUM(l.part) AS BIGINT) AS adc_dot
+       |  FROM codes$PQ_ROUNDS cd JOIN lut l ON cd.m = l.m AND cd.cid = l.cid
+       |  WHERE cd.vec_id <> l.q_id GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT a.q_id, a.vec_id, ROW_NUMBER() OVER (PARTITION BY a.q_id
+       |    ORDER BY CAST(a.adc_dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE))
+       |      DESC, a.vec_id ASC) AS adc_rn
+       |  FROM adc a JOIN norms n ON a.vec_id = n.vec_id),
+       |cand AS (SELECT q_id, vec_id, adc_rn FROM ranked
+       |  WHERE adc_rn <= ${RERANK_DEPTHS.max}),
+       |ex AS (
+       |  SELECT cd.q_id, cd.vec_id, cd.adc_rn,
+       |    ${dotSql("q.embedding", "v.embedding")} AS dot
+       |  FROM cand cd
+       |  JOIN embeddings q ON cd.q_id = q.vec_id
+       |  JOIN embeddings v ON cd.vec_id = v.vec_id, $idxSql
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT ex.q_id, ex.vec_id, ex.adc_rn,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn.nrm AS DOUBLE)) *
+       |      sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+       |  FROM ex
+       |  JOIN norms qn ON ex.q_id = qn.vec_id
+       |  JOIN norms vn ON ex.vec_id = vn.vec_id),
+       |byd AS (
+       |  SELECT d.depth, sc.q_id, sc.vec_id,
+       |    row_number() OVER (PARTITION BY d.depth, sc.q_id
+       |      ORDER BY sc.cos_sim DESC, sc.vec_id ASC) AS rnk
+       |  FROM scored sc
+       |  JOIN (SELECT unnest([${RERANK_DEPTHS.mkString(", ")}]) AS depth) d
+       |    ON sc.adc_rn <= d.depth),
+       |topk AS (SELECT depth, q_id, vec_id FROM byd WHERE rnk <= 5),
+       |truth AS (SELECT q_id, vec_id FROM (
+       |$knnBruteSql
+       |) t_truth),
+       |stats AS (
+       |  SELECT p.depth, COUNT(*) AS n_pred,
+       |    CAST(SUM(CASE WHEN t.q_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits
+       |  FROM topk p
+       |  LEFT JOIN truth t ON p.q_id = t.q_id AND p.vec_id = t.vec_id
+       |  GROUP BY 1)
+       |SELECT CAST(depth AS BIGINT) AS rerank_depth, n_pred, hits,
+       |  (1000000 * hits) // (SELECT COUNT(*) FROM truth) AS recall_ppm
+       |FROM stats ORDER BY rerank_depth""".stripMargin
+
   // --- X3k: OPQ permutation-family search for PQ ---------------------------
 
   /** The two structured candidate permutations, derived from per-dimension
@@ -2154,6 +2261,9 @@ object SimilarityQueries {
       "X3m' filtered-ANN audit: measured selectivity, chosen nprobe, recall vs filtered-brute truth at two predicate tiers"),
     QueryDef("q_ann_frontier", annFrontier, Some(annFrontierSql),
       "X3j IVF nprobe recall/cost frontier: one audit row per probe depth vs brute truth"),
+    QueryDef("q_ann_rerank_frontier", annRerankFrontier,
+      Some(annRerankFrontierSql),
+      "X3q ADC rerank-depth frontier: recall vs exact-read budget C, one candidate join for all depths"),
     QueryDef("q_ann_eval", annEval, Some(annEvalSql),
       "X3i ANN audit: integer-ppm recall@5 of LSH/IVF/IVF2/SQ8/PQ vs shared brute truth"),
     QueryDef("q_ann_delete_eval", annDeleteEval, Some(annDeleteEvalSql),

@@ -507,6 +507,52 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("X3q rerank frontier: recall monotone in depth, exact candidate budgets") {
+    val rows = SimilarityQueries.annRerankFrontier(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("rerank_depth")).toSeq ===
+      Seq(5L, 10L, 20L, 40L))
+    val recalls = rows.map(_.getAs[Long]("recall_ppm"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in rerank depth: ${recalls.mkString(",")}")
+    // each depth re-ranks down to exactly 5 predictions per query
+    val nQ = rows.head.getAs[Long]("n_pred") / 5L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pred") === nQ * 5L)
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("n_pred"))
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+    }
+    // a deep exact re-rank must repair most of ADC's quantization loss
+    // (same bar as the PQ arm in the eval tier — at sf0.001 the 16-word
+    // codebooks cap what any depth can recover)
+    assert(recalls.last >= 600000L, s"depth-40 recall: ${recalls.last}")
+    assert(recalls.last > recalls.head,
+      "deeper re-rank shows no benefit — sweep is vacuous")
+  }
+
+  test("XC3 k-anonymity: census equals a brute class-size replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"source", $"n_chars").as[(String, String, Long)]
+      .collect()
+    val classes = docs.groupBy(d => (d._1, d._2, d._3 / 50))
+      .view.mapValues(_.size.toLong).toSeq
+    val expect = classes.groupBy(_._1._1).map { case (lang, cs) =>
+      val small = cs.filter(_._2 < 5)
+      lang -> (cs.size.toLong, small.size.toLong, small.map(_._2).sum,
+        cs.map(_._2).min, cs.map(_._2).sum)
+    }
+    val got = graft.ext.CurateQueries.kAnonymity(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (nc, sc, risk, mn, nd) = expect(r.getString(0))
+      assert(r.getLong(1) === nc)
+      assert(r.getLong(2) === sc)
+      assert(r.getLong(3) === risk)
+      assert(r.getLong(4) === mn)
+      assert(r.getLong(5) === risk * 10000 / nd)
+    }
+  }
+
   test("X4m/X4n BPE: merge eliminates the winning pair; counts match a local recount") {
     val r1 = TextQueries.bpePairs(spark, sf).collect()
     assert(r1.length === 20)

@@ -99,6 +99,9 @@ class RegistrySpec extends AnyFunSuite {
       // K-row centroid assignment broadcast + brute-truth subplan, same
       // classes as q_sim_knn_ivf2 / q_ann_eval
       "q_ann_frontier",
+      // PQ codebook/LUT broadcast + single-row truth-count denominator,
+      // same classes as q_sim_knn_pq / q_ann_eval
+      "q_ann_rerank_frontier",
       // single-row truth-count broadcast denominator, same class as
       // q_ann_eval
       "q_dedup_band_sweep",
