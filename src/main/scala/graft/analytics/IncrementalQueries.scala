@@ -166,7 +166,57 @@ object IncrementalQueries {
       |FROM classified GROUP BY class
       |ORDER BY class""".stripMargin
 
+  // --- M9: incremental JOIN-view maintenance -----------------------------
+
+  /** Incremental maintenance of a JOIN view — the general IVM identity
+    * [[incrementalAgg]]'s append-only aggregate doesn't need: when BOTH
+    * sides of V = A ⋈ B receive deltas, the view's delta is the
+    * three-term expansion ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, and the new view
+    * is V₀ ∪ ΔV. This query materializes all four disjoint terms
+    * (old⋈old standing state, the three delta terms) as partial
+    * aggregates and MERGES them; the oracle is the one-shot full join —
+    * a missing or double-counted term breaks the hash, so the identity
+    * itself is what's pinned. Measures are mergeable only (counts +
+    * DECIMAL sums — a distinct would straddle terms).
+    *
+    * Scale: the standing old⋈old term is the materialized view (never
+    * recomputed — here derived for the proof); daily work is the three
+    * Δ-proportional joins, each a key-partitioned equi-join where the
+    * Δ side prunes the probe. The merge is partial-aggregate algebra,
+    * the same contract Spark's own two-phase aggregation uses. */
+  def incrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val oCut = lit("1998-01-01").cast(TimestampType)
+    val lCut = lit("1999-01-01").cast(TimestampType)
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderdate")
+    val l = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_returnflag", $"l_shipdate",
+        Ops.money($"l_extendedprice").as("price"))
+    val (o0, dO) = (o.where($"o_orderdate" < oCut), o.where($"o_orderdate" >= oCut))
+    val (l0, dL) = (l.where($"l_shipdate" < lCut), l.where($"l_shipdate" >= lCut))
+    def term(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"price").as("sp"))
+    Seq(term(o0, l0), term(dO, l0), term(o0, dL), term(dO, dL))
+      .reduce(_.unionByName(_))
+      .groupBy($"l_returnflag")
+      .agg(sum($"n").as("n_rows"),
+        sum($"sp").cast(DoubleType).as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val incrementalJoinSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_incremental_join", incrementalJoin, Some(incrementalJoinSql),
+      "M9 incremental JOIN-view maintenance: three-term delta expansion merged, pinned to the one-shot join"),
     QueryDef("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql),
       "M5 CDC snapshot diff: two latest-state windows + one full-outer join"),
     QueryDef("q_incremental_agg", incrementalAgg, Some(incrementalAggSql),

@@ -443,6 +443,33 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(!hot(10).contains("ee"))
   }
 
+  test("M9 incremental join: every IVM term is non-vacuous at this scale") {
+    import spark.implicits._
+    // the oracle pins merged == one-shot; what it cannot see is whether
+    // the cutoffs actually split both sides (a degenerate split would
+    // make the identity trivially true with three empty terms)
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+    val oCut = "1998-01-01"
+    val lCut = "1999-01-01"
+    assert(o.filter($"o_orderdate" < lit(oCut).cast("timestamp")).count() > 0)
+    assert(o.filter($"o_orderdate" >= lit(oCut).cast("timestamp")).count() > 0)
+    assert(l.filter($"l_shipdate" < lit(lCut).cast("timestamp")).count() > 0)
+    assert(l.filter($"l_shipdate" >= lit(lCut).cast("timestamp")).count() > 0)
+    // and each join term individually contributes rows
+    def n(odlt: Boolean, ldlt: Boolean): Long = {
+      val oo = if (odlt) o.filter($"o_orderdate" >= lit(oCut).cast("timestamp"))
+        else o.filter($"o_orderdate" < lit(oCut).cast("timestamp"))
+      val ll = if (ldlt) l.filter($"l_shipdate" >= lit(lCut).cast("timestamp"))
+        else l.filter($"l_shipdate" < lit(lCut).cast("timestamp"))
+      oo.join(ll, $"o_orderkey" === $"l_orderkey").count()
+    }
+    val terms = Seq(n(false, false), n(true, false), n(false, true), n(true, true))
+    assert(terms.forall(_ > 0), s"vacuous IVM term(s): $terms")
+    val direct = o.join(l, $"o_orderkey" === $"l_orderkey").count()
+    assert(terms.sum === direct)
+  }
+
   test("M8 format round-trip: ORC and CSV read back content-equal to parquet") {
     import spark.implicits._
     val rows = WarehouseQueries.formatRoundtrip(spark, sf).collect()
