@@ -159,7 +159,86 @@ object GraphQueries {
        |FROM r$ROUNDS ORDER BY doc_id""".stripMargin
   }
 
+  // --- G4: k-core / onion-layer decomposition ----------------------------
+
+  /** Core threshold and fixed peel rounds for [[graphKcore]]. */
+  private val CORE_K = 2L
+  private val PEEL_ROUNDS = 3
+
+  /** k-core decomposition of the near-dup graph by iterative peeling —
+    * the mega-cluster detector: a document surviving the 2-core sits on
+    * a CYCLE of near-dup relations (mutually-reinforcing template
+    * families), where pendant/tree attachments (one fragile LSH edge)
+    * peel off. Each round removes every vertex whose CURRENT degree is
+    * below k — including vertices isolated by earlier removals, which is
+    * why the peel set is alive∖keep (an absent-from-degree vertex has
+    * degree 0), not a degree filter alone. Emits the onion census: how
+    * many docs peeled at each round, round 0 = the surviving core.
+    *
+    * Scale: each round is one hash aggregate (degrees) plus two
+    * semi-joins restricting the edge list — the textbook distributed
+    * peel step. Rounds are FIXED so the plan is a finite DAG (the
+    * open-ended variant checkpoints per round like the CC loop); the
+    * spec proves the fixpoint is reached within them at test scale, and
+    * peeling is monotone so extra rounds are no-ops once it is. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = edges(s, dir)
+    val sym = e.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionAll(e.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    var alive = sym.select($"src".as("doc_id")).distinct()
+    var cur = sym
+    var peeled: Seq[DataFrame] = Nil
+    for (r <- 1 to PEEL_ROUNDS) {
+      val keep = cur.groupBy($"src").agg(count(lit(1)).as("dg"))
+        .filter($"dg" >= CORE_K).select($"src".as("doc_id"))
+      peeled = peeled :+ alive.join(keep, Seq("doc_id"), "left_anti")
+        .select($"doc_id", lit(r.toLong).as("peel_round"))
+      alive = keep
+      cur = cur.join(keep.select($"doc_id".as("src")), Seq("src"), "left_semi")
+        .join(keep.select($"doc_id".as("dst")), Seq("dst"), "left_semi")
+        .select($"src", $"dst")
+    }
+    val core = alive.select($"doc_id", lit(0L).as("peel_round"))
+    (peeled :+ core).reduce(_.unionByName(_))
+      .groupBy($"peel_round").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"peel_round")
+  }
+
+  val graphKcoreSql: String = {
+    val rounds = (1 to PEEL_ROUNDS).map { r =>
+      s"""k$r AS (
+         |  SELECT src AS doc_id FROM e${r - 1}
+         |  GROUP BY src HAVING COUNT(*) >= $CORE_K),
+         |p$r AS (
+         |  SELECT a.doc_id, CAST($r AS BIGINT) AS peel_round
+         |  FROM a${r - 1} a LEFT JOIN k$r k USING (doc_id)
+         |  WHERE k.doc_id IS NULL),
+         |a$r AS (SELECT doc_id FROM k$r),
+         |e$r AS (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN k$r x ON e.src = x.doc_id
+         |  JOIN k$r y ON e.dst = y.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val peelUnion = (1 to PEEL_ROUNDS).map(r => s"SELECT * FROM p$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $edgesCteSql,
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL SELECT doc_b, doc_a FROM edges),
+       |a0 AS (SELECT DISTINCT src AS doc_id FROM sym),
+       |e0 AS (SELECT src, dst FROM sym),
+       |$rounds,
+       |onion AS (
+       |  $peelUnion
+       |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM a$PEEL_ROUNDS)
+       |SELECT peel_round, COUNT(*) AS n_docs FROM onion
+       |GROUP BY peel_round ORDER BY peel_round""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_graph_kcore", graphKcore, Some(graphKcoreSql),
+      "G4 k-core onion decomposition: bounded-round peel census over the near-dup graph"),
     QueryDef("q_graph_degrees", graphDegrees, Some(graphDegreesSql),
       "G1 degree distribution of the near-dup similarity graph"),
     QueryDef("q_graph_triangles", graphTriangles, Some(graphTrianglesSql),

@@ -857,6 +857,43 @@ class ExtSpec extends AnyFunSuite {
     tri.foreach(r => assert(verts.contains(r.getAs[Long]("doc_id"))))
   }
 
+  test("G4 k-core: onion census equals a local peel-to-fixpoint replay") {
+    val pairs = DedupQueries.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    var alive = adj.keySet.toSet
+    val layer = scala.collection.mutable.Map[Long, Long]()
+    var r = 1L
+    var roundsUsed = 0L
+    var changed = true
+    while (changed) {
+      val rm = alive.filter(v => adj(v).count(alive) < 2)
+      if (rm.isEmpty) changed = false
+      else {
+        rm.foreach(v => layer(v) = r)
+        alive --= rm
+        roundsUsed = r
+        r += 1
+      }
+    }
+    // the query's 3 bounded rounds must cover the true fixpoint here —
+    // if the corpus ever needs more, the census equality below fails too
+    assert(roundsUsed <= 3L, s"fixpoint needed $roundsUsed rounds")
+    alive.foreach(v => layer(v) = 0L)
+    val expect = layer.values.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val got = GraphQueries.graphKcore(spark, sf).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got === expect)
+    // peeling must be non-vacuous AND leave a core at this scale
+    assert(got.getOrElse(0L, 0L) > 0L, "empty 2-core")
+    assert(got.keys.exists(_ > 0L), "nothing peeled — census vacuous")
+  }
+
   test("ngram jaccard: scores in (0,1], ranks contiguous and descending") {
     val rows = DedupQueries.dedupNgramJaccard(spark, sf).collect()
     assert(rows.nonEmpty)
