@@ -1321,6 +1321,30 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 box walk: foreign boxes skipped, truncation rejected, metadata exact") {
+    import graft.ext.{MediaDecode, MediaFixtures}
+    val b = MediaFixtures.mp4Container(1200, 2500, 2, 10, t => t * 3)
+    // sum of payload bytes (t*3 & 0xff, t < 10) = 3 * 45
+    assert(MediaDecode.decodeMp4Meta(b) === Some((1200L, 2500L, 2L, 10L, 135L)))
+    // a truncated final box must fail the walk, not mis-read
+    assert(MediaDecode.decodeMp4Meta(b.dropRight(1)) === None)
+    assert(MediaDecode.decodeMp4Meta(b.take(20)) === None)
+    // hand-built container with a FOREIGN child (udta) inside moov: the
+    // walker must skip it by size and still find mvhd + count traks
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def box(t: String, body: Array[Byte]) =
+      be(8 + body.length) ++ t.getBytes("US-ASCII") ++ body
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be(0) ++ be(0) ++
+      be(1000) ++ be(7777) ++ Array.fill[Byte](80)(0))
+    val moov = box("moov",
+      mvhd ++ box("udta", Array.fill[Byte](5)(1)) ++
+        box("trak", Array.fill[Byte](8)(0)))
+    val whole = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0)) ++
+      moov ++ box("mdat", Array[Byte](1, 2, 3))
+    assert(MediaDecode.decodeMp4Meta(whole) === Some((1000L, 7777L, 1L, 3L, 6L)))
+  }
+
   test("multimodal query magic matches the mapPartitions decode path") {
     val q = MultimodalQueries.mediaMeta(spark, sf)
       .select($"doc_id", lower($"magic_hex").as("magic_hex"))
