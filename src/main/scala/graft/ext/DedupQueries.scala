@@ -839,19 +839,20 @@ object DedupQueries {
        |  s, e, e - s + 1 AS span_chars
        |FROM spans ORDER BY doc_id, span_id""".stripMargin
 
-  /** Per-position window FINGERPRINTS (xxhash64 of each [[SUBSTR_W]]-char
-    * window) — the 8-byte production key [[substringDedup]]'s scaladoc
-    * promises: W× smaller than carrying the window text. Shared by the
-    * published index and the admission probe so both sides hash
-    * identically. */
+  /** Per-position window FINGERPRINTS — the 8-byte production key
+    * [[substringDedup]]'s scaladoc promises, computed by the codegen
+    * [[graft.functions.RollingHash64]] expression: ONE O(n) pass per
+    * document emits every window's hash (the substr-per-position form
+    * this replaced did O(n·W) byte work and a 40-char allocation per
+    * window). Shared by the published index and the admission probe so
+    * both sides hash identically. */
   private[graft] def windowFingerprints(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.filter(length($"text") >= SUBSTR_W)
       .select($"doc_id",
-        explode(sequence(lit(1), length($"text") - (SUBSTR_W - 1))).as("p"),
-        $"text")
-      .select($"doc_id", $"p".cast(LongType).as("p"),
-        xxhash64($"text".substr($"p", lit(SUBSTR_W))).as("win_h"))
+        posexplode(graft.functions.RollingHash64.rollingHash64(
+          $"text", lit(SUBSTR_W))).as(Seq("p0", "win_h")))
+      .select($"doc_id", ($"p0" + 1).cast(LongType).as("p"), $"win_h")
   }
 
   /** The publishable corpus fingerprint index for streaming admission:

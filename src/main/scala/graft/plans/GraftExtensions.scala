@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{Haversine, JaroWinkler, LongArrayDot, SortedArrayContains, Sq8Code}
+import graft.functions.{Haversine, JaroWinkler, LongArrayDot, RollingHash64, SortedArrayContains, Sq8Code}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.sq8CodeEntry)
     e.injectFunction(GraftExtensions.jaroWinklerEntry)
     e.injectFunction(GraftExtensions.sortedContainsEntry)
+    e.injectFunction(GraftExtensions.rollingHashEntry)
     e.injectOptimizerRule(_ => HaversineBoundingBox)
   }
 }
@@ -80,6 +81,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SortedArrayContains].getName, "sorted_contains"),
     sortedContainsBuilder)
 
+  private def rollingHashBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "rolling_hash64(string, window int)")
+    RollingHash64(args(0), args(1))
+  }
+
+  val rollingHashEntry: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("rolling_hash64"),
+    new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
+    rollingHashBuilder)
+
   /** Install on an already-built session (idempotent). */
   def registerOn(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -92,5 +103,7 @@ object GraftExtensions {
       "jaro_winkler", jaroWinklerBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_contains", sortedContainsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash64", rollingHashBuilder, "built-in")
   }
 }

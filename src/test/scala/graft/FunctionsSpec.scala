@@ -310,4 +310,52 @@ class FunctionsSpec extends AnyFunSuite {
     assert(SortedArrayContains.search(one, UTF8String.fromString("a")) === false)
     assert(SortedArrayContains.search(one, UTF8String.fromString("z")) === false)
   }
+
+  test("rolling_hash64: rolling recurrence equals direct per-window evaluation") {
+    import graft.functions.RollingHash64
+    import org.apache.spark.unsafe.types.UTF8String
+    // direct O(n·W) evaluation of each window, independent of the
+    // rolling recurrence under test
+    def direct(s: String, w: Int): Seq[Long] = {
+      val b = s.getBytes("UTF-8")
+      (0 to b.length - w).map { p =>
+        var h = 0L
+        (p until p + w).foreach(i => h = h * RollingHash64.Base + (b(i) & 0xff))
+        h
+      }
+    }
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaa", "abcabcabcabc", "xy")
+    for (t <- texts; w <- Seq(1, 3, 8)) {
+      val got = RollingHash64.hash(UTF8String.fromString(t), w).toLongArray().toSeq
+      val want = if (t.length < w) Seq.empty else direct(t, w)
+      assert(got === want, s"text='$t' w=$w")
+    }
+    // equal windows hash equal; the two distinct windows of "aba"/"ab"
+    // at shared content agree across strings
+    val h1 = RollingHash64.hash(UTF8String.fromString("xxabyy"), 2).toLongArray()
+    val h2 = RollingHash64.hash(UTF8String.fromString("ab"), 2).toLongArray()
+    assert(h1.contains(h2(0)))
+  }
+
+  test("rolling_hash64 codegen agrees with eval and stays in WSCG; SQL form works") {
+    import graft.functions.RollingHash64
+    import org.apache.spark.unsafe.types.UTF8String
+    val df = spark.range(4)
+      .select(concat(lit("doc "), $"id".cast("string"), lit(" word soup sample")).as("t"))
+    val viaExpr = df.select(
+      RollingHash64.rollingHash64($"t", lit(5)).as("h"))
+    val rows = viaExpr.as[Seq[Long]].collect()
+    val direct = (0 until 4).map(i =>
+      RollingHash64.hash(
+        UTF8String.fromString(s"doc $i word soup sample"), 5).toLongArray().toSeq)
+    assert(rows.toSeq === direct)
+    val plan = viaExpr.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [rolling_hash64"),
+      s"expected rolling_hash64 inside a WholeStageCodegen project:\n$plan")
+    // SQL registration (TestSpark's bare session needs registerOn)
+    graft.plans.GraftExtensions.registerOn(spark)
+    val viaSql = df.selectExpr("rolling_hash64(t, 5) AS h").as[Seq[Long]].collect()
+    assert(viaSql.toSeq === direct)
+  }
 }
