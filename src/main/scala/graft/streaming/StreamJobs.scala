@@ -47,6 +47,27 @@ object StreamJobs {
       .partitionBy("load_date")
       .outputMode(OutputMode.Append)
 
+  /** T7+ — the landing sink with in-flight TELEMETRY: the reference
+    * emits per-invocation operational metrics alongside its writes
+    * (rows fetched, delayed-train count); Spark's native form is
+    * `Dataset.observe` — the metric aggregates are computed INSIDE the
+    * same micro-batch plan as the write (no second read of the batch)
+    * and surface per batch through
+    * `StreamingQueryProgress.observedMetrics("ingest")`. Emitted here:
+    * landed row count, delayed-train count, and distinct-line upper
+    * bound via approx (observe forbids exact distinct — its state must
+    * merge associatively, the same partial-aggregate contract as
+    * streaming aggs). StreamingSpec drains a corpus and pins the
+    * progress-reported totals to the landed parquet's own counts. */
+  def landObservationsObserved(normalized: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    landObservations(
+      normalized.observe("ingest",
+        count(lit(1)).as("rows"),
+        sum(when(col("is_train_delayed"), 1L).otherwise(0L)).as("delayed"),
+        approx_count_distinct(col("line")).as("lines_est")),
+      outDir, checkpointDir)
+
   /** T1 variant — AvailableNow: drain everything currently in the drop
     * directory in rate-limited micro-batches, then stop; the checkpoint
     * makes the next run resume where this one ended. The scheduled-batch

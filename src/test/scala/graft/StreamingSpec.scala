@@ -303,6 +303,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalRows === batch)
   }
 
+  test("observe() telemetry: per-batch metrics reconcile with the landed parquet") {
+    val tmp = Files.createTempDirectory("graft-stream-observe").toString
+    val drop = s"$tmp/drop"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    graft.ingest.CtaFixtures.feedDf(spark).write.json(drop)
+    val q = StreamJobs.landObservationsObserved(
+      StreamJobs.rawFeedStream(spark, drop), out, ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    // sum the "ingest" observed metrics over every progress event —
+    // the same numbers a metrics pipeline would ship per micro-batch
+    val obs = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingest")))
+    assert(obs.nonEmpty, "no observed metrics surfaced in progress")
+    val rows = obs.map(_.getAs[Long]("rows")).sum
+    val delayed = obs.map(_.getAs[Long]("delayed")).sum
+    val landed = spark.read.parquet(out)
+    assert(rows === landed.count())
+    assert(delayed ===
+      landed.filter(col("is_train_delayed") === true).count())
+    // the estimate is an upper-bound-ish sketch; on 2 distinct lines it
+    // must be exact
+    assert(obs.map(_.getAs[Long]("lines_est")).max ===
+      landed.select(countDistinct(col("line"))).head.getLong(0))
+  }
+
   test("T1/T7 NDJSON drop-dir stream lands partitioned parquet exactly once") {
     val tmp = Files.createTempDirectory("graft-stream-ingest").toString
     val drop = s"$tmp/drop"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
