@@ -314,7 +314,88 @@ object CurateQueries {
        |    // SUM(n) AS BIGINT) AS risk_bp
        |FROM classes GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --- XC4: corpus report card -------------------------------------------
+
+  /** The DATASET CARD rollup — one row per source with the numbers every
+    * corpus release publishes and every consumer checks first: volume
+    * (docs, exact sub-word tokens), language spread (distinct langs +
+    * dominant language), exact-duplicate rate and quality-gate pass rate
+    * in basis points, and the exact lower-median document length. One
+    * report query instead of five ad-hoc ones — the audit a 100-TB
+    * corpus build lands next to its manifest.
+    *
+    * Scale: one corpus scan feeds three aggregate families that each
+    * hash-partition on source (the median is rank-picked per source —
+    * the ST5 no-whole-group-buffer argument — and the dominant language
+    * a two-level count + rank, never a collect). The k-th-smallest value
+    * is well-defined under ties, so the median is deterministic without
+    * a tiebreaker. */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir).select($"source", $"lang", $"n_chars",
+      regexp_count($"text", lit("\\S{1,4}")).cast(LongType).as("n_tok"),
+      md5($"text").as("h"),
+      when(TextQueries.qualityCol, 1L).otherwise(0L).as("q"))
+    val agg = base.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        count_distinct($"lang").as("n_langs"),
+        count_distinct($"h").as("uniq"),
+        sum($"q").as("n_quality"))
+      .select($"source", $"n_docs", $"n_tokens", $"n_langs",
+        expr("(n_docs - uniq) * 10000 div n_docs").as("dup_bp"),
+        expr("n_quality * 10000 div n_docs").as("quality_bp"))
+    val wS = Window.partitionBy($"source")
+    val med = base
+      .withColumn("rn", row_number().over(wS.orderBy($"n_chars")))
+      .withColumn("n", count(lit(1)).over(wS))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"source", $"n_chars".as("p50_chars"))
+    val top = base.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+      .withColumn("r",
+        row_number().over(wS.orderBy($"c".desc, $"lang".asc)))
+      .filter($"r" === 1)
+      .select($"source", $"lang".as("top_lang"))
+    agg.join(med, Seq("source")).join(top, Seq("source"))
+      .orderBy($"source")
+  }
+
+  val corpusReportSql: String =
+    s"""WITH base AS (
+       |  SELECT source, lang, n_chars,
+       |    CAST(len(regexp_extract_all(text, '\\S{1,4}')) AS BIGINT)
+       |      AS n_tok,
+       |    md5(text) AS h,
+       |    CASE WHEN ${TextQueries.qualityPredSql}
+       |      THEN 1 ELSE 0 END AS q
+       |  FROM documents),
+       |agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST((count(*) - count(DISTINCT h)) * 10000 // count(*)
+       |      AS BIGINT) AS dup_bp,
+       |    CAST(SUM(q) * 10000 // count(*) AS BIGINT) AS quality_bp
+       |  FROM base GROUP BY source),
+       |med AS (
+       |  SELECT source, n_chars AS p50_chars FROM (
+       |    SELECT source, n_chars,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+       |      COUNT(*) OVER (PARTITION BY source) AS n
+       |    FROM base) WHERE rn = (n + 1) // 2),
+       |top AS (
+       |  SELECT source, lang AS top_lang FROM (
+       |    SELECT source, lang, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY COUNT(*) DESC, lang ASC) AS r
+       |    FROM base GROUP BY source, lang) WHERE r = 1)
+       |SELECT source, n_docs, n_tokens, n_langs, dup_bp, quality_bp,
+       |  p50_chars, top_lang
+       |FROM agg JOIN med USING (source) JOIN top USING (source)
+       |ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_corpus_report", corpusReport, Some(corpusReportSql),
+      "XC4 dataset-card rollup per source: volume, languages, dup/quality rates, exact median length"),
     QueryDef("q_k_anonymity", kAnonymity, Some(kAnonymitySql),
       "XC3 k-anonymity release audit: under-k quasi-identifier classes and docs at risk per language"),
     QueryDef("q_pipeline_curate", curate, Some(curateSql),

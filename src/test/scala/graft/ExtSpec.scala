@@ -184,6 +184,45 @@ class ExtSpec extends AnyFunSuite {
     assert(expect.contains(0L) && expect.keySet.exists(d => d > 0L))
   }
 
+  test("XC4 corpus report: equals a full local replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"lang", $"n_chars", $"text")
+      .as[(String, String, Long, String)].collect()
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    def nTok(t: String): Long = "\\S{1,4}".r.findAllIn(t).size.toLong
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def quality(t: String): Long = {
+      val toks = t.split(" ", -1).toSeq
+      val tc = toks.length.toLong
+      val pc = t.count(c => ".,!?;:".contains(c)).toLong
+      val sc = toks.count(stop).toLong
+      if (tc >= 10 && tc <= 1000 && pc.toDouble / tc < 0.2 &&
+        sc.toDouble / tc >= 0.01) 1L else 0L
+    }
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val n = ds.length.toLong
+      val uniq = ds.map(d => md5hex(d._4)).distinct.length.toLong
+      val sortedChars = ds.map(_._3).sorted
+      val p50 = sortedChars(((n + 1) / 2 - 1).toInt)
+      val topLang = ds.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head._1
+      src -> (n, ds.map(d => nTok(d._4)).sum,
+        ds.map(_._2).distinct.length.toLong,
+        (n - uniq) * 10000 / n,
+        ds.map(d => quality(d._4)).sum * 10000 / n, p50, topLang)
+    }
+    val got = graft.ext.CurateQueries.corpusReport(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val e = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getString(7)) === e, r.getString(0))
+    }
+  }
+
   test("XC2 quality classifier: audit equals a full local NB replay") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
