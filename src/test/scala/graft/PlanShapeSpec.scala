@@ -200,6 +200,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!planOf("q_contain_join").contains("CartesianProduct"))
   }
 
+  test("round-11 queries: partitioned windows, single scans, bounded shapes") {
+    // q_substring_dedup: the gaps-islands windows hash-partition on
+    // doc_id; only the dup-window count partitions on the window string
+    val sd = planOf("q_substring_dedup")
+    assert(countOf(sd, "Exchange hashpartitioning\\(doc_id") >= 1, sd)
+    assert(!sd.contains("CartesianProduct"))
+    // q_pack_padding: both batching arms and the base aggregate
+    // hash-partition on lang — no global (empty-key) window anywhere
+    val pp = planOf("q_pack_padding")
+    assert(countOf(pp, "Exchange hashpartitioning\\(lang") >= 1, pp)
+    assert(!pp.contains("Window [") || !pp.contains("Window [],"), pp)
+    // q_k_anonymity: two hash aggregates, nothing else — no join, no
+    // window, no sort beyond the 5-row presentation orderBy
+    val ka = planOf("q_k_anonymity")
+    assert(!ka.contains("Join"), s"k-anonymity should be join-free:\n$ka")
+    assert(!ka.contains("Window"), s"k-anonymity should be window-free:\n$ka")
+    // q_incremental_join: four equi-join terms, no nested loop
+    val ij = planOf("q_incremental_join")
+    assert(!ij.contains("BroadcastNestedLoopJoin") &&
+      !ij.contains("CartesianProduct"), ij)
+    // q_corpus_report: median/top-lang windows hash-partition on source;
+    // the corpus scan feeds every family (scan count stays bounded)
+    val cr = planOf("q_corpus_report")
+    assert(countOf(cr, "Exchange hashpartitioning\\(source") >= 1, cr)
+    assert(!cr.contains("CartesianProduct"))
+    // q_graph_kcore: peel rounds are aggregates + semi joins only
+    val kc = planOf("q_graph_kcore")
+    assert(!kc.contains("CartesianProduct"), kc)
+    // q_format_roundtrip: three source scans (csv/orc/parquet read-back),
+    // each a two-phase aggregate, no join until the tiny union
+    assert(!planOf("q_format_roundtrip").contains("CartesianProduct"))
+  }
+
   test("round-7b queries: partitioned windows, equi joins, narrow scans") {
     // q_hierarchy_closure / q_hierarchy_rollup: pointer jumps and lifting
     // compositions are equi joins only
