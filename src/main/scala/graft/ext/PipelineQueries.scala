@@ -1119,7 +1119,58 @@ object PipelineQueries {
        |FROM base JOIN naive USING (lang) JOIN bucketed USING (lang)
        |ORDER BY lang""".stripMargin
 
+  // --- XP20: temperature-scaled mixture weights ---------------------------
+
+  /** Temperature-scaled sampling weights over the language mix — the
+    * standard multilingual balancing rule (weights ∝ n_i^α, here
+    * α = 1/2): between natural sampling (α=1, big languages swamp) and
+    * uniform (α=0, tiny languages oversample into repetition), the
+    * square-root law every multilingual training mix starts from.
+    * Emits per language the natural share, the temperature share, and
+    * the signed boost — positive = the temperature upsamples it.
+    *
+    * Determinism: the ONE libm call per language (sqrt of the token
+    * count) is quantized immediately (`round(sqrt(n)·10⁴)` as BIGINT —
+    * IEEE sqrt is correctly rounded so both engines see the same double,
+    * and round-half-up agrees on positives); every share after that is
+    * integer basis-point arithmetic, so the hash pins it. One hash
+    * aggregate over the corpus; the share normalizer is a single-row
+    * broadcast. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .select($"lang", nTok("text").as("n_tok"))
+      .groupBy($"lang").agg(sum($"n_tok").as("n"))
+      .select($"lang", $"n",
+        round(sqrt($"n".cast("double")) * 10000).cast("long").as("wq"))
+    val tot = counts.agg(sum($"n").as("tn"), sum($"wq").as("tw"))
+    counts.crossJoin(broadcast(tot))
+      .select($"lang", $"n".as("n_tok"),
+        expr("n * 10000 div tn").as("natural_bp"),
+        expr("wq * 10000 div tw").as("temp_bp"),
+        (expr("wq * 10000 div tw") - expr("n * 10000 div tn"))
+          .as("boost_bp"))
+      .orderBy($"lang")
+  }
+
+  val mixTemperatureSql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, CAST(SUM(${nTokSql("text")}) AS BIGINT) AS n
+       |  FROM documents GROUP BY lang),
+       |w AS (
+       |  SELECT lang, n,
+       |    CAST(round(sqrt(CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS wq
+       |  FROM counts),
+       |tot AS (SELECT SUM(n) AS tn, SUM(wq) AS tw FROM w)
+       |SELECT lang, n AS n_tok,
+       |  CAST(n * 10000 // tn AS BIGINT) AS natural_bp,
+       |  CAST(wq * 10000 // tw AS BIGINT) AS temp_bp,
+       |  CAST(wq * 10000 // tw - n * 10000 // tn AS BIGINT) AS boost_bp
+       |FROM w CROSS JOIN tot ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mix_temperature", mixTemperature, Some(mixTemperatureSql),
+      "XP20 temperature-scaled (sqrt-law) multilingual sampling weights with signed boost audit"),
     QueryDef("q_pack_padding", packPadding, Some(packPaddingSql),
       "XP18 padding-waste audit: naive vs length-bucketed padded batching per language"),
     QueryDef("q_span_scrub", spanScrub, Some(spanScrubSql),

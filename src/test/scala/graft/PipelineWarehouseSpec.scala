@@ -483,6 +483,38 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(metrics.head._1 === direct)
   }
 
+  test("XP20 temperature mix: equals a local replay; sqrt law compresses") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"text").as[(String, String)].collect()
+    def nTok(t: String): Long = "\\S{1,4}".r.findAllIn(t).size.toLong
+    val counts = docs.groupBy(_._1).view
+      .mapValues(_.map(d => nTok(d._2)).sum).toMap
+    val tn = counts.values.sum
+    val wq = counts.view.mapValues(n =>
+      math.round(math.sqrt(n.toDouble) * 10000)).toMap
+    val tw = wq.values.sum
+    val got = PipelineQueries.mixTemperature(spark, sf).collect()
+    assert(got.length === counts.size)
+    got.foreach { r =>
+      val l = r.getString(0)
+      assert(r.getLong(1) === counts(l))
+      assert(r.getLong(2) === counts(l) * 10000 / tn)
+      assert(r.getLong(3) === wq(l) * 10000 / tw)
+      assert(r.getLong(4) === r.getLong(3) - r.getLong(2))
+    }
+    // the sqrt law must compress the mix: the largest language loses
+    // share, the smallest gains (strictly, unless already uniform)
+    val byN = got.sortBy(_.getLong(1))
+    if (byN.head.getLong(1) != byN.last.getLong(1)) {
+      assert(byN.head.getLong(4) > 0L, "smallest language not boosted")
+      assert(byN.last.getLong(4) < 0L, "largest language not damped")
+    }
+    // shares are a floor-partition of 10000
+    val s = got.map(_.getLong(3)).sum
+    assert(s <= 10000L && s > 10000L - got.length)
+  }
+
   test("XP18 padding audit: equals a brute replay of both batching arms") {
     import spark.implicits._
     val B = 8

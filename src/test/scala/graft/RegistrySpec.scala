@@ -75,6 +75,9 @@ class RegistrySpec extends AnyFunSuite {
       // single-row Σ-weight normalizer crossed onto the 5-row
       // allocation table — same class as q_mix_weighted
       "q_sample_neyman",
+      // single-row (Σn, Σw) normalizer crossed onto the |langs| weight
+      // table — same class as q_sample_neyman
+      "q_mix_temperature",
       // 128-row broadcast PQ codebook crossed for encode/LUT, same class
       // as the IVF centroid assignment
       "q_sim_knn_pq",
