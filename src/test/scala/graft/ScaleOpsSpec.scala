@@ -310,6 +310,37 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected an empty LocalTableScan stub:\n$plan")
   }
 
+  test("join strategy hints override the planner's size-based choice") {
+    // the twelfth optimizer-evidence leg: explicit physical-strategy
+    // control. Size stats make customer⋈orders a broadcast join; the
+    // MERGE hint must force sort-merge anyway (the operator a 100-TB
+    // deploy pins when the "small" side's stats lie or memory is tight),
+    // and conversely BROADCAST must force a broadcast where the planner
+    // would shuffle (threshold dropped to zero for the test).
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey", $"c_name")
+    val merged = o.join(c.hint("merge"), $"o_custkey" === $"c_custkey")
+    merged.collect()
+    val mPlan = merged.queryExecution.executedPlan.toString
+    assert(mPlan.contains("SortMergeJoin") &&
+      !mPlan.contains("BroadcastHashJoin"),
+      s"MERGE hint not honored:\n$mPlan")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val bcast = o.join(c.hint("broadcast"), $"o_custkey" === $"c_custkey")
+      bcast.collect()
+      val bPlan = bcast.queryExecution.executedPlan.toString
+      assert(bPlan.contains("BroadcastHashJoin"),
+        s"BROADCAST hint not honored under threshold -1:\n$bPlan")
+      // same rows either way — the hint changes the plan, never the result
+      assert(merged.count() === bcast.count())
+    } finally spark.conf.set(key, prev)
+  }
+
   test("AQE splits a runtime-skewed sort-merge join partition") {
     // the UNPLANNED-skew leg, complementing q_join_salted (which handles
     // skew known ahead of time): one synthetic hot key dominates the left
