@@ -393,7 +393,96 @@ object CurateQueries {
        |FROM agg JOIN med USING (source) JOIN top USING (source)
        |ORDER BY source""".stripMargin
 
+  // --- XC5: contrastive training-pair assembly ---------------------------
+
+  /** Training-PAIR assembly for contrastive/embedding training — the
+    * step between "curated corpus" and an embedding model's dataloader:
+    * per anchor document, ONE positive (its strongest near-dup partner
+    * from the LSH pair table — the weak-supervision positive every
+    * large-scale embedding recipe starts from) and K = 3 deterministic
+    * random negatives drawn from OTHER sources, md5-ranked so the draw
+    * is a pure function of the data. Negatives are FILTERED against the
+    * anchor's entire near-dup partner set first — the false-negative
+    * guard: a true near-duplicate must never be taught as a negative.
+    * Anchors without any near-dup partner emit no positive row (no
+    * weak label, no fabricated pair) but still get negatives.
+    *
+    * Scale: positives ride the memoized pair table (one rank window on
+    * the anchor key); negative candidate generation here is an
+    * anchor-batch × corpus cross with a bounded broadcast build side
+    * (same class as the ANN query batch) — at 100 TB the draw becomes a
+    * per-partition reservoir per anchor shard, same md5 keys. */
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+    val anchors = docs.filter($"doc_id" < 20)
+      .select($"doc_id".as("anchor_id"), $"source".as("a_src"))
+    val p = DedupQueries.minhashPairs(s, dir)
+    val sym = p.select($"doc_a".as("anchor_id"), $"doc_b".as("cand_id"), $"est_jaccard")
+      .unionAll(p.select($"doc_b".as("anchor_id"), $"doc_a".as("cand_id"), $"est_jaccard"))
+    val wPos = Window.partitionBy($"anchor_id")
+      .orderBy($"est_jaccard".desc, $"cand_id".asc)
+    val pos = sym.filter($"anchor_id" < 20)
+      .withColumn("r", row_number().over(wPos)).filter($"r" === 1)
+      .select($"anchor_id", lit("pos").as("role"), lit(1L).as("rnk"),
+        $"cand_id",
+        ($"est_jaccard" * 1000000).cast(LongType).as("score_ppm"))
+    val negCand = anchors
+      .join(docs.select($"doc_id".as("cand_id"), $"source".as("c_src")),
+        $"a_src" =!= $"c_src")
+      .select($"anchor_id", $"cand_id")
+      .join(sym.select($"anchor_id", $"cand_id"),
+        Seq("anchor_id", "cand_id"), "left_anti")
+    val wNeg = Window.partitionBy($"anchor_id").orderBy(
+      md5(concat(lit("neg_"), $"anchor_id".cast("string"), lit("_"),
+        $"cand_id".cast("string"))), $"cand_id")
+    val neg = negCand.withColumn("r", row_number().over(wNeg))
+      .filter($"r" <= 3)
+      .select($"anchor_id", lit("neg").as("role"), $"r".cast(LongType).as("rnk"),
+        $"cand_id", lit(0L).as("score_ppm"))
+    pos.unionByName(neg).orderBy($"anchor_id", $"role", $"rnk")
+  }
+
+  val contrastivePairsSql: String =
+    s"""WITH ${DedupQueries.lshCandCtesSql},
+       |spairs AS (
+       |  SELECT doc_a, doc_b,
+       |    ${DedupQueries.estJaccardSql("sa", "sb")} AS est
+       |  FROM cpairs
+       |  JOIN sigs sa ON doc_a = sa.doc_id
+       |  JOIN sigs sb ON doc_b = sb.doc_id
+       |  WHERE ${DedupQueries.estJaccardSql("sa", "sb")}
+       |    >= ${2.0 / DedupQueries.K}),
+       |sym AS (
+       |  SELECT doc_a AS anchor_id, doc_b AS cand_id, est FROM spairs
+       |  UNION ALL SELECT doc_b, doc_a, est FROM spairs),
+       |pos AS (
+       |  SELECT anchor_id, 'pos' AS role, CAST(1 AS BIGINT) AS rnk,
+       |    cand_id, CAST(est * 1000000 AS BIGINT) AS score_ppm
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |      ORDER BY est DESC, cand_id ASC) AS r
+       |    FROM sym WHERE anchor_id < 20) WHERE r = 1),
+       |negf AS (
+       |  SELECT a.doc_id AS anchor_id, c.doc_id AS cand_id
+       |  FROM documents a JOIN documents c ON a.source <> c.source
+       |  WHERE a.doc_id < 20
+       |    AND NOT EXISTS (SELECT 1 FROM sym s
+       |      WHERE s.anchor_id = a.doc_id AND s.cand_id = c.doc_id)),
+       |neg AS (
+       |  SELECT anchor_id, 'neg' AS role, CAST(r AS BIGINT) AS rnk,
+       |    cand_id, CAST(0 AS BIGINT) AS score_ppm
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |      ORDER BY md5('neg_' || CAST(anchor_id AS VARCHAR) || '_'
+       |        || CAST(cand_id AS VARCHAR)), cand_id) AS r
+       |    FROM negf) WHERE r <= 3)
+       |SELECT * FROM pos UNION ALL SELECT * FROM neg
+       |ORDER BY anchor_id, role, rnk""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql),
+      "XC5 contrastive pair assembly: near-dup positives + md5-deterministic filtered random negatives"),
     QueryDef("q_corpus_report", corpusReport, Some(corpusReportSql),
       "XC4 dataset-card rollup per source: volume, languages, dup/quality rates, exact median length"),
     QueryDef("q_k_anonymity", kAnonymity, Some(kAnonymitySql),

@@ -223,6 +223,40 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("XC5 contrastive pairs: positives are max-est partners, negatives filtered") {
+    import spark.implicits._
+    val pairs = DedupQueries.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard")))
+    val sym = pairs.flatMap { case (a, b, e) => Seq((a, b, e), (b, a, e)) }
+    val srcOf = Tables.documents(spark, sf).select($"doc_id", $"source")
+      .as[(Long, String)].collect().toMap
+    val rows = graft.ext.CurateQueries.contrastivePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val (pos, neg) = rows.partition(_._2 == "pos")
+    // positives: exactly the anchors (<20) with a partner, each at its
+    // max-est (tie: min id) partner, score restated in ppm
+    val expectPos = sym.filter(_._1 < 20).groupBy(_._1).map { case (a, ps) =>
+      val best = ps.minBy(p => (-p._3, p._2))
+      (a, "pos", 1L, best._2, (best._3 * 1000000).toLong)
+    }.toSet
+    assert(pos.toSet === expectPos)
+    // negatives: 3 per anchor, different source, never a near-dup partner
+    val partner = sym.map(p => (p._1, p._2)).toSet
+    assert(neg.length === 20 * 3)
+    neg.foreach { case (a, _, rnk, c, sc) =>
+      assert(rnk >= 1 && rnk <= 3 && sc === 0L)
+      assert(srcOf(a) !== srcOf(c), s"neg $c shares source with anchor $a")
+      assert(!partner.contains((a, c)), s"near-dup $c taught as negative of $a")
+    }
+    // the md5 draw is deterministic: re-running yields the identical set
+    val again = graft.ext.CurateQueries.contrastivePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("XC2 quality classifier: audit equals a full local NB replay") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

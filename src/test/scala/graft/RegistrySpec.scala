@@ -78,6 +78,9 @@ class RegistrySpec extends AnyFunSuite {
       // single-row (Σn, Σw) normalizer crossed onto the |langs| weight
       // table — same class as q_sample_neyman
       "q_mix_temperature",
+      // bounded 20-row anchor batch crossed onto the corpus for negative
+      // candidate generation — same class as knnBrute's query batch
+      "q_contrastive_pairs",
       // 128-row broadcast PQ codebook crossed for encode/LUT, same class
       // as the IVF centroid assignment
       "q_sim_knn_pq",
