@@ -198,48 +198,99 @@ object StreamJobs {
         val newLatest = batch
           .groupBy(col("user_id")).agg(max_by(payload, ordKey).as("st"))
           .select(col("user_id"), col("st.*"))
-        // Crash recovery: a replayed batch can find the live dir missing
-        // because a prior attempt died between moving it aside and
-        // publishing the stage — the `_old` copy is then the only surviving
-        // state. Restore it BEFORE the _SUCCESS probe, or the replay would
-        // merge against empty state and the swap below would delete `_old`.
-        locally {
-          val dirF = new java.io.File(stateDir)
-          val asideF = new java.io.File(stateDir + "_old")
-          if (!dirF.exists() && asideF.exists() && !asideF.renameTo(dirF))
-            sys.error(s"state swap: failed to restore $asideF")
-        }
-        val cur = new java.io.File(stateDir, "_SUCCESS")
-        val merged =
-          if (!cur.exists()) newLatest
-          else s.read.parquet(stateDir).unionByName(newLatest)
+        val merged = mergedWithState(stateDir) { state =>
+          state.map(_.unionByName(newLatest)).getOrElse(newLatest)
             .groupBy(col("user_id")).agg(max_by(payload, ordKey).as("st"))
             .select(col("user_id"), col("st.*"))
-        val stage = stateDir + "_stage"
-        merged.write.mode("overwrite").parquet(stage)
-        // Swap via rename-aside, not delete-then-rename: the micro-batch is
-        // committed to the checkpoint the moment foreachBatch returns, so a
-        // crash that loses the state table here would be silent and
-        // permanent (replay resumes AFTER this batch). Renaming the live
-        // dir aside first means every failure point leaves either the new
-        // table or a recoverable `_old` copy; any rename failure throws,
-        // which fails the batch and keeps the checkpoint from advancing.
-        val dir = new java.io.File(stateDir)
-        val aside = new java.io.File(stateDir + "_old")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(aside)
-        if (dir.exists() && !dir.renameTo(aside))
-          sys.error(s"state swap: failed to move $dir aside")
-        if (!new java.io.File(stage).renameTo(dir)) {
-          aside.renameTo(dir) // best-effort restore before failing the batch
-          sys.error(s"state swap: failed to publish $stage")
-        }
-        rm(aside)
+        }(s)
+        publishState(stateDir, merged)
       }
   }
+
+  /** Crash-recover then read the standing state table (if any) and build
+    * the merged replacement: a replayed batch can find the live dir
+    * missing because a prior attempt died between moving it aside and
+    * publishing the stage — the `_old` copy is then the only surviving
+    * state, restored BEFORE the _SUCCESS probe (otherwise the replay
+    * would merge against empty state and the swap would delete `_old`). */
+  private def mergedWithState(stateDir: String)(
+      build: Option[DataFrame] => DataFrame)(s: SparkSession): DataFrame = {
+    locally {
+      val dirF = new java.io.File(stateDir)
+      val asideF = new java.io.File(stateDir + "_old")
+      if (!dirF.exists() && asideF.exists() && !asideF.renameTo(dirF))
+        sys.error(s"state swap: failed to restore $asideF")
+    }
+    val cur = new java.io.File(stateDir, "_SUCCESS")
+    build(if (cur.exists()) Some(s.read.parquet(stateDir)) else None)
+  }
+
+  /** Publish a replacement state table via rename-aside, not
+    * delete-then-rename: the micro-batch is committed to the checkpoint
+    * the moment foreachBatch returns, so a crash that loses the state
+    * table here would be silent and permanent (replay resumes AFTER this
+    * batch). Renaming the live dir aside first means every failure point
+    * leaves either the new table or a recoverable `_old` copy; any rename
+    * failure throws, which fails the batch and keeps the checkpoint from
+    * advancing. */
+  private def publishState(stateDir: String, merged: DataFrame): Unit = {
+    val stage = stateDir + "_stage"
+    merged.write.mode("overwrite").parquet(stage)
+    val dir = new java.io.File(stateDir)
+    val aside = new java.io.File(stateDir + "_old")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(aside)
+    if (dir.exists() && !dir.renameTo(aside))
+      sys.error(s"state swap: failed to move $dir aside")
+    if (!new java.io.File(stage).renameTo(dir)) {
+      aside.renameTo(dir) // best-effort restore before failing the batch
+      sys.error(s"state swap: failed to publish $stage")
+    }
+    rm(aside)
+  }
+
+  /** M7-as-stream — CDC log apply with delete TOMBSTONES: an unbounded
+    * change feed (k, seq, st, cents, op ∈ I/U/D) maintained as a keyed
+    * parquet state table, the streaming form of the batch
+    * [[graft.analytics.WarehouseQueries.cdcApply]] semantics
+    * (latest-op-wins by seq, resurrect-after-delete supported). Each
+    * micro-batch compacts ITSELF (max_by seq per key), merges against
+    * the standing table with the same max_by algebra, and swaps the
+    * directory crash-safely (shared [[publishState]] machinery).
+    * Tombstones stay IN the state table (a later U/I with higher seq
+    * must win — dropping them on write would resurrect nothing and
+    * re-apply everything); [[cdcStateView]] is the read view that
+    * filters them. Idempotent under re-delivery: max_by over a union is
+    * insensitive to duplicate change rows. State size is |live keys| +
+    * |tombstones| — compaction of aged tombstones is the retention pass
+    * (S12) applied to the state table. */
+  def cdcUpsertStream(changes: DataFrame, stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val payload = struct(col("seq"), col("st"), col("cents"), col("op"))
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val newRows = batch
+          .groupBy(col("k")).agg(max_by(payload, col("seq")).as("p"))
+          .select(col("k"), col("p.*"))
+        val merged = mergedWithState(stateDir) { state =>
+          state.map(_.unionByName(newRows)).getOrElse(newRows)
+            .groupBy(col("k")).agg(max_by(payload, col("seq")).as("p"))
+            .select(col("k"), col("p.*"))
+        }(s)
+        publishState(stateDir, merged)
+      }
+  }
+
+  /** Read view over [[cdcUpsertStream]]'s state table: live rows only
+    * (tombstones filtered at read, retained in storage for ordering). */
+  def cdcStateView(s: SparkSession, stateDir: String): DataFrame =
+    s.read.parquet(stateDir).where(col("op") =!= "D")
 
   /** T6-next — per-user running totals on the Spark 4 arbitrary-state API
     * (`transformWithState`): the successor to flatMapGroupsWithState, with

@@ -528,6 +528,57 @@ class StreamingSpec extends AnyFunSuite {
       s"stream semi set diverged: only-stream=${(streamedRows.toSet -- batch).take(5)} only-batch=${(batch -- streamedRows.toSet).take(5)}")
   }
 
+  test("M7-as-stream: CDC upsert with tombstones converges to latest-op-wins") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cdc-stream").toString
+    val feed = s"$tmp/feed"; val state = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
+    // batch 1: inserts, an update, a delete; batch 2: resurrect-after-
+    // delete (k=3), a delete of a live key (k=4), a late update (k=1)
+    val b1 = Seq((1L, 1L, "O", 100L, "I"), (2L, 1L, "O", 200L, "I"),
+      (3L, 1L, "O", 300L, "I"), (4L, 1L, "O", 400L, "I"),
+      (2L, 2L, "F", 220L, "U"), (3L, 3L, "O", 0L, "D"))
+    val b2 = Seq((3L, 4L, "P", 330L, "I"), (4L, 5L, "F", 0L, "D"),
+      (1L, 6L, "F", 110L, "U"))
+    b1.toDF("k", "seq", "st", "cents", "op")
+      .coalesce(1).write.mode("append").parquet(feed)
+    b2.toDF("k", "seq", "st", "cents", "op")
+      .coalesce(1).write.mode("append").parquet(feed)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("st",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType)))
+    def drain(ckptDir: String): Unit = {
+      val q = StreamJobs.cdcUpsertStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed), state, ckptDir).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain(ckpt)
+    def view: Set[(Long, Long, String, Long)] =
+      StreamJobs.cdcStateView(spark, state).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("seq"),
+          r.getAs[String]("st"), r.getAs[Long]("cents"))).toSet
+    // local latest-op-wins fold over the whole log
+    val expect = (b1 ++ b2).groupBy(_._1).values
+      .map(_.maxBy(_._2)).filter(_._5 != "D")
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    assert(view === expect)
+    assert(!view.exists(_._1 == 4L), "tombstoned key leaked into the view")
+    assert(view.exists(r => r._1 == 3L && r._3 == "P"),
+      "resurrect-after-delete lost")
+    // at-least-once upstream: re-deliver the ENTIRE feed under a fresh
+    // checkpoint — max_by over the union must leave the state unchanged
+    drain(s"$tmp/ckpt2")
+    assert(view === expect)
+  }
+
   test("T6 transformWithState running totals match the batch aggregate") {
     // transformWithState (Spark 4 arbitrary-state API) only runs on the
     // RocksDB state store; scope the provider to this query.
