@@ -1280,7 +1280,73 @@ object MultimodalQueries {
        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
   }
 
+  /** IMAGE-CAPTION pair-integrity audit — the label-noise census run
+    * before caption-supervised (CLIP-style) training on (image, text)
+    * pairs: treating each doc's decoded raster as the image and its text
+    * as the caption, count (a) exact-duplicate image groups (identical
+    * dHash bits) and how many of them carry CONFLICTING captions — the
+    * same picture taught with two different labels, and (b) duplicate
+    * caption groups and how many span DIFFERENT images — one label
+    * weakly supervising unrelated pictures. Both directions are the
+    * standard pair-corpus hygiene numbers; the four-row census is what a
+    * cleaning step thresholds.
+    *
+    * Scale: the decode is the shared narrow raster pass; both group
+    * families are hash aggregates on 16-byte keys — never pixel data
+    * past the hash, never all-pairs. */
+  def mediaPairAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val j = rasterHashes(s, dir, NEARDUP_N)
+      .select($"doc_id", $"dhash_hi", $"dhash_lo")
+      .join(Tables.documents(s, dir).filter($"doc_id" < NEARDUP_N)
+        .select($"doc_id", md5($"text").as("cap_h")), Seq("doc_id"))
+    val ig = j.groupBy($"dhash_hi", $"dhash_lo")
+      .agg(count(lit(1)).as("n"), count_distinct($"cap_h").as("nc"))
+      .filter($"n" >= 2)
+    val cg = j.groupBy($"cap_h")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(struct($"dhash_hi", $"dhash_lo")).as("ni"))
+      .filter($"n" >= 2)
+    Seq(
+      ig.agg(count(lit(1)).as("n"))
+        .select(lit("img_groups_multi").as("metric"), $"n"),
+      ig.filter($"nc" >= 2).agg(count(lit(1)).as("n"))
+        .select(lit("img_groups_caption_conflict").as("metric"), $"n"),
+      cg.agg(count(lit(1)).as("n"))
+        .select(lit("cap_groups_multi").as("metric"), $"n"),
+      cg.filter($"ni" >= 2).agg(count(lit(1)).as("n"))
+        .select(lit("cap_groups_image_conflict").as("metric"), $"n"))
+      .reduce(_.unionByName(_))
+      .orderBy($"metric")
+  }
+
+  val mediaPairAuditSql: String =
+    s"""WITH hashes AS (
+       |${rasterHashesSql(NEARDUP_N)}),
+       |j AS (
+       |  SELECT h.doc_id, dhash_hi, dhash_lo, md5(d.text) AS cap_h
+       |  FROM hashes h JOIN documents d ON h.doc_id = d.doc_id),
+       |ig AS (
+       |  SELECT dhash_hi, dhash_lo, count(*) AS n,
+       |    count(DISTINCT cap_h) AS nc
+       |  FROM j GROUP BY 1, 2 HAVING count(*) >= 2),
+       |cg AS (
+       |  SELECT cap_h, count(*) AS n,
+       |    count(DISTINCT (dhash_hi, dhash_lo)) AS ni
+       |  FROM j GROUP BY 1 HAVING count(*) >= 2)
+       |SELECT 'cap_groups_image_conflict' AS metric,
+       |  CAST((SELECT count(*) FROM cg WHERE ni >= 2) AS BIGINT) AS n
+       |UNION ALL SELECT 'cap_groups_multi',
+       |  CAST((SELECT count(*) FROM cg) AS BIGINT)
+       |UNION ALL SELECT 'img_groups_caption_conflict',
+       |  CAST((SELECT count(*) FROM ig WHERE nc >= 2) AS BIGINT)
+       |UNION ALL SELECT 'img_groups_multi',
+       |  CAST((SELECT count(*) FROM ig) AS BIGINT)
+       |ORDER BY metric""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_multimodal_pairs", mediaPairAudit, Some(mediaPairAuditSql),
+      "image-caption pair-integrity census: duplicate-image caption conflicts and duplicate-caption image conflicts"),
     QueryDef("q_multimodal_audio", mediaAudio, Some(mediaAudioSql),
       "REAL PCM audio features: RIFF chunk-walk decode, duration/peak/energy/zero-crossings"),
     QueryDef("q_multimodal_video", mediaVideo, Some(mediaVideoSql),

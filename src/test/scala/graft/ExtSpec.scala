@@ -1394,6 +1394,42 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal pair audit: census equals a formula replay of both directions") {
+    import spark.implicits._
+    def dhashOf(id: Long): Long = {
+      val w = 16 + (id % 7).toInt * 3
+      val h = 9 + (id % 5).toInt * 2
+      def v(x: Int, y: Int) = (x * 7 + y * 13 + id.toInt * 31) % 256
+      var bits = 0L
+      for (j <- 0 until 8; i <- 0 until 8) {
+        val y = j * h / 8
+        if (v(i * w / 9, y) > v((i + 1) * w / 9, y))
+          bits |= 1L << (j * 8 + i)
+      }
+      bits
+    }
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).filter($"doc_id" < 120)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val j = docs.map { case (id, t) => (dhashOf(id), md5hex(t)) }
+    val ig = j.groupBy(_._1).values.filter(_.length >= 2).toSeq
+    val cg = j.groupBy(_._2).values.filter(_.length >= 2).toSeq
+    val expect = Map(
+      "img_groups_multi" -> ig.size.toLong,
+      "img_groups_caption_conflict" ->
+        ig.count(_.map(_._2).distinct.length >= 2).toLong,
+      "cap_groups_multi" -> cg.size.toLong,
+      "cap_groups_image_conflict" ->
+        cg.count(_.map(_._1).distinct.length >= 2).toLong)
+    val got = MultimodalQueries.mediaPairAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(got("img_groups_multi") >= got("img_groups_caption_conflict"))
+    assert(got("cap_groups_multi") >= got("cap_groups_image_conflict"))
+  }
+
   test("MP4 box walk: foreign boxes skipped, truncation rejected, metadata exact") {
     import graft.ext.{MediaDecode, MediaFixtures}
     val b = MediaFixtures.mp4Container(1200, 2500, 2, 10, t => t * 3)
