@@ -886,7 +886,54 @@ object DedupQueries {
       .withColumn("overlap_bp", expr("n_hit * 10000 div n_win"))
   }
 
+  // --- X1d: marginal-novelty census per source ---------------------------
+
+  /** How much genuinely NEW content does each source add? — the
+    * acquisition/licensing question behind every "should we ingest this
+    * feed" decision, answered with the dedup tier's own shingle
+    * vocabulary: attribute every distinct word-3-gram to its FIRST
+    * source (sources ordered by name — the ingest order), then census
+    * each source's distinct shingles vs the ones it introduced. A source
+    * whose novelty_bp collapses is re-crawling what the corpus already
+    * holds — the diminishing-returns signal, at shingle granularity
+    * (doc-level dedup misses partial overlap).
+    *
+    * Scale: distinct (shingle, source) pairs then a min-source attribute
+    * pass — two hash aggregates on the shingle key, no joins, no pair
+    * expansion; vocabulary-bounded, not corpus-bounded. */
+  def sourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"source", explode(array_distinct(shingleArr)).as("sh"))
+      .distinct()
+    val first = pairs.groupBy($"sh").agg(min($"source").as("first_src"))
+    pairs.join(first, Seq("sh"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_src" === $"source", 1L).otherwise(0L))
+          .as("n_novel"))
+      .select($"source", $"n_shingles", $"n_novel",
+        expr("n_novel * 10000 div n_shingles").as("novelty_bp"))
+      .orderBy($"source")
+  }
+
+  val sourceNoveltySql: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT source, unnest($shinglesSql) AS sh
+       |  FROM documents),
+       |first AS (SELECT sh, MIN(source) AS first_src FROM pairs GROUP BY sh)
+       |SELECT p.source, count(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN f.first_src = p.source THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN f.first_src = p.source THEN 1 ELSE 0 END)
+       |    * 10000 // count(*) AS BIGINT) AS novelty_bp
+       |FROM pairs p JOIN first f ON p.sh = f.sh
+       |GROUP BY p.source ORDER BY p.source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_source_novelty", sourceNovelty, Some(sourceNoveltySql),
+      "X1d marginal-novelty census: distinct shingles each source introduces, in basis points"),
     QueryDef("q_substring_dedup", substringDedup, Some(substringDedupSql),
       "X1c exact repeated-substring spans (distributed ExactSubstr: window fingerprints + gaps-islands merge)"),
     QueryDef("q_dedup_band_sweep", dedupBandSweep, Some(dedupBandSweepSql),

@@ -1356,6 +1356,36 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("X1d source novelty: census equals a brute shingle-attribution replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1).toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t)
+    }
+    val pairs = docs.flatMap { case (src, t) =>
+      shingles(t).map(sh => (src, sh))
+    }.distinct
+    val firstOf = pairs.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val expect = pairs.groupBy(_._1).map { case (src, ps) =>
+      val n = ps.length.toLong
+      val novel = ps.count(p => firstOf(p._2) == src).toLong
+      src -> (n, novel, novel * 10000 / n)
+    }
+    val got = DedupQueries.sourceNovelty(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (n, novel, bp) = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((n, novel, bp)),
+        r.getString(0))
+    }
+    // every shingle is introduced exactly once: novel counts sum to the
+    // global distinct-shingle vocabulary
+    assert(got.map(_.getLong(2)).sum === firstOf.size.toLong)
+  }
+
   test("X1c substring dedup: spans equal a brute window-fingerprint replay") {
     val W = 40
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
