@@ -412,6 +412,8 @@ object TextQueries {
       "X4p tokenizer inference: apply the trained merge table, emit the token census"),
     QueryDef("q_tokens_per_doc", tokensPerDoc, Some(tokensPerDocSql),
       "X4q per-document exact token counts under the trained BPE vocab"),
+    QueryDef("q_bpe_fertility", bpeFertility, Some(bpeFertilitySql),
+      "X4u per-language tokenizer fertility (tokens/word) + compression (chars/token) under the trained vocab"),
     QueryDef("q_bpe_vocab", bpeVocab, Some(bpeVocabSql),
       "X4r-a the trained vocab table: base chars 0..B-1 + merge-rank token ids"),
     QueryDef("q_token_ids", tokenIds, Some(tokenIdsSql),
@@ -818,6 +820,47 @@ object TextQueries {
   val tokensPerDocSql: String =
     tokensPerDocCteSql +
       "\nSELECT doc_id, n_words, n_tokens FROM tokc ORDER BY doc_id"
+
+  // --- X4u: tokenizer fertility per language -----------------------------
+
+  /** Tokenizer FERTILITY per language — the standard tokenizer-health
+    * metric (tokens emitted per whitespace word) plus compression
+    * (chars per token), both in integer ppm, under the TRAINED merge
+    * table's exact counts: a language whose fertility runs hot pays
+    * proportionally more sequence length per sentence — the signal that
+    * drives vocab-size and training-mix decisions (and the denominator
+    * temperature-weighted mixing needs to be honest about). Rides the
+    * same fused single-broadcast fold as `q_tokens_per_doc` with the
+    * language carried through, so the whole audit is one narrow pass +
+    * one hash aggregate. */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = tokensPerDocOf(Tables.documents(s, dir), bpeMergeTable(s, dir),
+      carry = Seq("lang", "n_chars"))
+    t.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("words"),
+        sum($"n_tokens").as("tokens"),
+        sum($"n_chars").as("chars"))
+      .select($"lang", $"n_docs", $"words", $"tokens",
+        expr("tokens * 1000000 div words").as("fertility_ppm"),
+        expr("chars * 1000000 div tokens").as("chars_per_tok_ppm"))
+      .orderBy($"lang")
+  }
+
+  val bpeFertilitySql: String =
+    tokensPerDocCteSql + """,
+      |fert AS (
+      |  SELECT d.lang, t.n_words, t.n_tokens, d.n_chars
+      |  FROM tokc t JOIN documents d ON t.doc_id = d.doc_id)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS words,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |  CAST(SUM(n_tokens) * 1000000 // SUM(n_words) AS BIGINT)
+      |    AS fertility_ppm,
+      |  CAST(SUM(n_chars) * 1000000 // SUM(n_tokens) AS BIGINT)
+      |    AS chars_per_tok_ppm
+      |FROM fert GROUP BY lang ORDER BY lang""".stripMargin
 
   // --- X4r: real token IDs — the vocab table + the tokenized corpus ------
 

@@ -626,6 +626,31 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("X4u fertility: reconciles with per-doc exact counts; bounds hold") {
+    import spark.implicits._
+    val perDoc = TextQueries.tokensPerDoc(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens")))
+    val meta = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"n_chars").as[(Long, String, Long)]
+      .collect().map(d => d._1 -> (d._2, d._3)).toMap
+    val expect = perDoc.groupBy(d => meta(d._1)._1).map { case (lang, ds) =>
+      val w = ds.map(_._2).sum; val t = ds.map(_._3).sum
+      val c = ds.map(d => meta(d._1)._2).sum
+      lang -> (ds.length.toLong, w, t, t * 1000000 / w, c * 1000000 / t)
+    }
+    val got = TextQueries.bpeFertility(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (n, w, t, f, cpt) = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) === ((n, w, t, f, cpt)), r.getString(0))
+      // every word is at least one token; every token covers >= 1 char
+      assert(r.getLong(4) >= 1000000L)
+      assert(r.getLong(5) >= 1000000L)
+    }
+  }
+
   test("X4m/X4n BPE: merge eliminates the winning pair; counts match a local recount") {
     val r1 = TextQueries.bpePairs(spark, sf).collect()
     assert(r1.length === 20)
