@@ -132,6 +132,9 @@ class RegistrySpec extends AnyFunSuite {
       // onto the doc scan (the q_bpe_merge class); everything else in the
       // plan is a narrow per-row fused fold
       "q_tokens_per_doc",
+      // the same single-row merge-table broadcast, aggregated per
+      // language — the q_tokens_per_doc class
+      "q_bpe_fertility",
       // the same single-row merge-table broadcast feeding the packer's
       // window — the q_tokens_per_doc class
       "q_pack_exact_tokens",
