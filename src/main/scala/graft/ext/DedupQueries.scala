@@ -931,7 +931,55 @@ object DedupQueries {
        |FROM pairs p JOIN first f ON p.sh = f.sh
        |GROUP BY p.source ORDER BY p.source""".stripMargin
 
+  /** X1e — the pairwise SOURCE-OVERLAP matrix, [[sourceNovelty]]'s
+    * two-sided companion: exact shingle-vocabulary Jaccard between every
+    * source pair that shares content — which feeds are re-crawls of each
+    * other (the dedup-planning view), not just who got there first.
+    * Exact set Jaccard via posting lists: distinct (shingle, source)
+    * pairs self-join ON THE SHINGLE, so pair expansion is bounded by
+    * |sources|² PER SHINGLE (feeds are a bounded set at any corpus
+    * size — the expansion never touches |docs|²); a df cap on
+    * ubiquitous shingles (the X2h stop-shingle discipline) is the
+    * pressure valve if the source count ever grows hot. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"source", explode(array_distinct(shingleArr)).as("sh"))
+      .distinct()
+    val sizes = pairs.groupBy($"source").agg(count(lit(1)).as("nsz"))
+    val inter = pairs.toDF("src_a", "sh")
+      .join(pairs.toDF("src_b", "sh"), Seq("sh"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select($"source".as("src_a"), $"nsz".as("na")), Seq("src_a"))
+      .join(sizes.select($"source".as("src_b"), $"nsz".as("nb")), Seq("src_b"))
+      .select($"src_a", $"src_b", $"n_inter",
+        expr("n_inter * 1000000 div (na + nb - n_inter)").as("jaccard_ppm"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT source, unnest($shinglesSql) AS sh
+       |  FROM documents),
+       |sizes AS (SELECT source, count(*) AS nsz FROM pairs GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+       |  FROM pairs a JOIN pairs b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_inter,
+       |  CAST(n_inter * 1000000 // (sa.nsz + sb.nsz - n_inter) AS BIGINT)
+       |    AS jaccard_ppm
+       |FROM inter
+       |JOIN sizes sa ON src_a = sa.source
+       |JOIN sizes sb ON src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_source_overlap", sourceOverlap, Some(sourceOverlapSql),
+      "X1e pairwise source-overlap matrix: exact shingle-vocabulary Jaccard via posting lists"),
     QueryDef("q_source_novelty", sourceNovelty, Some(sourceNoveltySql),
       "X1d marginal-novelty census: distinct shingles each source introduces, in basis points"),
     QueryDef("q_substring_dedup", substringDedup, Some(substringDedupSql),

@@ -1381,6 +1381,30 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("X1e source overlap: matrix equals a brute set-Jaccard replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1).toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t)
+    }
+    val vocab = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(d => shingles(d._2)).toSet).toMap
+    val srcs = vocab.keys.toSeq.sorted
+    val expect = (for {
+      a <- srcs; b <- srcs if a < b
+      inter = (vocab(a) & vocab(b)).size.toLong if inter > 0
+    } yield (a, b) -> (inter,
+      inter * 1000000 / (vocab(a).size + vocab(b).size - inter))).toMap
+    val byName = DedupQueries.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_inter"), r.getAs[Long]("jaccard_ppm"))).toMap
+    assert(byName === expect)
+    byName.values.foreach { case (_, j) => assert(j > 0 && j <= 1000000L) }
+  }
+
   test("X1d source novelty: census equals a brute shingle-attribution replay") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
