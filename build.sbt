@@ -34,5 +34,11 @@ scalacOptions ++= Seq("-deprecation")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: local[32] runs 32 concurrent tasks in ONE JVM — at 8g the
+  // unified memory pool left ~70 MB of execution memory per task once
+  // memoized localCheckpoint blocks claimed their protected storage share,
+  // putting shuffle-heavy queries at the spill boundary (run-to-run
+  // variance). The box has 128 GiB; a real 32-core executor would get
+  // comparable headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

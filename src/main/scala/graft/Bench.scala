@@ -58,8 +58,60 @@ object Bench {
     val pass2 = benched.map { case (name, fn) => name -> timed(name, fn) }
     val raw: Seq[(String, (Double, Double))] =
       pass1.zip(pass2).map { case ((n, t1), (_, t2)) => n -> (t1, t2) }
-    val results: Map[String, Double] =
+    val minOf2: Map[String, Double] =
       raw.map { case (n, (t1, t2)) => n -> math.min(t1, t2) }.toMap
+    // Regression-baseline resolution (durable form, round 12): an explicit
+    // env override wins; otherwise the HIGHEST-numbered committed
+    // bench_baseline_r*.json snapshot of a driver-protocol run. Dev sweeps
+    // write bench_out.json (SPARK_GRAFT_BENCH_OUT) but never a baseline
+    // snapshot, so an sf0.01 dev run can no longer clobber the reference
+    // the `regressions` field compares against (round-11 failure mode).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val priorFile = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").getOrElse {
+      val snaps = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .map(_.getName)
+        .filter(n => n.matches("bench_baseline_r\\d+\\.json"))
+      if (snaps.isEmpty) outFile
+      else snaps.maxBy(_.replaceAll("\\D+", "").toInt)
+    }
+    val prior: Map[String, Double] = try {
+      import org.json4s._
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(priorFile)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val j = org.json4s.jackson.JsonMethods.parse(txt)
+      j \ "sf" match {
+        case JString(s) if s == sfDir =>
+          j \ "queries" match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty
+          }
+        case _ => Map.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // Pass 3 — targeted regression re-check. A shared box under transient
+    // contention (page-cache churn, a concurrent build) inflates BOTH runs
+    // of a min-of-2 pair for whatever queries happen to execute during the
+    // squeeze; round 11 recorded a 13-query "regression" cluster that
+    // re-measured at its round-10 times in isolation. Queries whose
+    // min-of-2 still exceeds 1.5x the durable baseline get ONE more run
+    // each, after the bulk sweep's memory/IO pressure has passed; the
+    // recorded time is the min of all three. A real plan regression
+    // reproduces in pass 3; a contention artifact does not. Cost: one run
+    // per flagged query, not a third full sweep.
+    val flagged = minOf2.toSeq.collect {
+      case (n, cur) if cur > 0.5 &&
+        prior.get(n).exists(p => p > 0 && cur / p > 1.5) => n
+    }.sorted
+    val byName = benched.toMap
+    val pass3: Map[String, Double] =
+      flagged.flatMap(n => byName.get(n).map(fn => n -> timed(n, fn))).toMap
+    val results: Map[String, Double] =
+      minOf2.map { case (n, t) =>
+        n -> math.min(t, pass3.getOrElse(n, Double.MaxValue)) }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -94,34 +146,13 @@ object Bench {
         s"""{"query":"$n","sec":$v,"share":${math.round(share * 1000) / 1000.0}}"""
       }.mkString("[", ",", "]")
     // Bench regression self-defense (companion to slow_outliers, which only
-    // catches ABSOLUTE hogs): compare each query's min to the prior recorded
-    // run's min and flag >1.5x creep. The prior run is the bench_out.json
-    // committed by the previous round's sweep — read BEFORE this run
-    // overwrites it — so a q_url_canonical-style relative regression is
-    // flagged by the harness the round it lands. Only flagged when the
-    // prior file benched the same sf dir and the current time is >0.5 s
-    // (sub-half-second queries drift 2x on box noise alone; that band is
-    // slow_outliers'/raw's job, not a regression signal).
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val priorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", outFile)
-    val prior: Map[String, Double] = try {
-      import org.json4s._
-      val txt = new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(priorFile)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val j = org.json4s.jackson.JsonMethods.parse(txt)
-      j \ "sf" match {
-        case JString(s) if s == sfDir =>
-          j \ "queries" match {
-            case JObject(fields) => fields.collect {
-              case (k, JDouble(v)) => k -> v
-              case (k, JInt(v)) => k -> v.toDouble
-            }.toMap
-            case _ => Map.empty
-          }
-        case _ => Map.empty
-      }
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // catches ABSOLUTE hogs): compare each query's recorded min (across all
+    // passes, including the pass-3 re-check) to the durable baseline's min
+    // and flag >1.5x creep. Only flagged when the baseline benched the same
+    // sf dir and the current time is >0.5 s (sub-half-second queries drift
+    // 2x on box noise alone; that band is slow_outliers'/raw's job, not a
+    // regression signal). Anything still listed here survived a third,
+    // post-sweep run — treat it as a real regression, not box noise.
     val regressions = results.toSeq
       .flatMap { case (n, cur) => prior.get(n).map(p => (n, cur, p)) }
       .filter { case (_, cur, p) => p > 0 && cur > 0.5 && cur / p > 1.5 }
@@ -137,8 +168,11 @@ object Bench {
     // plan in full (toRdd.count); rounds 1-4 timed Dataset.count(), which
     // let Catalyst prune unreferenced expensive columns — per-query times
     // are NOT comparable across that boundary.
+    val recheckJson = pass3.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2","queries":$qs,"raw":$rawJson,"tiers":$tiers,"warmup_absorbers":$absorbers,"slow_outliers":$slowOutliers,"regressions":$regressions,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2-plus-recheck","queries":$qs,"raw":$rawJson,"recheck":$recheckJson,"baseline":"${priorFile.replace("\\", "/")}","tiers":$tiers,"warmup_absorbers":$absorbers,"slow_outliers":$slowOutliers,"regressions":$regressions,"sf":"$sfDir"}"""
     val compactJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     try {

@@ -931,27 +931,46 @@ object DedupQueries {
        |FROM pairs p JOIN first f ON p.sh = f.sh
        |GROUP BY p.source ORDER BY p.source""".stripMargin
 
+  /** A shingle carried by more than this many SOURCES is a stop-shingle
+    * for the overlap matrix: it says nothing about which pair of feeds
+    * re-crawls the other (every feed has it), and at scale one ubiquitous
+    * shingle would otherwise expand |sources|²/2 pairs. The Jaccard is
+    * over the sub-cap vocabulary on BOTH sides (sizes and intersections),
+    * mirrored in the oracle — the X2h stop-shingle discipline. */
+  private val SRC_CAP = 100
+
   /** X1e — the pairwise SOURCE-OVERLAP matrix, [[sourceNovelty]]'s
     * two-sided companion: exact shingle-vocabulary Jaccard between every
     * source pair that shares content — which feeds are re-crawls of each
     * other (the dedup-planning view), not just who got there first.
-    * Exact set Jaccard via posting lists: distinct (shingle, source)
-    * pairs self-join ON THE SHINGLE, so pair expansion is bounded by
-    * |sources|² PER SHINGLE (feeds are a bounded set at any corpus
-    * size — the expansion never touches |docs|²); a df cap on
-    * ubiquitous shingles (the X2h stop-shingle discipline) is the
-    * pressure valve if the source count ever grows hot. */
+    *
+    * Posting-list plan (the [[dedupNgramJaccard]] shape, not a self-join):
+    * distinct (shingle, source) pairs collapse to one sorted source-list
+    * row PER SHINGLE; lists longer than [[SRC_CAP]] are dropped as
+    * stop-shingles (so each surviving list is ≤ cap and the per-shingle
+    * pair expansion is ≤ cap²/2 — bounded regardless of how many feeds
+    * exist or how hot a shingle runs); source pairs then expand LOCALLY
+    * inside each list and aggregate. One exchange over the vocabulary
+    * (the groupBy), tiny aggregates after — no shingle-relation self-join
+    * shuffling the vocabulary twice. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = Tables.documents(s, dir)
       .withColumn("toks", split($"text", " "))
       .select($"source", explode(array_distinct(shingleArr)).as("sh"))
       .distinct()
-    val sizes = pairs.groupBy($"source").agg(count(lit(1)).as("nsz"))
-    val inter = pairs.toDF("src_a", "sh")
-      .join(pairs.toDF("src_b", "sh"), Seq("sh"))
-      .filter($"src_a" < $"src_b")
-      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_inter"))
+    val postings = pairs.groupBy($"sh")
+      .agg(sort_array(collect_set($"source")).as("srcs"))
+      .filter(size($"srcs") <= SRC_CAP)
+    val sizes = postings
+      .select(explode($"srcs").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("nsz"))
+    val inter = postings
+      .select(explode(expr(
+        "flatten(transform(srcs, a -> transform(filter(srcs, b -> b > a), " +
+          "b -> struct(a AS src_a, b AS src_b))))")).as("p"))
+      .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select($"source".as("src_a"), $"nsz".as("na")), Seq("src_a"))
       .join(sizes.select($"source".as("src_b"), $"nsz".as("nb")), Seq("src_b"))
@@ -964,10 +983,14 @@ object DedupQueries {
     s"""WITH pairs AS (
        |  SELECT DISTINCT source, unnest($shinglesSql) AS sh
        |  FROM documents),
-       |sizes AS (SELECT source, count(*) AS nsz FROM pairs GROUP BY source),
+       |ok AS (
+       |  SELECT source, sh FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY sh) AS df FROM pairs)
+       |  WHERE df <= $SRC_CAP),
+       |sizes AS (SELECT source, count(*) AS nsz FROM ok GROUP BY source),
        |inter AS (
        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
-       |  FROM pairs a JOIN pairs b ON a.sh = b.sh AND a.source < b.source
+       |  FROM ok a JOIN ok b ON a.sh = b.sh AND a.source < b.source
        |  GROUP BY 1, 2)
        |SELECT src_a, src_b, n_inter,
        |  CAST(n_inter * 1000000 // (sa.nsz + sb.nsz - n_inter) AS BIGINT)

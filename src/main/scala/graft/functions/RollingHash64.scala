@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.graftbridge.TypeBridge.AbstractDataType
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** All W-byte window fingerprints of a string in ONE pass — the 8-byte
@@ -30,8 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * stage around every fingerprint scan).
   */
 case class RollingHash64(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
 
+  // analysis-time typing: a SQL call with a BIGINT text argument or a
+  // non-integer width is rejected (or implicitly cast) at analysis, not
+  // as an executor-side ClassCastException
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String = "rolling_hash64"

@@ -22,3 +22,9 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
+
+/** Type aliases for `private[sql]` analysis-time typing interfaces that
+  * extension expressions need (Spark 4 narrowed their visibility). */
+object TypeBridge {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+}
