@@ -35,6 +35,20 @@ object StreamJobs {
     CtaIngest.normalize(
       spark.readStream.schema(rawFeedSchema).json(dropDir))
 
+  /** S1-as-connector: the SAME normalized observation stream off the real
+    * DataSource V2 polling source ([[graft.sources.RestFeedProvider]],
+    * `format("graft-rest")`) instead of the drop-dir emulation — offsets
+    * are poll cycles, the per-route fetch retries under the pinned Backoff
+    * contract, and the connector emits [[rawFeedSchema]] rows so the
+    * normalize/land/telemetry pipeline downstream is IDENTICAL.
+    * RestFeedSourceSpec pins connector-ingest == batch
+    * `q_ingest_normalize` over the mock fixtures and the 429/non-retryable
+    * behavior through the source. */
+  def rawFeedStreamRest(spark: SparkSession,
+      options: Map[String, String]): DataFrame =
+    CtaIngest.normalize(
+      spark.readStream.format("graft-rest").options(options).load())
+
   /** Land the normalized observation stream as Hive-partitioned parquet with
     * checkpointing — exactly-once per micro-batch (T7). Caller starts/stops
     * the returned query. */

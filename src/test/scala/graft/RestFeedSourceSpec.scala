@@ -1,0 +1,144 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.ingest.{CtaFixtures, CtaIngest}
+import graft.sources.{RestPoller, RestTransports}
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DataSource V2 polling connector (S1/T1 as a real MicroBatchStream,
+  * `format("graft-rest")`): ingest equivalence against the batch normalize
+  * path over the mock fixtures, poll-cycle offsets, and the reference's
+  * pinned retry contract asserted THROUGH the source (not just through the
+  * RestPoller unit, which IngestSpec covers).
+  */
+class RestFeedSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Mock transport: parse `rt=` out of the request URL, serve the fixture
+    * body for that route — the offline stand-in for ttpositions.aspx. */
+  private def fixtureTransport(url: String): RestPoller.HttpResponse = {
+    val rt = url.split("[?&]").collectFirst {
+      case kv if kv.startsWith("rt=") => kv.stripPrefix("rt=")
+    }.getOrElse(fail(s"no rt= in $url"))
+    val body = CtaFixtures.feeds.collectFirst {
+      case (line, _, json) if line == rt => json
+    }.getOrElse(fail(s"no fixture for route $rt"))
+    RestPoller.HttpResponse(200, body)
+  }
+
+  private def baseOptions(transportId: String): Map[String, String] = Map(
+    "base" -> "http://mock.local",
+    "apikey" -> "k",
+    "lines" -> CtaFixtures.feeds.map(_._1).mkString(","),
+    "cycles" -> "1",
+    "pollIntervalMs" -> "0",
+    "pollTs" -> "2025-07-01T08:30:00",
+    "transport" -> transportId)
+
+  test("connector ingest == batch q_ingest_normalize over the mock fixtures") {
+    RestTransports.register("spec-fixture", fixtureTransport)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rest-src").toString
+    val q = graft.streaming.StreamJobs
+      .rawFeedStreamRest(spark, baseOptions("spec-fixture"))
+      .writeStream.format("memory").queryName("rest_ingest")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("rest_ingest")
+      .select($"train_id", $"line", $"observed_at", $"next_station",
+        $"is_train_delayed")
+      .collect().map(_.toSeq).toSet
+    val want = CtaIngest.normalize(CtaFixtures.feedDf(spark))
+      .select($"train_id", $"line", $"observed_at", $"next_station",
+        $"is_train_delayed")
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("offsets are poll cycles: N cycles fetch each route N times, resume continues") {
+    val calls = new AtomicInteger(0)
+    RestTransports.register("spec-counting", { url =>
+      calls.incrementAndGet(); fixtureTransport(url)
+    })
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rest-off").toString
+    val opts = baseOptions("spec-counting") + ("cycles" -> "2")
+    // file sink: the one memory can't do — recover from the checkpoint
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-rest").options(opts).load()
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    drain()
+    // 2 cycles x 4 routes
+    assert(calls.get() === 8)
+    assert(spark.read.parquet(s"$tmp/out").count() === 8)
+    // same checkpoint, same maxCycles: everything is committed, a resumed
+    // drain fetches NOTHING (offset log, not the clock, decides)
+    drain()
+    assert(calls.get() === 8)
+    assert(spark.read.parquet(s"$tmp/out").count() === 8)
+  }
+
+  test("HTTP 429 retries up to 3 attempts through the source, then succeeds") {
+    val attempts = new AtomicInteger(0)
+    RestTransports.register("spec-flaky", { url =>
+      if (attempts.incrementAndGet() <= 2)
+        RestPoller.HttpResponse(429, "slow down")
+      else fixtureTransport(url)
+    })
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rest-429").toString
+    val q = spark.readStream.format("graft-rest")
+      .options(baseOptions("spec-flaky") + ("lines" -> "Red")).load()
+      .writeStream.format("memory").queryName("rest_retry")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    assert(q.awaitTermination(120000))
+    // two 429s + the success — the reference's pinned <=3 budget absorbed it
+    assert(attempts.get() === 3)
+    assert(spark.table("rest_retry").count() === 1)
+  }
+
+  test("persistent 429 exhausts the 3-attempt budget and fails the task") {
+    val attempts = new AtomicInteger(0)
+    RestTransports.register("spec-throttled", { _ =>
+      attempts.incrementAndGet(); RestPoller.HttpResponse(429, "nope")
+    })
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rest-429f").toString
+    val q = spark.readStream.format("graft-rest")
+      .options(baseOptions("spec-throttled") + ("lines" -> "Red")).load()
+      .writeStream.format("memory").queryName("rest_retry_fail")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    val ex = intercept[StreamingQueryException] { q.awaitTermination(120000) }
+    // exactly the reference budget: 3 attempts, not 4, not 1
+    assert(attempts.get() === 3)
+    assert(ex.getMessage != null)
+  }
+
+  test("non-retryable HTTP error raises immediately (1 attempt, no retry)") {
+    val attempts = new AtomicInteger(0)
+    RestTransports.register("spec-hard-error", { _ =>
+      attempts.incrementAndGet(); RestPoller.HttpResponse(500, "boom")
+    })
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rest-500").toString
+    val q = spark.readStream.format("graft-rest")
+      .options(baseOptions("spec-hard-error") + ("lines" -> "Red")).load()
+      .writeStream.format("memory").queryName("rest_hard_fail")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    intercept[StreamingQueryException] { q.awaitTermination(120000) }
+    assert(attempts.get() === 1)
+  }
+}
