@@ -744,6 +744,56 @@ object StreamJobs {
         joinType)
       .select(col("event_id"), col("r_id"), col("event_type"))
   }
+
+  /** T7e — TRUE two-input keyed stream-stream join: an ORDERS stream and a
+    * LINEITEM stream (two independent sources, two independent watermarks)
+    * equi-joined on the order key — the streaming form of the J2/J3 fact
+    * join (`q_join_shuffle_fact` / `q_join_left_outer`), where the interval
+    * family ([[followerJoin]]) is a self-join of one feed.
+    *
+    * Semantics: `o_orderkey = l_orderkey` AND the shipment's event time
+    * within ±180 days of the order's — the time bound is what makes
+    * UNBOUNDED two-stream state finite, and the batch anchor mirrors it
+    * exactly. `joinType` ∈ inner | left_outer: the outer form emits one
+    * null-padded row per order with NO qualifying shipment, gated on the
+    * watermark closing the order's ±180-day window (until then a match
+    * could still arrive).
+    *
+    * State-eviction bound (both sides watermarked 30 days): an ORDER row
+    * is retained until the combined watermark passes
+    * `o_orderdate + 180 days` (its window close — the match verdict is
+    * then final); a LINEITEM row until it passes `l_shipdate + 180 days`
+    * (no order whose window is still open can want it). Each side holds
+    * O(rows in the last ~210 days of event time) — bounded regardless of
+    * stream length. The join itself hash-partitions BOTH streams by the
+    * equi-key, the same exchange the batch join plans, so a 1000-executor
+    * run scales by key hash, with AQE/salting available exactly as in
+    * batch. StreamingSpec pins inner == batch and the outer form's
+    * complete row set (matches + the null set) == the batch left-outer
+    * join after a both-side sentinel watermark flush. */
+  def orderShipmentJoin(orders: DataFrame, lineitems: DataFrame,
+      joinType: String = "inner"): DataFrame = {
+    // event-time columns must be TIMESTAMP (watermarks reject NTZ); the
+    // lake's naive-µs parquet reads as NTZ under the UTC session, where
+    // this cast is a pure reinterpretation
+    val left = orders
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast(TimestampType).as("o_orderdate"),
+        col("o_orderpriority"))
+      .withWatermark("o_orderdate", "30 days")
+    val right = lineitems
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast(TimestampType).as("l_shipdate"),
+        col("l_returnflag"))
+      .withWatermark("l_shipdate", "30 days")
+    left.join(right,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") - expr("INTERVAL 180 DAYS") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 180 DAYS"),
+        joinType)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("l_linenumber"),
+        col("l_returnflag"))
+  }
 }
 
 /** One A-Res-scored document (input row of

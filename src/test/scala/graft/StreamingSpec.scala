@@ -817,4 +817,144 @@ class StreamingSpec extends AnyFunSuite {
       assert(batchSet.contains(k))
     }
   }
+
+  // --- T7e: TWO-INPUT keyed stream-stream join (orders x lineitem) -------
+
+  /** Stage the two fact tables as independent streaming drop dirs and
+    * return (ordersDir, lineitemDir, ordersStream, lineitemStream). */
+  private def twoStreamDirs(): (String, String,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val oDir = Files.createTempDirectory("graft-ss-orders").toString
+    val lDir = Files.createTempDirectory("graft-ss-lineitem").toString
+    Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .coalesce(1).write.mode("append").parquet(oDir)
+    Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate", $"l_returnflag")
+      .coalesce(1).write.mode("append").parquet(lDir)
+    val oSchema = spark.read.parquet(oDir).schema
+    val lSchema = spark.read.parquet(lDir).schema
+    (oDir, lDir,
+      spark.readStream.schema(oSchema).parquet(oDir),
+      spark.readStream.schema(lSchema).parquet(lDir))
+  }
+
+  /** Far-future sentinel rows on BOTH streams: the join watermark is the
+    * min of the two sides, so both must advance to close any window. */
+  private def dropJoinSentinels(oDir: String, lDir: String,
+      ts0: java.sql.Timestamp, suffix: String = ""): Unit = {
+    // mirror the staged files' timestamp flavor (NTZ under the UTC session)
+    def tsVal(schema: org.apache.spark.sql.types.StructType, c: String): Any =
+      schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          java.time.LocalDateTime.ofInstant(ts0.toInstant,
+            java.time.ZoneOffset.UTC)
+        case _ => ts0
+      }
+    val stage1 = Files.createTempDirectory("graft-ss-sent-o").toString + "/o"
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          Long.box(999999901L),
+          tsVal(spark.read.parquet(oDir).schema, "o_orderdate"), "SENTINEL")),
+        spark.read.parquet(oDir).schema)
+      .coalesce(1).write.parquet(stage1)
+    val p1 = new java.io.File(stage1).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(p1.toPath,
+      java.nio.file.Paths.get(s"$oDir/zz_sentinel$suffix.parquet"))
+    val stage2 = Files.createTempDirectory("graft-ss-sent-l").toString + "/l"
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          Long.box(999999902L), Int.box(1),
+          // "R": the outer test filters the right stream to returned
+          // items BEFORE the watermark — the sentinel must survive the
+          // filter or the right watermark never advances
+          tsVal(spark.read.parquet(lDir).schema, "l_shipdate"), "R")),
+        spark.read.parquet(lDir).schema)
+      .coalesce(1).write.parquet(stage2)
+    val p2 = new java.io.File(stage2).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(p2.toPath,
+      java.nio.file.Paths.get(s"$lDir/zz_sentinel$suffix.parquet"))
+  }
+
+  /** Batch mirror of [[StreamJobs.orderShipmentJoin]]'s predicate. */
+  private def batchOrderShipment(right: org.apache.spark.sql.DataFrame,
+      joinType: String) = {
+    val left = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    left.join(right,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" - expr("INTERVAL 180 DAYS") &&
+          $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 180 DAYS"),
+        joinType)
+      .select($"o_orderkey", $"o_orderpriority", $"l_linenumber",
+        $"l_returnflag")
+  }
+
+  test("T7e two-input stream-stream INNER equi-join matches the batch fact join") {
+    val (_, _, oStream, lStream) = twoStreamDirs()
+    val q = StreamJobs.orderShipmentJoin(oStream, lStream, "inner")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_join_inner").start()
+    try { q.processAllAvailable() } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))
+    val streamed = spark.table("ss_join_inner").collect().map(key).toSet
+    val batch = batchOrderShipment(
+      Tables.load(spark, sf, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_shipdate",
+          $"l_returnflag"),
+      "inner").collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("T7e two-input stream-stream LEFT OUTER join emits the null set after both-side watermark flush") {
+    val (oDir, lDir, oStream, lStream) = twoStreamDirs()
+    // restrict the shipment side to returned items so a non-trivial set of
+    // orders genuinely has NO match inside the window
+    val q = StreamJobs.orderShipmentJoin(
+        oStream, lStream.filter($"l_returnflag" === "R"), "left_outer")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_join_outer").start()
+    try {
+      q.processAllAvailable()
+      // push BOTH watermarks past every order's +180d window close
+      // (o_orderdate reads as NTZ -> LocalDateTime under the UTC session)
+      val maxInstant = Tables.load(spark, sf, "orders")
+        .agg(max($"o_orderdate".cast("timestamp"))).head
+        .getTimestamp(0).toInstant
+      val flush = java.sql.Timestamp.from(
+        maxInstant.plus(java.time.Duration.ofDays(600)))
+      // watermark updates AFTER the batch that carries the sentinel, and
+      // the null-row flush runs in the batch AFTER that — two sentinel
+      // rounds, like the interval-join tests
+      dropJoinSentinels(oDir, lDir, flush, "1")
+      q.processAllAvailable()
+      dropJoinSentinels(oDir, lDir, java.sql.Timestamp.from(
+        flush.toInstant.plus(java.time.Duration.ofDays(30))), "2")
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]).getOrElse(-1),
+        Option(r.get(3)).map(_.asInstanceOf[String]).getOrElse("<null>"))
+    val streamed = spark.table("ss_join_outer").collect().map(key)
+      // the sentinel order's own window never closed; it emits nothing,
+      // and the sentinel lineitem matches no real order
+      .filter(_._1 < 999999900L).toSet
+    val batch = batchOrderShipment(
+      Tables.load(spark, sf, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_shipdate",
+          $"l_returnflag")
+        .filter($"l_returnflag" === "R"),
+      "left_outer").collect().map(key).toSet
+    assert((streamed -- batch).isEmpty,
+      s"stream-only rows: ${(streamed -- batch).take(5)}")
+    assert((batch -- streamed).isEmpty,
+      s"batch rows never emitted (null set incomplete): ${(batch -- streamed).take(5)}")
+    // the null set is genuinely non-trivial
+    assert(streamed.exists(_._3 == -1), "no null-padded rows emitted")
+  }
 }
