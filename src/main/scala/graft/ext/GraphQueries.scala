@@ -200,9 +200,20 @@ object GraphQueries {
         .select($"src", $"dst")
     }
     val core = alive.select($"doc_id", lit(0L).as("peel_round"))
-    (peeled :+ core).reduce(_.unionByName(_))
+    // Convergence receipt, IN the output: peel_round = -1 counts the
+    // "core" vertices whose degree in the final restricted edge set is
+    // still < k — vertices a further round WOULD peel. 0 ⇔ the fixed
+    // rounds reached the fixpoint; nonzero makes a truncated peel visible
+    // in the census itself (both engines would otherwise agree on the
+    // same mislabeled core and the hash gate could never catch it).
+    val finalKeep = cur.groupBy($"src").agg(count(lit(1)).as("dg"))
+      .filter($"dg" >= CORE_K).select($"src".as("doc_id"))
+    val residual = alive.join(finalKeep, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit(-1L).as("peel_round"), $"n_docs")
+    val census = (peeled :+ core).reduce(_.unionByName(_))
       .groupBy($"peel_round").agg(count(lit(1)).as("n_docs"))
-      .orderBy($"peel_round")
+    census.unionByName(residual).orderBy($"peel_round")
   }
 
   val graphKcoreSql: String = {
@@ -231,9 +242,18 @@ object GraphQueries {
        |$rounds,
        |onion AS (
        |  $peelUnion
-       |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM a$PEEL_ROUNDS)
+       |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM a$PEEL_ROUNDS),
+       |resid AS (
+       |  SELECT CAST(-1 AS BIGINT) AS peel_round,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM a$PEEL_ROUNDS a LEFT JOIN (
+       |    SELECT src AS doc_id FROM e$PEEL_ROUNDS
+       |    GROUP BY src HAVING COUNT(*) >= $CORE_K) s USING (doc_id)
+       |  WHERE s.doc_id IS NULL)
        |SELECT peel_round, COUNT(*) AS n_docs FROM onion
-       |GROUP BY peel_round ORDER BY peel_round""".stripMargin
+       |GROUP BY peel_round
+       |UNION ALL SELECT peel_round, n_docs FROM resid
+       |ORDER BY peel_round""".stripMargin
   }
 
   def defs: Seq[QueryDef] = Seq(

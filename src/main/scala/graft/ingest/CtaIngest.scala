@@ -153,6 +153,54 @@ object CtaIngest {
       .parquet(outPath)
   }
 
+  /** Pure sizing rule behind [[compactSized]]: records per output file so
+    * that `targetFileBytes` parquet lands per file, estimated from the
+    * observed raw input (NDJSON bytes/record) scaled by the
+    * parquet-vs-NDJSON compression ratio. Never below 1 (a record wider
+    * than the target still lands). Split out so the spec can pin the
+    * arithmetic exactly, independent of filesystem timing. */
+  def targetRecordsPerFile(inputBytes: Long, nRecords: Long,
+      targetFileBytes: Long, parquetToRawRatio: Double = 0.25): Long = {
+    require(nRecords > 0 && inputBytes > 0 && targetFileBytes > 0)
+    val bytesPerRec =
+      math.max(1.0, inputBytes.toDouble / nRecords * parquetToRawRatio)
+    math.max(1L, (targetFileBytes / bytesPerRec).toLong)
+  }
+
+  /** EP3 at the SURVEY §7.4 100× shape — FILE-SIZE-targeted compaction.
+    * The fixture-parity [[compact]] bounds output by RECORD count; a real
+    * lake wants ~128 MB parquet files (HDFS-block/scan-amortization
+    * sweet spot) regardless of record width, so this derives
+    * `maxRecordsPerFile` from the day's own observed bytes/record
+    * ([[targetRecordsPerFile]]) before the single landing pass — no
+    * second write, no post-hoc rewrite. Returns the derived cap.
+    *
+    * Scale: the estimate reads only filesystem metadata (content summary)
+    * plus one count of the deduped day — both O(metadata)/O(scan), no
+    * extra shuffle; the write itself is the same partitioned landing as
+    * [[compact]]. IngestSpec pins the derived cap's arithmetic and that
+    * the landed file count per partition is ceil(rows/cap). */
+  def compactSized(spark: SparkSession, rawDayPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      parquetToRawRatio: Double = 0.25): Long = {
+    val deduped = spark.read.schema(CtaSchemas.rawRecord).json(rawDayPath)
+      .dropDuplicates(Seq("train_id", "current_timestamp"))
+    val fs = new org.apache.hadoop.fs.Path(rawDayPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inputBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(rawDayPath)).getLength
+    val nRecords = deduped.count()
+    val cap = targetRecordsPerFile(inputBytes, math.max(1L, nRecords),
+      targetFileBytes, parquetToRawRatio)
+    deduped
+      .withColumn("load_date", to_date(col("current_timestamp").cast(TimestampType)))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", cap)
+      .partitionBy("load_date")
+      .parquet(outPath)
+    cap
+  }
+
   /** Retention delete (reference S3 lifecycle, main.tf:166-189 → S12):
     * partition-predicate delete — list partitions older than `keepDays`
     * relative to `asOf` and drop their directories. */

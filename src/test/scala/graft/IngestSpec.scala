@@ -85,6 +85,53 @@ class IngestSpec extends AnyFunSuite {
     assert(dirs.exists(_.startsWith("load_date=2025-07-01")))
   }
 
+  test("size-targeted compaction: derived cap arithmetic and per-file bounds") {
+    // the pure sizing rule, pinned exactly
+    // 1000 raw bytes / 10 records * 0.25 = 25 parquet bytes/rec;
+    // 100-byte target => 4 records per file
+    assert(CtaIngest.targetRecordsPerFile(1000L, 10L, 100L, 0.25) === 4L)
+    // a record wider than the target still lands: floor at 1
+    assert(CtaIngest.targetRecordsPerFile(10000L, 1L, 100L, 1.0) === 1L)
+    // 128 MB target over 1 KB NDJSON records at the default ratio
+    assert(CtaIngest.targetRecordsPerFile(
+      1024L * 1000, 1000L, 128L * 1024 * 1024) === 524288L)
+
+    // end-to-end: 40 distinct records, a target small enough to force a
+    // multi-file day — every landed file obeys the derived cap and the
+    // partition has at least ceil(rows/cap) files (maxRecordsPerFile is a
+    // per-task cap, so exact count can exceed the ceiling under
+    // parallelism; the INVARIANT is the per-file bound)
+    val tmp = Files.createTempDirectory("graft-compact-sized").toString
+    val rawDir = s"$tmp/raw"
+    val outDir = s"$tmp/processed"
+    import spark.implicits._
+    val recs = (0 until 40).map { i =>
+      (f"T$i%03d", f"2025-07-01T08:${i / 60}%02d:${i % 60}%02d",
+        "2025-07-01T08:00:00", "Howard", "Granville",
+        "2025-07-01T08:33:00", "0", "0", "41.99", "-87.65", "355")
+    }.toDF(graft.model.CtaSchemas.rawRecord.fieldNames: _*)
+    recs.coalesce(1).write.json(rawDir)
+    val inputBytes = new java.io.File(rawDir).listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.length).sum
+    // pick the target so the derived cap is ~7 records/file
+    val target = (CtaIngest.targetRecordsPerFile(inputBytes, 40L,
+      inputBytes, 0.25) / 40.0 * 7).toLong.max(1L)
+    val cap = CtaIngest.compactSized(spark, rawDir, outDir,
+      targetFileBytes = target)
+    assert(cap >= 1L && cap < 40L, s"cap $cap should force a multi-file day")
+    val partDir = new java.io.File(outDir).listFiles()
+      .find(_.getName.startsWith("load_date=2025-07-01")).get
+    val files = partDir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length >= math.ceil(40.0 / cap).toInt,
+      s"${files.length} files < ceil(40/$cap)")
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= cap, s"${f.getName} has $n rows > cap $cap")
+    }
+    assert(spark.read.parquet(outDir).count() === 40)
+  }
+
   test("source-format matrix: CSV and ORC round-trip the parquet events") {
     // the engine is format-agnostic below the Tables layer; prove the
     // same rows survive a write+read cycle through the two other
