@@ -289,6 +289,31 @@ object MediaDecode {
     if (fmtOk && samples != null && rate > 0) Some((rate, samples)) else None
   }
 
+  /** One ISO-BMFF box header at `off` inside `[off, limit)`:
+    * `(payloadStart, boxEnd, fourcc)`. Handles all three legal size
+    * encodings — a plain 32-bit size, `size == 1` with a 64-bit
+    * `largesize` following the fourcc (how real >4 GiB mdat boxes ship),
+    * and `size == 0` meaning "to the end of the enclosing space" (legal
+    * for a last box). None on a truncated/undersized header. */
+  private def mp4Box(bytes: Array[Byte], off: Int,
+      limit: Int): Option[(Int, Int, String)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    if (off + 8 > limit) return None
+    val size = be32(off)
+    val fourcc = new String(bytes, off + 4, 4, "US-ASCII")
+    if (size == 0) Some((off + 8, limit, fourcc)) // box runs to EOF/enclosure
+    else if (size == 1) { // 64-bit largesize after the fourcc
+      if (off + 16 > limit) return None
+      val ls = (be32(off + 8) << 32) | be32(off + 12)
+      if (ls < 16 || off + ls > limit) None
+      else Some((off + 16, off + ls.toInt, fourcc))
+    }
+    else if (size < 8 || off + size > limit) None
+    else Some((off + 8, (off + size).toInt, fourcc))
+  }
+
   /** Walk a real ISO-BMFF (MP4) box sequence — the VIDEO container
     * metadata decode: big-endian (size, fourcc) box headers at the top
     * level, `moov` entered one level (its `mvhd` v0 yields timescale +
@@ -297,44 +322,118 @@ object MediaDecode {
     * pretending to run a codec — at 100 TB frame decode is the GPU
     * stage this metadata pass schedules). Unknown boxes at BOTH levels
     * are skipped by size — the robustness contract real files demand
-    * (spec inserts a `free` box and a foreign moov child). Returns
-    * (timescale, duration_units, n_tracks, mdat_bytes, mdat_sum); None
-    * on any truncated/undersized box or a missing moov/mvhd. */
+    * (spec inserts a `free` box and a foreign moov child), and all three
+    * legal size encodings walk ([[mp4Box]]: 32-bit, 64-bit `largesize`,
+    * to-EOF `size == 0`). Returns (timescale, duration_units, n_tracks,
+    * mdat_bytes, mdat_sum); None on any truncated/undersized box or a
+    * missing moov/mvhd. */
   def decodeMp4Meta(bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
     def u8(i: Int) = bytes(i) & 0xff
     def be32(i: Int): Long =
       ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
-    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
-    var off = 0L
+    var off = 0
     var ts = -1L; var dur = -1L; var traks = 0L
     var mdatB = 0L; var mdatSum = 0L
     while (off + 8 <= bytes.length) {
-      val size = be32(off.toInt)
-      if (size < 8 || off + size > bytes.length) return None
-      tag(off.toInt + 4) match {
+      val (payload, end, fourcc) = mp4Box(bytes, off, bytes.length)
+        .getOrElse(return None)
+      fourcc match {
         case "moov" =>
-          var io = off + 8
-          while (io + 8 <= off + size) {
-            val is = be32(io.toInt)
-            if (is < 8 || io + is > off + size) return None
-            tag(io.toInt + 4) match {
-              case "mvhd" if is >= 32 =>
-                ts = be32(io.toInt + 20); dur = be32(io.toInt + 24)
+          var io = payload
+          while (io + 8 <= end) {
+            val (ip, ie, itag) = mp4Box(bytes, io, end).getOrElse(return None)
+            itag match {
+              case "mvhd" if ie - ip >= 24 =>
+                ts = be32(ip + 12); dur = be32(ip + 16)
               case "trak" => traks += 1
               case _ => () // skip foreign children by size
             }
-            io += is
+            io = ie
           }
         case "mdat" =>
-          mdatB += size - 8
-          var t = off + 8
-          while (t < off + size) { mdatSum += u8(t.toInt); t += 1 }
+          mdatB += end - payload
+          var t = payload
+          while (t < end) { mdatSum += u8(t); t += 1 }
         case _ => () // skip foreign top-level boxes by size
       }
-      off += size
+      off = end
     }
     if (off != bytes.length || ts <= 0 || dur < 0) None
     else Some((ts, dur, traks, mdatB, mdatSum))
+  }
+
+  /** SAMPLE-TABLE walk — real per-frame METADATA without a codec: descend
+    * `moov → trak → mdia → minf → stbl` (each level a by-size box walk,
+    * foreign siblings skipped) and read each track's `stsz` (per-sample
+    * byte sizes — v0, both the uniform `sample_size != 0` form and the
+    * per-sample list) and `stts` (run-length (count, delta) decode
+    * timeline). Emits one row per track:
+    * (track_index, n_samples, sample_bytes, duration_units) — the
+    * schedule a frame-extraction stage fans out over, produced from
+    * metadata alone (the codec/GPU stage remains the declared stub).
+    * None when any box is malformed or a trak lacks stsz/stts. */
+  def decodeMp4Samples(bytes: Array[Byte]): Option[Seq[(Long, Long, Long, Long)]] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    // first child with the given fourcc inside [from, to)
+    def child(from: Int, to: Int, want: String): Option[(Int, Int)] = {
+      var io = from
+      while (io + 8 <= to) {
+        val (ip, ie, itag) = mp4Box(bytes, io, to).getOrElse(return None)
+        if (itag == want) return Some((ip, ie))
+        io = ie
+      }
+      None
+    }
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    var trackIdx = 0L
+    var off = 0
+    while (off + 8 <= bytes.length) {
+      val (payload, end, fourcc) = mp4Box(bytes, off, bytes.length)
+        .getOrElse(return None)
+      if (fourcc == "moov") {
+        var io = payload
+        while (io + 8 <= end) {
+          val (ip, ie, itag) = mp4Box(bytes, io, end).getOrElse(return None)
+          if (itag == "trak") {
+            val stbl = for {
+              (mp, me) <- child(ip, ie, "mdia")
+              (fp, fe) <- child(mp, me, "minf")
+              s <- child(fp, fe, "stbl")
+            } yield s
+            val (sp, se) = stbl.getOrElse(return None)
+            val (zp, ze) = child(sp, se, "stsz").getOrElse(return None)
+            if (ze - zp < 12) return None
+            val uniform = be32(zp + 4)
+            val n = be32(zp + 8)
+            val sampleBytes =
+              if (uniform != 0) uniform * n
+              else {
+                if (ze - zp < 12 + 4 * n) return None
+                (0L until n).map(k => be32(zp + 12 + 4 * k.toInt)).sum
+              }
+            val (tp, te) = child(sp, se, "stts").getOrElse(return None)
+            if (te - tp < 8) return None
+            val entries = be32(tp + 4)
+            if (te - tp < 8 + 8 * entries) return None
+            var durU = 0L; var nTts = 0L
+            (0L until entries).foreach { e =>
+              val c = be32(tp + 8 + 8 * e.toInt)
+              val d = be32(tp + 12 + 8 * e.toInt)
+              durU += c * d; nTts += c
+            }
+            if (nTts != n) return None // stsz and stts must agree
+            out += ((trackIdx, n, sampleBytes, durU))
+            trackIdx += 1
+          }
+          io = ie
+        }
+      }
+      off = end
+    }
+    val res = out.result()
+    if (res.isEmpty) None else Some(res)
   }
 
   /** Classic 9×8 difference hash over a luminance grid: nearest-neighbor
@@ -546,6 +645,50 @@ object MediaFixtures {
     ftyp ++ free ++ moov ++ mdat
   }
 
+  /** [[mp4Container]]'s full-depth sibling: each trak carries a real
+    * sample table (`mdia{minf{stbl{stsz, stts}}}`), the `mdat` box ships
+    * with `size == 1` + 64-bit largesize (the >4 GiB encoding real files
+    * use), and the container ends with a `size == 0` to-EOF `skip` box —
+    * so the walker's three size encodings and the stbl descent are all
+    * exercised by construction. Track i (0-based) has `nSamples(i)`
+    * samples; sample k has `sSize(i, k)` bytes (stsz v0 per-sample list)
+    * and duration `sDelta(i, k)` units (stts as n single-count entries —
+    * the worst-case run-length shape). */
+  def mp4ContainerStbl(timescale: Int, durationUnits: Int, nTracks: Int,
+      mdatLen: Int, payload: Int => Int, nSamples: Int => Int,
+      sSize: (Int, Int) => Int, sDelta: (Int, Int) => Int): Array[Byte] = {
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(512) ++
+        "isommp42".getBytes("US-ASCII"))
+    val mvhd = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(durationUnits) ++ Array.fill[Byte](80)(0))
+    val traks = (0 until nTracks).map { i =>
+      val n = nSamples(i)
+      val stsz = box("stsz",
+        Array[Byte](0, 0, 0, 0) ++ be32(0) /* per-sample sizes */ ++
+          be32(n) ++ (0 until n).flatMap(k => be32(sSize(i, k))).toArray)
+      val stts = box("stts",
+        Array[Byte](0, 0, 0, 0) ++ be32(n) ++
+          (0 until n).flatMap(k => be32(1) ++ be32(sDelta(i, k))).toArray)
+      val tkhd = box("tkhd",
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(i + 1) ++
+          be32(0) ++ be32(durationUnits) ++ Array.fill[Byte](60)(0))
+      box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stsz ++ stts))))
+    }
+    val moov = box("moov", mvhd ++ traks.flatten.toArray)
+    // mdat with size==1 + 64-bit largesize (header is 16 bytes)
+    val mdatBody = Array.tabulate(mdatLen)(t => (payload(t) & 0xff).toByte)
+    val mdat = be32(1) ++ "mdat".getBytes("US-ASCII") ++
+      be32(0) ++ be32(16 + mdatLen) ++ mdatBody
+    // trailing size==0 box: runs to EOF by definition
+    val eofSkip = be32(0) ++ "skip".getBytes("US-ASCII") ++
+      Array.fill[Byte](4)(0)
+    ftyp ++ moov ++ mdat ++ eofSkip
+  }
+
   def wavPcm16(sampleRate: Int, n: Int, smp: Int => Int): Array[Byte] = {
     val dataLen = n * 2
     val out = new java.io.ByteArrayOutputStream()
@@ -614,6 +757,12 @@ final case class RasterThumb(
 final case class VideoMeta(
     doc_id: Long, timescale: Long, duration_units: Long, duration_ms: Long,
     n_tracks: Long, mdat_bytes: Long, mdat_sum: Long)
+
+/** Per-(doc, track) sample-table schedule — see
+  * [[MultimodalQueries.mediaVideoSamples]]. */
+final case class TrackSample(
+    doc_id: Long, track: Long, n_samples: Long, sample_bytes: Long,
+    duration_units: Long, mdat_bytes: Long, mdat_sum: Long)
 
 final case class AudioFeat(
     doc_id: Long, sample_rate: Long, n_samples: Long, duration_ms: Long,
@@ -1217,6 +1366,72 @@ object MultimodalQueries {
        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
   }
 
+  /** SAMPLE-TABLE schedule over full-depth ISO-BMFF — per-frame METADATA
+    * without a codec: each doc carries a
+    * [[MediaFixtures.mp4ContainerStbl]] container whose traks hold real
+    * `stbl{stsz, stts}` tables, whose `mdat` ships with the 64-bit
+    * `largesize` encoding, and which ends in a to-EOF `size == 0` box —
+    * [[MediaDecode.decodeMp4Samples]] descends moov→trak→mdia→minf→stbl
+    * and emits one row per track: sample count, total sample bytes
+    * (per-sample stsz list), and run-length-decoded stts duration — the
+    * schedule a frame-extraction stage fans out over. The mdat byte sum
+    * rides along from [[MediaDecode.decodeMp4Meta]] so the largesize
+    * payload OFFSET (16-byte header, not 8) is pinned by the hash gate
+    * too. Oracle restates every value from the fixture formulas.
+    *
+    * Scale: narrow typed map + batched mapPartitions walk, zero shuffle
+    * before the presentation sort; the codec/GPU frame decode remains
+    * the declared stub this schedule feeds. */
+  def mediaVideoSamples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir).filter($"doc_id" < 60)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ts = 600 * (1 + (id % 3).toInt)
+        val durU = ts * (2 + (id % 7).toInt) + (id % 97).toInt
+        val nTr = 1 + (id % 3).toInt
+        val ml = 40 + (id % 7).toInt * 9
+        (id, MediaFixtures.mp4ContainerStbl(ts, durU, nTr, ml,
+          t => (t * 13 + id.toInt * 7) % 256,
+          i => 3 + ((id.toInt + i) % 5),
+          (i, k) => 10 + ((k * 7 + i * 3 + id.toInt) % 23),
+          (i, k) => 1 + ((k + i + id.toInt) % 4)))
+      }
+    media.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val (_, _, _, mb, msum) = MediaDecode.decodeMp4Meta(bytes)
+          .getOrElse(sys.error(s"doc $id: largesize/to-EOF walk failed"))
+        MediaDecode.decodeMp4Samples(bytes)
+          .getOrElse(sys.error(s"doc $id: stbl walk failed"))
+          .map { case (trk, n, sb, du) =>
+            TrackSample(id, trk, n, sb, du, mb, msum) }
+      }
+    }.toDF().orderBy($"doc_id", $"track")
+  }
+
+  /** Oracle: tracks 0..doc_id%3, n = 3+(doc_id+track)%5, sample k is
+    * 10+(k·7+track·3+doc_id)%23 bytes and 1+(k+track+doc_id)%4 units;
+    * mdat payload byte t = (t·13+doc_id·7)%256 over 40+(doc_id%7)·9. */
+  val mediaVideoSamplesSql: String = {
+    val n = "(3 + (doc_id + track) % 5)"
+    val ml = "(40 + (doc_id % 7) * 9)"
+    s"""WITH tr AS (
+       |  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS track
+       |  FROM documents WHERE doc_id < 60)
+       |SELECT doc_id, CAST(track AS BIGINT) AS track,
+       |  CAST($n AS BIGINT) AS n_samples,
+       |  CAST(list_sum(list_transform(range(0, $n),
+       |    k -> 10 + (k * 7 + track * 3 + doc_id) % 23)) AS BIGINT)
+       |    AS sample_bytes,
+       |  CAST(list_sum(list_transform(range(0, $n),
+       |    k -> 1 + (k + track + doc_id) % 4)) AS BIGINT)
+       |    AS duration_units,
+       |  CAST($ml AS BIGINT) AS mdat_bytes,
+       |  CAST(list_sum(list_transform(range(0, $ml),
+       |    t -> (t * 13 + doc_id * 7) % 256)) AS BIGINT) AS mdat_sum
+       |FROM tr ORDER BY doc_id, track""".stripMargin
+  }
+
   /** FRAME-SAMPLING over a REAL multi-frame container — the video-ish
     * op of the multimodal mandate, on animated GIF (the only multi-frame
     * format a JDK-only stack honestly decodes): each doc carries a
@@ -1351,6 +1566,9 @@ object MultimodalQueries {
       "REAL PCM audio features: RIFF chunk-walk decode, duration/peak/energy/zero-crossings"),
     QueryDef("q_multimodal_video", mediaVideo, Some(mediaVideoSql),
       "REAL MP4/ISO-BMFF box-walk metadata: timescale/duration/tracks + mdat payload checksum"),
+    QueryDef("q_multimodal_video_samples", mediaVideoSamples,
+      Some(mediaVideoSamplesSql),
+      "MP4 stbl walk: per-track stsz/stts sample schedule + largesize/to-EOF box handling"),
     QueryDef("q_multimodal_frames", mediaFrames, Some(mediaFramesSql),
       "frame-sampling over REAL animated GIF: per-frame LZW decode, first/mid/last frame means"),
     QueryDef("q_multimodal_resize", mediaResize, Some(mediaResizeSql),

@@ -1533,6 +1533,35 @@ class ExtSpec extends AnyFunSuite {
     assert(MediaDecode.decodeMp4Meta(whole) === Some((1000L, 7777L, 1L, 3L, 6L)))
   }
 
+  test("MP4 largesize + to-EOF boxes walk; stbl sample tables decode exactly") {
+    import graft.ext.{MediaDecode, MediaFixtures}
+    // mdat ships as size==1 + 64-bit largesize; the container ends in a
+    // size==0 to-EOF skip box — both legal encodings real files use
+    val b = MediaFixtures.mp4ContainerStbl(1200, 2500, 2, 10, t => t * 3,
+      i => 2 + i, (i, k) => 5 + i * 10 + k, (i, k) => 1 + k)
+    val meta = MediaDecode.decodeMp4Meta(b)
+    assert(meta === Some((1200L, 2500L, 2L, 10L, 135L)),
+      "largesize mdat payload mis-located or to-EOF box rejected")
+    // track 0: 2 samples, sizes 5,6 -> 11 bytes, deltas 1,2 -> 3 units
+    // track 1: 3 samples, sizes 15,16,17 -> 48 bytes, deltas 1,2,3 -> 6
+    assert(MediaDecode.decodeMp4Samples(b) ===
+      Some(Seq((0L, 2L, 11L, 3L), (1L, 3L, 48L, 6L))))
+    // truncation anywhere still fails the walk, never mis-reads
+    assert(MediaDecode.decodeMp4Meta(b.take(40)) === None)
+    assert(MediaDecode.decodeMp4Samples(b.take(40)) === None)
+    // a plain container without sample tables: meta walks, samples=None
+    val plain = MediaFixtures.mp4Container(1200, 2500, 1, 4, _ => 1)
+    assert(MediaDecode.decodeMp4Meta(plain).isDefined)
+    assert(MediaDecode.decodeMp4Samples(plain) === None)
+    // uniform-stsz form (sample_size != 0): hand-patch track 0's stsz
+    // would be brittle; instead pin the arithmetic through the public
+    // walk on a 1-track table with equal sizes
+    val uni = MediaFixtures.mp4ContainerStbl(600, 600, 1, 4, _ => 0,
+      _ => 3, (_, _) => 7, (_, _) => 2)
+    assert(MediaDecode.decodeMp4Samples(uni) ===
+      Some(Seq((0L, 3L, 21L, 6L))))
+  }
+
   test("multimodal query magic matches the mapPartitions decode path") {
     val q = MultimodalQueries.mediaMeta(spark, sf)
       .select($"doc_id", lower($"magic_hex").as("magic_hex"))
