@@ -62,6 +62,12 @@ object Profiler {
     val nullL = lit(null).cast(LongType)
     val nullD = lit(null).cast(DoubleType)
     val nullS = lit(null).cast(StringType)
+    // Round-12 head-to-head under the driver protocol (local[32], sf0.1,
+    // min-of-2): native-typed melt 2.64 s [3.51, 2.64] vs the round-10
+    // stringified melt 4.14 s [5.07, 4.14] — the typed slots win by 1.6×
+    // on equal footing (the r11 driver row that measured the opposite was
+    // box contention; the same binary re-measured at its r10 time in
+    // isolation). Kept: the 4-column (col_name, vl, vd, vs) group key.
     val kvs = cols.map { f =>
       val (vl, vd, vs) = f.dataType match {
         case DoubleType => (nullL, col(f.name), nullS)
