@@ -358,4 +358,19 @@ class FunctionsSpec extends AnyFunSuite {
     val viaSql = df.selectExpr("rolling_hash64(t, 5) AS h").as[Seq[Long]].collect()
     assert(viaSql.toSeq === direct)
   }
+
+  test("rolling_hash64 rejects or coerces bad argument types at ANALYSIS") {
+    graft.plans.GraftExtensions.registerOn(spark)
+    val df = spark.range(3).select($"id", $"id".cast("string").as("s"))
+    // BIGINT text argument: analysis-time error, not an executor
+    // ClassCastException mid-job
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("rolling_hash64(id, 5)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("rolling_hash64"))
+    // an integer-literal width in SQL is INT already; a long width must
+    // be coerced or rejected, never cast-crash
+    val ok = df.selectExpr("rolling_hash64(s, 1) AS h").count()
+    assert(ok === 3)
+  }
 }
