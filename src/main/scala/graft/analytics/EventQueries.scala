@@ -977,7 +977,106 @@ object EventQueries {
       |LEFT JOIN s2 ON s1.user_id = s2.user_id
       |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
 
+  // --- J6c: interval-overlap join (two interval relations) ---------------
+
+  /** INTERVAL-OVERLAP JOIN — the two-sided generalization of the J6
+    * point-in-range join: two INTERVAL relations (per-user activity
+    * sessions from the W6 gaps-islands rule, gap > 30 min; and the
+    * corpus's BUSY HOURS — hour buckets whose event count runs above the
+    * per-hour mean, integer cross-multiplied) joined on overlap, rolled
+    * up per user: sessions total, sessions touching at least one busy
+    * hour, and the exact busy-overlap seconds. The load-attribution
+    * question ("how much of each user's activity rode peak load?") that
+    * a naive engine answers with an interval-theta cross join.
+    *
+    * Scale: time-BUCKET BLOCKING — each session explodes only into the
+    * hour buckets it covers (`sequence(a div H, b div H)`, rows
+    * proportional to session-hours, never |sessions|×|hours|), the
+    * overlap becomes an EQUI-join on the bucket id, and the overlap
+    * length is exact integer µs arithmetic inside the matched bucket.
+    * The busy-hour dictionary is hours-of-history-sized (broadcastable
+    * for years of data); sessions come from one user-partitioned window,
+    * the same exchange the census reuses. */
+  def intervalOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val H = 3600000000L // one hour in µs
+    val ev = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("us"))
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+    val sess = ev
+      .withColumn("prev", lag($"us", 1).over(w))
+      .withColumn("brk",
+        when($"prev".isNull || $"us" - $"prev" > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("a"), max($"us").as("b"))
+    val hours = ev.groupBy(expr(s"us div ${H}L").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hours.agg(sum($"c").as("total"), count(lit(1)).as("nh"))
+    val busy = hours.crossJoin(broadcast(tot))
+      .filter($"c" * $"nh" > $"total").select($"h")
+    val blocked = sess.select($"user_id", $"sid", $"a", $"b",
+      explode(expr(s"sequence(a div ${H}L, b div ${H}L)")).as("h"))
+    val ov = blocked.join(busy, Seq("h"))
+      .select($"user_id", $"sid",
+        (least($"b", ($"h" + 1) * H) - greatest($"a", $"h" * H)).as("ov_us"))
+      .groupBy($"user_id")
+      .agg(countDistinct($"sid").as("n_busy_sessions"),
+        sum($"ov_us").as("busy_us"))
+    sess.groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+      .join(ov, Seq("user_id"), "left")
+      .select($"user_id", $"n_sessions",
+        coalesce($"n_busy_sessions", lit(0L)).as("n_busy_sessions"),
+        expr("coalesce(busy_us, 0L) div 1000000").as("busy_overlap_secs"))
+      .orderBy($"user_id")
+  }
+
+  val intervalOverlapJoinSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events),
+      |marked AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |      OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+      |        > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM ev),
+      |ids AS (
+      |  SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |sess AS (
+      |  SELECT user_id, sid, MIN(us) AS a, MAX(us) AS b
+      |  FROM ids GROUP BY 1, 2),
+      |hours AS (
+      |  SELECT us // 3600000000 AS h, COUNT(*) AS c FROM ev GROUP BY 1),
+      |tot AS (SELECT SUM(c) AS total, COUNT(*) AS nh FROM hours),
+      |busy AS (
+      |  SELECT h FROM hours, tot WHERE c * nh > total),
+      |blocked AS (
+      |  SELECT user_id, sid, a, b,
+      |    unnest(generate_series(a // 3600000000, b // 3600000000)) AS h
+      |  FROM sess),
+      |ov AS (
+      |  SELECT bl.user_id,
+      |    CAST(COUNT(DISTINCT bl.sid) AS BIGINT) AS n_busy_sessions,
+      |    SUM(LEAST(bl.b, (bl.h + 1) * 3600000000)
+      |      - GREATEST(bl.a, bl.h * 3600000000)) AS busy_us
+      |  FROM blocked bl JOIN busy USING (h)
+      |  GROUP BY 1)
+      |SELECT s.user_id, COUNT(*) AS n_sessions,
+      |  CAST(COALESCE(ANY_VALUE(o.n_busy_sessions), 0) AS BIGINT)
+      |    AS n_busy_sessions,
+      |  CAST(COALESCE(ANY_VALUE(o.busy_us), 0) // 1000000 AS BIGINT)
+      |    AS busy_overlap_secs
+      |FROM sess s LEFT JOIN ov o ON s.user_id = o.user_id
+      |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_join_interval_overlap", intervalOverlapJoin,
+      Some(intervalOverlapJoinSql),
+      "J6c interval-overlap join: sessions x busy hours via time-bucket blocking, exact overlap seconds"),
     QueryDef("q_funnel_steps", funnelSteps, Some(funnelStepsSql),
       "B13 three-step strictly-ordered funnel with exact step delays"),
     QueryDef("q_join_nearest_event", nearestEvent, Some(nearestEventSql),

@@ -480,7 +480,78 @@ object CurateQueries {
        |SELECT * FROM pos UNION ALL SELECT * FROM neg
        |ORDER BY anchor_id, role, rnk""".stripMargin
 
+  // --- XC6: Pareto/skyline curation frontier -----------------------------
+
+  /** SKYLINE (Pareto-front) operator over the curation trade-off every
+    * data-selection pass negotiates: documents that are NOT DOMINATED on
+    * (maximize lexical quality, minimize length) — doc x is dominated
+    * when some y has `len ≤` and `quality ≥` with at least one strict.
+    * The frontier is the "no free lunch" set: every kept-out doc has a
+    * strictly-better-or-equal alternative at no extra length budget, so
+    * a curator choosing under a token budget only ever picks from it.
+    * Quality here is the integer distinct-word ratio in ppm (the
+    * repetition-free signal of the Gopher rule family, exact in both
+    * engines).
+    *
+    * Scale plan — the window never sees the corpus: (1) one hash
+    * aggregate folds the corpus to its LENGTH DICTIONARY (per distinct
+    * len: max quality + how many docs and which min doc_id sit at that
+    * (len, maxq) point); (2) the skyline rule runs as a window over the
+    * dictionary ONLY (|distinct lengths| rows — bounded, not
+    * corpus-sized): a (len, q) point survives iff q strictly exceeds the
+    * running max quality over all SMALLER lens (RANGE frame to -1).
+    * Corpus rows are never range-partitioned or sorted; at 100 TB the
+    * single-partition window costs |len dictionary| ≈ 10⁵ rows. The
+    * 2-D skyline's sorted-scan identity (point on front ⇔ q > best q at
+    * any smaller len) is what makes the dictionary reduction exact. */
+  def skylineDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars".as("len"),
+        expr("size(array_distinct(split(text, ' '))) * 1000000L" +
+          " div size(split(text, ' '))").as("q"))
+    // length dictionary: best quality per len + census of docs AT that best
+    val perLen = scored.groupBy($"len").agg(max($"q").as("maxq"))
+    val atBest = scored.join(perLen, Seq("len"))
+      .filter($"q" === $"maxq")
+      .groupBy($"len", $"maxq")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
+    // skyline rule over the dictionary only: strictly better than every
+    // shorter length's best
+    val w = Window.orderBy($"len")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    atBest
+      .withColumn("best_shorter", max($"maxq").over(w))
+      .filter($"best_shorter".isNull || $"maxq" > $"best_shorter")
+      .select($"len", $"maxq".as("quality_ppm"), $"n_docs", $"min_doc")
+      .orderBy($"len")
+  }
+
+  /** Oracle states the DEFINITION (no dominating point exists), not the
+    * sorted-scan identity — the two agreeing is exactly what the hash
+    * gate should prove. */
+  val skylineDocsSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, n_chars AS len,
+      |    len(list_distinct(string_split(text, ' '))) * 1000000
+      |      // len(string_split(text, ' ')) AS q
+      |  FROM documents),
+      |pts AS (
+      |  SELECT len, MAX(q) AS maxq FROM scored GROUP BY len),
+      |sky AS (
+      |  SELECT p.len, p.maxq FROM pts p
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM pts d
+      |    WHERE d.len <= p.len AND d.maxq >= p.maxq
+      |      AND (d.len < p.len OR d.maxq > p.maxq)))
+      |SELECT s.len, CAST(s.maxq AS BIGINT) AS quality_ppm,
+      |  COUNT(*) AS n_docs, MIN(c.doc_id) AS min_doc
+      |FROM sky s JOIN scored c ON c.len = s.len AND c.q = s.maxq
+      |GROUP BY s.len, s.maxq ORDER BY s.len""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_skyline_docs", skylineDocs, Some(skylineDocsSql),
+      "XC6 Pareto/skyline curation frontier: non-dominated (quality, length) docs via length-dictionary window"),
     QueryDef("q_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql),
       "XC5 contrastive pair assembly: near-dup positives + md5-deterministic filtered random negatives"),
     QueryDef("q_corpus_report", corpusReport, Some(corpusReportSql),

@@ -330,4 +330,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(plan, "Exchange hashpartitioning\\(span") == 1,
       s"hot-set build should shuffle spans exactly once:\n$plan")
   }
+
+  test("nested-schema pruning: a struct-field projection reads only that leaf") {
+    // 13th optimizer-evidence leg — Spark's SchemaPruning: selecting one
+    // leaf of a nested struct must narrow the parquet ReadSchema to that
+    // leaf's path, not drag the whole struct (at 100 TB a metadata struct
+    // with 40 fields read for a 1-field projection is the difference
+    // between a column chunk and the whole row group)
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    spark.range(100)
+      .select(col("id"),
+        struct(col("id").as("a"), (col("id") * 2).as("b"),
+          struct((col("id") * 3).as("deep")).as("inner")).as("meta"))
+      .write.mode("overwrite").parquet(tmp)
+    val q = spark.read.parquet(tmp).select(col("meta.inner.deep"))
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no ReadSchema in plan"))
+    // only the nested path survives: no sibling leaves a/b, no id
+    assert(scan.contains(
+      "ReadSchema: struct<meta:struct<inner:struct<deep:bigint>>>"),
+      s"expected the pruned single-leaf ReadSchema, got: $scan")
+    assert(q.collect().map(_.getLong(0)).sum === (0L until 100L).map(_ * 3).sum)
+  }
 }
