@@ -126,7 +126,55 @@ object LayoutQueries {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS probe_files
        |FROM files GROUP BY layout ORDER BY layout""".stripMargin
 
+  // --- L2: stable global row-id assignment (distributed zipWithIndex) ---
+
+  /** Contiguous GLOBAL row ids in doc_id order — the "every training
+    * example gets exactly one dense index" primitive a shard manifest /
+    * data loader needs, WITHOUT the single-partition global window that
+    * `row_number() OVER (ORDER BY …)` plans (Spark funnels the whole
+    * relation through ONE task for an unpartitioned window — the
+    * canonical 100-TB scale-killer).
+    *
+    * The scalable identity (zipWithIndex's, made deterministic): block
+    * the key space into fixed-width key blocks (`doc_id div 1024` — a
+    * pure per-row expression, so the "partition" a row lands in never
+    * depends on sampled range boundaries or physical task layout),
+    * count rows per block, prefix-sum the BLOCK DICTIONARY into offsets
+    * (the running-sum window scans |blocks| rows, key-space-bounded,
+    * never the corpus), broadcast the tiny offset relation back, and
+    * rank rows LOCALLY inside each block with a hash-partitioned
+    * window. row_id = block offset + in-block rank: every task touches
+    * one block's rows, the only corpus exchange is the in-block
+    * window's hash partition.
+    *
+    * The oracle IS the single-window form — the hash gate proves the
+    * distributed blocked assignment equals `row_number()` exactly. */
+  def globalRowIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 1024L
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", expr(s"doc_id div ${B}L").as("blk"))
+    val counts = base.groupBy($"blk").agg(count(lit(1)).as("c"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy($"blk")
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum($"c").over(wOff), lit(0L)))
+      .select($"blk", $"off")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"blk").orderBy($"doc_id")
+    base.join(broadcast(offsets), Seq("blk"))
+      .select(($"off" + row_number().over(wLocal)).as("row_id"),
+        $"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val globalRowIdsSql: String =
+    """SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id, doc_id, lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_zorder_layout", zorderLayout, Some(zorderLayoutSql),
-      "L1 Z-order vs linear layout data-skipping audit (file min/max stats)"))
+      "L1 Z-order vs linear layout data-skipping audit (file min/max stats)"),
+    QueryDef("q_global_row_ids", globalRowIds, Some(globalRowIdsSql),
+      "L2 distributed zipWithIndex: dense global ids via range partition + offset broadcast, == row_number"))
 }

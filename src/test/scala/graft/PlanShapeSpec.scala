@@ -331,6 +331,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"hot-set build should shuffle spans exactly once:\n$plan")
   }
 
+  test("global row ids: corpus ranking window is block-partitioned, never global") {
+    val plan = planOf("q_global_row_ids")
+    // the row_number that touches corpus rows is PARTITIONED by the key
+    // block — its window spec leads with blk
+    assert("windowspecdefinition\\(blk".r.findAllIn(plan).nonEmpty,
+      s"corpus ranking window is not block-partitioned:\n$plan")
+    // the block-offset prefix sum's unpartitioned window exists, but only
+    // over the block DICTIONARY (fed by the count aggregate, not a scan):
+    // corpus rows reach exactly one hash exchange on blk plus the
+    // presentation range sort
+    assert(countOf(plan, "Exchange hashpartitioning\\(blk") >= 1, plan)
+    // the offset side broadcasts back (no second corpus shuffle to join)
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+  }
+
   test("nested-schema pruning: a struct-field projection reads only that leaf") {
     // 13th optimizer-evidence leg — Spark's SchemaPruning: selecting one
     // leaf of a nested struct must narrow the parquet ReadSchema to that
