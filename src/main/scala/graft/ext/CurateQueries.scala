@@ -504,28 +504,54 @@ object CurateQueries {
     * single-partition window costs |len dictionary| ≈ 10⁵ rows. The
     * 2-D skyline's sorted-scan identity (point on front ⇔ q > best q at
     * any smaller len) is what makes the dictionary reduction exact. */
-  def skylineDocs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val scored = Tables.documents(s, dir)
-      .select($"doc_id", $"n_chars".as("len"),
-        expr("size(array_distinct(split(text, ' '))) * 1000000L" +
-          " div size(split(text, ' '))").as("q"))
-    // length dictionary: best quality per len + census of docs AT that best
+  /** Per-doc (doc_id, len, q) scoring shared by batch and stream. */
+  private[graft] def skylineScore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"n_chars".as("len"),
+      expr("size(array_distinct(split(text, ' '))) * 1000000L" +
+        " div size(split(text, ' '))").as("q"))
+  }
+
+  /** Fold scored rows to the LENGTH DICTIONARY: per len, the best q and
+    * the census (count + min doc) of docs AT that best. Associative and
+    * idempotent under re-folding — what makes the streaming frontier's
+    * standing state a dictionary merge, not a corpus replay. */
+  private[graft] def skylineDict(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
     val perLen = scored.groupBy($"len").agg(max($"q").as("maxq"))
-    val atBest = scored.join(perLen, Seq("len"))
+    scored.join(perLen, Seq("len"))
       .filter($"q" === $"maxq")
       .groupBy($"len", $"maxq")
       .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
-    // skyline rule over the dictionary only: strictly better than every
-    // shorter length's best
+  }
+
+  /** Re-fold two dictionary states (standing ∪ delta): same best-q rule,
+    * censuses at the same (len, maxq) point add. */
+  private[graft] def skylineDictMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    import a.sparkSession.implicits._
+    val all = a.unionByName(b)
+    val perLen = all.groupBy($"len").agg(max($"maxq").as("m"))
+    all.join(perLen, Seq("len"))
+      .filter($"maxq" === $"m")
+      .groupBy($"len", $"maxq")
+      .agg(sum($"n_docs").as("n_docs"), min($"min_doc").as("min_doc"))
+  }
+
+  /** The skyline rule over a dictionary: keep (len, maxq) iff maxq
+    * strictly exceeds the running best over all smaller lens. */
+  private[graft] def skylineOfDict(dict: DataFrame): DataFrame = {
+    import dict.sparkSession.implicits._
     val w = Window.orderBy($"len")
       .rangeBetween(Window.unboundedPreceding, -1)
-    atBest
+    dict
       .withColumn("best_shorter", max($"maxq").over(w))
       .filter($"best_shorter".isNull || $"maxq" > $"best_shorter")
       .select($"len", $"maxq".as("quality_ppm"), $"n_docs", $"min_doc")
       .orderBy($"len")
   }
+
+  def skylineDocs(s: SparkSession, dir: String): DataFrame =
+    skylineOfDict(skylineDict(skylineScore(Tables.documents(s, dir))))
 
   /** Oracle states the DEFINITION (no dominating point exists), not the
     * sorted-scan identity — the two agreeing is exactly what the hash

@@ -648,6 +648,25 @@ object StreamJobs {
   def qualityScoreStream(docs: DataFrame, model: DataFrame): DataFrame =
     graft.ext.CurateQueries.nbScore(docs, model)
 
+  /** XC6 streaming twin — INCREMENTAL Pareto-frontier maintenance: fold
+    * an arriving document batch into the standing skyline LENGTH
+    * DICTIONARY (per len: best quality + census at that best). The
+    * dictionary fold is associative and idempotent-under-refold, so the
+    * standing state is a dictionary MERGE per micro-batch — O(|delta| +
+    * |dict|), never a corpus replay — persisted/hot-swapped through
+    * [[graft.sources.ArtifactStore]] like every serve twin here (why it
+    * runs inside `foreachBatch`). The frontier itself ([[skylineFrontier]])
+    * derives from the dictionary on read. ArtifactSpec pins
+    * drained-stream frontier == the batch `q_skyline_docs` result. */
+  def skylineDictUpdate(docs: DataFrame, standing: DataFrame): DataFrame =
+    graft.ext.CurateQueries.skylineDictMerge(standing,
+      graft.ext.CurateQueries.skylineDict(
+        graft.ext.CurateQueries.skylineScore(docs)))
+
+  /** The Pareto front served from a standing skyline dictionary. */
+  def skylineFrontier(dict: DataFrame): DataFrame =
+    graft.ext.CurateQueries.skylineOfDict(dict)
+
   def followerJoin(events: DataFrame): DataFrame = {
     val left = events
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))

@@ -423,4 +423,45 @@ class ArtifactSpec extends AnyFunSuite {
       "stream scoring off the loaded model diverged from batch")
     assert(out.size === batchRows.size)
   }
+
+  test("skyline frontier maintained incrementally equals the batch Pareto front") {
+    import graft.ext.CurateQueries
+    // the XC6 streaming deployment: the standing LENGTH DICTIONARY is the
+    // state — each micro-batch folds its delta dictionary into the loaded
+    // standing copy and publishes the merge as the next artifact version
+    // (O(|delta| + |dict|), never a corpus replay); the frontier derives
+    // from the dictionary on read
+    val root = Files.createTempDirectory("graft-artifacts-sky").toString
+    val docs = Tables.documents(spark, sf)
+    val tmp = Files.createTempDirectory("graft-sky-stream").toString
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(tmp)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(tmp)
+    // seed version: an empty dictionary with the right schema
+    val empty = CurateQueries.skylineDict(
+      CurateQueries.skylineScore(docs.limit(0)))
+    assert(ArtifactStore.save(empty, root, "skyline_dict") === 1)
+    val q = StreamJobs.docsStream(spark, tmp, maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // serialize folds: load newest, merge the batch in, publish
+        this.synchronized {
+          val standing = ArtifactStore.load(spark, root, "skyline_dict")
+          val merged = StreamJobs.skylineDictUpdate(batch, standing)
+          ArtifactStore.save(merged, root, "skyline_dict")
+        }
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = StreamJobs.skylineFrontier(
+        ArtifactStore.load(spark, root, "skyline_dict"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = CurateQueries.skylineDocs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.toSeq === batch.toSeq,
+      "incrementally-maintained frontier diverged from the batch skyline")
+    assert(streamed.nonEmpty)
+    // two delta folds happened on top of the seed
+    assert(ArtifactStore.load(spark, root, "skyline_dict") != null)
+  }
 }

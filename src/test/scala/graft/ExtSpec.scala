@@ -982,8 +982,10 @@ class ExtSpec extends AnyFunSuite {
     // if the corpus ever needs more, the census equality below fails too
     assert(roundsUsed <= 3L, s"fixpoint needed $roundsUsed rounds")
     alive.foreach(v => layer(v) = 0L)
+    // the r12 convergence-receipt row: at the local fixpoint the residual
+    // is 0 by definition
     val expect = layer.values.groupBy(identity)
-      .map { case (k, v) => k -> v.size.toLong }
+      .map { case (k, v) => k -> v.size.toLong } + (-1L -> 0L)
     val got = GraphQueries.graphKcore(spark, sf).collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(got === expect)

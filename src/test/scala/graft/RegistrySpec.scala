@@ -96,6 +96,10 @@ class RegistrySpec extends AnyFunSuite {
       // single-row basket-count aggregate crossed onto the 20
       // surviving pair rows — same class as q_text_tfidf
       "q_basket_lift",
+      // single-row (total, n_hours) aggregate crossed onto the
+      // hours-of-history-sized busy-hour dictionary — same class as
+      // q_text_tfidf's n_docs broadcast
+      "q_join_interval_overlap",
       // |priorities|-row broadcast grid crossed onto the calendar-
       // bounded month-pair table — same class as q_mix_weighted
       "q_mix_drift",
