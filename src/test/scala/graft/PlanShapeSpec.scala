@@ -347,6 +347,32 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
   }
 
+  test("subquery reuse: the same scalar subquery plans one execution") {
+    // 14th optimizer-evidence leg — ReuseSubquery: a scalar subquery
+    // referenced twice in one predicate must execute once (at 100 TB the
+    // subquery is itself a full aggregate scan; computing it per
+    // reference doubles that cost silently)
+    import org.apache.spark.sql.functions._
+    graft.GraftSession.registerAll(spark, sf)
+    // AQE defers subquery dedup to runtime stage reuse; the static
+    // ReuseSubquery rule is visible with AQE off, which is what this leg
+    // pins (the rule, not the adaptive re-plan)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val q = spark.sql(
+        """SELECT l_returnflag, count(*) AS n FROM lineitem
+          |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+          |  AND l_extendedprice > (SELECT avg(l_quantity) FROM lineitem) * 10
+          |GROUP BY l_returnflag""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("Subquery"), plan)
+      assert(plan.contains("ReusedSubquery"),
+        s"second reference should reuse the first subquery's result:\n$plan")
+      assert(q.collect().map(_.getLong(1)).sum > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("nested-schema pruning: a struct-field projection reads only that leaf") {
     // 13th optimizer-evidence leg — Spark's SchemaPruning: selecting one
     // leaf of a nested struct must narrow the parquet ReadSchema to that
