@@ -347,6 +347,55 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
   }
 
+  test("AQE re-plans a stats-overestimated SMJ into a broadcast join at runtime") {
+    // 15th optimizer-evidence leg — the adaptive half of the J1 story:
+    // the STATIC planner, told broadcasts are off (threshold -1, how a
+    // deploy behaves when size stats are absent or lie), plans a
+    // sort-merge join; at runtime AQE sees the filtered side's true
+    // shuffle size and converts to BroadcastHashJoin with local shuffle
+    // reads — the re-plan that saves the 100-TB side's sort
+    import org.apache.spark.sql.functions._
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.load(spark, sf, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(q.collect().nonEmpty) // drive to the final adaptive plan
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      // the adaptive plan prints both versions: the INITIAL (static) plan
+      // must show the sort-merge join the planner chose under -1, the
+      // FINAL plan the runtime broadcast conversion with local reads
+      val (finalPlan, initialPlan) = plan.indexOf("== Initial Plan ==") match {
+        case -1 => fail(s"no initial-plan section:\n$plan")
+        case i => (plan.substring(0, i), plan.substring(i))
+      }
+      assert(initialPlan.contains("SortMergeJoin"),
+        s"static plan was not an SMJ — nothing to re-plan:\n$plan")
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"AQE did not convert the SMJ to broadcast:\n$plan")
+      assert(!finalPlan.contains("SortMergeJoin"),
+        s"sort-merge join survived the re-plan:\n$plan")
+      assert(finalPlan.contains("AQEShuffleRead local"),
+        s"broadcast side should read map output locally:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAdaptive match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("subquery reuse: the same scalar subquery plans one execution") {
     // 14th optimizer-evidence leg — ReuseSubquery: a scalar subquery
     // referenced twice in one predicate must execute once (at 100 TB the
