@@ -149,12 +149,15 @@ object LayoutQueries {
     *
     * The oracle IS the single-window form — the hash gate proves the
     * distributed blocked assignment equals `row_number()` exactly. */
-  def globalRowIds(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The blocked assignment on any (doc_id, lang) relation, ids starting
+    * at `base + 1` — shared by the batch query (base 0) and the
+    * streaming continuation twin (base = ids assigned so far). */
+  private[graft] def globalRowIdsOf(docs: DataFrame, base: Long): DataFrame = {
+    import docs.sparkSession.implicits._
     val B = 1024L
-    val base = Tables.documents(s, dir)
+    val blocked = docs
       .select($"doc_id", $"lang", expr(s"doc_id div ${B}L").as("blk"))
-    val counts = base.groupBy($"blk").agg(count(lit(1)).as("c"))
+    val counts = blocked.groupBy($"blk").agg(count(lit(1)).as("c"))
     val wOff = org.apache.spark.sql.expressions.Window.orderBy($"blk")
       .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = counts
@@ -162,10 +165,14 @@ object LayoutQueries {
       .select($"blk", $"off")
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy($"blk").orderBy($"doc_id")
-    base.join(broadcast(offsets), Seq("blk"))
-      .select(($"off" + row_number().over(wLocal)).as("row_id"),
+    blocked.join(broadcast(offsets), Seq("blk"))
+      .select((lit(base) + $"off" + row_number().over(wLocal)).as("row_id"),
         $"doc_id", $"lang")
-      .orderBy($"doc_id")
+  }
+
+  def globalRowIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    globalRowIdsOf(Tables.documents(s, dir), 0L).orderBy($"doc_id")
   }
 
   val globalRowIdsSql: String =

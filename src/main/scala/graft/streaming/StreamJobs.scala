@@ -667,6 +667,19 @@ object StreamJobs {
   def skylineFrontier(dict: DataFrame): DataFrame =
     graft.ext.CurateQueries.skylineOfDict(dict)
 
+  /** L2 streaming twin — DENSE GLOBAL ID continuation over an unbounded
+    * document feed: batch k's rows get ids
+    * `(assigned_so_far, assigned_so_far + |batch|]`, assigned inside the
+    * batch by the same blocked (never single-partition) rule as the
+    * batch `q_global_row_ids`. The carried state is ONE number — the
+    * running assigned count (the incremental-pack checkpoint discipline)
+    * — so a restart resumes the id space with no gap and no overlap;
+    * ids are arrival-ordered across batches, doc_id-ordered within one.
+    * ArtifactSpec pins a doc_id-ordered two-batch drain equal to the
+    * batch assignment and the count checkpoint's restart continuation. */
+  def globalIdsUpdate(batch: DataFrame, assignedSoFar: Long): DataFrame =
+    graft.analytics.LayoutQueries.globalRowIdsOf(batch, assignedSoFar)
+
   def followerJoin(events: DataFrame): DataFrame = {
     val left = events
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))

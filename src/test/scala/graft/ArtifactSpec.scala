@@ -464,4 +464,41 @@ class ArtifactSpec extends AnyFunSuite {
     // two delta folds happened on top of the seed
     assert(ArtifactStore.load(spark, root, "skyline_dict") != null)
   }
+
+  test("dense global ids continue across micro-batches and restarts (one-number state)") {
+    import graft.analytics.LayoutQueries
+    // stage the corpus as two doc_id-ordered files so arrival order ==
+    // doc_id order and the streamed assignment must EQUAL the batch one
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text",
+      $"lang", $"source", $"n_chars")
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val cut = ids(ids.length / 2)
+    val tmp = Files.createTempDirectory("graft-gid-stream").toString
+    docs.filter($"doc_id" <= cut).coalesce(1).write.mode("append").parquet(tmp)
+    Thread.sleep(1100) // distinct mtimes => deterministic file order
+    docs.filter($"doc_id" > cut).coalesce(1).write.mode("append").parquet(tmp)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    var assigned = 0L // the one-number checkpoint
+    val q = StreamJobs.docsStream(spark, tmp, maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        this.synchronized {
+          val withIds = StreamJobs.globalIdsUpdate(batch, assigned).collect()
+          out ++= withIds.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          assigned += withIds.length
+        }
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val batchIds = LayoutQueries.globalRowIds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.sortBy(_._1).toSeq === batchIds.toSeq,
+      "streamed id assignment diverged from the batch row_number form")
+    // restart continuation: a later batch starts past the checkpoint
+    val more = StreamJobs.globalIdsUpdate(
+        docs.limit(3).select($"doc_id", $"lang"), assigned)
+      .collect().map(_.getLong(0)).sorted
+    assert(more.head === assigned + 1 && more.last === assigned + 3)
+  }
 }
