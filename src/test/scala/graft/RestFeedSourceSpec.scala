@@ -38,6 +38,32 @@ class RestFeedSourceSpec extends AnyFunSuite {
     "pollTs" -> "2025-07-01T08:30:00",
     "transport" -> transportId)
 
+  test("rate limit: cycles open by wall clock, bounded by maxCycles; offsets round-trip") {
+    import graft.sources.{CycleOffset, RestFeedConfig, RestFeedMicroBatch, RestFeedPartition}
+    // a 1-hour interval: only cycle 1 is open at stream start — a hot
+    // trigger loop cannot out-poll the provider's envelope
+    val slow = new RestFeedMicroBatch(RestFeedConfig(
+      base = "", apiKey = "", lines = Seq("Red", "Blue"),
+      pollIntervalMs = 3600000L, maxCycles = 100L,
+      transportId = "none", fixedPollTs = None))
+    val c1 = slow.latestOffset().asInstanceOf[CycleOffset].cycle
+    assert(c1 === 1L, s"expected exactly one open cycle at start, got $c1")
+    // interval 0: the clock never gates, maxCycles bounds the run
+    val fast = new RestFeedMicroBatch(RestFeedConfig(
+      base = "", apiKey = "", lines = Seq("Red"),
+      pollIntervalMs = 0L, maxCycles = 7L,
+      transportId = "none", fixedPollTs = None))
+    assert(fast.latestOffset().asInstanceOf[CycleOffset].cycle === 7L)
+    // offset JSON round-trips through the checkpoint log representation
+    assert(fast.deserializeOffset(CycleOffset(41L).json()) === CycleOffset(41L))
+    // batch (start, end] plans one partition per (cycle, line)
+    val parts = slow.planInputPartitions(CycleOffset(3L), CycleOffset(5L))
+    assert(parts.length === 4) // 2 cycles x 2 lines
+    val keys = parts.map(_.asInstanceOf[RestFeedPartition])
+      .map(p => (p.cycle, p.line)).toSet
+    assert(keys === Set((3L, "Red"), (3L, "Blue"), (4L, "Red"), (4L, "Blue")))
+  }
+
   test("connector ingest == batch q_ingest_normalize over the mock fixtures") {
     RestTransports.register("spec-fixture", fixtureTransport)
     val tmp = java.nio.file.Files.createTempDirectory("graft-rest-src").toString
