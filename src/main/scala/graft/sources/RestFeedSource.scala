@@ -92,7 +92,8 @@ final case class RestFeedConfig(
     pollIntervalMs: Long,
     maxCycles: Long,
     transportId: String,
-    fixedPollTs: Option[String])
+    fixedPollTs: Option[String],
+    maxCyclesPerTrigger: Long = Long.MaxValue)
 
 object RestFeedConfig {
   def apply(o: CaseInsensitiveStringMap): RestFeedConfig = RestFeedConfig(
@@ -104,7 +105,8 @@ object RestFeedConfig {
     pollIntervalMs = o.getLong("pollintervalms", 60000L),
     maxCycles = o.getLong("cycles", Long.MaxValue),
     transportId = o.getOrDefault("transport", RestTransports.JavaNetHttp),
-    fixedPollTs = Option(o.get("pollts")))
+    fixedPollTs = Option(o.get("pollts")),
+    maxCyclesPerTrigger = o.getLong("maxcyclespertrigger", Long.MaxValue))
 }
 
 class RestFeedTable(conf: RestFeedConfig) extends Table with SupportsRead {
@@ -127,12 +129,21 @@ final case class CycleOffset(cycle: Long) extends Offset {
   override def json(): String = cycle.toString
 }
 
-class RestFeedMicroBatch(conf: RestFeedConfig) extends MicroBatchStream {
+class RestFeedMicroBatch(conf: RestFeedConfig) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
   // Wall-clock anchor for the rate limit: cycle k opens at
   // start + k·interval. A restarted stream re-anchors (the rate limit
   // protects the PROVIDER per process lifetime; committed offsets — not
   // the clock — decide what is fetched next).
   private val startedAtMs = System.currentTimeMillis()
+
+  // Trigger.AvailableNow contract: the drain target is FROZEN at prepare
+  // time — batches then step toward it (bounded per batch by the
+  // admission limit) and the query self-stops when it is reached, even
+  // if the clock would open further cycles mid-drain.
+  @volatile private var availableNowTarget: Option[Long] = None
 
   override def initialOffset(): Offset = CycleOffset(0L)
 
@@ -142,6 +153,30 @@ class RestFeedMicroBatch(conf: RestFeedConfig) extends MicroBatchStream {
       else 1L + (System.currentTimeMillis() - startedAtMs) / conf.pollIntervalMs
     CycleOffset(math.min(conf.maxCycles, math.max(0L, byClock)))
   }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control: a micro-batch never admits more than
+    * `maxCyclesPerTrigger` poll cycles past the committed start — the
+    * backpressure bound that keeps one batch's work (and the sink commit
+    * it feeds) sized regardless of how far the stream has fallen behind
+    * the clock (e.g. after downtime against a replayable feed). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget
+      .getOrElse(latestOffset().asInstanceOf[CycleOffset].cycle)
+    val s = start.asInstanceOf[CycleOffset].cycle
+    // saturating step: s + Long.MaxValue must not wrap
+    val step = math.min(conf.maxCyclesPerTrigger, math.max(0L, target - s))
+    CycleOffset(s + step)
+  }
+
+  override def reportLatestOffset(): Offset =
+    CycleOffset(availableNowTarget
+      .getOrElse(latestOffset().asInstanceOf[CycleOffset].cycle))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(latestOffset().asInstanceOf[CycleOffset].cycle)
 
   override def deserializeOffset(json: String): Offset =
     CycleOffset(json.trim.toLong)

@@ -64,6 +64,31 @@ class RestFeedSourceSpec extends AnyFunSuite {
     assert(keys === Set((3L, "Red"), (3L, "Blue"), (4L, "Red"), (4L, "Blue")))
   }
 
+  test("admission control: maxCyclesPerTrigger bounds each micro-batch to one cycle") {
+    RestTransports.register("spec-admission", fixtureTransport)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rest-adm").toString
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-rest")
+      .options(baseOptions("spec-admission") +
+        ("cycles" -> "3") + ("maxCyclesPerTrigger" -> "1") +
+        ("lines" -> "Red,Blue"))
+      .load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += batch.count() }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    assert(q.awaitTermination(120000))
+    // the 3-cycle drain is split into 3 batches of one cycle (2 routes)
+    // each — the backpressure bound a catch-up after downtime needs —
+    // and AvailableNow still self-stops at the frozen target
+    assert(batches.toSeq === Seq(2L, 2L, 2L),
+      s"expected 3 one-cycle batches, got $batches")
+  }
+
   test("connector ingest == batch q_ingest_normalize over the mock fixtures") {
     RestTransports.register("spec-fixture", fixtureTransport)
     val tmp = java.nio.file.Files.createTempDirectory("graft-rest-src").toString
