@@ -349,6 +349,44 @@ object BehaviorQueries {
     * sorts over the CUSTOMER table (dimension-sized, not fact-sized); the
     * census is constant-size. Customers without orders are excluded by
     * the inner join — the population RFM is defined on. */
+  /** Exact `ntile(4) OVER (ORDER BY v, ck)` WITHOUT the global window —
+    * the rewrite round 12's repo-wide single-partition-window guard
+    * forced on this query (three unpartitioned ntiles over the
+    * per-customer relation were the guard's one genuine catch).
+    * The blocked-rank identity (the `q_global_row_ids` plan): block by
+    * fixed-width VALUE ranges (`v div blockW` — block count is
+    * value-range-bounded, never customer-bounded), per-block counts
+    * prefix-summed over the block dictionary only, offsets broadcast
+    * back, in-block rank partitioned by block; then SQL ntile's exact
+    * bucket rule from (global rank, total n) — first `n mod 4` buckets
+    * hold `ceil(n/4)` rows. The oracle keeps the plain `ntile()` form,
+    * so the hash gate PROVES the distributed rewrite equals it. */
+  private def blockedNtile4(df: DataFrame, v: String, out: String,
+      blockW: Long): DataFrame = {
+    import df.sparkSession.implicits._
+    val blk = s"__${out}_blk"
+    val withBlk = df.withColumn(blk, expr(s"$v div ${blockW}L"))
+    val counts = withBlk.groupBy(col(blk)).agg(count(lit(1)).as("__c"))
+    val wOff = Window.orderBy(col(blk))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col(blk))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = counts
+      .withColumn("__off", coalesce(sum($"__c").over(wOff), lit(0L)))
+      .withColumn("__n", sum($"__c").over(wAll))
+      .select(col(blk), $"__off", $"__n")
+    val wIn = Window.partitionBy(col(blk)).orderBy(col(v), $"ck")
+    withBlk.join(broadcast(offs), Seq(blk))
+      .withColumn("__rn", $"__off" + row_number().over(wIn))
+      .withColumn(out, expr(
+        """CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
+          |  THEN (__rn - 1) div (__n div 4 + 1) + 1
+          |  ELSE (__n % 4) +
+          |    (__rn - 1 - (__n % 4) * (__n div 4 + 1)) div (__n div 4) + 1
+          |END""".stripMargin).cast("long"))
+      .drop(blk, "__rn", "__n", "__off")
+  }
+
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val per = Tables.orders(s, dir)
@@ -360,10 +398,22 @@ object BehaviorQueries {
         (Ops.money($"o_totalprice") * 100).cast("long").as("cents"))
       .groupBy($"ck")
       .agg(max($"dayn").as("r"), count(lit(1)).as("f"), sum($"cents").as("m"))
-    val seg = per
-      .withColumn("r_q", ntile(4).over(Window.orderBy($"r", $"ck")).cast("long"))
-      .withColumn("f_q", ntile(4).over(Window.orderBy($"f", $"ck")).cast("long"))
-      .withColumn("m_q", ntile(4).over(Window.orderBy($"m", $"ck")).cast("long"))
+    // block widths: r is a day ordinal (calendar range / 16 blocks), f an
+    // order count (value-bounded, width 1), m integer cents (2^20-cent ≈
+    // $10k blocks — block count spans the spend range, not the customers).
+    // The customer-grain aggregate is checkpointed ONCE and the three
+    // ranks computed independently off it (nesting them would re-derive
+    // the aggregate exponentially — each level's count branch replays
+    // everything below; the plan pin caught 8 parquet scans), then meet
+    // on ck equi-joins.
+    val base = graft.GraftSession.ckpt(per)
+    def quartile(v: String, out: String, w: Long) =
+      blockedNtile4(base.select($"ck", col(v)), v, out, w)
+        .select($"ck", col(out))
+    val seg = base
+      .join(quartile("r", "r_q", 16L), Seq("ck"))
+      .join(quartile("f", "f_q", 1L), Seq("ck"))
+      .join(quartile("m", "m_q", 1L << 20), Seq("ck"))
     seg.groupBy($"r_q", $"f_q", $"m_q")
       .agg(count(lit(1)).as("n_customers"), sum($"m").as("sum_cents"))
       .orderBy($"r_q", $"f_q", $"m_q")

@@ -486,6 +486,13 @@ object CurateQueries {
     * data-selection pass negotiates: documents that are NOT DOMINATED on
     * (maximize lexical quality, minimize length) — doc x is dominated
     * when some y has `len ≤` and `quality ≥` with at least one strict.
+    * The relational skyline operator itself debuts as ST6
+    * ([[graft.analytics.StatsQueries.skylinePareto]], bucket-pruned
+    * running-max windows over customers); THIS variant contributes the
+    * other two legs of the story: the DICTIONARY reduction (the window
+    * never touches corpus rows at all) and the INCREMENTAL streaming
+    * maintenance ([[graft.streaming.StreamJobs.skylineDictUpdate]]) that
+    * the bucket-pruned form cannot do without replaying its buckets.
     * The frontier is the "no free lunch" set: every kept-out doc has a
     * strictly-better-or-equal alternative at no extra length budget, so
     * a curator choosing under a token budget only ever picks from it.

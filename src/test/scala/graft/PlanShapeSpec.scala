@@ -274,11 +274,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val ne = planOf("q_join_nearest_event")
     assert(countOf(ne, "Exchange hashpartitioning\\(user_id") == 1,
       s"nearest-event frames should share one user_id exchange:\n$ne")
-    // q_rfm_segments: ntile inputs are the customer-grain aggregate, and
-    // the orders scan appears exactly once
+    // q_rfm_segments (round-12 rewrite): the customer-grain aggregate is
+    // checkpointed once (no parquet re-scan per rank) and every
+    // corpus-side ranking window is partitioned by its value block —
+    // the three unpartitioned ntiles are gone (RegistrySpec's repo-wide
+    // guard enforces the absence; here we pin the positive shape)
     val rfm = planOf("q_rfm_segments")
-    assert(countOf(rfm, "Scan parquet") == 1,
-      s"RFM should aggregate one orders scan:\n$rfm")
+    assert(countOf(rfm, "Scan parquet") == 0,
+      s"RFM should rank off the checkpointed aggregate, not re-scan:\n$rfm")
+    Seq("__r_q_blk", "__f_q_blk", "__m_q_blk").foreach { b =>
+      assert(rfm.contains(s"Exchange hashpartitioning($b"),
+        s"ranking window for $b is not block-partitioned:\n$rfm")
+    }
     // q_dedup_eval: the overlap is a shuffled equi join on the pair key
     assert(!planOf("q_dedup_eval").contains("CartesianProduct"))
     // q_quality_ensemble: three corpus passes meet on doc_id equi joins

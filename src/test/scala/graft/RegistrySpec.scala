@@ -199,6 +199,77 @@ class RegistrySpec extends AnyFunSuite {
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 
+  test("no corpus-sized single-partition Sort/Window in any declared query") {
+    // THE canonical distributed scale-killer: an `Exchange SinglePartition`
+    // feeding a Sort or Window funnels the relation through one task. A
+    // single-partition exchange feeding a global HashAggregate (one output
+    // row) is fine and common; the guard looks only at Sort/Window
+    // consumers. Queries whose single-partition window provably runs over
+    // a DICTIONARY (bounded, not corpus-sized) are allowlisted with the
+    // bound stated.
+    val allowDictWindow: Map[String, String] = Map(
+      // skyline rule over the LENGTH dictionary (|distinct lens| rows)
+      "q_skyline_docs" -> "length dictionary",
+      // block-offset prefix sum over the key-block dictionary
+      // (|corpus| / 1024 rows, key-space bounded)
+      "q_global_row_ids" -> "key-block dictionary",
+      // window totals over the |event_type| x |value-bucket| CELL grid
+      "q_stats_contingency" -> "contingency cell grid",
+      // ST6's frontier selection sorts the $1000-bucket winner dictionary
+      // (value-range bounded; corpus rows were bucket-pruned before it)
+      "q_skyline_pareto" -> "balance-bucket dictionary",
+      // ranks the calendar-bounded month-pair x priority drift grid
+      "q_mix_drift" -> "month-pair grid",
+      // orders the 4-row permutation-arm recall summary
+      "q_ann_opq" -> "variant-arm summary",
+      // ranks the trained vocabulary (vocab-bounded, ~|merges|+alphabet)
+      "q_bpe_vocab" -> "vocabulary",
+      // the merge-table fold input (|BPE train rounds| rows)
+      "q_token_ids" -> "merge table",
+      // the three blocked-ntile offset prefix sums over the value-range
+      // block dictionaries (day-range/16, |distinct f|, spend-range/2^20
+      // rows); the corpus-side ranking windows are block-partitioned
+      "q_rfm_segments" -> "value-range block dictionaries")
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
+      p.getClass.getSimpleName match {
+        case "WholeStageCodegenExec" | "InputAdapter" | "ProjectExec" |
+             "FilterExec" | "ColumnarToRowExec" => unwrap(p.children.head)
+        case _ => p
+      }
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      val n = p.getClass.getSimpleName
+      val hit =
+        if (n == "SortExec" || n == "WindowExec" || n == "WindowGroupLimitExec")
+          p.children.map(unwrap).collect {
+            case e if e.getClass.getSimpleName == "ShuffleExchangeExec" &&
+              e.outputPartitioning.toString == "SinglePartition" => n
+          }
+        else Seq.empty
+      hit ++ p.children.flatMap(walk)
+    }
+    // AQE wraps the tree in AdaptiveSparkPlanExec (children = Nil), which
+    // a tree walk cannot enter; this guard checks the STATIC shape, so
+    // build the plans with AQE off (AQE can only merge partitions or swap
+    // join strategies — it never introduces a single-partition window)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val violations = Registry.all.flatMap { q =>
+        if (allowDictWindow.contains(q.name)) Seq.empty
+        else walk(q.fn(spark, TestSpark.sf0001).queryExecution.executedPlan)
+          .map(op => s"${q.name}: $op over Exchange SinglePartition")
+      }
+      assert(violations.isEmpty, violations.mkString("\n"))
+      // the allowlisted dictionary windows genuinely plan that shape (the
+      // allowlist is load-bearing, not dead)
+      allowDictWindow.keys.foreach { name =>
+        assert(walk(SparkEntry.queries(name)(spark, TestSpark.sf0001)
+          .queryExecution.executedPlan).nonEmpty,
+          s"$name no longer plans a single-partition window; drop it from the allowlist")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("bench tier attribution is total: no query can fall into 'other'") {
     // Bench maps each query to its tier via Registry.tierOf with an
     // "other" fallback; the per-tier subtotals are the drift-attribution
