@@ -179,9 +179,109 @@ object LayoutQueries {
     """SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id, doc_id, lang
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- L3: shard assignment + resharding-cost audit ---------------------
+
+  /** Shard count under audit and the count after adding one shard. */
+  private val SHARDS = 16
+  private val SHARDS2 = 17
+
+  /** 16-bit integer key from the first 4 hex chars of md5(doc_id) —
+    * engine-portable (no `conv()` in DuckDB): each hex digit's value is
+    * its 1-based position in the alphabet minus one. `posFn` is the
+    * engine's substring-position function (Spark `instr`, DuckDB
+    * `strpos`); both are 1-based. */
+  private def hashKey(posFn: String, m: String): String =
+    Seq(4096, 256, 16, 1).zipWithIndex.map { case (w, i) =>
+      s"(($posFn('0123456789abcdef', substring($m, ${i + 1}, 1)) - 1) * $w)"
+    }.mkString(" + ")
+
+  /** Shard-placement audit over `documents`: assign every doc to one of
+    * [[SHARDS]] shards under two strategies — `mod` (`h % S`, the naive
+    * hash-mod placement) and `range` (`h·S div 2^16`, fixed hash-RANGE
+    * slices, the consistent-hashing family) — and measure, per shard,
+    * the balance deviation AND how many of its documents would MOVE if
+    * the shard count grew to [[SHARDS2]].
+    *
+    * This is the resharding-cost primitive behind every sharded corpus
+    * manifest: at 100 TB, re-labelling a document is a full rewrite of
+    * its bytes, so the placement function's stability under fleet growth
+    * IS the cost model. The audit pins the textbook asymmetry: mod
+    * rehashing relocates ≈ S/(S+1) of every shard (~94%), while range
+    * rehashing relocates only the slice boundaries' spillover (~1/(S+1),
+    * ~6%) — same balance, 16× less movement.
+    *
+    * Scale shape: ONE corpus scan; each row explodes to its two
+    * (strategy, shard) assignments with a precomputed moved flag (a
+    * codegen Generate over 2 structs, not two passes); the only exchange
+    * carries ≤ 2·S groups after partial aggregation. The balance window
+    * runs over the 2·S-row aggregate, partitioned by strategy — never
+    * the corpus. All arithmetic is 64-bit integer (hex-digit positions,
+    * shifts, `div`), bit-identical in both engines; `dev_bp` is computed
+    * as `(n·S·10⁴ div total) − 10⁴` so every `div` sees non-negative
+    * operands (Spark `div` truncates, DuckDB `//` floors — they agree
+    * only at ≥ 0). */
+  def shardAssignment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = hashKey("instr", "m")
+    val assigned = Tables.documents(s, dir)
+      .select($"n_chars", md5($"doc_id".cast("string")).as("m"))
+      .select($"n_chars", expr(h).as("h"))
+      .select($"n_chars",
+        explode(array(
+          struct(lit("mod").as("strategy"),
+            ($"h" % SHARDS).as("shard"),
+            when($"h" % SHARDS =!= $"h" % SHARDS2, 1L).otherwise(0L)
+              .as("moved")),
+          struct(lit("range").as("strategy"),
+            expr(s"(h * $SHARDS) div 65536").as("shard"),
+            when(expr(s"(h * $SHARDS) div 65536") =!=
+              expr(s"(h * $SHARDS2) div 65536"), 1L).otherwise(0L)
+              .as("moved")))).as("a"))
+      .groupBy($"a.strategy".as("strategy"), $"a.shard".as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("tot_chars"),
+        sum($"a.moved").as("n_moved"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"strategy")
+    assigned
+      .withColumn("total", sum($"n_docs").over(w))
+      .select($"strategy", $"shard", $"n_docs", $"tot_chars",
+        (expr(s"(n_docs * $SHARDS * 10000) div total") - 10000L)
+          .as("dev_bp"),
+        $"n_moved", expr("(n_moved * 10000) div n_docs").as("moved_bp"))
+      .orderBy($"strategy", $"shard")
+  }
+
+  val shardAssignmentSql: String = {
+    val h = hashKey("strpos", "m")
+    s"""WITH keyed AS (
+       |  SELECT n_chars, $h AS h
+       |  FROM (SELECT n_chars, md5(CAST(doc_id AS VARCHAR)) AS m
+       |        FROM documents)),
+       |assigned AS (
+       |  SELECT strategy, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+       |    CAST(SUM(moved) AS BIGINT) AS n_moved
+       |  FROM (
+       |    SELECT n_chars, 'mod' AS strategy, h % $SHARDS AS shard,
+       |      CASE WHEN h % $SHARDS <> h % $SHARDS2 THEN 1 ELSE 0 END AS moved
+       |    FROM keyed
+       |    UNION ALL
+       |    SELECT n_chars, 'range' AS strategy, (h * $SHARDS) // 65536 AS shard,
+       |      CASE WHEN (h * $SHARDS) // 65536 <> (h * $SHARDS2) // 65536
+       |        THEN 1 ELSE 0 END AS moved
+       |    FROM keyed)
+       |  GROUP BY strategy, shard)
+       |SELECT strategy, shard, n_docs, tot_chars,
+       |  CAST((n_docs * $SHARDS * 10000) // SUM(n_docs) OVER (PARTITION BY strategy)
+       |    - 10000 AS BIGINT) AS dev_bp,
+       |  n_moved, CAST((n_moved * 10000) // n_docs AS BIGINT) AS moved_bp
+       |FROM assigned ORDER BY strategy, shard""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_zorder_layout", zorderLayout, Some(zorderLayoutSql),
       "L1 Z-order vs linear layout data-skipping audit (file min/max stats)"),
     QueryDef("q_global_row_ids", globalRowIds, Some(globalRowIdsSql),
-      "L2 distributed zipWithIndex: dense global ids via range partition + offset broadcast, == row_number"))
+      "L2 distributed zipWithIndex: dense global ids via range partition + offset broadcast, == row_number"),
+    QueryDef("q_shard_assignment", shardAssignment, Some(shardAssignmentSql),
+      "L3 shard placement + resharding-cost audit: mod vs hash-range at S->S+1"))
 }

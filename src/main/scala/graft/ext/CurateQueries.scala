@@ -582,7 +582,104 @@ object CurateQueries {
       |FROM sky s JOIN scored c ON c.len = s.len AND c.q = s.maxq
       |GROUP BY s.len, s.maxq ORDER BY s.len""".stripMargin
 
+  // --- XC7: preference-pair assembly (RLHF/DPO data prep) ---------------
+
+  /** Preference-pair assembly — the (chosen, rejected) example builder a
+    * DPO/RLHF data pipeline runs after scoring: within each (lang,
+    * source) stream, rank documents by an integer quality score and pair
+    * the k-th BEST with the k-th WORST, keeping only pairs whose score
+    * margin is strictly positive. Grouping by stream is the batch proxy
+    * for "responses to the same prompt"; the pairing rule (best↔worst,
+    * outside-in) maximizes each pair's margin, which is exactly what a
+    * margin-based preference loss wants.
+    *
+    * Score: `stop_bp − punct_bp` — stopword density minus punctuation
+    * density, both in integer basis points of the whitespace token count
+    * (the [[TextQueries.qualityCol]] signal family, made ordinal). All
+    * arithmetic is 64-bit integer on non-negative operands before the
+    * final subtraction, so Spark `div` and DuckDB `//` agree bit-exactly.
+    *
+    * Scale shape: ONE corpus scan computes the score; ONE
+    * hash-partitioned window pass per (lang, source) assigns the
+    * ascending rank and the group count (two window functions over the
+    * same partition — Catalyst's CollapseWindow fuses them into one
+    * WindowExec, one exchange); the descending rank is derived as
+    * `cnt − rn + 1` rather than a second opposite-order sort. The pair
+    * is then ASSEMBLED BY AGGREGATION on (lang, source, k) — conditional
+    * max over the two pair members — never by a self-join back onto the
+    * corpus: total cost is one exchange on the stream key and one on the
+    * pair key, both narrow. At 100 TB nothing here is all-pairs; every
+    * intermediate row is one document. */
+  def prefPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source",
+        size(toks).cast(LongType).as("token_cnt"),
+        (length($"text") -
+          length(regexp_replace($"text", "[.,!?;:]", ""))).cast(LongType)
+          .as("punct_cnt"),
+        size(filter(toks, t =>
+          TextQueries.stopwords.map(w => t === w).reduce(_ || _)))
+          .cast(LongType).as("stop_cnt"))
+      .select($"doc_id", $"lang", $"source",
+        (expr("(stop_cnt * 10000) div token_cnt") -
+          expr("(punct_cnt * 10000) div token_cnt")).as("score"))
+    val byStream = Window.partitionBy($"lang", $"source")
+    val asc = byStream.orderBy($"score".asc, $"doc_id".asc)
+    val ranked = scored
+      .withColumn("rn", row_number().over(asc))
+      .withColumn("cnt", count(lit(1)).over(byStream))
+      .withColumn("rd", $"cnt" - $"rn" + 1)
+      .filter($"rn" =!= $"rd") // odd-group median pairs with nobody
+      .withColumn("k", least($"rn", $"rd"))
+    ranked
+      .groupBy($"lang", $"source", $"k".as("pair_k"))
+      .agg(
+        max(when($"rd" === $"k", $"doc_id")).as("chosen_id"),
+        max(when($"rd" === $"k", $"score")).as("chosen_bp"),
+        max(when($"rn" === $"k", $"doc_id")).as("rejected_id"),
+        max(when($"rn" === $"k", $"score")).as("rejected_bp"))
+      .withColumn("margin_bp", $"chosen_bp" - $"rejected_bp")
+      .filter($"margin_bp" > 0)
+      .orderBy($"lang", $"source", $"pair_k")
+  }
+
+  val prefPairsSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, source,
+       |    (len(list_filter(string_split(text, ' '),
+       |       t -> ${TextQueries.inList("t", TextQueries.stopwords)})) * 10000)
+       |      // len(string_split(text, ' '))
+       |    - ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 10000)
+       |      // len(string_split(text, ' ')) AS score
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY lang, source
+       |      ORDER BY score ASC, doc_id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang, source) AS cnt
+       |  FROM scored),
+       |paired AS (
+       |  SELECT lang, source, LEAST(rn, cnt - rn + 1) AS pair_k,
+       |    rn, cnt - rn + 1 AS rd, doc_id, score
+       |  FROM ranked WHERE rn <> cnt - rn + 1)
+       |SELECT lang, source, CAST(pair_k AS BIGINT) AS pair_k,
+       |  MAX(CASE WHEN rd = pair_k THEN doc_id END) AS chosen_id,
+       |  CAST(MAX(CASE WHEN rd = pair_k THEN score END) AS BIGINT) AS chosen_bp,
+       |  MAX(CASE WHEN rn = pair_k THEN doc_id END) AS rejected_id,
+       |  CAST(MAX(CASE WHEN rn = pair_k THEN score END) AS BIGINT) AS rejected_bp,
+       |  CAST(MAX(CASE WHEN rd = pair_k THEN score END)
+       |    - MAX(CASE WHEN rn = pair_k THEN score END) AS BIGINT) AS margin_bp
+       |FROM paired
+       |GROUP BY lang, source, pair_k
+       |HAVING MAX(CASE WHEN rd = pair_k THEN score END)
+       |     - MAX(CASE WHEN rn = pair_k THEN score END) > 0
+       |ORDER BY lang, source, pair_k""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_pref_pairs", prefPairs, Some(prefPairsSql),
+      "XC7 preference-pair assembly: outside-in best/worst pairing per stream with positive margin"),
     QueryDef("q_skyline_docs", skylineDocs, Some(skylineDocsSql),
       "XC6 Pareto/skyline curation frontier: non-dominated (quality, length) docs via length-dictionary window"),
     QueryDef("q_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql),
