@@ -599,17 +599,17 @@ object CurateQueries {
     * arithmetic is 64-bit integer on non-negative operands before the
     * final subtraction, so Spark `div` and DuckDB `//` agree bit-exactly.
     *
-    * Scale shape: ONE corpus scan computes the score; ONE
-    * hash-partitioned window pass per (lang, source) assigns the
-    * ascending rank and the group count (two window functions over the
-    * same partition — Catalyst's CollapseWindow fuses them into one
-    * WindowExec, one exchange); the descending rank is derived as
-    * `cnt − rn + 1` rather than a second opposite-order sort. The pair
-    * is then ASSEMBLED BY AGGREGATION on (lang, source, k) — conditional
-    * max over the two pair members — never by a self-join back onto the
-    * corpus: total cost is one exchange on the stream key and one on the
-    * pair key, both narrow. At 100 TB nothing here is all-pairs; every
-    * intermediate row is one document. */
+    * Scale shape: ONE corpus scan computes the score, and the WHOLE
+    * query runs on ONE corpus exchange (verified in the formatted plan):
+    * the rank and group-count windows stack over the same
+    * hash-partition-by-(lang, source) sort, the descending rank is
+    * derived as `cnt − rn + 1` rather than a second opposite-order
+    * sort, and the pair is ASSEMBLED BY AGGREGATION on (lang, source,
+    * k) — conditional max over the two pair members, never a self-join
+    * back onto the corpus — where Catalyst reuses the window's
+    * partitioning (the stream key is a prefix of the grouping key, so
+    * EnsureRequirements inserts no second exchange). At 100 TB nothing
+    * here is all-pairs; every intermediate row is one document. */
   def prefPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = split($"text", " ")

@@ -378,4 +378,110 @@ class ScaleOpsSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("a null-rejecting filter rewrites LEFT OUTER into INNER join") {
+    // the sixteenth optimizer-evidence leg: EliminateOuterJoin. A filter
+    // above a left-outer join that can never pass on the padded null row
+    // makes the outer semantics unobservable; Catalyst must plan an INNER
+    // join. At 100 TB this is the difference between a join that must
+    // materialize every unmatched probe row and one that can broadcast,
+    // semi-prune, and reorder freely — recovered from a predicate the
+    // query author wrote for other reasons.
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey", $"c_name")
+    val j = o.join(c, $"o_custkey" === $"c_custkey", "left_outer")
+      .filter($"c_name".isNotNull)
+    val joinTypes = j.queryExecution.optimizedPlan.collect {
+      case jn: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        jn.joinType.toString
+    }
+    assert(joinTypes === Seq("Inner"),
+      s"expected the outer join eliminated, got $joinTypes:\n" +
+        j.queryExecution.optimizedPlan)
+    // and the padded-null rows really are gone
+    assert(j.count() ===
+      o.join(c, $"o_custkey" === $"c_custkey").count())
+  }
+
+  test("a partition-key filter above a window is pushed into the scan") {
+    // the seventeenth optimizer-evidence leg: predicate pushdown THROUGH
+    // a window operator. A filter on the window's partition key cannot
+    // change any window result (each partition is filtered wholesale), so
+    // Catalyst pushes it below the Window and all the way into the
+    // parquet scan. At 100 TB the window's sort+exchange then runs on the
+    // selected keys only — the filter author never sees the difference,
+    // the cluster does.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"l_orderkey", $"l_linenumber")
+    val q = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_quantity")
+      .withColumn("rn", row_number().over(w))
+      .filter($"l_returnflag" === "A")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(l_returnflag,A)"),
+      s"expected the partition-key filter in PushedFilters:\n$plan")
+    // and in the optimized logical plan the filter sits BELOW the window
+    import org.apache.spark.sql.catalyst.plans.logical
+    val lp = q.queryExecution.optimizedPlan
+    val aboveWindow = lp.collect {
+      case f: logical.Filter
+        if f.collectFirst { case w: logical.Window => w }.isDefined => f
+    }
+    assert(aboveWindow.isEmpty,
+      s"expected no filter left above the window:\n$lp")
+    val win = lp.collectFirst { case w: logical.Window => w }
+    assert(win.exists(_.child.collectFirst {
+      case f: logical.Filter => f }.isDefined) ||
+      // …or it was folded entirely into the scan relation
+      lp.collectFirst { case f: logical.Filter => f }.isEmpty,
+      s"expected the filter pushed below the window:\n$lp")
+  }
+
+  test("a limit over UNION ALL is pushed into both branches") {
+    // the eighteenth optimizer-evidence leg: LimitPushDown. LIMIT n over a
+    // union must become a LOCAL limit inside each branch, so each branch
+    // stops after n rows instead of materializing its whole relation
+    // into the final limit — on a 100-TB union of two fact scans, the
+    // difference between reading a handful of row groups and reading
+    // everything.
+    val a = spark.read.parquet(s"$sf/orders.parquet").select($"o_orderkey")
+    val b = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey".as("o_orderkey"))
+    val q = a.union(b).limit(7)
+    val localLimits = q.queryExecution.optimizedPlan.collect {
+      case ll: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => ll
+    }
+    // one LocalLimit per union branch (the global limit sits above)
+    assert(localLimits.size >= 2,
+      s"expected the limit pushed into both union branches:\n" +
+        q.queryExecution.optimizedPlan)
+    assert(q.count() === 7L)
+  }
+
+  test("same-spec window functions collapse into ONE WindowExec") {
+    // the nineteenth optimizer-evidence leg: CollapseWindow. Several
+    // window aggregates over the same partition/order spec must share a
+    // single Window operator (one exchange, one sort, one pass) instead
+    // of stacking one operator per expression — the plan property that
+    // keeps multi-metric window queries (q_window_analytics et al.) at
+    // one shuffle regardless of how many metrics ride the frame.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"l_orderkey")
+    val q = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_returnflag", $"l_quantity",
+        $"l_extendedprice")
+      .withColumn("run_qty", sum($"l_quantity").over(w))
+      .withColumn("run_price", sum($"l_extendedprice").over(w))
+      .withColumn("run_rows", count(lit(1)).over(w))
+    q.collect()
+    val wins = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.size === 1 && wins.head.windowExpressions.size === 3,
+      s"expected the three window aggregates fused into one Window node:\n" +
+        q.queryExecution.optimizedPlan)
+  }
 }
