@@ -296,10 +296,22 @@ object SimilarityQueries {
   /** Exact integer floor-division mean of the quantized components:
     * floor(Σqv / n). Spark `div` truncates toward zero, so subtract the
     * positive modulus first — (Σ − pmod(Σ, n)) is exactly divisible and
-    * truncation == floor. DuckDB's `//` floors natively; both engines
-    * produce the identical integer for any sign of Σ. */
+    * truncation == floor. DuckDB's `//` ALSO truncates on integers
+    * ((-7)//2 = -3), so the oracle mirror [[floorDivSql]] applies the
+    * same positive-modulus identity — a round-12 fix: the original
+    * mirror used bare `//`, which diverges from floor by one on every
+    * NEGATIVE non-exact coordinate sum. The drift was invisible for a
+    * full round because every oracled consumer emits only cosine RANKS,
+    * which are robust to a ±1 centroid coordinate — it surfaced the
+    * moment `q_cluster_cards` exposed a centroid-dependent scalar. */
   private def floorDivMean(s: Column, n: Column): Column =
     ((s - pmod(s, n)) / n).cast(LongType)
+
+  /** DuckDB mirror of [[floorDivMean]]: floor(s/n) for any sign of s,
+    * n > 0 — `(s − ((s % n + n) % n)) // n` (the subtraction is exactly
+    * divisible, so truncating `//` returns the true floor). */
+  private def floorDivSql(s: String, n: String): String =
+    s"(($s) - ((($s) % ($n) + ($n)) % ($n))) // ($n)"
 
   /** One k-means assignment pass: every vector to its nearest centroid by
     * exact-integer cosine, ties broken on centroid id. K is a broadcast
@@ -770,7 +782,8 @@ object SimilarityQueries {
 
   /** DuckDB mirror of the k-means loop, unrolled: centroids live in long
     * (c_id, g, m) form; each round is one assignment CTE + one floor-div
-    * means CTE. `//` floors in DuckDB, matching [[floorDivMean]]. Ends at
+    * means CTE ([[floorDivSql]] — true floor, matching [[floorDivMean]];
+    * bare `//` truncates and drifts on negative sums). Ends at
     * `aranked3` (the post-training assignment ranking), which both the
     * ANN and the semantic-dedup oracles consume. */
   private val kmeansCtesSql: String = {
@@ -789,7 +802,7 @@ object SimilarityQueries {
          |  JOIN ${cents}_norm cn ON d.c_id = cn.c_id)""".stripMargin
     def meansCte(prev: Int, out: String): String =
       s"""$out AS (
-         |  SELECT a.c_id, v.g, SUM(v.qv) // COUNT(*) AS m
+         |  SELECT a.c_id, v.g, ${floorDivSql("SUM(v.qv)", "COUNT(*)")} AS m
          |  FROM aranked$prev a JOIN vq v ON a.vec_id = v.vec_id
          |  WHERE a.crn = 1
          |  GROUP BY 1, 2),
@@ -1393,11 +1406,13 @@ object SimilarityQueries {
        |    FROM encd$n) WHERE rn = 1)""".stripMargin
 
   /** One update round in SQL: floor-div means per (m, cid, j), reassembled
-    * into list codewords (`//` floors — matching [[floorDivMean]]). */
+    * into list codewords ([[floorDivSql]] — true floor, matching
+    * [[floorDivMean]]; bare `//` truncates on negative sums). */
   private def pqUpdCte(n: Int): String =
     s"""updd$n AS (
        |  SELECT cd.m, cd.cid, j.j,
-       |    CAST(SUM(v.qe[cd.m * $PQ_SUB + j.j]) // COUNT(*) AS BIGINT) AS mj
+       |    CAST(${floorDivSql(s"SUM(v.qe[cd.m * $PQ_SUB + j.j])", "COUNT(*)")}
+       |      AS BIGINT) AS mj
        |  FROM codes${n - 1} cd JOIN qv v USING (vec_id),
        |    (SELECT unnest(range(1, ${PQ_SUB + 1})) AS j) j
        |  GROUP BY 1, 2, 3),
@@ -2250,7 +2265,98 @@ object SimilarityQueries {
        |WHERE q.vec_id < 20
        |ORDER BY q_id""".stripMargin
 
+  // --- X3r: cluster cards — the census behind cluster-based curation ----
+
+  /** Per-cluster CARDS over the trained coarse quantizer — the census a
+    * cluster-based curation pass (SemDeDup / density-pruning family)
+    * reads before deciding which clusters to downsample, dedupe
+    * aggressively, or drop: for every k-means cluster, its size, label
+    * spread, dominant label with purity, a deterministic MEDOID (the
+    * member the curator actually eyeballs), and the cluster's cohesion
+    * (mean member→centroid cosine in ppm).
+    *
+    * Determinism discipline: the medoid and the dominant label are
+    * arg-max over PACKED INTEGER keys (`cq·10⁷ − vec_id`,
+    * `cnt·10⁶ − label`), so the tie-break is part of the ordered value
+    * itself — no engine-specific struct-compare or multi-column arg_max
+    * semantics. Cohesion quantizes cosine per row (`floor(cos·10⁶)`)
+    * BEFORE the integer sum — order-independent where a double mean is
+    * not — and the sum is shifted by +10⁶ per row so the one division
+    * sees non-negative operands (Spark `div` truncates, DuckDB `//`
+    * floors; they agree only at ≥ 0).
+    *
+    * Scale shape: everything derives from the memoized
+    * [[rankedAssign]] index (trained once, like a real deploy): the
+    * label branch is one hash aggregate on (cluster, label) collapsing
+    * to ≤ K·|labels| groups; the geometry branch re-attaches the K-row
+    * centroid table by BROADCAST and folds per member — no corpus
+    * self-join anywhere; the final card join runs over K rows. */
+  def clusterCards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val members = rankedAssign(s, dir).filter($"crn" === 1)
+      .select($"vec_id", $"c_id")
+    val counts = members
+      .join(Tables.embeddings(s, dir)
+        .select($"vec_id", $"label".cast(LongType).as("label")), Seq("vec_id"))
+      .groupBy($"c_id", $"label").agg(count(lit(1)).as("cnt"))
+    val labelStats = counts.groupBy($"c_id").agg(
+      sum($"cnt").as("n_vecs"),
+      count(lit(1)).as("n_labels"),
+      max($"cnt").as("top_cnt"),
+      max_by($"label", $"cnt" * 1000000L - $"label").as("top_label"))
+    val geo = members
+      .join(quantized(s, dir), Seq("vec_id"))
+      .join(broadcast(trainedCents(s, dir)), Seq("c_id"))
+      .select($"c_id", $"vec_id",
+        floor(cosine(dotQ($"qe", $"c_qe"), $"nrm", $"c_nrm") * 1000000L)
+          .as("cq"))
+      .groupBy($"c_id").agg(
+        max_by($"vec_id", $"cq" * 10000000L - $"vec_id").as("medoid_id"),
+        expr("sum(cq + 1000000) div count(1) - 1000000").as("cohesion_ppm"))
+    labelStats.join(geo, Seq("c_id"))
+      .select($"c_id", $"n_vecs", $"n_labels", $"top_label",
+        expr("(top_cnt * 10000) div n_vecs").as("purity_bp"),
+        $"medoid_id", $"cohesion_ppm")
+      .orderBy($"c_id")
+  }
+
+  val clusterCardsSql: String =
+    s"""WITH $kmeansCtesSql,
+       |members AS (SELECT vec_id, c_id FROM aranked3 WHERE crn = 1),
+       |mcos AS (
+       |  SELECT m.vec_id, m.c_id,
+       |    CAST(floor(CAST(d.dot AS DOUBLE)
+       |      / (sqrt(CAST(vn.nrm AS DOUBLE)) * sqrt(CAST(cn.cnrm AS DOUBLE)))
+       |      * 1000000) AS BIGINT) AS cq
+       |  FROM members m
+       |  JOIN adots3 d ON d.vec_id = m.vec_id AND d.c_id = m.c_id
+       |  JOIN norms vn ON m.vec_id = vn.vec_id
+       |  JOIN c2_norm cn ON m.c_id = cn.c_id),
+       |lcounts AS (
+       |  SELECT m.c_id, CAST(e.label AS BIGINT) AS label, COUNT(*) AS cnt
+       |  FROM members m JOIN embeddings e ON m.vec_id = e.vec_id
+       |  GROUP BY 1, 2),
+       |lstats AS (
+       |  SELECT c_id, CAST(SUM(cnt) AS BIGINT) AS n_vecs,
+       |    CAST(COUNT(*) AS BIGINT) AS n_labels,
+       |    CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+       |    arg_max(label, cnt * 1000000 - label) AS top_label
+       |  FROM lcounts GROUP BY c_id),
+       |geo AS (
+       |  SELECT c_id,
+       |    arg_max(vec_id, cq * 10000000 - vec_id) AS medoid_id,
+       |    CAST(SUM(cq + 1000000) // COUNT(*) - 1000000 AS BIGINT)
+       |      AS cohesion_ppm
+       |  FROM mcos GROUP BY c_id)
+       |SELECT l.c_id, l.n_vecs, l.n_labels, l.top_label,
+       |  CAST((l.top_cnt * 10000) // l.n_vecs AS BIGINT) AS purity_bp,
+       |  g.medoid_id, g.cohesion_ppm
+       |FROM lstats l JOIN geo g ON l.c_id = g.c_id
+       |ORDER BY l.c_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_cluster_cards", clusterCards, Some(clusterCardsSql),
+      "X3r per-cluster curation cards: size, label purity, packed-key medoid, quantized cohesion"),
     QueryDef("q_ann_opq", annOpq, Some(annOpqSql),
       "X3k OPQ transform search: PQ recall audit under identity/interleave/snake/learned-Givens-rotation"),
     QueryDef("q_ann_range", annRange, Some(annRangeSql),
