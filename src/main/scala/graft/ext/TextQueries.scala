@@ -417,7 +417,9 @@ object TextQueries {
     QueryDef("q_bpe_vocab", bpeVocab, Some(bpeVocabSql),
       "X4r-a the trained vocab table: base chars 0..B-1 + merge-rank token ids"),
     QueryDef("q_token_ids", tokenIds, Some(tokenIdsSql),
-      "X4r-b the tokenized corpus: per-doc ordered token-id sequences under the trained vocab"))
+      "X4r-b the tokenized corpus: per-doc ordered token-id sequences under the trained vocab"),
+    QueryDef("q_tokenizer_drift", tokenizerDrift, Some(tokenizerDriftSql),
+      "X4v tokenizer-version drift: per-round merge agreement + prefix Jaccard between cohort-trained vocabs"))
 
   // --- X4m: BPE merge-pair statistics --------------------------------------
 
@@ -607,16 +609,19 @@ object TextQueries {
     bpeMergeTable(s, dir).orderBy($"round")
   }
 
-  /** The corpus word-TYPE dictionary (d = sentinel-joined chars, freq) —
-    * the shared input of training and encode. */
-  private def bpeDict(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  /** The word-TYPE dictionary (d = sentinel-joined chars, freq) of any
+    * document relation — the shared input of training and encode. */
+  private def bpeDictOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0 && !$"w".contains(BpeSent))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .select(concat_ws(BpeSent, split($"w", "")).as("d"), $"freq")
   }
+
+  private def bpeDict(s: SparkSession, dir: String): DataFrame =
+    bpeDictOf(Tables.documents(s, dir))
 
   /** The trained merge table (round, ls, rs, n), memoized per (session,
     * documents content): the vocab ARTIFACT — trained once per session,
@@ -629,9 +634,13 @@ object TextQueries {
       graft.GraftSession.ckpt(bpeTrainLoop(s, dir))
     }
 
-  private def bpeTrainLoop(s: SparkSession, dir: String): DataFrame = {
+  private def bpeTrainLoop(s: SparkSession, dir: String): DataFrame =
+    bpeTrainLoopDict(bpeDict(s, dir))
+
+  private def bpeTrainLoopDict(dict0: DataFrame): DataFrame = {
+    val s = dict0.sparkSession
     import s.implicits._
-    var dict = bpeDict(s, dir)
+    var dict = dict0
     var out: DataFrame = null
     for (r <- 1 to BpeTrainRounds) {
       val syms = dict.withColumn("s", split($"d", BpeSent))
@@ -653,6 +662,97 @@ object TextQueries {
             .select(expr(bpeFoldExpr).as("d"), $"freq"))
     }
     out
+  }
+
+  // --- X4v: tokenizer-version drift audit -------------------------------
+
+  /** A cohort merge table: the SAME BPE recipe trained on the
+    * doc_id-parity half of the corpus — the deterministic stand-in for
+    * two corpus snapshots. Memoized per (session, documents, parity)
+    * like [[bpeMergeTable]]. */
+  private def cohortMergeTable(s: SparkSession, dir: String,
+      par: Int): DataFrame =
+    graft.GraftSession.memo(s, s"bpe_merges_p$par|" +
+        graft.GraftSession.contentKey(dir, Seq("documents"))) {
+      graft.GraftSession.ckpt(bpeTrainLoopDict(bpeDictOf(
+        Tables.documents(s, dir).filter(col("doc_id") % 2 === par))))
+    }
+
+  /** X4v — tokenizer-version DRIFT: train the same BPE recipe on two
+    * corpus cohorts and audit how the learned merge tables diverge —
+    * the check a pipeline runs before swapping tokenizer versions,
+    * because a token minted by one vocab and absent from the other
+    * silently changes every downstream token count, pack budget, and
+    * fertility number. Per round: both cohorts' chosen merges with
+    * support counts, whether the round picked the SAME merge, the
+    * running count of merges shared by the two training PREFIXES (set
+    * intersection, attributed to the later of the two rounds), and the
+    * prefix Jaccard in bp. The first round where `same_merge` drops is
+    * the segmentation-compatibility horizon.
+    *
+    * Scale shape: both trainings are the dictionary-bounded
+    * [[bpeTrainLoopDict]] loop (one corpus pass each for the word-type
+    * dictionary, then per-round work bounded by the dictionary), each
+    * memoized as a session artifact; the audit itself joins two
+    * BpeTrainRounds-row tables — constant-size work. The prefix-overlap
+    * census is an equi-join on the merge pair (a merge pair can appear
+    * at most once per table, so the join is 1:1), never a quadratic
+    * prefix comparison; the running sum windows over the
+    * BpeTrainRounds-row result (dictionary-bounded, allowlisted). */
+  def tokenizerDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = cohortMergeTable(s, dir, 0)
+    val b = cohortMergeTable(s, dir, 1)
+    val ab = a.select($"round", $"ls".as("ls_a"), $"rs".as("rs_a"),
+        $"n".as("n_a"))
+      .join(b.select($"round", $"ls".as("ls_b"), $"rs".as("rs_b"),
+        $"n".as("n_b")), Seq("round"))
+    val shared = a.select($"ls", $"rs", $"round".as("ra"))
+      .join(b.select($"ls", $"rs", $"round".as("rb")), Seq("ls", "rs"))
+      .groupBy(greatest($"ra", $"rb").as("round"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"round")
+    ab.join(shared, Seq("round"), "left")
+      .withColumn("cum_shared", sum(coalesce($"c", lit(0L))).over(w))
+      .select($"round", $"ls_a", $"rs_a", $"n_a", $"ls_b", $"rs_b", $"n_b",
+        when($"ls_a" === $"ls_b" && $"rs_a" === $"rs_b", 1L).otherwise(0L)
+          .as("same_merge"),
+        $"cum_shared",
+        expr("(cum_shared * 10000) div (2 * round - cum_shared)")
+          .as("prefix_jaccard_bp"))
+      .orderBy($"round")
+  }
+
+  val tokenizerDriftSql: String = {
+    def merges(sfx: String): String = (1 to BpeTrainRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, ls, rs, n FROM top$sfx$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeRoundsChainSql(finalApply = false, sfx = "ca",
+          whereDocs = "doc_id % 2 = 0")},
+       |${bpeRoundsChainSql(finalApply = false, sfx = "cb",
+          whereDocs = "doc_id % 2 = 1")},
+       |ma AS (${merges("ca")}),
+       |mb AS (${merges("cb")}),
+       |shared AS (
+       |  SELECT GREATEST(a.round, b.round) AS round, COUNT(*) AS c
+       |  FROM ma a JOIN mb b ON a.ls = b.ls AND a.rs = b.rs
+       |  GROUP BY 1),
+       |joined AS (
+       |  SELECT a.round, a.ls AS ls_a, a.rs AS rs_a, a.n AS n_a,
+       |    b.ls AS ls_b, b.rs AS rs_b, b.n AS n_b, COALESCE(s.c, 0) AS c
+       |  FROM ma a JOIN mb b ON a.round = b.round
+       |  LEFT JOIN shared s ON s.round = a.round),
+       |cum AS (
+       |  SELECT round, ls_a, rs_a, n_a, ls_b, rs_b, n_b,
+       |    CAST(CASE WHEN ls_a = ls_b AND rs_a = rs_b
+       |      THEN 1 ELSE 0 END AS BIGINT) AS same_merge,
+       |    CAST(SUM(c) OVER (ORDER BY round) AS BIGINT) AS cum_shared
+       |  FROM joined)
+       |SELECT round, ls_a, rs_a, n_a, ls_b, rs_b, n_b, same_merge,
+       |  cum_shared,
+       |  (cum_shared * 10000) // (2 * round - cum_shared)
+       |    AS prefix_jaccard_bp
+       |FROM cum ORDER BY round""".stripMargin
   }
 
   /** X4p — the INFERENCE half of the tokenizer: apply the trained merge
@@ -1035,31 +1135,40 @@ object TextQueries {
     * shared by [[bpeTrainSql]] and [[bpeEncodeSql]]; with `finalApply` the
     * chain continues through syms(N+1) — the dictionary with ALL N merges
     * applied, which is what encoding consumes. */
-  private def bpeRoundsCtesSql(finalApply: Boolean): String = {
+  private def bpeRoundsCtesSql(finalApply: Boolean): String =
+    "WITH " + bpeRoundsChainSql(finalApply)
+
+  /** The chain WITHOUT the leading `WITH`, parameterized so a query can
+    * unroll SEVERAL independent trainings in one statement: `sfx` renames
+    * every CTE (`words` → `words$sfx`, …); `whereDocs` restricts the
+    * training corpus (the drift audit trains per cohort). */
+  private def bpeRoundsChainSql(finalApply: Boolean, sfx: String = "",
+      whereDocs: String = "TRUE"): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH words AS (
+      s"""words$sfx AS (
         |  SELECT w, COUNT(*) AS freq FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |    WHERE $whereDocs)
         |  WHERE length(w) > 0 AND NOT contains(w, chr(1)) GROUP BY w),
-        |syms1 AS (SELECT string_split(w, '') AS s, freq FROM words)""".stripMargin)
+        |syms${sfx}1 AS (SELECT string_split(w, '') AS s, freq FROM words$sfx)""".stripMargin)
     for (r <- 1 to BpeTrainRounds) {
       sb.append(s""",
-        |top$r AS (
+        |top$sfx$r AS (
         |  SELECT ls, rs, CAST(SUM(freq) AS BIGINT) AS n
         |  FROM (SELECT s[CAST(i AS INT)] AS ls, s[CAST(i + 1 AS INT)] AS rs, freq
         |        FROM (SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i
-        |              FROM syms$r WHERE len(s) >= 2))
+        |              FROM syms$sfx$r WHERE len(s) >= 2))
         |  GROUP BY ls, rs ORDER BY n DESC, ls ASC, rs ASC LIMIT 1)""".stripMargin)
       if (r < BpeTrainRounds || finalApply)
         sb.append(s""",
-          |syms${r + 1} AS (
+          |syms$sfx${r + 1} AS (
           |  SELECT string_split(list_reduce(s, (acc, x) -> CASE
           |      WHEN x = rs AND acc = ls THEN ls || rs
           |      WHEN x = rs AND ends_with(acc, chr(1) || ls)
           |        THEN substr(acc, 1, length(acc) - length(ls)) || ls || rs
           |      ELSE acc || chr(1) || x END), chr(1)) AS s, freq
-          |  FROM syms$r, top$r)""".stripMargin)
+          |  FROM syms$sfx$r, top$sfx$r)""".stripMargin)
     }
     sb.toString
   }

@@ -183,7 +183,10 @@ class RegistrySpec extends AnyFunSuite {
       // the brute-truth arm streams the corpus against the 20-row
       // broadcast query batch (the q_sim_knn_brute class); the IVF arm
       // is equi-joins on the probed lists
-      "q_ann_range")
+      "q_ann_range",
+      // both cohort trainings carry the per-round single-row top-merge
+      // broadcast — the q_bpe_train class, twice
+      "q_tokenizer_drift")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
@@ -226,6 +229,9 @@ class RegistrySpec extends AnyFunSuite {
       "q_bpe_vocab" -> "vocabulary",
       // the merge-table fold input (|BPE train rounds| rows)
       "q_token_ids" -> "merge table",
+      // the drift audit's running-overlap window runs over the
+      // BpeTrainRounds-row merge comparison (merge-table bounded)
+      "q_tokenizer_drift" -> "merge table",
       // the three blocked-ntile offset prefix sums over the value-range
       // block dictionaries (day-range/16, |distinct f|, spend-range/2^20
       // rows); the corpus-side ranking windows are block-partitioned
