@@ -354,6 +354,38 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
   }
 
+  test("round-12 session-2 queries: single corpus exchange, broadcast dims, no rescans") {
+    // q_pref_pairs: the scaladoc's claim made an assert — the rank and
+    // count windows AND the pair aggregation all ride ONE hash exchange
+    // on the stream key (the grouping key extends the window partition
+    // key, so EnsureRequirements inserts nothing); the only other
+    // exchange is the presentation sort.
+    val pp = planOf("q_pref_pairs")
+    assert(countOf(pp, "Exchange hashpartitioning") == 1,
+      s"pref pairs should shuffle the corpus exactly once:\n$pp")
+    assert(countOf(pp, "Exchange rangepartitioning") == 1, pp)
+    // q_shard_assignment: one Generate (the two-strategy explode) off ONE
+    // scan; the only hash exchanges are the <=2S-group aggregate and the
+    // 32-row balance window.
+    val sa = planOf("q_shard_assignment")
+    assert(countOf(sa, "Generate explode") == 1, sa)
+    assert(countOf(sa, "Scan parquet|FileScan") == 1,
+      s"shard audit should scan the corpus once:\n$sa")
+    assert(countOf(sa, "Exchange hashpartitioning") <= 2, sa)
+    // q_cluster_cards: the K-row centroid table attaches by BROADCAST;
+    // candidates never expand all-pairs (no nested-loop join).
+    val cc = planOf("q_cluster_cards")
+    assert(cc.contains("BroadcastHashJoin") || cc.contains("BroadcastExchange"),
+      s"centroid table should broadcast:\n$cc")
+    assert(!cc.contains("BroadcastNestedLoopJoin") &&
+      !cc.contains("CartesianProduct"), cc)
+    // q_tokenizer_drift: the audit runs entirely over the two memoized
+    // merge-table artifacts — it never rescans the document corpus.
+    val td = planOf("q_tokenizer_drift")
+    assert(countOf(td, "Scan parquet|FileScan") == 0,
+      s"drift audit should not rescan the corpus:\n$td")
+  }
+
   test("AQE re-plans a stats-overestimated SMJ into a broadcast join at runtime") {
     // 15th optimizer-evidence leg — the adaptive half of the J1 story:
     // the STATIC planner, told broadcasts are off (threshold -1, how a
