@@ -2291,6 +2291,35 @@ object SimilarityQueries {
     * to ≤ K·|labels| groups; the geometry branch re-attaches the K-row
     * centroid table by BROADCAST and folds per member — no corpus
     * self-join anywhere; the final card join runs over K rows. */
+  /** (c_id, vec_id, cq) — every member with its quantized cosine to its
+    * OWN centroid, the shared geometry input of `q_cluster_cards` and
+    * `q_embed_outliers`: members from the memoized index, the K-row
+    * centroid table re-attached by broadcast, `cq = floor(cos·10⁶)`. */
+  private def memberCos(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rankedAssign(s, dir).filter($"crn" === 1)
+      .select($"vec_id", $"c_id")
+      .join(quantized(s, dir), Seq("vec_id"))
+      .join(broadcast(trainedCents(s, dir)), Seq("c_id"))
+      .select($"c_id", $"vec_id",
+        floor(cosine(dotQ($"qe", $"c_qe"), $"nrm", $"c_nrm") * 1000000L)
+          .as("cq"))
+  }
+
+  /** The `members` + `mcos` CTE pair shared by the cluster-census
+    * oracles (appended after [[kmeansCtesSql]]). */
+  private val mcosCteSql: String =
+    """members AS (SELECT vec_id, c_id FROM aranked3 WHERE crn = 1),
+      |mcos AS (
+      |  SELECT m.vec_id, m.c_id,
+      |    CAST(floor(CAST(d.dot AS DOUBLE)
+      |      / (sqrt(CAST(vn.nrm AS DOUBLE)) * sqrt(CAST(cn.cnrm AS DOUBLE)))
+      |      * 1000000) AS BIGINT) AS cq
+      |  FROM members m
+      |  JOIN adots3 d ON d.vec_id = m.vec_id AND d.c_id = m.c_id
+      |  JOIN norms vn ON m.vec_id = vn.vec_id
+      |  JOIN c2_norm cn ON m.c_id = cn.c_id)""".stripMargin
+
   def clusterCards(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val members = rankedAssign(s, dir).filter($"crn" === 1)
@@ -2304,12 +2333,7 @@ object SimilarityQueries {
       count(lit(1)).as("n_labels"),
       max($"cnt").as("top_cnt"),
       max_by($"label", $"cnt" * 1000000L - $"label").as("top_label"))
-    val geo = members
-      .join(quantized(s, dir), Seq("vec_id"))
-      .join(broadcast(trainedCents(s, dir)), Seq("c_id"))
-      .select($"c_id", $"vec_id",
-        floor(cosine(dotQ($"qe", $"c_qe"), $"nrm", $"c_nrm") * 1000000L)
-          .as("cq"))
+    val geo = memberCos(s, dir)
       .groupBy($"c_id").agg(
         max_by($"vec_id", $"cq" * 10000000L - $"vec_id").as("medoid_id"),
         expr("sum(cq + 1000000) div count(1) - 1000000").as("cohesion_ppm"))
@@ -2322,16 +2346,7 @@ object SimilarityQueries {
 
   val clusterCardsSql: String =
     s"""WITH $kmeansCtesSql,
-       |members AS (SELECT vec_id, c_id FROM aranked3 WHERE crn = 1),
-       |mcos AS (
-       |  SELECT m.vec_id, m.c_id,
-       |    CAST(floor(CAST(d.dot AS DOUBLE)
-       |      / (sqrt(CAST(vn.nrm AS DOUBLE)) * sqrt(CAST(cn.cnrm AS DOUBLE)))
-       |      * 1000000) AS BIGINT) AS cq
-       |  FROM members m
-       |  JOIN adots3 d ON d.vec_id = m.vec_id AND d.c_id = m.c_id
-       |  JOIN norms vn ON m.vec_id = vn.vec_id
-       |  JOIN c2_norm cn ON m.c_id = cn.c_id),
+       |$mcosCteSql,
        |lcounts AS (
        |  SELECT m.c_id, CAST(e.label AS BIGINT) AS label, COUNT(*) AS cnt
        |  FROM members m JOIN embeddings e ON m.vec_id = e.vec_id
@@ -2354,7 +2369,107 @@ object SimilarityQueries {
        |FROM lstats l JOIN geo g ON l.c_id = g.c_id
        |ORDER BY l.c_id""".stripMargin
 
+  // --- X3s: embedding-space outlier pruning census ----------------------
+
+  /** X3s — embedding-space OUTLIER census, the pruning signal a curation
+    * pass applies after clustering (mislabeled/noise/off-distribution
+    * examples sit far from every centroid): per cluster, members whose
+    * cosine-to-own-centroid is more than 2σ BELOW the cluster mean —
+    * |z| > 2 on the low side — counted and worst-cased.
+    *
+    * Exact-integer z-test: from the quantized per-member cq, the cluster
+    * keeps (n, Σcq, Σcq²) as exact longs; mean m = floor(Σcq/n) (true
+    * floor on either sign — [[floorDivMean]]/[[floorDivSql]]); the
+    * centered second moment `var_num = Σcq² − 2m·Σcq + n·m²` equals
+    * Σ(cq−m)² exactly, so "z² > 4" is the pure integer comparison
+    * `(m−cq)²·n > 4·var_num` with no division, no sqrt, no rounding
+    * rule — bit-identical in both engines by construction. (Σcq² tops
+    * out at n·10¹² — safe in 64-bit to ~10⁶ members per cluster; past
+    * that the same sums go through DECIMAL, the ST3 discipline.)
+    *
+    * Scale shape: TWO aggregates over the shared [[memberCos]] relation
+    * (stats, then flag-and-count after a K-row broadcast join back) —
+    * the corpus is touched once, K stays constant, nothing all-pairs.
+    *
+    * On the synthetic corpus (near-uniform on the sphere, no planted
+    * noise) the honest answer at 2σ IS zero flags — the distribution's
+    * tails are bounded and the per-cluster max low-side z² measures
+    * 1.5–3.3 (emitted as `max_low_z2_centi`, the frontier the curator
+    * reads against the bar). ExtSpec plants a far-off member through
+    * [[outlierCensusOf]] and proves the flag fires. */
+  /** The census over ANY (c_id, vec_id, cq) relation — shared by the
+    * query (real member cosines, where a clean corpus honestly yields
+    * zero flags) and the ExtSpec fixture that PLANTS an outlier to prove
+    * the flag fires. `max_low_z2_centi` (the largest low-side z² in
+    * hundredths) is the measured frontier, so the row carries signal
+    * even when nothing crosses the 2σ bar. */
+  private[graft] def outlierCensusOf(mc: DataFrame): DataFrame = {
+    import mc.sparkSession.implicits._
+    val stats = mc.groupBy($"c_id").agg(
+      count(lit(1)).as("n"), sum($"cq").as("s1"),
+      sum($"cq" * $"cq").as("s2"))
+      .select($"c_id", $"n", $"s1", $"s2",
+        floorDivMean($"s1", $"n").as("m"))
+      .select($"c_id", $"n", $"m",
+        ($"s2" - lit(2L) * $"m" * $"s1" + $"n" * $"m" * $"m").as("var_num"))
+    mc.join(broadcast(stats), Seq("c_id"))
+      .select($"c_id", $"vec_id", $"cq", $"n", $"m",
+        (($"cq" < $"m") &&
+          (($"m" - $"cq") * ($"m" - $"cq") * $"n" > lit(4L) * $"var_num"))
+          .as("out"),
+        when($"cq" < $"m" && $"var_num" > 0L,
+          expr("((m - cq) * (m - cq) * n * 100) div var_num"))
+          .otherwise(0L).as("z2c"))
+      .groupBy($"c_id").agg(
+        max($"n").as("n_vecs"),
+        max($"m").as("mean_cq"),
+        sum(when($"out", 1L).otherwise(0L)).as("n_outliers"),
+        max($"z2c").as("max_low_z2_centi"),
+        max_by($"vec_id", -($"cq" * 10000000L) - $"vec_id").as("worst_id"),
+        min($"cq").as("worst_cq"))
+      .select($"c_id", $"n_vecs", $"mean_cq", $"n_outliers",
+        expr("(n_outliers * 10000) div n_vecs").as("outlier_bp"),
+        $"max_low_z2_centi", $"worst_id", $"worst_cq")
+      .orderBy($"c_id")
+  }
+
+  def embedOutliers(s: SparkSession, dir: String): DataFrame =
+    outlierCensusOf(memberCos(s, dir))
+
+  val embedOutliersSql: String =
+    s"""WITH $kmeansCtesSql,
+       |$mcosCteSql,
+       |stats AS (
+       |  SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(cq) AS BIGINT) AS s1,
+       |    CAST(SUM(cq * cq) AS BIGINT) AS s2
+       |  FROM mcos GROUP BY c_id),
+       |means AS (
+       |  SELECT c_id, n, CAST(${floorDivSql("s1", "n")} AS BIGINT) AS m,
+       |    s1, s2 FROM stats),
+       |vars AS (
+       |  SELECT c_id, n, m, s2 - 2 * m * s1 + n * m * m AS var_num
+       |  FROM means),
+       |flagged AS (
+       |  SELECT mc.c_id, mc.vec_id, mc.cq, v.n, v.m,
+       |    (mc.cq < v.m AND
+       |     (v.m - mc.cq) * (v.m - mc.cq) * v.n > 4 * v.var_num) AS outl,
+       |    CASE WHEN mc.cq < v.m AND v.var_num > 0
+       |      THEN ((v.m - mc.cq) * (v.m - mc.cq) * v.n * 100) // v.var_num
+       |      ELSE 0 END AS z2c
+       |  FROM mcos mc JOIN vars v ON mc.c_id = v.c_id)
+       |SELECT c_id, MAX(n) AS n_vecs, CAST(MAX(m) AS BIGINT) AS mean_cq,
+       |  CAST(SUM(CASE WHEN outl THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  CAST((SUM(CASE WHEN outl THEN 1 ELSE 0 END) * 10000) // MAX(n)
+       |    AS BIGINT) AS outlier_bp,
+       |  CAST(MAX(z2c) AS BIGINT) AS max_low_z2_centi,
+       |  arg_max(vec_id, -(cq * 10000000) - vec_id) AS worst_id,
+       |  CAST(MIN(cq) AS BIGINT) AS worst_cq
+       |FROM flagged GROUP BY c_id ORDER BY c_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_embed_outliers", embedOutliers, Some(embedOutliersSql),
+      "X3s embedding-space outlier census: integer 2-sigma low-side z-test per cluster, no division"),
     QueryDef("q_cluster_cards", clusterCards, Some(clusterCardsSql),
       "X3r per-cluster curation cards: size, label purity, packed-key medoid, quantized cohesion"),
     QueryDef("q_ann_opq", annOpq, Some(annOpqSql),

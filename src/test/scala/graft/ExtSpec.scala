@@ -1575,4 +1575,32 @@ class ExtSpec extends AnyFunSuite {
       assert(q(m.doc_id) === m.magic_hex)
     }
   }
+
+  test("X3s outlier census: planted far-off member fires the 2-sigma flag") {
+    // a tight cluster (cq within a few thousand ppm of each other) plus
+    // ONE member far below the pack: the integer z-test must flag exactly
+    // that member, name it worst_id, and its z2 frontier must clear 400
+    // centi. The clean-cluster control (same spread, no plant) stays at
+    // zero flags — the query's honest behavior on unpolluted data.
+    val mc = Seq(
+      // cluster 1: tight pack around 800000 ppm + one plant at 100000
+      (1L, 10L, 801000L), (1L, 11L, 799000L), (1L, 12L, 800500L),
+      (1L, 13L, 800200L), (1L, 14L, 799400L), (1L, 15L, 800900L),
+      (1L, 16L, 799100L), (1L, 17L, 100000L),
+      // cluster 2: the same pack, unpolluted
+      (2L, 20L, 801000L), (2L, 21L, 799000L), (2L, 22L, 800500L),
+      (2L, 23L, 800200L), (2L, 24L, 799400L), (2L, 25L, 800900L),
+      (2L, 26L, 799100L))
+      .toDF("c_id", "vec_id", "cq")
+    val rows = SimilarityQueries.outlierCensusOf(mc)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(5), r.getLong(6))).toMap
+    val (n1, z1, worst1) = rows(1L)
+    assert(n1 === 1L, "the planted member must be the one flag")
+    assert(worst1 === 17L, "worst_id must name the plant")
+    assert(z1 > 400L, s"plant's z2 frontier must clear the 2-sigma bar, got $z1")
+    val (n2, z2, _) = rows(2L)
+    assert(n2 === 0L, "the unpolluted control must stay clean")
+    assert(z2 <= 400L, s"control frontier must sit under the bar, got $z2")
+  }
 }
