@@ -204,13 +204,16 @@ object CurateQueries {
       .orderBy($"lang")
   }
 
-  val qualityClassifierSql: String = {
+  /** The XC2 training + scoring chain (base → toks → cnt → tot → wts →
+    * prior → scored), shared by the distillation audit and the
+    * calibration (reliability) audit. */
+  private val nbCtesSql: String = {
     val stop = TextQueries.stopwords
     val sw = stop.map(w => s"'$w'").mkString("[", ", ", "]")
     val tc = "len(string_split(text, ' '))"
     val pc = "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))"
     val sc = s"len(list_filter(string_split(text, ' '), t -> list_contains($sw, t)))"
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, lang, text,
        |    CASE WHEN ${TextQueries.qualityPredSql} THEN 1 ELSE 0 END AS y,
        |    CAST($tc AS BIGINT) AS tc,
@@ -246,7 +249,11 @@ object CurateQueries {
        |scored AS (
        |  SELECT t.doc_id, t.lang, t.y, CAST(SUM(w.w) AS BIGINT) AS s
        |  FROM toks t JOIN wts w USING (tok)
-       |  GROUP BY 1, 2, 3),
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  val qualityClassifierSql: String =
+    s"""WITH $nbCtesSql,
        |cls AS (
        |  SELECT lang, y,
        |    CASE WHEN s + (SELECT bias FROM prior) > 0 THEN 1 ELSE 0 END AS m
@@ -260,7 +267,6 @@ object CurateQueries {
        |  (10000 * CAST(SUM(CASE WHEN y = m THEN 1 ELSE 0 END) AS BIGINT))
        |    // COUNT(*) AS agree_bp
        |FROM cls GROUP BY lang ORDER BY lang""".stripMargin
-  }
 
   // --- XC3: k-anonymity release audit ------------------------------------
 
@@ -677,7 +683,72 @@ object CurateQueries {
        |     - MAX(CASE WHEN rn = pair_k THEN score END) > 0
        |ORDER BY lang, source, pair_k""".stripMargin
 
+  // --- XC9: classifier calibration (reliability diagram) -----------------
+
+  /** XC9 — CALIBRATION audit of the distilled quality classifier, the
+    * reliability diagram an ML-ops pass reads before trusting the
+    * model's scores as probabilities (a classifier can agree with its
+    * teacher on the DECISION while its margins are wildly over- or
+    * under-confident — and every downstream soft-threshold, mixture
+    * weight, or active-learning pick consumes the margin, not the
+    * decision). Documents are bucketed by logit (score + bias) in whole
+    * log-units, clamped to ±10; per bucket: the EMPIRICAL weak-label
+    * pass rate vs the logistic PREDICTED probability at the bucket's
+    * floor, both in ppm, and the absolute gap.
+    *
+    * Determinism: bucketing is floor division via the shift identity
+    * (`(logit + 10¹²) div 10⁶ − 10⁶` — both engines truncate, the shift
+    * makes truncation == floor, so bucket edges are uniform [k, k+1));
+    * `pred_ppm = floor(10⁶·σ(k))` quantizes the one libm call per
+    * BUCKET (≤ 21 of them), the weight-table discipline applied again.
+    *
+    * Scale: one pass over the scored relation (the XC2 chain: corpus
+    * streams once against the broadcast weight table), a ≤21-group
+    * aggregate, single-row bias broadcasts — audit cost is the scoring
+    * pass it would piggyback on anyway. */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val model = nbTrain(docs)
+    val bias = model.filter($"tok" === BiasKey).select($"w".as("bias"))
+    nbScore(docs, model)
+      .crossJoin(broadcast(bias))
+      .select($"y", least(greatest(
+        expr("(s + bias + 1000000000000) div 1000000 - 1000000"),
+        lit(-10L)), lit(10L)).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"y").as("n_pass"))
+      .select($"bucket", $"n_docs", $"n_pass",
+        expr("(n_pass * 1000000) div n_docs").as("emp_ppm"),
+        floor(lit(1000000.0) / (lit(1.0) + exp(-$"bucket".cast(DoubleType))))
+          .cast(LongType).as("pred_ppm"))
+      .withColumn("gap_ppm", abs($"pred_ppm" - $"emp_ppm"))
+      .orderBy($"bucket")
+  }
+
+  val qualityCalibrationSql: String =
+    s"""WITH $nbCtesSql,
+       |bucketed AS (
+       |  SELECT y, LEAST(GREATEST(
+       |    (s + (SELECT bias FROM prior) + 1000000000000) // 1000000
+       |      - 1000000, -10), 10) AS bucket
+       |  FROM scored),
+       |agg AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(y) AS BIGINT) AS n_pass
+       |  FROM bucketed GROUP BY bucket)
+       |SELECT bucket, n_docs, n_pass,
+       |  (n_pass * 1000000) // n_docs AS emp_ppm,
+       |  CAST(floor(1000000 / (1 + exp(-CAST(bucket AS DOUBLE)))) AS BIGINT)
+       |    AS pred_ppm,
+       |  abs(CAST(floor(1000000 / (1 + exp(-CAST(bucket AS DOUBLE)))) AS BIGINT)
+       |    - (n_pass * 1000000) // n_docs) AS gap_ppm
+       |FROM agg ORDER BY bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_quality_calibration", qualityCalibration,
+      Some(qualityCalibrationSql),
+      "XC9 reliability diagram of the distilled classifier: logit buckets, empirical vs logistic ppm, gap"),
     QueryDef("q_pref_pairs", prefPairs, Some(prefPairsSql),
       "XC7 preference-pair assembly: outside-in best/worst pairing per stream with positive margin"),
     QueryDef("q_skyline_docs", skylineDocs, Some(skylineDocsSql),

@@ -186,7 +186,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_ann_range",
       // both cohort trainings carry the per-round single-row top-merge
       // broadcast — the q_bpe_train class, twice
-      "q_tokenizer_drift")
+      "q_tokenizer_drift",
+      // the same single-row bias broadcast as q_quality_classifier
+      // (scoring + the logit re-attach), vocab-totals class
+      "q_quality_calibration")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
