@@ -461,6 +461,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(q.count() === 7L)
   }
 
+  test("EXCEPT and INTERSECT plan as anti/semi joins, never materialized sets") {
+    // the twentieth optimizer-evidence leg: ReplaceExceptWithAntiJoin /
+    // ReplaceIntersectWithSemiJoin. Declarative set ops must lower to the
+    // join operators the engine can broadcast, shuffle-partition, and
+    // push filters around — not to a "build both sets and diff them"
+    // plan. On 100-TB operands this is what makes EXCEPT/INTERSECT
+    // runnable at all: the anti/semi join streams one side.
+    val o = spark.read.parquet(s"$sf/orders.parquet").select($"o_custkey")
+    val c = spark.read.parquet(s"$sf/customer.parquet").select($"c_custkey")
+      .toDF("o_custkey")
+    val ex = o.except(c)
+    val exTypes = ex.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.joinType.toString
+    }
+    assert(exTypes.exists(_.startsWith("LeftAnti")),
+      s"EXCEPT should lower to an anti join, got $exTypes:\n" +
+        ex.queryExecution.optimizedPlan)
+    val in = o.intersect(c)
+    val inTypes = in.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.joinType.toString
+    }
+    assert(inTypes.exists(_.startsWith("LeftSemi")),
+      s"INTERSECT should lower to a semi join, got $inTypes:\n" +
+        in.queryExecution.optimizedPlan)
+    // and the rewrites preserve set semantics (they add the distinct)
+    assert(ex.count() === o.distinct().exceptAll(c.distinct()).distinct().count())
+  }
+
   test("same-spec window functions collapse into ONE WindowExec") {
     // the nineteenth optimizer-evidence leg: CollapseWindow. Several
     // window aggregates over the same partition/order spec must share a
