@@ -220,21 +220,36 @@ object LayoutQueries {
     * as `(n·S·10⁴ div total) − 10⁴` so every `div` sees non-negative
     * operands (Spark `div` truncates, DuckDB `//` floors — they agree
     * only at ≥ 0). */
+  /** Per-document shard routing under both strategies — shared by the
+    * batch audit and the streaming router twin
+    * ([[graft.streaming.StreamJobs.shardRouteStream]]): a PURE per-row
+    * function (md5 → 16-bit key → mod/range slots), so it is legal on an
+    * unbounded stream with no keyed state and no watermark, and the
+    * stream's assignment equals the batch's row-for-row by
+    * construction. */
+  private[graft] def shardRouteOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val h = hashKey("instr", "m")
+    docs
+      .select($"doc_id", $"n_chars", md5($"doc_id".cast("string")).as("m"))
+      .select($"doc_id", $"n_chars", expr(h).as("h"))
+      .select($"doc_id", $"n_chars", $"h",
+        ($"h" % SHARDS).as("shard_mod"),
+        expr(s"(h * $SHARDS) div 65536").as("shard_range"))
+  }
+
   def shardAssignment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h = hashKey("instr", "m")
-    val assigned = Tables.documents(s, dir)
-      .select($"n_chars", md5($"doc_id".cast("string")).as("m"))
-      .select($"n_chars", expr(h).as("h"))
+    val assigned = shardRouteOf(Tables.documents(s, dir))
       .select($"n_chars",
         explode(array(
           struct(lit("mod").as("strategy"),
-            ($"h" % SHARDS).as("shard"),
+            $"shard_mod".as("shard"),
             when($"h" % SHARDS =!= $"h" % SHARDS2, 1L).otherwise(0L)
               .as("moved")),
           struct(lit("range").as("strategy"),
-            expr(s"(h * $SHARDS) div 65536").as("shard"),
-            when(expr(s"(h * $SHARDS) div 65536") =!=
+            $"shard_range".as("shard"),
+            when($"shard_range" =!=
               expr(s"(h * $SHARDS2) div 65536"), 1L).otherwise(0L)
               .as("moved")))).as("a"))
       .groupBy($"a.strategy".as("strategy"), $"a.shard".as("shard"))

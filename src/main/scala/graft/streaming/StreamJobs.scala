@@ -648,6 +648,18 @@ object StreamJobs {
   def qualityScoreStream(docs: DataFrame, model: DataFrame): DataFrame =
     graft.ext.CurateQueries.nbScore(docs, model)
 
+  /** L3 streaming twin — the stateless shard ROUTER on an unbounded
+    * document feed: shard ids under both strategies are pure per-row
+    * functions of doc_id (md5 → 16-bit key → mod / hash-range slots), so
+    * the stream carries no keyed state, needs no watermark, and its
+    * assignment equals the batch audit's row-for-row. In deployment the
+    * sink `partitionBy`s the range slot — the write side of the
+    * resharding-cost story `q_shard_assignment` measures (growing the
+    * fleet relocates only range-boundary spillover, not ~15/16 of every
+    * landed file). StreamingSpec pins stream == batch. */
+  def shardRouteStream(docs: DataFrame): DataFrame =
+    graft.analytics.LayoutQueries.shardRouteOf(docs)
+
   /** XC6 streaming twin — INCREMENTAL Pareto-frontier maintenance: fold
     * an arriving document batch into the standing skyline LENGTH
     * DICTIONARY (per len: best quality + census at that best). The

@@ -88,4 +88,32 @@ class ContractAndPropertySpec extends AnyFunSuite {
       !($"back.s" <=> $"s") || !($"back.n" <=> $"n"))
     assert(bad.count() === 0)
   }
+
+  test("floor-division identity: pmod form == true floor on any sign") {
+    // the round-12 oracle-drift fix, pinned as a property: both engines'
+    // k-means/PQ mirrors rely on (s − ((s % n + n) % n)) ÷ n being the
+    // TRUE floor of s/n under a TRUNCATING integer division (Spark `div`,
+    // DuckDB `//`), for either sign of s. BigInteger floorDiv is the
+    // ground truth. Also pins the failure this fix closed: bare
+    // truncating division DIVERGES from floor on negative non-exact
+    // quotients, so a mirror that uses it silently drifts.
+    val cases = samples(Gen.zip(
+      Gen.choose(-3000000000L, 3000000000L),
+      Gen.choose(1L, 5000L)), 200)
+    cases.foreach { case (s, n) =>
+      val truth = Math.floorDiv(s, n)
+      val pmodForm = (s - (((s % n) + n) % n)) / n
+      assert(pmodForm === truth, s"identity broke at s=$s n=$n")
+      if (s < 0 && s % n != 0)
+        assert(s / n === truth + 1,
+          s"expected bare truncation to sit one above floor at s=$s n=$n")
+    }
+    // and the Spark column form agrees with the scalar identity
+    val df = cases.toDF("s", "n")
+      .withColumn("f", expr("(s - ((s % n + n) % n)) div n"))
+      .as[(Long, Long, Long)]
+    df.collect().foreach { case (s, n, f) =>
+      assert(f === Math.floorDiv(s, n), s"column form broke at s=$s n=$n")
+    }
+  }
 }

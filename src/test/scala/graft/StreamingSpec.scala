@@ -303,6 +303,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalRows === batch)
   }
 
+  test("L3 twin: streaming shard router equals the batch assignment") {
+    // the router is a pure per-row function, so arbitrary micro-batch
+    // splits must produce exactly the batch audit's assignment
+    val tmp = Files.createTempDirectory("graft-shard-stream").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(3).write.parquet(s"$tmp/docs")
+    val q = StreamJobs.shardRouteStream(
+        StreamJobs.docsStream(spark, s"$tmp/docs", maxFilesPerTrigger = Some(1)))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("shard_route_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    def slots(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue)
+    val streamed = spark.table("shard_route_out")
+      .select($"doc_id", $"shard_mod", $"shard_range").collect()
+      .map(slots).toMap
+    val batch = graft.analytics.LayoutQueries
+      .shardRouteOf(Tables.documents(spark, sf))
+      .select($"doc_id", $"shard_mod", $"shard_range").collect()
+      .map(slots).toMap
+    assert(streamed === batch, "router stream diverged from the batch assignment")
+    // both strategies really occupy the full 16-slot space at this SF
+    assert(batch.values.map(_._1).toSet.size === 16)
+    assert(batch.values.map(_._2).toSet.size === 16)
+  }
+
   test("observe() telemetry: per-batch metrics reconcile with the landed parquet") {
     val tmp = Files.createTempDirectory("graft-stream-observe").toString
     val drop = s"$tmp/drop"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
