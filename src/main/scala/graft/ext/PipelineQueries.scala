@@ -1168,7 +1168,80 @@ object PipelineQueries {
        |  CAST(wq * 10000 // tw - n * 10000 // tn AS BIGINT) AS boost_bp
        |FROM w CROSS JOIN tot ORDER BY lang""".stripMargin
 
+  // --- XP21: two-phase annealing schedule --------------------------------
+
+  /** Number of anneal epochs in the schedule. */
+  private val ANNEAL_E = 5
+
+  /** XP21 — the data-mixing ANNEAL schedule: per-language weights that
+    * interpolate linearly over [[ANNEAL_E]] epochs from the NATURAL mix
+    * (each language's share of corpus tokens — what you train on early,
+    * when coverage matters) to the QUALITY mix (its share of
+    * quality-passing tokens — what the final anneal phase up-samples,
+    * the late-training recipe that spends the last fraction of the token
+    * budget on the cleanest data). Epoch 0 IS the natural mix, the last
+    * epoch IS the quality mix, and every intermediate weight is the
+    * exact integer interpolation `(start·(E−1−e) + end·e) div (E−1)` —
+    * non-negative operands throughout, so Spark `div` and DuckDB `//`
+    * agree. `share_bp` re-normalizes each epoch's weights to basis
+    * points (the interpolant of two normalized vectors need not sum to
+    * exactly 10⁶ after flooring).
+    *
+    * Scale shape: ONE corpus pass produces the per-language (total,
+    * quality) token sums; the schedule itself is |langs|·E rows of
+    * dictionary arithmetic off a narrow epoch explode — audit cost is
+    * the aggregate a mixing job already runs. */
+  def mixAnneal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .select($"lang", nTok("text").as("n_tok"),
+        TextQueries.qualityCol.cast("long").as("q"))
+      .groupBy($"lang").agg(sum($"n_tok").as("n"),
+        sum($"n_tok" * $"q").as("nq"))
+    val tot = counts.agg(sum($"n").as("tn"), sum($"nq").as("tq"))
+    val weights = counts.crossJoin(broadcast(tot))
+      .select($"lang",
+        expr("(n * 1000000) div tn").as("w_start"),
+        expr("(nq * 1000000) div tq").as("w_end"))
+    val epochs = weights
+      .select($"lang", $"w_start", $"w_end",
+        explode(expr(s"sequence(0, ${ANNEAL_E - 1})")).as("epoch"))
+      .select($"lang", $"epoch".cast("long").as("epoch"),
+        expr(s"(w_start * (${ANNEAL_E - 1} - epoch) + w_end * epoch)" +
+          s" div ${ANNEAL_E - 1}").as("weight_ppm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"epoch")
+    epochs
+      .withColumn("tot_w", sum($"weight_ppm").over(w))
+      .select($"epoch", $"lang", $"weight_ppm",
+        expr("(weight_ppm * 10000) div tot_w").as("share_bp"))
+      .orderBy($"epoch", $"lang")
+  }
+
+  val mixAnnealSql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, CAST(SUM(${nTokSql("text")}) AS BIGINT) AS n,
+       |    CAST(SUM(${nTokSql("text")} * CASE WHEN ${TextQueries.qualityPredSql}
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS nq
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT SUM(n) AS tn, SUM(nq) AS tq FROM counts),
+       |weights AS (
+       |  SELECT lang, CAST((n * 1000000) // tn AS BIGINT) AS w_start,
+       |    CAST((nq * 1000000) // tq AS BIGINT) AS w_end
+       |  FROM counts CROSS JOIN tot),
+       |epochs AS (
+       |  SELECT lang, CAST(e.epoch AS BIGINT) AS epoch,
+       |    (w_start * (${ANNEAL_E - 1} - e.epoch) + w_end * e.epoch)
+       |      // ${ANNEAL_E - 1} AS weight_ppm
+       |  FROM weights,
+       |    (SELECT unnest(generate_series(0, ${ANNEAL_E - 1})) AS epoch) e)
+       |SELECT epoch, lang, CAST(weight_ppm AS BIGINT) AS weight_ppm,
+       |  CAST((weight_ppm * 10000)
+       |    // SUM(weight_ppm) OVER (PARTITION BY epoch) AS BIGINT) AS share_bp
+       |FROM epochs ORDER BY epoch, lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mix_anneal", mixAnneal, Some(mixAnnealSql),
+      "XP21 two-phase anneal schedule: natural -> quality mix, exact integer epoch interpolation"),
     QueryDef("q_mix_temperature", mixTemperature, Some(mixTemperatureSql),
       "XP20 temperature-scaled (sqrt-law) multilingual sampling weights with signed boost audit"),
     QueryDef("q_pack_padding", packPadding, Some(packPaddingSql),

@@ -189,7 +189,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_tokenizer_drift",
       // the same single-row bias broadcast as q_quality_classifier
       // (scoring + the logit re-attach), vocab-totals class
-      "q_quality_calibration")
+      "q_quality_calibration",
+      // single-row (total, quality-total) normalizer crossed onto the
+      // |langs| weight table — the q_mix_temperature class
+      "q_mix_anneal")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
