@@ -655,6 +655,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("state-backend portability: reach stream is provider-invariant (HDFS vs RocksDB)") {
+    // the production state backend question made an assert: the SAME
+    // keyed-state job (streaming dropDuplicates + running count) must
+    // produce identical results on the default HDFS-backed store and on
+    // RocksDB — the backend a 100-TB deploy runs, where keyed state
+    // outgrows executor heap and lives off-heap/on-disk. Any divergence
+    // here is a serialization or ordering assumption leaking into state.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def runWith(provider: Option[String], name: String): Map[String, Long] = {
+      provider match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+      val q = StreamJobs.reachStream(StreamJobs.eventsStream(spark, eventsDir))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    try {
+      val hdfs = runWith(None, "reach_hdfs")
+      val rocks = runWith(Some("org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider"), "reach_rocks")
+      assert(hdfs.nonEmpty)
+      assert(hdfs === rocks, "state backends disagreed on the reach census")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("B4 twin: streaming Markov carry emits exactly the batch transitions") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
