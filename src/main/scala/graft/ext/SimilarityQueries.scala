@@ -786,45 +786,59 @@ object SimilarityQueries {
     * bare `//` truncates and drifts on negative sums). Ends at
     * `aranked3` (the post-training assignment ranking), which both the
     * ANN and the semantic-dedup oracles consume. */
-  private val kmeansCtesSql: String = {
+  private val kmeansCtesSql: String = kmeansChainSql()
+
+  /** The k-means chain parameterized like the BPE chain builder: `sfx`
+    * renames every CTE so one statement can unroll SEVERAL independent
+    * trainings; `whereVecs` restricts the training corpus (the centroid
+    * drift audit trains per cohort). Defaults reproduce the original
+    * unsuffixed chain verbatim. */
+  private def kmeansChainSql(sfx: String = "",
+      whereVecs: String = "TRUE"): String = {
     def assignCte(cents: String, n: Int): String =
-      s"""adots$n AS (
+      s"""adots$sfx$n AS (
          |  SELECT v.vec_id, c.c_id, SUM(v.qv * c.m) AS dot
-         |  FROM vq v JOIN $cents c ON v.g = c.g
+         |  FROM vq$sfx v JOIN $cents c ON v.g = c.g
          |  GROUP BY 1, 2),
-         |aranked$n AS (
+         |aranked$sfx$n AS (
          |  SELECT d.vec_id, d.c_id,
          |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
          |      CAST(d.dot AS DOUBLE) / (sqrt(CAST(vn.nrm AS DOUBLE)) *
          |        sqrt(CAST(cn.cnrm AS DOUBLE))) DESC, d.c_id ASC) AS crn
-         |  FROM adots$n d
-         |  JOIN norms vn ON d.vec_id = vn.vec_id
+         |  FROM adots$sfx$n d
+         |  JOIN norms$sfx vn ON d.vec_id = vn.vec_id
          |  JOIN ${cents}_norm cn ON d.c_id = cn.c_id)""".stripMargin
     def meansCte(prev: Int, out: String): String =
       s"""$out AS (
          |  SELECT a.c_id, v.g, ${floorDivSql("SUM(v.qv)", "COUNT(*)")} AS m
-         |  FROM aranked$prev a JOIN vq v ON a.vec_id = v.vec_id
+         |  FROM aranked$sfx$prev a JOIN vq$sfx v ON a.vec_id = v.vec_id
          |  WHERE a.crn = 1
          |  GROUP BY 1, 2),
          |${out}_norm AS (
          |  SELECT c_id, SUM(m * m) AS cnrm FROM $out GROUP BY c_id)""".stripMargin
-    s"""$normsCte,
-       |vq AS (
+    val normsSfx =
+      if (sfx.isEmpty && whereVecs == "TRUE") normsCte
+      else s"""norms$sfx AS (
+        |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS nrm
+        |  FROM (SELECT * FROM embeddings WHERE $whereVecs) embeddings, $idxSql
+        |  GROUP BY vec_id)""".stripMargin
+    s"""$normsSfx,
+       |vq$sfx AS (
        |  SELECT vec_id, i.g AS g, ${q6Sql("embedding[i.g]")} AS qv
-       |  FROM embeddings, $idxSql),
-       |cent_ids AS (
-       |  SELECT vec_id FROM embeddings
+       |  FROM (SELECT * FROM embeddings WHERE $whereVecs) embeddings, $idxSql),
+       |cent_ids$sfx AS (
+       |  SELECT vec_id FROM embeddings WHERE $whereVecs
        |  ORDER BY md5('ivf_' || CAST(vec_id AS VARCHAR)), vec_id
        |  LIMIT $IVF_K),
-       |c0 AS (
+       |c0$sfx AS (
        |  SELECT v.vec_id AS c_id, v.g, v.qv AS m
-       |  FROM vq v JOIN cent_ids ci ON v.vec_id = ci.vec_id),
-       |c0_norm AS (SELECT c_id, SUM(m * m) AS cnrm FROM c0 GROUP BY c_id),
-       |${assignCte("c0", 1)},
-       |${meansCte(1, "c1")},
-       |${assignCte("c1", 2)},
-       |${meansCte(2, "c2")},
-       |${assignCte("c2", 3)}""".stripMargin
+       |  FROM vq$sfx v JOIN cent_ids$sfx ci ON v.vec_id = ci.vec_id),
+       |c0${sfx}_norm AS (SELECT c_id, SUM(m * m) AS cnrm FROM c0$sfx GROUP BY c_id),
+       |${assignCte(s"c0$sfx", 1)},
+       |${meansCte(1, s"c1$sfx")},
+       |${assignCte(s"c1$sfx", 2)},
+       |${meansCte(2, s"c2$sfx")},
+       |${assignCte(s"c2$sfx", 3)}""".stripMargin
   }
 
   val knnIvf2Sql: String =
@@ -2265,6 +2279,80 @@ object SimilarityQueries {
        |WHERE q.vec_id < 20
        |ORDER BY q_id""".stripMargin
 
+  // --- X3t: centroid drift between index versions -----------------------
+
+  /** A cohort coarse quantizer: the SAME training recipe on the
+    * vec_id-parity half of the embeddings — the deterministic stand-in
+    * for two index versions trained on successive corpus snapshots.
+    * Memoized like [[trainedCents]]. */
+  private def cohortCents(s: SparkSession, dir: String, par: Int): DataFrame =
+    graft.GraftSession.memo(s, s"ivf_cents_p$par|" +
+        graft.GraftSession.contentKey(dir, Seq("embeddings"))) {
+      import s.implicits._
+      graft.GraftSession.ckpt(learnedCents(quantizeRaw(
+        Tables.embeddings(s, dir).filter($"vec_id" % 2 === par)
+          .select($"vec_id", $"embedding"))))
+    }
+
+  /** X3t — centroid DRIFT between index versions, the
+    * `q_tokenizer_drift` pattern applied to the vector index: train the
+    * SAME coarse quantizer recipe on two embedding cohorts and audit
+    * how the learned centroid sets align — for every version-A
+    * centroid, its best-matching version-B centroid by quantized
+    * cosine, and whether the match is MUTUAL (A is also B's best
+    * match). High alignment with mostly-mutual matches means a
+    * re-trained index preserves list geometry (per-list artifacts like
+    * nprobe tunings and residual codebooks carry over); broken mutuals
+    * localize which regions of the space moved. Same packed-integer
+    * arg-max discipline as the cluster cards; the K×K pair table is 256
+    * rows of broadcast arithmetic, constant at any corpus size (both
+    * trainings are the bounded Lloyd loop on memoized cohort artifacts).
+    * The oracle unrolls BOTH trainings via the suffix-parameterized
+    * k-means chain. */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = cohortCents(s, dir, 0).toDF("a_id", "a_qe", "a_nrm")
+    val b = cohortCents(s, dir, 1).toDF("b_id", "b_qe", "b_nrm")
+    val pairs = a.crossJoin(broadcast(b))
+      .select($"a_id", $"b_id",
+        floor(cosine(dotQ($"a_qe", $"b_qe"), $"a_nrm", $"b_nrm") * 1000000L)
+          .as("cq"))
+    val bestA = pairs.groupBy($"a_id").agg(
+      max_by($"b_id", $"cq" * 10000000L - $"b_id").as("b_id"),
+      max($"cq").as("align_ppm"))
+    val bestB = pairs.groupBy($"b_id").agg(
+      max_by($"a_id", $"cq" * 10000000L - $"a_id").as("a_of_b"))
+    bestA.join(bestB, Seq("b_id"))
+      .select($"a_id", $"b_id", $"align_ppm",
+        when($"a_of_b" === $"a_id", 1L).otherwise(0L).as("mutual"))
+      .orderBy($"a_id")
+  }
+
+  val centroidDriftSql: String =
+    s"""WITH ${kmeansChainSql("ca", "vec_id % 2 = 0")},
+       |${kmeansChainSql("cb", "vec_id % 2 = 1")},
+       |pairs AS (
+       |  SELECT a.c_id AS a_id, b.c_id AS b_id,
+       |    CAST(floor(CAST(SUM(a.m * b.m) AS DOUBLE)
+       |      / (sqrt(CAST(an.cnrm AS DOUBLE)) * sqrt(CAST(bn.cnrm AS DOUBLE)))
+       |      * 1000000) AS BIGINT) AS cq
+       |  FROM c2ca a JOIN c2cb b ON a.g = b.g
+       |  JOIN c2ca_norm an ON a.c_id = an.c_id
+       |  JOIN c2cb_norm bn ON b.c_id = bn.c_id
+       |  GROUP BY a.c_id, b.c_id, an.cnrm, bn.cnrm),
+       |besta AS (
+       |  SELECT a_id, arg_max(b_id, cq * 10000000 - b_id) AS b_id,
+       |    CAST(MAX(cq) AS BIGINT) AS align_ppm
+       |  FROM pairs GROUP BY a_id),
+       |bestb AS (
+       |  SELECT b_id, arg_max(a_id, cq * 10000000 - a_id) AS a_of_b
+       |  FROM pairs GROUP BY b_id)
+       |SELECT a.a_id, a.b_id, a.align_ppm,
+       |  CAST(CASE WHEN b.a_of_b = a.a_id THEN 1 ELSE 0 END AS BIGINT)
+       |    AS mutual
+       |FROM besta a JOIN bestb b ON a.b_id = b.b_id
+       |ORDER BY a.a_id""".stripMargin
+
   // --- X3r: cluster cards — the census behind cluster-based curation ----
 
   /** Per-cluster CARDS over the trained coarse quantizer — the census a
@@ -2468,6 +2556,8 @@ object SimilarityQueries {
        |FROM flagged GROUP BY c_id ORDER BY c_id""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_centroid_drift", centroidDrift, Some(centroidDriftSql),
+      "X3t index-version drift: cohort-trained centroid sets aligned by quantized cosine + mutual-match flag"),
     QueryDef("q_embed_outliers", embedOutliers, Some(embedOutliersSql),
       "X3s embedding-space outlier census: integer 2-sigma low-side z-test per cluster, no division"),
     QueryDef("q_cluster_cards", clusterCards, Some(clusterCardsSql),

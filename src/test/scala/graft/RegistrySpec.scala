@@ -192,7 +192,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_quality_calibration",
       // single-row (total, quality-total) normalizer crossed onto the
       // |langs| weight table — the q_mix_temperature class
-      "q_mix_anneal")
+      "q_mix_anneal",
+      // the K x K (16x16) centroid alignment table: both sides are
+      // constant-K broadcast artifacts — the q_sim_knn_ivf2 class
+      "q_centroid_drift")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
