@@ -16,8 +16,18 @@ final case class QueryDef(
 object Registry {
   /** Query groups keyed by tier name (the contributing module). The bench
     * reports a per-tier subtotal for each group so drift is attributable
-    * to a tier, not just the grand total. */
-  def groups: Seq[(String, Seq[QueryDef])] = Seq(
+    * to a tier, not just the grand total.
+    *
+    * Every oracle passes through [[OracleSql.materializeShared]] here —
+    * the single assembly choke point — so shared-CTE chains are always
+    * emitted `AS MATERIALIZED` for DuckDB regardless of how the module
+    * authored them (round-12 lesson: one inlined unrolled-chain oracle ran
+    * >25 min and zeroed the whole round's correctness record). */
+  def groups: Seq[(String, Seq[QueryDef])] = rawGroups.map { case (t, qs) =>
+    t -> qs.map(q => q.copy(oracle = q.oracle.map(OracleSql.materializeShared)))
+  }
+
+  private def rawGroups: Seq[(String, Seq[QueryDef])] = Seq(
     "core" -> analytics.CoreQueries.defs,
     "cbo" -> analytics.CboQueries.defs,
     "subquery" -> analytics.SubqueryQueries.defs,

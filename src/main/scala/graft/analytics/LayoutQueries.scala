@@ -139,13 +139,21 @@ object LayoutQueries {
     * the key space into fixed-width key blocks (`doc_id div 1024` — a
     * pure per-row expression, so the "partition" a row lands in never
     * depends on sampled range boundaries or physical task layout),
-    * count rows per block, prefix-sum the BLOCK DICTIONARY into offsets
-    * (the running-sum window scans |blocks| rows, key-space-bounded,
-    * never the corpus), broadcast the tiny offset relation back, and
-    * rank rows LOCALLY inside each block with a hash-partitioned
-    * window. row_id = block offset + in-block rank: every task touches
-    * one block's rows, the only corpus exchange is the in-block
-    * window's hash partition.
+    * count rows per block, prefix-sum the block counts into offsets with
+    * a TWO-LEVEL prefix sum (round 13): blocks group into superblocks of
+    * 1024 (`blk div 1024`), local offsets are summed inside each
+    * superblock by a HASH-partitioned window (≤1024 rows per partition),
+    * and only the SUPERBLOCK total dictionary — |corpus| / 2²⁰ rows, the
+    * same order as the other allowlisted dictionaries — crosses the one
+    * single-partition running-sum window. (The round-12 form prefix-
+    * summed the block dictionary directly: |corpus|/1024 rows through
+    * one task GROWS with the corpus — 10⁸ rows in one task at 10¹¹
+    * docs.) Offsets are broadcast back, rows rank LOCALLY inside their
+    * block with a hash-partitioned window; row_id = superblock offset +
+    * in-superblock block offset + in-block rank. Every corpus-sized
+    * stage is hash-partitioned; the single-task stage is ~10⁵ rows at
+    * 10¹¹ docs. The same trick applies once more (super-superblocks) if
+    * a key space ever outgrows that.
     *
     * The oracle IS the single-window form — the hash gate proves the
     * distributed blocked assignment equals `row_number()` exactly. */
@@ -155,16 +163,27 @@ object LayoutQueries {
   private[graft] def globalRowIdsOf(docs: DataFrame, base: Long): DataFrame = {
     import docs.sparkSession.implicits._
     val B = 1024L
+    val SB = 1024L // blocks per superblock
+    val W = org.apache.spark.sql.expressions.Window
     val blocked = docs
       .select($"doc_id", $"lang", expr(s"doc_id div ${B}L").as("blk"))
     val counts = blocked.groupBy($"blk").agg(count(lit(1)).as("c"))
-    val wOff = org.apache.spark.sql.expressions.Window.orderBy($"blk")
-      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("off", coalesce(sum($"c").over(wOff), lit(0L)))
-      .select($"blk", $"off")
-    val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy($"blk").orderBy($"doc_id")
+      .withColumn("sblk", expr(s"blk div ${SB}L"))
+    // level 1: offset of each block WITHIN its superblock (hash-partitioned
+    // window, ≤ SB rows per partition)
+    val wLoc = W.partitionBy($"sblk").orderBy($"blk")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val withLocal = counts
+      .withColumn("loff", coalesce(sum($"c").over(wLoc), lit(0L)))
+    // level 2: running sum over the superblock-total dictionary — the ONLY
+    // single-partition window, |corpus| / (B·SB) rows
+    val wSb = W.orderBy($"sblk").rowsBetween(W.unboundedPreceding, -1)
+    val sbOffsets = counts.groupBy($"sblk").agg(sum($"c").as("sc"))
+      .withColumn("soff", coalesce(sum($"sc").over(wSb), lit(0L)))
+      .select($"sblk", $"soff")
+    val offsets = withLocal.join(broadcast(sbOffsets), Seq("sblk"))
+      .select($"blk", ($"soff" + $"loff").as("off"))
+    val wLocal = W.partitionBy($"blk").orderBy($"doc_id")
     blocked.join(broadcast(offsets), Seq("blk"))
       .select((lit(base) + $"off" + row_number().over(wLocal)).as("row_id"),
         $"doc_id", $"lang")

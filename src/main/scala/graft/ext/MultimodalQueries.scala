@@ -436,6 +436,70 @@ object MediaDecode {
     if (res.isEmpty) None else Some(res)
   }
 
+  /** PER-FRAME payload slices of a motion-JPEG-style MP4: the r12 sample
+    * table walked one step further, from sizes to the BYTES themselves —
+    * the first video track's stsz entries index directly into the mdat
+    * payload (MJPEG's defining property: every sample is an independent
+    * JPEG, no inter-frame state, so container walk + still-image decode
+    * IS the video decode — the one video coding a JDK-only stack can
+    * take to pixels). Returns one byte slice per sample, in order; None
+    * if there is no trak/stsz/mdat or the sample sizes overrun the mdat
+    * payload (a truncated file must fail loudly, not yield short
+    * frames). Only the FIRST video track is sliced — MJPEG fixtures are
+    * single-track; a multi-track file would need stsc/stco chunk maps,
+    * which is codec-mux territory, not MJPEG. */
+  def decodeMp4FrameSlices(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def child(from: Int, to: Int, want: String): Option[(Int, Int)] = {
+      var io = from
+      while (io + 8 <= to) {
+        val (ip, ie, itag) = mp4Box(bytes, io, to).getOrElse(return None)
+        if (itag == want) return Some((ip, ie))
+        io = ie
+      }
+      None
+    }
+    var sizes: Option[Seq[Long]] = None
+    var mdat: Option[(Int, Int)] = None
+    var off = 0
+    while (off + 8 <= bytes.length) {
+      val (payload, end, fourcc) = mp4Box(bytes, off, bytes.length)
+        .getOrElse(return None)
+      if (fourcc == "moov" && sizes.isEmpty) {
+        val stsz = for {
+          (tp, te) <- child(payload, end, "trak")
+          (mp, me) <- child(tp, te, "mdia")
+          (fp, fe) <- child(mp, me, "minf")
+          (sp, se) <- child(fp, fe, "stbl")
+          z <- child(sp, se, "stsz")
+        } yield z
+        val (zp, ze) = stsz.getOrElse(return None)
+        if (ze - zp < 12) return None
+        val uniform = be32(zp + 4)
+        val n = be32(zp + 8)
+        sizes =
+          if (uniform != 0) Some(Seq.fill(n.toInt)(uniform))
+          else {
+            if (ze - zp < 12 + 4 * n) return None
+            Some((0L until n).map(k => be32(zp + 12 + 4 * k.toInt)))
+          }
+      }
+      if (fourcc == "mdat" && mdat.isEmpty) mdat = Some((payload, end))
+      off = end
+    }
+    for {
+      ss <- sizes
+      (mp, me) <- mdat
+      if ss.sum <= (me - mp).toLong
+    } yield {
+      val offs = ss.scanLeft(0L)(_ + _)
+      ss.indices.map(k => java.util.Arrays.copyOfRange(
+        bytes, mp + offs(k).toInt, mp + offs(k + 1).toInt))
+    }
+  }
+
   /** Classic 9×8 difference hash over a luminance grid: nearest-neighbor
     * sample onto a 9-wide × 8-tall grid, bit j·8+i set when the sampled
     * pixel at column i outranks its right neighbor — 64 bits of coarse
@@ -687,6 +751,56 @@ object MediaFixtures {
     val eofSkip = be32(0) ++ "skip".getBytes("US-ASCII") ++
       Array.fill[Byte](4)(0)
     ftyp ++ moov ++ mdat ++ eofSkip
+  }
+
+  /** Real grayscale JPEG bytes via the JDK encoder (TYPE_BYTE_GRAY →
+    * `ImageIO.write("jpg")`): pixel (x, y) starts as `pix(x, y)`, then
+    * survives a REAL lossy DCT round — so a consumer decoding these is
+    * running an actual entropy+DCT decode, not a byte copy. Determinism
+    * note: byte-identical inputs yield byte-identical JPEGs within a
+    * JVM, which is the invariant the MJPEG near-dup fixture builds on
+    * (shared frames are shared BYTES; pixel values after the lossy
+    * round are NOT formula-restatable and no oracle pretends they
+    * are). */
+  def jpegGray(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) r.setSample(x, y, 0, pix(x, y) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** MOTION-JPEG-in-MP4: a single video track whose samples are whole
+    * independent JPEGs laid back-to-back in `mdat`, with stsz carrying
+    * the true per-frame byte sizes (and stts one unit per frame) — the
+    * codec-free video container every JDK-only stack can take to
+    * pixels. The moov precedes mdat, so the stsz offsets index straight
+    * into the payload ([[MediaDecode.decodeMp4FrameSlices]]). */
+  def mp4Mjpeg(timescale: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    val n = frames.length
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(512) ++
+        "isommp42".getBytes("US-ASCII"))
+    val mvhd = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(n) ++ Array.fill[Byte](80)(0))
+    val stsz = box("stsz",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(n) ++
+        frames.flatMap(f => be32(f.length)).toArray)
+    val stts = box("stts",
+      Array[Byte](0, 0, 0, 0) ++ be32(1) ++ be32(n) ++ be32(1))
+    val tkhd = box("tkhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(1) ++
+        be32(0) ++ be32(n) ++ Array.fill[Byte](60)(0))
+    val trak = box("trak",
+      tkhd ++ box("mdia", box("minf", box("stbl", stsz ++ stts))))
+    val moov = box("moov", mvhd ++ trak)
+    val mdat = box("mdat", frames.flatten.toArray)
+    ftyp ++ moov ++ mdat
   }
 
   def wavPcm16(sampleRate: Int, n: Int, smp: Int => Int): Array[Byte] = {
@@ -1559,7 +1673,116 @@ object MultimodalQueries {
        |  CAST((SELECT count(*) FROM ig) AS BIGINT)
        |ORDER BY metric""".stripMargin
 
+  // --- M10: MJPEG video near-dup — the pixel-exact video tier ------------
+
+  /** Videos under audit and the banded Hamming threshold (shared with the
+    * image tier's pigeonhole guarantee). */
+  private val MJPEG_N = 40L
+
+  /** PIXEL-EXACT video near-dup (round 13 — the last modality stub
+    * closed): each doc carries a spec-built MJPEG-in-MP4
+    * ([[MediaFixtures.mp4Mjpeg]] wrapping REAL JDK-encoded JPEG frames),
+    * and the pipeline runs the full honest chain — container walk → stsz
+    * frame slicing ([[MediaDecode.decodeMp4FrameSlices]]) → per-frame
+    * JPEG entropy+DCT decode (ImageIO) → dHash per frame → banded
+    * 16-bit multi-index self-join → exact popcount — the video twin of
+    * `q_multimodal_neardup`, with recall 1 for hamming ≤ [[NEARDUP_T]]
+    * by the same pigeonhole. Construction: video 2k and 2k+1 embed
+    * byte-identical frame sets (same content fingerprint ⇒ identical
+    * decode ⇒ hamming 0), distinct fingerprints are pseudo-random, so
+    * the TRUE near-dup relation is exactly the (2k, 2k+1) pairs — which
+    * is what the oracle restates (JPEG's lossy pixels are not
+    * formula-restatable; the RELATION the pipeline must recover is).
+    *
+    * Scale: decode+hash is one narrow batched mapPartitions (the GPU
+    * decode stage's schedule shape); the candidate join is band-bucketed
+    * (4 exchanges of 16-bit keys), never all-pairs across frames. */
+  def mediaMjpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir).filter($"doc_id" < MJPEG_N)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val vid = (id / 2).toInt
+        val frames = (0 until (2 + vid % 3)).map { k =>
+          // Frame content is a dHash-grid-aligned block pattern encoding
+          // a pseudo-random 64-bit signature per (vid, k): 9×8 cells of
+          // 4×4 px whose brightness steps ±25 realize exactly the
+          // signature's neighbor comparisons. Distinct videos thus sit
+          // ~32 Hamming bits apart even AFTER the lossy JPEG round
+          // (block steps of 25 survive DCT quantization; unstructured
+          // noise does not — it blurs into near-identical hashes, which
+          // is how the first cut of this fixture produced 76 false
+          // pairs), while pair partners embed byte-identical JPEGs.
+          val sig = { // splitmix64(vid * 97 + k)
+            var z = (vid * 97L + k) + 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            z ^ (z >>> 31)
+          }
+          val g = Array.tabulate(8, 9) { (j, i) => 0 } // filled below
+          for (j <- 0 until 8) {
+            g(j)(8) = 128
+            for (i <- 7 to 0 by -1)
+              g(j)(i) = g(j)(i + 1) +
+                (if (((sig >>> (j * 8 + i)) & 1L) == 1L) 25 else -25)
+          }
+          MediaFixtures.jpegGray(36, 32,
+            (x, y) => g(math.min(y / 4, 7))(math.min(x / 4, 8)))
+        }
+        (id, MediaFixtures.mp4Mjpeg(600, frames))
+      }
+    val frameHashes = media.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val frames = MediaDecode.decodeMp4FrameSlices(bytes)
+          .getOrElse(sys.error(s"video $id: mdat frame slicing failed"))
+        frames.zipWithIndex.map { case (jb, k) =>
+          val g = MediaDecode.decodeImageIOGray(jb)
+            .getOrElse(sys.error(s"video $id frame $k: JPEG decode failed"))
+          val hh = MediaDecode.dhash64(g)
+          (id, k.toLong, hh >>> 32, hh & 0xffffffffL)
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "dhash_hi", "dhash_lo")
+    val banded = frameHashes.select($"doc_id", $"frame_idx",
+      $"dhash_hi", $"dhash_lo",
+      explode(array(
+        struct(lit(0).as("band"), $"dhash_lo".bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(1).as("band"), shiftright($"dhash_lo", 16).bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(2).as("band"), $"dhash_hi".bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(3).as("band"), shiftright($"dhash_hi", 16).bitwiseAND(lit(65535L)).as("bv")))).as("b"))
+      .select($"doc_id", $"frame_idx", $"dhash_hi", $"dhash_lo",
+        $"b.band".as("band"), $"b.bv".as("bv"))
+    val a = banded.toDF("doc_a", "fa", "a_hi", "a_lo", "band", "bv")
+    val bb = banded.toDF("doc_b", "fb", "b_hi", "b_lo", "band", "bv")
+    a.join(bb, Seq("band", "bv"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"fa", $"fb",
+        $"a_hi", $"a_lo", $"b_hi", $"b_lo")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count($"a_hi".bitwiseXOR($"b_hi"))
+          + bit_count($"a_lo".bitwiseXOR($"b_lo"))).cast("long"))
+      .filter($"hamming" <= NEARDUP_T)
+      .groupBy($"doc_a", $"doc_b")
+      .agg(countDistinct($"fa").as("n_frames"),
+        max($"hamming").as("max_hamming"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle: the construction's true near-dup relation — pair (2k, 2k+1)
+    * shares all 2+(k%3) frames byte-identically (max hamming 0); every
+    * other video pair is pseudo-random-distinct and must NOT appear. */
+  val mediaMjpegSql: String =
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_a,
+       |  CAST(doc_id + 1 AS BIGINT) AS doc_b,
+       |  CAST(2 + (doc_id // 2) % 3 AS BIGINT) AS n_frames,
+       |  CAST(0 AS BIGINT) AS max_hamming
+       |FROM documents WHERE doc_id < $MJPEG_N AND doc_id % 2 = 0
+       |ORDER BY doc_a""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_multimodal_mjpeg", mediaMjpeg, Some(mediaMjpegSql),
+      "M10 MJPEG video near-dup: stsz frame slice -> real JPEG decode -> per-frame dHash -> banded index"),
     QueryDef("q_multimodal_pairs", mediaPairAudit, Some(mediaPairAuditSql),
       "image-caption pair-integrity census: duplicate-image caption conflicts and duplicate-caption image conflicts"),
     QueryDef("q_multimodal_audio", mediaAudio, Some(mediaAudioSql),

@@ -22,6 +22,20 @@ object SimilarityQueries {
   private val DIM = 64
   private val PLANES = 8
 
+  /** Stride for packed (score desc, id asc) arg-max keys: key =
+    * `cq * ID_STRIDE - id`. Sound iff `0 <= id < ID_STRIDE` and the pack
+    * stays inside a long — here `|cq| <= 10^6` (scores are cosine ppm by
+    * construction), so `|key| <= 10^6·10^12 + 10^12 ≈ 1.001e18 < 2^63`.
+    * 10^12 ids covers a 100 TB embedding corpus (~4·10^11 vectors at
+    * 256 B/vec) with headroom; the r12 stride of 10^7 silently corrupted
+    * the (cosine desc, id asc) order once ids reached 10^7, identically
+    * in both engine mirrors, so the hash gate could never catch it.
+    * Shared by the Spark side and every SQL mirror — change it in ONE
+    * place or the gate drifts. RegistrySpec pins the stride bound against
+    * the testdata id range; the scale bound is documented, not runtime-
+    * asserted (an assert would cost a corpus pass per query). */
+  private[graft] val ID_STRIDE = 1000000000000L
+
   /** Quantize a float component to an exact integer: floor(x * 1e6) as
     * BIGINT. float→double is exact, the double multiply and floor are
     * IEEE-deterministic, so both engines produce the identical integer —
@@ -2318,10 +2332,10 @@ object SimilarityQueries {
         floor(cosine(dotQ($"a_qe", $"b_qe"), $"a_nrm", $"b_nrm") * 1000000L)
           .as("cq"))
     val bestA = pairs.groupBy($"a_id").agg(
-      max_by($"b_id", $"cq" * 10000000L - $"b_id").as("b_id"),
+      max_by($"b_id", $"cq" * ID_STRIDE - $"b_id").as("b_id"),
       max($"cq").as("align_ppm"))
     val bestB = pairs.groupBy($"b_id").agg(
-      max_by($"a_id", $"cq" * 10000000L - $"a_id").as("a_of_b"))
+      max_by($"a_id", $"cq" * ID_STRIDE - $"a_id").as("a_of_b"))
     bestA.join(bestB, Seq("b_id"))
       .select($"a_id", $"b_id", $"align_ppm",
         when($"a_of_b" === $"a_id", 1L).otherwise(0L).as("mutual"))
@@ -2341,11 +2355,11 @@ object SimilarityQueries {
        |  JOIN c2cb_norm bn ON b.c_id = bn.c_id
        |  GROUP BY a.c_id, b.c_id, an.cnrm, bn.cnrm),
        |besta AS (
-       |  SELECT a_id, arg_max(b_id, cq * 10000000 - b_id) AS b_id,
+       |  SELECT a_id, arg_max(b_id, cq * $ID_STRIDE - b_id) AS b_id,
        |    CAST(MAX(cq) AS BIGINT) AS align_ppm
        |  FROM pairs GROUP BY a_id),
        |bestb AS (
-       |  SELECT b_id, arg_max(a_id, cq * 10000000 - a_id) AS a_of_b
+       |  SELECT b_id, arg_max(a_id, cq * $ID_STRIDE - a_id) AS a_of_b
        |  FROM pairs GROUP BY b_id)
        |SELECT a.a_id, a.b_id, a.align_ppm,
        |  CAST(CASE WHEN b.a_of_b = a.a_id THEN 1 ELSE 0 END AS BIGINT)
@@ -2423,7 +2437,7 @@ object SimilarityQueries {
       max_by($"label", $"cnt" * 1000000L - $"label").as("top_label"))
     val geo = memberCos(s, dir)
       .groupBy($"c_id").agg(
-        max_by($"vec_id", $"cq" * 10000000L - $"vec_id").as("medoid_id"),
+        max_by($"vec_id", $"cq" * ID_STRIDE - $"vec_id").as("medoid_id"),
         expr("sum(cq + 1000000) div count(1) - 1000000").as("cohesion_ppm"))
     labelStats.join(geo, Seq("c_id"))
       .select($"c_id", $"n_vecs", $"n_labels", $"top_label",
@@ -2447,7 +2461,7 @@ object SimilarityQueries {
        |  FROM lcounts GROUP BY c_id),
        |geo AS (
        |  SELECT c_id,
-       |    arg_max(vec_id, cq * 10000000 - vec_id) AS medoid_id,
+       |    arg_max(vec_id, cq * $ID_STRIDE - vec_id) AS medoid_id,
        |    CAST(SUM(cq + 1000000) // COUNT(*) - 1000000 AS BIGINT)
        |      AS cohesion_ppm
        |  FROM mcos GROUP BY c_id)
@@ -2513,7 +2527,7 @@ object SimilarityQueries {
         max($"m").as("mean_cq"),
         sum(when($"out", 1L).otherwise(0L)).as("n_outliers"),
         max($"z2c").as("max_low_z2_centi"),
-        max_by($"vec_id", -($"cq" * 10000000L) - $"vec_id").as("worst_id"),
+        max_by($"vec_id", -($"cq" * ID_STRIDE) - $"vec_id").as("worst_id"),
         min($"cq").as("worst_cq"))
       .select($"c_id", $"n_vecs", $"mean_cq", $"n_outliers",
         expr("(n_outliers * 10000) div n_vecs").as("outlier_bp"),
@@ -2551,7 +2565,7 @@ object SimilarityQueries {
        |  CAST((SUM(CASE WHEN outl THEN 1 ELSE 0 END) * 10000) // MAX(n)
        |    AS BIGINT) AS outlier_bp,
        |  CAST(MAX(z2c) AS BIGINT) AS max_low_z2_centi,
-       |  arg_max(vec_id, -(cq * 10000000) - vec_id) AS worst_id,
+       |  arg_max(vec_id, -(cq * $ID_STRIDE) - vec_id) AS worst_id,
        |  CAST(MIN(cq) AS BIGINT) AS worst_cq
        |FROM flagged GROUP BY c_id ORDER BY c_id""".stripMargin
 

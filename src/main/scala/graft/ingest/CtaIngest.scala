@@ -175,22 +175,28 @@ object CtaIngest {
     * ([[targetRecordsPerFile]]) before the single landing pass — no
     * second write, no post-hoc rewrite. Returns the derived cap.
     *
+    * The bytes/record ratio keeps numerator and denominator on the SAME
+    * population: raw directory bytes over the RAW (pre-dedup) record
+    * count. (The r12 form divided pre-dedup bytes by the post-dedup
+    * count, so a heavily duplicated day inflated bytes/record by the dup
+    * ratio and landed files well under the target.)
+    *
     * Scale: the estimate reads only filesystem metadata (content summary)
-    * plus one count of the deduped day — both O(metadata)/O(scan), no
-    * extra shuffle; the write itself is the same partitioned landing as
-    * [[compact]]. IngestSpec pins the derived cap's arithmetic and that
-    * the landed file count per partition is ceil(rows/cap). */
+    * plus one shuffle-free count of the raw day — both
+    * O(metadata)/O(scan); the write itself is the same partitioned
+    * landing as [[compact]]. IngestSpec pins the derived cap's arithmetic
+    * and that the landed file count per partition is ceil(rows/cap). */
   def compactSized(spark: SparkSession, rawDayPath: String, outPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       parquetToRawRatio: Double = 0.25): Long = {
-    val deduped = spark.read.schema(CtaSchemas.rawRecord).json(rawDayPath)
-      .dropDuplicates(Seq("train_id", "current_timestamp"))
+    val raw = spark.read.schema(CtaSchemas.rawRecord).json(rawDayPath)
+    val deduped = raw.dropDuplicates(Seq("train_id", "current_timestamp"))
     val fs = new org.apache.hadoop.fs.Path(rawDayPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val inputBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(rawDayPath)).getLength
-    val nRecords = deduped.count()
-    val cap = targetRecordsPerFile(inputBytes, math.max(1L, nRecords),
+    val nRawRecords = raw.count()
+    val cap = targetRecordsPerFile(inputBytes, math.max(1L, nRawRecords),
       targetFileBytes, parquetToRawRatio)
     deduped
       .withColumn("load_date", to_date(col("current_timestamp").cast(TimestampType)))

@@ -96,17 +96,29 @@ final case class RestFeedConfig(
     maxCyclesPerTrigger: Long = Long.MaxValue)
 
 object RestFeedConfig {
-  def apply(o: CaseInsensitiveStringMap): RestFeedConfig = RestFeedConfig(
-    base = o.getOrDefault("base", ""),
-    apiKey = o.getOrDefault("apikey", ""),
-    lines = Option(o.get("lines"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(CtaSchemas.trainLines.map(_._1)),
-    pollIntervalMs = o.getLong("pollintervalms", 60000L),
-    maxCycles = o.getLong("cycles", Long.MaxValue),
-    transportId = o.getOrDefault("transport", RestTransports.JavaNetHttp),
-    fixedPollTs = Option(o.get("pollts")),
-    maxCyclesPerTrigger = o.getLong("maxcyclespertrigger", Long.MaxValue))
+  def apply(o: CaseInsensitiveStringMap): RestFeedConfig = {
+    val c = RestFeedConfig(
+      base = o.getOrDefault("base", ""),
+      apiKey = o.getOrDefault("apikey", ""),
+      lines = Option(o.get("lines"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(CtaSchemas.trainLines.map(_._1)),
+      pollIntervalMs = o.getLong("pollintervalms", 60000L),
+      maxCycles = o.getLong("cycles", Long.MaxValue),
+      transportId = o.getOrDefault("transport", RestTransports.JavaNetHttp),
+      fixedPollTs = Option(o.get("pollts")),
+      maxCyclesPerTrigger = o.getLong("maxcyclespertrigger", Long.MaxValue))
+    // pollIntervalMs <= 0 disables the rate limit, making "all cycles the
+    // config allows" available at once; with unbounded cycles AND an
+    // unbounded per-trigger step, latestOffset would return Long.MaxValue
+    // and one batch would try to plan ~2^63 partitions on the driver.
+    require(c.pollIntervalMs > 0 || c.maxCycles < Long.MaxValue ||
+        c.maxCyclesPerTrigger < Long.MaxValue,
+      "graft-rest: pollIntervalMs <= 0 requires a bounded 'cycles' or " +
+        "'maxCyclesPerTrigger' option (otherwise one micro-batch would " +
+        "admit ~2^63 poll cycles)")
+    c
+  }
 }
 
 class RestFeedTable(conf: RestFeedConfig) extends Table with SupportsRead {
@@ -130,29 +142,61 @@ final case class CycleOffset(cycle: Long) extends Offset {
 }
 
 class RestFeedMicroBatch(conf: RestFeedConfig) extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.AcceptsLatestSeenOffset {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   // Wall-clock anchor for the rate limit: cycle k opens at
-  // start + k·interval. A restarted stream re-anchors (the rate limit
-  // protects the PROVIDER per process lifetime; committed offsets — not
-  // the clock — decide what is fetched next).
-  private val startedAtMs = System.currentTimeMillis()
+  // anchorMs + (k − anchorCycle)·interval. The anchor is pinned ONCE per
+  // process to the first offset this stream observes — the RESTORED
+  // offset on a checkpoint resume (via AcceptsLatestSeenOffset, or the
+  // first latestOffset(start, _) call), cycle 0 on a fresh start. Round-12
+  // bug: anchoring to process start while the offset restored from the
+  // checkpoint meant a resumed stream's clock target (1 + elapsed/interval)
+  // sat BELOW the committed cycle and every batch clamped to a zero step —
+  // a stream restarted after N committed cycles fetched nothing until
+  // wall-clock elapsed exceeded N·interval (~a day of silence per day of
+  // prior uptime at the reference 60 s cadence).
+  @volatile private var anchor: Option[(Long, Long)] = None // (cycle, ms)
+  private def ensureAnchor(cycle: Long): Unit = synchronized {
+    if (anchor.isEmpty) anchor = Some((cycle, System.currentTimeMillis()))
+  }
+
+  /** Completed cycles the wall clock has opened by `atMs`: the anchor
+    * cycle counts as already complete, the next completes one interval
+    * later. Capped by maxCycles; pollIntervalMs <= 0 disables the rate
+    * limit (maxCycles bounds the run — enforced by RestFeedConfig). */
+  private def cyclesByClock(atMs: Long): Long = {
+    if (conf.pollIntervalMs <= 0) conf.maxCycles
+    else {
+      val (c0, t0) = anchor.getOrElse((0L, atMs))
+      val byClock = c0 + 1L + math.max(0L, atMs - t0) / conf.pollIntervalMs
+      math.min(conf.maxCycles, byClock)
+    }
+  }
 
   // Trigger.AvailableNow contract: the drain target is FROZEN at prepare
   // time — batches then step toward it (bounded per batch by the
   // admission limit) and the query self-stops when it is reached, even
-  // if the clock would open further cycles mid-drain.
-  @volatile private var availableNowTarget: Option[Long] = None
+  // if the clock would open further cycles mid-drain. The freeze captures
+  // the prepare TIMESTAMP; the cycle target resolves against the anchor
+  // at use time (the restored offset may be seen after prepare — the
+  // set-once anchor makes the resolution order-independent).
+  @volatile private var availableNowFreezeMs: Option[Long] = None
 
-  override def initialOffset(): Offset = CycleOffset(0L)
-
-  override def latestOffset(): Offset = {
-    val byClock =
-      if (conf.pollIntervalMs <= 0) conf.maxCycles
-      else 1L + (System.currentTimeMillis() - startedAtMs) / conf.pollIntervalMs
-    CycleOffset(math.min(conf.maxCycles, math.max(0L, byClock)))
+  override def initialOffset(): Offset = {
+    ensureAnchor(0L)
+    CycleOffset(0L)
   }
+
+  /** Checkpoint resume: Spark reports the restored offset before the
+    * first batch — anchor the poll clock there, so the clock target sits
+    * AT the committed cycle, not at zero. */
+  override def setLatestSeenOffset(offset: Offset): Unit =
+    ensureAnchor(deserializeOffset(offset.json()).asInstanceOf[CycleOffset].cycle)
+
+  override def latestOffset(): Offset =
+    CycleOffset(cyclesByClock(System.currentTimeMillis()))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -162,21 +206,21 @@ class RestFeedMicroBatch(conf: RestFeedConfig) extends MicroBatchStream
     * it feeds) sized regardless of how far the stream has fallen behind
     * the clock (e.g. after downtime against a replayable feed). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val target = availableNowTarget
-      .getOrElse(latestOffset().asInstanceOf[CycleOffset].cycle)
     val s = start.asInstanceOf[CycleOffset].cycle
+    ensureAnchor(s)
+    val target =
+      cyclesByClock(availableNowFreezeMs.getOrElse(System.currentTimeMillis()))
     // saturating step: s + Long.MaxValue must not wrap
     val step = math.min(conf.maxCyclesPerTrigger, math.max(0L, target - s))
     CycleOffset(s + step)
   }
 
   override def reportLatestOffset(): Offset =
-    CycleOffset(availableNowTarget
-      .getOrElse(latestOffset().asInstanceOf[CycleOffset].cycle))
+    CycleOffset(
+      cyclesByClock(availableNowFreezeMs.getOrElse(System.currentTimeMillis())))
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget =
-      Some(latestOffset().asInstanceOf[CycleOffset].cycle)
+    availableNowFreezeMs = Some(System.currentTimeMillis())
 
   override def deserializeOffset(json: String): Offset =
     CycleOffset(json.trim.toLong)

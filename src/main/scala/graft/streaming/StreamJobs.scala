@@ -838,7 +838,102 @@ object StreamJobs {
       .select(col("o_orderkey"), col("o_orderpriority"), col("l_linenumber"),
         col("l_returnflag"))
   }
+
+  /** J5's STREAMING twin (round 13) — stream-stream AS-OF enrichment:
+    * every fact is decorated with the latest dim state AT the fact's
+    * EVENT time, the reference's core read pattern (DynamoDB
+    * hash=TrainId/range=UpdatedTimestamp current-position lookup,
+    * main.tf:25-43) as a two-stream join. [[latestStateUpsert]] maintains
+    * the "current state" VIEW; this is the missing enrich: facts and dim
+    * changes arrive on independent streams, out of order within the
+    * watermark lag, and each fact must see exactly the dim row that was
+    * newest at ITS timestamp — not at processing time.
+    *
+    * Spark has no built-in stream-stream as-of join (the interval join
+    * family bounds both sides; as-of needs "latest ≤ ts", unbounded
+    * lookback), so this is keyed state doing a WATERMARK-ORDERED MERGE —
+    * the same union+carry-forward identity the batch q_scd2_asof window
+    * computes, replayed incrementally:
+    *  - both streams tag into one feed (is_fact 0/1) keyed by user_id;
+    *  - per key, rows buffer until the watermark passes their event time
+    *    (only then can no earlier dim change still arrive);
+    *  - matured rows replay in (ts, is_fact, event_id) order — dim rows
+    *    advance the carried state, fact rows emit enriched. The carried
+    *    state is the LATEST matured dim row, so lookback is unbounded
+    *    without unbounded state.
+    *
+    * State bound per key: the carried dim state (O(1)) plus rows inside
+    * the watermark lag (arrival rate × lag) — never stream length; an
+    * EventTimeTimeout flushes matured rows when a quiet key gets no new
+    * input. Emission order across keys is batch-dependent as in every
+    * streaming job; the OUTPUT SET equals the batch as-of exactly
+    * (StreamingSpec pins it over a split feed, including a dim update
+    * that arrives a whole micro-batch AFTER facts with later event time).
+    *
+    * 100 TB shape: one hash exchange on user_id (the same exchange the
+    * batch window plans), state store scales by |keys in lag window|,
+    * and dim/fact volume asymmetry costs nothing (no replication — this
+    * is a co-partitioned merge, not a broadcast). */
+  def asOfEnrichStream(dimChanges: DataFrame, facts: DataFrame): Dataset[AsOfOut] = {
+    import dimChanges.sparkSession.implicits._
+    val dim = dimChanges.select(
+      col("user_id"), col("ts"), col("event_id"),
+      lit(0).as("is_fact"), col("state"), lit(0L).as("v_cents"))
+    val fct = facts.select(
+      col("user_id"), col("ts"), col("event_id"),
+      lit(1).as("is_fact"), lit(null).cast("string").as("state"),
+      col("v_cents"))
+    dim.unionByName(fct)
+      .withWatermark("ts", "1 hour")
+      // the watermarked ts column must survive into the keyed operator
+      // (the event-time-timeout checker looks for it there); ts_us is the
+      // µs integer the merge actually orders by
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("is_fact"), col("state"), col("v_cents"))
+      .as[AsOfIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[AsOfIn], gs: GroupState[AsOfState]) =>
+          val prev = gs.getOption.getOrElse(AsOfState(Nil, None))
+          val buf = prev.pending ++ it
+          // rows matured once the watermark passes their event time: no
+          // earlier-timestamped dim change can still arrive for them
+          val wmUs = gs.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = buf.partition(_.ts_us <= wmUs)
+          var cur = prev.curState
+          val out = List.newBuilder[AsOfOut]
+          // the batch wCarry order: ts, then dim-before-fact, then id
+          ready.sortBy(r => (r.ts_us, r.is_fact, r.event_id)).foreach { r =>
+            if (r.is_fact == 0) cur = Option(r.state)
+            else out += AsOfOut(uid, r.ts_us, r.event_id,
+              cur.getOrElse("none"), r.v_cents)
+          }
+          // carried state lives forever (|keys|-bounded, the latest-state
+          // table's own bound); pending rows re-arm an event-time timeout
+          // at their earliest maturity so a quiet key still flushes
+          gs.update(AsOfState(pending, cur))
+          if (pending.nonEmpty)
+            gs.setTimeoutTimestamp(pending.map(_.ts_us).min / 1000L + 1L)
+          out.result().iterator
+      }
+  }
 }
+
+/** One tagged row entering [[StreamJobs.asOfEnrichStream]]'s keyed merge:
+  * a dim change (is_fact 0, state set) or a fact (is_fact 1, v_cents).
+  * `ts` carries the watermark tag through to the keyed operator; `ts_us`
+  * is the same instant as the integer the merge orders by. */
+final case class AsOfIn(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+    event_id: Long, is_fact: Int, state: String, v_cents: Long)
+
+/** Keyed state for [[StreamJobs.asOfEnrichStream]]: rows still inside the
+  * watermark lag plus the carried latest-matured dim state. */
+final case class AsOfState(pending: List[AsOfIn], curState: Option[String])
+
+/** One enriched fact: the dim state in force at the fact's event time. */
+final case class AsOfOut(user_id: Long, ts_us: Long, event_id: Long,
+    state_at_fact: String, v_cents: Long)
 
 /** One A-Res-scored document (input row of
   * [[StreamJobs.weightedSampleStream]]). */

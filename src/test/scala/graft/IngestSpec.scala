@@ -130,6 +130,19 @@ class IngestSpec extends AnyFunSuite {
       assert(n <= cap, s"${f.getName} has $n rows > cap $cap")
     }
     assert(spark.read.parquet(outDir).count() === 40)
+
+    // duplicated day: the bytes/record estimate must keep numerator and
+    // denominator on the SAME population. 3× duplication triples raw
+    // bytes AND the raw count, so the derived cap is IDENTICAL — the r12
+    // form divided pre-dedup bytes by the post-dedup count and would have
+    // inflated bytes/record 3×, landing files at a third of the target.
+    val dupDir = s"$tmp/raw-dup"
+    recs.union(recs).union(recs).coalesce(1).write.json(dupDir)
+    val capDup = CtaIngest.compactSized(spark, dupDir, s"$tmp/processed-dup",
+      targetFileBytes = target)
+    assert(capDup === cap,
+      s"dup day cap $capDup != clean day cap $cap: ratio populations mixed")
+    assert(spark.read.parquet(s"$tmp/processed-dup").count() === 40)
   }
 
   test("source-format matrix: CSV and ORC round-trip the parquet events") {

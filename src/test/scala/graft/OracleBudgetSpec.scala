@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Oracle TRACTABILITY as a test (round 13, VERDICT r12 item 6): every
+  * declared oracle must complete in DuckDB within a hard per-query budget
+  * at sf0.001, so an intractable oracle (the round-12 outage: DuckDB 1.0
+  * inlines every CTE and one unrolled-chain oracle planned
+  * combinatorially, >25 min at sf0.01, stalling the driver's sequential
+  * gate into an EMPTY round) fails `sbt test` the day it is authored —
+  * not at driver time, silently.
+  *
+  * The probe shells to the DuckDB replica (`tools/oracle_time.py`); on a
+  * box without python3+duckdb the spec is CANCELED (assume), never
+  * silently green — the full gate still covers it wherever the driver
+  * runs. The 10 s budget is ~100× the slowest healthy oracle at this SF
+  * (the whole 234-oracle sweep takes ~8 s total), so only a complexity
+  * blowup can trip it, not box noise.
+  */
+class OracleBudgetSpec extends AnyFunSuite {
+
+  private def duckdbAvailable: Boolean =
+    try {
+      val p = new ProcessBuilder("python3", "-c", "import duckdb")
+        .redirectErrorStream(true).start()
+      p.waitFor() == 0
+    } catch { case _: java.io.IOException => false }
+
+  test("every declared oracle runs inside the DuckDB budget at sf0.001") {
+    assume(duckdbAvailable, "python3+duckdb not on this box; driver gate covers it")
+    assume(new java.io.File(TestSpark.sf0001).isDirectory)
+    val tmp = java.nio.file.Files.createTempFile("graft-oracles", ".json")
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(tmp,
+      SparkEntry.oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    val pb = new ProcessBuilder("python3", "tools/oracle_time.py",
+      TestSpark.sf0001, tmp.toString, "10")
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val rc = p.waitFor()
+    assert(rc == 0,
+      s"intractable/erroring oracles:\n${
+        out.linesIterator.filter(_.startsWith("OVER-BUDGET")).mkString("\n")}")
+    // the probe genuinely ran everything (one timing line per oracle)
+    val timed = out.linesIterator.count(l => l.nonEmpty && !l.startsWith("OVER"))
+    assert(timed == SparkEntry.oracleSql.size, s"probe timed $timed oracles")
+  }
+}

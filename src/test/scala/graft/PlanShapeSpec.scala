@@ -344,8 +344,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // block — its window spec leads with blk
     assert("windowspecdefinition\\(blk".r.findAllIn(plan).nonEmpty,
       s"corpus ranking window is not block-partitioned:\n$plan")
-    // the block-offset prefix sum's unpartitioned window exists, but only
-    // over the block DICTIONARY (fed by the count aggregate, not a scan):
+    // the block-offset prefix sum is TWO-LEVEL (r13): block offsets sum
+    // inside superblocks under a hash-partitioned window, so the only
+    // unpartitioned window input is the superblock-total dictionary
+    // (|corpus|/2^20 rows), never the block dictionary
+    assert("windowspecdefinition\\(sblk".r.findAllIn(plan).nonEmpty,
+      s"level-1 prefix sum is not superblock-partitioned:\n$plan")
     // corpus rows reach exactly one hash exchange on blk plus the
     // presentation range sort
     assert(countOf(plan, "Exchange hashpartitioning\\(blk") >= 1, plan)

@@ -222,9 +222,10 @@ class RegistrySpec extends AnyFunSuite {
     val allowDictWindow: Map[String, String] = Map(
       // skyline rule over the LENGTH dictionary (|distinct lens| rows)
       "q_skyline_docs" -> "length dictionary",
-      // block-offset prefix sum over the key-block dictionary
-      // (|corpus| / 1024 rows, key-space bounded)
-      "q_global_row_ids" -> "key-block dictionary",
+      // level-2 prefix sum over the SUPERBLOCK total dictionary only
+      // (|corpus| / 2^20 rows — the block-level offsets are summed by a
+      // hash-partitioned window of ≤1024 rows per superblock, r13)
+      "q_global_row_ids" -> "superblock dictionary",
       // window totals over the |event_type| x |value-bucket| CELL grid
       "q_stats_contingency" -> "contingency cell grid",
       // ST6's frontier selection sorts the $1000-bucket winner dictionary
@@ -283,6 +284,22 @@ class RegistrySpec extends AnyFunSuite {
           s"$name no longer plans a single-partition window; drop it from the allowlist")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("packed argmax stride: id bound holds and the pack stays inside a long") {
+    // key = cq * ID_STRIDE - id encodes (cq desc, id asc) iff
+    // 0 <= id < ID_STRIDE; scores are cosine ppm so |cq| <= 1e6 and the
+    // worst-case |key| must not overflow. Both engine mirrors share the
+    // packing, so a violated bound corrupts BOTH sides identically and
+    // the hash gate cannot see it — this spec is the only guard.
+    val stride = ext.SimilarityQueries.ID_STRIDE
+    assert(BigInt(1000000L) * BigInt(stride) + BigInt(stride) <
+      BigInt(Long.MaxValue))
+    import org.apache.spark.sql.functions.max
+    val ids = Tables.embeddings(spark, TestSpark.sf0001)
+      .agg(max("vec_id")).head().getLong(0)
+    assert(ids >= 0 && ids < stride,
+      s"vec_id range [0, $ids] escapes the argmax stride $stride")
   }
 
   test("bench tier attribution is total: no query can fall into 'other'") {

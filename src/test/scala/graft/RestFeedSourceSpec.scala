@@ -139,6 +139,81 @@ class RestFeedSourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/out").count() === 8)
   }
 
+  test("restart anchors the poll clock to the RESTORED offset, not process start") {
+    import graft.sources.{CycleOffset, RestFeedConfig, RestFeedMicroBatch}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // a resumed stream after 5 committed cycles: the clock target must sit
+    // at the committed cycle (one fresh cycle opens immediately, as on a
+    // fresh start) — NOT at 1 + elapsed/interval, which clamped every
+    // step to zero until wall-clock caught up with the prior uptime
+    // (~a day of silence per day of prior uptime at the 60 s cadence)
+    val resumed = new RestFeedMicroBatch(RestFeedConfig(
+      base = "", apiKey = "", lines = Seq("Red"),
+      pollIntervalMs = 3600000L, maxCycles = 100L,
+      transportId = "none", fixedPollTs = None))
+    resumed.setLatestSeenOffset(CycleOffset(5L)) // checkpoint restore path
+    val next = resumed
+      .latestOffset(CycleOffset(5L), ReadLimit.allAvailable())
+      .asInstanceOf[CycleOffset].cycle
+    assert(next === 6L,
+      s"resumed stream should open exactly one fresh cycle, got $next")
+    // without the restore callback, the first latestOffset(start, _) call
+    // anchors to its start cycle — same behavior
+    val lazyAnchored = new RestFeedMicroBatch(RestFeedConfig(
+      base = "", apiKey = "", lines = Seq("Red"),
+      pollIntervalMs = 3600000L, maxCycles = 100L,
+      transportId = "none", fixedPollTs = None))
+    val n2 = lazyAnchored
+      .latestOffset(CycleOffset(7L), ReadLimit.allAvailable())
+      .asInstanceOf[CycleOffset].cycle
+    assert(n2 === 8L)
+  }
+
+  test("resume with a nonzero poll interval keeps fetching (checkpointed AvailableNow drains)") {
+    val calls = new AtomicInteger(0)
+    RestTransports.register("spec-resume-counting", { url =>
+      calls.incrementAndGet(); fixtureTransport(url)
+    })
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rest-resume").toString
+    // the documented scheduled-drain shape: a long interval, unbounded
+    // cycles, one AvailableNow drain per process — each drain must fetch
+    // its one fresh cycle even though elapsed wall-clock is ~0
+    val opts = baseOptions("spec-resume-counting") -
+      "cycles" + ("pollIntervalMs" -> "3600000")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-rest").options(opts).load()
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    drain()
+    val routes = CtaFixtures.feeds.size
+    assert(calls.get() === routes) // cycle 1
+    drain() // fresh scan instance = fresh process, offset restored from ckpt
+    assert(calls.get() === 2 * routes,
+      "resumed drain fetched nothing: poll clock re-anchored to process start")
+    assert(spark.read.parquet(s"$tmp/out").count() === 2L * routes)
+  }
+
+  test("config guard: interval 0 with unbounded cycles and step is rejected") {
+    import graft.sources.RestFeedConfig
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val err = intercept[IllegalArgumentException] {
+      RestFeedConfig(new CaseInsensitiveStringMap(
+        Map("base" -> "b", "apikey" -> "k", "pollIntervalMs" -> "0").asJava))
+    }
+    assert(err.getMessage.contains("2^63"))
+    // bounding either knob makes it legal
+    RestFeedConfig(new CaseInsensitiveStringMap(
+      Map("pollIntervalMs" -> "0", "cycles" -> "5").asJava))
+    RestFeedConfig(new CaseInsensitiveStringMap(
+      Map("pollIntervalMs" -> "0", "maxCyclesPerTrigger" -> "2").asJava))
+  }
+
   test("HTTP 429 retries up to 3 attempts through the source, then succeeds") {
     val attempts = new AtomicInteger(0)
     RestTransports.register("spec-flaky", { url =>

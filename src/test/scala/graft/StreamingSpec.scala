@@ -176,6 +176,140 @@ class StreamingSpec extends AnyFunSuite {
       "streaming filtered serve diverged from batch q_sim_knn_filtered")
   }
 
+  /** Drop one (user_id, ts, event_id, is_dim?, state/v_cents) row into an
+    * as-of stream dir as a bare parquet part-file (staged move — the file
+    * source ignores subdirectories). */
+  private def dropAsOfRow(dir: String, name: String, userId: Long,
+      tsUs: Long, eventId: Long, state: String, vCents: Long): Unit = {
+    import org.apache.spark.sql.types._
+    val isDim = state != null
+    val schema = StructType(
+      StructField("user_id", LongType) ::
+        StructField("ts", TimestampType) ::
+        StructField("event_id", LongType) ::
+        (if (isDim) StructField("state", StringType)
+         else StructField("v_cents", LongType)) :: Nil)
+    val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      tsUs / 1000000L, (tsUs % 1000000L) * 1000L))
+    val stage = Files.createTempDirectory(s"graft-asof-$eventId").toString + "/out"
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          userId, ts, eventId, if (isDim) state else vCents)),
+        schema)
+      .coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/$name"))
+  }
+
+  private def asOfStreams(dimDir: String, factDir: String) = {
+    import org.apache.spark.sql.types._
+    val dimSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("state", StringType)))
+    val factSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("v_cents", LongType)))
+    (spark.readStream.schema(dimSchema).parquet(dimDir),
+      spark.readStream.schema(factSchema).parquet(factDir))
+  }
+
+  test("stream-stream AS-OF enrich: late dim update in a LATER batch still wins") {
+    // event time: browse@10:00 < cart@10:10 < purchase@10:20 — but the
+    // cart row ARRIVES a whole micro-batch after the purchase. The fact
+    // must stay buffered (watermark) and enrich with 'cart', not 'browse'.
+    val dimDir = Files.createTempDirectory("graft-asof-dim").toString
+    val factDir = Files.createTempDirectory("graft-asof-fact").toString
+    val h10 = 1735725600000000L // 2025-01-01T10:00:00Z in µs
+    def m(min: Long) = h10 + min * 60000000L
+    dropAsOfRow(dimDir, "a_dim1.parquet", 42L, m(0), 1L, "browse", 0L)
+    dropAsOfRow(factDir, "a_fact1.parquet", 42L, m(20), 2L, null, 999L)
+    val (dim, fact) = asOfStreams(dimDir, factDir)
+    val q = StreamJobs.asOfEnrichStream(dim, fact)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_late_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("asof_late_out").isEmpty,
+        "fact emitted before its event time matured past the watermark")
+      // the LATE dim change: processing-time later, event-time earlier
+      dropAsOfRow(dimDir, "b_dim2.parquet", 42L, m(10), 3L, "cart", 0L)
+      q.processAllAvailable()
+      // two sentinel rounds: the watermark advances after the batch that
+      // carries the sentinel, the flush runs the batch after that
+      for (i <- 0 to 1) {
+        dropAsOfRow(dimDir, s"c_sent$i.parquet", -1L,
+          m(200) + i, 100L + i, "noise", 0L)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table("asof_late_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(rows === Set((42L, m(20), 2L, "cart", 999L)),
+      s"late dim update lost: $rows")
+  }
+
+  test("stream-stream AS-OF enrich equals the batch carry-forward over a split corpus feed") {
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        expr("cast(round(value * 100) as bigint)").as("v_cents"))
+    val dimDir = Files.createTempDirectory("graft-asof-dim2").toString
+    val factDir = Files.createTempDirectory("graft-asof-fact2").toString
+    // split ARBITRARILY across two files per side so facts and their
+    // governing dim rows land in different micro-batches both ways
+    val dimRows = ev.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("state"))
+    val factRows = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"v_cents")
+    dimRows.filter($"event_id" % 2 === 0).coalesce(1).write.mode("append").parquet(dimDir)
+    dimRows.filter($"event_id" % 2 === 1).coalesce(1).write.mode("append").parquet(dimDir)
+    factRows.filter($"event_id" % 3 === 0).coalesce(1).write.mode("append").parquet(factDir)
+    factRows.filter($"event_id" % 3 =!= 0).coalesce(1).write.mode("append").parquet(factDir)
+    val (dim, fact) = asOfStreams(dimDir, factDir)
+    val q = StreamJobs.asOfEnrichStream(dim, fact)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_eq_out").start()
+    try {
+      q.processAllAvailable()
+      val maxUs = ev.agg(max(unix_micros($"ts"))).head().getLong(0)
+      for (i <- 0 to 1) {
+        dropAsOfRow(dimDir, s"zz_sent$i.parquet", -1L,
+          maxUs + 7200L * 1000000L + i, 999999100L + i, "noise", 0L)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("asof_eq_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+    // batch truth: the same union + carry-forward window the batch as-of
+    // (q_scd2_asof) computes, over the identical dim/fact populations
+    val wCarry = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"ts_us", $"is_fact", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tagged = dimRows
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        lit(0).as("is_fact"), $"state", lit(0L).as("v_cents"))
+      .unionByName(factRows
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+          lit(1).as("is_fact"), lit(null).cast("string").as("state"),
+          $"v_cents"))
+    val batch = tagged
+      .withColumn("cur", last($"state", ignoreNulls = true).over(wCarry))
+      .filter($"is_fact" === 1)
+      .select($"user_id", $"ts_us", $"event_id",
+        coalesce($"cur", lit("none")).as("state_at_fact"), $"v_cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      s"as-of enrich diverged: extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+  }
+
   private def eventsDir: String = {
     val tmp = Files.createTempDirectory("graft-events-stream").toString
     java.nio.file.Files.copy(

@@ -1,11 +1,19 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [budget_sec]
 
 Runs each oracle_sql.json query in DuckDB over the sfDir parquet tables and
 compares against the parquet written by graft.Verify. Dev tool only (the
 driver has its own); NOT part of the Spark library.
+
+Every oracle runs under a wall-clock budget (default 30 s, override via
+argv[3] or ORACLE_BUDGET_SEC) enforced with duckdb's interrupt() from a
+timer thread, and each line prints the oracle's wall time. Round-12
+lesson: DuckDB 1.0 inlines every CTE, one unrolled-chain oracle planned
+combinatorially (>25 min at sf0.01), and a sequential gate with no budget
+stalled on it and recorded an EMPTY round. An intractable oracle must be
+a loud per-query FAIL, never a silent hang.
 
 Compares at the ARROW level (typed), not via fetchall() Python coercion:
 round 1 taught us that DuckDB's integer SUM returns HUGEINT (arrow
@@ -15,7 +23,10 @@ A fetchall() compare coerces both to Python int and masks the mismatch.
 """
 import json
 import math
+import os
 import sys
+import threading
+import time
 from pathlib import Path
 
 import duckdb
@@ -92,14 +103,58 @@ def compare(name, spark_rows, oracle_rows, cols):
     return f"FLOAT-CLOSE-NOT-EXACT worst={worst}"
 
 
+def run_budgeted(con, sql, budget_sec, name):
+    """Execute `sql`, interrupting (and raising TimeoutError) past the
+    budget. The timer fires con.interrupt(); duckdb raises
+    InterruptException inside execute(), which we map to TimeoutError so
+    the caller prints a distinct BUDGET failure. interrupt() only lands
+    during EXECUTION — a combinatorial CTE-inlining blowup hangs in
+    BINDING/PLANNING where duckdb ignores it, so a second watchdog
+    hard-exits the whole process, loudly naming the offender (a silent
+    hang is exactly the round-12 empty-gate failure mode)."""
+    timed_out = threading.Event()
+
+    def fire():
+        timed_out.set()
+        con.interrupt()
+
+    def hard_fail():
+        print(f"FAIL {name}: hard-hung past {budget_sec}s "
+              f"(interrupt ignored — planning blowup?)", flush=True)
+        os._exit(1)
+
+    t = threading.Timer(budget_sec, fire)
+    t.start()
+    t2 = threading.Timer(budget_sec + 15.0, hard_fail)
+    t2.daemon = True
+    t2.start()
+    try:
+        return con.execute(sql).fetch_arrow_table()
+    except duckdb.Error:
+        if timed_out.is_set():
+            raise TimeoutError(f"oracle exceeded {budget_sec}s budget")
+        raise
+    finally:
+        t.cancel()
+        t2.cancel()
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    budget = float(sys.argv[3]) if len(sys.argv) > 3 else \
+        float(os.environ.get("ORACLE_BUDGET_SEC", "30"))
+
+    def connect():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    con = connect()
     oracle_sql = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     failures = 0
+    timings = {}
     for name in sorted(oracle_sql):
         sql = oracle_sql[name]
         spark_path = Path(out_dir, name)
@@ -107,11 +162,23 @@ def main():
             print(f"FAIL {name}: no spark output written")
             failures += 1
             continue
+        t0 = time.monotonic()
         try:
-            o_tbl = con.execute(sql).fetch_arrow_table()
+            o_tbl = run_budgeted(con, sql, budget, name)
+            timings[name] = time.monotonic() - t0
+        except TimeoutError as e:
+            print(f"FAIL {name}: BUDGET {e} "
+                  f"(intractable oracle — check CTE materialization)")
+            failures += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
+            # a duckdb INTERNAL error invalidates the whole connection —
+            # reconnect so one bad oracle cannot cascade the rest of the
+            # sweep (r13: a binder bug on one query zeroed 219 others)
+            if "invalidated" in str(e) or "INTERNAL" in str(e):
+                con = connect()
             continue
         try:
             s_tbl = con.execute(
@@ -141,18 +208,24 @@ def main():
         orows2 = sorted(rows_of(o_tbl), key=key)
         err = compare(name, srows2, orows2, cols)
         wnote = f" [{'; '.join(twarns)}]" if twarns else ""
+        tnote = f" {timings[name]:.2f}s"
         if err and not err.startswith("FLOAT-CLOSE"):
             print(f"FAIL {name}: {err}")
             failures += 1
         elif err:
-            print(f"WARN {name}: {err} ({len(srows2)} rows){wnote}")
+            print(f"WARN {name}: {err} ({len(srows2)} rows){wnote}{tnote}")
         else:
-            print(f"OK   {name} ({len(srows2)} rows){wnote}")
+            print(f"OK   {name} ({len(srows2)} rows){wnote}{tnote}")
     # queries with no oracle: rows-only note
     for p in sorted(Path(out_dir).iterdir()):
         if p.is_dir() and p.name not in oracle_sql:
             n = con.execute(f"SELECT COUNT(*) FROM '{p}/*.parquet'").fetchone()[0]
             print(f"INFO {p.name}: rows-only, {n} rows")
+    if timings:
+        slow = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+        total = sum(timings.values())
+        print(f"oracle wall total {total:.1f}s; slowest: " +
+              ", ".join(f"{n}={s:.2f}s" for n, s in slow))
     print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
 
