@@ -1000,7 +1000,187 @@ object DedupQueries {
        |JOIN sizes sb ON src_b = sb.source
        |ORDER BY src_a, src_b""".stripMargin
 
+  // --- X1f: content-defined chunking + chunk-level dedup census ----------
+
+  /** CDC window width, polynomial base, and boundary modulus (avg chunk
+    * ≈ CDC_MOD chars). */
+  private val CDC_W = 8
+  private val CDC_MOD = 64L
+
+  /** The boundary polynomial over the CDC_W-char window starting at
+    * 1-based position `p` — IDENTICAL text in both engines (`ascii` /
+    * `ord` are the code point of a character-indexed substring in both),
+    * so chunk boundaries cannot drift between them. Every term is cast
+    * to BIGINT BEFORE the multiply: code points reach 1.1e6 and the
+    * high coefficients 33^7 ≈ 4.3e10 — an INT32 product overflows
+    * (DuckDB raises; Spark with ANSI off would silently wrap, which is
+    * worse). */
+  private def cdcPolySql(asciiFn: String): String =
+    (0 until CDC_W).map { i =>
+      val pw = Seq.fill(i)(33L).product
+      val term = s"CAST($asciiFn(substring(text, p + $i, 1)) AS BIGINT)"
+      if (i == 0) term else s"$term * $pw"
+    }.mkString(" + ")
+
+  /** Per-doc CDC chunk rows (lang, doc_id, chunk) for any
+    * (doc_id, lang, text) relation — shared by the declared query and
+    * the spec's shift-resistance replay. The whole chunking is ONE
+    * narrow in-row expression (the q_tokens_per_doc discipline): cut
+    * positions are the window starts whose 8-term polynomial hash ≡ 0
+    * (mod 64), chunks are the substrings between consecutive cuts, and
+    * only the resulting CHUNK rows (≈ chars/64 per doc) ever leave the
+    * row — no per-position explode, no shuffle before the census. */
+  private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val poly = cdcPolySql("ascii") // Spark SQL accepts the L suffix as-is
+    docs
+      .withColumn("cuts", expr(
+        s"""CASE WHEN length(text) >= $CDC_W THEN
+           |  filter(transform(sequence(1, length(text) - ${CDC_W - 1}),
+           |    p -> CASE WHEN ($poly) % $CDC_MOD = 0 THEN p END),
+           |    x -> x IS NOT NULL)
+           |ELSE array() END""".stripMargin))
+      .withColumn("bounds", expr(
+        "array_sort(array_distinct(concat(array(0), cuts, array(length(text)))))"))
+      .select($"lang", $"doc_id",
+        // size(bounds) < 2 (empty text) would make sequence() descend in
+        // Spark and element_at(_, 0) throw — guard to an empty chunk list
+        explode(expr(
+          """CASE WHEN size(bounds) >= 2 THEN
+            |  transform(sequence(1, size(bounds) - 1),
+            |    i -> substring(text, element_at(bounds, i) + 1,
+            |           element_at(bounds, i + 1) - element_at(bounds, i)))
+            |ELSE array() END""".stripMargin)).as("chunk"))
+      .filter(length($"chunk") > 0)
+  }
+
+  /** X1f — CONTENT-DEFINED CHUNKING + chunk-level dedup census: the
+    * storage/transfer-dedup primitive (LBFS/Gear/FastCDC family) the
+    * document tier lacked. Boundaries are content-addressed — a window's
+    * hash, not a byte offset, decides the cut — so an edit near a doc's
+    * head re-chunks only up to the first downstream boundary and every
+    * later chunk keeps its identity (DedupSpec pins exactly that
+    * shift-resistance, the property fixed-size blocking cannot have).
+    * The census then measures what chunk-level dedup buys per language:
+    * chunk instances whose CONTENT recurs in more than one document, and
+    * the bytes those instances cover — the cross-doc redundancy a
+    * chunk-store would store once.
+    *
+    * Scale: chunking is a pure narrow map (in-row lambda, no
+    * per-position rows); the census is one hash exchange on chunk
+    * content (≈ chars/64 rows), two-phase aggregates above it. */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = cdcChunkRows(
+      Tables.documents(s, dir).select($"doc_id", $"lang", $"text"))
+    val spread = chunks.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("n_docs_with"))
+    chunks.join(spread, Seq("chunk"))
+      .groupBy($"lang").agg(
+        countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(length($"chunk")).cast("long").as("chunk_bytes"),
+        sum(when($"n_docs_with" >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when($"n_docs_with" >= 2, length($"chunk").cast("long"))
+          .otherwise(0L)).as("dup_bytes"))
+      .orderBy($"lang")
+  }
+
+  val cdcChunksSql: String =
+    s"""WITH cuts AS (
+       |  SELECT doc_id, lang, text,
+       |    CASE WHEN length(text) >= $CDC_W THEN
+       |      list_filter(list_transform(
+       |        generate_series(1, length(text) - ${CDC_W - 1}),
+       |        p -> CASE WHEN (${cdcPolySql("ord")})
+       |          % $CDC_MOD = 0 THEN p END),
+       |        x -> x IS NOT NULL)
+       |    ELSE [] END AS cut_list
+       |  FROM documents),
+       |bnds AS (
+       |  SELECT doc_id, lang, text,
+       |    list_sort(list_distinct(
+       |      list_concat(list_concat([0], cut_list), [length(text)])))
+       |      AS bounds
+       |  FROM cuts),
+       |chunks AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(generate_series(1, len(bounds) - 1),
+       |      i -> substring(text, CAST(bounds[i] + 1 AS INTEGER),
+       |             CAST(bounds[i + 1] - bounds[i] AS INTEGER)))) AS chunk
+       |  FROM bnds),
+       |nz AS (SELECT * FROM chunks WHERE length(chunk) > 0),
+       |spread AS (
+       |  SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs_with
+       |  FROM nz GROUP BY chunk)
+       |SELECT n.lang,
+       |  CAST(COUNT(DISTINCT n.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(length(n.chunk)) AS BIGINT) AS chunk_bytes,
+       |  CAST(SUM(CASE WHEN s.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_chunks,
+       |  CAST(SUM(CASE WHEN s.n_docs_with >= 2 THEN length(n.chunk)
+       |    ELSE 0 END) AS BIGINT) AS dup_bytes
+       |FROM nz n JOIN spread s ON n.chunk = s.chunk
+       |GROUP BY n.lang ORDER BY n.lang""".stripMargin
+
+  // --- X2n: split-leakage audit — near-dups crossing the eval boundary ---
+
+  /** EVAL-LEAKAGE census (round 13): near-duplicate pairs whose members
+    * land on OPPOSITE sides of the train/val/test split — the
+    * contamination channel a random doc-level split leaves open (a test
+    * document with a train near-twin is evaluated on memorized content;
+    * doc-level dedup alone does not close it, only a split-aware check
+    * does). Pairs come from the SAME memoized LSH pair table as every
+    * X2 query; the split is the SAME md5-cell rule as `q_sample_split`
+    * ([[SamplingQueries.splitOf]] — one definition, composed). One row
+    * per unordered split combination with its pair count and a leak
+    * flag; the (train, test) and (train, val) rows are the number every
+    * eval-integrity gate thresholds at zero.
+    *
+    * Scale: two broadcast-light equi-joins of the (bounded) pair table
+    * against a two-column split projection, one small hash aggregate —
+    * nothing touches document text. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairs(s, dir).select($"doc_a", $"doc_b")
+    val aSplit = SamplingQueries.splitOf("doc_a")
+    val bSplit = SamplingQueries.splitOf("doc_b")
+    pairs
+      .select(least(aSplit, bSplit).as("split_lo"),
+        greatest(aSplit, bSplit).as("split_hi"))
+      .groupBy($"split_lo", $"split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select($"split_lo", $"split_hi", $"n_pairs",
+        when($"split_lo" =!= $"split_hi", 1L).otherwise(0L).as("is_leak"))
+      .orderBy($"split_lo", $"split_hi")
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH $lshCandCtesSql,
+       |fpairs AS (
+       |  SELECT doc_a, doc_b FROM cpairs
+       |  JOIN sigs sa ON doc_a = sa.doc_id
+       |  JOIN sigs sb ON doc_b = sb.doc_id
+       |  WHERE ${estJaccardSql("sa", "sb")} >= ${2.0 / K}),
+       |tagged AS (
+       |  SELECT
+       |    LEAST(${SamplingQueries.splitSqlOf("doc_a")},
+       |          ${SamplingQueries.splitSqlOf("doc_b")}) AS split_lo,
+       |    GREATEST(${SamplingQueries.splitSqlOf("doc_a")},
+       |             ${SamplingQueries.splitSqlOf("doc_b")}) AS split_hi
+       |  FROM fpairs)
+       |SELECT split_lo, split_hi, COUNT(*) AS n_pairs,
+       |  CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_leak
+       |FROM tagged GROUP BY split_lo, split_hi
+       |ORDER BY split_lo, split_hi""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_split_leakage", splitLeakage, Some(splitLeakageSql),
+      "X2n eval-leakage census: near-dup pairs crossing the train/val/test split, composed from the X2 pair table + the sampling split rule"),
+    QueryDef("q_cdc_chunks", cdcChunks, Some(cdcChunksSql),
+      "X1f content-defined chunking (Gear-style boundary polynomial) + cross-doc chunk dedup census"),
     QueryDef("q_source_overlap", sourceOverlap, Some(sourceOverlapSql),
       "X1e pairwise source-overlap matrix: exact shingle-vocabulary Jaccard via posting lists"),
     QueryDef("q_source_novelty", sourceNovelty, Some(sourceNoveltySql),

@@ -15,6 +15,22 @@ object SamplingQueries {
   /** 16-cell hash bucket of the doc key, '0'..'f'. */
   private def cell = substring(md5(col("doc_id").cast("string")), 1, 1)
 
+  /** The ONE split rule, exposed for compositions (X2n split-leakage
+    * audits the near-dup graph against exactly this assignment): split
+    * of the doc id column named by `c`. Spark Column + SQL forms kept
+    * adjacent so they cannot drift. */
+  private[ext] def splitOf(c: String): org.apache.spark.sql.Column = {
+    val h = substring(md5(col(c).cast("string")), 1, 1)
+    when(h.isin("0", "1"), "val")
+      .when(h.isin("2", "3"), "test")
+      .otherwise("train")
+  }
+
+  private[ext] def splitSqlOf(c: String): String =
+    s"""CASE WHEN substring(md5(CAST($c AS VARCHAR)), 1, 1) IN ('0','1') THEN 'val'
+       |     WHEN substring(md5(CAST($c AS VARCHAR)), 1, 1) IN ('2','3') THEN 'test'
+       |     ELSE 'train' END""".stripMargin
+
   /** Train/val/test split (12/2/2 cells ≈ 75/12.5/12.5%) with per-stratum
     * counts — the audit view of a dataset split. */
   def sampleSplit(s: SparkSession, dir: String): DataFrame = {

@@ -2408,6 +2408,231 @@ object SimilarityQueries {
           .as("cq"))
   }
 
+  // --- X3v: matryoshka (truncated-dimension) recall frontier -------------
+
+  /** Dimension budgets audited by [[annMatryoshka]] (of [[DIM]] = 64). */
+  private val MRL_DIMS = Seq(8, 16, 32)
+
+  /** MATRYOSHKA recall frontier (round 13): recall@5 of brute-force
+    * search over only the FIRST d dimensions, for d ∈ 8/16/32 of 64,
+    * against the full-dimension truth — the audit behind
+    * matryoshka-representation (MRL) serving, where a prefix of the
+    * embedding is a cheaper index (d/64 of the scan FLOPs and memory
+    * traffic) IF the model packed meaning front-first. The frontier row
+    * per budget makes "how short can the prefix be" a measured number
+    * instead of a guess — the same engineering question the rerank-depth
+    * and nprobe frontiers answer for their knobs.
+    *
+    * Scale: each arm is the brute baseline's plan (broadcast 20-query
+    * batch against the corpus scan) over a SLICED quantized array —
+    * the candidate generation an MRL stack would run before re-ranking
+    * the short-list at full dimension. */
+  def annMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = bruteTruth(s, dir)
+    val e = quantized(s, dir)
+    val arms = MRL_DIMS.map { d =>
+      val ed = e.select($"vec_id", expr(s"slice(qe, 1, $d)").as("qd"))
+        .select($"vec_id", $"qd", dotQ($"qd", $"qd").as("nrm_d"))
+      val q = ed.filter($"vec_id" < 20).toDF("q_id", "q_qd", "q_nrm")
+      val scored = ed.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          cosine(dotQ($"q_qd", $"qd"), $"q_nrm", $"nrm_d").as("cos_sim"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+      val preds = scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5).select($"q_id", $"vec_id")
+      preds
+        .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_pred"),
+          coalesce(sum(coalesce($"hit", lit(0L))), lit(0L)).as("hits"))
+        .select(lit(d.toLong).as("dim_budget"), $"n_pred", $"hits")
+    }
+    arms.reduce(_.unionByName(_))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select($"dim_budget", $"n_pred", $"hits",
+        expr("(1000000 * hits) div n_truth").as("recall_ppm"))
+      .orderBy($"dim_budget")
+  }
+
+  /** DuckDB mirror: one brute arm per budget with its index range and
+    * truncated norms, full-d truth embedded scoped. */
+  lazy val annMatryoshkaSql: String = {
+    def armSql(d: Int): String = {
+      val idxD = s"(SELECT unnest(generate_series(1, $d)) AS g) i"
+      s"""norms_$d AS (
+         |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS nrm
+         |  FROM embeddings, $idxD GROUP BY vec_id),
+         |dots_$d AS (
+         |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         |    ${dotSql("q.embedding", "v.embedding")} AS dot
+         |  FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id, $idxD
+         |  WHERE q.vec_id < 20
+         |  GROUP BY 1, 2),
+         |preds_$d AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, dots_$d.vec_id AS vec_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY
+         |        CAST(dot AS DOUBLE) / (sqrt(CAST(qn.nrm AS DOUBLE))
+         |          * sqrt(CAST(vn.nrm AS DOUBLE))) DESC,
+         |        dots_$d.vec_id ASC) AS rnk
+         |    FROM dots_$d
+         |    JOIN norms_$d qn ON q_id = qn.vec_id
+         |    JOIN norms_$d vn ON dots_$d.vec_id = vn.vec_id)
+         |  WHERE rnk <= 5),
+         |row_$d AS (
+         |  SELECT CAST($d AS BIGINT) AS dim_budget,
+         |    CAST((SELECT COUNT(*) FROM preds_$d) AS BIGINT) AS n_pred,
+         |    CAST((SELECT COUNT(*) FROM preds_$d p JOIN truth t
+         |      ON p.q_id = t.q_id AND p.vec_id = t.vec_id) AS BIGINT)
+         |      AS hits)""".stripMargin
+    }
+    "WITH truth AS (SELECT q_id, vec_id FROM (\n" + knnBruteSql +
+      "\n) tt),\n" + MRL_DIMS.map(armSql).mkString(",\n") + "\n" +
+      "SELECT dim_budget, n_pred, hits,\n" +
+      "  CAST((1000000 * hits) // (SELECT COUNT(*) FROM truth) AS BIGINT)" +
+      " AS recall_ppm\nFROM (" +
+      MRL_DIMS.map(d => s"SELECT * FROM row_$d").mkString(" UNION ALL ") +
+      ")\nORDER BY dim_budget"
+  }
+
+  // --- X3u: cluster-pruned index recall — the SemDeDup loop closed -------
+
+  /** Clusters dropped by the pruning pass (of [[IVF_K]] = 16): the
+    * bottom-[[PRUNE_DROP]] by cohesion, ties to the lower c_id. */
+  private val PRUNE_DROP = 4L
+
+  /** The SemDeDup-style curation loop composed END TO END (round 13,
+    * r12 VERDICT stretch): the cluster-cards census (per-cluster
+    * centroid-cosine cohesion — `q_cluster_cards`' geo leg) DECIDES —
+    * the [[PRUNE_DROP]] least-cohesive clusters are dropped from the
+    * inverted lists — and the ANN eval MEASURES what that curation cost:
+    * the same IVF2 serving plan runs against the unpruned and the pruned
+    * index side by side, recall@5 scored against the SHARED full-corpus
+    * brute truth. Queries probe their [[NPROBE2]] nearest SURVIVING
+    * centroids (rank recomputed after the drop — a pruned nearest list
+    * must fall through to the next survivor, exactly what a serving
+    * stack does after compaction). The two audit rows put the pruning
+    * trade (index 25% smaller vs recall delta) on the oracle surface as
+    * integers.
+    *
+    * Scale: census + prune rank run on the K-row cluster dictionary;
+    * both serving arms are the standard IVF plan (broadcast survivor
+    * dictionary onto the assign/probe sides, list equi-join, windowed
+    * top-5) — no new corpus-sized operator anywhere. */
+  def annPrunedRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = bruteTruth(s, dir)
+    val ranked = rankedAssign(s, dir)
+    val e = quantized(s, dir)
+    val cohesion = memberCos(s, dir).groupBy($"c_id")
+      .agg(expr("sum(cq + 1000000) div count(1) - 1000000").as("cohesion_ppm"))
+    // K-row dictionary rank — the pruning decision itself
+    val wPr = Window.orderBy($"cohesion_ppm".asc, $"c_id".asc)
+    val census = cohesion.withColumn("pr", row_number().over(wPr))
+    def arm(variant: String, survive: DataFrame): DataFrame = {
+      val assign = ranked.filter($"crn" === 1)
+        .join(broadcast(survive), Seq("c_id"), "left_semi")
+        .select($"vec_id", $"c_id".as("bucket"))
+      val wQ = Window.partitionBy($"vec_id").orderBy($"crn".asc)
+      val probes = ranked.filter($"vec_id" < 20)
+        .join(broadcast(survive), Seq("c_id"), "left_semi")
+        .withColumn("srn", row_number().over(wQ))
+        .filter($"srn" <= NPROBE2)
+        .select($"vec_id", $"c_id".as("bucket"))
+        .join(e, Seq("vec_id"))
+        .select($"vec_id".as("q_id"), $"qe".as("q_emb"),
+          $"nrm".as("q_nrm"), $"bucket")
+      val scored = probes.join(assign, Seq("bucket"))
+        .filter($"vec_id" =!= $"q_id")
+        .join(e, Seq("vec_id"))
+        .select($"q_id", $"vec_id",
+          cosine(dotQ($"q_emb", $"qe"), $"q_nrm", $"nrm").as("cos_sim"))
+        .distinct()
+      val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+      val preds = scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5).select($"q_id", $"vec_id")
+      val stat = preds
+        .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_pred"),
+          coalesce(sum(coalesce($"hit", lit(0L))), lit(0L)).as("hits"))
+      stat
+        .crossJoin(broadcast(survive.agg(count(lit(1)).as("n_clusters"))))
+        .crossJoin(broadcast(assign.agg(count(lit(1)).as("n_indexed"))))
+        .select(lit(variant).as("variant"), $"n_clusters", $"n_indexed",
+          $"n_pred", $"hits")
+    }
+    val all = census.select($"c_id")
+    val surviving = census.filter($"pr" > PRUNE_DROP).select($"c_id")
+    arm("pruned", surviving).unionByName(arm("unpruned", all))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select($"variant", $"n_clusters", $"n_indexed", $"n_pred", $"hits",
+        expr("(1000000 * hits) div n_truth").as("recall_ppm"))
+      .orderBy($"variant")
+  }
+
+  /** DuckDB mirror: census + prune over the shared k-means CTEs, each
+    * arm the [[knnIvf2Sql]] plan against its survivor set, brute truth
+    * embedded scoped. Assembled by concatenation (embedded tier SQL). */
+  lazy val annPrunedRecallSql: String = {
+    def armSql(sfx: String, surv: String): String =
+      s"""assign_$sfx AS (
+         |  SELECT a.vec_id, a.c_id AS bucket FROM aranked3 a
+         |  JOIN $surv s ON a.c_id = s.c_id WHERE a.crn = 1),
+         |probes_$sfx AS (
+         |  SELECT q_id, bucket FROM (
+         |    SELECT a.vec_id AS q_id, a.c_id AS bucket,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY a.crn ASC) AS srn
+         |    FROM aranked3 a JOIN $surv s ON a.c_id = s.c_id
+         |    WHERE a.vec_id < 20) WHERE srn <= $NPROBE2),
+         |cands_$sfx AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id
+         |  FROM probes_$sfx p JOIN assign_$sfx a ON p.bucket = a.bucket
+         |  WHERE a.vec_id <> p.q_id),
+         |scored_$sfx AS (
+         |  SELECT ca.q_id, ca.vec_id,
+         |    CAST(${dotSql("q.embedding", "v.embedding")} AS DOUBLE)
+         |      / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(vn.nrm AS DOUBLE))) AS cos_sim
+         |  FROM cands_$sfx ca
+         |  JOIN embeddings q ON ca.q_id = q.vec_id
+         |  JOIN embeddings v ON ca.vec_id = v.vec_id
+         |  JOIN norms qn ON ca.q_id = qn.vec_id
+         |  JOIN norms vn ON ca.vec_id = vn.vec_id, $idxSql
+         |  GROUP BY ca.q_id, ca.vec_id, qn.nrm, vn.nrm),
+         |preds_$sfx AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+         |    FROM scored_$sfx) WHERE rnk <= 5),
+         |row_$sfx AS (
+         |  SELECT '$sfx' AS variant,
+         |    CAST((SELECT COUNT(*) FROM $surv) AS BIGINT) AS n_clusters,
+         |    CAST((SELECT COUNT(*) FROM assign_$sfx) AS BIGINT) AS n_indexed,
+         |    CAST((SELECT COUNT(*) FROM preds_$sfx) AS BIGINT) AS n_pred,
+         |    CAST((SELECT COUNT(*) FROM preds_$sfx p JOIN truth t
+         |      ON p.q_id = t.q_id AND p.vec_id = t.vec_id) AS BIGINT) AS hits)""".stripMargin
+    s"""WITH $kmeansCtesSql,
+       |$mcosCteSql,
+       |coh AS (
+       |  SELECT c_id,
+       |    CAST(SUM(cq + 1000000) // COUNT(*) - 1000000 AS BIGINT)
+       |      AS cohesion_ppm
+       |  FROM mcos GROUP BY c_id),
+       |census AS (
+       |  SELECT c_id, row_number() OVER (
+       |    ORDER BY cohesion_ppm ASC, c_id ASC) AS pr FROM coh),
+       |surv_all AS (SELECT c_id FROM census),
+       |surv_kept AS (SELECT c_id FROM census WHERE pr > $PRUNE_DROP),
+       |truth AS (SELECT q_id, vec_id FROM (
+       |""".stripMargin + knnBruteSql + "\n) tt),\n" +
+      armSql("pruned", "surv_kept") + ",\n" +
+      armSql("unpruned", "surv_all") + "\n" +
+      s"""SELECT variant, n_clusters, n_indexed, n_pred, hits,
+         |  CAST((1000000 * hits) // (SELECT COUNT(*) FROM truth) AS BIGINT)
+         |    AS recall_ppm
+         |FROM (SELECT * FROM row_pruned UNION ALL SELECT * FROM row_unpruned)
+         |ORDER BY variant""".stripMargin
+  }
+
   /** The `members` + `mcos` CTE pair shared by the cluster-census
     * oracles (appended after [[kmeansCtesSql]]). */
   private val mcosCteSql: String =
@@ -2589,6 +2814,10 @@ object SimilarityQueries {
     QueryDef("q_ann_rerank_frontier", annRerankFrontier,
       Some(annRerankFrontierSql),
       "X3q ADC rerank-depth frontier: recall vs exact-read budget C, one candidate join for all depths"),
+    QueryDef("q_ann_matryoshka", annMatryoshka, Some(annMatryoshkaSql),
+      "X3v matryoshka recall frontier: brute search over embedding prefixes (8/16/32 of 64 dims) vs full-d truth"),
+    QueryDef("q_ann_pruned_recall", annPrunedRecall, Some(annPrunedRecallSql),
+      "X3u SemDeDup loop closed: cohesion-census prune of IVF lists, recall@5 delta vs unpruned under shared brute truth"),
     QueryDef("q_ann_eval", annEval, Some(annEvalSql),
       "X3i ANN audit: integer-ppm recall@5 of LSH/IVF/IVF2/SQ8/PQ vs shared brute truth"),
     QueryDef("q_ann_delete_eval", annDeleteEval, Some(annDeleteEvalSql),

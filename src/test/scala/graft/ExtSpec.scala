@@ -1475,6 +1475,51 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("X1f CDC chunking: brute replay + shift resistance under a prefix edit") {
+    import spark.implicits._
+    // local brute replay of the boundary rule over one real corpus doc
+    val W = 8; val MOD = 64L
+    def poly(t: String, p: Int): Long = // p 0-based window start
+      (0 until W).map(i => t.codePointAt(p + i).toLong *
+        Seq.fill(i)(33L).product).sum
+    def chunksOf(t: String): Seq[String] = {
+      if (t.isEmpty) return Seq.empty
+      val cuts = (0 to t.length - W).filter(p => poly(t, p) % MOD == 0)
+        .map(_ + 1) // 1-based cut-after positions
+      val bounds = (0 +: cuts :+ t.length).distinct.sorted
+      bounds.sliding(2).map { case Seq(a, b) => t.substring(a, b) }.toSeq
+        .filter(_.nonEmpty)
+    }
+    val doc = Tables.documents(spark, sf).select($"text")
+      .orderBy($"doc_id").limit(1).as[String].head()
+    val edited = "Z" + doc // one-char prefix insertion
+    val df = Seq((1L, "en", doc), (2L, "en", edited))
+      .toDF("doc_id", "lang", "text")
+    val got = DedupQueries.cdcChunkRows(df).select($"doc_id", $"chunk")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    val expect1 = chunksOf(doc)
+    val expect2 = chunksOf(edited)
+    // engine == brute for both docs (chunk MULTISET, order-free)
+    assert(got(1L).sorted === expect1.sorted)
+    assert(got(2L).sorted === expect2.sorted)
+    // SHIFT RESISTANCE — the CDC property fixed-size blocking lacks:
+    // boundaries are content-addressed, so past the first boundary after
+    // the edit the chunk sequences coincide exactly (suffix equality)
+    val tail1 = expect1.drop(1)
+    val common = tail1.reverse.zip(expect2.reverse).takeWhile {
+      case (a, b) => a == b
+    }.length
+    assert(expect1.length > 2, s"doc too short for the property: $expect1")
+    assert(common >= expect1.length - 1,
+      s"prefix edit re-chunked past the first boundary: " +
+        s"common suffix $common of ${expect1.length}")
+    // and a FIXED-SIZE blocking of the same doc would share NO chunk
+    // past the edit (every 64-char block shifts by one char)
+    def fixed(t: String) = t.grouped(64).toSeq
+    assert(fixed(doc).drop(1).toSet.intersect(fixed(edited).drop(1).toSet).isEmpty)
+  }
+
   test("multimodal pair audit: census equals a formula replay of both directions") {
     import spark.implicits._
     def dhashOf(id: Long): Long = {

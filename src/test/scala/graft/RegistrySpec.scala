@@ -115,6 +115,12 @@ class RegistrySpec extends AnyFunSuite {
       // single-row truth-count broadcast denominator, same class as
       // q_ann_eval
       "q_dedup_band_sweep",
+      // census/assign-count single-row broadcasts + the brute-truth
+      // subplan and K-row survivor dictionaries - the q_ann_eval classes
+      "q_ann_pruned_recall",
+      // per-budget 20-query broadcast batch x corpus brute arms + the
+      // truth subplan - the q_sim_knn_brute / q_ann_eval classes
+      "q_ann_matryoshka",
       // single-row winning-merge broadcast crossed onto the dictionary —
       // same class as q_merge_upsert's max key
       "q_bpe_merge",
@@ -235,6 +241,8 @@ class RegistrySpec extends AnyFunSuite {
       "q_mix_drift" -> "month-pair grid",
       // orders the 4-row permutation-arm recall summary
       "q_ann_opq" -> "variant-arm summary",
+      // the pruning decision ranks the IVF_K(=16)-row cluster census
+      "q_ann_pruned_recall" -> "cluster-census dictionary",
       // ranks the trained vocabulary (vocab-bounded, ~|merges|+alphabet)
       "q_bpe_vocab" -> "vocabulary",
       // the merge-table fold input (|BPE train rounds| rows)
