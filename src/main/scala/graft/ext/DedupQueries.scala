@@ -1032,24 +1032,42 @@ object DedupQueries {
     * row — no per-position explode, no shuffle before the census. */
   private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val poly = cdcPolySql("ascii") // Spark SQL accepts the L suffix as-is
+    // Spark-side terms index a per-row CHAR ARRAY (split once) instead of
+    // substring(text, p, 1): Spark's UTF8String substring seeks from the
+    // string head (variable-width encoding), so the window scan over
+    // per-position substrings is O(L²) per doc — measured 24 s at sf0.1
+    // vs ~2 s with O(1) element_at. Same value per position (code point
+    // of the p-th character), so the DuckDB mirror's substring form
+    // stays byte-for-byte agreeing.
+    val poly = (0 until CDC_W).map { i =>
+      val pw = Seq.fill(i)(33L).product
+      val term = s"element_at(codes, p + $i)"
+      if (i == 0) term else s"$term * $pw"
+    }.mkString(" + ")
     docs
+      .withColumn("chars", split($"text", ""))
+      // code points materialize ONCE per row (as BIGINT, so the ×33^7
+      // products below stay in long arithmetic); each position's window
+      // reads 8 of them, so without this every char's ascii() would be
+      // recomputed W times inside the interpreted lambda
+      .withColumn("codes", expr(
+        "transform(chars, c -> CAST(ascii(c) AS BIGINT))"))
       .withColumn("cuts", expr(
-        s"""CASE WHEN length(text) >= $CDC_W THEN
-           |  filter(transform(sequence(1, length(text) - ${CDC_W - 1}),
+        s"""CASE WHEN size(chars) >= $CDC_W THEN
+           |  filter(transform(sequence(1, size(chars) - ${CDC_W - 1}),
            |    p -> CASE WHEN ($poly) % $CDC_MOD = 0 THEN p END),
            |    x -> x IS NOT NULL)
            |ELSE array() END""".stripMargin))
       .withColumn("bounds", expr(
-        "array_sort(array_distinct(concat(array(0), cuts, array(length(text)))))"))
+        "array_sort(array_distinct(concat(array(0), cuts, array(size(chars)))))"))
       .select($"lang", $"doc_id",
         // size(bounds) < 2 (empty text) would make sequence() descend in
         // Spark and element_at(_, 0) throw — guard to an empty chunk list
         explode(expr(
           """CASE WHEN size(bounds) >= 2 THEN
             |  transform(sequence(1, size(bounds) - 1),
-            |    i -> substring(text, element_at(bounds, i) + 1,
-            |           element_at(bounds, i + 1) - element_at(bounds, i)))
+            |    i -> array_join(slice(chars, element_at(bounds, i) + 1,
+            |           element_at(bounds, i + 1) - element_at(bounds, i)), ''))
             |ELSE array() END""".stripMargin)).as("chunk"))
       .filter(length($"chunk") > 0)
   }
