@@ -1142,6 +1142,99 @@ object DedupQueries {
        |FROM nz n JOIN spread s ON n.chunk = s.chunk
        |GROUP BY n.lang ORDER BY n.lang""".stripMargin
 
+  // --- X1g: chunk-store GC census — retention meets chunk dedup ----------
+
+  /** Deterministic delete predicate for the GC audit (the retention
+    * pass's victims): every 7th doc. */
+  private val GC_DEL = "doc_id % 7 = 3"
+
+  /** CHUNK-STORE GARBAGE-COLLECTION census (round 13): when documents
+    * are chunk-deduplicated into a content-addressed store
+    * ([[cdcChunks]]), a retention delete of DOCUMENTS does not by itself
+    * free BYTES — a chunk is reclaimable only when its LAST referencing
+    * document is gone (the refcount semantics every dedup store — LBFS,
+    * content-addressed backup, container registries — garbage-collects
+    * by). This audit runs the X1f chunker over the corpus, applies the
+    * deterministic retention predicate, and reports the store's truth:
+    * distinct chunk contents and bytes still live vs reclaimable — the
+    * number that tells an operator what a delete wave actually returns.
+    *
+    * Scale: the chunker's narrow map plus ONE hash aggregate on chunk
+    * content carrying two counts (total refs, surviving refs) — the
+    * classification is a per-group comparison, no joins at all. */
+  def cdcChunkGc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = cdcChunkRows(
+      Tables.documents(s, dir).select($"doc_id", $"lang", $"text"))
+    chunks
+      .groupBy($"chunk")
+      .agg(count(lit(1)).as("refs"),
+        sum(when(expr(GC_DEL), 0L).otherwise(1L)).as("live_refs"))
+      .select($"chunk",
+        when($"live_refs" > 0, "live").otherwise("reclaimable").as("status"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length($"chunk")).cast("long").as("n_bytes"))
+      .orderBy($"status")
+  }
+
+  val cdcChunkGcSql: String =
+    s"""WITH cuts AS (
+       |  SELECT doc_id, lang, text,
+       |    CASE WHEN length(text) >= $CDC_W THEN
+       |      list_filter(list_transform(
+       |        generate_series(1, length(text) - ${CDC_W - 1}),
+       |        p -> CASE WHEN (${cdcPolySql("ord")})
+       |          % $CDC_MOD = 0 THEN p END),
+       |        x -> x IS NOT NULL)
+       |    ELSE [] END AS cut_list
+       |  FROM documents),
+       |bnds AS (
+       |  SELECT doc_id, lang, text,
+       |    list_sort(list_distinct(
+       |      list_concat(list_concat([0], cut_list), [length(text)])))
+       |      AS bounds
+       |  FROM cuts),
+       |chunks AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(generate_series(1, len(bounds) - 1),
+       |      i -> substring(text, CAST(bounds[i] + 1 AS INTEGER),
+       |             CAST(bounds[i + 1] - bounds[i] AS INTEGER)))) AS chunk
+       |  FROM bnds),
+       |nz AS (SELECT * FROM chunks WHERE length(chunk) > 0),
+       |refs AS (
+       |  SELECT chunk,
+       |    SUM(CASE WHEN $GC_DEL THEN 0 ELSE 1 END) AS live_refs
+       |  FROM nz GROUP BY chunk)
+       |SELECT CASE WHEN live_refs > 0 THEN 'live' ELSE 'reclaimable' END
+       |    AS status,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(length(chunk)) AS BIGINT) AS n_bytes
+       |FROM refs GROUP BY 1 ORDER BY status""".stripMargin
+
+  /** Per-doc chunk-store overlap of any (doc_id, lang, text) relation
+    * against a standing chunk index (distinct chunk contents, column
+    * `chunk`): chunk the docs under the X1f boundary rule, probe the
+    * store, report per-doc chunk and byte overlap in basis points — the
+    * admission signal that lets an ingest path store only NOVEL chunks
+    * (and skip near-verbatim re-crawls outright). Shared by the batch
+    * form and [[graft.streaming.StreamJobs.cdcAdmitStream]]; the probe
+    * is one equi-join on chunk content + a per-doc hash aggregate. */
+  def cdcOverlapOf(docs: DataFrame, store: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    cdcChunkRows(docs)
+      .join(store.select($"chunk").distinct().withColumn("hit", lit(1L)),
+        Seq("chunk"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce($"hit", lit(0L))).as("dup_chunks"),
+        sum(length($"chunk")).cast("long").as("chunk_bytes"),
+        sum(when($"hit" === 1L, length($"chunk").cast("long"))
+          .otherwise(0L)).as("dup_bytes"))
+      .withColumn("dup_bp",
+        expr("dup_bytes * 10000 div greatest(chunk_bytes, 1L)"))
+  }
+
   // --- X2n: split-leakage audit — near-dups crossing the eval boundary ---
 
   /** EVAL-LEAKAGE census (round 13): near-duplicate pairs whose members
@@ -1195,6 +1288,8 @@ object DedupQueries {
        |ORDER BY split_lo, split_hi""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_cdc_chunk_gc", cdcChunkGc, Some(cdcChunkGcSql),
+      "X1g chunk-store GC census: live vs reclaimable chunk contents/bytes after a retention delete wave"),
     QueryDef("q_split_leakage", splitLeakage, Some(splitLeakageSql),
       "X2n eval-leakage census: near-dup pairs crossing the train/val/test split, composed from the X2 pair table + the sampling split rule"),
     QueryDef("q_cdc_chunks", cdcChunks, Some(cdcChunksSql),

@@ -634,6 +634,23 @@ object StreamJobs {
   def substringAdmitStream(docs: DataFrame, index: DataFrame): DataFrame =
     graft.ext.DedupQueries.substringOverlapOf(docs, index)
 
+  /** X1f/X1g streaming twin — CHUNK-STORE admission on an unbounded doc
+    * feed: each arriving document is CDC-chunked (the X1f boundary rule,
+    * a pure narrow in-row map) and probed against the standing
+    * content-addressed chunk store; the emitted per-doc chunk/byte
+    * overlap bp is the dedup-at-ingest decision ("store only the novel
+    * chunks" / "skip the near-verbatim re-crawl"). Runs inside
+    * foreachBatch like the other serve twins — the store is an artifact
+    * the operator refreshes between batches (compaction, GC per
+    * `q_cdc_chunk_gc`) without restarting the stream. StreamingSpec pins
+    * stream == batch plus the three anchor docs: a verbatim corpus copy
+    * fully hits (10000 bp), an alien doc misses entirely (0 bp), and a
+    * corpus-prefix+alien-suffix doc lands strictly between — the last
+    * one BECAUSE chunk boundaries are content-defined, so the shared
+    * prefix keeps its chunk identities inside a novel document. */
+  def cdcAdmitStream(docs: DataFrame, store: DataFrame): DataFrame =
+    graft.ext.DedupQueries.cdcOverlapOf(docs, store)
+
   /** XC2 streaming twin — score an unbounded document feed against the
     * TRAINED quality-classifier model (one weight relation including its
     * [[graft.ext.CurateQueries.BiasKey]] bias row) as the static side:

@@ -215,6 +215,58 @@ class StreamingSpec extends AnyFunSuite {
       spark.readStream.schema(factSchema).parquet(factDir))
   }
 
+  test("X1f/X1g chunk-store admission stream == batch, with verbatim/alien/mixed anchors") {
+    import graft.ext.DedupQueries
+    val docsT = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+    // the standing store: every distinct chunk content of the corpus
+    val storeDir = Files.createTempDirectory("graft-chunk-store").toString
+    DedupQueries.cdcChunkRows(docsT).select($"chunk").distinct()
+      .write.mode("overwrite").parquet(storeDir)
+    // the feed: a verbatim corpus copy, an alien doc, and a mixed doc
+    // whose PREFIX is corpus content (content-defined boundaries keep
+    // the prefix's chunk identities inside an otherwise-novel doc)
+    val corpusDoc = docsT.orderBy($"doc_id").limit(1)
+      .select($"text").as[String].head()
+    val alien = Seq.tabulate(600)(i =>
+      ('À' + (i * 7 + i / 13) % 48).toChar).mkString
+    val feedDir = Files.createTempDirectory("graft-cdc-feed").toString
+    Seq((9001L, "en", corpusDoc), (9002L, "en", corpusDoc + alien),
+        (9003L, "en", alien))
+      .toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(feedDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = spark.readStream.schema(schema).parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val store = spark.read.parquet(storeDir) // artifact-refresh shape
+        out.synchronized {
+          out ++= StreamJobs.cdcAdmitStream(batch, store)
+            .select($"doc_id", $"n_chunks", $"dup_chunks", $"dup_bp")
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+        ()
+      }.start()
+    try { q.processAllAvailable() } finally q.stop()
+    // stream == batch off the same store
+    val batchRows = DedupQueries.cdcOverlapOf(
+        spark.read.schema(schema).parquet(feedDir),
+        spark.read.parquet(storeDir))
+      .select($"doc_id", $"n_chunks", $"dup_chunks", $"dup_bp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet === batchRows.toSet)
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(byDoc(9001L)._4 === 10000L, "verbatim corpus copy must fully hit")
+    assert(byDoc(9003L)._4 === 0L, "alien doc must miss entirely")
+    val mixed = byDoc(9002L)._4
+    assert(mixed > 0L && mixed < 10000L,
+      s"corpus-prefix+alien-suffix doc should land strictly between: $mixed")
+  }
+
   test("stream-stream AS-OF enrich: late dim update in a LATER batch still wins") {
     // event time: browse@10:00 < cart@10:10 < purchase@10:20 — but the
     // cart row ARRIVES a whole micro-batch after the purchase. The fact
