@@ -1089,18 +1089,34 @@ object DedupQueries {
     * content (≈ chars/64 rows), two-phase aggregates above it. */
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chunks = cdcChunkRows(
-      Tables.documents(s, dir).select($"doc_id", $"lang", $"text"))
-    val spread = chunks.groupBy($"chunk")
-      .agg(countDistinct($"doc_id").as("n_docs_with"))
-    chunks.join(spread, Seq("chunk"))
-      .groupBy($"lang").agg(
-        countDistinct($"doc_id").as("n_docs"),
-        count(lit(1)).as("n_chunks"),
-        sum(length($"chunk")).cast("long").as("chunk_bytes"),
-        sum(when($"n_docs_with" >= 2, 1L).otherwise(0L)).as("dup_chunks"),
-        sum(when($"n_docs_with" >= 2, length($"chunk").cast("long"))
-          .otherwise(0L)).as("dup_bytes"))
+    val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"text")
+    // Single chunker pass: the naive chunks⋈(chunks groupBy chunk)
+    // self-join planned the (dominant-cost) chunking lambda TWICE — the
+    // two exchange subtrees differ, so ReuseExchange cannot dedup them.
+    // Instead aggregate once to the (chunk, lang) grain and settle the
+    // cross-doc spread with a chunk-partitioned window: langs partition
+    // the doc space, so summing per-(chunk, lang) distinct-doc counts
+    // over the chunk window IS the chunk's distinct-doc spread.
+    val perCL = cdcChunkRows(docs)
+      .groupBy($"chunk", $"lang").agg(
+        count(lit(1)).as("n_inst"),
+        countDistinct($"doc_id").as("n_docs_cl"),
+        sum(length($"chunk")).cast("long").as("bytes_cl"))
+    val wC = org.apache.spark.sql.expressions.Window.partitionBy($"chunk")
+    val flagged = perCL
+      .withColumn("n_docs_with", sum($"n_docs_cl").over(wC))
+    val census = flagged.groupBy($"lang").agg(
+      sum($"n_inst").as("n_chunks"),
+      sum($"bytes_cl").as("chunk_bytes"),
+      sum(when($"n_docs_with" >= 2, $"n_inst").otherwise(0L)).as("dup_chunks"),
+      sum(when($"n_docs_with" >= 2, $"bytes_cl").otherwise(0L)).as("dup_bytes"))
+    // per-lang doc counts come from the raw docs (a doc yields ≥1 chunk
+    // iff its text is non-empty) — a narrow count, not a second chunker
+    val nDocs = docs.filter(length($"text") > 0)
+      .groupBy($"lang").agg(countDistinct($"doc_id").as("n_docs"))
+    census.join(nDocs, Seq("lang"))
+      .select($"lang", $"n_docs", $"n_chunks", $"chunk_bytes",
+        $"dup_chunks", $"dup_bytes")
       .orderBy($"lang")
   }
 

@@ -18,6 +18,33 @@ class PlanShapeSpec extends AnyFunSuite {
   private def countOf(plan: String, token: String): Int =
     token.r.findAllIn(plan).size
 
+  test("round-13 queries: narrow chunker, bounded exchanges, broadcast dictionaries") {
+    // q_cdc_chunks: the chunker is a pure narrow in-row map — document
+    // TEXT never shuffles; the only exchanges are the chunk-content hash
+    // aggregates/join plus the presentation sort. No per-position explode
+    // (exactly one Generate: the chunk explode).
+    val cdc = planOf("q_cdc_chunks")
+    assert(countOf(cdc, "Generate") == 1, s"chunker should explode once:\n$cdc")
+    assert(!cdc.contains("CartesianProduct"))
+    assert(countOf(cdc, "Exchange rangepartitioning") == 1, cdc)
+    // q_split_leakage: the split tags are pure per-row md5 expressions —
+    // no join against a split table, no document scan at all (the pair
+    // table is the only input); one aggregate exchange + the sort
+    val sl = planOf("q_split_leakage")
+    assert(!sl.contains("documents.parquet"),
+      s"leakage census must not rescan documents:\n$sl")
+    // q_ann_matryoshka: each dim arm broadcasts the 20-query batch; the
+    // corpus is never shuffled for scoring (only per-arm window ranks +
+    // final union aggregate)
+    val mr = planOf("q_ann_matryoshka")
+    assert(countOf(mr, "BroadcastNestedLoopJoin") >= 3, mr)
+    assert(!mr.contains("CartesianProduct"))
+    // q_ann_pruned_recall: survivor dictionaries broadcast onto assign/
+    // probe sides (left_semi as BroadcastHashJoin), never shuffled joins
+    val pr = planOf("q_ann_pruned_recall")
+    assert(countOf(pr, "BroadcastHashJoin [^\\n]*LeftSemi") >= 2, pr)
+  }
+
   test("packing window is partitioned by stream key, never a global sort") {
     val plan = planOf("q_pack_sequences")
     assert(plan.contains("Window"))
