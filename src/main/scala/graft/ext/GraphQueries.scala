@@ -256,7 +256,77 @@ object GraphQueries {
        |ORDER BY peel_round""".stripMargin
   }
 
+  // --- G5: link prediction by common-neighbor Jaccard --------------------
+
+  /** Minimum shared neighbors for a predicted link. The capped LSH test
+    * graph is nearly clique-shaped (band buckets collide all-or-nothing),
+    * so distance-2 NON-edges are rare — at 2+ shared neighbors the
+    * sf0.01 graph yields none at all, and a 0-row gate row pins nothing.
+    * 1 keeps the audit non-trivial at test scale (3 rows at sf0.01, one
+    * with Jaccard 1.0 — a missed pair in the fullest sense) while the
+    * ranking is what a production run would threshold. */
+  private val LP_MIN_COMMON = 1L
+
+  /** LINK PREDICTION over the near-dup graph (round 13): for every
+    * non-adjacent pair reachable through ≥ [[LP_MIN_COMMON]] shared
+    * neighbors, the neighbor-set Jaccard — the classic
+    * common-neighbors/Jaccard link predictor, which for a dedup graph
+    * answers "which near-dup families are ONE family the banding
+    * narrowly missed" (two docs sharing most of their near-dup partners
+    * are almost surely variants of each other even if no band ever
+    * collided them — the recall patch applied where it is cheapest).
+    *
+    * Scale: the distance-2 expansion joins the adjacency list with
+    * itself on the SHARED NEIGHBOR — Σ deg² work, which the LSH bucket
+    * cap already bounds (max degree ≤ bands·(cap−1)); the existing-edge
+    * exclusion is a left-anti equi-join; degrees broadcast. Never
+    * all-pairs. */
+  def graphLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = edges(s, dir)
+    val sym = e.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionAll(e.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val cand = sym.toDF("a", "n").join(sym.toDF("b", "n"), "n")
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("common_n"))
+      .filter($"common_n" >= LP_MIN_COMMON)
+    cand
+      .join(e.toDF("a", "b"), Seq("a", "b"), "left_anti") // non-edges only
+      .join(broadcast(deg.toDF("a", "deg_a")), Seq("a"))
+      .join(broadcast(deg.toDF("b", "deg_b")), Seq("b"))
+      .select($"a".as("doc_a"), $"b".as("doc_b"), $"common_n",
+        expr("common_n * 1000000 div (deg_a + deg_b - common_n)")
+          .as("jaccard_ppm"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val graphLinkPredictSql: String =
+    s"""WITH $edgesCteSql,
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL SELECT doc_b, doc_a FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+       |cand AS (
+       |  SELECT x.src AS a, y.src AS b, COUNT(*) AS common_n
+       |  FROM sym x JOIN sym y ON x.dst = y.dst AND x.src < y.src
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $LP_MIN_COMMON),
+       |nonedge AS (
+       |  SELECT c.* FROM cand c
+       |  LEFT JOIN edges e ON c.a = e.doc_a AND c.b = e.doc_b
+       |  WHERE e.doc_a IS NULL)
+       |SELECT n.a AS doc_a, n.b AS doc_b,
+       |  CAST(n.common_n AS BIGINT) AS common_n,
+       |  CAST(n.common_n * 1000000 // (da.deg + db.deg - n.common_n)
+       |    AS BIGINT) AS jaccard_ppm
+       |FROM nonedge n
+       |JOIN deg da ON n.a = da.src
+       |JOIN deg db ON n.b = db.src
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_graph_link_predict", graphLinkPredict, Some(graphLinkPredictSql),
+      "G5 common-neighbor Jaccard link prediction: near-miss near-dup pairs the banding never collided"),
     QueryDef("q_graph_kcore", graphKcore, Some(graphKcoreSql),
       "G4 k-core onion decomposition: bounded-round peel census over the near-dup graph"),
     QueryDef("q_graph_degrees", graphDegrees, Some(graphDegreesSql),
