@@ -207,48 +207,55 @@ object CurateQueries {
   /** The XC2 training + scoring chain (base → toks → cnt → tot → wts →
     * prior → scored), shared by the distillation audit and the
     * calibration (reliability) audit. */
-  private val nbCtesSql: String = {
+  private val nbCtesSql: String = nbCtesSqlFor("", "TRUE")
+
+  /** Suffix-parameterized XC2 chain: the cohort-drift audit trains two
+    * models (sfx = "ca"/"cb", `trainWhere` restricting the TRAINING
+    * corpus) while scoring the FULL corpus with each; the unsuffixed
+    * chain trains and scores on everything. */
+  private def nbCtesSqlFor(sfx: String, trainWhere: String): String = {
     val stop = TextQueries.stopwords
     val sw = stop.map(w => s"'$w'").mkString("[", ", ", "]")
     val tc = "len(string_split(text, ' '))"
     val pc = "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))"
     val sc = s"len(list_filter(string_split(text, ' '), t -> list_contains($sw, t)))"
-    s"""base AS (
+    s"""base$sfx AS (
        |  SELECT doc_id, lang, text,
        |    CASE WHEN ${TextQueries.qualityPredSql} THEN 1 ELSE 0 END AS y,
        |    CAST($tc AS BIGINT) AS tc,
        |    CAST($pc AS BIGINT) AS pc,
        |    CAST($sc AS BIGINT) AS sc
        |  FROM documents),
-       |toks AS (
+       |toks$sfx AS (
        |  SELECT doc_id, lang, y, unnest(list_concat(string_split(text, ' '),
        |    ['__len_' || CAST(LEAST(tc // 10, 20) AS VARCHAR),
        |     '__punct_' || CAST(LEAST((100 * pc) // tc, 30) AS VARCHAR),
        |     '__stop_' || CAST(LEAST((100 * sc) // tc, 20) AS VARCHAR)]))
        |    AS tok
-       |  FROM base),
-       |cnt AS (
+       |  FROM base$sfx),
+       |cnt$sfx AS (
        |  SELECT tok, CAST(SUM(y) AS BIGINT) AS n1,
        |    CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM toks GROUP BY 1),
-       |tot AS (
+       |  FROM toks$sfx WHERE doc_id IN (SELECT doc_id FROM base$sfx WHERE $trainWhere)
+       |  GROUP BY 1),
+       |tot$sfx AS (
        |  SELECT CAST(SUM(n1) AS BIGINT) AS t1,
        |    CAST(SUM(n - n1) AS BIGINT) AS t0,
        |    CAST(COUNT(*) AS BIGINT) AS v
-       |  FROM cnt),
-       |wts AS (
+       |  FROM cnt$sfx),
+       |wts$sfx AS (
        |  SELECT tok,
        |    CAST(floor(ln(CAST(n1 + 1 AS DOUBLE) / (t1 + v)) * 1000000) AS BIGINT)
        |      - CAST(floor(ln(CAST(n - n1 + 1 AS DOUBLE) / (t0 + v)) * 1000000) AS BIGINT)
        |      AS w
-       |  FROM cnt CROSS JOIN tot),
-       |prior AS (
+       |  FROM cnt$sfx CROSS JOIN tot$sfx),
+       |prior$sfx AS (
        |  SELECT CAST(floor(ln(CAST(SUM(y) + 1 AS DOUBLE)
        |    / (COUNT(*) - SUM(y) + 1)) * 1000000) AS BIGINT) AS bias
-       |  FROM base),
-       |scored AS (
+       |  FROM base$sfx WHERE $trainWhere),
+       |scored$sfx AS (
        |  SELECT t.doc_id, t.lang, t.y, CAST(SUM(w.w) AS BIGINT) AS s
-       |  FROM toks t JOIN wts w USING (tok)
+       |  FROM toks$sfx t JOIN wts$sfx w USING (tok)
        |  GROUP BY 1, 2, 3)""".stripMargin
   }
 
@@ -745,7 +752,170 @@ object CurateQueries {
        |    - (n_pass * 1000000) // n_docs) AS gap_ppm
        |FROM agg ORDER BY bucket""".stripMargin
 
+  // --- XC11: quality-model cohort drift audit ----------------------------
+
+  /** Cohort drift audit of the distilled quality classifier — the
+    * tokenizer-drift pattern ([[TextQueries.tokenizerDrift]]) applied to
+    * the XC2 model: train one model per disjoint cohort (doc_id parity),
+    * score the FULL corpus with both, and report where the two models
+    * disagree. This is the pre-deployment check for a retrained quality
+    * filter: a high `disagree_bp` in one language means the new model
+    * would reshape that slice of the corpus, flagging it for review
+    * before the filter swap.
+    *
+    * Scale: two training passes (each a token hash-agg + broadcast-sized
+    * weight table), two scoring passes that stream the corpus against
+    * broadcast weights, one doc-keyed equi-join of the two verdict
+    * relations, tiny per-lang rollup. Cost = 2× the XC2 scoring pass. */
+  def qualityDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sa = nbScore(docs, nbTrain(docs.filter($"doc_id" % 2 === 0)))
+      .select($"doc_id", $"lang", $"y", $"m".as("m_a"))
+    val sb = nbScore(docs, nbTrain(docs.filter($"doc_id" % 2 === 1)))
+      .select($"doc_id", $"m".as("m_b"))
+    sa.join(sb, Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"y").as("n_rule_pass"),
+        sum($"m_a").as("n_pass_a"),
+        sum($"m_b").as("n_pass_b"),
+        sum(($"m_a" === $"m_b").cast(LongType)).as("n_agree"))
+      .withColumn("disagree_bp",
+        expr("(10000 * (n_docs - n_agree)) div n_docs"))
+      .orderBy($"lang")
+  }
+
+  val qualityDriftSql: String =
+    s"""WITH ${nbCtesSqlFor("ca", "doc_id % 2 = 0")},
+       |${nbCtesSqlFor("cb", "doc_id % 2 = 1")},
+       |clsa AS (
+       |  SELECT doc_id, lang, y,
+       |    CASE WHEN s + (SELECT bias FROM priorca) > 0 THEN 1 ELSE 0 END
+       |      AS m_a
+       |  FROM scoredca),
+       |clsb AS (
+       |  SELECT doc_id,
+       |    CASE WHEN s + (SELECT bias FROM priorcb) > 0 THEN 1 ELSE 0 END
+       |      AS m_b
+       |  FROM scoredcb)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(y) AS BIGINT) AS n_rule_pass,
+       |  CAST(SUM(m_a) AS BIGINT) AS n_pass_a,
+       |  CAST(SUM(m_b) AS BIGINT) AS n_pass_b,
+       |  CAST(SUM(CASE WHEN m_a = m_b THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  (10000 * (COUNT(*)
+       |    - CAST(SUM(CASE WHEN m_a = m_b THEN 1 ELSE 0 END) AS BIGINT)))
+       |    // COUNT(*) AS disagree_bp
+       |FROM clsa JOIN clsb USING (doc_id) GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --- XC10: DSIR importance-weighted data selection ---------------------
+
+  /** Hashed-n-gram feature buckets for DSIR (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"). */
+  private val DsirBuckets = 128L
+
+  /** DSIR-style data selection: score every candidate document by the
+    * log importance ratio of a TARGET feature distribution (here: the
+    * `en` sub-corpus, standing in for the curated high-quality target
+    * set) over the RAW candidate distribution, with features = word
+    * unigrams hashed into [[DsirBuckets]] buckets, Laplace-smoothed.
+    * A candidate is selected when its summed log-ratio is positive —
+    * "looks more like the target than like the raw pool" — the
+    * deterministic threshold form of DSIR's importance resampling
+    * (the sampled form adds Gumbel noise to the same weights; a
+    * threshold keeps both engines exact).
+    *
+    * Weight-table discipline (the XC2 idiom): per-bucket log
+    * probabilities are quantized ONCE into integer micro-units
+    * (`floor(ln(·)·10⁶)`) in the ≤128-row bucket table, so every
+    * per-document quantity is an exact BIGINT sum — cross-engine
+    * drift is confined to the bucket table's one libm call per row.
+    *
+    * Scale: one scan of the corpus computes gram occurrences; the two
+    * distributions are ≤128-row aggregates (broadcast back); per-doc
+    * scoring is ONE hash aggregate on doc_id. No global sort/window —
+    * the selection rule is a per-row threshold, embarrassingly
+    * parallel at any corpus size. */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val grams = docs.select($"doc_id", $"lang", $"source",
+        explode(split($"text", " ")).as("gram"))
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(gram), 1, 12), 16, 10) AS BIGINT)")
+          % DsirBuckets)
+    val tgt = grams.filter($"lang" === "en")
+      .groupBy($"bucket").agg(count(lit(1)).as("n_t"))
+    val raw = grams.filter($"lang" =!= "en")
+      .groupBy($"bucket").agg(count(lit(1)).as("n_s"))
+    // every candidate bucket exists in `raw`; absent target buckets
+    // smooth to n_t = 0 via the left join
+    val scores = raw.join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_t"))
+      .crossJoin(broadcast(raw.agg(sum($"n_s").as("tot_s"))))
+      .crossJoin(broadcast(tgt.agg(sum($"n_t").as("tot_t"))))
+      .select($"bucket",
+        (floor(log(($"n_t" + 1).cast(DoubleType)
+          / ($"tot_t" + lit(DsirBuckets))) * 1000000L)
+          - floor(log(($"n_s" + 1).cast(DoubleType)
+            / ($"tot_s" + lit(DsirBuckets))) * 1000000L))
+          .cast(LongType).as("w_u"))
+    grams.filter($"lang" =!= "en")
+      .join(broadcast(scores), Seq("bucket"))
+      .groupBy($"doc_id", $"lang", $"source")
+      .agg(sum($"w_u").as("logw_u"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(($"logw_u" > 0).cast(LongType)).as("n_sel"),
+        sum(when($"logw_u" > 0, $"logw_u").otherwise(0L)).as("sum_sel_logw"))
+      .withColumn("sel_bp", expr("(10000 * n_sel) div n_cand"))
+      .orderBy($"lang", $"source")
+  }
+
+  val dsirSelectSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % $DsirBuckets
+       |      AS bucket
+       |  FROM (SELECT doc_id, lang, source,
+       |          unnest(string_split(text, ' ')) AS g FROM documents)),
+       |tgt AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_t FROM grams
+       |  WHERE lang = 'en' GROUP BY 1),
+       |raw AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_s FROM grams
+       |  WHERE lang <> 'en' GROUP BY 1),
+       |tot AS (
+       |  SELECT (SELECT CAST(SUM(n_t) AS BIGINT) FROM tgt) AS tot_t,
+       |         (SELECT CAST(SUM(n_s) AS BIGINT) FROM raw) AS tot_s),
+       |scores AS (
+       |  SELECT raw.bucket,
+       |    CAST(floor(ln(CAST(COALESCE(tgt.n_t, 0) + 1 AS DOUBLE)
+       |        / (tot_t + $DsirBuckets)) * 1000000) AS BIGINT)
+       |      - CAST(floor(ln(CAST(raw.n_s + 1 AS DOUBLE)
+       |        / (tot_s + $DsirBuckets)) * 1000000) AS BIGINT) AS w_u
+       |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot),
+       |perdoc AS (
+       |  SELECT g.doc_id, g.lang, g.source,
+       |    CAST(SUM(s.w_u) AS BIGINT) AS logw_u
+       |  FROM grams g JOIN scores s ON g.bucket = s.bucket
+       |  WHERE g.lang <> 'en'
+       |  GROUP BY 1, 2, 3)
+       |SELECT lang, source, COUNT(*) AS n_cand,
+       |  CAST(SUM(CASE WHEN logw_u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+       |  CAST(SUM(CASE WHEN logw_u > 0 THEN logw_u ELSE 0 END) AS BIGINT)
+       |    AS sum_sel_logw,
+       |  (10000 * CAST(SUM(CASE WHEN logw_u > 0 THEN 1 ELSE 0 END) AS BIGINT))
+       |    // COUNT(*) AS sel_bp
+       |FROM perdoc GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_quality_drift", qualityDrift, Some(qualityDriftSql),
+      "XC11 cohort drift audit of the distilled quality model: parity-trained twins scored on the full corpus"),
+    QueryDef("q_dsir_select", dsirSelect, Some(dsirSelectSql),
+      "XC10 DSIR importance-weighted selection: hashed-unigram target/raw log-ratio, integer weight table, threshold select"),
     QueryDef("q_quality_calibration", qualityCalibration,
       Some(qualityCalibrationSql),
       "XC9 reliability diagram of the distilled classifier: logit buckets, empirical vs logistic ppm, gap"),

@@ -1094,6 +1094,42 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("XC10 DSIR: selection census equals a brute local importance replay") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).substring(0, 12), 16) % 128L
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ", -1).toSeq))
+    val tgt = docs.filter(_._2 == "en").flatMap(_._4).map(bucket)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val raw = docs.filter(_._2 != "en").flatMap(_._4).map(bucket)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (totT, totS) = (tgt.values.sum, raw.values.sum)
+    val w: Map[Long, Long] = raw.map { case (b, ns) =>
+      b -> (math.floor(math.log((tgt.getOrElse(b, 0L) + 1).toDouble
+          / (totT + 128)) * 1e6).toLong
+        - math.floor(math.log((ns + 1).toDouble / (totS + 128)) * 1e6).toLong)
+    }
+    val perDoc = docs.filter(_._2 != "en").map { case (_, lang, src, ws) =>
+      (lang, src, ws.map(g => w(bucket(g))).sum)
+    }
+    val expected = perDoc.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.count(_._3 > 0).toLong,
+        xs.filter(_._3 > 0).map(_._3).sum)
+    }
+    val got = CurateQueries.dsirSelect(spark, sf).collect().map { r =>
+      (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_cand"), r.getAs[Long]("n_sel"),
+          r.getAs[Long]("sum_sel_logw"))
+    }.toMap
+    assert(got === expected)
+    assert(got.values.map(_._2).sum > 0) // the threshold selects something
+  }
+
   test("X2j ER: entities equal the local transitive closure of JW pairs") {
     import graft.functions.JaroWinkler
     import org.apache.spark.unsafe.types.UTF8String
