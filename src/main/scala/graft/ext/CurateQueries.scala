@@ -838,10 +838,13 @@ object CurateQueries {
     * scoring is ONE hash aggregate on doc_id. No global sort/window —
     * the selection rule is a per-row threshold, embarrassingly
     * parallel at any corpus size. */
-  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val grams = docs.select($"doc_id", $"lang", $"source",
+  /** Trained DSIR artifact: the ≤[[DsirBuckets]]-row (bucket, w_u)
+    * integer log-ratio table (in deployment: persisted via
+    * `ArtifactStore` and re-resolved per micro-batch by the admission
+    * stream). */
+  private[graft] def dsirScores(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = docs.select($"lang",
         explode(split($"text", " ")).as("gram"))
       .withColumn("bucket",
         expr("CAST(conv(substring(md5(gram), 1, 12), 16, 10) AS BIGINT)")
@@ -852,7 +855,7 @@ object CurateQueries {
       .groupBy($"bucket").agg(count(lit(1)).as("n_s"))
     // every candidate bucket exists in `raw`; absent target buckets
     // smooth to n_t = 0 via the left join
-    val scores = raw.join(tgt, Seq("bucket"), "left")
+    raw.join(tgt, Seq("bucket"), "left")
       .na.fill(0L, Seq("n_t"))
       .crossJoin(broadcast(raw.agg(sum($"n_s").as("tot_s"))))
       .crossJoin(broadcast(tgt.agg(sum($"n_t").as("tot_t"))))
@@ -862,13 +865,37 @@ object CurateQueries {
           - floor(log(($"n_s" + 1).cast(DoubleType)
             / ($"tot_s" + lit(DsirBuckets))) * 1000000L))
           .cast(LongType).as("w_u"))
-    grams.filter($"lang" =!= "en")
-      .join(broadcast(scores), Seq("bucket"))
-      .groupBy($"doc_id", $"lang", $"source")
-      .agg(sum($"w_u").as("logw_u"))
+  }
+
+  /** Score candidate docs against a TRAINED bucket table — one NARROW
+    * per-row pass: the weight table rides as a broadcast single-row map
+    * and each doc folds its own token array through it (no explode, no
+    * per-gram shuffle), so the same code is the stateless streaming
+    * admission filter ([[graft.streaming.StreamJobs.dsirAdmitStream]]).
+    * A gram whose bucket the table never saw contributes 0, exactly the
+    * inner-join semantics of the per-gram formulation. */
+  private[graft] def dsirScoreOf(docs: DataFrame, scores: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val wmap = scores
+      .agg(map_from_entries(collect_list(struct($"bucket", $"w_u"))).as("wmap"))
+    docs.filter($"lang" =!= "en")
+      .crossJoin(broadcast(wmap))
+      .withColumn("logw_u", expr(
+        s"""aggregate(split(text, ' '), 0L, (acc, g) -> acc + coalesce(
+           |  element_at(wmap,
+           |    CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT)
+           |      % $DsirBuckets), 0L))""".stripMargin))
+      .select($"doc_id", $"lang", $"source", $"logw_u",
+        ($"logw_u" > 0).cast(LongType).as("admit"))
+  }
+
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    dsirScoreOf(docs, dsirScores(docs))
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_cand"),
-        sum(($"logw_u" > 0).cast(LongType)).as("n_sel"),
+        sum($"admit").as("n_sel"),
         sum(when($"logw_u" > 0, $"logw_u").otherwise(0L)).as("sum_sel_logw"))
       .withColumn("sel_bp", expr("(10000 * n_sel) div n_cand"))
       .orderBy($"lang", $"source")

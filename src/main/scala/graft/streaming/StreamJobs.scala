@@ -665,6 +665,18 @@ object StreamJobs {
   def qualityScoreStream(docs: DataFrame, model: DataFrame): DataFrame =
     graft.ext.CurateQueries.nbScore(docs, model)
 
+  /** XC10 streaming twin — DSIR admission on an unbounded document feed:
+    * the trained importance bucket table rides as a broadcast single-row
+    * MAP and each doc folds its own token array through it, so the whole
+    * filter is a stateless narrow map (no explode, no keyed state, no
+    * watermark) and admits exactly the docs the batch selector keeps.
+    * Unlike the XC2 scorer this needs no foreachBatch: the per-doc
+    * reduce happens INSIDE the row via a higher-order fold, the shape
+    * that turns a corpus-wide selection rule into a per-record ingest
+    * gate. StreamingSpec pins stream == batch per-doc verdicts. */
+  def dsirAdmitStream(docs: DataFrame, scores: DataFrame): DataFrame =
+    graft.ext.CurateQueries.dsirScoreOf(docs, scores)
+
   /** L3 streaming twin — the stateless shard ROUTER on an unbounded
     * document feed: shard ids under both strategies are pure per-row
     * functions of doc_id (md5 → 16-bit key → mod / hash-range slots), so

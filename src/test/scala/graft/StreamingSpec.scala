@@ -489,6 +489,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalRows === batch)
   }
 
+  test("XC10 twin: streaming DSIR admission equals the batch selector per doc") {
+    // the admission rule is a pure per-row fold through the broadcast
+    // weight map, so arbitrary micro-batch splits must reproduce the
+    // batch verdicts row-for-row
+    val tmp = Files.createTempDirectory("graft-dsir-stream").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(3).write.parquet(s"$tmp/docs")
+    val scores = graft.ext.CurateQueries
+      .dsirScores(Tables.documents(spark, sf))
+    val q = StreamJobs.dsirAdmitStream(
+        StreamJobs.docsStream(spark, s"$tmp/docs", maxFilesPerTrigger = Some(1)),
+        scores)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsir_admit_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))
+    val streamed = spark.table("dsir_admit_out")
+      .select($"doc_id", $"lang", $"source", $"logw_u", $"admit").collect()
+      .map(key).toMap
+    val batch = graft.ext.CurateQueries
+      .dsirScoreOf(Tables.documents(spark, sf), scores)
+      .select($"doc_id", $"lang", $"source", $"logw_u", $"admit").collect()
+      .map(key).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.values.exists(_._4 == 1L))
+  }
+
   test("L3 twin: streaming shard router equals the batch assignment") {
     // the router is a pure per-row function, so arbitrary micro-batch
     // splits must produce exactly the batch audit's assignment
