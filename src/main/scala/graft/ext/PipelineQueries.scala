@@ -148,7 +148,10 @@ object PipelineQueries {
     * re-sorts inside partitions, no second corpus shuffle of new data);
     * output is one row per kept document — corpus-linear, the manifest's
     * inherent size. */
-  def packManifest(s: SparkSession, dir: String): DataFrame = {
+  /** The manifest relation WITH its running `cum_before` column — the
+    * per-(stream, doc) packing coordinates [[packManifest]] publishes and
+    * the resume-frontier audit ([[resumePosition]]) seeks into. */
+  private def manifestRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = TextQueries.tokensPerDocOf(
         Tables.documents(s, dir), TextQueries.bpeMergeTable(s, dir),
@@ -163,6 +166,11 @@ object PipelineQueries {
       .withColumn("seq_pos",
         row_number().over(Window.partitionBy($"lang", $"source", $"bin")
           .orderBy($"doc_id")).cast("long"))
+  }
+
+  def packManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    manifestRows(s, dir)
       .select($"lang", $"source", $"bin", $"seq_pos", $"doc_id",
         $"n_tok", $"start_off")
       .orderBy($"lang", $"source", $"bin", $"seq_pos")
@@ -184,6 +192,91 @@ object PipelineQueries {
        |  doc_id, n_tok,
        |  CAST(cum_before % $PACK_BUDGET AS BIGINT) AS start_off
        |FROM c3 ORDER BY lang, source, bin, seq_pos""".stripMargin
+
+  // --- XP22: checkpoint resume frontier ---------------------------------
+
+  /** Fraction of each stream consumed at the simulated checkpoint:
+    * ckpt_tokens = stream_total div [[RESUME_DIV]]. */
+  private val RESUME_DIV = 3L
+
+  /** The dataloader fast-forward op: given a checkpoint that records how
+    * many tokens of each (lang, source) stream were consumed (here the
+    * deterministic stand-in `total div 3` — a crash a third of the way
+    * through the epoch), seek the exact resume coordinates in the
+    * packing manifest WITHOUT re-reading the corpus: the first document
+    * not fully consumed, its (bin, seq_pos, start_off), how many docs
+    * and tokens to skip, and the mid-document token offset (a document
+    * straddling the checkpoint is re-entered, not re-read from zero —
+    * `within_doc_off` is where inside it decoding resumes).
+    *
+    * Scale: the seek is manifest arithmetic — one windowed pass builds
+    * the same cumulative coordinates the packer already publishes, one
+    * conditional aggregate per stream finds the frontier, one self-join
+    * fetches its coordinates. At deployment the manifest is the small
+    * relation (|corpus|/docs-per-bin rows per stream, stored with the
+    * shards), so resume cost is independent of corpus bytes. */
+  def resumePosition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = manifestRows(s, dir)
+    val ck = rows.groupBy($"lang", $"source")
+      .agg(expr(s"sum(n_tok) div $RESUME_DIV").as("ckpt_tokens"))
+    val r = rows.join(ck, Seq("lang", "source"))
+    val agg = r.groupBy($"lang", $"source", $"ckpt_tokens")
+      .agg(
+        sum(when($"cum_before" + $"n_tok" <= $"ckpt_tokens", 1L)
+          .otherwise(0L)).as("skip_docs"),
+        min(when($"cum_before" + $"n_tok" > $"ckpt_tokens", $"doc_id"))
+          .as("resume_doc_id"))
+    agg.join(
+        r.select($"lang", $"source", $"doc_id".as("resume_doc_id"),
+          $"bin".as("resume_bin"), $"seq_pos".as("resume_seq_pos"),
+          $"start_off".as("resume_start_off"), $"cum_before"),
+        Seq("lang", "source", "resume_doc_id"))
+      .select($"lang", $"source", $"ckpt_tokens", $"skip_docs",
+        $"resume_doc_id", $"resume_bin", $"resume_seq_pos",
+        $"resume_start_off",
+        ($"ckpt_tokens" - $"cum_before").as("within_doc_off"))
+      .orderBy($"lang", $"source")
+  }
+
+  val resumePositionSql: String =
+    TextQueries.tokensPerDocCteSql + s""",
+       |t3 AS (
+       |  SELECT d.lang, d.source, t.doc_id, t.n_tokens AS n_tok
+       |  FROM tokc t JOIN documents d ON t.doc_id = d.doc_id),
+       |c3 AS (
+       |  SELECT lang, source, doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t3),
+       |m3 AS (
+       |  SELECT lang, source, doc_id, n_tok, cum_before,
+       |    CAST(cum_before // $PACK_BUDGET AS BIGINT) AS bin,
+       |    CAST(cum_before % $PACK_BUDGET AS BIGINT) AS start_off,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY lang, source, cum_before // $PACK_BUDGET
+       |      ORDER BY doc_id) AS BIGINT) AS seq_pos
+       |  FROM c3),
+       |ck AS (
+       |  SELECT lang, source,
+       |    CAST(SUM(n_tok) // $RESUME_DIV AS BIGINT) AS ckpt_tokens
+       |  FROM m3 GROUP BY 1, 2),
+       |r3 AS (SELECT m3.*, ck.ckpt_tokens FROM m3 JOIN ck USING (lang, source)),
+       |agg3 AS (
+       |  SELECT lang, source, ckpt_tokens,
+       |    CAST(SUM(CASE WHEN cum_before + n_tok <= ckpt_tokens
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS skip_docs,
+       |    MIN(CASE WHEN cum_before + n_tok > ckpt_tokens
+       |      THEN doc_id END) AS resume_doc_id
+       |  FROM r3 GROUP BY 1, 2, 3)
+       |SELECT a.lang, a.source, a.ckpt_tokens, a.skip_docs,
+       |  a.resume_doc_id, r.bin AS resume_bin, r.seq_pos AS resume_seq_pos,
+       |  r.start_off AS resume_start_off,
+       |  CAST(a.ckpt_tokens - r.cum_before AS BIGINT) AS within_doc_off
+       |FROM agg3 a JOIN r3 r
+       |  ON a.lang = r.lang AND a.source = r.source
+       |  AND a.resume_doc_id = r.doc_id
+       |ORDER BY a.lang, a.source""".stripMargin
 
   // --- XP14: the composed corpus-assembly pipeline ----------------------
 
@@ -1258,6 +1351,8 @@ object PipelineQueries {
       "XP1b sequence packing budgeted by EXACT trained-BPE token counts (no estimate)"),
     QueryDef("q_pipeline_corpus", pipelineCorpus, Some(pipelineCorpusSql),
       "XP14 composed corpus assembly: quality gate -> exact-dedup keep -> exact-token packing, one audit row per stream"),
+    QueryDef("q_resume_position", resumePosition, Some(resumePositionSql),
+      "XP22 dataloader fast-forward: exact per-stream resume coordinates in the packing manifest at a token checkpoint"),
     QueryDef("q_pack_manifest", packManifest, Some(packManifestSql),
       "XP1c the packing manifest: per-bin doc composition with exact-token offsets (what a loader reads)"),
     QueryDef("q_mix_weighted", mixWeighted, Some(mixWeightedSql),

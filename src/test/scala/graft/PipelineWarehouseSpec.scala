@@ -115,6 +115,34 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(manAgg == census, "manifest diverged from the bin census")
   }
 
+  test("XP22 resume: frontier coordinates reconcile with the manifest") {
+    val manifest = PipelineQueries.packManifest(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(4)),
+        (r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))))
+      .toMap // (lang, source, doc_id) -> (bin, seq_pos, n_tok, start_off)
+    val out = PipelineQueries.resumePosition(spark, sf).collect()
+    assert(out.nonEmpty)
+    val streams = manifest.keys.map(k => (k._1, k._2)).toSet
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet === streams)
+    out.foreach { r =>
+      val (lang, source) = (r.getString(0), r.getString(1))
+      val ckpt = r.getAs[Long]("ckpt_tokens")
+      val docs = manifest.collect { case ((l, s, id), v) if l == lang && s == source => id -> v }
+      val total = docs.map(_._2._3).sum
+      assert(ckpt === total / 3)
+      val (bin, seqPos, nTok, startOff) = docs.toMap.apply(r.getAs[Long]("resume_doc_id"))
+      assert(r.getAs[Long]("resume_bin") === bin)
+      assert(r.getAs[Long]("resume_seq_pos") === seqPos)
+      assert(r.getAs[Long]("resume_start_off") === startOff)
+      // the frontier doc straddles the checkpoint: consumed before it,
+      // not past it; mid-doc offset lands inside the doc
+      val off = r.getAs[Long]("within_doc_off")
+      assert(off >= 0 && off < nTok)
+      assert(r.getAs[Long]("skip_docs") ===
+        docs.count(_._1 < r.getAs[Long]("resume_doc_id")).toLong)
+    }
+  }
+
   test("XP14 corpus assembly: stages compose — local replay of gate, dedup, pack") {
     val out = PipelineQueries.pipelineCorpus(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
