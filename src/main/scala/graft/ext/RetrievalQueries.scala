@@ -343,7 +343,188 @@ object RetrievalQueries {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  // --- X4t: retrieval quality evaluation (Recall@K / MRR / NDCG@K) -------
+
+  /** The qrel batch: (query_id, term) — the batched-query relation the
+    * BM25 Scaladoc promises. Constant-size; a production eval broadcasts
+    * thousands of rows the same way. */
+  /** Queries 1-2 include the corpus's one RARE term (`dup`, ~5% of docs)
+    * so binary relevance is selective and the metrics discriminate;
+    * query 3 is all-common-terms — the saturated control (every top-K
+    * doc relevant, NDCG ≈ 1) that pins the metric ceiling. */
+  private val EVAL_QUERIES: Seq[(Long, String)] = Seq(
+    1L -> "dup", 1L -> "spark",
+    2L -> "dup", 2L -> "window", 2L -> "merge",
+    3L -> "stream", 3L -> "batch", 3L -> "hash")
+  private val EVAL_K = 10
+
+  /** Retrieval-quality evaluation — the IR metrics a RAG pipeline tracks
+    * per index build: run the batched BM25 ranker over the qrel queries
+    * and grade it against a deterministic relevance oracle derived from
+    * the corpus itself (graded rel(q,d) = number of q's distinct terms d
+    * contains; binary-relevant = contains ALL terms). Emits per query:
+    * relevant-set size, hits@K, Recall@K, MRR@K, and NDCG@K with the
+    * standard (2^rel − 1)/log₂(rank+1) gains.
+    *
+    * Determinism: BM25 scores round at 5 places and rank with a doc_id
+    * tie-break (the X4i rule); each DCG gain is quantized to integer
+    * micro-units with the gain FORMULA written token-for-token
+    * identically in both engines, so every metric is exact integer math
+    * (`*_bp` basis points, `mrr_u` micro-units).
+    *
+    * Scale: the term `isin` filter prunes the token stream before any
+    * shuffle (O(matching docs·|terms|) exchanged); qrels/df/corpus stats
+    * ride as broadcasts; per-query rank windows are WindowGroupLimit-
+    * capped at K, and the eval parallelism is the qrel batch size — at
+    * deployment the "3 queries" are thousands of rows, and nothing in
+    * the plan depends on corpus size beyond the one pruned scan. */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val qrels = EVAL_QUERIES.toDF("query_id", "term")
+    val nterms = qrels.groupBy($"query_id").agg(count(lit(1)).as("n_terms"))
+    val terms = EVAL_QUERIES.map(_._2).distinct
+    val dl = docs.select($"doc_id",
+      size(split($"text", " ")).cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val tf0 = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .filter($"tok".isin(terms: _*))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dfs = tf0.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val qtf = tf0.join(broadcast(qrels), $"tok" === $"term")
+      .select($"query_id", $"doc_id", $"tok", $"tf")
+    // graded relevance: distinct query terms the doc contains (tf0 is
+    // already one row per (doc, tok)); binary = all of them
+    val relFull = qtf.groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).as("rel"))
+      .join(broadcast(nterms), "query_id")
+      .withColumn("is_rel", ($"rel" === $"n_terms").cast(LongType))
+    val scored = qtf
+      .join(broadcast(dfs), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"query_id", $"doc_id",
+        (log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+          ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))).as("c"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(round(sum($"c"), 5).as("score"))
+    val gainU = expr("CAST(floor(1000000.0 * (pow(2.0, rel) - 1.0) " +
+      "/ (ln(CAST(rnk + 1 AS DOUBLE)) / ln(2.0))) AS BIGINT)")
+    val wq = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"doc_id".asc)
+    val retrieved = scored
+      .withColumn("rnk", row_number().over(wq).cast(LongType))
+      .filter($"rnk" <= EVAL_K)
+      .join(relFull.select($"query_id", $"doc_id", $"rel", $"is_rel"),
+        Seq("query_id", "doc_id"))
+      .withColumn("gain_u", gainU)
+      .groupBy($"query_id")
+      .agg(sum($"gain_u").as("dcg_u"),
+        sum($"is_rel").as("hits"),
+        min(when($"is_rel" === 1L, $"rnk")).as("first_rel"))
+    val wi = Window.partitionBy($"query_id")
+      .orderBy($"rel".desc, $"doc_id".asc)
+    val ideal = relFull
+      .withColumn("rnk", row_number().over(wi).cast(LongType))
+      .filter($"rnk" <= EVAL_K)
+      .withColumn("gain_u", gainU)
+      .groupBy($"query_id").agg(sum($"gain_u").as("idcg_u"))
+    relFull.groupBy($"query_id").agg(sum($"is_rel").as("n_rel"))
+      .join(retrieved, "query_id")
+      .join(ideal, "query_id")
+      .select($"query_id", $"n_rel", $"hits",
+        expr("CASE WHEN n_rel = 0 THEN 0L ELSE (10000 * hits) div n_rel END")
+          .as("recall_bp"),
+        coalesce(expr("1000000 div first_rel"), lit(0L)).as("mrr_u"),
+        $"dcg_u", $"idcg_u",
+        expr("(10000 * dcg_u) div idcg_u").as("ndcg_bp"))
+      .orderBy($"query_id")
+  }
+
+  val retrievalEvalSql: String = {
+    val qvals = EVAL_QUERIES
+      .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")
+    val terms = EVAL_QUERIES.map(_._2).distinct
+    val gainU = "CAST(floor(1000000.0 * (pow(2.0, rel) - 1.0) " +
+      "/ (ln(CAST(rnk + 1 AS DOUBLE)) / ln(2.0))) AS BIGINT)"
+    s"""WITH qrels(query_id, term) AS (VALUES $qvals),
+       |nterms AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+       |  FROM qrels GROUP BY 1),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM dl),
+       |tf0 AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)
+       |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1, 2),
+       |dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf0 GROUP BY 1),
+       |qtf AS (
+       |  SELECT q.query_id, t.doc_id, t.tok, t.tf
+       |  FROM tf0 t JOIN qrels q ON t.tok = q.term),
+       |relfull AS (
+       |  SELECT r.query_id, r.doc_id, r.rel, n.n_terms,
+       |    CASE WHEN r.rel = n.n_terms THEN 1 ELSE 0 END AS is_rel
+       |  FROM (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+       |        FROM qtf GROUP BY 1, 2) r
+       |  JOIN nterms n ON r.query_id = n.query_id),
+       |scored AS (
+       |  SELECT qtf.query_id, qtf.doc_id,
+       |    round(SUM(
+       |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+       |      (tf * 2.2) /
+       |      (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))), 5) AS score
+       |  FROM qtf
+       |  JOIN dfs USING (tok)
+       |  JOIN dl ON dl.doc_id = qtf.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT s.query_id, s.doc_id, r.rel, r.is_rel,
+       |    CAST(s.rnk AS BIGINT) AS rnk
+       |  FROM (SELECT query_id, doc_id, score, row_number() OVER (
+       |          PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+       |          AS rnk FROM scored) s
+       |  JOIN relfull r ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+       |  WHERE s.rnk <= $EVAL_K),
+       |retrieved AS (
+       |  SELECT query_id,
+       |    CAST(SUM($gainU) AS BIGINT) AS dcg_u,
+       |    CAST(SUM(is_rel) AS BIGINT) AS hits,
+       |    MIN(CASE WHEN is_rel = 1 THEN rnk END) AS first_rel
+       |  FROM ranked GROUP BY 1),
+       |ideal AS (
+       |  SELECT query_id, CAST(SUM($gainU) AS BIGINT) AS idcg_u FROM (
+       |    SELECT query_id, rel, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS BIGINT)
+       |      AS rnk
+       |    FROM relfull) WHERE rnk <= $EVAL_K GROUP BY 1),
+       |truth AS (
+       |  SELECT query_id, CAST(SUM(is_rel) AS BIGINT) AS n_rel
+       |  FROM relfull GROUP BY 1)
+       |SELECT t.query_id, t.n_rel, v.hits,
+       |  CASE WHEN t.n_rel = 0 THEN 0
+       |    ELSE (10000 * v.hits) // t.n_rel END AS recall_bp,
+       |  CAST(COALESCE(1000000 // v.first_rel, 0) AS BIGINT) AS mrr_u,
+       |  v.dcg_u, i.idcg_u,
+       |  (10000 * v.dcg_u) // i.idcg_u AS ndcg_bp
+       |FROM truth t
+       |JOIN retrieved v ON t.query_id = v.query_id
+       |JOIN ideal i ON t.query_id = i.query_id
+       |ORDER BY t.query_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_retrieval_eval", retrievalEval, Some(retrievalEvalSql),
+      "X4t IR eval of the BM25 ranker: Recall@K, MRR@K, NDCG@K vs a graded term-containment oracle, integer metrics"),
     QueryDef("q_text_bm25", textBm25, Some(textBm25Sql),
       "X4i BM25 ranked retrieval: filtered tf agg + broadcast corpus stats"),
     QueryDef("q_phrase_search", phraseSearch, Some(phraseSearchSql),

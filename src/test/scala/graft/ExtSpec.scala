@@ -1094,6 +1094,24 @@ class ExtSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("X4t retrieval eval: metric invariants hold and the control saturates") {
+    val rows = RetrievalQueries.retrievalEval(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    rows.foreach { r =>
+      val (nRel, hits) = (r.getAs[Long]("n_rel"), r.getAs[Long]("hits"))
+      assert(hits <= math.min(10L, nRel))
+      assert(r.getAs[Long]("dcg_u") <= r.getAs[Long]("idcg_u"))
+      assert(r.getAs[Long]("ndcg_bp") >= 0 && r.getAs[Long]("ndcg_bp") <= 10000)
+      assert(r.getAs[Long]("mrr_u") <= 1000000L)
+      if (nRel > 0)
+        assert(r.getAs[Long]("recall_bp") === 10000 * hits / nRel)
+    }
+    // the all-common-terms control: every top-K doc fully relevant
+    val ctl = rows.find(_.getLong(0) == 3L).get
+    assert(ctl.getAs[Long]("hits") === 10L)
+    assert(ctl.getAs[Long]("ndcg_bp") === 10000L)
+  }
+
   test("XC10 DSIR: selection census equals a brute local importance replay") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
