@@ -30,6 +30,14 @@ import org.apache.spark.sql.types._
   */
 object CurateQueries {
 
+  /** Hashed-n-gram feature buckets shared by DSIR selection (XC10) and
+    * the content-drift gate (XC12). Declared FIRST in the object: the
+    * `*Sql` oracle vals below interpolate it at initialization time, and
+    * Scala initializes object vals in declaration order — a later
+    * declaration would interpolate 0 into every oracle that references
+    * it (the Spark sides, being defs, would silently disagree). */
+  private val DsirBuckets = 128L
+
   def curate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = Tables.documents(s, dir)
@@ -752,6 +760,110 @@ object CurateQueries {
        |    - (n_pass * 1000000) // n_docs) AS gap_ppm
        |FROM agg ORDER BY bucket""".stripMargin
 
+  // --- XC12: content-distribution drift (KL / TV between crawl cohorts) --
+
+  /** Content-level distribution drift between two crawl cohorts — the
+    * "did the corpus itself change" gate that fires even when the
+    * source/language MIX is stable (the complement of `q_mix_drift`,
+    * which watches categorical shares): per language, the KL divergence
+    * (both directions) and total-variation distance between the two
+    * cohorts' hashed-unigram distributions, over the same
+    * [[DsirBuckets]] feature space DSIR selects with. A retrained model
+    * inherits whatever drift this reports; run it crawl-over-crawl
+    * before committing a refresh.
+    *
+    * Integer discipline: bucket probabilities are exact integer ppm
+    * (Laplace-smoothed, so every log is defined); each KL term quantizes
+    * its ONE libm log to micro-nats and accumulates as BIGINT — KL is
+    * reported in micro-nats, TV in ppm, both exact integer sums.
+    *
+    * Scale: one scan computes gram occurrences; the per-(lang, bucket)
+    * aggregate holds BOTH cohort counts in one row (conditional sums —
+    * no outer join over the grid); everything after runs on the
+    * |langs|·[[DsirBuckets]]-row table. */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cnts = docs
+      .select($"lang", ($"doc_id" % 2).as("coh"),
+        explode(split($"text", " ")).as("gram"))
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(gram), 1, 12), 16, 10) AS BIGINT)")
+          % DsirBuckets)
+      .groupBy($"lang", $"bucket")
+      .agg(sum(when($"coh" === 0, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when($"coh" === 1, 1L).otherwise(0L)).as("cnt_b"))
+    val tots = cnts.groupBy($"lang")
+      .agg(sum($"cnt_a").as("ta"), sum($"cnt_b").as("tb"))
+    val nd = docs.groupBy($"lang")
+      .agg(sum(when($"doc_id" % 2 === 0, 1L).otherwise(0L)).as("n_docs_a"),
+        sum(when($"doc_id" % 2 === 1, 1L).otherwise(0L)).as("n_docs_b"))
+    cnts.join(broadcast(tots), "lang")
+      .select($"lang",
+        expr(s"(cnt_a + 1) * 1000000 div (ta + $DsirBuckets)").as("pa_u"),
+        expr(s"(cnt_b + 1) * 1000000 div (tb + $DsirBuckets)").as("pb_u"))
+      .select($"lang", $"pa_u", $"pb_u",
+        expr("CAST(floor(ln(CAST(pa_u AS DOUBLE) / pb_u) * 1000000) AS BIGINT)")
+          .as("lr_ab_u"),
+        expr("CAST(floor(ln(CAST(pb_u AS DOUBLE) / pa_u) * 1000000) AS BIGINT)")
+          .as("lr_ba_u"))
+      .groupBy($"lang")
+      .agg(
+        // the quantized KL sum can dip NEGATIVE near zero drift (floor'd
+        // log terms undershoot) — fine for int division: Spark `div` and
+        // DuckDB `//` BOTH truncate toward zero on integers
+        expr("sum(pa_u * lr_ab_u) div 1000000").as("kl_ab_u"),
+        expr("sum(pb_u * lr_ba_u) div 1000000").as("kl_ba_u"),
+        expr("sum(abs(pa_u - pb_u)) div 2").as("tv_ppm"))
+      .join(broadcast(nd), "lang")
+      .select($"lang", $"n_docs_a", $"n_docs_b",
+        $"kl_ab_u", $"kl_ba_u", $"tv_ppm")
+      .orderBy($"lang")
+  }
+
+  val corpusDriftSql: String =
+    s"""WITH cnts AS (
+       |  SELECT lang,
+       |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % $DsirBuckets
+       |      AS bucket,
+       |    CAST(SUM(CASE WHEN coh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+       |    CAST(SUM(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+       |  FROM (SELECT lang, doc_id % 2 AS coh,
+       |          unnest(string_split(text, ' ')) AS g FROM documents)
+       |  GROUP BY 1, 2),
+       |tots AS (
+       |  SELECT lang, CAST(SUM(cnt_a) AS BIGINT) AS ta,
+       |    CAST(SUM(cnt_b) AS BIGINT) AS tb
+       |  FROM cnts GROUP BY 1),
+       |nd AS (
+       |  SELECT lang,
+       |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_docs_a,
+       |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_docs_b
+       |  FROM documents GROUP BY 1),
+       |probs AS (
+       |  SELECT c.lang,
+       |    (cnt_a + 1) * 1000000 // (ta + $DsirBuckets) AS pa_u,
+       |    (cnt_b + 1) * 1000000 // (tb + $DsirBuckets) AS pb_u
+       |  FROM cnts c JOIN tots t ON c.lang = t.lang),
+       |terms AS (
+       |  SELECT lang, pa_u, pb_u,
+       |    CAST(floor(ln(CAST(pa_u AS DOUBLE) / pb_u) * 1000000) AS BIGINT)
+       |      AS lr_ab_u,
+       |    CAST(floor(ln(CAST(pb_u AS DOUBLE) / pa_u) * 1000000) AS BIGINT)
+       |      AS lr_ba_u
+       |  FROM probs),
+       |kl AS (
+       |  SELECT lang,
+       |    CAST(SUM(pa_u * lr_ab_u) // 1000000 AS BIGINT) AS kl_ab_u,
+       |    CAST(SUM(pb_u * lr_ba_u) // 1000000 AS BIGINT) AS kl_ba_u,
+       |    CAST(SUM(abs(pa_u - pb_u)) // 2 AS BIGINT) AS tv_ppm
+       |  FROM terms GROUP BY 1)
+       |SELECT k.lang, n.n_docs_a, n.n_docs_b, k.kl_ab_u, k.kl_ba_u, k.tv_ppm
+       |FROM kl k JOIN nd n ON k.lang = n.lang
+       |ORDER BY k.lang""".stripMargin
+
   // --- XC11: quality-model cohort drift audit ----------------------------
 
   /** Cohort drift audit of the distilled quality classifier — the
@@ -811,10 +923,6 @@ object CurateQueries {
        |FROM clsa JOIN clsb USING (doc_id) GROUP BY lang ORDER BY lang""".stripMargin
 
   // --- XC10: DSIR importance-weighted data selection ---------------------
-
-  /** Hashed-n-gram feature buckets for DSIR (Xie et al. 2023, "Data
-    * Selection for Language Models via Importance Resampling"). */
-  private val DsirBuckets = 128L
 
   /** DSIR-style data selection: score every candidate document by the
     * log importance ratio of a TARGET feature distribution (here: the
@@ -939,6 +1047,8 @@ object CurateQueries {
        |FROM perdoc GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_corpus_drift", corpusDrift, Some(corpusDriftSql),
+      "XC12 content-distribution drift between crawl cohorts: per-lang KL (micro-nats) + TV (ppm) over hashed unigram buckets"),
     QueryDef("q_quality_drift", qualityDrift, Some(qualityDriftSql),
       "XC11 cohort drift audit of the distilled quality model: parity-trained twins scored on the full corpus"),
     QueryDef("q_dsir_select", dsirSelect, Some(dsirSelectSql),

@@ -28,6 +28,21 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("no oracle SQL interpolates a zero modulus/divisor (val init order)") {
+    // Scala initializes object vals in declaration order: an oracle `val`
+    // that interpolates a constant declared BELOW it bakes 0 into the SQL
+    // while the Spark side (a def, evaluated at call time) sees the real
+    // value — the engines silently disagree (caught live in q_corpus_drift:
+    // `% 0` nulled every bucket). Degenerate `% 0` / `// 0` / `div 0`
+    // never appears in a legitimate oracle.
+    val zeroDiv = "(%|//|\\bdiv)\\s*0(?![0-9xX.])".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val hits = zeroDiv.findAllMatchIn(sql).map(m =>
+        sql.substring(math.max(0, m.start - 30), m.end)).toList
+      assert(hits.isEmpty, s"$name interpolated a zero divisor: $hits")
+    }
+  }
+
   test("every registered query name is documented in SURVEY.md") {
     // SURVEY §8 is the human-facing coverage ledger; this keeps it honest
     // by machine — a query landing without its SURVEY line fails here.
