@@ -1780,7 +1780,159 @@ object MultimodalQueries {
        |FROM documents WHERE doc_id < $MJPEG_N AND doc_id % 2 = 0
        |ORDER BY doc_a""".stripMargin
 
+  // --- M11: AUDIO near-dup via banded energy-delta fingerprints ----------
+
+  /** Audio near-dup corpus size, Hamming threshold, frame layout. With
+    * T < 4 bands the multi-index scheme is exact by pigeonhole (the
+    * [[mediaNearDup]] argument on a 31-bit fingerprint split 8/8/8/7). */
+  private val ADUP_N = 60L
+  private val ADUP_T = 3L
+  private val ADUP_FRAMES = 32
+  private val ADUP_FLEN = 160
+
+  /** Per-frame amplitude of doc d's square-wave fixture. Docs pair up by
+    * g = d div 2: in every third group the odd member is the even
+    * member's NEAR-DUP (one frame's amplitude bumped → ≤2 energy-delta
+    * bits flip); in other groups the odd member gets an independent
+    * envelope (uncorrelated bits, far in Hamming). Mirrored verbatim in
+    * the oracle. */
+  /** Nonlinear (g, f) mix — any LINEAR envelope `(αg + βf) mod m` is the
+    * same 1-D sequence shifted per group, which made unrelated docs
+    * collide at Hamming 0 (measured: 225 accidental identical
+    * fingerprints); the xor-shift breaks the shift structure. Mirrored
+    * operator-for-operator in the oracle. */
+  private def audioMix(k: Long): Long =
+    ((k ^ (k >> 7)) * 2654435761L % 2147483647L) % 5L
+
+  private def audioAmp(d: Long, f: Int): Int = {
+    val g = d / 2
+    val base = (60 + 20 * audioMix(g * 1000003L + f)).toInt
+    if (d % 2 == 0) base
+    else if (g % 3 == 0) {
+      val fx = (1 + (g * 7) % 30).toInt
+      if (f == fx) base + 40 else base
+    } else (60 + 20 * audioMix(g * 1000003L + f + 777777L)).toInt
+  }
+
+  /** AUDIO near-dup detection — the audio completion of the near-dup
+    * family (text X2, image [[mediaNearDup]], video [[mediaMjpeg]]):
+    * each doc carries a complete RIFF/WAVE 16-bit PCM fixture (square
+    * wave, per-frame amplitude envelope), the chunk-walking byte parse
+    * DECODES it, and the fingerprint is the classic cheap audio
+    * signature — the sign of successive frame-ENERGY deltas (31 bits
+    * over 32 × 160-sample frames), the Shazam/chromaprint family's
+    * first stage. Banding the 31 bits into 4 disjoint keys makes
+    * candidate generation an equi-join with recall exactly 1 for
+    * Hamming ≤ [[ADUP_T]] (pigeonhole), never an all-pairs scan; exact
+    * popcount verifies. Emits the per-distance pair census.
+    *
+    * The fixture's square wave makes frame energy EXACTLY 160·A² — the
+    * energy-delta sign equals the amplitude-delta sign, which is how
+    * the oracle pins every decoded sample byte through the energy fold
+    * without restating 5120-element sums.
+    *
+    * Scale: decode + fingerprint is the narrow batched map every
+    * modality tier uses; the index is 4 band rows per doc (what
+    * `ArtifactStore` would persist); bucket join sizes are the band-key
+    * marginals. */
+  def audioNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir).filter($"doc_id" < ADUP_N)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val amps = Array.tabulate(ADUP_FRAMES)(f => audioAmp(id, f))
+        (id, MediaFixtures.wavPcm16(8000, ADUP_FRAMES * ADUP_FLEN,
+          t => { val a = amps(t / ADUP_FLEN); if (t % 4 < 2) a else -a }))
+      }
+    val fps = media.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (_, smp) = MediaDecode.decodeWavPcm16(bytes).getOrElse(
+          sys.error(s"doc $id: WAV fixture did not decode"))
+        val e = Array.tabulate(ADUP_FRAMES) { f =>
+          var sq = 0L
+          var t = f * ADUP_FLEN
+          while (t < (f + 1) * ADUP_FLEN) {
+            val v = smp(t).toLong; sq += v * v; t += 1
+          }
+          sq
+        }
+        var fp = 0L
+        var f = 0
+        while (f < ADUP_FRAMES - 1) {
+          if (e(f + 1) > e(f)) fp |= 1L << f
+          f += 1
+        }
+        (id, fp)
+      }
+    }.toDF("doc_id", "fp")
+    val banded = fps.select($"doc_id", $"fp", explode(array(
+        struct(lit(0).as("band"), $"fp".bitwiseAND(lit(255L)).as("bv")),
+        struct(lit(1).as("band"),
+          shiftright($"fp", 8).bitwiseAND(lit(255L)).as("bv")),
+        struct(lit(2).as("band"),
+          shiftright($"fp", 16).bitwiseAND(lit(255L)).as("bv")),
+        struct(lit(3).as("band"),
+          shiftright($"fp", 24).bitwiseAND(lit(127L)).as("bv")))).as("b"))
+      .select($"doc_id", $"fp", $"b.band", $"b.bv")
+    val a = banded.toDF("a_id", "a_fp", "band", "bv")
+    val bb = banded.toDF("b_id", "b_fp", "band", "bv")
+    a.join(bb, Seq("band", "bv"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"a_fp", $"b_fp").distinct()
+      .withColumn("hamming",
+        bit_count($"a_fp".bitwiseXOR($"b_fp")).cast("long"))
+      .filter($"hamming" <= ADUP_T)
+      .groupBy($"hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        min($"a_id").as("min_a"), max($"b_id").as("max_b"))
+      .orderBy($"hamming")
+  }
+
+  val audioNearDupSql: String = {
+    def mix(k: String): String =
+      s"((xor(($k), ($k) >> 7) * 2654435761 % 2147483647) % 5)"
+    def amp(fv: String): String = {
+      val base = s"(60 + 20 * ${mix(s"(doc_id // 2) * 1000003 + ($fv)")})"
+      val pert =
+        s"(60 + 20 * ${mix(s"(doc_id // 2) * 1000003 + ($fv) + 777777")})"
+      val fx = "(1 + ((doc_id // 2) * 7) % 30)"
+      s"""(CASE WHEN doc_id % 2 = 0 THEN $base
+         |  WHEN (doc_id // 2) % 3 = 0 THEN
+         |    (CASE WHEN ($fv) = $fx THEN $base + 40 ELSE $base END)
+         |  ELSE $pert END)""".stripMargin
+    }
+    s"""WITH fp AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(
+       |    range(0, ${ADUP_FRAMES - 1}), f ->
+       |      CASE WHEN ${amp("f + 1")} > ${amp("f")}
+       |        THEN (CAST(1 AS BIGINT) << f) ELSE CAST(0 AS BIGINT) END))
+       |    AS BIGINT) AS fp
+       |  FROM documents WHERE doc_id < $ADUP_N),
+       |banded AS (
+       |  SELECT doc_id, fp, b.band,
+       |    CASE b.band WHEN 0 THEN fp & 255
+       |      WHEN 1 THEN (fp >> 8) & 255
+       |      WHEN 2 THEN (fp >> 16) & 255
+       |      ELSE (fp >> 24) & 127 END AS bv
+       |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.fp AS a_fp, b.fp AS b_fp
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT a_id, b_id,
+       |    CAST(bit_count(xor(a_fp, b_fp)) AS BIGINT) AS hamming
+       |  FROM cands)
+       |SELECT hamming, COUNT(*) AS n_pairs,
+       |  MIN(a_id) AS min_a, MAX(b_id) AS max_b
+       |FROM pairs WHERE hamming <= $ADUP_T
+       |GROUP BY 1 ORDER BY hamming""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_multimodal_audiodup", audioNearDup, Some(audioNearDupSql),
+      "M11 audio near-dup: real WAV decode -> frame-energy-delta fingerprint -> banded multi-index, pigeonhole-exact"),
     QueryDef("q_multimodal_mjpeg", mediaMjpeg, Some(mediaMjpegSql),
       "M10 MJPEG video near-dup: stsz frame slice -> real JPEG decode -> per-frame dHash -> banded index"),
     QueryDef("q_multimodal_pairs", mediaPairAudit, Some(mediaPairAuditSql),

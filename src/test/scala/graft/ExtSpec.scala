@@ -1574,6 +1574,41 @@ class ExtSpec extends AnyFunSuite {
     assert(fixed(doc).drop(1).toSet.intersect(fixed(edited).drop(1).toSet).isEmpty)
   }
 
+  test("M11 audio near-dup: census equals a brute fingerprint replay; pairs planted") {
+    // local replay of the fixture formulas: fingerprint per doc, all-pairs
+    // Hamming, census for d <= 3 — the banded index must reproduce it
+    // exactly (pigeonhole recall = 1)
+    def mix(k: Long): Long = ((k ^ (k >> 7)) * 2654435761L % 2147483647L) % 5L
+    def amp(d: Long, f: Int): Long = {
+      val g = d / 2
+      val base = 60 + 20 * mix(g * 1000003L + f)
+      if (d % 2 == 0) base
+      else if (g % 3 == 0) { if (f == 1 + (g * 7) % 30) base + 40 else base }
+      else 60 + 20 * mix(g * 1000003L + f + 777777L)
+    }
+    def fp(d: Long): Long =
+      (0 until 31).foldLeft(0L)((acc, f) =>
+        if (amp(d, f + 1) > amp(d, f)) acc | (1L << f) else acc)
+    val ids = 0L until 60L
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSeq
+    val expected = brute.groupBy(_._3).map { case (h, ps) =>
+      h -> (ps.size.toLong, ps.map(_._1).min, ps.map(_._2).max)
+    }
+    val got = MultimodalQueries.audioNearDup(spark, sf).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    // every third group's odd member is a planted near-dup of its twin
+    val planted = ids.filter(d => d % 2 == 1 && (d / 2) % 3 == 0)
+      .map(d => (d - 1, d))
+    planted.foreach { case (a, b) =>
+      assert(brute.exists(p => p._1 == a && p._2 == b && p._3 <= 2),
+        s"planted pair ($a,$b) missing or too far")
+    }
+  }
+
   test("multimodal pair audit: census equals a formula replay of both directions") {
     import spark.implicits._
     def dhashOf(id: Long): Long = {
