@@ -386,6 +386,100 @@ object DedupQueries {
        |LEFT JOIN dropped dr USING (source)
        |ORDER BY source""".stripMargin
 
+  // --- X2o: transitive-chain drift audit ---------------------------------
+
+  /** Argmin packing stride for (star_bp asc, doc_id asc): star_bp ≤ 10⁴,
+    * so the pack stays inside a long while doc_id < 10¹² (the same
+    * documented bound as SimilarityQueries.ID_STRIDE). */
+  private val DRIFT_STRIDE = 1000000000000L
+
+  /** The dedup-quality hazard every transitive-closure near-dup pipeline
+    * carries: closure glues A~B~C into one cluster even when A and C were
+    * never LSH candidates — so the canonical doc can be arbitrarily
+    * DISSIMILAR to a far member it is about to replace ("chain drift").
+    * This audit measures the drift directly: for every cluster, the EXACT
+    * shingle-set Jaccard between the canonical and each other member
+    * (star pairs — the pairs the keep-decision actually collapses), in
+    * integer basis points. Emits per cluster the worst member (min star
+    * similarity + its doc), and how many members sit below the LSH
+    * nominal floor (est ≥ 2/K = 0.25 ⇒ star_bp < 2500 means the closure
+    * glued a pair the banding itself would never have admitted).
+    *
+    * Scale: star pairs are Σ(|cluster|−1) ≤ |docs| — LINEAR, never the
+    * quadratic within-cluster pair set; the exact-overlap count is the
+    * same (doc, shingle) equi-join shape as the X2h truth tier, its work
+    * bounded by the star pairs' shingle mass. Reuses the memoized cluster
+    * labels, so a session that already resolved clusters pays only the
+    * star joins. */
+  def dedupChainDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranked = rankedMembers(s, dir)
+    val can = ranked.filter($"rn" === 1)
+      .select($"cluster_id", $"doc_id".as("can_doc"))
+    val mem = ranked.filter($"rn" > 1)
+      .select($"cluster_id", $"doc_id".as("mem_doc"))
+    val star = can.join(mem, "cluster_id")
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", explode(array_distinct(shingleArr)).as("sh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = star
+      .join(sh.toDF("can_doc", "sha"), "can_doc")
+      .join(sh.toDF("mem_doc_b", "shb"),
+        $"mem_doc" === $"mem_doc_b" && $"sha" === $"shb")
+      .groupBy($"cluster_id", $"can_doc", $"mem_doc")
+      .agg(count(lit(1)).as("n_inter"))
+    val scored = star
+      .join(inter, Seq("cluster_id", "can_doc", "mem_doc"), "left")
+      .join(sizes.toDF("can_doc", "n_sh_a"), "can_doc")
+      .join(sizes.toDF("mem_doc", "n_sh_b"), "mem_doc")
+      .withColumn("star_bp", expr(
+        "coalesce(n_inter, 0L) * 10000 div" +
+          " (n_sh_a + n_sh_b - coalesce(n_inter, 0L))"))
+    scored.groupBy($"cluster_id")
+      .agg((count(lit(1)) + 1).as("n_members"),
+        min(expr(s"star_bp * $DRIFT_STRIDE + mem_doc")).as("packed"),
+        sum(when($"star_bp" < 2500, 1L).otherwise(0L)).as("n_drifted"))
+      .select($"cluster_id", $"n_members",
+        expr(s"packed div $DRIFT_STRIDE").as("min_star_bp"),
+        expr(s"packed % $DRIFT_STRIDE").as("worst_doc"),
+        $"n_drifted")
+      .orderBy($"cluster_id")
+  }
+
+  val dedupChainDriftSql: String =
+    s"""WITH RECURSIVE $ccCtesSql,
+       |dstar AS (
+       |  SELECT c.cluster_id, c.doc_id AS can_doc, m.doc_id AS mem_doc
+       |  FROM ranked c JOIN ranked m
+       |    ON c.cluster_id = m.cluster_id AND c.rn = 1 AND m.rn > 1),
+       |dsh AS (
+       |  SELECT DISTINCT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       |dsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+       |dinter AS (
+       |  SELECT s.cluster_id, s.can_doc, s.mem_doc, COUNT(*) AS n_inter
+       |  FROM dstar s
+       |  JOIN dsh a ON a.doc_id = s.can_doc
+       |  JOIN dsh b ON b.doc_id = s.mem_doc AND b.sh = a.sh
+       |  GROUP BY 1, 2, 3),
+       |dscored AS (
+       |  SELECT s.cluster_id, s.mem_doc,
+       |    COALESCE(i.n_inter, 0) * 10000 //
+       |      (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) AS star_bp
+       |  FROM dstar s
+       |  LEFT JOIN dinter i ON i.cluster_id = s.cluster_id
+       |    AND i.can_doc = s.can_doc AND i.mem_doc = s.mem_doc
+       |  JOIN dsizes za ON za.doc_id = s.can_doc
+       |  JOIN dsizes zb ON zb.doc_id = s.mem_doc)
+       |SELECT cluster_id, COUNT(*) + 1 AS n_members,
+       |  CAST(MIN(star_bp * $DRIFT_STRIDE + mem_doc) // $DRIFT_STRIDE
+       |    AS BIGINT) AS min_star_bp,
+       |  CAST(MIN(star_bp * $DRIFT_STRIDE + mem_doc) % $DRIFT_STRIDE
+       |    AS BIGINT) AS worst_doc,
+       |  CAST(SUM(CASE WHEN star_bp < 2500 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_drifted
+       |FROM dscored GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   // --- X2b: SimHash (16-bit) collision groups ----------------------------
   private val SIMHASH_BITS = 16
 
@@ -1331,6 +1425,8 @@ object DedupQueries {
       "X2d connected-component cluster resolution + canonical doc pick"),
     QueryDef("q_dedup_keep", dedupKeep, Some(dedupKeepSql),
       "X2e applied dedup: per-source survivor counts from the cluster table"),
+    QueryDef("q_dedup_chain_drift", dedupChainDrift, Some(dedupChainDriftSql),
+      "X2o transitive-chain drift audit: exact canonical-to-member star Jaccard per cluster, worst member + below-LSH-floor census"),
     QueryDef("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql),
       "X2 SimHash 16-bit collision groups"),
     QueryDef("q_dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql),

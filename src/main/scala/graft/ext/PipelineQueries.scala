@@ -278,6 +278,242 @@ object PipelineQueries {
        |  AND a.resume_doc_id = r.doc_id
        |ORDER BY a.lang, a.source""".stripMargin
 
+  // --- XP23: cross-document attention contamination ---------------------
+
+  /** Causal attention lookback window (tokens) for [[packCrossDoc]].
+    * Declared ABOVE every use: a Scala object-val interpolated into SQL
+    * before its initializer runs bakes `0` into the oracle (round-13
+    * session-2 lesson, guarded by RegistrySpec's zero-literal scan). */
+  private val ATTN_WINDOW = 64L
+
+  /** Engine-shared closed-form arithmetic for [[packCrossDoc]] — three
+    * projection levels over (n_tok, cum_before), parameterized ONLY on
+    * the integer-division spelling (`div` Spark / `//` DuckDB) so the
+    * two mirrors cannot drift. Geometry per manifest row, with budget
+    * B = [[PACK_BUDGET]] and window W = [[ATTN_WINDOW]]:
+    *  - `s = cum_before mod B` — the doc's first-token offset inside its
+    *    starting bin; `l1 = min(n_tok, B - s)` — its first segment's
+    *    length; the rest of the doc continues at offset 0 of the
+    *    following bins (`nfull` full bins + an `r`-token tail), where it
+    *    has NO preceding tokens and therefore zero cross-doc pairs.
+    *  - `F(n) = sum_{p<n} min(W, p)` — total attended pairs of a length-n
+    *    bin prefix — gives the row's attended-pair mass as
+    *    `F(s+l1) - F(s) + nfull*F(B) + F(r)`.
+    *  - a first-segment token at in-doc offset `o` attends across the
+    *    doc boundary to `max(0, min(W, s+o) - o) = min(s, W-o)⁺` earlier
+    *    tokens, all belonging to OTHER documents; summing o < min(l1, W)
+    *    with split point `t = min(k, max(0, W-s+1))`, `k = min(l1, W)`
+    *    yields the closed form in level 3. All quantities are exact
+    *    integers — no float ever crosses the oracle boundary. */
+  private def crossDocLevels(idiv: String): (Seq[String], Seq[String], Seq[String]) = {
+    val W = ATTN_WINDOW
+    val B = PACK_BUDGET
+    def f(n: String): String =
+      s"(CASE WHEN ($n) <= $W THEN ($n) * (($n) - 1) $idiv 2 " +
+        s"ELSE ${W * (W - 1) / 2} + (($n) - $W) * $W END)"
+    val fB = W * (W - 1) / 2 + (B - W) * W
+    val lvl1 = Seq(
+      s"cum_before % $B AS s",
+      s"least(n_tok, $B - cum_before % $B) AS l1",
+      s"(n_tok - least(n_tok, $B - cum_before % $B)) $idiv $B AS nfull",
+      s"(n_tok - least(n_tok, $B - cum_before % $B)) % $B AS r")
+    val lvl2 = Seq(
+      s"least(l1, $W) AS k",
+      s"least(least(l1, $W), greatest(0, $W - s + 1)) AS t")
+    val lvl3 = Seq(
+      s"${f("s + l1")} - ${f("s")} + nfull * $fB + ${f("r")} AS attn_pairs",
+      s"s * t + $W * (k - t) - (k * (k - 1) $idiv 2 - t * (t - 1) $idiv 2)" +
+        " AS cross_pairs")
+    (lvl1, lvl2, lvl3)
+  }
+
+  /** Cross-document attention contamination of the packed layout: when
+    * sequences are packed WITHOUT document masking, every token whose
+    * causal window reaches back across its document's start attends to
+    * unrelated text — a known training-quality leak that grows with how
+    * fragmented the packing is. This audit computes, EXACTLY and without
+    * materializing a single token, how many (query, key) attended pairs
+    * each stream's layout produces and how many of them cross a document
+    * boundary: per (lang, source), total attended pairs, cross-document
+    * pairs, the contamination rate in basis points, how many docs leak at
+    * all, and the worst single document. Everything follows from the
+    * packer's own manifest coordinates (`cum_before`, `n_tok`) by the
+    * closed forms in [[crossDocLevels]].
+    *
+    * Scale: identical shape to [[packSequences]] — ONE hash exchange on
+    * the (lang, source) stream key for the prefix-sum window, then
+    * per-row integer arithmetic (no token blow-up: a 100 TB corpus is
+    * ~25T tokens but still only ~10¹¹ manifest rows) and a
+    * stream-dictionary-sized final aggregate. The audit costs the same
+    * as the packing census regardless of the attention window. */
+  def packCrossDoc(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val (c1, c2, c3) = crossDocLevels("div")
+    val toks = Tables.documents(sp, dir)
+      .select($"lang", $"source", $"doc_id", nTok("text").as("n_tok"))
+    val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pairs = toks
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .selectExpr(Seq("lang", "source", "n_tok", "cum_before") ++ c1: _*)
+      .selectExpr(Seq("lang", "source", "n_tok", "s", "l1", "nfull", "r") ++ c2: _*)
+      .selectExpr(Seq("lang", "source") ++ c3: _*)
+    pairs.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"attn_pairs").as("attn_pairs"),
+        sum($"cross_pairs").as("cross_pairs"),
+        sum(when($"cross_pairs" > 0, 1L).otherwise(0L)).as("docs_crossing"),
+        max($"cross_pairs").as("max_doc_cross"))
+      .withColumn("cross_bp", expr(
+        "CASE WHEN attn_pairs > 0 THEN cross_pairs * 10000 div attn_pairs" +
+          " ELSE 0 END"))
+      .select($"lang", $"source", $"n_docs", $"attn_pairs", $"cross_pairs",
+        $"cross_bp", $"docs_crossing", $"max_doc_cross")
+      .orderBy($"lang", $"source")
+  }
+
+  val packCrossDocSql: String = {
+    val (c1, c2, c3) = crossDocLevels("//")
+    s"""WITH toks AS (
+       |  SELECT lang, source, doc_id, ${nTokSql("text")} AS n_tok
+       |  FROM documents),
+       |cum AS (
+       |  SELECT lang, source, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM toks),
+       |lvl1 AS (
+       |  SELECT lang, source, n_tok, ${c1.mkString(",\n    ")}
+       |  FROM cum),
+       |lvl2 AS (
+       |  SELECT lang, source, n_tok, s, l1, nfull, r, ${c2.mkString(",\n    ")}
+       |  FROM lvl1),
+       |pairs AS (
+       |  SELECT lang, source, ${c3.mkString(",\n    ")}
+       |  FROM lvl2)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(attn_pairs) AS BIGINT) AS attn_pairs,
+       |  CAST(SUM(cross_pairs) AS BIGINT) AS cross_pairs,
+       |  CAST(CASE WHEN SUM(attn_pairs) > 0
+       |    THEN SUM(cross_pairs) * 10000 // SUM(attn_pairs)
+       |    ELSE 0 END AS BIGINT) AS cross_bp,
+       |  CAST(SUM(CASE WHEN cross_pairs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_crossing,
+       |  CAST(MAX(cross_pairs) AS BIGINT) AS max_doc_cross
+       |FROM pairs GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+  }
+
+  // --- XP24: data-constrained epoch budget (capped waterfill) -----------
+
+  /** Token budget multiple (total budget = X × corpus tokens) and the
+    * per-stream repeat ceiling for [[epochBudget]] — the "about four
+    * epochs is all repeating buys you" rule from the data-constrained
+    * scaling literature. Declared above every interpolation site. */
+  private val EPOCH_BUDGET_X = 4L
+  private val MAX_EPOCHS = 4L
+
+  /** Epoch-budget planner: given a training-token budget larger than the
+    * corpus (here 4 × corpus tokens — exactly the corpus's repeat
+    * ceiling, so the planner is genuinely data-constrained: most streams
+    * cap and the re-offer round moves real budget), decide how many times to repeat
+    * each (lang, source) stream, favouring high-quality streams but never
+    * repeating any stream more than [[MAX_EPOCHS]] epochs. Deterministic
+    * two-round capped waterfill, all integer:
+    *   1. weight = tokens × q_permille (q_permille = 1 + 999·q_docs/n_docs
+    *      from the Gopher/C4 gate) → proportional allocation, capped at
+    *      MAX_EPOCHS × tokens;
+    *   2. the budget the caps released is re-offered proportionally to
+    *      the still-open streams (one re-offer round — the audit reports
+    *      `capped` so a planner can see which streams bound).
+    * Emits per stream: exact tokens, quality per-mille, cap, both
+    * allocations, and the resulting micro-epochs (10⁻⁶ epochs, integer).
+    *
+    * Scale: two aggregates over the stream DICTIONARY (thousands of rows,
+    * broadcast back as 1-row totals) — corpus bytes are touched exactly
+    * once, in the per-doc token/quality map pass. The fixed-point
+    * products (budget × weight) stay inside BIGINT while corpus tokens ×
+    * weight < 2⁶³; at larger scales compute the share per-mille first. */
+  def epochBudget(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val streams = Tables.documents(sp, dir)
+      .select($"lang", $"source", nTok("text").as("n_tok"),
+        when(TextQueries.qualityCol, 1L).otherwise(0L).as("isq"))
+      .groupBy($"lang", $"source")
+      .agg(sum($"n_tok").as("tokens"), count(lit(1)).as("n_docs"),
+        sum($"isq").as("q_docs"))
+      .withColumn("q_permille", expr("1 + q_docs * 999 div n_docs"))
+      .withColumn("weight", expr("tokens * (1 + q_docs * 999 div n_docs)"))
+      .withColumn("cap", expr(s"tokens * $MAX_EPOCHS"))
+    val tot = streams.agg(sum($"tokens").as("corpus_tokens"),
+      sum($"weight").as("sum_w"))
+    val r1 = streams.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"corpus_tokens * $EPOCH_BUDGET_X"))
+      .withColumn("alloc1", expr(
+        "least(CASE WHEN sum_w > 0 THEN budget * weight div sum_w" +
+          " ELSE 0 END, cap)"))
+    val tot2 = r1.agg(sum($"alloc1").as("sum_a1"),
+      sum(when($"alloc1" < $"cap", $"weight").otherwise(0L)).as("sum_w_open"))
+    r1.crossJoin(broadcast(tot2))
+      .withColumn("alloc2", expr(
+        "CASE WHEN alloc1 < cap AND sum_w_open > 0 THEN" +
+          " least((budget - sum_a1) * weight div sum_w_open, cap - alloc1)" +
+          " ELSE 0 END"))
+      .withColumn("final_tokens", expr("alloc1 + alloc2"))
+      .withColumn("micro_epochs", expr(
+        "CASE WHEN tokens > 0 THEN final_tokens * 1000000 div tokens" +
+          " ELSE 0 END"))
+      .withColumn("capped", expr(
+        "CAST(CASE WHEN final_tokens >= cap THEN 1 ELSE 0 END AS BIGINT)"))
+      .select($"lang", $"source", $"tokens", $"q_permille", $"cap",
+        $"alloc1", $"final_tokens", $"micro_epochs", $"capped")
+      .orderBy($"lang", $"source")
+  }
+
+  val epochBudgetSql: String =
+    s"""WITH per AS (
+       |  SELECT lang, source, ${nTokSql("text")} AS n_tok,
+       |    CASE WHEN ${TextQueries.qualityPredSql} THEN 1 ELSE 0 END AS isq
+       |  FROM documents),
+       |streams AS (
+       |  SELECT lang, source, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+       |    COUNT(*) AS n_docs, CAST(SUM(isq) AS BIGINT) AS q_docs
+       |  FROM per GROUP BY 1, 2),
+       |s2 AS (
+       |  SELECT lang, source, tokens,
+       |    1 + q_docs * 999 // n_docs AS q_permille,
+       |    tokens * (1 + q_docs * 999 // n_docs) AS weight,
+       |    tokens * $MAX_EPOCHS AS cap
+       |  FROM streams),
+       |tot AS (
+       |  SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+       |    CAST(SUM(weight) AS BIGINT) AS sum_w
+       |  FROM s2),
+       |r1 AS (
+       |  SELECT s2.*, corpus_tokens * $EPOCH_BUDGET_X AS budget,
+       |    least(CASE WHEN sum_w > 0
+       |        THEN corpus_tokens * $EPOCH_BUDGET_X * weight // sum_w
+       |        ELSE 0 END, cap) AS alloc1
+       |  FROM s2, tot),
+       |tot2 AS (
+       |  SELECT CAST(SUM(alloc1) AS BIGINT) AS sum_a1,
+       |    CAST(SUM(CASE WHEN alloc1 < cap THEN weight ELSE 0 END)
+       |      AS BIGINT) AS sum_w_open
+       |  FROM r1),
+       |r2 AS (
+       |  SELECT r1.*, CASE WHEN alloc1 < cap AND sum_w_open > 0
+       |    THEN least((budget - sum_a1) * weight // sum_w_open, cap - alloc1)
+       |    ELSE 0 END AS alloc2
+       |  FROM r1, tot2)
+       |SELECT lang, source, tokens, CAST(q_permille AS BIGINT) AS q_permille,
+       |  CAST(cap AS BIGINT) AS cap, CAST(alloc1 AS BIGINT) AS alloc1,
+       |  CAST(alloc1 + alloc2 AS BIGINT) AS final_tokens,
+       |  CAST(CASE WHEN tokens > 0
+       |    THEN (alloc1 + alloc2) * 1000000 // tokens ELSE 0 END AS BIGINT)
+       |    AS micro_epochs,
+       |  CAST(CASE WHEN alloc1 + alloc2 >= cap THEN 1 ELSE 0 END AS BIGINT)
+       |    AS capped
+       |FROM r2 ORDER BY lang, source""".stripMargin
+
   // --- XP14: the composed corpus-assembly pipeline ----------------------
 
   /** The whole LLM-corpus assembly chain as ONE audited query — what
@@ -1355,6 +1591,10 @@ object PipelineQueries {
       "XP22 dataloader fast-forward: exact per-stream resume coordinates in the packing manifest at a token checkpoint"),
     QueryDef("q_pack_manifest", packManifest, Some(packManifestSql),
       "XP1c the packing manifest: per-bin doc composition with exact-token offsets (what a loader reads)"),
+    QueryDef("q_pack_cross_doc", packCrossDoc, Some(packCrossDocSql),
+      "XP23 cross-document attention contamination of the packed layout: exact attended/cross-boundary pair census per stream, closed-form (no token blow-up)"),
+    QueryDef("q_epoch_budget", epochBudget, Some(epochBudgetSql),
+      "XP24 data-constrained epoch planner: quality-weighted two-round capped waterfill of a 2x token budget, <=4 epochs per stream"),
     QueryDef("q_mix_weighted", mixWeighted, Some(mixWeightedSql),
       "XP2 mixture re-weighting: integer oversampling to a uniform lang budget"),
     QueryDef("q_mix_sample", mixSample, Some(mixSampleSql),

@@ -922,6 +922,50 @@ class ExtSpec extends AnyFunSuite {
     assert(MediaDecode.dhash64(falling) === -1L) // all 64 bits set
   }
 
+  test("X2o chain drift: star Jaccard equals a brute union-find replay") {
+    import spark.implicits._
+    // brute cluster reconstruction: union-find over the gated LSH pairs
+    val pairs = DedupQueries.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clusters = parent.keys.toSeq.groupBy(find) // min-label == cluster_id
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1).toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"n_chars").as[(Long, String, Long)]
+      .collect().map(d => d._1 -> (d._2, d._3)).toMap
+    val expect = clusters.map { case (cid, ms) =>
+      // canonical = longest text, ties to smallest doc_id (the keep rule)
+      val can = ms.minBy(d => (-docs(d)._2, d))
+      val canSh = shingles(docs(can)._1)
+      val stars = ms.filter(_ != can).map { m =>
+        val mSh = shingles(docs(m)._1)
+        val inter = (canSh & mSh).size.toLong
+        (inter * 10000 / (canSh.size + mSh.size - inter), m)
+      }
+      val (minBp, worst) = stars.min
+      cid -> (ms.size.toLong, minBp, worst,
+        stars.count(_._1 < 2500).toLong)
+    }
+    val out = DedupQueries.dedupChainDrift(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("min_star_bp"),
+          r.getAs[Long]("worst_doc"), r.getAs[Long]("n_drifted"))).toMap
+    assert(out === expect, "chain-drift census diverged from brute replay")
+    out.values.foreach { case (_, bp, _, _) => assert(bp >= 0 && bp <= 10000) }
+  }
+
   test("X2m banding sweep: 3 config rows, sane ratios, shorter bands recall more") {
     val rows = DedupQueries.dedupBandSweep(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("rows_per_band")).toSeq === Seq(1L, 2L, 4L))

@@ -13,9 +13,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * The probe shells to the DuckDB replica (`tools/oracle_time.py`); on a
   * box without python3+duckdb the spec is CANCELED (assume), never
   * silently green — the full gate still covers it wherever the driver
-  * runs. The 10 s budget is ~100× the slowest healthy oracle at this SF
-  * (the whole 234-oracle sweep takes ~8 s total), so only a complexity
-  * blowup can trip it, not box noise.
+  * runs. The 30 s budget is ~15× the slowest healthy oracle at this SF
+  * (q_ann_eval's brute-truth arm, ~1.9 s idle — everything else is
+  * milliseconds) measured while the suite's own 32-thread Spark load
+  * saturates the box; the pathology this guards (CTE-inlining blowup) is
+  * 25+ MINUTES, so the margin costs no detection power. A 10 s budget
+  * tripped on contention alone (round-13 session-3 flake).
   */
 class OracleBudgetSpec extends AnyFunSuite {
 
@@ -43,7 +46,7 @@ class OracleBudgetSpec extends AnyFunSuite {
       SparkEntry.oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))
     val pb = new ProcessBuilder("python3", "tools/oracle_time.py",
-      TestSpark.sf0001, tmp.toString, "10")
+      TestSpark.sf0001, tmp.toString, "30")
     pb.redirectErrorStream(true)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")

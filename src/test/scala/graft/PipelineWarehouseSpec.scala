@@ -143,6 +143,100 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("XP23 cross-doc attention: closed forms == brute token-level replay") {
+    val B = 256L // PACK_BUDGET
+    val W = 64L  // ATTN_WINDOW
+    // brute replay: lay every stream's tokens out in packed order and,
+    // for EACH token, count its attended window and the slice of it that
+    // falls before its document's segment start in that bin
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        """\S{1,4}""".r.findAllIn(r.getString(3)).size.toLong))
+    val brute = docs.groupBy(d => (d._1, d._2)).map { case (key, ds) =>
+      var cum = 0L
+      var attn = 0L
+      var cross = 0L
+      var docsCrossing = 0L
+      var maxDocCross = 0L
+      ds.sortBy(_._3).foreach { case (_, _, _, n) =>
+        val d0 = cum
+        var docCross = 0L
+        var j = 0L
+        while (j < n) {
+          val g = d0 + j
+          val q = g % B
+          val att = math.min(W, q)
+          attn += att
+          val segStart = math.max(0L, d0 - (g / B) * B)
+          docCross += math.max(0L, segStart - (q - att))
+          j += 1
+        }
+        cross += docCross
+        if (docCross > 0) docsCrossing += 1
+        maxDocCross = math.max(maxDocCross, docCross)
+        cum += n
+      }
+      val bp = if (attn > 0) cross * 10000 / attn else 0L
+      key -> (ds.length.toLong, attn, cross, bp, docsCrossing, maxDocCross)
+    }
+    val out = PipelineQueries.packCrossDoc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    assert(out.keySet === brute.keySet)
+    brute.foreach { case (k, v) =>
+      assert(out(k) === v, s"stream $k: closed form diverged from brute")
+    }
+    // the audit must actually be discriminative on this corpus: packing
+    // without doc masking leaks somewhere, but never 100%
+    assert(out.values.exists(_._3 > 0L))
+    out.values.foreach { case (_, attn, cross, bp, _, _) =>
+      assert(cross <= attn && bp < 10000L)
+    }
+  }
+
+  test("XP24 epoch budget: waterfill replay + budget/cap invariants") {
+    val out = PipelineQueries.epochBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(out.nonEmpty)
+    // replay the two-round capped waterfill from the emitted
+    // (tokens, q_permille) — the allocation math must reproduce exactly
+    val budget = out.map(_._3).sum * 4L
+    val ws = out.map(r => r._3 * r._4)
+    val sumW = ws.sum
+    val caps = out.map(_._3 * 4L)
+    val a1 = ws.zip(caps).map { case (w, cap) =>
+      math.min(if (sumW > 0) budget * w / sumW else 0L, cap)
+    }
+    val sumA1 = a1.sum
+    val sumWOpen = ws.zip(a1).zip(caps).collect {
+      case ((w, a), cap) if a < cap => w
+    }.sum
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r._5 === caps(i))
+      assert(r._6 === a1(i), s"alloc1 diverged for ${(r._1, r._2)}")
+      val a2 = if (a1(i) < caps(i) && sumWOpen > 0)
+        math.min((budget - sumA1) * ws(i) / sumWOpen, caps(i) - a1(i))
+      else 0L
+      assert(r._7 === a1(i) + a2, s"final diverged for ${(r._1, r._2)}")
+      assert(r._8 === (if (r._3 > 0) r._7 * 1000000L / r._3 else 0L))
+      assert(r._9 === (if (r._7 >= caps(i)) 1L else 0L))
+      // never over the repeat ceiling
+      assert(r._7 <= caps(i) && r._8 <= 4000000L)
+    }
+    // never over the global budget; the re-offer round spends monotonically
+    assert(out.map(_._7).sum <= budget)
+    assert(out.map(_._7).sum >= a1.sum)
+    // the planner is genuinely data-constrained at this corpus: caps bind
+    // for most streams AND the re-offer round moves real budget
+    assert(out.count(_._9 == 1L) * 2 > out.length)
+    assert(out.map(_._7).sum - a1.sum > out.length)
+  }
+
   test("XP14 corpus assembly: stages compose — local replay of gate, dedup, pack") {
     val out = PipelineQueries.pipelineCorpus(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -216,7 +216,24 @@ class RegistrySpec extends AnyFunSuite {
       "q_mix_anneal",
       // the K x K (16x16) centroid alignment table: both sides are
       // constant-K broadcast artifacts — the q_sim_knn_ivf2 class
-      "q_centroid_drift")
+      "q_centroid_drift",
+      // the frontier seek reads the same single-row merge-table
+      // broadcast as the manifest it seeks into (q_tokens_per_doc class)
+      "q_resume_position",
+      // single-row hashed-unigram weight-table broadcast crossed onto
+      // the doc scan — the per-row DSIR scoring fold (q_bpe_merge class)
+      "q_dsir_select",
+      // both parity cohorts' single-row NB model broadcasts crossed onto
+      // the full-corpus scoring scan — the q_quality_classifier class
+      "q_quality_drift",
+      // the ranker's single-row corpus-stats broadcast (q_text_bm25
+      // class) + the 20-row query-batch broadcast; the metric join on
+      // (query, doc) is a hash equi-join
+      "q_retrieval_eval",
+      // two single-row totals broadcasts (corpus tokens/weight-mass,
+      // then the re-offer round's spent/open-weight) crossed onto the
+      // stream DICTIONARY — the q_mix_temperature class, twice
+      "q_epoch_budget")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
