@@ -411,7 +411,10 @@ object DedupQueries {
     * bounded by the star pairs' shingle mass. Reuses the memoized cluster
     * labels, so a session that already resolved clusters pays only the
     * star joins. */
-  def dedupChainDrift(s: SparkSession, dir: String): DataFrame = {
+  /** Exact-scored star pairs (canonical → each other member) with their
+    * shingle-set Jaccard in basis points — the shared relation under both
+    * the chain-drift census and the modal-agreement audit. */
+  private def chainStarScored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ranked = rankedMembers(s, dir)
     val can = ranked.filter($"rn" === 1)
@@ -429,14 +432,19 @@ object DedupQueries {
         $"mem_doc" === $"mem_doc_b" && $"sha" === $"shb")
       .groupBy($"cluster_id", $"can_doc", $"mem_doc")
       .agg(count(lit(1)).as("n_inter"))
-    val scored = star
+    star
       .join(inter, Seq("cluster_id", "can_doc", "mem_doc"), "left")
       .join(sizes.toDF("can_doc", "n_sh_a"), "can_doc")
       .join(sizes.toDF("mem_doc", "n_sh_b"), "mem_doc")
       .withColumn("star_bp", expr(
         "coalesce(n_inter, 0L) * 10000 div" +
           " (n_sh_a + n_sh_b - coalesce(n_inter, 0L))"))
-    scored.groupBy($"cluster_id")
+      .select($"cluster_id", $"can_doc", $"mem_doc", $"star_bp")
+  }
+
+  def dedupChainDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    chainStarScored(s, dir).groupBy($"cluster_id")
       .agg((count(lit(1)) + 1).as("n_members"),
         min(expr(s"star_bp * $DRIFT_STRIDE + mem_doc")).as("packed"),
         sum(when($"star_bp" < 2500, 1L).otherwise(0L)).as("n_drifted"))
@@ -447,9 +455,10 @@ object DedupQueries {
       .orderBy($"cluster_id")
   }
 
-  val dedupChainDriftSql: String =
-    s"""WITH RECURSIVE $ccCtesSql,
-       |dstar AS (
+  /** Oracle mirror of [[chainStarScored]] (composed after [[ccCtesSql]]):
+    * star pairs → distinct shingles → overlap counts → scored stars. */
+  private val chainStarCtesSql: String =
+    s"""dstar AS (
        |  SELECT c.cluster_id, c.doc_id AS can_doc, m.doc_id AS mem_doc
        |  FROM ranked c JOIN ranked m
        |    ON c.cluster_id = m.cluster_id AND c.rn = 1 AND m.rn > 1),
@@ -463,14 +472,18 @@ object DedupQueries {
        |  JOIN dsh b ON b.doc_id = s.mem_doc AND b.sh = a.sh
        |  GROUP BY 1, 2, 3),
        |dscored AS (
-       |  SELECT s.cluster_id, s.mem_doc,
+       |  SELECT s.cluster_id, s.can_doc, s.mem_doc,
        |    COALESCE(i.n_inter, 0) * 10000 //
        |      (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) AS star_bp
        |  FROM dstar s
        |  LEFT JOIN dinter i ON i.cluster_id = s.cluster_id
        |    AND i.can_doc = s.can_doc AND i.mem_doc = s.mem_doc
        |  JOIN dsizes za ON za.doc_id = s.can_doc
-       |  JOIN dsizes zb ON zb.doc_id = s.mem_doc)
+       |  JOIN dsizes zb ON zb.doc_id = s.mem_doc)""".stripMargin
+
+  val dedupChainDriftSql: String =
+    s"""WITH RECURSIVE $ccCtesSql,
+       |$chainStarCtesSql
        |SELECT cluster_id, COUNT(*) + 1 AS n_members,
        |  CAST(MIN(star_bp * $DRIFT_STRIDE + mem_doc) // $DRIFT_STRIDE
        |    AS BIGINT) AS min_star_bp,
@@ -479,6 +492,89 @@ object DedupQueries {
        |  CAST(SUM(CASE WHEN star_bp < 2500 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_drifted
        |FROM dscored GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  // --- X2p: text-vs-embedding modal agreement ----------------------------
+
+  /** Embedding dimensionality of the corpus vectors (pinned by the
+    * similarity tier; both mirrors iterate exactly this many indices). */
+  private val EMB_DIM = 64
+
+  /** Does the EMBEDDING modality agree with the text near-dup decision?
+    * Every pair the keep-decision collapses (the [[chainStarScored]] star
+    * pairs) is scored on BOTH signals: exact shingle Jaccard (text) and
+    * exact integer-quantized cosine (embedding, the X3a arithmetic with
+    * doc_id ≡ vec_id — the convention the hybrid-retrieval tier pins).
+    * Binned by text-similarity decile, the result is the modality
+    * CALIBRATION CURVE: per decile, how many collapsed pairs, and the
+    * mean/min/max embedding cosine in integer micro-units. A flat or
+    * inverted curve means the two dedup tiers (MinHash and SemDeDup)
+    * would keep DIFFERENT documents — the audit a curator runs before
+    * trusting either tier alone.
+    *
+    * Scale: star pairs are corpus-linear; the embedding join is two hash
+    * equi-joins on doc id; the cosine is one codegen'd integer dot per
+    * pair ([[graft.functions.LongArrayDot]]); the decile census is an
+    * 11-row aggregate. The double cosine is IEEE-deterministic (integer
+    * dot, correctly-rounded sqrt) and quantized to micro-units before it
+    * crosses the oracle boundary. */
+  def dedupModalAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q6 = (x: org.apache.spark.sql.Column) =>
+      floor(x.cast("double") * 1000000L)
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => q6(x)).as("qe"))
+      .select($"vec_id", $"qe",
+        graft.functions.LongArrayDot.longArrayDot($"qe", $"qe").as("nrm"))
+    val dot = graft.functions.LongArrayDot.longArrayDot($"qa", $"qb")
+    val scored = chainStarScored(s, dir)
+      .join(emb.toDF("can_doc", "qa", "na"), "can_doc")
+      .join(emb.toDF("mem_doc", "qb", "nb"), "mem_doc")
+      .withColumn("cos_u",
+        floor(dot.cast("double") /
+          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double")))
+          * 1000000L).cast("long"))
+    scored
+      .groupBy(expr("star_bp div 1000").as("bp_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(cos_u) div count(1)").as("mean_cos_u"),
+        min($"cos_u").as("min_cos_u"),
+        max($"cos_u").as("max_cos_u"))
+      .orderBy($"bp_decile")
+  }
+
+  val dedupModalAgreementSql: String =
+    s"""WITH RECURSIVE $ccCtesSql,
+       |$chainStarCtesSql,
+       |didx AS (SELECT unnest(generate_series(1, $EMB_DIM)) AS g),
+       |dnrm AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CAST(floor(CAST(embedding[i.g] AS DOUBLE) * 1000000) AS BIGINT)
+       |           * CAST(floor(CAST(embedding[i.g] AS DOUBLE) * 1000000) AS BIGINT))
+       |      AS BIGINT) AS nrm
+       |  FROM embeddings, didx i GROUP BY vec_id),
+       |ddot AS (
+       |  SELECT s.cluster_id, s.can_doc, s.mem_doc, s.star_bp,
+       |    CAST(SUM(CAST(floor(CAST(a.embedding[i.g] AS DOUBLE) * 1000000) AS BIGINT)
+       |           * CAST(floor(CAST(b.embedding[i.g] AS DOUBLE) * 1000000) AS BIGINT))
+       |      AS BIGINT) AS dot
+       |  FROM dscored s
+       |  JOIN embeddings a ON a.vec_id = s.can_doc
+       |  JOIN embeddings b ON b.vec_id = s.mem_doc, didx i
+       |  GROUP BY 1, 2, 3, 4),
+       |dcos AS (
+       |  SELECT d.star_bp,
+       |    CAST(floor(CAST(d.dot AS DOUBLE)
+       |      / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+       |      * 1000000) AS BIGINT) AS cos_u
+       |  FROM ddot d
+       |  JOIN dnrm na ON na.vec_id = d.can_doc
+       |  JOIN dnrm nb ON nb.vec_id = d.mem_doc)
+       |SELECT CAST(star_bp // 1000 AS BIGINT) AS bp_decile,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(SUM(cos_u) // COUNT(*) AS BIGINT) AS mean_cos_u,
+       |  CAST(MIN(cos_u) AS BIGINT) AS min_cos_u,
+       |  CAST(MAX(cos_u) AS BIGINT) AS max_cos_u
+       |FROM dcos GROUP BY 1 ORDER BY bp_decile""".stripMargin
 
   // --- X2b: SimHash (16-bit) collision groups ----------------------------
   private val SIMHASH_BITS = 16
@@ -1427,6 +1523,9 @@ object DedupQueries {
       "X2e applied dedup: per-source survivor counts from the cluster table"),
     QueryDef("q_dedup_chain_drift", dedupChainDrift, Some(dedupChainDriftSql),
       "X2o transitive-chain drift audit: exact canonical-to-member star Jaccard per cluster, worst member + below-LSH-floor census"),
+    QueryDef("q_dedup_modal_agreement", dedupModalAgreement,
+      Some(dedupModalAgreementSql),
+      "X2p text-vs-embedding modal calibration: collapsed star pairs binned by text-Jaccard decile with exact integer-cosine stats"),
     QueryDef("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql),
       "X2 SimHash 16-bit collision groups"),
     QueryDef("q_dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql),

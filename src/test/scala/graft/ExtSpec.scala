@@ -966,6 +966,60 @@ class ExtSpec extends AnyFunSuite {
     out.values.foreach { case (_, bp, _, _) => assert(bp >= 0 && bp <= 10000) }
   }
 
+  test("X2p modal agreement: decile census equals a brute two-signal replay") {
+    import spark.implicits._
+    // brute star pairs: union-find over the gated LSH pairs (the X2o replay)
+    val pairs = DedupQueries.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1).toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"n_chars").as[(Long, String, Long)]
+      .collect().map(d => d._1 -> (d._2, d._3)).toMap
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) =>
+        id -> e.map(x => math.floor(x.toDouble * 1000000L).toLong).toArray
+      }.toMap
+    def cosU(a: Long, b: Long): Long = {
+      val (qa, qb) = (emb(a), emb(b))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      val (na, nb) = (qa.map(x => x * x).sum, qb.map(x => x * x).sum)
+      math.floor(dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+        * 1000000L).toLong
+    }
+    val stars = parent.keys.toSeq.groupBy(find).toSeq.flatMap { case (_, ms) =>
+      val can = ms.minBy(d => (-docs(d)._2, d))
+      val canSh = shingles(docs(can)._1)
+      ms.filter(_ != can).map { m =>
+        val mSh = shingles(docs(m)._1)
+        val inter = (canSh & mSh).size.toLong
+        (inter * 10000 / (canSh.size + mSh.size - inter), cosU(can, m))
+      }
+    }
+    val expect = stars.groupBy(_._1 / 1000).view.mapValues { xs =>
+      val cs = xs.map(_._2)
+      (xs.size.toLong, cs.sum / cs.size, cs.min, cs.max)
+    }.toMap
+    val out = DedupQueries.dedupModalAgreement(spark, sf).collect()
+      .map(r => r.getAs[Long]("bp_decile") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("mean_cos_u"),
+          r.getAs[Long]("min_cos_u"), r.getAs[Long]("max_cos_u"))).toMap
+    assert(out === expect, "modal-agreement census diverged from brute replay")
+  }
+
   test("X2m banding sweep: 3 config rows, sane ratios, shorter bands recall more") {
     val rows = DedupQueries.dedupBandSweep(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("rows_per_band")).toSeq === Seq(1L, 2L, 4L))
