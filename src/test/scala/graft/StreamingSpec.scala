@@ -362,6 +362,63 @@ class StreamingSpec extends AnyFunSuite {
       s"as-of enrich diverged: extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
   }
 
+  test("state-backend portability: as-of enrich is provider-invariant (HDFS vs RocksDB)") {
+    // extends the r12 provider pin from the simple running-count state to
+    // the session's most state-intensive machine: the watermark-ordered
+    // keyed MERGE (buffered pending rows + carried dim state + event-time
+    // timers). A backend divergence here means the buffer's serialization
+    // or replay order leaked an assumption the default store hid.
+    val h10 = 1735725600000000L
+    def m(min: Long) = h10 + min * 60000000L
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def runWith(provider: Option[String], name: String): Set[(Long, Long, Long, String, Long)] = {
+      provider match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+      val dimDir = Files.createTempDirectory(s"graft-asof-dim-$name").toString
+      val factDir = Files.createTempDirectory(s"graft-asof-fact-$name").toString
+      // the late-dim scenario PLUS a multi-key interleave, re-built per
+      // provider so checkpoints/state dirs never cross
+      dropAsOfRow(dimDir, "a_dim1.parquet", 42L, m(0), 1L, "browse", 0L)
+      dropAsOfRow(dimDir, "a_dim2.parquet", 7L, m(5), 4L, "search", 0L)
+      dropAsOfRow(factDir, "a_fact1.parquet", 42L, m(20), 2L, null, 999L)
+      dropAsOfRow(factDir, "a_fact2.parquet", 7L, m(6), 5L, null, 111L)
+      val (dim, fact) = asOfStreams(dimDir, factDir)
+      val q = StreamJobs.asOfEnrichStream(dim, fact)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        q.processAllAvailable()
+        dropAsOfRow(dimDir, "b_dim3.parquet", 42L, m(10), 3L, "cart", 0L)
+        q.processAllAvailable()
+        for (i <- 0 to 1) {
+          dropAsOfRow(dimDir, s"c_sent$i.parquet", -1L,
+            m(200) + i, 100L + i, "noise", 0L)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getLong(4))).toSet
+    }
+    try {
+      val hdfs = runWith(None, "asof_hdfs")
+      val rocks = runWith(Some("org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider"), "asof_rocks")
+      assert(hdfs === Set(
+        (42L, m(20), 2L, "cart", 999L),
+        (7L, m(6), 5L, "search", 111L)))
+      assert(hdfs === rocks, "state backends disagreed on the as-of merge")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   private def eventsDir: String = {
     val tmp = Files.createTempDirectory("graft-events-stream").toString
     java.nio.file.Files.copy(
