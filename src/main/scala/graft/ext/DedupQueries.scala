@@ -293,15 +293,21 @@ object DedupQueries {
 
   /** Members of each cluster ranked by the canonical-pick order (longest
     * text, ties to the smallest doc_id): rn = 1 is the doc a dedup pass
-    * keeps. */
-  private[ext] def rankedMembers(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
-    val w = Window.partitionBy($"cluster_id")
-      .orderBy($"n_chars".desc, $"doc_id".asc)
-    memberLabels(s, dir).join(docs, "doc_id")
-      .withColumn("rn", row_number().over(w))
-  }
+    * keeps. Memoized + checkpointed like the label table itself: four
+    * queries consume it (clusters, keep, chain drift ×2 sides, modal
+    * agreement), and without materialization each consumer re-runs the
+    * documents join (the session-3 plan audit counted the re-scans). */
+  private[ext] def rankedMembers(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.memo(s, "cc_ranked|" +
+        graft.GraftSession.contentKey(dir, Seq("documents"))) {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+      val w = Window.partitionBy($"cluster_id")
+        .orderBy($"n_chars".desc, $"doc_id".asc)
+      memberLabels(s, dir).join(docs, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .localCheckpoint()
+    }
 
   /** The missing last stage of every near-dup pipeline: resolve the LSH
     * candidate pairs ([[dedupMinhashLsh]]) into clusters and pick one
@@ -422,23 +428,25 @@ object DedupQueries {
     val mem = ranked.filter($"rn" > 1)
       .select($"cluster_id", $"doc_id".as("mem_doc"))
     val star = can.join(mem, "cluster_id")
-    val sh = Tables.documents(s, dir)
+    // shingle SETS only for cluster members (an equi-join prune — members
+    // are the near-dup subset, a small corpus fraction), materialized at
+    // |members| rows so both star sides read it without re-scanning the
+    // corpus; the intersection then runs locally per pair
+    // (array_intersect over pre-distinct arrays), replacing the 4-join
+    // (doc, shingle) explode shape the plan audit counted 8 scans for
+    val shArr = Tables.documents(s, dir)
+      .join(ranked.select($"doc_id"), "doc_id")
       .withColumn("toks", split($"text", " "))
-      .select($"doc_id", explode(array_distinct(shingleArr)).as("sh"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = star
-      .join(sh.toDF("can_doc", "sha"), "can_doc")
-      .join(sh.toDF("mem_doc_b", "shb"),
-        $"mem_doc" === $"mem_doc_b" && $"sha" === $"shb")
-      .groupBy($"cluster_id", $"can_doc", $"mem_doc")
-      .agg(count(lit(1)).as("n_inter"))
+      .select($"doc_id", array_distinct(shingleArr).as("sh_arr"))
+      .withColumn("n_sh", size($"sh_arr").cast("long"))
+      .localCheckpoint()
     star
-      .join(inter, Seq("cluster_id", "can_doc", "mem_doc"), "left")
-      .join(sizes.toDF("can_doc", "n_sh_a"), "can_doc")
-      .join(sizes.toDF("mem_doc", "n_sh_b"), "mem_doc")
+      .join(shArr.toDF("can_doc", "sha", "n_sh_a"), "can_doc")
+      .join(shArr.toDF("mem_doc", "shb", "n_sh_b"), "mem_doc")
+      .withColumn("n_inter",
+        size(array_intersect($"sha", $"shb")).cast("long"))
       .withColumn("star_bp", expr(
-        "coalesce(n_inter, 0L) * 10000 div" +
-          " (n_sh_a + n_sh_b - coalesce(n_inter, 0L))"))
+        "n_inter * 10000 div (n_sh_a + n_sh_b - n_inter)"))
       .select($"cluster_id", $"can_doc", $"mem_doc", $"star_bp")
   }
 
@@ -521,10 +529,15 @@ object DedupQueries {
     import s.implicits._
     val q6 = (x: org.apache.spark.sql.Column) =>
       floor(x.cast("double") * 1000000L)
+    // quantize only the cluster members' vectors (equi-join prune on the
+    // memoized member table) — the star sides then read a |members|-row
+    // materialization instead of re-quantizing the corpus per side
     val emb = Tables.embeddings(s, dir)
+      .join(rankedMembers(s, dir).select($"doc_id".as("vec_id")), "vec_id")
       .select($"vec_id", transform($"embedding", x => q6(x)).as("qe"))
       .select($"vec_id", $"qe",
         graft.functions.LongArrayDot.longArrayDot($"qe", $"qe").as("nrm"))
+      .localCheckpoint()
     val dot = graft.functions.LongArrayDot.longArrayDot($"qa", $"qb")
     val scored = chainStarScored(s, dir)
       .join(emb.toDF("can_doc", "qa", "na"), "can_doc")

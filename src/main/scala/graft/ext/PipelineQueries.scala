@@ -435,6 +435,11 @@ object PipelineQueries {
     * weight < 2⁶³; at larger scales compute the share per-mille first. */
   def epochBudget(sp: SparkSession, dir: String): DataFrame = {
     import sp.implicits._
+    // the ONLY corpus pass — eagerly materialized (localCheckpoint) at
+    // stream-dictionary size so the four downstream consumers (both
+    // totals + both waterfill rounds) never re-trigger it: without this,
+    // Spark recomputes the subtree per consumer and the plan scans the
+    // corpus FOUR times (caught in the session-3 plan audit)
     val streams = Tables.documents(sp, dir)
       .select($"lang", $"source", nTok("text").as("n_tok"),
         when(TextQueries.qualityCol, 1L).otherwise(0L).as("isq"))
@@ -444,6 +449,7 @@ object PipelineQueries {
       .withColumn("q_permille", expr("1 + q_docs * 999 div n_docs"))
       .withColumn("weight", expr("tokens * (1 + q_docs * 999 div n_docs)"))
       .withColumn("cap", expr(s"tokens * $MAX_EPOCHS"))
+      .localCheckpoint()
     val tot = streams.agg(sum($"tokens").as("corpus_tokens"),
       sum($"weight").as("sum_w"))
     val r1 = streams.crossJoin(broadcast(tot))
