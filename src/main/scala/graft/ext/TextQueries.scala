@@ -379,7 +379,81 @@ object TextQueries {
       |SELECT tok, exact_n, CAST(1 AS BIGINT) AS approx_ok FROM top
       |ORDER BY exact_n DESC, tok ASC""".stripMargin
 
+  // --- X4u: eval-split memorization risk ---------------------------------
+
+  /** How much of the EVAL splits has the model effectively already seen?
+    * For every val/test document (the q_sample_split md5 rule), the
+    * fraction of its distinct word-3-grams that occur anywhere in the
+    * TRAIN split — the n-gram novelty measure behind train/eval
+    * memorization audits. Unlike [[textContamination]] (does a benchmark
+    * string appear verbatim?) and q_split_leakage (is a near-DUP pair
+    * split-crossing?), this scores partial, compositional overlap: an
+    * eval doc stitched from training phrases scores high with no single
+    * contaminating document. Census per (lang, split): docs, mean/max
+    * seen-fraction (bp), and docs ≥ half-seen.
+    *
+    * Scale: the [[DedupQueries.sourceNovelty]] posting shape — distinct
+    * per-doc shingles, ONE hash aggregate on the shingle key for the
+    * in-train flag, one equi-join back for the eval side; no pair
+    * expansion, vocabulary-bounded state. */
+  def memorizationRisk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cell = substring(md5($"doc_id".cast("string")), 1, 1)
+    val splitC = when(cell.isin("0", "1"), "val")
+      .when(cell.isin("2", "3"), "test")
+      .otherwise("train")
+    val pairs = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", $"lang", splitC.as("split"),
+        explode(array_distinct(DedupQueries.shingleArr)).as("sh"))
+    val flag = pairs.groupBy($"sh")
+      .agg(max(when($"split" === "train", 1L).otherwise(0L)).as("in_train"))
+    pairs.filter($"split" =!= "train")
+      .join(flag, Seq("sh"))
+      .groupBy($"doc_id", $"lang", $"split")
+      .agg(count(lit(1)).as("n_sh"), sum($"in_train").as("n_seen"))
+      .withColumn("seen_bp", expr("n_seen * 10000 div n_sh"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(seen_bp) div count(1)").as("mean_seen_bp"),
+        max($"seen_bp").as("max_seen_bp"),
+        sum(when($"seen_bp" >= 5000, 1L).otherwise(0L)).as("n_half_seen"))
+      .orderBy($"lang", $"split")
+  }
+
+  val memorizationRiskSql: String =
+    s"""WITH mpairs AS (
+       |  SELECT DISTINCT doc_id, lang,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+       |           IN ('0','1') THEN 'val'
+       |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+       |           IN ('2','3') THEN 'test'
+       |         ELSE 'train' END AS split,
+       |    unnest(${DedupQueries.shinglesSql}) AS sh
+       |  FROM documents),
+       |mflag AS (
+       |  SELECT sh, MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+       |    AS in_train
+       |  FROM mpairs GROUP BY sh),
+       |mdoc AS (
+       |  SELECT p.doc_id, p.lang, p.split,
+       |    COUNT(*) AS n_sh, CAST(SUM(f.in_train) AS BIGINT) AS n_seen
+       |  FROM mpairs p JOIN mflag f ON p.sh = f.sh
+       |  WHERE p.split <> 'train'
+       |  GROUP BY 1, 2, 3),
+       |mbp AS (
+       |  SELECT lang, split, n_seen * 10000 // n_sh AS seen_bp FROM mdoc)
+       |SELECT lang, split, COUNT(*) AS n_docs,
+       |  CAST(SUM(seen_bp) // COUNT(*) AS BIGINT) AS mean_seen_bp,
+       |  CAST(MAX(seen_bp) AS BIGINT) AS max_seen_bp,
+       |  CAST(SUM(CASE WHEN seen_bp >= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_half_seen
+       |FROM mbp GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_memorization_risk", memorizationRisk,
+      Some(memorizationRiskSql),
+      "X4u eval-split memorization risk: per val/test doc, fraction of distinct 3-grams present anywhere in train; census per (lang, split)"),
     QueryDef("q_text_contamination", textContamination, Some(textContaminationSql),
       "X4 benchmark decontamination: cross-set n-gram containment"),
     QueryDef("q_text_heavyhitters", textHeavyHitters, Some(textHeavyHittersSql),

@@ -966,6 +966,47 @@ class ExtSpec extends AnyFunSuite {
     out.values.foreach { case (_, bp, _, _) => assert(bp >= 0 && bp <= 10000) }
   }
 
+  test("X4u memorization risk: census equals a brute split + vocab replay") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1).toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+      .map { case (id, lang, text) =>
+        val split = md5hex(id.toString).head match {
+          case '0' | '1' => "val"
+          case '2' | '3' => "test"
+          case _ => "train"
+        }
+        (id, lang, split, shingles(text))
+      }
+    val trainVocab = docs.filter(_._3 == "train").flatMap(_._4).toSet
+    val expect = docs.filter(_._3 != "train")
+      .map { case (_, lang, split, shs) =>
+        val bp = shs.count(trainVocab).toLong * 10000 / shs.size
+        (lang, split, bp)
+      }
+      .groupBy(d => (d._1, d._2)).map { case ((lang, split), xs) =>
+        val bps = xs.map(_._3)
+        (lang, split) -> (xs.size.toLong, bps.sum / bps.size, bps.max,
+          bps.count(_ >= 5000).toLong)
+      }
+    val out = TextQueries.memorizationRisk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("mean_seen_bp"),
+          r.getAs[Long]("max_seen_bp"), r.getAs[Long]("n_half_seen"))).toMap
+    assert(out === expect, "memorization census diverged from brute replay")
+    // discriminative on this corpus: seen-fraction neither all-0 nor all-1
+    assert(out.values.exists(_._2 > 0))
+    assert(out.values.forall(v => v._2 >= 0 && v._3 <= 10000))
+  }
+
   test("X2p modal agreement: decile census equals a brute two-signal replay") {
     import spark.implicits._
     // brute star pairs: union-find over the gated LSH pairs (the X2o replay)
