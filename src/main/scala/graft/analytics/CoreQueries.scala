@@ -824,6 +824,102 @@ object CoreQueries {
        |GROUP BY c_custkey, c_name, n_name
        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
 
+  // --- J4/CBO: TPC-H Q18 shape — large-volume orders ----------------------
+  /** Q18-shape: the big-aggregate semi-filter — orders whose TOTAL line
+    * quantity crosses a threshold, detailed with customer and re-agg.
+    * Plan-quality point: the HAVING subquery becomes ONE hash aggregate
+    * over lineitem followed by a LEFT SEMI join (never a grouped IN-list
+    * materialized on the driver); quantity sums run in DECIMAL so the
+    * threshold compare and the emitted sums are bit-identical
+    * cross-engine (float sums are order-dependent). */
+  def tpchQ18Shape(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qty = $"l_quantity".cast(DecimalType(12, 2))
+    val hot = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(qty).as("hot_qty"))
+      .filter($"hot_qty" > 250)
+      .select($"l_orderkey".as("hot_orderkey"))
+    Tables.orders(s, dir)
+      .join(hot, $"o_orderkey" === $"hot_orderkey", "left_semi")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice")
+      .agg(sum(qty).cast(DoubleType).as("sum_qty"))
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        dayStr($"o_orderdate").as("order_date"),
+        money($"o_totalprice").cast(DoubleType).as("total_price"),
+        $"sum_qty")
+      .orderBy($"total_price".desc, $"o_orderkey".asc)
+      .limit(100)
+      .orderBy($"total_price".desc, $"o_orderkey".asc)
+  }
+
+  val tpchQ18ShapeSql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       |  CAST(${m("o_totalprice")} AS DOUBLE) AS total_price,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+       |ORDER BY total_price DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  // --- J4/CBO: TPC-H Q21 shape — sole failing supplier per order ---------
+  /** Q21-shape (adapted to this schema: returnflag 'R' plays the "late"
+    * role): suppliers who were the ONLY supplier with a returned line on
+    * a finalized multi-supplier order — the classic EXISTS + NOT EXISTS
+    * double correlated self-join on the fact table. Plan-quality point:
+    * both correlations decorrelate to ONE left-semi and ONE left-anti
+    * join, each an equi-join on l_orderkey carrying the supplier
+    * inequality as a residual predicate — never a per-row subquery, never
+    * a nested loop. The 'F'-status filter semi-prunes before the heavy
+    * self-joins. */
+  def tpchQ21Shape(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+    val l1 = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_suppkey")
+    val l2 = li.select($"l_orderkey".as("k2"), $"l_suppkey".as("s2"))
+    val l3 = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey".as("k3"), $"l_suppkey".as("s3"))
+    l1
+      .join(Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_semi")
+      .join(l2, $"l_orderkey" === $"k2" && $"l_suppkey" =!= $"s2", "left_semi")
+      .join(l3, $"l_orderkey" === $"k3" && $"l_suppkey" =!= $"s3", "left_anti")
+      .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name".asc)
+      .limit(20)
+      .orderBy($"numwait".desc, $"s_name".asc)
+  }
+
+  val tpchQ21ShapeSql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON l1.l_orderkey = o_orderkey
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin
+
   // --- A2 + skew: two-phase salted aggregation ---------------------------
   /** Hot-key-safe aggregation via [[graft.operators.Salting]]: shuffle 1
     * groups on (key, salt) so no reducer sees more than 1/16 of a hot key,
@@ -932,6 +1028,10 @@ object CoreQueries {
       "multi-join Q7 shape: selective dims first, two-nation trade volume"),
     QueryDef("q_tpch_q10_shape", tpchQ10Shape, Some(tpchQ10ShapeSql),
       "multi-join Q10 shape: quarter-pruned returned-item revenue top-20"),
+    QueryDef("q_tpch_q18_shape", tpchQ18Shape, Some(tpchQ18ShapeSql),
+      "Q18 shape: big-aggregate HAVING subquery as one hash agg + left-semi join, DECIMAL quantity sums"),
+    QueryDef("q_tpch_q21_shape", tpchQ21Shape, Some(tpchQ21ShapeSql),
+      "Q21 shape: EXISTS + NOT EXISTS correlated self-joins decorrelated to semi/anti equi-joins with residual inequality"),
     QueryDef("q_join_left_outer", joinLeftOuter, Some(joinLeftOuterSql),
       "J3 left outer join"),
     QueryDef("q_join_full_outer", joinFullOuter, Some(joinFullOuterSql),

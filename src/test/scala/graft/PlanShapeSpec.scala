@@ -45,6 +45,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(pr, "BroadcastHashJoin [^\\n]*LeftSemi") >= 2, pr)
   }
 
+  test("round-13 session-3 queries: decorrelated semi/anti, single-pass closed forms") {
+    // q_tpch_q21_shape: EXISTS + NOT EXISTS decorrelate to exactly one
+    // LeftSemi + one LeftAnti equi-join (plus the status semi-prune) with
+    // the supplier inequality as a residual — never a per-row subquery,
+    // never a loop join
+    val q21 = planOf("q_tpch_q21_shape")
+    assert(countOf(q21, "LeftSemi") == 2, s"expected status+EXISTS semis:\n$q21")
+    assert(countOf(q21, "LeftAnti") == 1, q21)
+    assert(!q21.contains("BroadcastNestedLoopJoin") &&
+      !q21.contains("CartesianProduct"), q21)
+    // q_tpch_q18_shape: the HAVING-IN subquery is one hash aggregate
+    // feeding a LeftSemi — no driver-side IN-list, no loop join
+    val q18 = planOf("q_tpch_q18_shape")
+    assert(countOf(q18, "LeftSemi") == 1, q18)
+    assert(!q18.contains("BroadcastNestedLoopJoin") &&
+      !q18.contains("CartesianProduct"), q18)
+    // q_pack_cross_doc: the whole closed-form audit is ONE stream-key
+    // window exchange + ONE aggregate exchange — no join at all, no
+    // Generate (nothing ever explodes to token granularity)
+    val cx = planOf("q_pack_cross_doc")
+    assert(countOf(cx, "Exchange") <= 3, s"cross-doc audit over-exchanges:\n$cx")
+    assert(!cx.contains("Join") && !cx.contains("Generate"), cx)
+    // q_memorization_risk: posting shape — no pair expansion (the only
+    // Generates are the two shingle explodes), equi-join on the shingle
+    // key only
+    val mr = planOf("q_memorization_risk")
+    assert(countOf(mr, "Generate") == 2, mr)
+    assert(!mr.contains("BroadcastNestedLoopJoin") &&
+      !mr.contains("CartesianProduct"), mr)
+  }
+
   test("packing window is partitioned by stream key, never a global sort") {
     val plan = planOf("q_pack_sequences")
     assert(plan.contains("Window"))
