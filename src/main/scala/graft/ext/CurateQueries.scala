@@ -760,6 +760,86 @@ object CurateQueries {
        |    - (n_pass * 1000000) // n_docs) AS gap_ppm
        |FROM agg ORDER BY bucket""".stripMargin
 
+  // --- XC13: quality-prune frontier ---------------------------------------
+
+  /** XC13 — the PRUNE FRONTIER: what a quality threshold actually costs.
+    * For every classifier-logit threshold (the XC9 whole-log-unit
+    * buckets, clamped ±10), the cumulative retention if every document
+    * scoring BELOW it is dropped: docs and char mass kept (absolute and
+    * basis points of corpus) and the weak-label pass rate among the
+    * kept — the quality-lift-vs-data-loss curve a curator reads to place
+    * the cut. Complements XC9 (is the margin calibrated?) with the
+    * decision view (what does each cut keep?).
+    *
+    * Scale: the scoring pass is the XC2 chain (corpus streams once
+    * against the broadcast weight table); everything after is a ≤21-row
+    * logit-bucket dictionary — the suffix-cumulative window runs on those
+    * 21 rows, never on corpus data. */
+  def pruneFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val model = nbTrain(docs)
+    val bias = model.filter($"tok" === BiasKey).select($"w".as("bias"))
+    val perBucket = nbScore(docs, model)
+      .crossJoin(broadcast(bias))
+      .withColumn("bucket", least(greatest(
+        expr("(s + bias + 1000000000000) div 1000000 - 1000000"),
+        lit(-10L)), lit(10L)))
+      .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("bchars"),
+        sum($"y").as("n_pass"))
+    val w = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perBucket.agg(sum($"n_docs").as("tot_docs"),
+      sum($"bchars").as("tot_chars"))
+    perBucket
+      .withColumn("docs_kept", sum($"n_docs").over(w))
+      .withColumn("chars_kept", sum($"bchars").over(w))
+      .withColumn("pass_kept", sum($"n_pass").over(w))
+      .crossJoin(broadcast(tot))
+      .select($"bucket".as("threshold_bucket"), $"docs_kept", $"chars_kept",
+        expr("docs_kept * 10000 div tot_docs").as("docs_kept_bp"),
+        expr("chars_kept * 10000 div tot_chars").as("chars_kept_bp"),
+        expr("pass_kept * 1000000 div docs_kept").as("pass_ppm_kept"))
+      .orderBy($"threshold_bucket")
+  }
+
+  val pruneFrontierSql: String =
+    s"""WITH $nbCtesSql,
+       |pbuck AS (
+       |  SELECT sc.doc_id,
+       |    LEAST(GREATEST((sc.s + (SELECT bias FROM prior) + 1000000000000)
+       |      // 1000000 - 1000000, -10), 10) AS bucket,
+       |    sc.y, d.n_chars
+       |  FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id),
+       |pagg AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS bchars,
+       |    CAST(SUM(y) AS BIGINT) AS n_pass
+       |  FROM pbuck GROUP BY bucket),
+       |pcum AS (
+       |  SELECT bucket,
+       |    CAST(SUM(n_docs) OVER (ORDER BY bucket DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS docs_kept,
+       |    CAST(SUM(bchars) OVER (ORDER BY bucket DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS chars_kept,
+       |    CAST(SUM(n_pass) OVER (ORDER BY bucket DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS pass_kept
+       |  FROM pagg),
+       |ptot AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+       |    CAST(SUM(bchars) AS BIGINT) AS tot_chars
+       |  FROM pagg)
+       |SELECT bucket AS threshold_bucket, docs_kept, chars_kept,
+       |  CAST(docs_kept * 10000 // tot_docs AS BIGINT) AS docs_kept_bp,
+       |  CAST(chars_kept * 10000 // tot_chars AS BIGINT) AS chars_kept_bp,
+       |  CAST(pass_kept * 1000000 // docs_kept AS BIGINT) AS pass_ppm_kept
+       |FROM pcum, ptot ORDER BY threshold_bucket""".stripMargin
+
   // --- XC12: content-distribution drift (KL / TV between crawl cohorts) --
 
   /** Content-level distribution drift between two crawl cohorts — the
@@ -1056,6 +1136,8 @@ object CurateQueries {
     QueryDef("q_quality_calibration", qualityCalibration,
       Some(qualityCalibrationSql),
       "XC9 reliability diagram of the distilled classifier: logit buckets, empirical vs logistic ppm, gap"),
+    QueryDef("q_prune_frontier", pruneFrontier, Some(pruneFrontierSql),
+      "XC13 quality-prune frontier: cumulative docs/chars retained and weak-label pass rate per logit threshold"),
     QueryDef("q_pref_pairs", prefPairs, Some(prefPairsSql),
       "XC7 preference-pair assembly: outside-in best/worst pairing per stream with positive margin"),
     QueryDef("q_skyline_docs", skylineDocs, Some(skylineDocsSql),

@@ -966,6 +966,39 @@ class ExtSpec extends AnyFunSuite {
     out.values.foreach { case (_, bp, _, _) => assert(bp >= 0 && bp <= 10000) }
   }
 
+  test("XC13 prune frontier: reconciles with calibration buckets, monotone") {
+    import spark.implicits._
+    val cal = CurateQueries.qualityCalibration(spark, sf).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass"))).toMap
+    val out = CurateQueries.pruneFrontier(spark, sf).collect()
+      .map(r => (r.getAs[Long]("threshold_bucket"), r.getAs[Long]("docs_kept"),
+        r.getAs[Long]("chars_kept"), r.getAs[Long]("docs_kept_bp"),
+        r.getAs[Long]("chars_kept_bp"), r.getAs[Long]("pass_ppm_kept")))
+      .sortBy(_._1)
+    assert(out.nonEmpty && out.map(_._1).toSet === cal.keySet)
+    // cross-query reconciliation: the frontier at threshold t is exactly
+    // the calibration census summed over buckets >= t (both queries run
+    // the same scoring chain; both are independently oracle-gated)
+    out.foreach { case (t, docsKept, _, _, _, passPpm) =>
+      val expDocs = cal.filter(_._1 >= t).values.map(_._1).sum
+      val expPass = cal.filter(_._1 >= t).values.map(_._2).sum
+      assert(docsKept === expDocs, s"docs_kept diverged at threshold $t")
+      assert(passPpm === expPass * 1000000 / expDocs,
+        s"pass rate diverged at threshold $t")
+    }
+    // retention is monotone non-increasing in the threshold; the loosest
+    // threshold keeps the whole corpus
+    assert(out.sliding(2).forall(p =>
+      p.length < 2 || (p(0)._2 >= p(1)._2 && p(0)._3 >= p(1)._3)))
+    val totChars = Tables.documents(spark, sf)
+      .agg(sum($"n_chars")).head().getLong(0)
+    assert(out.head._3 === totChars && out.head._4 === 10000L &&
+      out.head._5 === 10000L)
+    // and the curve is discriminative: the strictest cut keeps less
+    assert(out.last._2 < out.head._2)
+  }
+
   test("X4u memorization risk: census equals a brute split + vocab replay") {
     import spark.implicits._
     def md5hex(s: String): String = java.security.MessageDigest

@@ -233,7 +233,11 @@ class RegistrySpec extends AnyFunSuite {
       // two single-row totals broadcasts (corpus tokens/weight-mass,
       // then the re-offer round's spent/open-weight) crossed onto the
       // stream DICTIONARY — the q_mix_temperature class, twice
-      "q_epoch_budget")
+      "q_epoch_budget",
+      // the XC2 scoring chain's single-row bias/vocab-totals broadcasts
+      // plus the corpus-totals row crossed onto the ≤21-bucket frontier —
+      // the q_quality_calibration class
+      "q_prune_frontier")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
@@ -282,6 +286,9 @@ class RegistrySpec extends AnyFunSuite {
       // the drift audit's running-overlap window runs over the
       // BpeTrainRounds-row merge comparison (merge-table bounded)
       "q_tokenizer_drift" -> "merge table",
+      // the suffix-cumulative retention window over the ±10-clamped
+      // logit-bucket dictionary (≤ 21 rows)
+      "q_prune_frontier" -> "logit-bucket dictionary",
       // the three blocked-ntile offset prefix sums over the value-range
       // block dictionaries (day-range/16, |distinct f|, spend-range/2^20
       // rows); the corpus-side ranking windows are block-partitioned
