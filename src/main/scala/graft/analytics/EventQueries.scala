@@ -424,6 +424,85 @@ object EventQueries {
       |  ON p.user_id = b.user_id AND b.ts_us <= p.ts_us
       |GROUP BY p.event_type ORDER BY p.event_type""".stripMargin
 
+  // --- J5c: as-of join with TOLERANCE (bounded lookback) ------------------
+
+  /** Staleness bound for [[asOfTolerance]]: a matched state older than
+    * this (1 day in µs) is reported stale, not used. */
+  private val ASOF_TOL_US = 86400000000L
+
+  /** As-of join with a TOLERANCE bound — the pandas-merge_asof semantics
+    * every feature-store read enforces: the latest state AT the probe
+    * time counts only if it is no older than the freshness SLA; a staler
+    * match is surfaced (n_stale) but its value is not consumed. Expressed
+    * as the single-shuffle union + carry-forward window (the J5 rewrite)
+    * carrying BOTH the state value and the state's own event time, so
+    * the age test is one subtraction per probe row.
+    *
+    * Determinism: the carry order (ts, build-before-probe, event_id) is a
+    * TOTAL order mirrored verbatim in the oracle's window (not DuckDB's
+    * ASOF operator, whose tie choice among equal timestamps is not
+    * contractually the same) — both engines replay the identical merge. */
+  def asOfTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    val probe = e.select($"user_id", (epochUs($"ts") - 300000000L).as("ts_us"),
+      lit(1).as("is_probe"), $"event_id", $"event_type",
+      lit(null).cast(org.apache.spark.sql.types.DoubleType).as("value"))
+    val build = e.select($"user_id", epochUs($"ts").as("ts_us"),
+      lit(0).as("is_probe"), $"event_id",
+      lit(null).cast("string").as("event_type"), $"value")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us", $"is_probe", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probe.unionByName(build)
+      .withColumn("s_val", last($"value", ignoreNulls = true).over(w))
+      .withColumn("s_ts",
+        last(when($"is_probe" === 0, $"ts_us"), ignoreNulls = true).over(w))
+      .filter($"is_probe" === 1)
+      .withColumn("fresh",
+        $"s_val".isNotNull && ($"ts_us" - $"s_ts" <= ASOF_TOL_US))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"fresh", 1L).otherwise(0L)).as("n_fresh"),
+        sum(when($"s_val".isNotNull && !$"fresh", 1L).otherwise(0L))
+          .as("n_stale"),
+        sum(when($"fresh", money($"s_val")))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_fresh"))
+      .orderBy($"event_type")
+  }
+
+  val asOfToleranceSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+       |  FROM events),
+       |u AS (
+       |  SELECT user_id, ts_us - 300000000 AS ts_us, 1 AS is_probe,
+       |    event_id, event_type, NULL::DOUBLE AS value
+       |  FROM e
+       |  UNION ALL
+       |  SELECT user_id, ts_us, 0, event_id, NULL, value FROM e),
+       |c AS (
+       |  SELECT *,
+       |    last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, is_probe, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_val,
+       |    last_value(CASE WHEN is_probe = 0 THEN ts_us END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, is_probe, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_ts
+       |  FROM u)
+       |SELECT event_type, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN s_val IS NOT NULL
+       |    AND ts_us - s_ts <= $ASOF_TOL_US THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fresh,
+       |  CAST(SUM(CASE WHEN s_val IS NOT NULL
+       |    AND ts_us - s_ts > $ASOF_TOL_US THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_stale,
+       |  CAST(SUM(CASE WHEN s_val IS NOT NULL
+       |    AND ts_us - s_ts <= $ASOF_TOL_US
+       |    THEN CAST(s_val AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_fresh
+       |FROM c WHERE is_probe = 1
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- Funnel: signup → purchase conversion within 7 days ----------------
   // The "trend analysis" archetype over the event stream; all-integer
   // outputs so the oracle hash is exact.
@@ -1101,6 +1180,8 @@ object EventQueries {
       "J5 as-of join via grid + forward fill"),
     QueryDef("q_ts_interpolate", tsInterpolate, Some(tsInterpolateSql),
       "J5c daily resample with linear interpolation between observations"),
+    QueryDef("q_join_asof_tolerance", asOfTolerance, Some(asOfToleranceSql),
+      "J5c as-of join with freshness tolerance: latest state counts only within the SLA window, staler matches censused"),
     QueryDef("q_join_asof_native", asOfNative, Some(asOfNativeSql),
       "J5 native as-of join exec vs DuckDB ASOF JOIN oracle"),
     QueryDef("q_join_range_followers", rangeJoinFollowers, Some(rangeJoinFollowersSql),

@@ -113,6 +113,47 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("J5c as-of tolerance: census equals a brute per-user merge replay") {
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val tol = 86400000000L
+    // brute: for each probe (event shifted -300s), the latest build row
+    // strictly by (ts, build-before-probe, event_id) order — i.e. builds
+    // with ts <= probe ts (ties: build wins, then max event_id)
+    val byUser = evs.groupBy(_._1)
+    val expect = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Long, BigDecimal)]
+      .withDefaultValue((0L, 0L, 0L, BigDecimal(0)))
+    byUser.values.foreach { rows =>
+      val builds = rows.map(r => (r._2, r._3, r._5)).sortBy(b => (b._1, b._2))
+      rows.foreach { case (_, ts, _, et, _) =>
+        val pTs = ts - 300000000L
+        val m = builds.takeWhile(_._1 <= pTs).lastOption
+        val (t, f, s, v) = expect(et)
+        m match {
+          case Some((bTs, _, bv)) if pTs - bTs <= tol =>
+            expect(et) = (t + 1, f + 1, s,
+              v + BigDecimal(bv).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          case Some(_) => expect(et) = (t + 1, f, s + 1, v)
+          case None => expect(et) = (t + 1, f, s, v)
+        }
+      }
+    }
+    val out = EventQueries.asOfTolerance(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (t, f, s, v) = expect(r.getString(0))
+      assert(r.getAs[Long]("n_total") === t)
+      assert(r.getAs[Long]("n_fresh") === f, s"fresh ${r.getString(0)}")
+      assert(r.getAs[Long]("n_stale") === s, s"stale ${r.getString(0)}")
+      assert(math.abs(r.getAs[Double]("sum_fresh") - v.toDouble) < 1e-6)
+      // tolerance genuinely splits the matches on this corpus
+      assert(f > 0 && (f + s) > f)
+    }
+  }
+
   test("range join followers agrees with naive non-equi join") {
     val bucketized = EventQueries.rangeJoinFollowers(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
