@@ -192,7 +192,94 @@ object StatsQueries {
       |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
       |FROM fit ORDER BY event_type""".stripMargin
 
+  // --- ST11: two-sample Kolmogorov–Smirnov drift test ---------------------
+
+  /** Argmax packing stride for (dppm desc, n_chars asc): dppm ≤ 10⁶ so the
+    * pack stays inside a long while n_chars < 10⁹. */
+  private val KS_STRIDE = 1000000000L
+
+  /** Two-sample KOLMOGOROV–SMIRNOV distance between the even/odd-doc_id
+    * cohorts' document-LENGTH distributions, per language — the classic
+    * distribution-drift test (q_corpus_drift watches CONTENT via hashed
+    * unigrams; this watches a structural marginal any schema has). KS is
+    * the max absolute gap between the two empirical CDFs; emitted in ppm
+    * with the length at which the gap peaks (ties to the smallest
+    * length, via the documented stride pack).
+    *
+    * Determinism: each CDF point quantizes to integer ppm BEFORE the
+    * difference (cum·10⁶ div total), so both engines compare identical
+    * integers — no float CDF anywhere.
+    *
+    * Scale: one corpus scan into per-(lang, n_chars) conditional counts;
+    * the CDF window is partitioned by lang over the LENGTH DICTIONARY
+    * (distinct lengths, value-bounded), never corpus rows; the totals
+    * join is |langs|-sized. */
+  def lengthKs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cnts = Tables.documents(s, dir)
+      .groupBy($"lang", $"n_chars")
+      .agg(sum(when($"doc_id" % 2 === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when($"doc_id" % 2 === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = cnts.groupBy($"lang").agg(sum($"ca").as("ta"), sum($"cb").as("tb"))
+    val w = Window.partitionBy($"lang").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnts
+      .withColumn("cca", sum($"ca").over(w))
+      .withColumn("ccb", sum($"cb").over(w))
+      .join(tot, "lang")
+      .withColumn("dppm", abs(expr(
+        "CASE WHEN ta > 0 THEN cca * 1000000 div ta ELSE 0 END" +
+          " - CASE WHEN tb > 0 THEN ccb * 1000000 div tb ELSE 0 END")))
+      .withColumn("packed",
+        expr(s"dppm * $KS_STRIDE + (${KS_STRIDE - 1} - n_chars)"))
+      .groupBy($"lang")
+      .agg(max($"ta").as("n_a"), max($"tb").as("n_b"),
+        max($"packed").as("p"))
+      .select($"lang", $"n_a", $"n_b",
+        expr(s"p div $KS_STRIDE").as("ks_ppm"),
+        expr(s"${KS_STRIDE - 1} - p % $KS_STRIDE").as("ks_at_chars"))
+      .orderBy($"lang")
+  }
+
+  val lengthKsSql: String =
+    s"""WITH kcnt AS (
+       |  SELECT lang, n_chars,
+       |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ca,
+       |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cb
+       |  FROM documents GROUP BY 1, 2),
+       |ktot AS (
+       |  SELECT lang, CAST(SUM(ca) AS BIGINT) AS ta,
+       |    CAST(SUM(cb) AS BIGINT) AS tb
+       |  FROM kcnt GROUP BY 1),
+       |kcum AS (
+       |  SELECT lang, n_chars,
+       |    CAST(SUM(ca) OVER (PARTITION BY lang ORDER BY n_chars
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cca,
+       |    CAST(SUM(cb) OVER (PARTITION BY lang ORDER BY n_chars
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS ccb
+       |  FROM kcnt),
+       |kd AS (
+       |  SELECT k.lang, k.n_chars, t.ta, t.tb,
+       |    abs(CASE WHEN t.ta > 0 THEN cca * 1000000 // t.ta ELSE 0 END
+       |      - CASE WHEN t.tb > 0 THEN ccb * 1000000 // t.tb ELSE 0 END)
+       |      AS dppm
+       |  FROM kcum k JOIN ktot t ON k.lang = t.lang)
+       |SELECT lang, CAST(MAX(ta) AS BIGINT) AS n_a,
+       |  CAST(MAX(tb) AS BIGINT) AS n_b,
+       |  CAST(MAX(dppm * $KS_STRIDE + (${KS_STRIDE - 1} - n_chars))
+       |    // $KS_STRIDE AS BIGINT) AS ks_ppm,
+       |  CAST(${KS_STRIDE - 1} - MAX(dppm * $KS_STRIDE
+       |    + (${KS_STRIDE - 1} - n_chars)) % $KS_STRIDE AS BIGINT)
+       |    AS ks_at_chars
+       |FROM kd GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_length_ks", lengthKs, Some(lengthKsSql),
+      "ST11 two-sample KS drift test: max CDF gap (ppm) between cohort length distributions per language, with the peak location"),
     QueryDef("q_basket_pairs", basketPairs, Some(basketPairsSql),
       "ST1 market-basket co-occurrence: co-partitioned self-join pair mining"),
     QueryDef("q_stats_contingency", contingencyChi2, Some(contingencyChi2Sql),

@@ -373,6 +373,30 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_keys")).sum === nCust)
   }
 
+  test("ST11 length KS: distance equals a brute two-CDF replay") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"n_chars")
+      .as[(Long, String, Long)].collect()
+    val expect = docs.groupBy(_._2).map { case (lang, rows) =>
+      val a = rows.filter(_._1 % 2 == 0).map(_._3).sorted
+      val b = rows.filter(_._1 % 2 == 1).map(_._3).sorted
+      val lens = rows.map(_._3).distinct.sorted
+      val pts = lens.map { x =>
+        val pa = if (a.nonEmpty) a.count(_ <= x).toLong * 1000000 / a.length else 0L
+        val pb = if (b.nonEmpty) b.count(_ <= x).toLong * 1000000 / b.length else 0L
+        (math.abs(pa - pb), x)
+      }
+      // max gap, ties to the SMALLEST length
+      val best = pts.maxBy(p => (p._1, -p._2))
+      lang -> (a.length.toLong, b.length.toLong, best._1, best._2)
+    }
+    val got = graft.analytics.StatsQueries.lengthKs(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got === expect, "KS census diverged from brute CDF replay")
+    got.values.foreach { case (_, _, ks, _) => assert(ks > 0 && ks < 1000000) }
+  }
+
   test("ST3 regression: slope/intercept/r2 match a local least-squares fit") {
     import graft.analytics.StatsQueries
     val daily = Tables.events(spark, sf)
