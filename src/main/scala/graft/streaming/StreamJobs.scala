@@ -903,7 +903,8 @@ object StreamJobs {
     * batch window plans), state store scales by |keys in lag window|,
     * and dim/fact volume asymmetry costs nothing (no replication — this
     * is a co-partitioned merge, not a broadcast). */
-  def asOfEnrichStream(dimChanges: DataFrame, facts: DataFrame): Dataset[AsOfOut] = {
+  def asOfEnrichStream(dimChanges: DataFrame, facts: DataFrame,
+      tolUs: Long = Long.MaxValue): Dataset[AsOfOut] = {
     import dimChanges.sparkSession.implicits._
     val dim = dimChanges.select(
       col("user_id"), col("ts"), col("event_id"),
@@ -924,24 +925,33 @@ object StreamJobs {
       .flatMapGroupsWithState[AsOfState, AsOfOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[AsOfIn], gs: GroupState[AsOfState]) =>
-          val prev = gs.getOption.getOrElse(AsOfState(Nil, None))
+          val prev = gs.getOption.getOrElse(AsOfState(Nil, None, None))
           val buf = prev.pending ++ it
           // rows matured once the watermark passes their event time: no
           // earlier-timestamped dim change can still arrive for them
           val wmUs = gs.getCurrentWatermarkMs() * 1000L
           val (ready, pending) = buf.partition(_.ts_us <= wmUs)
           var cur = prev.curState
+          var curTs = prev.curTs
           val out = List.newBuilder[AsOfOut]
-          // the batch wCarry order: ts, then dim-before-fact, then id
+          // the batch wCarry order: ts, then dim-before-fact, then id;
+          // a carried state older than tolUs at the fact's event time is
+          // reported as 'none' (the J5c freshness-SLA semantics) but
+          // STAYS carried — a later fact inside the window can still
+          // never see it fresh again (age only grows), yet the state
+          // remains the correct base for debugging/inspection semantics
           ready.sortBy(r => (r.ts_us, r.is_fact, r.event_id)).foreach { r =>
-            if (r.is_fact == 0) cur = Option(r.state)
+            if (r.is_fact == 0) { cur = Option(r.state); curTs = Some(r.ts_us) }
             else out += AsOfOut(uid, r.ts_us, r.event_id,
-              cur.getOrElse("none"), r.v_cents)
+              if (cur.isDefined && curTs.exists(t => r.ts_us - t <= tolUs))
+                cur.get
+              else "none",
+              r.v_cents)
           }
           // carried state lives forever (|keys|-bounded, the latest-state
           // table's own bound); pending rows re-arm an event-time timeout
           // at their earliest maturity so a quiet key still flushes
-          gs.update(AsOfState(pending, cur))
+          gs.update(AsOfState(pending, cur, curTs))
           if (pending.nonEmpty)
             gs.setTimeoutTimestamp(pending.map(_.ts_us).min / 1000L + 1L)
           out.result().iterator
@@ -958,7 +968,8 @@ final case class AsOfIn(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
 
 /** Keyed state for [[StreamJobs.asOfEnrichStream]]: rows still inside the
   * watermark lag plus the carried latest-matured dim state. */
-final case class AsOfState(pending: List[AsOfIn], curState: Option[String])
+final case class AsOfState(pending: List[AsOfIn], curState: Option[String],
+    curTs: Option[Long] = None)
 
 /** One enriched fact: the dim state in force at the fact's event time. */
 final case class AsOfOut(user_id: Long, ts_us: Long, event_id: Long,

@@ -362,6 +362,67 @@ class StreamingSpec extends AnyFunSuite {
       s"as-of enrich diverged: extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
   }
 
+  test("J5c twin: streaming as-of enrich with tolerance equals the batch SLA filter") {
+    val tol = 3600000000L // 1 hour in µs — splits fresh/stale on this corpus
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        expr("cast(round(value * 100) as bigint)").as("v_cents"))
+    val dimDir = Files.createTempDirectory("graft-asof-dim3").toString
+    val factDir = Files.createTempDirectory("graft-asof-fact3").toString
+    val dimRows = ev.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("state"))
+    val factRows = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"v_cents")
+    dimRows.filter($"event_id" % 2 === 0).coalesce(1).write.mode("append").parquet(dimDir)
+    dimRows.filter($"event_id" % 2 === 1).coalesce(1).write.mode("append").parquet(dimDir)
+    factRows.coalesce(1).write.mode("append").parquet(factDir)
+    val (dim, fact) = asOfStreams(dimDir, factDir)
+    val q = StreamJobs.asOfEnrichStream(dim, fact, tolUs = tol)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_tol_out").start()
+    try {
+      q.processAllAvailable()
+      val maxUs = ev.agg(max(unix_micros($"ts"))).head().getLong(0)
+      for (i <- 0 to 1) {
+        dropAsOfRow(dimDir, s"zz_sent$i.parquet", -1L,
+          maxUs + 7200L * 1000000L + i, 999999200L + i, "noise", 0L)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("asof_tol_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+    // batch truth: the carry-forward window + the J5c age filter
+    val wCarry = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"ts_us", $"is_fact", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tagged = dimRows
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        lit(0).as("is_fact"), $"state", lit(0L).as("v_cents"))
+      .unionByName(factRows
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+          lit(1).as("is_fact"), lit(null).cast("string").as("state"),
+          $"v_cents"))
+    val batch = tagged
+      .withColumn("cur", last($"state", ignoreNulls = true).over(wCarry))
+      .withColumn("cur_ts",
+        last(when($"is_fact" === 0, $"ts_us"), ignoreNulls = true).over(wCarry))
+      .filter($"is_fact" === 1)
+      .select($"user_id", $"ts_us", $"event_id",
+        when($"cur".isNotNull && $"ts_us" - $"cur_ts" <= tol, $"cur")
+          .otherwise("none").as("state_at_fact"), $"v_cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(streamed === batch,
+      s"tolerance twin diverged: extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+    // the SLA genuinely bites on this corpus: both fresh and none present
+    val states = streamed.map(_._4)
+    assert(states.contains("none") && states.exists(_ != "none"))
+  }
+
   test("state-backend portability: as-of enrich is provider-invariant (HDFS vs RocksDB)") {
     // extends the r12 provider pin from the simple running-count state to
     // the session's most state-intensive machine: the watermark-ordered
