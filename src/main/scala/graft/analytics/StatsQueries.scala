@@ -192,6 +192,83 @@ object StatsQueries {
       |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
       |FROM fit ORDER BY event_type""".stripMargin
 
+  // --- ST12: Zipf rank-frequency fit per language -------------------------
+
+  /** Ranks fitted per language (the Zipfian head; the tail is known to
+    * deviate and would only add noise to the slope). */
+  private val ZIPF_TOP = 500L
+
+  /** Zipf's-law conformance per language: the OLS slope of log-frequency
+    * against log-rank over the top-[[ZIPF_TOP]] tokens — natural text
+    * sits near −1; synthetic, templated, or spam-flooded cohorts bend
+    * the curve (slope drifts, R² collapses), making this a one-row-per-
+    * language corpus-health gate. Discipline: ONE ln per vocabulary row,
+    * quantized to integer micro-units immediately (the nbTrain /
+    * KL-divergence pattern); sufficient statistics are exact BIGINT sums
+    * of those integers, and the final divisions are the only
+    * floating-point steps (the [[statsRegression]] rule — never a
+    * streaming-covariance built-in whose partial order differs between
+    * engines).
+    *
+    * Scale: one (lang, token) hash aggregate over the corpus; the rank
+    * window and the fit run on the per-lang top-[[ZIPF_TOP]] dictionary. */
+  def textZipf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val freq = Tables.documents(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+      .groupBy($"lang", $"tok")
+      .agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy($"lang").orderBy($"f".desc, $"tok".asc)
+    val pts = freq
+      .withColumn("r", row_number().over(w).cast("long"))
+      .filter($"r" <= ZIPF_TOP)
+      .select($"lang",
+        floor(log($"r".cast("double")) * 1000000L).cast("long").as("x"),
+        floor(log($"f".cast("double")) * 1000000L).cast("long").as("y"))
+    val fit = pts.groupBy($"lang")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+    val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+    val den = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+    fit.select($"lang", $"n".as("n_ranks"),
+        round(num / den, 6).as("slope"),
+        round(num * num /
+          (den * ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("r2"))
+      .orderBy($"lang")
+  }
+
+  val textZipfSql: String =
+    s"""WITH zfreq AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |zcnt AS (
+       |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM zfreq GROUP BY 1, 2),
+       |zpts AS (
+       |  SELECT lang,
+       |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+       |  FROM (
+       |    SELECT lang, f, ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY f DESC, tok ASC) AS r
+       |    FROM zcnt)
+       |  WHERE r <= $ZIPF_TOP),
+       |zfit AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM zpts GROUP BY 1)
+       |SELECT lang, n AS n_ranks,
+       |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       |  round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+       |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+       |FROM zfit ORDER BY lang""".stripMargin
+
   // --- ST11: two-sample Kolmogorov–Smirnov drift test ---------------------
 
   /** Argmax packing stride for (dppm desc, n_chars asc): dppm ≤ 10⁶ so the
@@ -280,6 +357,8 @@ object StatsQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_length_ks", lengthKs, Some(lengthKsSql),
       "ST11 two-sample KS drift test: max CDF gap (ppm) between cohort length distributions per language, with the peak location"),
+    QueryDef("q_text_zipf", textZipf, Some(textZipfSql),
+      "ST12 Zipf conformance per language: quantized-log OLS slope + R2 over the top-500 token ranks"),
     QueryDef("q_basket_pairs", basketPairs, Some(basketPairsSql),
       "ST1 market-basket co-occurrence: co-partitioned self-join pair mining"),
     QueryDef("q_stats_contingency", contingencyChi2, Some(contingencyChi2Sql),

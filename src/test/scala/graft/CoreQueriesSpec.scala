@@ -397,6 +397,48 @@ class CoreQueriesSpec extends AnyFunSuite {
     got.values.foreach { case (_, _, ks, _) => assert(ks > 0 && ks < 1000000) }
   }
 
+  test("ST12 Zipf fit: slope/r2 equal a local quantized-log OLS replay") {
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"text").as[(String, String)].collect()
+    val expect = docs.groupBy(_._1).map { case (lang, rows) =>
+      val freq = rows.flatMap(_._2.split(" ", -1))
+        .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      val top = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(500)
+      val pts = top.zipWithIndex.map { case ((_, f), i) =>
+        (math.floor(math.log((i + 1).toDouble) * 1000000L).toLong,
+          math.floor(math.log(f.toDouble) * 1000000L).toLong)
+      }
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val num = (n * sxy - sx * sy).toDouble
+      val den = (n * sxx - sx * sx).toDouble
+      lang -> (n,
+        BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(num * num / (den * (n * syy - sy * sy).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val got = graft.analytics.StatsQueries.textZipf(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        BigDecimal(r.getDouble(2)), BigDecimal(r.getDouble(3)))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (lang, (n, slope, r2)) =>
+      val (gn, gs, gr) = got(lang)
+      assert(gn === n)
+      assert((gs - slope).abs < BigDecimal("0.000002"), s"$lang slope")
+      assert((gr - r2).abs < BigDecimal("0.000002"), s"$lang r2")
+      // the detector's verdict on THIS corpus is the point: the synthetic
+      // generator's near-uniform 31-token vocabulary is decisively
+      // NON-Zipfian (natural text: slope ≈ −1, r2 ≥ 0.9) — slope barely
+      // negative, fit poor. A natural-language regression here would mean
+      // the fit is reading the wrong relation.
+      assert(gs < BigDecimal(0) && gs > BigDecimal("-0.6"), s"$lang slope")
+      assert(gr < BigDecimal("0.5"), s"$lang r2")
+    }
+  }
+
   test("ST3 regression: slope/intercept/r2 match a local least-squares fit") {
     import graft.analytics.StatsQueries
     val daily = Tables.events(spark, sf)
