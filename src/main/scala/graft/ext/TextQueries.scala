@@ -107,7 +107,9 @@ object TextQueries {
   /** Confusion matrix of labeled `lang` vs n-gram-heuristic prediction
     * (argmax of stopword-profile hits, fixed precedence on ties, 'und' when
     * no profile hits). */
-  def textLangId(s: SparkSession, dir: String): DataFrame = {
+  /** The (truth, predicted, n) confusion census shared by the X4 langid
+    * query and its X4w metrics view. */
+  private def langidConfusion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = split($"text", " ")
     val scores = langProfiles.map { case (l, ws) =>
@@ -123,10 +125,16 @@ object TextQueries {
     // foldRight gives first-profile precedence on ties (en > es > de > fr)
     scored.select($"lang", pred.as("predicted"))
       .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
-      .orderBy($"lang", $"predicted")
   }
 
-  val textLangIdSql: String = {
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    langidConfusion(s, dir).orderBy($"lang", $"predicted")
+  }
+
+  /** Oracle CTE chain ending in `conf(lang, predicted, n)` — shared by
+    * the langid census and its metrics view. */
+  private val langidCtesSql: String = {
     val scoreExprs = langProfiles.map { case (l, ws) =>
       s"CAST(len(list_filter(string_split(text, ' '), t -> ${inList("t", ws)})) AS BIGINT) AS score_$l"
     }.mkString(",\n    ")
@@ -135,16 +143,82 @@ object TextQueries {
     val predExpr = langProfiles.map { case (l, _) =>
       s"WHEN score_$l = best THEN '$l'"
     }.mkString(" ")
-    s"""WITH scored AS (
+    s"""scored AS (
        |  SELECT lang,
        |    $scoreExprs
        |  FROM documents),
-       |best_of AS (SELECT lang, $bestExpr AS best, * FROM scored)
-       |SELECT lang,
-       |  CASE WHEN best = 0 THEN 'und' $predExpr ELSE 'und' END AS predicted,
-       |  COUNT(*) AS n
-       |FROM best_of GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+       |best_of AS (SELECT lang, $bestExpr AS best, * FROM scored),
+       |conf AS (
+       |  SELECT lang,
+       |    CASE WHEN best = 0 THEN 'und' $predExpr ELSE 'und' END AS predicted,
+       |    COUNT(*) AS n
+       |  FROM best_of GROUP BY 1, 2)""".stripMargin
   }
+
+  val textLangIdSql: String =
+    s"""WITH $langidCtesSql
+       |SELECT lang, predicted, n FROM conf ORDER BY lang, predicted""".stripMargin
+
+  // --- X4w: langid quality metrics ----------------------------------------
+
+  /** Per-language PRECISION / RECALL / F1 of the n-gram langid classifier
+    * against the corpus's ground-truth `lang` column — the metrics view a
+    * filtering pipeline reads before trusting langid as a gate (the
+    * confusion census [[textLangId]] shows WHERE the mass goes; this says
+    * whether each language's gate is usable). All integer ppm: precision
+    * = tp/predicted, recall = tp/support, F1 = 2pr div (p+r).
+    *
+    * Scale: derived entirely from the |langs|²-bounded confusion
+    * dictionary — three aggregates and two equi-joins on it; the corpus
+    * is scanned once by the shared census. */
+  def langidEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val conf = langidConfusion(s, dir)
+    val sup = conf.groupBy($"lang").agg(sum($"n").as("support"))
+    val tp = conf.filter($"lang" === $"predicted")
+      .select($"lang", $"n".as("tp"))
+    val pn = conf.groupBy($"predicted".as("lang"))
+      .agg(sum($"n").as("pred_n"))
+    sup
+      .join(tp, Seq("lang"), "left")
+      .join(pn, Seq("lang"), "left")
+      .select($"lang", $"support",
+        coalesce($"tp", lit(0L)).as("tp"),
+        coalesce($"pred_n", lit(0L)).as("pred_n"))
+      .withColumn("precision_ppm", expr(
+        "CASE WHEN pred_n > 0 THEN tp * 1000000 div pred_n ELSE 0 END"))
+      .withColumn("recall_ppm", expr("tp * 1000000 div support"))
+      .withColumn("f1_ppm", expr(
+        "CASE WHEN precision_ppm + recall_ppm > 0 THEN" +
+          " 2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)" +
+          " ELSE 0 END"))
+      .orderBy($"lang")
+  }
+
+  val langidEvalSql: String =
+    s"""WITH $langidCtesSql,
+       |sup AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS support
+       |  FROM conf GROUP BY 1),
+       |tp AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tp
+       |  FROM conf WHERE lang = predicted GROUP BY 1),
+       |pn AS (SELECT predicted AS lang, CAST(SUM(n) AS BIGINT) AS pred_n
+       |  FROM conf GROUP BY 1),
+       |base AS (
+       |  SELECT s.lang, s.support, COALESCE(t.tp, 0) AS tp,
+       |    COALESCE(p.pred_n, 0) AS pred_n
+       |  FROM sup s LEFT JOIN tp t ON s.lang = t.lang
+       |  LEFT JOIN pn p ON s.lang = p.lang),
+       |m AS (
+       |  SELECT lang, support, tp, pred_n,
+       |    CASE WHEN pred_n > 0 THEN tp * 1000000 // pred_n ELSE 0 END
+       |      AS precision_ppm,
+       |    tp * 1000000 // support AS recall_ppm
+       |  FROM base)
+       |SELECT lang, support, tp, pred_n, precision_ppm, recall_ppm,
+       |  CAST(CASE WHEN precision_ppm + recall_ppm > 0
+       |    THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm)
+       |    ELSE 0 END AS BIGINT) AS f1_ppm
+       |FROM m ORDER BY lang""".stripMargin
 
   // --- P2b: positional generator (posexplode / UNNEST WITH ORDINALITY) ---
   def tokenPositions(s: SparkSession, dir: String): DataFrame = {
@@ -456,6 +530,8 @@ object TextQueries {
       "X4u eval-split memorization risk: per val/test doc, fraction of distinct 3-grams present anywhere in train; census per (lang, split)"),
     QueryDef("q_text_contamination", textContamination, Some(textContaminationSql),
       "X4 benchmark decontamination: cross-set n-gram containment"),
+    QueryDef("q_langid_eval", langidEval, Some(langidEvalSql),
+      "X4w langid quality metrics: per-language precision/recall/F1 (ppm) vs the ground-truth lang column"),
     QueryDef("q_text_heavyhitters", textHeavyHitters, Some(textHeavyHittersSql),
       "X4h Count-Min sketch heavy hitters with bounded-error oracle check"),
     QueryDef("q_text_repetition", textRepetition, Some(textRepetitionSql),

@@ -999,6 +999,28 @@ class ExtSpec extends AnyFunSuite {
     assert(out.last._2 < out.head._2)
   }
 
+  test("X4w langid eval: metrics reconcile with the confusion census") {
+    val conf = TextQueries.textLangId(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val out = TextQueries.langidEval(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out.keySet === conf.map(_._1).toSet)
+    out.foreach { case (lang, (support, tp, predN, p, rcl, f1)) =>
+      assert(support === conf.filter(_._1 == lang).map(_._3).sum)
+      assert(tp === conf.filter(c => c._1 == lang && c._2 == lang)
+        .map(_._3).sum)
+      assert(predN === conf.filter(_._2 == lang).map(_._3).sum)
+      assert(p === (if (predN > 0) tp * 1000000 / predN else 0L))
+      assert(rcl === tp * 1000000 / support)
+      assert(f1 === (if (p + rcl > 0) 2 * p * rcl / (p + rcl) else 0L))
+    }
+    // the eval is the point: it exposes that only the dominant profile
+    // ever wins on this corpus (perfectly legal data; a useless gate for
+    // the other languages — exactly what a curator needs surfaced)
+    assert(out.values.exists(_._6 > 0))
+  }
+
   test("X4u memorization risk: census equals a brute split + vocab replay") {
     import spark.implicits._
     def md5hex(s: String): String = java.security.MessageDigest
