@@ -305,18 +305,22 @@ object PipelineQueries {
     *    with split point `t = min(k, max(0, W-s+1))`, `k = min(l1, W)`
     *    yields the closed form in level 3. All quantities are exact
     *    integers — no float ever crosses the oracle boundary. */
-  private def crossDocLevels(idiv: String): (Seq[String], Seq[String], Seq[String]) = {
+  private[graft] def crossDocLevels(idiv: String,
+      sExpr: String = ""): (Seq[String], Seq[String], Seq[String]) = {
     val W = ATTN_WINDOW
     val B = PACK_BUDGET
+    // the bin-local start offset: from the running prefix by default, or
+    // a caller-supplied column (the streaming packer already emits it)
+    val sx = if (sExpr.nonEmpty) sExpr else s"cum_before % $B"
     def f(n: String): String =
       s"(CASE WHEN ($n) <= $W THEN ($n) * (($n) - 1) $idiv 2 " +
         s"ELSE ${W * (W - 1) / 2} + (($n) - $W) * $W END)"
     val fB = W * (W - 1) / 2 + (B - W) * W
     val lvl1 = Seq(
-      s"cum_before % $B AS s",
-      s"least(n_tok, $B - cum_before % $B) AS l1",
-      s"(n_tok - least(n_tok, $B - cum_before % $B)) $idiv $B AS nfull",
-      s"(n_tok - least(n_tok, $B - cum_before % $B)) % $B AS r")
+      s"($sx) AS s",
+      s"least(n_tok, $B - ($sx)) AS l1",
+      s"(n_tok - least(n_tok, $B - ($sx))) $idiv $B AS nfull",
+      s"(n_tok - least(n_tok, $B - ($sx))) % $B AS r")
     val lvl2 = Seq(
       s"least(l1, $W) AS k",
       s"least(least(l1, $W), greatest(0, $W - s + 1)) AS t")

@@ -597,6 +597,26 @@ object StreamJobs {
       }
   }
 
+  /** XP23 streaming twin — cross-document attention contamination AT PACK
+    * TIME: the packing stream already emits each doc's bin-local start
+    * offset, which with its token count fully determines the doc's
+    * attended-pair and cross-boundary-pair mass (the closed forms of
+    * [[graft.ext.PipelineQueries.crossDocLevels]], shared verbatim via
+    * the `sExpr` hook). One narrow projection over the manifest stream —
+    * no extra state beyond the packer's own — so an ingest pipeline
+    * watches its layout's contamination live instead of auditing after
+    * the fact. StreamingSpec pins per-stream sums == the batch
+    * q_pack_cross_doc census over a split feed. */
+  def crossDocStream(docs: DataFrame): DataFrame = {
+    val (c1, c2, c3) =
+      graft.ext.PipelineQueries.crossDocLevels("div", "start_off")
+    packStream(docs).toDF()
+      .selectExpr(Seq("lang", "source", "doc_id", "n_tok") ++ c1: _*)
+      .selectExpr(Seq("lang", "source", "doc_id", "n_tok", "s", "l1",
+        "nfull", "r") ++ c2: _*)
+      .selectExpr(Seq("lang", "source", "doc_id") ++ c3: _*)
+  }
+
   /** Multimodal serve twin — probe an unbounded IMAGE feed against the
     * PUBLISHED banded dHash index (the [[graft.ext.MultimodalQueries
     * .mediaNearDup]] corpus structure, persisted through

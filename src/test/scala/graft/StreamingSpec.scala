@@ -70,6 +70,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch, "stream token ids diverged from batch")
   }
 
+  test("XP23 twin: streaming cross-doc audit sums to the batch census") {
+    import graft.streaming.StreamJobs
+    val tmp = Files.createTempDirectory("graft-crossdoc-stream").toString
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"source", $"doc_id", $"text")
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val cut = ids(ids.length / 2)
+    docs.filter($"doc_id" <= cut).coalesce(1).write.mode("append").parquet(tmp)
+    Thread.sleep(1100)
+    docs.filter($"doc_id" > cut).coalesce(1).write.mode("append").parquet(tmp)
+    val q = StreamJobs.crossDocStream(
+        StreamJobs.docsStream(spark, tmp, maxFilesPerTrigger = Some(1)))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("crossdoc_stream_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val perDoc = spark.table("crossdoc_stream_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // per-stream sums of the live audit == the batch census exactly
+    val streamed = perDoc.groupBy(d => (d._1, d._2)).map { case (k, rs) =>
+      k -> (rs.length.toLong, rs.map(_._4).sum, rs.map(_._5).sum,
+        rs.count(_._5 > 0).toLong, rs.map(_._5).max)
+    }
+    val batch = graft.ext.PipelineQueries.packCrossDoc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6),
+          r.getLong(7))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (k, v) =>
+      assert(v === batch(k), s"stream cross-doc audit diverged at $k")
+    }
+  }
+
   test("XP17 streaming packer equals a batch first-fit over the whole corpus") {
     import graft.streaming.StreamJobs
     val tmp = Files.createTempDirectory("graft-pack-stream").toString
