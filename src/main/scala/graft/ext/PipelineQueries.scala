@@ -629,6 +629,181 @@ object PipelineQueries {
        |LEFT JOIN pk p ON c.lang = p.lang AND c.source = p.source
        |ORDER BY c.lang, c.source""".stripMargin
 
+  // --- XP25: the training-readiness report -------------------------------
+
+  /** The corpus→training-batches ENDGAME as one audited row per stream:
+    * quality gate → exact-dedup keep → exact-token packing (the XP14
+    * chain) EXTENDED with the two decisions a training run actually
+    * launches on — the layout's cross-document attention contamination
+    * (XP23 closed forms over the kept manifest) and the data-constrained
+    * epoch plan (XP24 waterfill over kept tokens, repeat budget favouring
+    * streams whose RAW feed survives the gate+dedup best: q_permille =
+    * 1 + 999·kept/docs — a clean source's unseen continuation is the
+    * best bet for extra epochs). Composition is the point: contamination
+    * is computed on the PACKED KEPT corpus (not raw), the epoch plan on
+    * KEPT tokens — a stage wired to the wrong population cannot
+    * hash-match.
+    *
+    * Scale: the XP14 staged pass (one scan, one md5 window, one
+    * stream-key window) plus dictionary-sized arithmetic; the waterfill
+    * totals broadcast as single rows off an eagerly-materialized
+    * stream-dictionary (the XP24 lesson). */
+  def trainReadiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source", $"text",
+        TextQueries.qualityCol.as("isq"), md5($"text").as("h"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"h").orderBy($"doc_id")))
+      .withColumn("keep", $"isq" && $"rn" === 1)
+    val census = staged.groupBy($"lang", $"source").agg(
+      count(lit(1)).as("n_docs"), sum($"keep".cast("long")).as("n_kept"))
+    val toks = TextQueries.tokensPerDocOf(
+        staged.filter($"keep").select($"doc_id", $"text", $"lang", $"source"),
+        TextQueries.bpeMergeTable(s, dir), carry = Seq("lang", "source"))
+      .select($"lang", $"source", $"doc_id", $"n_tokens".as("n_tok"))
+    val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pc = toks
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+    val (c1, c2, c3) = crossDocLevels("div")
+    val cross = pc
+      .selectExpr(Seq("lang", "source", "n_tok", "cum_before") ++ c1: _*)
+      .selectExpr(Seq("lang", "source", "n_tok", "s", "l1", "nfull", "r")
+        ++ c2: _*)
+      .selectExpr(Seq("lang", "source") ++ c3: _*)
+      .groupBy($"lang", $"source")
+      .agg(sum($"attn_pairs").as("attn_pairs"),
+        sum($"cross_pairs").as("cross_pairs"))
+    val pk = pc
+      .withColumn("bin", expr(s"cum_before div $PACK_BUDGET"))
+      .groupBy($"lang", $"source")
+      .agg(countDistinct($"bin").as("n_bins"),
+        sum($"n_tok").as("kept_tokens"))
+    // the XP24 waterfill over KEPT tokens, weighted by gate survival —
+    // eagerly materialized (dictionary-sized) so the totals/broadcast
+    // consumers never re-trigger the corpus pass
+    val base = census
+      .join(pk, Seq("lang", "source"), "left")
+      .join(cross, Seq("lang", "source"), "left")
+      .select($"lang", $"source", $"n_docs", $"n_kept",
+        coalesce($"kept_tokens", lit(0L)).as("tokens"),
+        coalesce($"n_bins", lit(0L)).as("n_bins"),
+        coalesce($"attn_pairs", lit(0L)).as("attn_pairs"),
+        coalesce($"cross_pairs", lit(0L)).as("cross_pairs"))
+      .withColumn("q_permille", expr("1 + n_kept * 999 div n_docs"))
+      .withColumn("weight", expr("tokens * (1 + n_kept * 999 div n_docs)"))
+      .withColumn("cap", expr(s"tokens * $MAX_EPOCHS"))
+      .localCheckpoint()
+    val tot = base.agg(sum($"tokens").as("corpus_tokens"),
+      sum($"weight").as("sum_w"))
+    val r1 = base.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"corpus_tokens * $EPOCH_BUDGET_X"))
+      .withColumn("alloc1", expr(
+        "least(CASE WHEN sum_w > 0 THEN budget * weight div sum_w" +
+          " ELSE 0 END, cap)"))
+    val tot2 = r1.agg(sum($"alloc1").as("sum_a1"),
+      sum(when($"alloc1" < $"cap", $"weight").otherwise(0L)).as("sum_w_open"))
+    r1.crossJoin(broadcast(tot2))
+      .withColumn("final_tokens", expr(
+        "alloc1 + CASE WHEN alloc1 < cap AND sum_w_open > 0 THEN" +
+          " least((budget - sum_a1) * weight div sum_w_open, cap - alloc1)" +
+          " ELSE 0 END"))
+      .select($"lang", $"source", $"n_docs", $"n_kept",
+        $"tokens".as("kept_tokens"), $"n_bins",
+        expr("CASE WHEN attn_pairs > 0" +
+          " THEN cross_pairs * 10000 div attn_pairs ELSE 0 END")
+          .as("cross_bp"),
+        expr("CASE WHEN tokens > 0 THEN final_tokens * 1000000 div tokens" +
+          " ELSE 0 END").as("micro_epochs"),
+        expr("CAST(CASE WHEN final_tokens >= cap AND tokens > 0" +
+          " THEN 1 ELSE 0 END AS BIGINT)").as("capped"))
+      .orderBy($"lang", $"source")
+  }
+
+  val trainReadinessSql: String = {
+    val (c1, c2, c3) = crossDocLevels("//")
+    TextQueries.tokensPerDocCteSql + s""",
+       |trqd AS (
+       |  SELECT doc_id, lang, source, md5(text) AS h FROM documents
+       |  WHERE ${TextQueries.qualityPredSql}),
+       |trkept AS (
+       |  SELECT doc_id, lang, source FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+       |    FROM trqd) WHERE rn = 1),
+       |trtoks AS (
+       |  SELECT k.lang, k.source, k.doc_id, t.n_tokens AS n_tok
+       |  FROM trkept k JOIN tokc t ON k.doc_id = t.doc_id),
+       |trpc AS (
+       |  SELECT lang, source, doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM trtoks),
+       |trx1 AS (SELECT lang, source, n_tok, ${c1.mkString(",\n    ")} FROM trpc),
+       |trx2 AS (
+       |  SELECT lang, source, n_tok, s, l1, nfull, r, ${c2.mkString(",\n    ")}
+       |  FROM trx1),
+       |trx3 AS (SELECT lang, source, ${c3.mkString(",\n    ")} FROM trx2),
+       |trcross AS (
+       |  SELECT lang, source, CAST(SUM(attn_pairs) AS BIGINT) AS attn_pairs,
+       |    CAST(SUM(cross_pairs) AS BIGINT) AS cross_pairs
+       |  FROM trx3 GROUP BY 1, 2),
+       |trpk AS (
+       |  SELECT lang, source,
+       |    CAST(COUNT(DISTINCT cum_before // $PACK_BUDGET) AS BIGINT) AS n_bins,
+       |    CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+       |  FROM trpc GROUP BY 1, 2),
+       |trcensus AS (
+       |  SELECT d.lang, d.source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_kept
+       |  FROM documents d LEFT JOIN trkept k ON d.doc_id = k.doc_id
+       |  GROUP BY 1, 2),
+       |trbase AS (
+       |  SELECT c.lang, c.source, c.n_docs, c.n_kept,
+       |    COALESCE(p.kept_tokens, 0) AS tokens,
+       |    COALESCE(p.n_bins, 0) AS n_bins,
+       |    COALESCE(x.attn_pairs, 0) AS attn_pairs,
+       |    COALESCE(x.cross_pairs, 0) AS cross_pairs,
+       |    1 + c.n_kept * 999 // c.n_docs AS q_permille,
+       |    COALESCE(p.kept_tokens, 0) * (1 + c.n_kept * 999 // c.n_docs)
+       |      AS weight,
+       |    COALESCE(p.kept_tokens, 0) * $MAX_EPOCHS AS cap
+       |  FROM trcensus c
+       |  LEFT JOIN trpk p ON c.lang = p.lang AND c.source = p.source
+       |  LEFT JOIN trcross x ON c.lang = x.lang AND c.source = x.source),
+       |trtot AS (
+       |  SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+       |    CAST(SUM(weight) AS BIGINT) AS sum_w
+       |  FROM trbase),
+       |trr1 AS (
+       |  SELECT trbase.*, corpus_tokens * $EPOCH_BUDGET_X AS budget,
+       |    least(CASE WHEN sum_w > 0
+       |        THEN corpus_tokens * $EPOCH_BUDGET_X * weight // sum_w
+       |        ELSE 0 END, cap) AS alloc1
+       |  FROM trbase, trtot),
+       |trtot2 AS (
+       |  SELECT CAST(SUM(alloc1) AS BIGINT) AS sum_a1,
+       |    CAST(SUM(CASE WHEN alloc1 < cap THEN weight ELSE 0 END)
+       |      AS BIGINT) AS sum_w_open
+       |  FROM trr1),
+       |trr2 AS (
+       |  SELECT trr1.*, alloc1 + CASE WHEN alloc1 < cap AND sum_w_open > 0
+       |    THEN least((budget - sum_a1) * weight // sum_w_open, cap - alloc1)
+       |    ELSE 0 END AS final_tokens
+       |  FROM trr1, trtot2)
+       |SELECT lang, source, n_docs, n_kept,
+       |  CAST(tokens AS BIGINT) AS kept_tokens, n_bins,
+       |  CAST(CASE WHEN attn_pairs > 0
+       |    THEN cross_pairs * 10000 // attn_pairs ELSE 0 END AS BIGINT)
+       |    AS cross_bp,
+       |  CAST(CASE WHEN tokens > 0 THEN final_tokens * 1000000 // tokens
+       |    ELSE 0 END AS BIGINT) AS micro_epochs,
+       |  CAST(CASE WHEN final_tokens >= cap AND tokens > 0 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS capped
+       |FROM trr2 ORDER BY lang, source""".stripMargin
+  }
+
   // --- XP2: mixture re-weighting (oversampling to a target mix) ---------
 
   /** Re-weight the corpus toward a uniform per-language token budget by
@@ -1604,7 +1779,9 @@ object PipelineQueries {
     QueryDef("q_pack_cross_doc", packCrossDoc, Some(packCrossDocSql),
       "XP23 cross-document attention contamination of the packed layout: exact attended/cross-boundary pair census per stream, closed-form (no token blow-up)"),
     QueryDef("q_epoch_budget", epochBudget, Some(epochBudgetSql),
-      "XP24 data-constrained epoch planner: quality-weighted two-round capped waterfill of a 2x token budget, <=4 epochs per stream"),
+      "XP24 data-constrained epoch planner: quality-weighted two-round capped waterfill of a 4x token budget, <=4 epochs per stream"),
+    QueryDef("q_train_readiness", trainReadiness, Some(trainReadinessSql),
+      "XP25 training-readiness report: gate -> dedup -> pack -> cross-doc contamination -> epoch plan, one audited row per stream"),
     QueryDef("q_mix_weighted", mixWeighted, Some(mixWeightedSql),
       "XP2 mixture re-weighting: integer oversampling to a uniform lang budget"),
     QueryDef("q_mix_sample", mixSample, Some(mixSampleSql),

@@ -237,6 +237,50 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(out.map(_._7).sum - a1.sum > out.length)
   }
 
+  test("XP25 readiness report: reconciles with XP14 census + waterfill replay") {
+    val out = PipelineQueries.trainReadiness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(out.nonEmpty)
+    // stage populations must be the XP14 pipeline's own (same gate, same
+    // dedup rule, same exact-token packing — both independently gated)
+    val xp14 = PipelineQueries.pipelineCorpus(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out.keySet === xp14.keySet)
+    out.foreach { case (k, (nDocs, nKept, tokens, nBins, _, _, _)) =>
+      val (d14, k14, t14, b14) = xp14(k)
+      assert(nDocs === d14 && nKept === k14, s"census diverged at $k")
+      assert(tokens === t14 && nBins === b14, s"packing diverged at $k")
+    }
+    // the epoch plan replays from the report's own (tokens, survival)
+    val budget = out.values.map(_._3).sum * 4L
+    val rows = out.toSeq.sortBy(_._1)
+    val ws = rows.map { case (_, v) => v._3 * (1 + v._2 * 999 / v._1) }
+    val caps = rows.map(_._2._3 * 4L)
+    val sumW = ws.sum
+    val a1 = ws.zip(caps).map { case (w, c) =>
+      math.min(if (sumW > 0) budget * w / sumW else 0L, c)
+    }
+    val sumA1 = a1.sum
+    val wOpen = ws.zip(a1).zip(caps).collect {
+      case ((w, a), c) if a < c => w
+    }.sum
+    rows.zipWithIndex.foreach { case ((k, v), i) =>
+      val a2 = if (a1(i) < caps(i) && wOpen > 0)
+        math.min((budget - sumA1) * ws(i) / wOpen, caps(i) - a1(i)) else 0L
+      val fin = a1(i) + a2
+      val micro = if (v._3 > 0) fin * 1000000L / v._3 else 0L
+      assert(v._6 === micro, s"epoch plan diverged at $k")
+      assert(v._7 === (if (fin >= caps(i) && v._3 > 0) 1L else 0L))
+    }
+    // the report is load-bearing on this corpus: caps bind somewhere and
+    // the packed layout leaks somewhere
+    assert(out.values.exists(_._7 == 1L))
+    assert(out.values.exists(_._5 > 0L))
+  }
+
   test("XP14 corpus assembly: stages compose — local replay of gate, dedup, pack") {
     val out = PipelineQueries.pipelineCorpus(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -237,7 +237,11 @@ class RegistrySpec extends AnyFunSuite {
       // the XC2 scoring chain's single-row bias/vocab-totals broadcasts
       // plus the corpus-totals row crossed onto the ≤21-bucket frontier —
       // the q_quality_calibration class
-      "q_prune_frontier")
+      "q_prune_frontier",
+      // the composed readiness report carries the merge-table broadcast
+      // (q_tokens_per_doc class) plus the XP24 waterfill's two single-row
+      // totals crossed onto the stream dictionary
+      "q_train_readiness")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, TestSpark.sf0001)
         .queryExecution.executedPlan.toString
