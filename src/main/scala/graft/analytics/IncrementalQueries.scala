@@ -93,6 +93,100 @@ object IncrementalQueries {
       |FROM w WHERE event_type = 'purchase'
       |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin
 
+  // --- W5b: U-shaped multi-touch attribution ------------------------------
+
+  /** Attribution lookback window: touches older than this never earn
+    * credit (bounds the per-purchase expansion at any scale). */
+  private val ATTR_WINDOW_US = 7L * 24 * 3600 * 1000000L
+
+  /** POSITION-BASED (U-shaped) multi-touch attribution — the
+    * industry-standard 40/20/40 split, in exact integer basis points:
+    * each purchase credits every non-purchase touch in its 7-day
+    * lookback — 40% to the first, 40% to the last, the middle 20% split
+    * evenly (integer division; the remainder rides with the FIRST touch
+    * so every purchase's credits sum to exactly 10000 bp — conservation
+    * is spec-asserted). One touch takes 100%, two split 50/50, no touch
+    * credits 'none'. Census per touch type: credit rows, total bp, and
+    * credited cents (per-row `cents·bp div 10000`, truncation
+    * documented).
+    *
+    * Scale: the purchase×touch expansion is an equi-join on user_id with
+    * the window bound as a residual — per purchase it holds at most the
+    * user's 7-day touch volume, never full history (the unbounded form
+    * is quadratic per heavy user). The position windows partition by
+    * purchase id over that bounded pair set. The no-touch case rides the
+    * SAME left join (a null touch row), so the plan has no second pass
+    * and no anti-join. */
+  def attributionUTouch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_type", Ops.epochUs($"ts").as("ts_us"),
+        $"event_id", expr("cast(round(value * 100) as bigint)").as("cents"))
+    val purch = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"ts_us".as("p_ts"),
+        $"cents")
+    val touch = e.filter($"event_type" =!= "purchase")
+      .select($"user_id".as("t_user"), $"event_type".as("t_type"),
+        $"ts_us".as("t_ts"), $"event_id".as("t_id"))
+    val pairs = purch.join(touch,
+      $"user_id" === $"t_user" && $"t_ts" < $"p_ts" &&
+        $"t_ts" >= $"p_ts" - ATTR_WINDOW_US, "left")
+    val byP = Window.partitionBy($"p_id")
+    val wP = byP.orderBy($"t_ts".asc, $"t_id".asc)
+    pairs
+      .withColumn("rn", row_number().over(wP).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(byP))
+      .withColumn("credit_bp", expr(
+        """CASE WHEN t_type IS NULL THEN 10000
+          |     WHEN cnt = 1 THEN 10000
+          |     WHEN cnt = 2 THEN 5000
+          |     WHEN rn = 1 THEN 4000 + 2000 % (cnt - 2)
+          |     WHEN rn = cnt THEN 4000
+          |     ELSE 2000 div (cnt - 2) END""".stripMargin))
+      .groupBy(coalesce($"t_type", lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum($"credit_bp").as("bp_total"),
+        sum(expr("cents * credit_bp div 10000")).as("credited_cents"))
+      .orderBy($"touch_type")
+  }
+
+  val attributionUTouchSql: String =
+    s"""WITH pe AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |pu AS (
+       |  SELECT user_id, event_id AS p_id, ts_us AS p_ts, cents
+       |  FROM pe WHERE event_type = 'purchase'),
+       |tu AS (
+       |  SELECT user_id AS t_user, event_type AS t_type, ts_us AS t_ts,
+       |    event_id AS t_id
+       |  FROM pe WHERE event_type <> 'purchase'),
+       |pr AS (
+       |  SELECT pu.*, tu.t_type, tu.t_ts, tu.t_id
+       |  FROM pu LEFT JOIN tu ON pu.user_id = tu.t_user
+       |    AND tu.t_ts < pu.p_ts
+       |    AND tu.t_ts >= pu.p_ts - ${7L * 24 * 3600 * 1000000L}),
+       |sc AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY p_id
+       |      ORDER BY t_ts ASC, t_id ASC) AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS cnt
+       |  FROM pr),
+       |cr AS (
+       |  SELECT COALESCE(t_type, 'none') AS touch_type, cents,
+       |    CASE WHEN t_type IS NULL THEN 10000
+       |         WHEN cnt = 1 THEN 10000
+       |         WHEN cnt = 2 THEN 5000
+       |         WHEN rn = 1 THEN 4000 + 2000 % (cnt - 2)
+       |         WHEN rn = cnt THEN 4000
+       |         ELSE 2000 // (cnt - 2) END AS credit_bp
+       |  FROM sc)
+       |SELECT touch_type, COUNT(*) AS n_credits,
+       |  CAST(SUM(credit_bp) AS BIGINT) AS bp_total,
+       |  CAST(SUM(cents * credit_bp // 10000) AS BIGINT) AS credited_cents
+       |FROM cr GROUP BY 1 ORDER BY touch_type""".stripMargin
+
   // --- M5: snapshot diff (CDC without a changelog) ----------------------
 
   /** Change-data-capture by snapshot comparison: given a keyed state table
@@ -222,5 +316,8 @@ object IncrementalQueries {
     QueryDef("q_incremental_agg", incrementalAgg, Some(incrementalAggSql),
       "M4 incremental aggregate maintenance: partial merge == full recompute"),
     QueryDef("q_attribution", attribution, Some(attributionSql),
-      "W5 first/last-touch purchase attribution via IGNORE NULLS windows"))
+      "W5 first/last-touch purchase attribution via IGNORE NULLS windows"),
+    QueryDef("q_attribution_utouch", attributionUTouch,
+      Some(attributionUTouchSql),
+      "W5b U-shaped multi-touch attribution: 40/20/40 integer-bp credit over the 7-day lookback, conservation-exact"))
 }

@@ -281,6 +281,52 @@ class PipelineWarehouseSpec extends AnyFunSuite {
     assert(out.values.exists(_._5 > 0L))
   }
 
+  test("W5b U-touch attribution: brute replay + exact credit conservation") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val week = 7L * 24 * 3600 * 1000000L
+    val byUser = evs.groupBy(_._1)
+    val acc = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    var purchases = 0L
+    byUser.values.foreach { rows =>
+      val touches = rows.filter(_._2 != "purchase")
+      rows.filter(_._2 == "purchase").foreach { case (_, _, pTs, _, cents) =>
+        purchases += 1
+        val in = touches.filter(t => t._3 < pTs && t._3 >= pTs - week)
+          .sortBy(t => (t._3, t._4))
+        val n = in.length
+        val credits: Seq[(String, Long)] =
+          if (n == 0) Seq("none" -> 10000L)
+          else if (n == 1) Seq(in(0)._2 -> 10000L)
+          else if (n == 2) Seq(in(0)._2 -> 5000L, in(1)._2 -> 5000L)
+          else {
+            val m = n - 2
+            (in(0)._2 -> (4000L + 2000L % m)) +:
+              in.slice(1, n - 1).map(t => t._2 -> (2000L / m)) :+
+              (in(n - 1)._2 -> 4000L)
+          }
+        assert(credits.map(_._2).sum === 10000L) // conservation per purchase
+        credits.foreach { case (ty, bp) =>
+          val (c, b, v) = acc(ty)
+          acc(ty) = (c + 1, b + bp, v + cents * bp / 10000)
+        }
+      }
+    }
+    val out = graft.analytics.IncrementalQueries
+      .attributionUTouch(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === acc.toMap, "U-touch census diverged from brute replay")
+    assert(out.values.map(_._2).sum === purchases * 10000L,
+      "credit mass not conserved across the census")
+  }
+
   test("XP14 corpus assembly: stages compose — local replay of gate, dedup, pack") {
     val out = PipelineQueries.pipelineCorpus(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
