@@ -58,4 +58,46 @@ class OracleBudgetSpec extends AnyFunSuite {
     val timed = out.linesIterator.count(l => l.nonEmpty && !l.startsWith("OVER"))
     assert(timed == SparkEntry.oracleSql.size, s"probe timed $timed oracles")
   }
+
+  test("every oracle's column names equal the Spark side's schema") {
+    // The driver's hash gate sorts columns BY NAME before comparing
+    // values, so an alias drifting on either side is a guaranteed
+    // driver-time hash mismatch. This catches it at `sbt test` time:
+    // Spark schemas come from plan analysis (no execution), oracle
+    // schemas from DuckDB DESCRIBE (planning only).
+    assume(duckdbAvailable, "python3+duckdb not on this box; driver gate covers it")
+    assume(new java.io.File(TestSpark.sf0001).isDirectory)
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val sqlTmp = java.nio.file.Files.createTempFile("graft-oracles", ".json")
+    java.nio.file.Files.writeString(sqlTmp,
+      SparkEntry.oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    val spark = TestSpark.spark
+    val schemaTmp = java.nio.file.Files.createTempFile("graft-schemas", ".json")
+    java.nio.file.Files.writeString(schemaTmp,
+      SparkEntry.oracleSql.keys.map { name =>
+        val fields = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+          .schema.fieldNames
+        s"${q(name)}: ${fields.map(q).mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}"))
+    val pb = new ProcessBuilder("python3", "tools/oracle_schema.py",
+      TestSpark.sf0001, sqlTmp.toString, schemaTmp.toString)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val rc = p.waitFor()
+    assert(rc == 0, s"oracle/Spark column-name drift:\n${
+      out.linesIterator.dropWhile(!_.startsWith("SCHEMA-DRIFT")).mkString("\n")}")
+    val checked = out.linesIterator.count(_.startsWith("OK "))
+    assert(checked == SparkEntry.oracleSql.size,
+      s"probe checked $checked of ${SparkEntry.oracleSql.size} oracles")
+  }
 }
