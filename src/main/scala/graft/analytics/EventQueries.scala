@@ -503,6 +503,56 @@ object EventQueries {
        |FROM c WHERE is_probe = 1
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- W6: conversion-latency log2 histogram ------------------------------
+
+  /** Time-to-convert DISTRIBUTION — the funnel census (below) reports the
+    * 7-day conversion rate and mean latency; this reports the shape: every
+    * purchase after the user's first signup, bucketed by latency in
+    * doubling (log₂) minute bands. The bucket is EXACT integer both
+    * engines: `length(bin(minutes + 1))` — the bit-length of the latency,
+    * no libm log anywhere (Spark's `bin` and DuckDB's `bin` both render
+    * without leading zeros). Per band: purchases, distinct converting
+    * users, and the observed min/max latency (the band's occupied edges).
+    *
+    * Scale: one aggregate for first-signups, one equi-join on user_id,
+    * one ≤40-band census — the funnel's own shape with a histogram
+    * aggregate instead of a scalar. */
+  def conversionLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    val firstSignup = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(epochUs($"ts")).as("signup_us"))
+    e.filter($"event_type" === "purchase")
+      .select($"user_id", epochUs($"ts").as("p_us"))
+      .join(firstSignup, Seq("user_id"))
+      .filter($"p_us" >= $"signup_us")
+      .withColumn("lat_min", expr("(p_us - signup_us) div 60000000"))
+      .withColumn("lat_bucket",
+        expr("CAST(length(bin(lat_min + 1)) AS BIGINT)"))
+      .groupBy($"lat_bucket")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct($"user_id").as("n_users"),
+        min($"lat_min").as("min_lat_min"),
+        max($"lat_min").as("max_lat_min"))
+      .orderBy($"lat_bucket")
+  }
+
+  val conversionLagSql: String =
+    """WITH fs AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |lat AS (
+      |  SELECT e.user_id,
+      |    (epoch_us(e.ts) - f.signup_us) // 60000000 AS lat_min
+      |  FROM events e JOIN fs f ON e.user_id = f.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f.signup_us)
+      |SELECT CAST(length(bin(lat_min + 1)) AS BIGINT) AS lat_bucket,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(MIN(lat_min) AS BIGINT) AS min_lat_min,
+      |  CAST(MAX(lat_min) AS BIGINT) AS max_lat_min
+      |FROM lat GROUP BY 1 ORDER BY lat_bucket""".stripMargin
+
   // --- Funnel: signup → purchase conversion within 7 days ----------------
   // The "trend analysis" archetype over the event stream; all-integer
   // outputs so the oracle hash is exact.
@@ -1164,6 +1214,8 @@ object EventQueries {
       "W6 gaps-and-islands consecutive-day activity streaks"),
     QueryDef("q_anomaly_p99", anomalyP99, Some(anomalyP99Sql),
       "W7 exact-rank p99 outlier audit in integer cents"),
+    QueryDef("q_conversion_lag", conversionLag, Some(conversionLagSql),
+      "W6 time-to-convert distribution: log2-minute latency bands via exact integer bit-length, per-band user/purchase census"),
     QueryDef("q_funnel_conversion", funnel, Some(funnelSql),
       "signup→purchase funnel with 7-day conversion window"),
     QueryDef("q_cohort_retention", cohortRetention, Some(cohortRetentionSql),

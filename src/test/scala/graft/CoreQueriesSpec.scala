@@ -154,6 +154,30 @@ class CoreQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("W6 conversion lag: histogram equals brute replay, bands are exact powers of 2") {
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .as[(Long, String, Long)].collect()
+    val signup = evs.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._3).min }
+    val expect = evs.filter(_._2 == "purchase")
+      .flatMap { case (u, _, us) => signup.get(u).filter(us >= _)
+        .map(s => (u, (us - s) / 60000000L)) }
+      .groupBy { case (_, lat) => java.lang.Long.toBinaryString(lat + 1).length.toLong }
+      .map { case (b, xs) =>
+        b -> (xs.length.toLong, xs.map(_._1).distinct.length.toLong,
+          xs.map(_._2).min, xs.map(_._2).max)
+      }
+    val out = EventQueries.conversionLag(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out === expect, "latency histogram diverged from brute replay")
+    // every band's occupied edges sit inside the exact power-of-2 range
+    out.foreach { case (b, (_, _, mn, mx)) =>
+      assert(mn >= (1L << (b - 1)) - 1 && mx <= (1L << b) - 2, s"band $b")
+    }
+  }
+
   test("range join followers agrees with naive non-equi join") {
     val bucketized = EventQueries.rangeJoinFollowers(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
