@@ -456,8 +456,14 @@ object EventQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     probe.unionByName(build)
       .withColumn("s_val", last($"value", ignoreNulls = true).over(w))
+      // s_ts must come from the SAME rows that feed s_val: a build row
+      // with a NULL value is skipped by last(value, ignoreNulls), so its
+      // timestamp must not advance the freshness clock either — otherwise
+      // the age test measures against a timestamp whose state was never
+      // carried. (is_probe === 0 alone would admit such rows.)
       .withColumn("s_ts",
-        last(when($"is_probe" === 0, $"ts_us"), ignoreNulls = true).over(w))
+        last(when($"is_probe" === 0 && $"value".isNotNull, $"ts_us"),
+          ignoreNulls = true).over(w))
       .filter($"is_probe" === 1)
       .withColumn("fresh",
         $"s_val".isNotNull && ($"ts_us" - $"s_ts" <= ASOF_TOL_US))
@@ -486,7 +492,8 @@ object EventQueries {
        |    last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
        |      ORDER BY ts_us, is_probe, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_val,
-       |    last_value(CASE WHEN is_probe = 0 THEN ts_us END IGNORE NULLS)
+       |    last_value(CASE WHEN is_probe = 0 AND value IS NOT NULL
+       |        THEN ts_us END IGNORE NULLS)
        |      OVER (PARTITION BY user_id ORDER BY ts_us, is_probe, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_ts
        |  FROM u)

@@ -211,7 +211,18 @@ object StatsQueries {
     * engines).
     *
     * Scale: one (lang, token) hash aggregate over the corpus; the rank
-    * window and the fit run on the per-lang top-[[ZIPF_TOP]] dictionary. */
+    * window and the fit run on the per-lang top-[[ZIPF_TOP]] dictionary.
+    *
+    * Overflow bound (the epochBudget discipline): the fit's BIGINT
+    * products stay exact while n·Σy² < 2⁶³ — with n ≤ [[ZIPF_TOP]] = 500
+    * ranks and y = ⌊ln(f)·10⁶⌋, that holds for any per-token frequency
+    * f < e^(6.07) per rank in the worst (flat) case, and in the Zipfian
+    * case for corpora up to ~10¹² tokens per language. Past that bound
+    * the engines FAIL DIFFERENTLY (Spark Longs wrap silently, DuckDB
+    * raises on BIGINT overflow) — at larger scales drop the 10⁶
+    * quantizer to 10³ before widening [[ZIPF_TOP]]; do NOT cast the sums
+    * to double (partial-aggregation order then differs between engines
+    * and the fit loses bit-for-bit determinism). */
   def textZipf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val freq = Tables.documents(s, dir)

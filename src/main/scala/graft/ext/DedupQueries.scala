@@ -1235,43 +1235,20 @@ object DedupQueries {
     * row — no per-position explode, no shuffle before the census. */
   private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // Spark-side terms index a per-row CHAR ARRAY (split once) instead of
-    // substring(text, p, 1): Spark's UTF8String substring seeks from the
-    // string head (variable-width encoding), so the window scan over
-    // per-position substrings is O(L²) per doc — measured 24 s at sf0.1
-    // vs ~2 s with O(1) element_at. Same value per position (code point
-    // of the p-th character), so the DuckDB mirror's substring form
-    // stays byte-for-byte agreeing.
-    val poly = (0 until CDC_W).map { i =>
-      val pw = Seq.fill(i)(33L).product
-      val term = s"element_at(codes, p + $i)"
-      if (i == 0) term else s"$term * $pw"
-    }.mkString(" + ")
-    docs
-      .withColumn("chars", split($"text", ""))
-      // code points materialize ONCE per row (as BIGINT, so the ×33^7
-      // products below stay in long arithmetic); each position's window
-      // reads 8 of them, so without this every char's ascii() would be
-      // recomputed W times inside the interpreted lambda
-      .withColumn("codes", expr(
-        "transform(chars, c -> CAST(ascii(c) AS BIGINT))"))
-      .withColumn("cuts", expr(
-        s"""CASE WHEN size(chars) >= $CDC_W THEN
-           |  filter(transform(sequence(1, size(chars) - ${CDC_W - 1}),
-           |    p -> CASE WHEN ($poly) % $CDC_MOD = 0 THEN p END),
-           |    x -> x IS NOT NULL)
-           |ELSE array() END""".stripMargin))
-      .withColumn("bounds", expr(
-        "array_sort(array_distinct(concat(array(0), cuts, array(size(chars)))))"))
-      .select($"lang", $"doc_id",
-        // size(bounds) < 2 (empty text) would make sequence() descend in
-        // Spark and element_at(_, 0) throw — guard to an empty chunk list
-        explode(expr(
-          """CASE WHEN size(bounds) >= 2 THEN
-            |  transform(sequence(1, size(bounds) - 1),
-            |    i -> array_join(slice(chars, element_at(bounds, i) + 1,
-            |           element_at(bounds, i + 1) - element_at(bounds, i)), ''))
-            |ELSE array() END""".stripMargin)).as("chunk"))
+    // One native codegen pass per row ([[graft.functions.CdcChunks]],
+    // r14): the previous composable form (split to a char array +
+    // code-point transform + window-polynomial filter over a position
+    // sequence, all interpreted higher-order lambdas) allocated three
+    // L-sized arrays per row and dispatched per position; before that,
+    // per-position substring() was O(L²) per doc (24 s at sf0.1). The
+    // expression emits only the chunk strings and keeps the stage in
+    // whole-stage codegen — q_cdc_chunks 2.65 s → 0.88 s at sf0.1
+    // (numbers in the expression's Scaladoc). Cut positions and chunk
+    // content are byte-for-byte the DuckDB mirror's (code-point grain,
+    // the spelled-out Σ code·33^i window sum).
+    docs.select($"lang", $"doc_id",
+      explode(graft.functions.CdcChunks.cdcChunks($"text", CDC_W, CDC_MOD))
+        .as("chunk"))
       .filter(length($"chunk") > 0)
   }
 

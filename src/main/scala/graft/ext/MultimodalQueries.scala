@@ -438,20 +438,36 @@ object MediaDecode {
 
   /** PER-FRAME payload slices of a motion-JPEG-style MP4: the r12 sample
     * table walked one step further, from sizes to the BYTES themselves —
-    * the first video track's stsz entries index directly into the mdat
-    * payload (MJPEG's defining property: every sample is an independent
-    * JPEG, no inter-frame state, so container walk + still-image decode
-    * IS the video decode — the one video coding a JDK-only stack can
-    * take to pixels). Returns one byte slice per sample, in order; None
-    * if there is no trak/stsz/mdat or the sample sizes overrun the mdat
-    * payload (a truncated file must fail loudly, not yield short
-    * frames). Only the FIRST video track is sliced — MJPEG fixtures are
-    * single-track; a multi-track file would need stsc/stco chunk maps,
-    * which is codec-mux territory, not MJPEG. */
+    * the VIDEO track's stsz entries located in the media payload
+    * (MJPEG's defining property: every sample is an independent JPEG,
+    * no inter-frame state, so container walk + still-image decode IS
+    * the video decode — the one video coding a JDK-only stack can take
+    * to pixels).
+    *
+    * Track selection (r14): the first trak whose `mdia/hdlr` handler is
+    * `vide` — or that carries no hdlr at all (the r13 single-track
+    * fixtures) — is the video track; `soun`/`meta`/foreign-handler traks
+    * are skipped, so a muxed audio+video file slices the right stream
+    * regardless of trak order.
+    *
+    * Sample location (r14): when the track carries a chunk map
+    * (`stsc` + `stco`/`co64` — how every real muxer lays out interleaved
+    * tracks), samples are located through it: stco/co64 offsets are
+    * FILE-ABSOLUTE, stsc's (first_chunk, samples_per_chunk) runs expand
+    * over the chunk list, and samples within a chunk are contiguous in
+    * stsz order — so chunked, interleaved, and moov-after-mdat layouts
+    * all slice exactly. A track with no chunk map falls back to the
+    * contiguous-first-mdat layout (the r13 fixture contract). Returns
+    * one byte slice per sample, in order; None if there is no video
+    * trak/stsz/payload, a malformed chunk map (first run not at chunk 1,
+    * non-monotone runs, map covering fewer samples than stsz), or any
+    * sample overrunning the file (a truncated file must fail loudly,
+    * not yield short frames). */
   def decodeMp4FrameSlices(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
     def u8(i: Int) = bytes(i) & 0xff
     def be32(i: Int): Long =
       ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
     def child(from: Int, to: Int, want: String): Option[(Int, Int)] = {
       var io = from
       while (io + 8 <= to) {
@@ -461,42 +477,105 @@ object MediaDecode {
       }
       None
     }
+    // (sizes, chunk map) of the selected video track; chunk map is
+    // (stsc runs as (firstChunk, samplesPerChunk), absolute chunk offsets)
     var sizes: Option[Seq[Long]] = None
+    var chunkMap: Option[(Seq[(Long, Long)], Seq[Long])] = None
     var mdat: Option[(Int, Int)] = None
     var off = 0
     while (off + 8 <= bytes.length) {
       val (payload, end, fourcc) = mp4Box(bytes, off, bytes.length)
         .getOrElse(return None)
       if (fourcc == "moov" && sizes.isEmpty) {
-        val stsz = for {
-          (tp, te) <- child(payload, end, "trak")
-          (mp, me) <- child(tp, te, "mdia")
-          (fp, fe) <- child(mp, me, "minf")
-          (sp, se) <- child(fp, fe, "stbl")
-          z <- child(sp, se, "stsz")
-        } yield z
-        val (zp, ze) = stsz.getOrElse(return None)
-        if (ze - zp < 12) return None
-        val uniform = be32(zp + 4)
-        val n = be32(zp + 8)
-        sizes =
-          if (uniform != 0) Some(Seq.fill(n.toInt)(uniform))
-          else {
-            if (ze - zp < 12 + 4 * n) return None
-            Some((0L until n).map(k => be32(zp + 12 + 4 * k.toInt)))
+        var io = payload
+        while (io + 8 <= end && sizes.isEmpty) {
+          val (tp, te, itag) = mp4Box(bytes, io, end).getOrElse(return None)
+          if (itag == "trak") {
+            val mdia = child(tp, te, "mdia")
+            val isVideo = mdia.exists { case (mp, me) =>
+              child(mp, me, "hdlr") match {
+                case Some((hp, he)) => // handler_type at payload offset 8
+                  he - hp >= 12 &&
+                    new String(bytes, hp + 8, 4, "US-ASCII") == "vide"
+                case None => true // legacy single-track fixture: no hdlr
+              }
+            }
+            if (isVideo) {
+              val stbl = for {
+                (mp, me) <- mdia
+                (fp, fe) <- child(mp, me, "minf")
+                s <- child(fp, fe, "stbl")
+              } yield s
+              val (sp, se) = stbl.getOrElse(return None)
+              val (zp, ze) = child(sp, se, "stsz").getOrElse(return None)
+              if (ze - zp < 12) return None
+              val uniform = be32(zp + 4)
+              val n = be32(zp + 8)
+              sizes =
+                if (uniform != 0) Some(Seq.fill(n.toInt)(uniform))
+                else {
+                  if (ze - zp < 12 + 4 * n) return None
+                  Some((0L until n).map(k => be32(zp + 12 + 4 * k.toInt)))
+                }
+              chunkMap = for {
+                (cp, ce) <- child(sp, se, "stsc")
+                offs <- child(sp, se, "stco").map { case (op, oe) =>
+                  val m = be32(op + 4)
+                  if (oe - op < 8 + 4 * m) return None
+                  (0L until m).map(c => be32(op + 8 + 4 * c.toInt))
+                }.orElse(child(sp, se, "co64").map { case (op, oe) =>
+                  val m = be32(op + 4)
+                  if (oe - op < 8 + 8 * m) return None
+                  (0L until m).map(c => be64(op + 8 + 8 * c.toInt))
+                })
+              } yield {
+                val ne = be32(cp + 4)
+                if (ce - cp < 8 + 12 * ne) return None
+                val runs = (0L until ne).map { e =>
+                  (be32(cp + 8 + 12 * e.toInt), be32(cp + 12 + 12 * e.toInt))
+                }
+                (runs, offs)
+              }
+            }
           }
+          io = te
+        }
       }
       if (fourcc == "mdat" && mdat.isEmpty) mdat = Some((payload, end))
       off = end
     }
-    for {
-      ss <- sizes
-      (mp, me) <- mdat
-      if ss.sum <= (me - mp).toLong
-    } yield {
-      val offs = ss.scanLeft(0L)(_ + _)
-      ss.indices.map(k => java.util.Arrays.copyOfRange(
-        bytes, mp + offs(k).toInt, mp + offs(k + 1).toInt))
+    val ss = sizes.getOrElse(return None)
+    chunkMap match {
+      case Some((runs, chunkOffs)) =>
+        // stsc runs must start at chunk 1 and be strictly increasing
+        if (runs.isEmpty || runs.head._1 != 1L ||
+            runs.map(_._1).sliding(2).exists(p => p.length == 2 && p(0) >= p(1)))
+          return None
+        val out = Seq.newBuilder[Array[Byte]]
+        var s = 0 // next sample (stsz index)
+        var ri = 0
+        var c = 0 // chunk index (0-based; stsc speaks 1-based)
+        while (c < chunkOffs.length && s < ss.length) {
+          while (ri + 1 < runs.length && runs(ri + 1)._1 <= c + 1) ri += 1
+          var k = 0L
+          var o = chunkOffs(c)
+          while (k < runs(ri)._2 && s < ss.length) {
+            val len = ss(s)
+            if (o < 0 || o + len > bytes.length) return None
+            out += java.util.Arrays.copyOfRange(bytes, o.toInt, (o + len).toInt)
+            o += len; s += 1; k += 1
+          }
+          c += 1
+        }
+        if (s != ss.length) None else Some(out.result()) // map must cover stsz
+      case None => // legacy contiguous layout: stsz indexes the first mdat
+        val (mp, me) = mdat.getOrElse(return None)
+        if (ss.sum > (me - mp).toLong) None
+        else {
+          val offs = ss.scanLeft(0L)(_ + _)
+          Some(ss.indices.map(k => java.util.Arrays.copyOfRange(
+            bytes, mp + offs(k).toInt, mp + offs(k + 1).toInt)))
+        }
     }
   }
 
@@ -801,6 +880,72 @@ object MediaFixtures {
     val moov = box("moov", mvhd ++ trak)
     val mdat = box("mdat", frames.flatten.toArray)
     ftyp ++ moov ++ mdat
+  }
+
+  /** [[mp4Mjpeg]]'s CHUNKED, MUXED sibling — the layout every real muxer
+    * writes: TWO tracks (a `soun` track of `aux` samples listed FIRST in
+    * moov, the `vide` MJPEG track second — so a reader must select by
+    * hdlr handler, not trak order), their samples INTERLEAVED in mdat as
+    * four chunks `[v₀][a₀][v₁..][a₁..]`, each track locating its chunks
+    * through a real chunk map: stsc runs (chunk 1 holds 1 sample, chunk
+    * 2 the rest) + FILE-ABSOLUTE chunk offsets — co64 (the 64-bit form
+    * >4 GiB files use) for video, stco for audio. moov comes AFTER mdat
+    * (the non-faststart order most writers emit), so nothing about the
+    * layout is inferable without the map. Same frames in, same pixels
+    * out as [[mp4Mjpeg]] — which is exactly what the near-dup fixture
+    * asserts by giving pair partners the two layouts. */
+  def mp4MjpegChunked(timescale: Int, frames: Seq[Array[Byte]],
+      aux: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.length >= 2 && aux.length >= 2,
+      "chunked layout needs >=2 samples per track")
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    def be64(v: Long): Array[Byte] = be32((v >>> 32).toInt) ++ be32(v.toInt)
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(512) ++
+        "isommp42".getBytes("US-ASCII"))
+    // mdat sits right after ftyp; chunk offsets are file-absolute
+    val base = ftyp.length + 8L
+    val vOff1 = base
+    val aOff1 = vOff1 + frames.head.length
+    val vOff2 = aOff1 + aux.head.length
+    val aOff2 = vOff2 + frames.tail.map(_.length.toLong).sum
+    val mdat = box("mdat",
+      (frames.head ++ aux.head ++ frames.tail.flatten ++ aux.tail.flatten)
+        .toArray)
+    def hdlr(handler: String) = box("hdlr",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+        handler.getBytes("US-ASCII") ++ Array.fill[Byte](13)(0))
+    def stsz(ss: Seq[Array[Byte]]) = box("stsz",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(ss.length) ++
+        ss.flatMap(f => be32(f.length)).toArray)
+    def stts(n: Int) = box("stts",
+      Array[Byte](0, 0, 0, 0) ++ be32(1) ++ be32(n) ++ be32(1))
+    def stsc(n: Int) = box("stsc",
+      Array[Byte](0, 0, 0, 0) ++ be32(2) ++
+        be32(1) ++ be32(1) ++ be32(1) ++ // chunk 1: one sample
+        be32(2) ++ be32(n - 1) ++ be32(1)) // chunks 2..: the rest
+    def tkhd(id: Int, dur: Int) = box("tkhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(id) ++
+        be32(0) ++ be32(dur) ++ Array.fill[Byte](60)(0))
+    val co64V = box("co64",
+      Array[Byte](0, 0, 0, 0) ++ be32(2) ++ be64(vOff1) ++ be64(vOff2))
+    val stcoA = box("stco",
+      Array[Byte](0, 0, 0, 0) ++ be32(2) ++
+        be32(aOff1.toInt) ++ be32(aOff2.toInt))
+    val trakA = box("trak", tkhd(1, aux.length) ++ box("mdia",
+      hdlr("soun") ++ box("minf",
+        box("stbl", stsz(aux) ++ stts(aux.length) ++
+          stsc(aux.length) ++ stcoA))))
+    val trakV = box("trak", tkhd(2, frames.length) ++ box("mdia",
+      hdlr("vide") ++ box("minf",
+        box("stbl", stsz(frames) ++ stts(frames.length) ++
+          stsc(frames.length) ++ co64V))))
+    val mvhd = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(frames.length) ++ Array.fill[Byte](80)(0))
+    val moov = box("moov", mvhd ++ trakA ++ trakV)
+    ftyp ++ mdat ++ moov
   }
 
   def wavPcm16(sampleRate: Int, n: Int, smp: Int => Int): Array[Byte] = {
@@ -1693,6 +1838,11 @@ object MultimodalQueries {
     * the TRUE near-dup relation is exactly the (2k, 2k+1) pairs — which
     * is what the oracle restates (JPEG's lossy pixels are not
     * formula-restatable; the RELATION the pipeline must recover is).
+    * Each pair spans BOTH container layouts (even: single-track
+    * contiguous; odd: muxed 2-track chunked/interleaved with co64 maps
+    * and moov after mdat, [[MediaFixtures.mp4MjpegChunked]]), so the
+    * recovered relation certifies the stsc/stco/co64 chunk walk and the
+    * contiguous walk agree byte-for-byte.
     *
     * Scale: decode+hash is one narrow batched mapPartitions (the GPU
     * decode stage's schedule shape); the candidate join is band-bucketed
@@ -1729,7 +1879,20 @@ object MultimodalQueries {
           MediaFixtures.jpegGray(36, 32,
             (x, y) => g(math.min(y / 4, 7))(math.min(x / 4, 8)))
         }
-        (id, MediaFixtures.mp4Mjpeg(600, frames))
+        // r14: pair partners carry the SAME frames in two DIFFERENT
+        // container layouts — even docs the single-track contiguous
+        // moov-first form, odd docs the muxed chunked form (soun track
+        // listed first, interleaved chunks, co64 absolute offsets, moov
+        // after mdat) — so a hamming-0 pair certifies the chunk-map walk
+        // reproduces the contiguous walk's bytes exactly.
+        val container =
+          if (id % 2 == 0) MediaFixtures.mp4Mjpeg(600, frames)
+          else {
+            val aux = Seq.tabulate(2)(a =>
+              Array.tabulate(6 + a)(t => ((id * 31 + a * 7 + t) & 0xff).toByte))
+            MediaFixtures.mp4MjpegChunked(600, frames, aux)
+          }
+        (id, container)
       }
     val frameHashes = media.mapPartitions { it =>
       it.flatMap { case (id, bytes) =>

@@ -647,7 +647,13 @@ object PipelineQueries {
     * Scale: the XP14 staged pass (one scan, one md5 window, one
     * stream-key window) plus dictionary-sized arithmetic; the waterfill
     * totals broadcast as single rows off an eagerly-materialized
-    * stream-dictionary (the XP24 lesson). */
+    * stream-dictionary (the XP24 lesson). The waterfill's fixed-point
+    * products carry epochBudget's BIGINT bound: budget × weight must
+    * stay < 2⁶³, i.e. [[EPOCH_BUDGET_X]]·corpus_tokens ×
+    * 1000·stream_tokens < 2⁶³ — ~10⁹ corpus tokens for a corpus
+    * dominated by one stream, ~10⁹·√S for S balanced streams; past it
+    * Spark wraps silently while DuckDB raises — at larger scales compute
+    * the share per-mille first (same fix as epochBudget). */
   def trainReadiness(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val staged = Tables.documents(s, dir)

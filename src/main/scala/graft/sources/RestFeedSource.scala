@@ -141,7 +141,10 @@ final case class CycleOffset(cycle: Long) extends Offset {
   override def json(): String = cycle.toString
 }
 
-class RestFeedMicroBatch(conf: RestFeedConfig) extends MicroBatchStream
+/** `clock` injects the wall-clock for tests (the catch-up-after-downtime
+  * spec advances it deterministically); production uses the default. */
+class RestFeedMicroBatch(conf: RestFeedConfig,
+    clock: () => Long = () => System.currentTimeMillis()) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
     with org.apache.spark.sql.connector.read.streaming.AcceptsLatestSeenOffset {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
@@ -159,7 +162,7 @@ class RestFeedMicroBatch(conf: RestFeedConfig) extends MicroBatchStream
   // prior uptime at the reference 60 s cadence).
   @volatile private var anchor: Option[(Long, Long)] = None // (cycle, ms)
   private def ensureAnchor(cycle: Long): Unit = synchronized {
-    if (anchor.isEmpty) anchor = Some((cycle, System.currentTimeMillis()))
+    if (anchor.isEmpty) anchor = Some((cycle, clock()))
   }
 
   /** Completed cycles the wall clock has opened by `atMs`: the anchor
@@ -196,7 +199,7 @@ class RestFeedMicroBatch(conf: RestFeedConfig) extends MicroBatchStream
     ensureAnchor(deserializeOffset(offset.json()).asInstanceOf[CycleOffset].cycle)
 
   override def latestOffset(): Offset =
-    CycleOffset(cyclesByClock(System.currentTimeMillis()))
+    CycleOffset(cyclesByClock(clock()))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -209,7 +212,7 @@ class RestFeedMicroBatch(conf: RestFeedConfig) extends MicroBatchStream
     val s = start.asInstanceOf[CycleOffset].cycle
     ensureAnchor(s)
     val target =
-      cyclesByClock(availableNowFreezeMs.getOrElse(System.currentTimeMillis()))
+      cyclesByClock(availableNowFreezeMs.getOrElse(clock()))
     // saturating step: s + Long.MaxValue must not wrap
     val step = math.min(conf.maxCyclesPerTrigger, math.max(0L, target - s))
     CycleOffset(s + step)
@@ -217,10 +220,10 @@ class RestFeedMicroBatch(conf: RestFeedConfig) extends MicroBatchStream
 
   override def reportLatestOffset(): Offset =
     CycleOffset(
-      cyclesByClock(availableNowFreezeMs.getOrElse(System.currentTimeMillis())))
+      cyclesByClock(availableNowFreezeMs.getOrElse(clock())))
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowFreezeMs = Some(System.currentTimeMillis())
+    availableNowFreezeMs = Some(clock())
 
   override def deserializeOffset(json: String): Offset =
     CycleOffset(json.trim.toLong)

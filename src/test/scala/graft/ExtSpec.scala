@@ -1089,6 +1089,13 @@ class ExtSpec extends AnyFunSuite {
       .map { case (id, e) =>
         id -> e.map(x => math.floor(x.toDouble * 1000000L).toLong).toArray
       }.toMap
+    // pin the fixture dimensionality the ORACLE hardcodes (its
+    // generate_series(1, 64) iterates exactly EMB_DIM indices while the
+    // Spark side transforms the actual array): a fixture dim change must
+    // fail HERE, not first at the external driver's hash gate
+    assert(emb.values.forall(_.length == 64),
+      s"embeddings fixture dim drifted from the oracle's EMB_DIM=64: " +
+        s"saw ${emb.values.map(_.length).toSet}")
     def cosU(a: Long, b: Long): Long = {
       val (qa, qb) = (emb(a), emb(b))
       val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
@@ -1890,6 +1897,83 @@ class ExtSpec extends AnyFunSuite {
       _ => 3, (_, _) => 7, (_, _) => 2)
     assert(MediaDecode.decodeMp4Samples(uni) ===
       Some(Seq((0L, 3L, 21L, 6L))))
+  }
+
+  test("MP4 chunk maps: stsc/stco/co64 slice muxed interleaved layouts exactly") {
+    import graft.ext.{MediaDecode, MediaFixtures}
+    val frames = Seq(
+      Array.tabulate(5)(i => (i + 1).toByte),
+      Array.tabulate(7)(i => (i + 10).toByte),
+      Array.tabulate(4)(i => (i + 40).toByte))
+    val aux = Seq(Array.tabulate(3)(i => (90 + i).toByte),
+      Array.tabulate(6)(i => (100 + i).toByte))
+    // muxed 2-track layout: soun trak FIRST (hdlr selection, not order),
+    // chunks interleaved, co64 video offsets, moov AFTER mdat
+    val b = MediaFixtures.mp4MjpegChunked(600, frames, aux)
+    val out = MediaDecode.decodeMp4FrameSlices(b)
+    assert(out.isDefined, "chunked layout must slice")
+    assert(out.get.map(_.toSeq) === frames.map(_.toSeq),
+      "chunk-map slices must be the exact video samples, not audio bytes")
+    // the two layouts agree byte-for-byte on the same frames
+    val legacy =
+      MediaDecode.decodeMp4FrameSlices(MediaFixtures.mp4Mjpeg(600, frames))
+    assert(legacy.get.map(_.toSeq) === frames.map(_.toSeq))
+    // truncation loses moov (it trails mdat here) -> loud failure
+    assert(MediaDecode.decodeMp4FrameSlices(b.dropRight(1)) === None)
+    // an absolute chunk offset past EOF must fail, not short-slice:
+    // patch the co64 table's first offset to the file length
+    def findTag(x: Array[Byte], tag: String): Int = {
+      val t = tag.getBytes("US-ASCII")
+      (0 to x.length - 4).find(i => x(i) == t(0) && x(i + 1) == t(1) &&
+        x(i + 2) == t(2) && x(i + 3) == t(3)).get
+    }
+    val bad = b.clone()
+    val op = findTag(bad, "co64") + 4 + 4 + 4 // fourcc, ver/flags, count
+    val badOff = bad.length.toLong
+    for (i <- 0 until 8)
+      bad(op + i) = ((badOff >>> (56 - 8 * i)) & 0xff).toByte
+    assert(MediaDecode.decodeMp4FrameSlices(bad) === None)
+    // hand-built single-track file: an stsc RUN spanning chunks 1-2
+    // (first_chunk runs, not per-chunk entries), stco offsets honored
+    // across junk gaps between chunks, no hdlr (legacy selection)
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def box(t: String, body: Array[Byte]) =
+      be(8 + body.length) ++ t.getBytes("US-ASCII") ++ body
+    val samples = (0 until 5).map(k =>
+      Array.tabulate(3 + k)(i => (k * 16 + i).toByte))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0))
+    val gap = Array.fill[Byte](5)(0x77)
+    val mdat = box("mdat", (samples(0) ++ samples(1) ++ gap ++
+      samples(2) ++ samples(3) ++ gap ++ samples(4)).toArray)
+    val c1 = ftyp.length + 8
+    val c2 = c1 + samples(0).length + samples(1).length + gap.length
+    val c3 = c2 + samples(2).length + samples(3).length + gap.length
+    val stsz = box("stsz", Array[Byte](0, 0, 0, 0) ++ be(0) ++ be(5) ++
+      samples.flatMap(s0 => be(s0.length)).toArray)
+    val stts = box("stts",
+      Array[Byte](0, 0, 0, 0) ++ be(1) ++ be(5) ++ be(1))
+    val stsc = box("stsc", Array[Byte](0, 0, 0, 0) ++ be(2) ++
+      be(1) ++ be(2) ++ be(1) ++ // chunks 1-2: two samples each
+      be(3) ++ be(1) ++ be(1)) // chunk 3: one
+    val stco = box("stco", Array[Byte](0, 0, 0, 0) ++ be(3) ++
+      be(c1) ++ be(c2) ++ be(c3))
+    val trak = box("trak",
+      box("mdia", box("minf", box("stbl", stsz ++ stts ++ stsc ++ stco))))
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be(0) ++ be(0) ++
+      be(600) ++ be(5) ++ Array.fill[Byte](80)(0))
+    val whole = ftyp ++ mdat ++ box("moov", mvhd ++ trak)
+    assert(MediaDecode.decodeMp4FrameSlices(whole).get.map(_.toSeq) ===
+      samples.map(_.toSeq), "stsc run must expand across chunks 1-2")
+    // a chunk map covering FEWER samples than stsz must fail loudly
+    val stscShort = box("stsc",
+      Array[Byte](0, 0, 0, 0) ++ be(1) ++ be(1) ++ be(2) ++ be(1))
+    val stcoShort = box("stco", Array[Byte](0, 0, 0, 0) ++ be(1) ++ be(c1))
+    val trakShort = box("trak", box("mdia", box("minf",
+      box("stbl", stsz ++ stts ++ stscShort ++ stcoShort))))
+    val wholeShort = ftyp ++ mdat ++ box("moov", mvhd ++ trakShort)
+    assert(MediaDecode.decodeMp4FrameSlices(wholeShort) === None,
+      "a chunk map not covering stsz must fail, not short-slice")
   }
 
   test("multimodal query magic matches the mapPartitions decode path") {

@@ -359,6 +359,55 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql.toSeq === direct)
   }
 
+  test("cdc_chunks: one-pass native chunker matches a brute replay, stays in WSCG") {
+    import graft.functions.CdcChunks
+    import org.apache.spark.unsafe.types.UTF8String
+    val W = 8
+    val MOD = 64L
+    // brute replay at code-point grain (the DuckDB ord/substring grain)
+    def chunksOf(t: String): Seq[String] = {
+      val cps = t.codePoints().toArray
+      if (cps.isEmpty) return Seq.empty
+      def poly(p: Int): Long = // p 0-based window start
+        (0 until W).map(i => cps(p + i) * Seq.fill(i)(33L).product).sum
+      val cuts =
+        if (cps.length < W) Seq.empty
+        else (0 to cps.length - W).filter(p => poly(p) % MOD == 0).map(_ + 1)
+      val bounds = (0 +: cuts :+ cps.length).distinct.sorted
+      bounds.sliding(2).map { case Seq(a, b) =>
+        new String(cps, a, b - a) }.toSeq
+    }
+    // texts exercising: empty, shorter than W, ASCII with real cuts, a
+    // multi-byte code point (é), and a supplementary-plane code point
+    // (surrogate pair in UTF-16 — one character at the chunker's grain)
+    val texts = Seq("", "short", "the quick brown fox jumps over the " +
+      "lazy dog again and again and again and again",
+      "café latte every morning before the standup meeting starts",
+      "emoji 😀 inside a long enough text to cut somewhere maybe")
+    texts.foreach { t =>
+      val got = CdcChunks.chunks(UTF8String.fromString(t), W, MOD)
+      val gotSeq = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      assert(gotSeq === chunksOf(t), s"text: $t")
+      // chunks always reassemble the document exactly
+      assert(gotSeq.mkString === t)
+    }
+    // expression API through a real plan (range, not a foldable local
+    // relation): codegen result == interpreted eval, and the projection
+    // stays inside whole-stage codegen
+    val df = spark.range(2).select($"id",
+      concat(lit("doc "), $"id".cast("string"),
+        lit(" " + texts(2))).as("t"))
+    val viaExpr = df.select($"id", $"t",
+      CdcChunks.cdcChunks($"t", W, MOD).as("c"))
+    viaExpr.as[(Long, String, Seq[String])].collect().foreach {
+      case (_, t, c) => assert(c === chunksOf(t))
+    }
+    val plan = viaExpr.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("cdc_chunks"),
+      s"expected cdc_chunks inside a WholeStageCodegen project:\n$plan")
+  }
+
   test("rolling_hash64 rejects or coerces bad argument types at ANALYSIS") {
     graft.plans.GraftExtensions.registerOn(spark)
     val df = spark.range(3).select($"id", $"id".cast("string").as("s"))

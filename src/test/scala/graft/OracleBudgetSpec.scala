@@ -63,8 +63,13 @@ class OracleBudgetSpec extends AnyFunSuite {
     // The driver's hash gate sorts columns BY NAME before comparing
     // values, so an alias drifting on either side is a guaranteed
     // driver-time hash mismatch. This catches it at `sbt test` time:
-    // Spark schemas come from plan analysis (no execution), oracle
-    // schemas from DuckDB DESCRIBE (planning only).
+    // Spark schemas come from the built DataFrames' analyzed plans,
+    // oracle schemas from DuckDB DESCRIBE (planning only). Note the
+    // Spark side is NOT execution-free: queries whose builders eagerly
+    // localCheckpoint() a shared dictionary (chain-drift/modal-agreement
+    // rankedMembers, the epoch-budget/train-readiness waterfill base)
+    // run those sf0.001 corpus jobs during construction — a few seconds,
+    // accepted as this probe's cost.
     assume(duckdbAvailable, "python3+duckdb not on this box; driver gate covers it")
     assume(new java.io.File(TestSpark.sf0001).isDirectory)
     def q(s: String): String = "\"" + s.flatMap {

@@ -169,6 +169,42 @@ class RestFeedSourceSpec extends AnyFunSuite {
     assert(n2 === 8L)
   }
 
+  test("catch-up after downtime: backlog opens at once, admission paces it, clock gates after") {
+    import graft.sources.{CycleOffset, RestFeedConfig, RestFeedMicroBatch}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // clock injection: a stream with 5 committed cycles restarts after
+    // 10 minutes of downtime at the 60 s reference cadence — 10 cycles
+    // of backlog are owed IMMEDIATELY (not one per restart, the failure
+    // mode the r12 anchor fix removed; not over 10 more minutes, which a
+    // re-anchored clock would enforce)
+    var now = 1000000000L
+    val mb = new RestFeedMicroBatch(RestFeedConfig(
+      base = "", apiKey = "", lines = Seq("Red"),
+      pollIntervalMs = 60000L, maxCycles = 1000L,
+      transportId = "none", fixedPollTs = None,
+      maxCyclesPerTrigger = 2L), () => now)
+    mb.setLatestSeenOffset(CycleOffset(5L)) // checkpoint restore anchors here
+    now += 600000L // 10 min of downtime elapse
+    // drain: each micro-batch steps at most 2 cycles toward the target
+    // (5 committed + 1 fresh + 10 owed = 16) — sustained-rate recovery,
+    // bounded per batch, no further clock advance needed
+    val steps = Iterator.iterate(5L) { cur =>
+      mb.latestOffset(CycleOffset(cur), ReadLimit.allAvailable())
+        .asInstanceOf[CycleOffset].cycle
+    }.drop(1).take(6).toSeq
+    assert(steps === Seq(7L, 9L, 11L, 13L, 15L, 16L),
+      s"backlog must drain in admission-sized steps to the clock target: $steps")
+    // caught up: with the clock still, the next batch admits nothing
+    val idle = mb.latestOffset(CycleOffset(16L), ReadLimit.allAvailable())
+      .asInstanceOf[CycleOffset].cycle
+    assert(idle === 16L, "caught-up stream must go idle, not over-poll")
+    // steady state: one interval opens exactly one more cycle
+    now += 60000L
+    val next = mb.latestOffset(CycleOffset(16L), ReadLimit.allAvailable())
+      .asInstanceOf[CycleOffset].cycle
+    assert(next === 17L, "post-catch-up cadence must be 1 cycle per interval")
+  }
+
   test("resume with a nonzero poll interval keeps fetching (checkpointed AvailableNow drains)") {
     val calls = new AtomicInteger(0)
     RestTransports.register("spec-resume-counting", { url =>
