@@ -97,7 +97,7 @@ object IncrementalQueries {
 
   /** Attribution lookback window: touches older than this never earn
     * credit (bounds the per-purchase expansion at any scale). */
-  private val ATTR_WINDOW_US = 7L * 24 * 3600 * 1000000L
+  private[graft] val ATTR_WINDOW_US = 7L * 24 * 3600 * 1000000L
 
   /** POSITION-BASED (U-shaped) multi-touch attribution — the
     * industry-standard 40/20/40 split, in exact integer basis points:

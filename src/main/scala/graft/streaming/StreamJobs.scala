@@ -386,6 +386,35 @@ object StreamJobs {
         OutputMode.Append())
   }
 
+  /** W5b twin — U-shaped (40/20/40) multi-touch attribution as a stream:
+    * one ListState touch buffer per user holds the trailing 7-day
+    * lookback ([[graft.analytics.IncrementalQueries.ATTR_WINDOW_US]],
+    * shared with the batch form); each arriving purchase credits the
+    * buffered touches with the SAME exact-integer-bp split the batch
+    * window computes (touches are read, never consumed — they keep
+    * crediting later purchases inside their window, exactly as the batch
+    * left join fans them out), and a no-touch purchase emits the same
+    * 10000 bp "none" row the batch null branch produces. State is
+    * bounded by (per-user touch rate × 7 days): every batch evicts
+    * buffered touches older than the newest seen timestamp minus the
+    * window, under the per-key event-time monotone-arrival assumption
+    * the Markov carry documents (a late-data variant would buffer behind
+    * a watermark like [[TimerSessions]]). Downstream the credit stream
+    * feeds the same per-touch-type census as batch. */
+  def utouchStream(events: DataFrame): Dataset[UTouchCredit] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .as[AttrEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new UTouchCarry,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** T-extra — watermarked stream-stream interval self-join, the streaming
     * twin of the batch J6 range join (EventQueries.rangeJoinFollowers):
     * each event pairs with the same user's events in the following 10
@@ -1132,6 +1161,74 @@ class MarkovCarry
     }
     prev.foreach(last.update)
     out.iterator
+  }
+}
+
+/** Typed event for the U-touch attribution carry (purchase rows carry
+  * their exact integer cents; touch rows' cents are unused). */
+final case class AttrEv(user_id: Long, ts_us: Long, event_id: Long,
+    event_type: String, cents: Long)
+
+/** One emitted credit of [[StreamJobs.utouchStream]] — a (purchase,
+  * touch) attribution in exact integer basis points, with the credited
+  * cents already settled per row (cents·bp div 10⁴, the batch integer
+  * arithmetic) so the census downstream is a plain sum. */
+final case class UTouchCredit(touch_type: String, credit_bp: Long,
+    credited_cents: Long)
+
+/** StatefulProcessor for [[StreamJobs.utouchStream]]: a per-user
+  * ListState buffer of the touches inside the trailing attribution
+  * window. Each batch sorts its rows by (ts_us, event_id) — the batch
+  * window's total order — folds them in: a touch appends to the buffer,
+  * a purchase snapshots the buffered touches with
+  * `p_ts − W ≤ t_ts < p_ts`, orders them (t_ts, t_id), and emits the
+  * U-shape split (first 4000 + 2000 % (n−2), last 4000, middles
+  * 2000 div (n−2); n=1 → 10000, n=2 → 5000 each, n=0 → one "none" row
+  * at 10000 bp — each branch the batch CASE verbatim). The buffer is
+  * trimmed after the fold to touches younger than maxSeenTs − W. */
+class UTouchCarry
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AttrEv, UTouchCredit] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ListState}
+
+  private val W = graft.analytics.IncrementalQueries.ATTR_WINDOW_US
+
+  @transient private var touches: ListState[AttrEv] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    touches = getHandle.getListState[AttrEv]("touches",
+      org.apache.spark.sql.Encoders.product[AttrEv], TTLConfig.NONE)
+
+  private def credits(p: AttrEv, buf: Seq[AttrEv]): Seq[UTouchCredit] = {
+    val live = buf
+      .filter(t => t.ts_us < p.ts_us && t.ts_us >= p.ts_us - W)
+      .sortBy(t => (t.ts_us, t.event_id))
+    val n = live.length.toLong
+    def row(tpe: String, bp: Long) =
+      UTouchCredit(tpe, bp, p.cents * bp / 10000L)
+    if (n == 0) Seq(row("none", 10000L))
+    else if (n == 1) Seq(row(live.head.event_type, 10000L))
+    else if (n == 2) live.map(t => row(t.event_type, 5000L))
+    else live.zipWithIndex.map { case (t, i) =>
+      if (i == 0) row(t.event_type, 4000L + 2000L % (n - 2))
+      else if (i == n - 1) row(t.event_type, 4000L)
+      else row(t.event_type, 2000L / (n - 2))
+    }
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[AttrEv],
+      timerValues: TimerValues): Iterator[UTouchCredit] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var buf = touches.get().toSeq
+    val out = Seq.newBuilder[UTouchCredit]
+    sorted.foreach { e =>
+      if (e.event_type == "purchase") out ++= credits(e, buf)
+      else buf :+= e
+    }
+    val maxTs = sorted.last.ts_us // rows is non-empty by contract
+    val kept = buf.filter(_.ts_us >= maxTs - W)
+    touches.clear()
+    if (kept.nonEmpty) touches.appendList(kept.toArray)
+    out.result().iterator
   }
 }
 

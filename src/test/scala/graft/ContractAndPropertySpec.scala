@@ -116,4 +116,71 @@ class ContractAndPropertySpec extends AnyFunSuite {
       assert(f === Math.floorDiv(s, n), s"column form broke at s=$s n=$n")
     }
   }
+
+  test("MP4 chunk-map layouts round-trip for generated chunkings") {
+    // GENERATED chunk layouts (arbitrary sample sizes, arbitrary chunk
+    // partitions, junk gaps between chunks, stco or co64, run-length
+    // stsc): decodeMp4FrameSlices must return exactly the sample bytes
+    // for every one — the generalization of the fixed 2-chunk fixture
+    // in ExtSpec. Pure JVM, no Spark jobs.
+    import graft.ext.MediaDecode
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def be64(v: Long) = be((v >>> 32).toInt) ++ be(v.toInt)
+    def box(t: String, body: Array[Byte]) =
+      be(8 + body.length) ++ t.getBytes("US-ASCII") ++ body
+    val genSample = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray))
+    val genCase = for {
+      ns <- Gen.chooseNum(1, 8)
+      ss <- Gen.listOfN(ns, genSample)
+      splitAt <- Gen.listOfN(math.max(0, ns - 1), Gen.oneOf(true, false))
+      useCo64 <- Gen.oneOf(true, false)
+      gap <- Gen.chooseNum(0, 9)
+    } yield (ss, splitAt, useCo64, gap)
+    samples(genCase, 40).foreach { case (ss, splitAt, useCo64, gap) =>
+      // partition samples into chunks at the generated split points
+      val chunks = ss.tail.zip(splitAt).foldLeft(Seq(Seq(ss.head))) {
+        case (acc, (s, split)) =>
+          if (split) acc :+ Seq(s) else acc.init :+ (acc.last :+ s)
+      }
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0))
+      // mdat: chunks laid out with `gap` junk bytes between them
+      val junk = Array.fill[Byte](gap)(0x5a)
+      val mdatBody = chunks.map(_.flatten.toArray)
+        .reduceLeft((a, b) => a ++ junk ++ b)
+      val mdat = box("mdat", mdatBody)
+      // absolute chunk offsets (mdat payload starts after ftyp + header)
+      val offs = chunks.init.scanLeft(ftyp.length + 8L) {
+        (o, c) => o + c.map(_.length).sum + gap
+      }
+      // run-length stsc from per-chunk counts
+      val counts = chunks.map(_.length)
+      val runs = counts.zipWithIndex.collect {
+        case (c, 0) => (1, c)
+        case (c, i) if c != counts(i - 1) => (i + 1, c)
+      }
+      val stsz = box("stsz", Array[Byte](0, 0, 0, 0) ++ be(0) ++
+        be(ss.length) ++ ss.flatMap(s => be(s.length)).toArray)
+      val stts = box("stts",
+        Array[Byte](0, 0, 0, 0) ++ be(1) ++ be(ss.length) ++ be(1))
+      val stsc = box("stsc", Array[Byte](0, 0, 0, 0) ++ be(runs.length) ++
+        runs.flatMap { case (f, c) => be(f) ++ be(c) ++ be(1) }.toArray)
+      val offsets =
+        if (useCo64) box("co64", Array[Byte](0, 0, 0, 0) ++
+          be(offs.length) ++ offs.flatMap(be64).toArray)
+        else box("stco", Array[Byte](0, 0, 0, 0) ++
+          be(offs.length) ++ offs.flatMap(o => be(o.toInt)).toArray)
+      val trak = box("trak", box("mdia", box("minf",
+        box("stbl", stsz ++ stts ++ stsc ++ offsets))))
+      val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be(0) ++ be(0) ++
+        be(600) ++ be(ss.length) ++ Array.fill[Byte](80)(0))
+      val file = ftyp ++ mdat ++ box("moov", mvhd ++ trak)
+      val got = MediaDecode.decodeMp4FrameSlices(file)
+      assert(got.isDefined,
+        s"chunking ${counts.mkString(",")} gap=$gap co64=$useCo64 failed")
+      assert(got.get.map(_.toSeq) === ss.map(_.toSeq),
+        s"round-trip broke at chunking ${counts.mkString(",")} gap=$gap")
+    }
+  }
 }

@@ -513,6 +513,65 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("W5b twin: streaming U-touch credits equal the batch attribution census") {
+    // TWO-batch drive, split at the mean timestamp with file order pinned
+    // by mtime: purchases in batch 2 must credit touches the ListState
+    // buffered from batch 1 — the cross-batch carry path, not just an
+    // in-batch fold
+    val tmp = Files.createTempDirectory("graft-utouch-stream").toString
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(expr("cast(avg(unix_micros(ts)) as bigint)"))
+      .head.getLong(0)
+    ev.filter(unix_micros($"ts") <= mid).coalesce(1)
+      .write.mode("append").parquet(tmp)
+    ev.filter(unix_micros($"ts") > mid).coalesce(1)
+      .write.mode("append").parquet(tmp)
+    // FileStreamSource orders by modification time; make the early-ts
+    // file strictly older so per-key event-time arrival stays monotone
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.lastModified())
+    assert(parts.length === 2)
+    parts(0).setLastModified(parts(1).lastModified() - 10000)
+    // transformWithState requires the RocksDB provider (multiple column
+    // families) — scoped exactly like the Markov-carry spec
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamJobs
+        .utouchStream(StreamJobs.eventsStream(spark, tmp,
+          maxFilesPerTrigger = Some(1)))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("utouch_out").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val streamed = spark.table("utouch_out")
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n"), sum($"credit_bp").as("bp"),
+        sum($"credited_cents").as("cc"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val batch = graft.analytics.IncrementalQueries
+      .attributionUTouch(spark, sf).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_credits"), r.getAs[Long]("bp_total"),
+          r.getAs[Long]("credited_cents")))
+      .toMap
+    assert(streamed === batch,
+      "streaming U-touch census diverged from the batch attribution")
+    // credit conservation holds on the stream too: every purchase's
+    // credits sum to exactly 10000 bp
+    val purchases = ev.filter($"event_type" === "purchase").count()
+    assert(streamed.values.map(_._2).sum === 10000L * purchases)
+  }
+
   private def eventsDir: String = {
     val tmp = Files.createTempDirectory("graft-events-stream").toString
     java.nio.file.Files.copy(
