@@ -572,6 +572,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.map(_._2).sum === 10000L * purchases)
   }
 
+  test("W5b twin: U-touch ListState survives a checkpointed restart") {
+    // the cross-RESTART carry, not just cross-trigger: drain the early
+    // half, STOP the query, drop the late half, restart on the same
+    // checkpoint — late purchases can only credit early touches if the
+    // RocksDB snapshot restored the per-user buffer
+    val tmp = Files.createTempDirectory("graft-utouch-restart").toString
+    val drop = s"$tmp/drop"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(expr("cast(avg(unix_micros(ts)) as bigint)"))
+      .head.getLong(0)
+    ev.filter(unix_micros($"ts") <= mid).coalesce(1)
+      .write.mode("append").parquet(drop)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def drain(): Unit = {
+      val q = StreamJobs
+        .utouchStream(StreamJobs.eventsStream(spark, drop))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      assert(q.awaitTermination(180000))
+    }
+    try {
+      drain() // early half: touches buffered into state, some credits out
+      ev.filter(unix_micros($"ts") > mid).coalesce(1)
+        .write.mode("append").parquet(drop)
+      drain() // fresh query instance = fresh process, state restored
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val streamed = spark.read.parquet(out)
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n"), sum($"credit_bp").as("bp"),
+        sum($"credited_cents").as("cc"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val batch = graft.analytics.IncrementalQueries
+      .attributionUTouch(spark, sf).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_credits"), r.getAs[Long]("bp_total"),
+          r.getAs[Long]("credited_cents")))
+      .toMap
+    assert(streamed === batch,
+      "U-touch census after restart diverged: ListState not restored")
+  }
+
   private def eventsDir: String = {
     val tmp = Files.createTempDirectory("graft-events-stream").toString
     java.nio.file.Files.copy(
