@@ -1933,6 +1933,15 @@ class ExtSpec extends AnyFunSuite {
     for (i <- 0 until 8)
       bad(op + i) = ((badOff >>> (56 - 8 * i)) & 0xff).toByte
     assert(MediaDecode.decodeMp4FrameSlices(bad) === None)
+    // a file with NO video track (patch the vide handler to soun):
+    // selection must find nothing and fail, not slice the audio track
+    val noVid = b.clone()
+    val hp = findTag(noVid, "vide")
+    "soun".getBytes("US-ASCII").zipWithIndex.foreach {
+      case (c, i) => noVid(hp + i) = c
+    }
+    assert(MediaDecode.decodeMp4FrameSlices(noVid) === None,
+      "a video-less mux must fail loudly, not slice audio samples")
     // hand-built single-track file: an stsc RUN spanning chunks 1-2
     // (first_chunk runs, not per-chunk entries), stco offsets honored
     // across junk gaps between chunks, no hdlr (legacy selection)
