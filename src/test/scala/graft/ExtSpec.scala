@@ -1728,6 +1728,14 @@ class ExtSpec extends AnyFunSuite {
         case _ =>
       }
     }
+    // the 100-TB variant (8-byte fingerprint exchange + in-bucket string
+    // verify) must emit the IDENTICAL span table — exactness is the
+    // whole contract of the verify stage
+    val hashed = DedupQueries.substringDedupHashed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(hashed === got,
+      "hash-keyed + verified spans diverged from the string-keyed form")
   }
 
   test("X1f CDC chunking: brute replay + shift resistance under a prefix edit") {
