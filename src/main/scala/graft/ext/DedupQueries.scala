@@ -1036,13 +1036,18 @@ object DedupQueries {
     * declared — the output is byte-identical to the string-keyed form,
     * and both run against the identical DuckDB oracle. Scale: the heavy
     * O(total chars) exchange shrinks from W+16 to 24 bytes/row (~2.8×
-    * at W=40, growing with W); window strings ship only for the
-    * duplicated-candidate tail, and the verify exchange is bounded by
-    * that tail, not the corpus. Measured at sf0.1 (min-of-2, 32
-    * threads, same run): 1.45 s vs the string-keyed form's 2.97 s
-    * (2.05×) EVEN at this fixture's heavy synthetic duplication, where
-    * the verify tail is large; a real-corpus few-percent tail widens
-    * the gap toward the raw shuffle ratio. */
+    * at W=40, growing with W); window strings exist only for the
+    * duplicated-candidate tail, and the verify join runs at DOC grain
+    * so it broadcasts when the tail is small and the corpus text column
+    * never shuffles. Measured at sf0.1 (min-of-2, 32 threads, same
+    * run): 2.20 s vs the string-keyed form's 3.22 s (1.46×) — and this
+    * fixture is the WORST case for the verify (synthetic duplication
+    * makes nearly every doc a candidate, so the per-doc position arrays
+    * are corpus-sized). A position-grain verify join measured faster
+    * here (1.45 s; no collect_list/array work) but carries the corpus
+    * text per candidate POSITION through the join and can never
+    * broadcast — at a real few-percent tail the doc-grain form is the
+    * one that avoids touching corpus bytes entirely. */
   def substringDedupHashed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -1050,11 +1055,22 @@ object DedupQueries {
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"win_h")))
       .filter($"n" > 1)
       .select($"doc_id", $"p")
-    val dupPos = candPos
+    // verify join at DOC grain: candidate positions aggregate to one
+    // array row per doc (bounded by doc length), so the join against the
+    // corpus is one row per candidate doc — AQE broadcasts it when the
+    // dup tail is small and the corpus text column never shuffles — and
+    // the windows are sliced INSIDE the per-doc row (transform lambda),
+    // so text is never duplicated per candidate position in the join
+    // output. Per-doc positions stay far under 2^31 at any doc-length
+    // bound, so the CAST is safe.
+    val candByDoc = candPos.groupBy($"doc_id")
+      .agg(collect_list($"p").as("ps"))
+    val dupPos = candByDoc
       .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
-      .select($"doc_id", $"p",
-        // per-doc positions stay far under 2^31 at any doc-length bound
-        expr(s"substring(text, CAST(p AS INT), $SUBSTR_W)").as("win"))
+      .select($"doc_id", explode(expr(
+        s"transform(ps, p -> struct(p AS p, " +
+          s"substring(text, CAST(p AS INT), $SUBSTR_W) AS win))")).as("pw"))
+      .select($"doc_id", $"pw.p".as("p"), $"pw.win".as("win"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"win")))
       .filter($"n" > 1)
       .select($"doc_id", $"p")
