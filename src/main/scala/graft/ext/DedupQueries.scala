@@ -975,26 +975,46 @@ object DedupQueries {
     * within each hash bucket before declaring a duplicate — same plan
     * shape, W× less shuffle, still exact (verification removes
     * collisions). Output is the span table a scrubber consumes. */
-  def substringDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pos = Tables.documents(s, dir)
+  def substringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedupOf(Tables.documents(s, dir))
+
+  /** Docs-DF-parameterized body of [[substringDedup]] (the spec drives a
+    * non-ASCII corpus through it directly). */
+  private[graft] def substringDedupOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pos = docs
       .filter(length($"text") >= SUBSTR_W)
       .select($"doc_id",
         explode(sequence(lit(1), length($"text") - (SUBSTR_W - 1))).as("p"),
         $"text")
       .select($"doc_id", $"p".cast(LongType).as("p"),
         $"text".substr($"p", lit(SUBSTR_W)).as("win"))
-    // duplicated positions via count-over-window: one exchange of
-    // (doc_id, p, win) + a per-partition sort. Both sort-free rewrites
-    // measured SLOWER at sf0.1 (hash agg + semi join 7.3 s, hash agg with
-    // collect_list 7.5 s, vs 3.2 s here): the window strings mostly don't
-    // combine map-side, so the aggregate pays the same exchange plus
-    // string-keyed hash-table work, while the probe side re-derives every
-    // window a second time. Sorting 40-char binaries in Tungsten is the
-    // cheaper dedup at this shape.
-    val dupPos = pos
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"win")))
+    // duplicated positions via map-side-combining groupBy count + semi
+    // join back. The count-over-window form this replaced (`count(*)
+    // OVER (PARTITION BY win)`) was faster at sf0.1 (3.2 s vs 5.4 s
+    // here, min across repeated min-of-2 sweeps: one exchange + sort vs
+    // two exchanges + probe-side window re-derivation), but a window
+    // PARTITIONED ON A CONTENT KEY is skew-hostile at corpus scale:
+    // every position of one hot boilerplate window (a 40-char header
+    // repeated across billions of docs) funnels into ONE WindowExec
+    // task, with no partial-aggregation escape — the exact shape the
+    // repo's other candidate generators cap (stop-shingle DF cap, LSH
+    // BUCKET_CAP). The groupBy count collapses hot keys map-side
+    // (combine emits one row per distinct win per map partition), and
+    // the remaining semi-join co-location is AQE-skew-splittable, which
+    // a window partition never is. Same output, same oracle; the sf0.1
+    // delta is the price of a plan that survives a boilerplate-heavy
+    // crawl. (This also makes the plan mirror the DuckDB oracle SQL's
+    // own GROUP BY win HAVING count(*)>1 + join-back shape literally.)
+    val dupWin = pos
+      .groupBy($"win").agg(count(lit(1)).as("n"))
       .filter($"n" > 1)
+      .select($"win")
+    // SHUFFLE_HASH: a sort-merge semi join would Tungsten-sort 40-char
+    // binaries on BOTH sides; hashing the (already-aggregated, dup-only)
+    // build side skips both sorts. AQE still splits skewed probe
+    // partitions for SHJ.
+    val dupPos = pos.join(dupWin.hint("shuffle_hash"), Seq("win"), "left_semi")
       .select($"doc_id", $"p")
     spansOf(dupPos)
   }
@@ -1039,21 +1059,39 @@ object DedupQueries {
     * at W=40, growing with W); window strings exist only for the
     * duplicated-candidate tail, and the verify join runs at DOC grain
     * so it broadcasts when the tail is small and the corpus text column
-    * never shuffles. Measured at sf0.1 (min-of-2, 32 threads, same
-    * run): 2.20 s vs the string-keyed form's 3.22 s (1.46×) — and this
-    * fixture is the WORST case for the verify (synthetic duplication
-    * makes nearly every doc a candidate, so the per-doc position arrays
-    * are corpus-sized). A position-grain verify join measured faster
-    * here (1.45 s; no collect_list/array work) but carries the corpus
-    * text per candidate POSITION through the join and can never
-    * broadcast — at a real few-percent tail the doc-grain form is the
-    * one that avoids touching corpus bytes entirely. */
-  def substringDedupHashed(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val candPos = windowFingerprints(docs)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"win_h")))
+    * never shuffles. Measured at sf0.1 (min across repeated min-of-2
+    * sweeps, 32 threads): 3.16 s vs the string-keyed form's 5.44 s
+    * (1.7×) with the r15 skew-immune groupBy-count candidate/verify
+    * stages — and this fixture is the WORST case for the verify
+    * (synthetic duplication makes nearly every doc a candidate, so the
+    * per-doc position arrays are corpus-sized). A position-grain verify
+    * join measured faster here (no collect_list/array work) but carries
+    * the corpus text per candidate POSITION through the join and can
+    * never broadcast — at a real few-percent tail the doc-grain form is
+    * the one that avoids touching corpus bytes entirely. */
+  def substringDedupHashed(s: SparkSession, dir: String): DataFrame =
+    substringDedupHashedOf(Tables.documents(s, dir))
+
+  /** Docs-DF-parameterized body of [[substringDedupHashed]]. */
+  private[graft] def substringDedupHashedOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // candidate positions = fingerprint seen >1x corpus-wide, via
+    // map-side-combining groupBy count + semi join back (NOT a window
+    // partitioned on the fingerprint: a hot boilerplate window's
+    // positions would all buffer in one WindowExec task — see the skew
+    // note in [[substringDedupOf]]; the 8-byte key makes the combine and
+    // the dup-key relation as cheap as they can be, and the semi-join
+    // co-location is AQE-skew-splittable). The fingerprint relation is
+    // derived twice (agg + probe), but each derivation is the one-pass
+    // O(n) RollingHash64 scan — re-hashing is cheaper at scale than
+    // sorting the corpus-chars-grain relation inside skew-prone window
+    // partitions.
+    val fps = windowFingerprints(docs)
+    val dupH = fps
+      .groupBy($"win_h").agg(count(lit(1)).as("n"))
       .filter($"n" > 1)
+      .select($"win_h")
+    val candPos = fps.join(dupH.hint("shuffle_hash"), Seq("win_h"), "left_semi")
       .select($"doc_id", $"p")
     // verify join at DOC grain: candidate positions aggregate to one
     // array row per doc (bounded by doc length), so the join against the
@@ -1065,14 +1103,20 @@ object DedupQueries {
     // bound, so the CAST is safe.
     val candByDoc = candPos.groupBy($"doc_id")
       .agg(collect_list($"p").as("ps"))
-    val dupPos = candByDoc
+    val candWin = candByDoc
       .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
       .select($"doc_id", explode(expr(
         s"transform(ps, p -> struct(p AS p, " +
           s"substring(text, CAST(p AS INT), $SUBSTR_W) AS win))")).as("pw"))
       .select($"doc_id", $"pw.p".as("p"), $"pw.win".as("win"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"win")))
+    // the true-equality verify: window CONTENT seen >1x among the
+    // candidates — same groupBy-count + semi-join shape, because the
+    // duplicated candidates are BY CONSTRUCTION the hot window values
+    val dupWin = candWin
+      .groupBy($"win").agg(count(lit(1)).as("n"))
       .filter($"n" > 1)
+      .select($"win")
+    val dupPos = candWin.join(dupWin.hint("shuffle_hash"), Seq("win"), "left_semi")
       .select($"doc_id", $"p")
     spansOf(dupPos)
   }

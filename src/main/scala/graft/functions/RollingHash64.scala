@@ -9,18 +9,29 @@ import org.apache.spark.sql.graftbridge.TypeBridge.AbstractDataType
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** All W-byte window fingerprints of a string in ONE pass — the 8-byte
-  * production key of the exact-substring dedup family (SURVEY.md §2.9
-  * X1c): polynomial rolling hash over the UTF-8 bytes, base 1000003,
-  * arithmetic wrapping mod 2⁶⁴. Position p (0-based) hashes bytes
-  * [p, p+W); a string shorter than W yields an empty array.
+/** All W-CHARACTER window fingerprints of a string in ONE pass — the
+  * 8-byte production key of the exact-substring dedup family (SURVEY.md
+  * §2.9 X1c): polynomial rolling hash over the Unicode CODE POINTS,
+  * base 1000003, arithmetic wrapping mod 2⁶⁴. Position p (0-based)
+  * hashes code points [p, p+W); a string shorter than W code points
+  * yields an empty array.
+  *
+  * Code-point grain, not byte grain, is load-bearing: every consumer of
+  * these positions slices with `substring(text, p, W)` and compares
+  * against DuckDB `substr`, and BOTH of those count characters (code
+  * points), not UTF-8 bytes. A byte-grained window would shift every
+  * position after the first multi-byte character, so the hashed dedup's
+  * verify stage would slice the wrong windows and diverge from the
+  * string-keyed form on non-ASCII text (the grain CdcChunks already
+  * uses for the same reason). On pure-ASCII input code point == byte
+  * value, so ASCII fingerprints are identical under either grain.
   *
   * Why a native expression: the composable form evaluates
-  * `xxhash64(substr(text, p, W))` per exploded position — O(n·W) byte
+  * `xxhash64(substr(text, p, W))` per exploded position — O(n·W) char
   * work and one string allocation per window (40× the input for W=40).
-  * The rolling recurrence h(p+1) = (h(p) − b_p·B^{W−1})·B + b_{p+W−1}
-  * makes the whole row O(n) with zero allocations beyond the output
-  * array. Identical hashing on the index-build and probe sides is the
+  * The rolling recurrence h(p+1) = (h(p) − c_p·B^{W−1})·B + c_{p+W−1}
+  * makes the whole row O(n) with one decoded code-point array per row.
+  * Identical hashing on the index-build and probe sides is the
   * only contract (both call this expression); collisions (~2⁻⁶⁴ per
   * probe) can only overcount the admission signal, never corrupt the
   * exact span dedup, which groups on window CONTENT.
@@ -59,10 +70,37 @@ object RollingHash64 {
     * leading bytes never wash out of the window hash. */
   val Base = 1000003L
 
+  /** One pass over the UTF-8 bytes → code points, CHAR grain: the i-th
+    * slot is what Spark `substring(s, i+1, 1)` / DuckDB `substr` sees,
+    * including supplementary planes (a 4-byte emoji is ONE code point
+    * here, exactly as both engines count it — Java String.length would
+    * count two UTF-16 units and shift every later position). */
+  private def codePoints(s: UTF8String): Array[Int] = {
+    val b = s.getBytes
+    val out = new Array[Int](s.numChars())
+    var i = 0
+    var j = 0
+    while (i < b.length) {
+      val b0 = b(i) & 0xff
+      if (b0 < 0x80) { out(j) = b0; i += 1 }
+      else if (b0 < 0xe0) {
+        out(j) = ((b0 & 0x1f) << 6) | (b(i + 1) & 0x3f); i += 2
+      } else if (b0 < 0xf0) {
+        out(j) = ((b0 & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) |
+          (b(i + 2) & 0x3f); i += 3
+      } else {
+        out(j) = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+          ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f); i += 4
+      }
+      j += 1
+    }
+    out
+  }
+
   /** Shared by interpreted eval, generated code, and tests. */
   def hash(s: UTF8String, w: Int): ArrayData = {
-    val b = s.getBytes
-    val n = b.length
+    val c = codePoints(s)
+    val n = c.length
     if (w <= 0 || n < w) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](n - w + 1)
     var pw = 1L
@@ -70,11 +108,11 @@ object RollingHash64 {
     while (i < w - 1) { pw *= Base; i += 1 }
     var h = 0L
     i = 0
-    while (i < w) { h = h * Base + (b(i) & 0xff); i += 1 }
+    while (i < w) { h = h * Base + c(i); i += 1 }
     out(0) = h
     var p = 1
     while (p <= n - w) {
-      h = (h - (b(p - 1) & 0xff) * pw) * Base + (b(p + w - 1) & 0xff)
+      h = (h - c(p - 1) * pw) * Base + c(p + w - 1)
       out(p) = h
       p += 1
     }

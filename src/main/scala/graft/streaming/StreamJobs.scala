@@ -666,15 +666,13 @@ object StreamJobs {
   /** X1c streaming twin — exact-substring ADMISSION against the published
     * corpus fingerprint index ([[graft.ext.DedupQueries.substringIndex]],
     * persisted through [[graft.sources.ArtifactStore]]): per arriving
-    * document, every 40-BYTE UTF-8 window's 8-byte polynomial rolling-hash
-    * fingerprint ([[graft.functions.RollingHash64]], base 1000003 mod 2⁶⁴)
+    * document, every 40-CHAR window's 8-byte polynomial rolling-hash
+    * fingerprint ([[graft.functions.RollingHash64]], base 1000003 mod 2⁶⁴,
+    * code-point grain — the same windows the span dedup's verify stage
+    * slices, so admission and span dedup agree on non-ASCII text too)
     * probes the index; the hit fraction (basis points) is the "already
     * substantially in the corpus" signal an ingest gate thresholds —
-    * dedup-at-ingest, so a near-copy never reaches tokenization. Byte
-    * windows, not char windows: on non-ASCII text the index's 40-byte
-    * windows differ from [[graft.ext.DedupQueries.substringDedup]]'s
-    * 40-CHAR spans — admission is consistent with ITSELF (build and probe
-    * share the expression), not with the span dedup, on multi-byte text. The
+    * dedup-at-ingest, so a near-copy never reaches tokenization. The
     * probe is a stream-static equi-join on the fingerprint plus one
     * per-doc agg (why it runs inside `foreachBatch`, with the index
     * re-`load`ed per batch — the artifact-refresh shape shared by every

@@ -1738,6 +1738,65 @@ class ExtSpec extends AnyFunSuite {
       "hash-keyed + verified spans diverged from the string-keyed form")
   }
 
+  test("X1c substring dedup: both forms are code-point-grained on multi-byte text") {
+    import spark.implicits._
+    val W = 40
+    // a >=W-code-point duplicated block mixing 2-byte (é, λ), 3-byte
+    // (CJK) and 4-byte supplementary (🚂) UTF-8 sequences: byte offsets
+    // and char offsets diverge from the very first window, so a
+    // byte-grained fingerprint (or a UTF-16-grained replay) would place
+    // candidates at the wrong positions and slice the wrong verify
+    // windows. The generated corpus is ASCII-only; this fixture is what
+    // actually exercises the grain contract.
+    val shared = "é🚂λ日本語テキスト重複検出試験" * 4 // 14 cp x 4 = 56 cp
+    val rows = Seq(
+      1L -> ("πρόλογος με ελληνικά γράμματα " + shared + " ascii tail"),
+      2L -> ("まえがき—" + shared + "—あとがき"),
+      3L -> ("plain ascii filler document with no duplicated forty-char " +
+        "window content anywhere inside it at all, promise"),
+      // intra-doc duplication with a >W-cp UNIQUE gap (a repeated gap
+      // would itself duplicate windows and merge the spans): two spans
+      4L -> (shared + " μεσαῖο κείμενο γεμίσματος, αρκετά μακρύ ώστε να " +
+        "χωρίσει τα δύο τμήματα καθαρά " + shared))
+    val docs = rows.toDF("doc_id", "text")
+    // brute replay at CODE-POINT grain (Spark substring / DuckDB substr
+    // semantics; Java String.substring would count the emoji as two)
+    val wins = rows.flatMap { case (id, t) =>
+      val cp = t.codePoints().toArray
+      if (cp.length < W) Seq.empty
+      else (0 to cp.length - W).map(p =>
+        (id, p + 1L, cp.slice(p, p + W).toSeq))
+    }
+    val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val dup = wins.filter(w => counts(w._3) > 1).map(w => (w._1, w._2))
+    val expect = dup.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val spans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var s0 = sorted.head; var last = sorted.head
+      sorted.tail.foreach { p =>
+        if (p - last <= W) last = p
+        else { spans += ((s0, last + W - 1)); s0 = p; last = p }
+      }
+      spans += ((s0, last + W - 1))
+      spans.zipWithIndex.map { case ((a, b), i) =>
+        (id, (i + 1).toLong, a, b, b - a + 1)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(expect.nonEmpty, "fixture must contain duplicated windows")
+    assert(expect.map(_._1).distinct.sorted === Seq(1L, 2L, 4L))
+    assert(expect.count(_._1 == 4L) === 2, "doc 4 must yield two spans")
+    def spansFrom(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val got = spansFrom(DedupQueries.substringDedupOf(docs))
+    assert(got === expect,
+      "string-keyed spans diverged from the code-point replay")
+    val hashed = spansFrom(DedupQueries.substringDedupHashedOf(docs))
+    assert(hashed === expect,
+      "hashed+verified spans diverged on multi-byte text: fingerprint " +
+        "grain and verify-slice grain disagree")
+  }
+
   test("X1f CDC chunking: brute replay + shift resistance under a prefix edit") {
     import spark.implicits._
     // local brute replay of the boundary rule over one real corpus doc

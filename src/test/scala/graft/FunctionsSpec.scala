@@ -315,20 +315,28 @@ class FunctionsSpec extends AnyFunSuite {
     import graft.functions.RollingHash64
     import org.apache.spark.unsafe.types.UTF8String
     // direct O(n·W) evaluation of each window, independent of the
-    // rolling recurrence under test
+    // rolling recurrence AND of the UTF-8 decode under test: Java's own
+    // codePoints() stream is the grain reference (one slot per code
+    // point — what Spark substring/length and DuckDB substr count)
     def direct(s: String, w: Int): Seq[Long] = {
-      val b = s.getBytes("UTF-8")
-      (0 to b.length - w).map { p =>
+      val c = s.codePoints().toArray
+      (0 to c.length - w).map { p =>
         var h = 0L
-        (p until p + w).foreach(i => h = h * RollingHash64.Base + (b(i) & 0xff))
+        (p until p + w).foreach(i => h = h * RollingHash64.Base + c(i))
         h
       }
     }
     val texts = Seq("the quick brown fox jumps over the lazy dog",
-      "aaaaaaaaaaaaaaaa", "abcabcabcabc", "xy")
+      "aaaaaaaaaaaaaaaa", "abcabcabcabc", "xy",
+      // 2-byte (é, λ), 3-byte (日本語) and 4-byte supplementary (🚂 —
+      // ONE code point here though TWO Java chars) sequences: positions
+      // must stay code-point-grained through all UTF-8 widths
+      "héllo wörld héllo wörld", "日本語テキスト日本語テキスト",
+      "a🚂b🚂a🚂b🚂", "καλημέρα κόσμε καλημέρα")
     for (t <- texts; w <- Seq(1, 3, 8)) {
       val got = RollingHash64.hash(UTF8String.fromString(t), w).toLongArray().toSeq
-      val want = if (t.length < w) Seq.empty else direct(t, w)
+      val n = t.codePointCount(0, t.length)
+      val want = if (n < w) Seq.empty else direct(t, w)
       assert(got === want, s"text='$t' w=$w")
     }
     // equal windows hash equal; the two distinct windows of "aba"/"ab"
