@@ -45,18 +45,33 @@ object CurateQueries {
         size(split($"text", " ")).cast(LongType).as("token_cnt"),
         TextQueries.qualityCol.as("q"),
         sha2($"text", 256).as("h"))
-    // exact-dup rank: quality-passing docs sort first within a content
-    // hash, so for a q-doc, xrn = its rank among q-docs of that hash —
-    // and xrn is only consulted when q is true
-    val wExact = Window.partitionBy($"h").orderBy($"q".desc, $"doc_id".asc)
+    // exact-dup canonical: quality-passing docs sort first within a
+    // content hash, so a q-doc is an exact_dup iff it is NOT its hash
+    // group's (q DESC, doc_id ASC) minimum. Computed as a map-side-
+    // combining groupBy(min(struct)) + equi-join back on the hash, NOT
+    // a row_number window partitioned on the doc-content hash: a viral
+    // doc's copies would all buffer in one WindowExec task, while min()
+    // combines partially per map partition and the join-back skew is
+    // AQE-splittable (the r15 content-key-window rewrite, same as the
+    // substring-dedup and XP14 staged sites). Semantics preserved: the
+    // old xrn > 1 is consulted only when q is true, and for a q-doc
+    // "xrn > 1" ⟺ "not the group minimum" (the minimum has qi = 0
+    // whenever any q-doc exists in the group).
+    val canon = base
+      .select($"h", when($"q", 0).otherwise(1).as("qi"), $"doc_id")
+      .groupBy($"h")
+      .agg(min(struct($"qi", $"doc_id")).as("cx"))
     val member = DedupQueries.rankedMembers(s, dir)
       .select($"doc_id", $"rn".as("crn"))
     val verdict = when(!$"q", "low_quality")
-      .when($"xrn" > 1, "exact_dup")
+      .when(!$"is_xcanon", "exact_dup")
       .when($"crn".isNotNull && $"crn" =!= 1, "near_dup")
       .otherwise("kept")
     base
-      .withColumn("xrn", row_number().over(wExact))
+      .join(canon, Seq("h"))
+      .withColumn("is_xcanon",
+        (when($"q", 0).otherwise(1) === $"cx.qi") &&
+          ($"doc_id" === $"cx.doc_id"))
       .join(member, Seq("doc_id"), "left")
       .withColumn("verdict", verdict)
       .groupBy($"lang", $"source")

@@ -302,10 +302,22 @@ object DedupQueries {
         graft.GraftSession.contentKey(dir, Seq("documents"))) {
       import s.implicits._
       val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
-      val w = Window.partitionBy($"cluster_id")
-        .orderBy($"n_chars".desc, $"doc_id".asc)
-      memberLabels(s, dir).join(docs, "doc_id")
-        .withColumn("rn", row_number().over(w))
+      val members = memberLabels(s, dir).join(docs, "doc_id")
+      // every consumer only distinguishes canonical (rn == 1) from
+      // non-canonical (rn > 1), so the canonical — (n_chars DESC,
+      // doc_id ASC) max — comes from a map-side-combining
+      // groupBy(max(struct)) + join back on cluster_id, not a
+      // row_number window partitioned on the cluster id (one viral
+      // boilerplate cluster would buffer all its members in a single
+      // WindowExec task; the r15 content-key-window rewrite). rn is
+      // materialized as 1/2 to keep the consumer contract.
+      val canon = members.groupBy($"cluster_id")
+        .agg(max(struct($"n_chars", (-$"doc_id").as("ndoc"))).as("cx"))
+      members.join(canon, Seq("cluster_id"))
+        .withColumn("rn",
+          when($"n_chars" === $"cx.n_chars" && $"doc_id" === -$"cx.ndoc",
+            lit(1)).otherwise(lit(2)))
+        .drop("cx")
         .localCheckpoint()
     }
 

@@ -538,25 +538,42 @@ object PipelineQueries {
     * dedup must run on the quality survivors, not the raw corpus).
     *
     * Scale: gate + token counting are narrow maps (single-row merge
-    * broadcast); dedup is one md5-key exchange; packing is the one
+    * broadcast); dedup is a combine-capable md5-key groupBy + join-back
+    * ([[stagedKeep]]); packing is the one
     * stream-key window; audits are small aggregates LEFT-joined so a
     * stream whose docs all fail the gate still reports its census. */
+  /** Per-doc staged verdicts shared by XP14 ([[pipelineCorpus]]) and XP25
+    * ([[trainReadiness]]): quality flag, md5 group, keep decision.
+    * Members of one md5 group share their text byte-for-byte, hence
+    * their quality verdict — so `keep` = quality-passing AND canonical
+    * (min doc_id) of the PLAIN md5 group is exactly "dedup the quality
+    * survivors". The canonical comes from a map-side-combining
+    * groupBy(min) + equi-join back on the content hash, NOT a
+    * row_number window partitioned on the hash: a window over a CONTENT
+    * key buffers every copy of one viral doc (an empty page, a
+    * templated header doc repeated across a crawl) in a single
+    * WindowExec task, while min() combines partially per map partition
+    * and the join-back co-location is AQE-skew-splittable — the same
+    * r15 rewrite as the substring-dedup candidate stages. Catalyst
+    * prunes the canon branch to (md5(text), doc_id), so the second scan
+    * never evaluates the quality column. */
+  private def stagedKeep(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs
+      .select($"doc_id", $"lang", $"source", $"text",
+        TextQueries.qualityCol.as("isq"), md5($"text").as("h"))
+    val canon = base.groupBy($"h").agg(min($"doc_id").as("canon_id"))
+    base.join(canon, Seq("h"))
+      .withColumn("keep", $"isq" && $"doc_id" === $"canon_id")
+  }
+
   def pipelineCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // ONE staged pass computes every per-doc verdict: quality flag, md5
-    // group, canonical rank, keep decision. Members of one md5 group
-    // share their text byte-for-byte, hence their quality verdict — so
-    // ranking over the PLAIN md5 partition (not the quality-filtered
-    // one) and requiring isq && rn==1 is exactly "dedup the quality
-    // survivors", with one fewer scan and one fewer window. (An earlier
-    // draft derived census/gate/dedup as independent branches: Catalyst
-    // re-derived the doc scan per consumer — 8 scans in the plan.)
-    val staged = Tables.documents(s, dir)
-      .select($"doc_id", $"lang", $"source", $"text",
-        TextQueries.qualityCol.as("isq"), md5($"text").as("h"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy($"h").orderBy($"doc_id")))
-      .withColumn("keep", $"isq" && $"rn" === 1)
+    // group, keep decision ([[stagedKeep]]). (An earlier draft derived
+    // census/gate/dedup as independent branches: Catalyst re-derived
+    // the doc scan per consumer — 8 scans in the plan.)
+    val staged = stagedKeep(Tables.documents(s, dir))
     // all three censuses from one aggregate over the staged relation
     val census = staged.groupBy($"lang", $"source").agg(
       count(lit(1)).as("n_docs"),
@@ -644,8 +661,9 @@ object PipelineQueries {
     * KEPT tokens — a stage wired to the wrong population cannot
     * hash-match.
     *
-    * Scale: the XP14 staged pass (one scan, one md5 window, one
-    * stream-key window) plus dictionary-sized arithmetic; the waterfill
+    * Scale: the XP14 staged pass (one scan, one md5-canonical
+    * groupBy+join, one stream-key window) plus dictionary-sized
+    * arithmetic; the waterfill
     * totals broadcast as single rows off an eagerly-materialized
     * stream-dictionary (the XP24 lesson). The waterfill's fixed-point
     * products carry epochBudget's BIGINT bound: budget × weight must
@@ -656,12 +674,7 @@ object PipelineQueries {
     * the share per-mille first (same fix as epochBudget). */
   def trainReadiness(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val staged = Tables.documents(s, dir)
-      .select($"doc_id", $"lang", $"source", $"text",
-        TextQueries.qualityCol.as("isq"), md5($"text").as("h"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy($"h").orderBy($"doc_id")))
-      .withColumn("keep", $"isq" && $"rn" === 1)
+    val staged = stagedKeep(Tables.documents(s, dir))
     val census = staged.groupBy($"lang", $"source").agg(
       count(lit(1)).as("n_docs"), sum($"keep".cast("long")).as("n_kept"))
     val toks = TextQueries.tokensPerDocOf(

@@ -337,6 +337,128 @@ class RegistrySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("every window partition keyset is in the bounded-keys dictionary") {
+    // Companion to the SinglePartition walk above, covering the class it
+    // misses BY DESIGN: a WindowExec with a real hash distribution whose
+    // PARTITION KEY is unbounded-multiplicity CONTENT. A window
+    // partitioned on a content value (a 40-char window string, its
+    // 8-byte fingerprint, a doc-content md5) buffers EVERY row of one
+    // hot value in a single task — on a boilerplate-heavy crawl that is
+    // a corpus-scale group on one reducer, and unlike an aggregate it
+    // has no partial/combine escape and unlike a join no AQE skew split.
+    // The r14 substring-dedup duplicate-window count (`count(*) OVER
+    // (PARTITION BY win_h)`) was exactly this shape; r15 rewrote it (and
+    // the md5/cluster canonical-pick windows) to combine-capable
+    // groupBy + join-back. This guard makes the discipline durable:
+    // every window partition keyset in every declared plan must carry a
+    // stated bound here, so the next content-key window fails the suite
+    // the round it lands. (Windows hidden behind memoized
+    // localCheckpoints are out of static reach — same blind spot as the
+    // SinglePartition walk; the dictionary below covers the declared
+    // plans.) Keysets are the SORTED DISTINCT attribute names referenced
+    // by the partition spec; a name's entry is a review of ALL its uses.
+    val boundedWindowKeys: Map[String, String] = Map(
+      // --- entity keys: group = one entity's own rows ---
+      "user_id" -> "per-user event history (sessionize/as-of/rolling grain)",
+      "day,user_id" -> "per-user per-day slices",
+      "event_type,user_id" -> "per-user per-type slices",
+      "doc_id" -> "per-doc positions/terms, bounded by doc length",
+      "vec_id" -> "per-vector candidate lists, bounded by K",
+      "anchor_id" -> "per-anchor pair lists, bounded by pair caps",
+      "o_custkey" -> "per-customer orders",
+      "p_id" -> "per-purchase touch window (attribution lookback bound)",
+      "k" -> "per-key CDC op log between compactions (4 synthetic ops)",
+      // --- per-query ANN/retrieval relations: bounded by K x nprobe ---
+      "q_id" -> "per-query candidate/recall lists (K-capped)",
+      "nprobe,q_id" -> "per-query per-arm frontier sweep (K-capped)",
+      "depth,q_id" -> "per-query per-depth rerank frontier (K-capped)",
+      "query_id" -> "per-query retrieval run lists (K-capped)",
+      // --- dictionary / grid / block keys: input pre-bounded ---
+      "event_type" -> ("exact-stats tier over the 5-type dictionary " +
+        "(documented approx/sketch twins are the 100-TB path) or " +
+        "calendar-day per-type series"),
+      "bucket,event_type" -> ("value-bucket x type grid (blocked exact " +
+        "quantiles: group = one bucket's events)"),
+      "prev_type" -> "transition-type grid (|type|^2 rows)",
+      "o_orderpriority" -> ("5-value priority dictionary (W3 frame demo; " +
+        "top-k twin plans map-side WindowGroupLimit)"),
+      "lang" -> "language dictionary over per-lang series/grids",
+      "source" -> "source dictionary over per-source census rows",
+      "lang,source" -> ("stream dictionary; packing is per-stream " +
+        "sequential by definition (blocked prefix-sum a la " +
+        "q_global_row_ids is the 100-TB path)"),
+      "bin,lang,source" -> ("pack bins: rows per bin capped by the token " +
+        "budget"),
+      "epoch" -> ("epoch dictionary: q_mix_anneal over the lang x epoch " +
+        "grid; q_pack_shuffle over the bin manifest (corpus_tokens / " +
+        "PACK_BUDGET rows per epoch — the global-permutation semantics; " +
+        "blocked two-level rewrite is the 100-TB path)"),
+      "strategy" -> "strategy x shard census grid",
+      "bal_c" -> "balance-bucket dictionary (skyline frontier)",
+      "blk" -> "q_global_row_ids level-1 block offsets (<=1024/superblock)",
+      "sblk" -> "q_global_row_ids superblock dictionary",
+      "__f_q_blk" -> "rfm value-range block dictionary",
+      "__m_q_blk" -> "rfm value-range block dictionary",
+      "__r_q_blk" -> "rfm value-range block dictionary",
+      "label" -> ("near-dup label census, rank<=3 plans map-side " +
+        "WindowGroupLimit (partial top-k per partition)"),
+      "bucket" -> "IVF bucket rank<=5 with map-side WindowGroupLimit",
+      "chunk" -> "input pre-aggregated to (chunk, lang): group <= |lang|")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def keysets(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case w: WindowExec if w.partitionSpec.nonEmpty =>
+          Seq(w.partitionSpec.flatMap(_.references.map(_.name))
+            .distinct.sorted.mkString(","))
+        case w: WindowGroupLimitExec if w.partitionSpec.nonEmpty =>
+          Seq(w.partitionSpec.flatMap(_.references.map(_.name))
+            .distinct.sorted.mkString(","))
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(keysets)
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // negative self-test: the r14 substring-dedup shape (count over a
+      // window partitioned on the 40-char content string) must be
+      // FLAGGED — proves the walker sees the banned class, so the
+      // dictionary is doing the gating, not a blind walk. (Inside the
+      // AQE-off scope: AdaptiveSparkPlanExec has no walkable children.)
+      locally {
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val badShape = Seq((1L, "abcdefgh"), (2L, "abcdefgh"))
+          .toDF("doc_id", "text")
+          .select($"doc_id", $"text".substr(lit(1), lit(4)).as("win"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"win")))
+        val badKeys = keysets(badShape.queryExecution.executedPlan)
+        assert(badKeys.contains("win"),
+          s"walker failed to extract the content-key window: $badKeys")
+        assert(!boundedWindowKeys.contains("win"),
+          "the banned content keyset must never gain a dictionary entry")
+      }
+      val observed = Registry.all.flatMap { q =>
+        keysets(q.fn(spark, TestSpark.sf0001).queryExecution.executedPlan)
+          .distinct.map(ks => q.name -> ks)
+      }
+      val violations = observed.collect {
+        case (name, ks) if !boundedWindowKeys.contains(ks) =>
+          s"$name: window partitioned on unreviewed keyset [$ks] — state " +
+            "its bound in boundedWindowKeys or rewrite to groupBy+join"
+      }
+      assert(violations.isEmpty, violations.mkString("\n"))
+      // the dictionary is load-bearing: a stale entry (no plan uses it)
+      // fails, so removed windows can't leave dead allowlist rows behind
+      val observedSets = observed.map(_._2).toSet
+      val stale = boundedWindowKeys.keySet -- observedSets
+      assert(stale.isEmpty,
+        s"stale dictionary entries (no declared plan windows on them): $stale")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("packed argmax stride: id bound holds and the pack stays inside a long") {
     // key = cq * ID_STRIDE - id encodes (cq desc, id asc) iff
     // 0 <= id < ID_STRIDE; scores are cosine ppm so |cq| <= 1e6 and the
