@@ -398,9 +398,9 @@ object StreamJobs {
     * bounded by (per-user touch rate × 7 days): every batch evicts
     * buffered touches older than the newest seen timestamp minus the
     * window, under the per-key event-time monotone-arrival assumption
-    * the Markov carry documents (a late-data variant would buffer behind
-    * a watermark like [[TimerSessions]]). Downstream the credit stream
-    * feeds the same per-touch-type census as batch. */
+    * the Markov carry documents — [[utouchTimersStream]] is the
+    * late-data leg that drops the assumption. Downstream the credit
+    * stream feeds the same per-touch-type census as batch. */
   def utouchStream(events: DataFrame): Dataset[UTouchCredit] = {
     val s = events.sparkSession
     import s.implicits._
@@ -412,6 +412,37 @@ object StreamJobs {
       .groupByKey(_.user_id)
       .transformWithState(new UTouchCarry,
         org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** W5b twin, LATE-DATA leg — U-touch attribution with NO arrival-order
+    * assumption: the reference's landing path is at-least-once and
+    * UNORDERED (the poll loop's retries re-deliver, Firehose buffering
+    * re-batches — get_train_status.py:52-79, main.tf:287-288), so the
+    * monotone-arrival contract [[utouchStream]] documents does not hold
+    * at the landing edge. Here every event buffers in ListState behind
+    * an event-time watermark and purchases settle only once the
+    * watermark proves their lookback window closed — the
+    * [[TimerSessions]] pattern applied to attribution ([[UTouchTimers]]
+    * for the close-condition argument). Emitted credits are final
+    * (append mode): identical to batch whenever arrival disorder stays
+    * inside the watermark delay, which is exactly the guarantee a
+    * watermark states. The credit split itself is [[UTouch.credits]],
+    * shared with the monotone leg. */
+  def utouchTimersStream(events: DataFrame,
+      delay: String = "365 days"): Dataset[UTouchCredit] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        col("ts").as("event_time"))
+      .withWatermark("event_time", delay)
+      .as[AttrEvT]
+      .groupByKey(_.user_id)
+      .transformWithState(new UTouchTimers,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }
 
@@ -1196,7 +1227,36 @@ class UTouchCarry
     touches = getHandle.getListState[AttrEv]("touches",
       org.apache.spark.sql.Encoders.product[AttrEv], TTLConfig.NONE)
 
-  private def credits(p: AttrEv, buf: Seq[AttrEv]): Seq[UTouchCredit] = {
+  override def handleInputRows(key: Long, rows: Iterator[AttrEv],
+      timerValues: TimerValues): Iterator[UTouchCredit] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var buf = touches.get().toSeq
+    val out = Seq.newBuilder[UTouchCredit]
+    sorted.foreach { e =>
+      if (e.event_type == "purchase") out ++= UTouch.credits(e, buf)
+      else buf :+= e
+    }
+    val maxTs = sorted.last.ts_us // rows is non-empty by contract
+    val kept = buf.filter(_.ts_us >= maxTs - W)
+    touches.clear()
+    if (kept.nonEmpty) touches.appendList(kept.toArray)
+    out.result().iterator
+  }
+}
+
+/** The U-shape credit split shared by the monotone-arrival carry
+  * ([[UTouchCarry]]) and the watermark-buffered late-data leg
+  * ([[UTouchTimers]]) — one implementation, so the two legs cannot
+  * drift from each other or from the batch CASE they both mirror. */
+private[streaming] object UTouch {
+  private val W = graft.analytics.IncrementalQueries.ATTR_WINDOW_US
+
+  /** Credits for purchase `p` given any superset `buf` of its window's
+    * touches: filters to `p_ts − W ≤ t_ts < p_ts`, orders (t_ts, t_id),
+    * and emits the U-shape split (first 4000 + 2000 % (n−2), last 4000,
+    * middles 2000 div (n−2); n=1 → 10000, n=2 → 5000 each, n=0 → one
+    * "none" row at 10000 bp — each branch the batch CASE verbatim). */
+  def credits(p: AttrEv, buf: Seq[AttrEv]): Seq[UTouchCredit] = {
     val live = buf
       .filter(t => t.ts_us < p.ts_us && t.ts_us >= p.ts_us - W)
       .sortBy(t => (t.ts_us, t.event_id))
@@ -1212,21 +1272,69 @@ class UTouchCarry
       else row(t.event_type, 2000L / (n - 2))
     }
   }
+}
 
-  override def handleInputRows(key: Long, rows: Iterator[AttrEv],
+/** Typed event for the late-data U-touch leg: [[AttrEv]] plus the
+  * timestamp column the watermark is declared on. */
+final case class AttrEvT(user_id: Long, ts_us: Long, event_id: Long,
+    event_type: String, cents: Long, event_time: java.sql.Timestamp)
+
+/** StatefulProcessor for [[StreamJobs.utouchTimersStream]] — the U-touch
+  * attribution WITHOUT [[UTouchCarry]]'s per-key monotone-arrival
+  * assumption. ALL events (touches and purchases) buffer in ListState;
+  * a purchase settles only from the expired-timer path, once the
+  * watermark proves its lookback closed (`wm ≥ p_ts`: any unseen touch
+  * with `t_ts < p_ts ≤ wm` is beyond the lateness bound and the
+  * watermark filter will drop it, so the settled split is final) — the
+  * same conservative close condition as [[TimerSessions]]. Timers are
+  * armed at ceil-to-ms of each pending purchase (so `wm ≥ timer`
+  * implies `wm_us ≥ p_ts` exactly); stale extra timers are harmless by
+  * the same argument as TimerSessions — the expiry path settles only
+  * what the watermark proves and re-arms for the rest. Expiry trims
+  * touches older than `wm − W` (no purchase at or after the watermark
+  * can reach back to them), so state per key is bounded by touch rate ×
+  * (attribution window + watermark delay) plus the unsettled purchases
+  * inside the delay. A key that never purchases keeps its windowed
+  * touch tail until its next expiry; a production deployment would add
+  * a TTL to bound pure-touch keys. */
+class UTouchTimers
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AttrEvT, UTouchCredit] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ListState}
+
+  private val W = graft.analytics.IncrementalQueries.ATTR_WINDOW_US
+
+  @transient private var buf: ListState[AttrEv] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getListState[AttrEv]("buf",
+      org.apache.spark.sql.Encoders.product[AttrEv], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[AttrEvT],
       timerValues: TimerValues): Iterator[UTouchCredit] = {
-    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
-    var buf = touches.get().toSeq
-    val out = Seq.newBuilder[UTouchCredit]
-    sorted.foreach { e =>
-      if (e.event_type == "purchase") out ++= credits(e, buf)
-      else buf :+= e
+    var minP = Long.MaxValue
+    rows.foreach { e =>
+      buf.appendValue(AttrEv(e.user_id, e.ts_us, e.event_id,
+        e.event_type, e.cents))
+      if (e.event_type == "purchase" && e.ts_us < minP) minP = e.ts_us
     }
-    val maxTs = sorted.last.ts_us // rows is non-empty by contract
-    val kept = buf.filter(_.ts_us >= maxTs - W)
-    touches.clear()
-    if (kept.nonEmpty) touches.appendList(kept.toArray)
-    out.result().iterator
+    if (minP != Long.MaxValue) getHandle.registerTimer(minP / 1000 + 1)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[UTouchCredit] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
+    val all = buf.get().toSeq
+    val (purch, touch) = all.partition(_.event_type == "purchase")
+    val (settle, pend) = purch.partition(_.ts_us <= wmUs)
+    val out = settle.sortBy(e => (e.ts_us, e.event_id))
+      .flatMap(p => UTouch.credits(p, touch))
+    buf.clear()
+    val kept = touch.filter(_.ts_us >= wmUs - W) ++ pend
+    if (kept.nonEmpty) buf.appendList(kept.toArray)
+    if (pend.nonEmpty)
+      getHandle.registerTimer(pend.map(_.ts_us).min / 1000 + 1)
+    out.iterator
   }
 }
 

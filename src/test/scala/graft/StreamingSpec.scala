@@ -572,6 +572,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.map(_._2).sum === 10000L * purchases)
   }
 
+  test("W5b late-data leg: shuffled cross-batch arrival equals the batch census") {
+    // THREE batches split by event_id % 3 — each batch spans the whole
+    // corpus time range, so per-key event-time arrival is violently
+    // non-monotone in BOTH directions across micro-batches (purchases
+    // before their touches, touches before earlier touches): exactly
+    // the unordered at-least-once landing the reference produces and
+    // exactly what would corrupt the monotone UTouchCarry leg. Then two
+    // far-future sentinel batches advance the watermark so every
+    // purchase's timer fires (wm advances only AFTER a batch — the
+    // TimerSessions two-sentinel discipline).
+    val tmp = Files.createTempDirectory("graft-utouch-timers").toString
+    val ev = Tables.events(spark, sf)
+    // split the RAW parquet (not the normalized Tables.events view) so
+    // the dropped files keep the testdata's own ts encoding — both the
+    // stream source and dropSentinel sniff it
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    (0 until 3).foreach { i =>
+      raw.filter(pmod($"event_id", lit(3)) === i).coalesce(1)
+        .write.mode("append").parquet(tmp)
+    }
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length === 3)
+    // pin mtimes: the three id-parity files strictly before the
+    // sentinels, in a fixed order (FileStreamSource orders by mtime)
+    val base = System.currentTimeMillis() - 300000
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 10000) }
+    val maxUs = ev.agg(max(unix_micros($"ts"))).head().getLong(0)
+    Seq(366L, 367L).zipWithIndex.foreach { case (days, i) =>
+      dropSentinel(tmp, s"zz_sentinel$i.parquet", 999990L + i,
+        maxUs + days * 24 * 3600 * 1000000L, 999999L, 0.0)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamJobs
+        .utouchTimersStream(StreamJobs.eventsStream(spark, tmp,
+          maxFilesPerTrigger = Some(1)))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("utouch_timers_out").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    // the sentinel user only ever touches (event_type "view"), so it
+    // emits no credits — no filtering needed for the census compare
+    val streamed = spark.table("utouch_timers_out")
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n"), sum($"credit_bp").as("bp"),
+        sum($"credited_cents").as("cc"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val batch = graft.analytics.IncrementalQueries
+      .attributionUTouch(spark, sf).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_credits"), r.getAs[Long]("bp_total"),
+          r.getAs[Long]("credited_cents")))
+      .toMap
+    assert(streamed === batch,
+      "late-data U-touch census diverged from batch under shuffled arrival")
+    // credit conservation is exact on the unordered stream too
+    val purchases = ev.filter($"event_type" === "purchase").count()
+    assert(streamed.values.map(_._2).sum === 10000L * purchases)
+  }
+
   test("W5b twin: U-touch ListState survives a checkpointed restart") {
     // the cross-RESTART carry, not just cross-trigger: drain the early
     // half, STOP the query, drop the late half, restart on the same
