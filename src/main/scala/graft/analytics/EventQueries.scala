@@ -430,10 +430,15 @@ object EventQueries {
     * this (1 day in µs) is reported stale, not used. */
   private val ASOF_TOL_US = 86400000000L
 
-  /** As-of join with a TOLERANCE bound — the pandas-merge_asof semantics
-    * every feature-store read enforces: the latest state AT the probe
-    * time counts only if it is no older than the freshness SLA; a staler
-    * match is surfaced (n_stale) but its value is not consumed. Expressed
+  /** As-of join with a TOLERANCE bound — merge_asof-STYLE semantics with
+    * a last-known-NON-NULL state carry, the form a feature-store read
+    * enforces: the latest value-bearing state AT the probe time counts
+    * only if it is no older than the freshness SLA; a staler match is
+    * surfaced (n_stale) but its value is not consumed. One deliberate
+    * deviation from pandas merge_asof proper: a NULL-value build row is
+    * SKIPPED by the carry (s_ts tracks the row that supplied s_val), not
+    * matched-and-suppressing — a feature store treats a null write as
+    * "no observation", never as "forget the last observation". Expressed
     * as the single-shuffle union + carry-forward window (the J5 rewrite)
     * carrying BOTH the state value and the state's own event time, so
     * the age test is one subtraction per probe row.

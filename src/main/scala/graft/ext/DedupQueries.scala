@@ -665,7 +665,27 @@ object DedupQueries {
     * partial-agg count (scale-safe on a mega-shingle), and candidate pairs
     * expand locally inside each ≤ [[DF_CAP]] posting list — the
     * intersection count is an aggregation over expanded pairs, never a
-    * shingle-relation self-join. */
+    * shingle-relation self-join.
+    *
+    * Why there is NO hash-keyed twin of this query (the X1c move,
+    * [[substringDedupHashed]], does not transfer): what crosses the
+    * shingle exchange here is set CARDINALITIES — |A∩B| enters the
+    * numerator and |A|+|B| the denominator of an EXACT Jaccard. Under
+    * an 8-byte fingerprint key, a within-doc collision between two
+    * different shingles shrinks that doc's |set|, and a cross-doc
+    * collision manufactures a phantom intersection member — both
+    * silently shift the reported basis points. X1c survives hashing
+    * because its candidates are POSITIONS: the verify stage re-slices
+    * each candidate's window string and tests true equality, so a
+    * collision dies before the output. A cardinality admits no such
+    * spot-check — "verifying" |A∩B| means re-deriving both shingle
+    * sets at string grain, i.e. exactly the exchange the hash was
+    * supposed to avoid, for every candidate pair. Hash-keyed twins are
+    * sound where the hashed value is re-checked per member (X1c) or
+    * where a bounded overcount is acceptable by contract
+    * ([[substringOverlapOf]]'s admission bp); they are NOT provably
+    * exact where a count crosses the hash, so this query keeps its
+    * string-keyed, DF-capped posting lists. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, dir)
