@@ -27,11 +27,24 @@ object Bench {
     // consumer of each session-memoized build (LSH pair table, CC
     // member/rank tables, simjoin index, IVF/PQ trained statics + brute
     // truth, BPE merge table, per-doc entropy/LM scorers, basket pairs,
-    // hierarchy jump state, warehouse format tmp) used to absorb the
-    // build cost into its own pass-1 time — polluting warmup_absorbers
-    // and, on a cold box, even the recorded min-of-2. Running ONE
-    // first-consumer per memo family untimed makes every timed pass
-    // measure the query's plan, not memo construction.
+    // hierarchy jump state) used to absorb the build cost into its own
+    // pass-1 time — polluting warmup_absorbers and, on a cold box, even
+    // the recorded min-of-2. Running ONE first-consumer per memo family
+    // untimed makes every timed pass measure the query's plan, not memo
+    // construction.
+    // dev-only: an optional comma-separated query subset (the driver
+    // passes no args and benches everything). Parsed BEFORE the memo
+    // prebuild so a one-query dev run doesn't pay the full sweep.
+    val subset: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    // Only SHARED memos belong in the prebuild: q_format_roundtrip's
+    // landing-write memo is consumed by that one query alone and IS the
+    // sink half the query's name claims, so it stays timed (its pass-1
+    // absorbs the write; min-of-2 records the read-back audit — the r13
+    // baseline recorded the same protocol). On a subset run, only the
+    // owners the subset names prebuild — a subsetted memo CONSUMER still
+    // self-corrects via min-of-2 (pass 1 absorbs the build, pass 2 is
+    // the memo-hit measurement).
     val memoOwners = Seq(
       "q_dedup_band_sweep", // minhash_pairs
       "q_dedup_chain_drift", // cc_members + cc_ranked
@@ -42,18 +55,21 @@ object Bench {
       "q_text_entropy", // per-doc entropy scorer
       "q_text_lmscore", // per-doc LM scorer
       "q_basket_lift", // basket top pairs
-      "q_hierarchy_closure", // pointer-jump state
-      "q_format_roundtrip") // warehouse format tmp
-    memoOwners.foreach { n =>
-      SparkEntry.queries.get(n).foreach { f =>
-        try f(spark, sfDir).queryExecution.toRdd.count()
-        catch { case _: Throwable => () }
+      "q_hierarchy_closure") // pointer-jump state
+    memoOwners.filter(n => subset.forall(_.contains(n))).foreach { n =>
+      SparkEntry.queries.get(n) match {
+        // a renamed/removed registry entry must be VISIBLE, not a silent
+        // no-op that quietly reverts the family to pass-1 absorption
+        case None =>
+          System.err.println(s"GRAFT_BENCH_PREBUILD_MISSING $n: not in registry")
+        case Some(f) =>
+          try f(spark, sfDir).queryExecution.toRdd.count()
+          catch {
+            case t: Throwable => System.err.println(
+              s"GRAFT_BENCH_PREBUILD_FAIL $n: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          }
       }
     }
-    // dev-only: an optional comma-separated query subset (the driver
-    // passes no args and benches everything)
-    val subset: Option[Set[String]] =
-      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     // Measurement protocol (since round 8): each query runs TWICE and the
     // recorded time is the MIN of the pair. A single-shot run conflates the
     // plan's cost with box noise (GC pauses, page-cache state, JIT warmth)

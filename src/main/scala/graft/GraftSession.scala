@@ -54,6 +54,29 @@ object GraftSession {
     * under a reentrant lock, so a build may itself consult the memo —
     * concurrent first callers block until the value exists, the
     * computeIfAbsent contract the former per-module maps relied on. */
+  /** Test hook (RegistrySpec's memoized-plan window guard): when set,
+    * [[ckpt]] hands every DataFrame's ANALYZED logical plan to the
+    * auditor right before materializing it. ckpt is the repo-wide choke
+    * point for memoized/iterative materialization (a source-level test
+    * bans bare `.localCheckpoint()` elsewhere), so an auditor installed
+    * here sees every plan that would otherwise hide behind a checkpoint
+    * leaf — the one class the declared-plan walks cannot reach. Residual
+    * blind spot, documented: builds that materialize through a WRITE or
+    * a driver-side collect (fmt_roundtrip's landings, trained-codebook
+    * collects) never pass a plan to ckpt. */
+  @volatile private[graft] var planAuditor:
+    Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => Unit] = None
+
+  /** Test hook: drop a session's memo entries so the next consumer
+    * re-runs every build (under an installed [[planAuditor]], typically).
+    * Already-handed-out DataFrames stay valid — their checkpoint blocks
+    * are pinned by their own RDD references, not by the map. */
+  private[graft] def clearMemos(s: SparkSession): Unit =
+    sessionMemos.synchronized {
+      val mm = sessionMemos.get(s)
+      if (mm != null) mm.synchronized { mm.clear() }
+    }
+
   def memo[A <: AnyRef](s: SparkSession, key: String)(build: => A): A = {
     val m = sessionMemos.synchronized {
       var mm = sessionMemos.get(s)
@@ -133,6 +156,7 @@ object GraftSession {
     * (files are then removed when the checkpointed RDD is GC'd) or point
     * the dir at storage with a retention/TTL policy. */
   def ckpt(df: DataFrame): DataFrame = {
+    planAuditor.foreach(_(df.queryExecution.analyzed))
     val s = df.sparkSession
     s.conf.getOption("spark.graft.checkpoint.dir").filter(_.nonEmpty) match {
       case Some(d) =>

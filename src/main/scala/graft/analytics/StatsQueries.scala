@@ -37,7 +37,7 @@ object StatsQueries {
   private def topPairs(s: SparkSession, dir: String): DataFrame =
     graft.GraftSession.memo(s, "basket_top_pairs|" +
         graft.GraftSession.contentKey(dir, Seq("lineitem"))) {
-      topPairsPlan(s, dir).localCheckpoint()
+      graft.GraftSession.ckpt(topPairsPlan(s, dir))
     }
 
   /** The un-memoized mining plan (PlanShapeSpec pins its shape). */

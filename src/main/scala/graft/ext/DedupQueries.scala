@@ -131,7 +131,7 @@ object DedupQueries {
   private[ext] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     graft.GraftSession.memo(s, "minhash_pairs|" +
         graft.GraftSession.contentKey(dir, Seq("documents"))) {
-      minhashPairsPlan(s, dir).localCheckpoint()
+      graft.GraftSession.ckpt(minhashPairsPlan(s, dir))
     }
 
   /** The un-materialized LSH pair plan ([[dedupMinhashLsh]] without the
@@ -318,7 +318,7 @@ object DedupQueries {
           when($"n_chars" === $"cx.n_chars" && $"doc_id" === -$"cx.ndoc",
             lit(1)).otherwise(lit(2)))
         .drop("cx")
-        .localCheckpoint()
+        .transform(graft.GraftSession.ckpt)
     }
 
   /** The missing last stage of every near-dup pipeline: resolve the LSH
@@ -451,7 +451,7 @@ object DedupQueries {
       .withColumn("toks", split($"text", " "))
       .select($"doc_id", array_distinct(shingleArr).as("sh_arr"))
       .withColumn("n_sh", size($"sh_arr").cast("long"))
-      .localCheckpoint()
+      .transform(graft.GraftSession.ckpt)
     star
       .join(shArr.toDF("can_doc", "sha", "n_sh_a"), "can_doc")
       .join(shArr.toDF("mem_doc", "shb", "n_sh_b"), "mem_doc")
@@ -549,7 +549,7 @@ object DedupQueries {
       .select($"vec_id", transform($"embedding", x => q6(x)).as("qe"))
       .select($"vec_id", $"qe",
         graft.functions.LongArrayDot.longArrayDot($"qe", $"qe").as("nrm"))
-      .localCheckpoint()
+      .transform(graft.GraftSession.ckpt)
     val dot = graft.functions.LongArrayDot.longArrayDot($"qa", $"qb")
     val scored = chainStarScored(s, dir)
       .join(emb.toDF("can_doc", "qa", "na"), "can_doc")
@@ -1001,12 +1001,15 @@ object DedupQueries {
     * array construction, but embarrassingly parallel with no global
     * structure.
     *
-    * Scale: the shuffle carries corpus × W bytes because the group key is
-    * the window STRING (kept for byte-exact oracle parity). The 100-TB
-    * variant keys on an 8-byte rolling hash and verifies true equality
-    * within each hash bucket before declaring a duplicate — same plan
-    * shape, W× less shuffle, still exact (verification removes
-    * collisions). Output is the span table a scrubber consumes. */
+    * Scale: since r16 BOTH forms admit candidates on the 8-byte rolling
+    * hash (the corpus-chars-grain exchange carries 24 bytes/row, not
+    * W+16) and verify true window equality within the candidate tail —
+    * still exact, because equal windows always hash equal and the verify
+    * removes collisions. This form verifies at position grain; the
+    * [[substringDedupHashed]] twin verifies at doc grain so corpus text
+    * never shuffles — the 100-TB shape (grain trade documented at
+    * [[substringDedupOf]]). Output is the span table a scrubber
+    * consumes. */
   def substringDedup(s: SparkSession, dir: String): DataFrame =
     substringDedupOf(Tables.documents(s, dir))
 
@@ -1014,41 +1017,66 @@ object DedupQueries {
     * non-ASCII corpus through it directly). */
   private[graft] def substringDedupOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val pos = docs
-      .filter(length($"text") >= SUBSTR_W)
-      .select($"doc_id",
-        explode(sequence(lit(1), length($"text") - (SUBSTR_W - 1))).as("p"),
-        $"text")
-      .select($"doc_id", $"p".cast(LongType).as("p"),
-        $"text".substr($"p", lit(SUBSTR_W)).as("win"))
-    // duplicated positions via map-side-combining groupBy count + semi
-    // join back. The count-over-window form this replaced (`count(*)
-    // OVER (PARTITION BY win)`) was faster at sf0.1 (3.2 s vs 5.4 s
-    // here, min across repeated min-of-2 sweeps: one exchange + sort vs
-    // two exchanges + probe-side window re-derivation), but a window
-    // PARTITIONED ON A CONTENT KEY is skew-hostile at corpus scale:
-    // every position of one hot boilerplate window (a 40-char header
-    // repeated across billions of docs) funnels into ONE WindowExec
-    // task, with no partial-aggregation escape — the exact shape the
-    // repo's other candidate generators cap (stop-shingle DF cap, LSH
-    // BUCKET_CAP). The groupBy count collapses hot keys map-side
-    // (combine emits one row per distinct win per map partition), and
-    // the remaining semi-join co-location is AQE-skew-splittable, which
-    // a window partition never is. Same output, same oracle; the sf0.1
-    // delta is the price of a plan that survives a boilerplate-heavy
-    // crawl. (This also makes the plan mirror the DuckDB oracle SQL's
-    // own GROUP BY win HAVING count(*)>1 + join-back shape literally.)
-    val dupWin = pos
-      .groupBy($"win").agg(count(lit(1)).as("n"))
-      .filter($"n" > 1)
-      .select($"win")
+    // Two-stage X1c shape (r16), shared with [[substringDedupHashedOf]]:
+    // ADMIT positions on the 8-byte rolling-hash fingerprint (recall 1 —
+    // equal windows always hash equal), then VERIFY true window equality
+    // among the candidates only. The r15 one-stage form shipped every
+    // position's 40-char window string through the corpus-chars-grain
+    // groupBy exchange (W+16 bytes/row); here that heavy exchange
+    // carries 24 bytes/row and window strings exist only for the
+    // candidate tail. Both counting stages stay map-side-combining
+    // groupBy + semi-join back — never `count(*) OVER (PARTITION BY
+    // win)`: a window partitioned on a CONTENT key funnels every
+    // position of one hot boilerplate window into a single WindowExec
+    // task with no partial-agg escape and no AQE skew split (the r14→r15
+    // rewrite, now banned repo-wide by RegistrySpec's bounded-keys
+    // dictionary). Where this form differs from the hashed twin: the
+    // verify re-derives candidate windows at POSITION grain (one join
+    // candPos ⋈ docs on doc_id, slice in the projection) — cheaper at
+    // bench scale (no collect_list/array assembly) but the join output
+    // is position-grain, so the doc text column rides through one join
+    // stage per candidate position. [[substringDedupHashedOf]] keeps the
+    // DOC-grain verify whose join is one row per candidate doc and
+    // broadcasts when the duplicated tail is small — the 100-TB shape.
+    // Same dupPos set, same spans, same DuckDB oracle either way.
+    val candPos = candidatePositions(docs)
+    val candWin = candPos
+      .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
+      .select($"doc_id", $"p",
+        $"text".substr($"p".cast("int"), lit(SUBSTR_W)).as("win"))
     // SHUFFLE_HASH: a sort-merge semi join would Tungsten-sort 40-char
     // binaries on BOTH sides; hashing the (already-aggregated, dup-only)
     // build side skips both sorts. AQE still splits skewed probe
     // partitions for SHJ.
-    val dupPos = pos.join(dupWin.hint("shuffle_hash"), Seq("win"), "left_semi")
+    val dupWin = candWin
+      .groupBy($"win").agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .select($"win")
+    val dupPos = candWin.join(dupWin.hint("shuffle_hash"), Seq("win"), "left_semi")
       .select($"doc_id", $"p")
     spansOf(dupPos)
+  }
+
+  /** Shared admission stage of both substring-dedup forms: positions
+    * whose 8-byte window fingerprint is seen more than once corpus-wide
+    * — a superset of the truly duplicated positions (hash collisions
+    * only ever ADD candidates; the per-form verify removes them). The
+    * dup-fingerprint relation comes from a map-side-combining groupBy
+    * count (hot boilerplate fingerprints collapse per map partition) and
+    * the probe semi-join is AQE-skew-splittable — see the skew note in
+    * [[substringDedupOf]]. The fingerprint relation is derived twice
+    * (agg + probe), but each derivation is the one-pass O(n) codegen
+    * [[graft.functions.RollingHash64]] scan — re-hashing is cheaper at
+    * scale than materializing the corpus-chars-grain relation. */
+  private def candidatePositions(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val fps = windowFingerprints(docs)
+    val dupH = fps
+      .groupBy($"win_h").agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .select($"win_h")
+    fps.join(dupH.hint("shuffle_hash"), Seq("win_h"), "left_semi")
+      .select($"doc_id", $"p")
   }
 
   /** Gaps-islands span assembly over duplicated positions — shared by
@@ -1092,39 +1120,25 @@ object DedupQueries {
     * duplicated-candidate tail, and the verify join runs at DOC grain
     * so it broadcasts when the tail is small and the corpus text column
     * never shuffles. Measured at sf0.1 (min across repeated min-of-2
-    * sweeps, 32 threads): 3.16 s vs the string-keyed form's 5.44 s
-    * (1.7×) with the r15 skew-immune groupBy-count candidate/verify
-    * stages — and this fixture is the WORST case for the verify
+    * subset sweeps, 32 threads, r16): 3.0 s, with the string-keyed
+    * twin's position-grain verify at 2.7 s now that BOTH forms share
+    * the fingerprint admission (the r15 one-stage string form was
+    * 5.4-5.7 s) — and this fixture is the WORST case for the verify
     * (synthetic duplication makes nearly every doc a candidate, so the
-    * per-doc position arrays are corpus-sized). A position-grain verify
-    * join measured faster here (no collect_list/array work) but carries
+    * per-doc position arrays are corpus-sized). The position-grain
+    * verify is cheaper here (no collect_list/array work) but carries
     * the corpus text per candidate POSITION through the join and can
-    * never broadcast — at a real few-percent tail the doc-grain form is
-    * the one that avoids touching corpus bytes entirely. */
+    * never broadcast — at a real few-percent tail this doc-grain form
+    * is the one that avoids touching corpus bytes entirely. */
   def substringDedupHashed(s: SparkSession, dir: String): DataFrame =
     substringDedupHashedOf(Tables.documents(s, dir))
 
   /** Docs-DF-parameterized body of [[substringDedupHashed]]. */
   private[graft] def substringDedupHashedOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // candidate positions = fingerprint seen >1x corpus-wide, via
-    // map-side-combining groupBy count + semi join back (NOT a window
-    // partitioned on the fingerprint: a hot boilerplate window's
-    // positions would all buffer in one WindowExec task — see the skew
-    // note in [[substringDedupOf]]; the 8-byte key makes the combine and
-    // the dup-key relation as cheap as they can be, and the semi-join
-    // co-location is AQE-skew-splittable). The fingerprint relation is
-    // derived twice (agg + probe), but each derivation is the one-pass
-    // O(n) RollingHash64 scan — re-hashing is cheaper at scale than
-    // sorting the corpus-chars-grain relation inside skew-prone window
-    // partitions.
-    val fps = windowFingerprints(docs)
-    val dupH = fps
-      .groupBy($"win_h").agg(count(lit(1)).as("n"))
-      .filter($"n" > 1)
-      .select($"win_h")
-    val candPos = fps.join(dupH.hint("shuffle_hash"), Seq("win_h"), "left_semi")
-      .select($"doc_id", $"p")
+    // fingerprint admission shared with the string form — the two twins
+    // differ only in the verify grain (see [[substringDedupOf]]'s note)
+    val candPos = candidatePositions(docs)
     // verify join at DOC grain: candidate positions aggregate to one
     // array row per doc (bounded by doc length), so the join against the
     // corpus is one row per candidate doc — AQE broadcasts it when the

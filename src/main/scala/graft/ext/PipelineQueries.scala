@@ -453,7 +453,7 @@ object PipelineQueries {
       .withColumn("q_permille", expr("1 + q_docs * 999 div n_docs"))
       .withColumn("weight", expr("tokens * (1 + q_docs * 999 div n_docs)"))
       .withColumn("cap", expr(s"tokens * $MAX_EPOCHS"))
-      .localCheckpoint()
+      .transform(graft.GraftSession.ckpt)
     val tot = streams.agg(sum($"tokens").as("corpus_tokens"),
       sum($"weight").as("sum_w"))
     val r1 = streams.crossJoin(broadcast(tot))
@@ -713,7 +713,7 @@ object PipelineQueries {
       .withColumn("q_permille", expr("1 + n_kept * 999 div n_docs"))
       .withColumn("weight", expr("tokens * (1 + n_kept * 999 div n_docs)"))
       .withColumn("cap", expr(s"tokens * $MAX_EPOCHS"))
-      .localCheckpoint()
+      .transform(graft.GraftSession.ckpt)
     val tot = base.agg(sum($"tokens").as("corpus_tokens"),
       sum($"weight").as("sum_w"))
     val r1 = base.crossJoin(broadcast(tot))

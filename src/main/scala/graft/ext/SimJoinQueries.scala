@@ -48,7 +48,7 @@ object SimJoinQueries {
   private[ext] def exactPairs(s: SparkSession, dir: String): DataFrame =
     graft.GraftSession.memo(s, "simjoin_exact_pairs|" +
         graft.GraftSession.contentKey(dir, Seq("documents"))) {
-      simjoinPrefixPlan(s, dir).localCheckpoint()
+      graft.GraftSession.ckpt(simjoinPrefixPlan(s, dir))
     }
 
   /** The rarity-ranked per-document shingle index — `(doc_id, arr, n_sh)`
@@ -79,7 +79,7 @@ object SimJoinQueries {
         .select($"doc_id",
           expr("transform(ranked, r -> r.sh)").as("arr"),
           size($"ranked").cast("long").as("n_sh"))
-        .localCheckpoint()
+        .transform(graft.GraftSession.ckpt)
     }
 
   def simjoinPrefix(s: SparkSession, dir: String): DataFrame = {

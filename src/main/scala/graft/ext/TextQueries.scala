@@ -1372,7 +1372,7 @@ object TextQueries {
     * XP11 ensemble census. */
   private[ext] def entropyPerDoc(s: SparkSession, dir: String): DataFrame =
     graft.GraftSession.memo(s, cacheKey(dir, "ent")) {
-      entropyPerDocPlan(s, dir).localCheckpoint()
+      graft.GraftSession.ckpt(entropyPerDocPlan(s, dir))
     }
 
   private[graft] def entropyPerDocPlan(s: SparkSession, dir: String): DataFrame = {
@@ -1447,7 +1447,7 @@ object TextQueries {
     * absent (callers left-join and default). */
   private[ext] def lmScorePerDoc(s: SparkSession, dir: String): DataFrame =
     graft.GraftSession.memo(s, cacheKey(dir, "lm")) {
-      lmScorePerDocPlan(s, dir).localCheckpoint()
+      graft.GraftSession.ckpt(lmScorePerDocPlan(s, dir))
     }
 
   private[graft] def lmScorePerDocPlan(s: SparkSession, dir: String): DataFrame = {

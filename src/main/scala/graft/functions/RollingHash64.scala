@@ -74,7 +74,21 @@ object RollingHash64 {
     * slot is what Spark `substring(s, i+1, 1)` / DuckDB `substr` sees,
     * including supplementary planes (a 4-byte emoji is ONE code point
     * here, exactly as both engines count it — Java String.length would
-    * count two UTF-16 units and shift every later position). */
+    * count two UTF-16 units and shift every later position).
+    *
+    * MALFORMED input is total, never thrown on: crawl-shaped corpora
+    * carry truncated multi-byte tails, stray continuation bytes, and
+    * 0xF8+ garbage, and one bad doc must not fail (or silently corrupt)
+    * a corpus-wide dedup pass. The stepping mirrors Spark's
+    * `UTF8String.numBytesForFirstByte` EXACTLY — lead byte 0x00-0xBF and
+    * 0xF8-0xFF advance 1, 0xC0-0xDF advance 2, 0xE0-0xEF advance 3,
+    * 0xF0-0xF7 advance 4, regardless of what the following bytes contain
+    * — so position i here is position i of `substring` even mid-garbage,
+    * and the slot count always equals `numChars()` (no resize, no
+    * zero-filled phantom slots). A sequence whose continuation bytes are
+    * missing (truncated at end of string) or invalid (not 0x80-0xBF)
+    * hashes as U+FFFD, the Unicode replacement character — a stray
+    * continuation or 0xF8+ lead likewise. */
   private def codePoints(s: UTF8String): Array[Int] = {
     val b = s.getBytes
     val out = new Array[Int](s.numChars())
@@ -83,14 +97,19 @@ object RollingHash64 {
     while (i < b.length) {
       val b0 = b(i) & 0xff
       if (b0 < 0x80) { out(j) = b0; i += 1 }
-      else if (b0 < 0xe0) {
-        out(j) = ((b0 & 0x1f) << 6) | (b(i + 1) & 0x3f); i += 2
-      } else if (b0 < 0xf0) {
-        out(j) = ((b0 & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) |
-          (b(i + 2) & 0x3f); i += 3
-      } else {
-        out(j) = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
-          ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f); i += 4
+      else if (b0 < 0xc0 || b0 >= 0xf8) { out(j) = 0xfffd; i += 1 }
+      else {
+        val step = if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4
+        var cp = b0 & (0xff >> (step + 1))
+        var k = 1
+        var ok = i + step <= b.length
+        while (ok && k < step) {
+          val bc = b(i + k) & 0xff
+          if (bc < 0x80 || bc >= 0xc0) ok = false
+          else { cp = (cp << 6) | (bc & 0x3f); k += 1 }
+        }
+        out(j) = if (ok) cp else 0xfffd
+        i += step
       }
       j += 1
     }

@@ -428,9 +428,17 @@ object StreamJobs {
     * (append mode): identical to batch whenever arrival disorder stays
     * inside the watermark delay, which is exactly the guarantee a
     * watermark states. The credit split itself is [[UTouch.credits]],
-    * shared with the monotone leg. */
+    * shared with the monotone leg.
+    *
+    * State bound: per-key ListState holds touch-rate × (attribution
+    * window W + watermark delay) touches plus the unsettled purchases
+    * inside the delay — the delay is a direct state multiplier, so the
+    * DEFAULT is a bounded "1 hour"; a deployment trades completeness
+    * under disorder against state by passing its own delay (the
+    * StreamingSpec replay passes "365 days" explicitly to settle a
+    * year-spread fixture). */
   def utouchTimersStream(events: DataFrame,
-      delay: String = "365 days"): Dataset[UTouchCredit] = {
+      delay: String = "1 hour"): Dataset[UTouchCredit] = {
     val s = events.sparkSession
     import s.implicits._
     events
@@ -1294,9 +1302,11 @@ final case class AttrEvT(user_id: Long, ts_us: Long, event_id: Long,
   * touches older than `wm − W` (no purchase at or after the watermark
   * can reach back to them), so state per key is bounded by touch rate ×
   * (attribution window + watermark delay) plus the unsettled purchases
-  * inside the delay. A key that never purchases keeps its windowed
-  * touch tail until its next expiry; a production deployment would add
-  * a TTL to bound pure-touch keys. */
+  * inside the delay. Touch-ONLY keys reach the trim too: a batch with
+  * no purchase arms a cleanup timer at (newest ts + W), and the expiry
+  * path re-arms it while trimmed survivors remain — so a key that goes
+  * quiet drains to ZERO state instead of parking its last window's
+  * tail forever. */
 class UTouchTimers
   extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AttrEvT, UTouchCredit] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ListState}
@@ -1312,12 +1322,26 @@ class UTouchTimers
   override def handleInputRows(key: Long, rows: Iterator[AttrEvT],
       timerValues: TimerValues): Iterator[UTouchCredit] = {
     var minP = Long.MaxValue
+    var maxTs = Long.MinValue
     rows.foreach { e =>
       buf.appendValue(AttrEv(e.user_id, e.ts_us, e.event_id,
         e.event_type, e.cents))
       if (e.event_type == "purchase" && e.ts_us < minP) minP = e.ts_us
+      if (e.ts_us > maxTs) maxTs = e.ts_us
     }
     if (minP != Long.MaxValue) getHandle.registerTimer(minP / 1000 + 1)
+    // cleanup timer for touch-only input: without it a key that never
+    // purchases never reaches handleExpiredTimer, so its wm−W trim never
+    // runs and the buffer grows with stream length. Armed at (newest
+    // buffered ts + W) — once the watermark passes that, every touch
+    // buffered NOW is older than wm−W and the expiry path drains it
+    // (purchases arriving later carry p_ts ≥ wm and can only reach back
+    // to wm−W, so nothing trimmed was still creditable). One timer per
+    // touch-only batch, W later — low frequency; stale extras are
+    // harmless (the expiry path settles/trims only what the watermark
+    // proves and re-arms for the rest).
+    else if (maxTs != Long.MinValue)
+      getHandle.registerTimer((maxTs + W) / 1000 + 1)
     Iterator.empty
   }
 
@@ -1334,6 +1358,13 @@ class UTouchTimers
     if (kept.nonEmpty) buf.appendList(kept.toArray)
     if (pend.nonEmpty)
       getHandle.registerTimer(pend.map(_.ts_us).min / 1000 + 1)
+    // no pending purchase but touches survived the trim: re-arm the
+    // cleanup timer (handleInputRows' touch-only arming) so the buffer
+    // drains to empty once the watermark passes the newest touch + W —
+    // state for a key that stops producing goes to ZERO, not to its
+    // last window's tail
+    else if (kept.nonEmpty)
+      getHandle.registerTimer((kept.map(_.ts_us).max + W) / 1000 + 1)
     out.iterator
   }
 }

@@ -346,6 +346,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(h1.contains(h2(0)))
   }
 
+  test("rolling_hash64 is total on malformed UTF-8 (U+FFFD, Spark's char stepping)") {
+    import graft.functions.RollingHash64
+    import org.apache.spark.unsafe.types.UTF8String
+    // crawl-shaped garbage must never throw or desync: each malformed
+    // sequence hashes as U+FFFD at exactly the position Spark's
+    // substring/numChars stepping assigns it, so the fingerprint stream
+    // stays in lockstep with the substring() slices consumers take
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val cases: Seq[(Array[Byte], String, String)] = Seq(
+      // truncated 3-byte lead at end of string
+      (bytes('a', 'b', 'c', 0xe6), "abc�", "truncated 3-byte tail"),
+      // truncated 4-byte lead at end (two bytes present of four)
+      (bytes('x', 'y', 0xf0, 0x9f), "xy�", "truncated 4-byte tail"),
+      // stray continuation byte mid-string: one char per Spark stepping
+      (bytes('a', 'b', 0x80, 'c', 'd'), "ab�cd", "stray continuation"),
+      // 2-byte lead whose continuation is ASCII: consumes both bytes
+      (bytes(0xc3, 'x', 'y'), "�y", "invalid continuation"),
+      // 0xF8+ lead bytes are invalid everywhere in UTF-8: one char each
+      (bytes(0xf8, 'a', 'b'), "�ab", "0xF8 garbage lead"))
+    for ((raw, subst, label) <- cases; w <- Seq(1, 2, 3)) {
+      val s = UTF8String.fromBytes(raw)
+      val got = RollingHash64.hash(s, w).toLongArray().toSeq // must not throw
+      val want = RollingHash64.hash(UTF8String.fromString(subst), w)
+        .toLongArray().toSeq
+      assert(got === want, s"$label w=$w: malformed bytes must hash as the " +
+        "U+FFFD-substituted string")
+      assert(got.length === math.max(0, s.numChars() - w + 1),
+        s"$label w=$w: position count must match numChars stepping")
+    }
+  }
+
   test("rolling_hash64 codegen agrees with eval and stays in WSCG; SQL form works") {
     import graft.functions.RollingHash64
     import org.apache.spark.unsafe.types.UTF8String

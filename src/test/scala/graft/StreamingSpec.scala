@@ -612,7 +612,12 @@ class StreamingSpec extends AnyFunSuite {
     try {
       val q = StreamJobs
         .utouchTimersStream(StreamJobs.eventsStream(spark, tmp,
-          maxFilesPerTrigger = Some(1)))
+          maxFilesPerTrigger = Some(1)),
+          // the fixture's events span ~a year and every purchase must
+          // settle, so the replay opts into a year of lateness
+          // explicitly; the production DEFAULT is a bounded "1 hour"
+          // (state = touch-rate x (W + delay))
+          delay = "365 days")
         .writeStream.outputMode("append").format("memory")
         .queryName("utouch_timers_out").start()
       try q.processAllAvailable() finally q.stop()
