@@ -703,6 +703,111 @@ class StreamingSpec extends AnyFunSuite {
       "U-touch census after restart diverged: ListState not restored")
   }
 
+  test("W5b late-data leg: touch-only keys drain to zero state") {
+    // The r16 cleanup-timer contract: a key that only ever TOUCHES must
+    // still reach the wm−W trim — with TTLConfig.NONE, timers are the
+    // only trim path, and before r16 a purchase-less key never entered
+    // handleExpiredTimer, so its ListState grew with stream length.
+    // Phase 1 buffers three touches for a purchase-less user and reads
+    // them back FROM THE STATE STORE (the state data source, not an
+    // inference from output); phase 2 advances the watermark far past
+    // newest-touch+W with two sentinel batches (wm advances only after
+    // a batch; the fired timer needs the next one) and asserts the
+    // key's buffer is GONE while the sentinel user's own fresh touch is
+    // still there (negative control: the reader does see phase-2 state).
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft-utouch-drain").toString
+    val src = s"$tmp/src"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(src).mkdirs()
+    val W = 7L * 24 * 3600 * 1000000L // = IncrementalQueries.ATTR_WINDOW_US
+    val HOUR = 3600L * 1000000L
+    val t0 = 1767225600000000L // 2026-01-01T00:00:00Z in µs
+    def drop(name: String, mtime: Long,
+        rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+      val data = rows.map { case (id, ts, u, tpe) =>
+        org.apache.spark.sql.Row(id,
+          java.time.LocalDateTime.ofEpochSecond(ts / 1000000L,
+            ((ts % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC),
+          u, tpe, 0.0, "{}")
+      }
+      val stage = Files.createTempDirectory("graft-drain-stage").toString + "/o"
+      spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/$name")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    val base = System.currentTimeMillis() - 300000
+    drop("a_touches.parquet", base, Seq(
+      (1L, t0, 7L, "view"),
+      (2L, t0 + 60L * 1000000L, 7L, "click"),
+      (3L, t0 + 120L * 1000000L, 7L, "view")))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = s"$tmp/out"
+    def drain(tag: String): Unit = {
+      // parquet sink, not memory: the memory sink cannot recover from a
+      // checkpoint, and phase 2 must resume phase 1's state
+      val q = StreamJobs
+        .utouchTimersStream(
+          StreamJobs.eventsStream(spark, src, maxFilesPerTrigger = Some(1)),
+          delay = "1 hour") // the bounded production default
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), s"drain $tag timed out")
+    }
+    def bufUsers(): Set[Long] = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "buf").load()
+      .selectExpr("key.*").collect().map(_.getLong(0)).toSet
+    try {
+      drain("p1")
+      assert(bufUsers() === Set(7L),
+        "phase 1: the touch-only user's touches must be buffered in state")
+      // two sentinel batches: wm after the first = t0+W+2h > the cleanup
+      // timer armed at newest-touch+W; the second batch fires it, and
+      // its trim bound wm−W = t0+2h is past every buffered touch
+      drop("b_sentinel1.parquet", base + 10000,
+        Seq((4L, t0 + W + 3L * HOUR, 99L, "view")))
+      drop("c_sentinel2.parquet", base + 20000,
+        Seq((5L, t0 + W + 4L * HOUR, 99L, "view")))
+      drain("p2")
+      val after = bufUsers()
+      assert(!after.contains(7L),
+        s"touch-only key 7 must drain to zero state, still has rows: $after")
+      assert(after.contains(99L),
+        "negative control: the sentinel user's fresh touch should still " +
+          s"be buffered (reader must see phase-2 state): $after")
+      // and a touch-only key emits no credits, drained or not (explicit
+      // schema: the sink dir may hold only _spark_metadata, zero rows)
+      val creditSchema = StructType(Seq(
+        StructField("touch_type", StringType),
+        StructField("credit_bp", LongType),
+        StructField("credited_cents", LongType)))
+      assert(spark.read.schema(creditSchema).parquet(out).count() === 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   private def eventsDir: String = {
     val tmp = Files.createTempDirectory("graft-events-stream").toString
     java.nio.file.Files.copy(
