@@ -432,6 +432,33 @@ class RegistrySpec extends AnyFunSuite {
     "Md5", "Sha1", "Sha2", "Crc32", "Murmur3Hash", "XxHash64", "HiveHash",
     "RollingHash64", "MinhashSig", "CdcChunks", "Sq8Code")
 
+  // Origin resolution shared by the declared-plans (physical) and
+  // memoized-builds (logical) guards: collect every Alias definition in
+  // a plan's nodes, then decide whether an attribute traces to a
+  // hash/fingerprint expression through a few Alias hops (each hop
+  // crosses one Project/Aggregate; chains across an earlier checkpoint
+  // LEAF are invisible here, but that earlier plan was itself audited
+  // when IT was built — coverage composes).
+  private def aliasDefs(
+      nodes: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]])
+      : Map[Long, org.apache.spark.sql.catalyst.expressions.Expression] =
+    nodes.flatMap(_.expressions).flatMap(_.collect {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+        a.exprId.id -> a.child
+    }).toMap
+
+  private def tracesToHash(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      defs: Map[Long, org.apache.spark.sql.catalyst.expressions.Expression],
+      depth: Int = 0): Boolean = {
+    def isHashy(
+        x: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      hashExprClasses.contains(x.getClass.getSimpleName) ||
+        x.children.exists(isHashy)
+    isHashy(e) || (depth < 6 && e.references.exists(r =>
+      defs.get(r.exprId.id).exists(d => tracesToHash(d, defs, depth + 1))))
+  }
+
   test("every window partition keyset is in the bounded-keys dictionary") {
     // Companion to the SinglePartition walk above, covering the class it
     // misses BY DESIGN: a WindowExec with a real hash distribution whose
@@ -456,26 +483,16 @@ class RegistrySpec extends AnyFunSuite {
         if (partKeys(p).nonEmpty) Seq(keysetOf(partKeys(p))) else Seq.empty
       here ++ p.children.flatMap(keysets)
     }
-    // Origin resolution: map every Alias in a window's subtree by exprId,
-    // then expand each partition-key attribute through alias chains (a
-    // few hops suffice — each hop crosses one Project/Aggregate) and
-    // flag if any step lands on a hash/fingerprint expression class.
+    // Origin resolution (aliasDefs/tracesToHash, shared with the memo
+    // audit): flag any partition-key attribute whose defining expression
+    // lands on a hash/fingerprint class through Alias chains.
     def hashOriginKeysets(root: SparkPlan): Seq[(String, String)] = {
       def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(subtree)
       val nodes = subtree(root)
-      val defs: Map[Long, Expression] = nodes
-        .flatMap(_.expressions)
-        .flatMap(_.collect { case a: Alias => a.exprId.id -> a.child })
-        .toMap
-      def isHashy(e: Expression): Boolean =
-        hashExprClasses.contains(e.getClass.getSimpleName) ||
-          e.children.exists(isHashy)
-      def traces(e: Expression, depth: Int): Boolean =
-        isHashy(e) || (depth < 6 && e.references.exists(r =>
-          defs.get(r.exprId.id).exists(d => traces(d, depth + 1))))
+      val defs = aliasDefs(nodes)
       nodes.flatMap { n =>
         val ks = partKeys(n)
-        ks.filter(a => defs.get(a.exprId.id).exists(d => traces(d, 0)))
+        ks.filter(a => defs.get(a.exprId.id).exists(d => tracesToHash(d, defs)))
           .map(a => keysetOf(ks) -> a.name)
       }
     }
@@ -571,6 +588,20 @@ class RegistrySpec extends AnyFunSuite {
         w.partitionSpec.flatMap(_.references.map(_.name))
           .distinct.sorted.mkString(",")
       }
+    // the same alias-blind-spot closure as the declared-plans guard, on
+    // the LOGICAL plan: a hash aliased to an allowed name inside a memo
+    // build must be flagged by origin, not excused by its alias
+    def logicalHashOrigins(p: LogicalPlan): Seq[(String, String)] = {
+      val defs = aliasDefs(p.collect { case n => n })
+      p.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty =>
+          val ks = w.partitionSpec.flatMap(_.references)
+          val keyset = ks.map(_.name).distinct.sorted.mkString(",")
+          ks.filter(a =>
+              defs.get(a.exprId.id).exists(d => tracesToHash(d, defs)))
+            .map(a => keyset -> a.name)
+      }.flatten
+    }
     // --- source-level invariants that make the choke point complete ---
     val mainFiles = {
       def walk(f: java.io.File): Seq[java.io.File] =
@@ -630,8 +661,11 @@ class RegistrySpec extends AnyFunSuite {
         "forcer (and its build windows a dictionary review)")
     // --- the audited rebuild ---
     val seen = collection.mutable.ArrayBuffer[String]()
+    val hashHits = collection.mutable.ArrayBuffer[(String, String)]()
     GraftSession.planAuditor = Some(p => seen.synchronized {
-      seen ++= logicalKeysets(p); ()
+      seen ++= logicalKeysets(p)
+      hashHits ++= logicalHashOrigins(p)
+      ()
     })
     try {
       // auditor negative self-test: a content-key window passed through
@@ -647,7 +681,23 @@ class RegistrySpec extends AnyFunSuite {
         assert(seen.contains("win"),
           s"ckpt auditor failed to record the content-key window: $seen")
       }
+      // negative self-test #2: a hash aliased to an allowed entity-key
+      // name inside a ckpt'd build must be flagged BY ORIGIN (the alias
+      // blind spot, closed on the logical path too; range-based input so
+      // ConstantFolding can't erase the md5)
+      locally {
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val bad = spark.range(4)
+          .select(md5($"id".cast("string")).as("doc_id"), $"id")
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+        GraftSession.ckpt(bad)
+        assert(hashHits.exists(_._2 == "doc_id"),
+          s"ckpt auditor missed the md5-aliased partition key: $hashHits")
+      }
       seen.clear()
+      hashHits.clear()
       GraftSession.clearMemos(spark)
       memoForcers.foreach { case (site, f) =>
         withClue(s"forcing $site: ")(f())
@@ -663,6 +713,13 @@ class RegistrySpec extends AnyFunSuite {
     val staleBuild = memoBuildWindowKeys.keySet -- seen.toSet
     assert(staleBuild.isEmpty,
       s"stale memoBuildWindowKeys entries (no build windows on them): $staleBuild")
+    // hash-derived partition keys inside builds need the same separate
+    // review as in declared plans, whatever their alias says
+    val hashOffending = hashHits.distinct
+      .filterNot { case (ks, _) => hashOriginReviewed.contains(ks) }
+    assert(hashOffending.isEmpty,
+      s"memoized build windows key on hash/fingerprint-derived columns: " +
+        s"$hashOffending — review in hashOriginReviewed or rewrite")
   }
 
   test("packed argmax stride: id bound holds and the pack stays inside a long") {
