@@ -78,17 +78,21 @@ object RollingHash64 {
     *
     * MALFORMED input is total, never thrown on: crawl-shaped corpora
     * carry truncated multi-byte tails, stray continuation bytes, and
-    * 0xF8+ garbage, and one bad doc must not fail (or silently corrupt)
-    * a corpus-wide dedup pass. The stepping mirrors Spark's
-    * `UTF8String.numBytesForFirstByte` EXACTLY — lead byte 0x00-0xBF and
-    * 0xF8-0xFF advance 1, 0xC0-0xDF advance 2, 0xE0-0xEF advance 3,
-    * 0xF0-0xF7 advance 4, regardless of what the following bytes contain
-    * — so position i here is position i of `substring` even mid-garbage,
-    * and the slot count always equals `numChars()` (no resize, no
-    * zero-filled phantom slots). A sequence whose continuation bytes are
-    * missing (truncated at end of string) or invalid (not 0x80-0xBF)
-    * hashes as U+FFFD, the Unicode replacement character — a stray
-    * continuation or 0xF8+ lead likewise. */
+    * invalid leads, and one bad doc must not fail (or silently corrupt)
+    * a corpus-wide dedup pass. The stepping mirrors Spark 4's
+    * `UTF8String.numBytesForFirstByte` EXACTLY (probed empirically, and
+    * pinned against `substringSQL` on arbitrary byte arrays by a
+    * scalacheck property): lead 0x00-0xBF advances 1 (continuations are
+    * one char each), 0xC0/0xC1 advance 1 (invalid overlong leads),
+    * 0xC2-0xDF advance 2, 0xE0-0xEF advance 3, 0xF0-0xF4 advance 4,
+    * 0xF5-0xFF advance 1 — multi-byte leads consume their FULL step
+    * regardless of what the following bytes contain, exactly as Spark's
+    * substring does. So position i here is position i of `substring`
+    * even mid-garbage, and the slot count always equals `numChars()`
+    * (no resize, no zero-filled phantom slots). A sequence whose
+    * continuation bytes are missing (truncated at end of string) or
+    * invalid (not 0x80-0xBF) hashes as U+FFFD, the Unicode replacement
+    * character — a stray continuation or invalid lead likewise. */
   private def codePoints(s: UTF8String): Array[Int] = {
     val b = s.getBytes
     val out = new Array[Int](s.numChars())
@@ -97,7 +101,7 @@ object RollingHash64 {
     while (i < b.length) {
       val b0 = b(i) & 0xff
       if (b0 < 0x80) { out(j) = b0; i += 1 }
-      else if (b0 < 0xc0 || b0 >= 0xf8) { out(j) = 0xfffd; i += 1 }
+      else if (b0 < 0xc2 || b0 >= 0xf5) { out(j) = 0xfffd; i += 1 }
       else {
         val step = if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4
         var cp = b0 & (0xff >> (step + 1))

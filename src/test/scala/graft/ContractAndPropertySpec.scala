@@ -117,6 +117,88 @@ class ContractAndPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rolling_hash64 positions agree with Spark substring slices on any bytes") {
+    // The load-bearing contract of the substring-dedup family, pinned as
+    // a property over ARBITRARY byte arrays (valid UTF-8, truncated
+    // tails, stray continuations, 0xF8+ garbage): position p of
+    // rolling_hash64(s, w) must equal position 0 of the hash of Spark's
+    // OWN UTF8String.substringSQL(s, p+1, w) slice — the verify stage
+    // slices candidate windows with substring, so if the fingerprint
+    // stream ever desynced from substring's character stepping on
+    // hostile input, the verify would silently slice the wrong windows.
+    // Also pins totality: no byte array may throw (the r16 ADVICE fix).
+    import graft.functions.RollingHash64
+    import org.apache.spark.unsafe.types.UTF8String
+    val rawGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 255).map(_.toByte)))
+    val arrays = samples(rawGen, 300).map(_.toArray)
+    // plus targeted multi-byte text (valid 2/3/4-byte code points mixed)
+    val cpGen = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+      Gen.chooseNum('a'.toInt, 'z'.toInt), Gen.const(0xe9), Gen.const(0x3bb),
+      Gen.const(0x65e5), Gen.const(0x1f682))))
+    val texts = samples(cpGen, 150)
+      .map(cps => new String(cps.toArray, 0, cps.length).getBytes("UTF-8"))
+    // Spark 4's char stepping, probed empirically (0xC0/0xC1 and
+    // 0xF5-0xFF are invalid leads = 1 byte; valid multi-byte leads
+    // consume their FULL step even over invalid continuations). Used
+    // here only to (a) cross-check numChars and (b) skip windows whose
+    // last char's step overshoots the array: substringSQL reads PAST
+    // the byte array there (undefined padding), so the slice's content
+    // is not well-defined and cannot anchor a comparison.
+    def stepOf(b0: Int): Int =
+      if (b0 < 0xc2 || b0 >= 0xf5) 1
+      else if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4
+    for (bytes <- arrays ++ texts; w <- Seq(1, 2, 5)) {
+      val s = UTF8String.fromBytes(bytes)
+      val hs = RollingHash64.hash(s, w).toLongArray() // totality: no throw
+      val n = s.numChars()
+      assert(hs.length === math.max(0, n - w + 1),
+        s"slot count desynced from numChars at bytes=${bytes.toSeq} w=$w")
+      val offs = {
+        val buf = collection.mutable.ArrayBuffer[Int]()
+        var i = 0
+        while (i < bytes.length) { buf += i; i += stepOf(bytes(i) & 0xff) }
+        buf
+      }
+      assert(offs.length === n,
+        s"test step table drifted from numChars at bytes=${bytes.toSeq}")
+      var p = 0
+      while (p < hs.length) {
+        val lastOff = offs(p + w - 1)
+        if (lastOff + stepOf(bytes(lastOff) & 0xff) <= bytes.length) {
+          val slice = s.substringSQL(p + 1, w)
+          val sh = RollingHash64.hash(slice, w).toLongArray()
+          assert(sh.length >= 1 && sh(0) === hs(p),
+            s"window $p of ${bytes.toSeq} (w=$w) disagrees with the " +
+              s"substring slice ${slice.getBytes.toSeq}")
+        }
+        p += 1
+      }
+    }
+  }
+
+  test("cdc_chunks reassembles generated unicode documents exactly") {
+    // chunk boundaries may fall anywhere the content dictates, but the
+    // chunks must ALWAYS concatenate back to the document, code point
+    // for code point, on generated multi-width unicode — the invariant
+    // every downstream chunk-GC/admit consumer relies on (a dropped or
+    // duplicated character would corrupt spans silently, and the fixed
+    // fixtures in FunctionsSpec cannot cover arbitrary window overlap).
+    import graft.functions.CdcChunks
+    import org.apache.spark.unsafe.types.UTF8String
+    val cpGen = Gen.chooseNum(0, 80).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+      Gen.chooseNum('a'.toInt, 'e'.toInt), Gen.const(' '.toInt),
+      Gen.const(0xe9), Gen.const(0x65e5), Gen.const(0x1f682))))
+    samples(cpGen, 200).foreach { cps =>
+      val t = new String(cps.toArray, 0, cps.length)
+      val got = CdcChunks.chunks(UTF8String.fromString(t), 8, 64L)
+      val parts = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      assert(parts.mkString === t, s"reassembly broke for: $t")
+      assert(parts.forall(_.nonEmpty), s"empty chunk emitted for: $t")
+    }
+  }
+
   test("MP4 chunk-map layouts round-trip for generated chunkings") {
     // GENERATED chunk layouts (arbitrary sample sizes, arbitrary chunk
     // partitions, junk gaps between chunks, stco or co64, run-length

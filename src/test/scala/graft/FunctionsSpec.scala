@@ -364,7 +364,12 @@ class FunctionsSpec extends AnyFunSuite {
       // 2-byte lead whose continuation is ASCII: consumes both bytes
       (bytes(0xc3, 'x', 'y'), "�y", "invalid continuation"),
       // 0xF8+ lead bytes are invalid everywhere in UTF-8: one char each
-      (bytes(0xf8, 'a', 'b'), "�ab", "0xF8 garbage lead"))
+      (bytes(0xf8, 'a', 'b'), "�ab", "0xF8 garbage lead"),
+      // 0xC0/0xC1 are invalid OVERLONG leads — Spark steps 1, not 2,
+      // so the following (valid-shaped) continuation is its own char
+      (bytes(0xc0, 0x80, 'a'), "��a", "overlong C0 lead"),
+      // 0xF5-0xF7 encode above U+10FFFF — invalid leads, step 1
+      (bytes(0xf5, 'a'), "�a", "0xF5 out-of-range lead"))
     for ((raw, subst, label) <- cases; w <- Seq(1, 2, 3)) {
       val s = UTF8String.fromBytes(raw)
       val got = RollingHash64.hash(s, w).toLongArray().toSeq // must not throw
