@@ -1256,7 +1256,7 @@ class UTouchCarry
   * ([[UTouchCarry]]) and the watermark-buffered late-data leg
   * ([[UTouchTimers]]) — one implementation, so the two legs cannot
   * drift from each other or from the batch CASE they both mirror. */
-private[streaming] object UTouch {
+private[graft] object UTouch {
   private val W = graft.analytics.IncrementalQueries.ATTR_WINDOW_US
 
   /** Credits for purchase `p` given any superset `buf` of its window's

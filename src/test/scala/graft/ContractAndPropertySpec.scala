@@ -199,6 +199,68 @@ class ContractAndPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("U-touch credits conserve 10000 bp and ignore buffer arrival order") {
+    // Both streaming legs feed UTouch.credits from a ListState buffer
+    // whose ORDER is arrival-dependent (retries, Firehose re-batching,
+    // watermark replay) — so the split must be a pure function of the
+    // touch SET, and every purchase must emit exactly 10000 bp however
+    // many touches fall in its window (the census sentinel checks this
+    // on one fixture; this pins it for generated windows, including the
+    // first-touch 2000 % (n-2) remainder branch at every n).
+    import graft.streaming.{AttrEv, UTouch}
+    val touchGen = for {
+      n <- Gen.chooseNum(0, 25)
+      // event_ids DISTINCT by construction (the data model's uniqueness
+      // invariant): the tie-break sort is (ts_us, event_id), so duplicate
+      // ids with different types would make the split order-dependent
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 2000L))
+      types <- Gen.listOfN(n, Gen.oneOf("view", "click", "search"))
+    } yield ts.zip(types).zipWithIndex.map { case ((t, tp), i) =>
+      AttrEv(1L, t, 100L + i, tp, 0L)
+    }
+    val W = 7L * 24 * 3600 * 1000000L
+    samples(Gen.zip(touchGen, Gen.chooseNum(500L, 1500L)), 150)
+      .foreach { case (buf, pTs) =>
+        val p = AttrEv(1L, pTs, 9999L, "purchase", 12345L)
+        val credits = UTouch.credits(p, buf)
+        assert(credits.map(_.credit_bp).sum === 10000L,
+          s"bp not conserved for pTs=$pTs buf=$buf")
+        // arrival-order invariance: reversed and interleaved permutations
+        // must yield the identical credit sequence
+        assert(UTouch.credits(p, buf.reverse) === credits,
+          s"credits depend on buffer arrival order: $buf")
+        val (ev, od) = buf.zipWithIndex.partition(_._2 % 2 == 0)
+        assert(UTouch.credits(p, (od ++ ev).map(_._1)) === credits)
+        // only strictly-before, in-window touches participate
+        val live = buf.count(t => t.ts_us < pTs && t.ts_us >= pTs - W)
+        assert(credits.length === math.max(1, live))
+      }
+  }
+
+  test("long_array_dot agrees with BigInt arithmetic across the quantized range") {
+    // the ANN hot path wraps silently on long overflow (documented); this
+    // pins that the documented usage bound — |component| at the 1e6
+    // quantization scale, dim <= 64 — stays exact, including the
+    // sum-of-squares self-dot every norm computation takes
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.LongArrayDot
+    val vecGen = for {
+      d <- Gen.chooseNum(1, 64)
+      a <- Gen.listOfN(d, Gen.chooseNum(-2000000L, 2000000L))
+      b <- Gen.listOfN(d, Gen.chooseNum(-2000000L, 2000000L))
+    } yield (a.toArray, b.toArray)
+    samples(vecGen, 200).foreach { case (a, b) =>
+      val got = LongArrayDot.dot(
+        new GenericArrayData(a), new GenericArrayData(b))
+      val want = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      assert(want.isValidLong && got.longValue === want.toLong,
+        s"dot overflowed or diverged at dim=${a.length}")
+      assert(LongArrayDot.dot(new GenericArrayData(a),
+        new GenericArrayData(a)).longValue ===
+        a.map(x => BigInt(x) * BigInt(x)).sum.toLong)
+    }
+  }
+
   test("MP4 chunk-map layouts round-trip for generated chunkings") {
     // GENERATED chunk layouts (arbitrary sample sizes, arbitrary chunk
     // partitions, junk gaps between chunks, stco or co64, run-length
