@@ -261,6 +261,69 @@ class ContractAndPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("typed aggregators are split-invariant: any partition/merge tree, same result") {
+    // THE distributed-correctness property of an Aggregator: Spark is free
+    // to split a group's rows across any number of map partitions, reduce
+    // each independently, and merge the partial buffers in any order — a
+    // merge-path bug surfaces as partition-count-dependent results that no
+    // single-partition unit test (and no fixed-partitioning oracle run)
+    // can see. Each case: random chunking + left-fold merge over shuffled
+    // chunks == the single-pass reference.
+    import graft.functions.{BottomK, BoundedCollect, CountMin}
+    def splitEval[B, OUT](items: Seq[String], zero: => B,
+        reduce: (B, String) => B, merge: (B, B) => B, finish: B => OUT,
+        cuts: Seq[Int]): OUT = {
+      val chunks = (cuts.sorted.distinct :+ items.length)
+        .foldLeft((Seq.empty[Seq[String]], 0)) { case ((acc, from), to) =>
+          (acc :+ items.slice(from, to), to)
+        }._1.filter(_.nonEmpty)
+      val partials = chunks.map(c => c.foldLeft(zero)(reduce))
+      finish(partials.foldLeft(zero)(merge))
+    }
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 60)
+      // a small alphabet forces duplicates (BottomK's distinct semantics)
+      items <- Gen.listOfN(n, Gen.oneOf((1 to 12).map(i => s"v$i")))
+      cuts <- Gen.listOfN(3, Gen.chooseNum(0, math.max(0, n)))
+      shuffleSeed <- Gen.chooseNum(0, 1000)
+    } yield (items, cuts, shuffleSeed)
+    samples(caseGen, 120).foreach { case (items, cuts, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(items)
+      // BottomK: k smallest distinct, exactly, however the group splits
+      val bk = BottomK(4)
+      val ref = items.distinct.sorted.take(4)
+      assert(splitEval[List[String], Seq[String]](items, bk.zero,
+        bk.reduce, bk.merge, bk.finish, cuts) === ref)
+      assert(splitEval[List[String], Seq[String]](shuffled, bk.zero,
+        bk.reduce, bk.merge, bk.finish, Seq(items.length / 2)) === ref)
+      // BoundedCollect: buffer length is EXACTLY min(n, cap+1) under any
+      // split — the cap+1 sentinel callers branch on (keep vs drop) must
+      // never report a full group as small or vice versa — and a group
+      // at-or-under cap keeps its exact multiset
+      val cap = 5
+      val bc = BoundedCollect.docIds(cap)
+      val ids = items.zipWithIndex.map(_._2.toLong)
+      def bcLen(cs: Seq[Int]): Seq[Long] = {
+        val chunks = (cs.sorted.distinct :+ ids.length)
+          .foldLeft((Seq.empty[Seq[Long]], 0)) { case ((acc, from), to) =>
+            (acc :+ ids.slice(from, to), to)
+          }._1.filter(_.nonEmpty)
+        val partials = chunks.map(c => c.foldLeft(bc.zero)(bc.reduce))
+        bc.finish(partials.foldLeft(bc.zero)(bc.merge))
+      }
+      val got = bcLen(cuts)
+      assert(got.length === math.min(ids.length, cap + 1),
+        s"BoundedCollect length drifted at n=${ids.length} cuts=$cuts")
+      if (ids.length <= cap) assert(got.sorted === ids.sorted)
+      // CountMin: sketch vector is additive, so any split sums identically
+      val cm = new CountMin(4, 64)
+      def cmEval(in: Seq[String], cs: Seq[Int]): Seq[Long] =
+        splitEval[Array[Long], Array[Long]](in, cm.zero, cm.reduce,
+          cm.merge, cm.finish, cs).toSeq
+      assert(cmEval(items, cuts) === cmEval(shuffled, Seq(1, 2)))
+    }
+  }
+
   test("MP4 chunk-map layouts round-trip for generated chunkings") {
     // GENERATED chunk layouts (arbitrary sample sizes, arbitrary chunk
     // partitions, junk gaps between chunks, stco or co64, run-length
