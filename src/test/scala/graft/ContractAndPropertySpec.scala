@@ -324,6 +324,36 @@ class ContractAndPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_contains ∘ sort_array ≡ array_contains on generated arrays") {
+    // the binary search must agree with Spark's own linear array_contains
+    // for EVERY input its contract admits — null elements (sorted first),
+    // duplicates, and supplementary-plane strings, where UTF8String's
+    // unsigned-byte order (what sort_array produces) disagrees with Java
+    // String's UTF-16 order (U+E000..U+FFFF sorts ABOVE U+10000+ in
+    // UTF-16 but below it in UTF-8 bytes — a reference implemented on
+    // String.compareTo would probe the wrong half)
+    val elemGen = Gen.frequency(
+      5 -> Gen.oneOf((1 to 9).map(i => Some(s"s$i"))),
+      2 -> Gen.oneOf(Seq("é", "中", "🚂", "￮", "").map(Some(_))),
+      1 -> Gen.const(None))
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 15)
+      arr <- Gen.listOfN(n, elemGen)
+      probe <- Gen.oneOf(
+        Gen.oneOf((1 to 9).map(i => s"s$i") ++
+          Seq("é", "中", "🚂", "￮", "", "absent")),
+        Gen.const("zz_never"))
+    } yield (arr, probe)
+    val df = samples(caseGen, 250).toDF("arr", "probe")
+    graft.plans.GraftExtensions.registerOn(spark)
+    val bad = df
+      .withColumn("viaSorted",
+        expr("sorted_contains(sort_array(arr), probe)"))
+      .withColumn("viaLinear", expr("array_contains(arr, probe)"))
+      .filter(!($"viaSorted" <=> $"viaLinear"))
+    assert(bad.count() === 0, bad.collect().take(5).mkString("\n"))
+  }
+
   test("MP4 chunk-map layouts round-trip for generated chunkings") {
     // GENERATED chunk layouts (arbitrary sample sizes, arbitrary chunk
     // partitions, junk gaps between chunks, stco or co64, run-length
