@@ -44,9 +44,17 @@ class RestFeedHttpSpec extends AnyFunSuite {
         val (status, bodyStr) = script(rt, n)
         val bytes = bodyStr.getBytes("UTF-8")
         ex.getResponseHeaders.add("Content-Type", "application/json")
-        ex.sendResponseHeaders(status, bytes.length)
-        ex.getResponseBody.write(bytes)
-        ex.close()
+        if (status == RestFeedHttpSpec.Truncate) {
+          // declare more bytes than will ever arrive, then slam the
+          // connection: the client sees a mid-body transport failure
+          ex.sendResponseHeaders(200, bytes.length + 64L)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        } else {
+          ex.sendResponseHeaders(status, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
       }
     })
     server.start()
@@ -142,4 +150,36 @@ class RestFeedHttpSpec extends AnyFunSuite {
           "raise_for_status; no retry)")
     }
   }
+
+  test("real socket: truncated 200 body fails the task, admits NO partial batch") {
+    // a poll whose connection dies mid-body is a transport failure, not a
+    // 429: it must fail the task after its one request (no silent retry
+    // burning the 429 budget) and, exactly-once critical, the memory sink
+    // must see ZERO rows from the broken poll — a partial batch from a
+    // half-read body would be an admitted corruption the checkpoint then
+    // makes permanent
+    withServer((rt, _) => (RestFeedHttpSpec.Truncate, fixtureBody(rt))) {
+      (base, counts, _) =>
+        val tmp =
+          java.nio.file.Files.createTempDirectory("graft-http-trunc").toString
+        val q = spark.readStream.format("graft-rest")
+          .options(options(base) + ("lines" -> "Red")).load()
+          .writeStream.format("memory").queryName("rest_http_trunc")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start()
+        intercept[StreamingQueryException] { q.awaitTermination(120000) }
+        assert(counts.get("Red").get() === 1,
+          "a transport failure is not rate limiting: one request, no retry")
+        assert(spark.table("rest_http_trunc").count() === 0,
+          "no rows may be admitted from a truncated poll")
+    }
+  }
+}
+
+object RestFeedHttpSpec {
+  /** Sentinel "status" for the scripted handler: respond 200 but declare
+    * more bytes than are sent, then close — a mid-body transport failure
+    * as the client sees it. */
+  val Truncate: Int = -1
 }
