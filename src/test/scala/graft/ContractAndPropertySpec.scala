@@ -354,6 +354,73 @@ class ContractAndPropertySpec extends AnyFunSuite {
     assert(bad.count() === 0, bad.collect().take(5).mkString("\n"))
   }
 
+  test("media decoders are total on random, truncated, and bit-flipped bytes") {
+    // the crawl-garbage contract for the binary tier, same class as the
+    // rolling_hash64 malformed-UTF-8 fix: a corpus blob may be truncated
+    // mid-download, bit-rotted, or mislabeled, and ONE bad blob must
+    // return None/a stub — never throw — or it fails the whole 100-TB
+    // decode pass. Inputs: random bytes, every truncated prefix of valid
+    // fixture blobs (the sharpest parser-crash generator: all length
+    // checks off-by-one against a real structure), and single-bit flips
+    // of valid blobs (corrupt sizes/offsets that stay structurally
+    // plausible).
+    import graft.ext.{MediaDecode, MediaFixtures}
+    val jf = (0 until 3).map(i =>
+      MediaFixtures.jpegGray(8, 6, (x, y) => (x * 17 + y * 31 + i * 5) % 256))
+    val valid: Seq[Array[Byte]] = Seq(
+      MediaFixtures.png(5, 4), MediaFixtures.jpeg(7, 3),
+      MediaFixtures.gif(6, 2), MediaFixtures.bmp(5, 5),
+      MediaFixtures.bmpRaster(6, 4, (x, y) => (x * 40 + y * 20) % 256),
+      MediaFixtures.gifRaster(5, 3, (x, y) => (x + y) % 2 * 255),
+      MediaFixtures.gifAnimRaster(4, 3, 3, (f, x, y) => (f * 60 + x) % 256),
+      MediaFixtures.wavPcm16(8000, 64, i => (i * 321) % 2000 - 1000),
+      MediaFixtures.mp4Mjpeg(1000, jf),
+      MediaFixtures.mp4MjpegChunked(1000, jf,
+        jf.map(_.take(16)))) // aux track samples (non-video)
+    val decoders: Seq[(String, Array[Byte] => Any)] = Seq(
+      "decodeStub" -> MediaDecode.decodeStub,
+      "decodeHeader" -> MediaDecode.decodeHeader,
+      "decodeJpegSof" -> MediaDecode.decodeJpegSof,
+      "decodeImageIO" -> MediaDecode.decodeImageIO,
+      "decode" -> MediaDecode.decode,
+      "decodeBmpGray" -> MediaDecode.decodeBmpGray,
+      "decodeImageIOGray" -> MediaDecode.decodeImageIOGray,
+      "decodeRasterGray" -> MediaDecode.decodeRasterGray,
+      "decodeFramesGray" -> MediaDecode.decodeFramesGray,
+      "decodeWavPcm16" -> MediaDecode.decodeWavPcm16,
+      "decodeMp4Meta" -> MediaDecode.decodeMp4Meta,
+      "decodeMp4Samples" -> MediaDecode.decodeMp4Samples,
+      "decodeMp4FrameSlices" -> MediaDecode.decodeMp4FrameSlices)
+    val rnd = new scala.util.Random(4242)
+    val randoms = (0 until 150).map { _ =>
+      val a = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(a); a
+    }
+    val prefixes = valid.flatMap(b =>
+      (0 until b.length by 3).map(n => b.take(n)))
+    val flips = valid.flatMap { b =>
+      (0 until 40).map { _ =>
+        val c = b.clone()
+        val i = rnd.nextInt(c.length)
+        c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte
+        c
+      }
+    }
+    for ((name, fn) <- decoders; bytes <- randoms ++ prefixes ++ flips) {
+      try { fn(bytes); () } catch {
+        case scala.util.control.NonFatal(e) => fail(
+          s"$name threw ${e.getClass.getSimpleName}: ${e.getMessage} on " +
+            s"${bytes.length} bytes [${bytes.take(24).map(x => f"${x & 0xff}%02x").mkString(" ")}…]")
+      }
+    }
+    // and the valid fixtures still decode (the fuzz can't have been
+    // passing because everything returns None)
+    assert(MediaDecode.decodeHeader(valid.head).nonEmpty)
+    assert(MediaDecode.decodeWavPcm16(
+      MediaFixtures.wavPcm16(8000, 64, i => i % 100)).nonEmpty)
+    assert(MediaDecode.decodeMp4FrameSlices(
+      MediaFixtures.mp4Mjpeg(1000, jf)).exists(_.length === 3))
+  }
+
   test("MP4 chunk-map layouts round-trip for generated chunkings") {
     // GENERATED chunk layouts (arbitrary sample sizes, arbitrary chunk
     // partitions, junk gaps between chunks, stco or co64, run-length
