@@ -421,6 +421,53 @@ class ContractAndPropertySpec extends AnyFunSuite {
       MediaFixtures.mp4Mjpeg(1000, jf)).exists(_.length === 3))
   }
 
+  test("connected components labels equal union-find on generated graphs") {
+    // the min-label + pointer-jump iteration must produce EXACTLY the
+    // min-doc_id-per-component labeling a sequential union-find gives,
+    // on generated graph shapes the LSH pair corpus never exercises —
+    // long chains (stress the doubling: depth halves per round, so a
+    // 60-node path needs the pointer jumps to actually compose), stars,
+    // disjoint cliques, self-loops, duplicate edges in both directions.
+    import graft.ext.DedupQueries
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 60)
+      shape <- Gen.oneOf("chain", "star", "random", "cliques")
+      extra <- Gen.listOf(Gen.zip(Gen.chooseNum(0L, 59L), Gen.chooseNum(0L, 59L)))
+    } yield {
+      val ids = (0L until n.toLong).map(_ * 7 + 3) // non-contiguous ids
+      val base: Seq[(Long, Long)] = shape match {
+        case "chain" => ids.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+        case "star" => ids.tail.map(x => (ids.head, x))
+        case "cliques" => ids.grouped(5).flatMap(g =>
+          for (a <- g; b <- g if a < b) yield (a, b)).toSeq
+        case _ => extra.collect { case (a, b)
+          if a < n && b < n && a != b => (ids(a.toInt), ids(b.toInt)) }
+      }
+      base
+    }
+    samples(graphGen, 8).filter(_.nonEmpty).foreach { edges =>
+      // sequential union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-label canonicalization: every node labels to its component min
+      val want = parent.keys.map(x => x -> find(x)).toMap
+        .map { case (x, r) =>
+          x -> parent.keys.filter(y => find(y) == r).min }
+      val got = DedupQueries.clusterLabels(spark,
+          edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want,
+        s"CC labels diverged from union-find on ${edges.length} edges")
+    }
+  }
+
   test("MP4 chunk-map layouts round-trip for generated chunkings") {
     // GENERATED chunk layouts (arbitrary sample sizes, arbitrary chunk
     // partitions, junk gaps between chunks, stco or co64, run-length
