@@ -468,6 +468,49 @@ class ContractAndPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("string/vector kernels: bounds, symmetry, and edge totality") {
+    import graft.functions.{JaroWinkler, MinhashSig, Sq8Code}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // Jaro-Winkler: [0,1], symmetric, 1 on identity, 0 against empty —
+    // on generated byte strings including empties and multi-byte UTF-8
+    // (the kernel is byte-grained by design; the oracle pins DuckDB
+    // agreement on the corpus, this pins the analytic invariants)
+    val strGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.alphaNumChar.map(_.toString), Gen.oneOf("é", "中", " "))))
+      .map(_.mkString)
+    samples(Gen.zip(strGen, strGen), 200).foreach { case (a, b) =>
+      val (ua, ub) = (UTF8String.fromString(a), UTF8String.fromString(b))
+      val s = JaroWinkler.sim(ua, ub)
+      assert(s >= 0.0 && s <= 1.0, s"out of bounds: '$a' vs '$b' -> $s")
+      assert(s === JaroWinkler.sim(ub, ua), s"asymmetric: '$a' vs '$b'")
+      assert(JaroWinkler.sim(ua, ua) === 1.0)
+      if (a.isEmpty ^ b.isEmpty) assert(s === 0.0)
+    }
+    // MinhashSig: an EMPTY shingle array must not throw — it yields the
+    // K all-null signature the HOF mirror's array_min-of-empty gives
+    // (dataType declares containsNull=true for exactly this case)
+    val empty = MinhashSig.sig(new GenericArrayData(Array.empty[Any]))
+    assert(empty.numElements() === MinhashSig.K)
+    assert((0 until MinhashSig.K).forall(empty.isNullAt))
+    // Sq8Code: total on NaN/Inf/zero vectors; codes stay in [-127, 127]
+    // and the scale is max-|component| so a full-scale component hits
+    // the rail exactly
+    val vecs = Seq(
+      Array(0.0f, 0.0f), Array(Float.NaN, 1.0f),
+      Array(Float.PositiveInfinity, -1.0f), Array(-2.5f, 2.5f, 1.25f),
+      Array.empty[Float])
+    vecs.foreach { v =>
+      val out = Sq8Code.encode(new GenericArrayData(v.map(x => x: Any)))
+      assert(out.numElements() === v.length)
+      val codes = (0 until out.numElements()).map(out.getLong)
+      assert(codes.forall(c => c >= -127L && c <= 127L),
+        s"code out of rails for ${v.toSeq}: $codes")
+    }
+    val full = Sq8Code.encode(new GenericArrayData(Array[Any](2.5f, -2.5f)))
+    assert(full.getLong(0) === 127L && full.getLong(1) === -127L)
+  }
+
   test("MP4 chunk-map layouts round-trip for generated chunkings") {
     // GENERATED chunk layouts (arbitrary sample sizes, arbitrary chunk
     // partitions, junk gaps between chunks, stco or co64, run-length
