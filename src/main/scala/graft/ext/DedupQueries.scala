@@ -982,7 +982,7 @@ object DedupQueries {
     * duplicated-substring length the scan detects (chars; the published
     * ExactSubstr threshold is ~50 tokens, scaled to this corpus's short
     * synthetic docs). */
-  private val SUBSTR_W = 40
+  private[graft] val SUBSTR_W = 40
 
   /** Exact repeated-SUBSTRING spans across the corpus — the
     * character-level complement of line-keyed span scrubbing: find every
@@ -1084,7 +1084,7 @@ object DedupQueries {
     * [[substringDedupHashed]], so the two forms cannot drift: positions
     * within [[SUBSTR_W]] of each other merge (their windows overlap or
     * touch), spans number per doc in start order. */
-  private def spansOf(dupPos: DataFrame): DataFrame = {
+  private[graft] def spansOf(dupPos: DataFrame): DataFrame = {
     import dupPos.sparkSession.implicits._
     val wd = Window.partitionBy($"doc_id").orderBy($"p")
     val spans = dupPos

@@ -511,6 +511,46 @@ class ContractAndPropertySpec extends AnyFunSuite {
     assert(full.getLong(0) === 127L && full.getLong(1) === -127L)
   }
 
+  test("gaps-islands span assembly equals brute interval merge on generated positions") {
+    // spansOf is the SHARED final stage of both substring-dedup forms
+    // (the factoring that keeps them from drifting) — positions within
+    // W of each other merge into one span ending at last+W-1, spans
+    // number per doc in start order. Brute reference: sort, split on
+    // gap > W, merge. Generated multi-doc position sets with dense
+    // runs, singletons, and exact-boundary gaps (p' - p == W merges,
+    // W+1 splits — the off-by-one this pins).
+    import graft.ext.DedupQueries
+    val W = DedupQueries.SUBSTR_W.toLong
+    val caseGen = for {
+      nd <- Gen.chooseNum(1, 3)
+      ps <- Gen.listOfN(nd * 8, Gen.zip(
+        Gen.chooseNum(1L, nd.toLong),
+        Gen.frequency(
+          3 -> Gen.chooseNum(1L, 400L),
+          // exact-boundary clusters around multiples of W
+          1 -> Gen.chooseNum(1L, 5L).map(_ * W),
+          1 -> Gen.chooseNum(1L, 5L).map(_ * W + 1))))
+    } yield ps.distinct
+    samples(caseGen, 12).foreach { ps =>
+      val got = DedupQueries.spansOf(ps.toDF("doc_id", "p"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val want = ps.groupBy(_._1).toSeq.flatMap { case (doc, rows) =>
+        val sorted = rows.map(_._2).distinct.sorted
+        val islands = sorted.foldLeft(Vector.empty[Vector[Long]]) {
+          case (acc, p) if acc.nonEmpty && p - acc.last.last <= W =>
+            acc.init :+ (acc.last :+ p)
+          case (acc, p) => acc :+ Vector(p)
+        }
+        islands.zipWithIndex.map { case (isl, i) =>
+          val (s, e) = (isl.head, isl.last + W - 1)
+          (doc, (i + 1).toLong, s, e, e - s + 1)
+        }
+      }.sortBy(t => (t._1, t._2))
+      assert(got === want, s"spans diverged for positions $ps")
+    }
+  }
+
   test("MP4 chunk-map layouts round-trip for generated chunkings") {
     // GENERATED chunk layouts (arbitrary sample sizes, arbitrary chunk
     // partitions, junk gaps between chunks, stco or co64, run-length
