@@ -145,10 +145,19 @@ object Bench {
     // recorded time is the min of all three. A real plan regression
     // reproduces in pass 3; a contention artifact does not. Cost: one run
     // per flagged query, not a third full sweep.
-    val flagged = minOf2.toSeq.collect {
+    val ratioFlagged = minOf2.toSeq.collect {
       case (n, cur) if cur > 0.5 &&
         prior.get(n).exists(p => p > 0 && cur / p > 1.5) => n
-    }.sorted
+    }
+    // Cost-aware recheck (round 17): the ratio trigger alone never
+    // rechecks the most expensive queries when a whole run is uniformly
+    // inflated (box-wide contention lifts every ratio below 1.5x while
+    // the absolute seconds at the top of the cost table — the ones that
+    // dominate the round total — are judged by a single contended pair).
+    // The top-5 by min-of-2 cost get the third run unconditionally, so
+    // the round's biggest line items never depend on box luck.
+    val costFlagged = minOf2.toSeq.sortBy(-_._2).take(5).map(_._1)
+    val flagged = (ratioFlagged ++ costFlagged).distinct.sorted
     val byName = benched.toMap
     val pass3: Map[String, Double] =
       flagged.flatMap(n => byName.get(n).map(fn => n -> timed(n, fn))).toMap
@@ -214,8 +223,16 @@ object Bench {
     val recheckJson = pass3.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Subset runs are NOT protocol-comparable to full-sweep baselines: a
+    // subsetted memo consumer's pass-1 absorbs builds the full sweep
+    // prebuilds untimed, and JIT warmth differs. Mark the artifact so a
+    // dev subset JSON can never be mistaken for a driver-protocol run.
+    val subsetJson = subset match {
+      case Some(s) => s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      case None => "null"
+    }
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2-plus-recheck","queries":$qs,"raw":$rawJson,"recheck":$recheckJson,"baseline":"${priorFile.replace("\\", "/")}","tiers":$tiers,"warmup_absorbers":$absorbers,"slow_outliers":$slowOutliers,"regressions":$regressions,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2-plus-recheck","subset_run":${subset.nonEmpty},"subset":$subsetJson,"queries":$qs,"raw":$rawJson,"recheck":$recheckJson,"baseline":"${priorFile.replace("\\", "/")}","tiers":$tiers,"warmup_absorbers":$absorbers,"slow_outliers":$slowOutliers,"regressions":$regressions,"sf":"$sfDir"}"""
     val compactJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     try {

@@ -1039,9 +1039,21 @@ object DedupQueries {
     // DOC-grain verify whose join is one row per candidate doc and
     // broadcasts when the duplicated tail is small — the 100-TB shape.
     // Same dupPos set, same spans, same DuckDB oracle either way.
+    // Verify slices come from the SANITIZED text (r17): the contract is
+    // code-point equality under the fingerprint's decode, and a raw
+    // substring over a malformed tail (truncated multi-byte sequence at
+    // end-of-doc) carries ill-defined bytes that can disagree with the
+    // deterministic U+FFFD the fingerprint hashed — a real trailing
+    // duplicate dropped, or a spurious one kept. SanitizeUtf8 is the
+    // identity (same object, no allocation) on valid text, so the
+    // oracle corpus is untouched; positions are preserved by
+    // construction (same stepping). One O(len) scan per candidate doc
+    // row, WSCG-resident.
     val candPos = candidatePositions(docs)
     val candWin = candPos
-      .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
+      .join(docs.select($"doc_id",
+        graft.functions.SanitizeUtf8.sanitizeUtf8($"text").as("text")),
+        Seq("doc_id"))
       .select($"doc_id", $"p",
         $"text".substr($"p".cast("int"), lit(SUBSTR_W)).as("win"))
     // SHUFFLE_HASH: a sort-merge semi join would Tungsten-sort 40-char
@@ -1149,8 +1161,14 @@ object DedupQueries {
     // bound, so the CAST is safe.
     val candByDoc = candPos.groupBy($"doc_id")
       .agg(collect_list($"p").as("ps"))
+    // doc-grain twin of the string form's sanitize note: slices must
+    // read the fingerprint's decoded code-point sequence, so the join
+    // side carries the sanitized text (identity, zero-copy on valid
+    // docs)
     val candWin = candByDoc
-      .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
+      .join(docs.select($"doc_id",
+        graft.functions.SanitizeUtf8.sanitizeUtf8($"text").as("text")),
+        Seq("doc_id"))
       .select($"doc_id", explode(expr(
         s"transform(ps, p -> struct(p AS p, " +
           s"substring(text, CAST(p AS INT), $SUBSTR_W) AS win))")).as("pw"))

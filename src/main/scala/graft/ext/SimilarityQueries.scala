@@ -1212,9 +1212,9 @@ object SimilarityQueries {
     * (this corpus) coarse sub-quantizers rank candidates barely above
     * chance; 8 subspaces halve the per-subspace variance the codebook
     * must cover. */
-  private val PQ_M = 8
-  private val PQ_SUB = DIM / PQ_M
-  private val PQ_K = 16
+  private[graft] val PQ_M = 8
+  private[graft] val PQ_SUB = DIM / PQ_M
+  private[graft] val PQ_K = 16
   private val PQ_C = 20
 
   /** Lloyd rounds for the per-subspace codebooks. Random (md5-seeded)
@@ -1241,7 +1241,7 @@ object SimilarityQueries {
 
   /** Encode pass: nearest codeword per (vector, subspace) by exact integer
     * L2, ties on cid — one corpus pass against the broadcast codebook. */
-  private def pqEncode(e: DataFrame, cb: DataFrame): DataFrame = {
+  private[graft] def pqEncode(e: DataFrame, cb: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     val sv = expr(s"slice(qe, m * $PQ_SUB + 1, $PQ_SUB)")
     val diff = zip_with(sv, $"cw", (x, y) => x - y)
@@ -1270,7 +1270,7 @@ object SimilarityQueries {
   }
 
   /** Seed + [[PQ_ROUNDS]] Lloyd-refined per-subspace codebooks. */
-  private def pqCodebook(e: DataFrame): DataFrame =
+  private[graft] def pqCodebook(e: DataFrame): DataFrame =
     (1 to PQ_ROUNDS).foldLeft(pqSeed(e)) { (cb, _) =>
       pqUpdate(e, pqEncode(e, cb))
     }
@@ -1356,7 +1356,7 @@ object SimilarityQueries {
   }
 
   /** The per-query 8×16 partial-dot lookup table (ADC's query-side half). */
-  private def pqLut(e: DataFrame, cb: DataFrame): DataFrame = {
+  private[graft] def pqLut(e: DataFrame, cb: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     val sv = expr(s"slice(qe, m * $PQ_SUB + 1, $PQ_SUB)")
     e.where($"vec_id" < 20).join(broadcast(cb), lit(true))

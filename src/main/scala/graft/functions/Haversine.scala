@@ -46,14 +46,25 @@ case class Haversine(lat1: Expression, lon1: Expression,
 object Haversine {
   val EarthRadiusKm = 6371.0088
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code.
+    *
+    * `a` is clamped into [0, 1] before `asin(sqrt(a))`: near-antipodal
+    * pairs round `a` to 1.0000000000000002 in double arithmetic (found
+    * by the r17 property fuzz — ~5% of random antipodes hit it), and
+    * asin(>1) is NaN, so an unclamped form silently poisons any
+    * aggregate that sums distances over a corpus containing one such
+    * pair. The low clamp covers out-of-range latitudes (|lat| > 90
+    * makes the cos product negative), keeping the kernel total on
+    * garbage coordinates — one bad row must never NaN a fleet-wide
+    * roll-up. In-range, non-antipodal inputs are unaffected: a < 1 by
+    * more than one ulp everywhere the clamp is not needed. */
   def km(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
     val dLat = math.toRadians(lat2 - lat1)
     val dLon = math.toRadians(lon2 - lon1)
     val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
       math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
         math.sin(dLon / 2) * math.sin(dLon / 2)
-    2 * EarthRadiusKm * math.asin(math.sqrt(a))
+    2 * EarthRadiusKm * math.asin(math.sqrt(math.max(0.0, math.min(1.0, a))))
   }
 
   /** Smart constructor coercing inputs to double (SQL int literals etc.). */

@@ -399,8 +399,10 @@ object StreamJobs {
     * buffered touches older than the newest seen timestamp minus the
     * window, under the per-key event-time monotone-arrival assumption
     * the Markov carry documents — [[utouchTimersStream]] is the
-    * late-data leg that drops the assumption. Downstream the credit
-    * stream feeds the same per-touch-type census as batch. */
+    * late-data leg that drops the assumption; see the [[UTouch]]
+    * two-leg contract note for which leg a deployer picks and the
+    * state-size formula of each. Downstream the credit stream feeds
+    * the same per-touch-type census as batch. */
   def utouchStream(events: DataFrame): Dataset[UTouchCredit] = {
     val s = events.sparkSession
     import s.implicits._
@@ -430,15 +432,19 @@ object StreamJobs {
     * watermark states. The credit split itself is [[UTouch.credits]],
     * shared with the monotone leg.
     *
-    * State bound: per-key ListState holds touch-rate × (attribution
-    * window W + watermark delay) touches plus the unsettled purchases
-    * inside the delay — the delay is a direct state multiplier, so the
-    * DEFAULT is a bounded "1 hour"; a deployment trades completeness
-    * under disorder against state by passing its own delay (the
-    * StreamingSpec replay passes "365 days" explicitly to settle a
-    * year-spread fixture). */
+    * `delay` has NO default on purpose (the [[UTouch]] contract note):
+    * it is the deployment's lateness bound AND a direct state
+    * multiplier — per-key ListState holds touch-rate × (attribution
+    * window W + delay) touches plus the unsettled purchases inside the
+    * delay. Events later than `delay` are dropped by the watermark
+    * filter, so a silently-inherited small value under-credits and a
+    * silently-inherited large one over-buffers; the caller must state
+    * the trade-off explicitly (the StreamingSpec replay passes
+    * "365 days" to settle a year-spread fixture; a production poll
+    * feed's re-delivery disorder is minutes, so "1 hour" is a sane
+    * choice THERE). */
   def utouchTimersStream(events: DataFrame,
-      delay: String = "1 hour"): Dataset[UTouchCredit] = {
+      delay: String): Dataset[UTouchCredit] = {
     val s = events.sparkSession
     import s.implicits._
     events
@@ -1255,7 +1261,40 @@ class UTouchCarry
 /** The U-shape credit split shared by the monotone-arrival carry
   * ([[UTouchCarry]]) and the watermark-buffered late-data leg
   * ([[UTouchTimers]]) — one implementation, so the two legs cannot
-  * drift from each other or from the batch CASE they both mirror. */
+  * drift from each other or from the batch CASE they both mirror.
+  *
+  * ==The two-leg contract (which leg a deployer picks, and why)==
+  *
+  * Both legs compute the SAME attribution (this object's [[credits]]);
+  * they differ only in the arrival-order contract they demand and the
+  * state they pay for it:
+  *
+  *  - '''Carry leg''' ([[StreamJobs.utouchStream]], [[UTouchCarry]]):
+  *    assumes per-key event-time arrival is MONOTONE (each user's
+  *    events reach the processor in timestamp order across
+  *    micro-batches). Purchases settle immediately on arrival, so
+  *    credits stream out with no watermark latency. State per key =
+  *    touch-rate × W (the 7-day lookback window only) — the floor for
+  *    this computation; nothing is buffered beyond the window. A
+  *    violated contract is SILENT: an out-of-order touch arriving after
+  *    its purchase simply never credits it.
+  *  - '''Timers leg''' ([[StreamJobs.utouchTimersStream]],
+  *    [[UTouchTimers]]): no ordering assumption — correct under any
+  *    arrival disorder up to the declared watermark `delay`. Purchases
+  *    settle only when the watermark proves their window closed, so
+  *    emission lags by up to `delay`, and state per key = touch-rate ×
+  *    (W + delay) + unsettled purchases inside the delay. Disorder
+  *    beyond `delay` is dropped by the watermark filter (bounded, but
+  *    still a completeness cliff — which is why `delay` has no
+  *    default).
+  *
+  * Pick the carry leg when the feed is per-key ordered (a partitioned
+  * log keyed by user, or a replay of compacted landing files); pick the
+  * timers leg at an at-least-once unordered landing edge (the
+  * reference's poll loop retries re-deliver and its firehose buffering
+  * re-batches), sizing `delay` to the observed re-delivery disorder.
+  * At 100 TB the state delta between the legs is `touch-rate × delay`
+  * per key — the reason `delay` is the deployer's explicit call. */
 private[graft] object UTouch {
   private val W = graft.analytics.IncrementalQueries.ATTR_WINDOW_US
 

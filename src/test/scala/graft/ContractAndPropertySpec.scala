@@ -177,6 +177,296 @@ class ContractAndPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sanitize_utf8 preserves slots and fingerprints, is identity on valid text") {
+    // The r17 verify-slice bridge, pinned over ARBITRARY bytes. Four
+    // invariants make the substring-dedup verify coherent with its
+    // fingerprint admission on crawl garbage:
+    //   (1) slot fidelity — numChars(sanitize(s)) == numChars(s), so
+    //       every fingerprint position stays a valid substring position;
+    //   (2) fingerprint invariance — rolling_hash64(sanitize(s), w) ==
+    //       rolling_hash64(s, w): the sanitizer re-encodes exactly the
+    //       code points the hash decoded, nothing else;
+    //   (3) idempotence via the fast path — sanitize(sanitize(s)) is
+    //       the SAME OBJECT (the output always validates clean), and
+    //       the output's stepping consumes its bytes exactly (no slice
+    //       can overshoot the array — every window is well-defined);
+    //   (4) identity on valid text — generated valid unicode returns
+    //       the same object, so the oracle corpus is untouched.
+    // NOTE make_valid_utf8 CANNOT satisfy (1): probed empirically, it
+    // re-steps bytes a failed lead already consumed (C2 41 -> U+FFFD
+    // + 'A', two slots where substring counts one).
+    import graft.functions.{RollingHash64, SanitizeUtf8}
+    import org.apache.spark.unsafe.types.UTF8String
+    val rawGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 255).map(_.toByte)))
+    val arrays = samples(rawGen, 400).map(_.toArray)
+    val targeted: Seq[Array[Byte]] = Seq(
+      Array(0xC2.toByte), // truncated 2-byte tail
+      "hello".getBytes("UTF-8") ++ Array(0xE0.toByte, 0xA0.toByte),
+      Array(0xC2.toByte, 0x41.toByte), // failed continuation then ASCII
+      Array(0xED.toByte, 0xA0.toByte, 0x80.toByte), // lone surrogate (CESU)
+      Array(0xE0.toByte, 0x80.toByte, 0x80.toByte), // overlong NUL
+      Array(0xF4.toByte, 0xBF.toByte, 0xBF.toByte, 0xBF.toByte), // >10FFFF
+      Array(0xC0.toByte, 0xAF.toByte), // overlong lead + stray cont
+      Array[Byte]())
+    def stepOf(b0: Int): Int =
+      if (b0 < 0xc2 || b0 >= 0xf5) 1
+      else if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4
+    for (bytes <- arrays ++ targeted) {
+      val s = UTF8String.fromBytes(bytes)
+      val z = SanitizeUtf8.sanitize(s) // totality: no byte array throws
+      assert(z.numChars() === s.numChars(),
+        s"slot count changed for ${bytes.toSeq}: ${z.getBytes.toSeq}")
+      for (w <- Seq(1, 2, 5))
+        assert(RollingHash64.hash(z, w).toLongArray().toSeq ===
+          RollingHash64.hash(s, w).toLongArray().toSeq,
+          s"fingerprints drifted for ${bytes.toSeq} w=$w")
+      assert(SanitizeUtf8.sanitize(z) eq z,
+        s"output not clean/idempotent for ${bytes.toSeq}: ${z.getBytes.toSeq}")
+      // the output's stepping lands exactly on the array end: no window
+      // slice can ever read past the bytes (the raw-slice hazard the
+      // sanitizer exists to remove)
+      val zb = z.getBytes
+      var i = 0; var n = 0
+      while (i < zb.length) { i += stepOf(zb(i) & 0xff); n += 1 }
+      assert(i === zb.length && n === z.numChars(),
+        s"sanitized stepping overshoots for ${bytes.toSeq}: ${zb.toSeq}")
+    }
+    // (4) identity (same object, not just equal bytes) on valid text
+    val cpGen = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+      Gen.chooseNum('a'.toInt, 'z'.toInt), Gen.const(0xe9), Gen.const(0x3bb),
+      Gen.const(0x65e5), Gen.const(0x1f682))))
+    samples(cpGen, 150).foreach { cps =>
+      val s = UTF8String.fromString(new String(cps.toArray, 0, cps.length))
+      assert(SanitizeUtf8.sanitize(s) eq s,
+        s"valid text must pass through untouched: ${cps}")
+    }
+    // and the COLUMN form (codegen path) agrees with the kernel, byte
+    // for byte — compared as binary, because collecting a String would
+    // round-trip through UTF-16 and mangle exactly the inputs at stake
+    val hexes = (arrays ++ targeted).map(b =>
+      b.map(x => f"${x & 0xff}%02X").mkString)
+    val rows = hexes.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val got = rows.toDF("id", "hex")
+      .select($"id",
+        graft.functions.SanitizeUtf8.sanitizeUtf8(
+          unhex($"hex").cast("string")).cast("binary").as("z"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("z")).toMap
+    (arrays ++ targeted).zipWithIndex.foreach { case (b, i) =>
+      val exp = SanitizeUtf8.sanitize(UTF8String.fromBytes(b)).getBytes
+      assert(got(i.toLong).toSeq === exp.toSeq,
+        s"codegen path diverged from the kernel for ${b.toSeq}")
+    }
+  }
+
+  test("haversine is total, bounded, symmetric and tracks a stable 3D reference") {
+    // The r17 property hunt's find: the textbook asin(sqrt(a)) form is
+    // NOT total — near-antipodal pairs round `a` to 1 + 1ulp and asin
+    // returns NaN (~5% of random antipodes in the fuzz below before the
+    // clamp), which would silently poison any distance aggregate the
+    // moment a corpus contains one such pair. Pinned here against the
+    // clamped kernel:
+    //   (1) totality — no NaN/Inf on random, antipodal, polar, or
+    //       out-of-range coordinates;
+    //   (2) bounds — 0 ≤ d ≤ π·R (half the great circle) for in-range
+    //       coordinates;
+    //   (3) exact symmetry and zero self-distance (the formula's sin²/
+    //       cos-product structure makes both IEEE-exact, so ==, not ≈);
+    //   (4) agreement with an INDEPENDENT double-precision reference —
+    //       the 3D unit-vector angle atan2(|u×v|, u·v), which is
+    //       numerically stable at every separation including the
+    //       antipodal region where asin(sqrt(·)) loses digits.
+    import graft.functions.Haversine
+    val R = Haversine.EarthRadiusKm
+    val halfCircle = math.Pi * R
+    val coord = Gen.zip(Gen.chooseNum(-90.0, 90.0), Gen.chooseNum(-180.0, 180.0))
+    val pairs = samples(Gen.zip(coord, coord), 300)
+    // antipodes (exact and ulp-perturbed — the overflow region), poles
+    val antipodes = samples(coord, 200).flatMap { case (lat, lon) =>
+      val lon2 = if (lon >= 0) lon - 180 else lon + 180
+      Seq(((lat, lon), (-lat, lon2)),
+        ((lat, lon), (-lat + 1e-13, lon2)),
+        ((lat, lon), (-lat, lon2 + 1e-13)))
+    }
+    val poles = Seq(((90.0, 0.0), (-90.0, 0.0)), ((90.0, 77.0), (-90.0, -123.0)),
+      ((90.0, 0.0), (90.0, 180.0)), ((0.0, 0.0), (0.0, 180.0)))
+    def ref3d(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val (p1, l1) = (math.toRadians(lat1), math.toRadians(lon1))
+      val (p2, l2) = (math.toRadians(lat2), math.toRadians(lon2))
+      val (x1, y1, z1) = (math.cos(p1) * math.cos(l1), math.cos(p1) * math.sin(l1), math.sin(p1))
+      val (x2, y2, z2) = (math.cos(p2) * math.cos(l2), math.cos(p2) * math.sin(l2), math.sin(p2))
+      val (cx, cy, cz) = (y1 * z2 - z1 * y2, z1 * x2 - x1 * z2, x1 * y2 - y1 * x2)
+      val cross = math.sqrt(cx * cx + cy * cy + cz * cz)
+      val dot = x1 * x2 + y1 * y2 + z1 * z2
+      R * math.atan2(cross, dot)
+    }
+    (pairs ++ antipodes ++ poles).foreach { case ((a1, o1), (a2, o2)) =>
+      val d = Haversine.km(a1, o1, a2, o2)
+      assert(!d.isNaN && !d.isInfinite, s"not total at ($a1,$o1)-($a2,$o2)")
+      assert(d >= 0.0 && d <= halfCircle + 1e-6,
+        s"out of bounds at ($a1,$o1)-($a2,$o2): $d")
+      assert(d === Haversine.km(a2, o2, a1, o1),
+        s"asymmetric at ($a1,$o1)-($a2,$o2)")
+      assert(Haversine.km(a1, o1, a1, o1) === 0.0)
+      val ref = ref3d(a1, o1, a2, o2)
+      // asin(sqrt(a)) is ill-conditioned as a→1: d(asin)/da diverges,
+      // so one ulp of a costs ~R·sqrt(2·ulp) ≈ 13 cm at the exact
+      // antipode (observed 19 cm in this fuzz). 1e-3 km (1 m absolute,
+      // 5e-8 relative at 20015 km) pins the kernel to the stable
+      // reference everywhere while allowing that inherent antipodal
+      // conditioning loss
+      assert(math.abs(d - ref) <= 1e-3,
+        s"drifted from 3D reference at ($a1,$o1)-($a2,$o2): $d vs $ref")
+    }
+    // totality on garbage coordinates too (|lat| > 90 flips the cos
+    // product negative; the low clamp keeps sqrt real): one bad row
+    // must never NaN a corpus aggregate
+    samples(Gen.zip(Gen.chooseNum(-500.0, 500.0), Gen.chooseNum(-500.0, 500.0),
+      Gen.chooseNum(-500.0, 500.0), Gen.chooseNum(-500.0, 500.0)), 200)
+      .foreach { case (a1, o1, a2, o2) =>
+        val d = Haversine.km(a1, o1, a2, o2)
+        assert(!d.isNaN && !d.isInfinite && d >= 0.0,
+          s"not total on garbage at ($a1,$o1)-($a2,$o2): $d")
+      }
+  }
+
+  test("count-min is overestimate-only, within e·N/w, and merge-tree invariant") {
+    // The CMS contract the q_text_heavyhitters oracle's approx_ok gate
+    // leans on, pinned on generated streams (the fixture corpus only
+    // ever exercised one frequency shape):
+    //   (1) estimate(x) ≥ true(x) ALWAYS — a CMS can only overcount
+    //       (hash collisions add, never subtract); this is what makes
+    //       the heavy-hitter admission sound (no real heavy hitter is
+    //       ever dropped by an underestimate);
+    //   (2) estimate(x) ≤ true(x) + e·N/w — the standard width bound
+    //       (deterministic here: md5 hashing + fixed seed makes each
+    //       generated stream's collision pattern reproducible);
+    //   (3) arbitrary merge trees equal the single-pass sketch — the
+    //       partial-agg/merge contract a 100-TB aggregation relies on.
+    import graft.functions.CountMin
+    val itemGen = Gen.chooseNum(0, 40).map(i => s"tok_$i") // zipf-ish head
+    val streamGen = Gen.chooseNum(50, 600)
+      .flatMap(n => Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.chooseNum(0, 5).map(i => s"hot_$i"), 3 -> itemGen)))
+    samples(streamGen, 25).foreach { stream =>
+      val (d, w) = (4, 64)
+      val agg = new CountMin(d, w)
+      val single = stream.foldLeft(agg.zero)(agg.reduce)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = stream.size.toLong
+      val slack = math.ceil(math.E * n / w).toLong
+      truth.foreach { case (item, t) =>
+        val est = CountMin.estimate(single.toSeq, item, d, w)
+        assert(est >= t, s"underestimated $item: $est < $t")
+        assert(est <= t + slack,
+          s"width bound broke for $item: $est > $t + $slack (n=$n)")
+      }
+      // (3) random 4-way split, merged pairwise then across — any tree
+      val parts = stream.grouped(math.max(1, stream.size / 4)).toSeq
+      val partials = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = partials.reduce((a, b) => agg.merge(a, b))
+      assert(merged.toSeq === single.toSeq,
+        "merge tree diverged from the single-pass sketch")
+    }
+  }
+
+  test("sq8 codes stay in [-127,127] and reconstruct within max|x|/127 per dim") {
+    // The SQ8 round-trip bound behind q_sim_knn_sq8's ranking quality:
+    // code_i = floor(x_i/sc·127) with sc = max|x| implies
+    // code_i·sc/127 ≤ x_i < (code_i+1)·sc/127, so the reconstruction
+    // x̂_i = code_i·sc/127 sits within one quantization step BELOW x_i
+    // — the per-dimension error every ADC-style consumer inherits is
+    // bounded by sc/127, uniformly over the vector. Pinned on generated
+    // finite vectors (r16's rails test pinned totality on NaN/Inf/zero;
+    // this pins the arithmetic the finite path promises).
+    import graft.functions.Sq8Code
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vecGen = Gen.chooseNum(1, 48).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6).map(_.toFloat)))
+    samples(vecGen, 200).foreach { v0 =>
+      val v = v0.toArray
+      val out = Sq8Code.encode(new GenericArrayData(v.map(x => x: Any)))
+      val codes = out.toLongArray()
+      assert(codes.length === v.length)
+      val sc0 = v.map(x => math.abs(x.toDouble)).max
+      val sc = if (sc0 == 0.0) 1.0 else sc0
+      val step = sc / 127.0
+      v.zip(codes).foreach { case (x, c) =>
+        assert(c >= -127L && c <= 127L, s"code $c out of range for x=$x sc=$sc")
+        val recon = c * sc / 127.0
+        // floor puts recon at or just below x; one ulp of slop for the
+        // divide/multiply round-trip
+        val tol = step * 1e-9 + 1e-12
+        assert(x - recon >= -tol && x - recon <= step + tol,
+          s"round-trip bound broke: x=$x code=$c recon=$recon step=$step")
+      }
+    }
+  }
+
+  test("PQ ADC score is exactly the dot against the reconstructed vector") {
+    // The ADC identity behind q_sim_knn_pq / q_ann_ivfpq / the OPQ arms
+    // (all share the same encode/LUT internals via knnPqOn): for every
+    // (query, vector) pair, the LUT-join-sum ADC score must equal the
+    // exact integer dot of the query against the RECONSTRUCTED vector
+    // (its m codewords concatenated). This is what "asymmetric distance
+    // computation" MEANS — if the identity drifts (wrong slice offsets,
+    // a join key mix-up, a partial-sum loss), ADC ranking silently stops
+    // approximating the true dot and recall collapses without any test
+    // failing. Also pins encode optimality: each chosen codeword
+    // minimizes the subspace L2 (ties to the smallest cid), which is
+    // the Lloyd-assignment contract the codebook trainer feeds on.
+    import graft.ext.SimilarityQueries
+    val dim = 64
+    val sub = SimilarityQueries.PQ_SUB.toInt
+    val m = SimilarityQueries.PQ_M
+    assert(m * sub === dim)
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-1000L, 1000L))
+    val vecs = samples(vecGen, 40).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val e = vecs.toDF("vec_id", "qe")
+    val cb = SimilarityQueries.pqCodebook(e)
+    val cbRows = cb.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2).toArray)
+      .toMap
+    // every (m, cid) codeword is sub-dim long
+    cbRows.foreach { case ((mm, cid), cw) =>
+      assert(cw.length === sub, s"codeword ($mm,$cid) has ${cw.length} dims") }
+    val codes = SimilarityQueries.pqEncode(e, cb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byId = vecs.toMap
+    // encode optimality: chosen cid minimizes subspace L2, ties → min cid
+    codes.foreach { case ((vid, mm), cid) =>
+      val x = byId(vid).slice((mm * sub).toInt, (mm * sub).toInt + sub)
+      def d2(cw: Array[Long]): BigInt =
+        x.zip(cw).map { case (a, b) => BigInt(a - b) * BigInt(a - b) }.sum
+      val best = cbRows.collect { case ((m2, c2), cw) if m2 == mm => (d2(cw), c2) }
+        .minBy(identity)
+      assert((d2(cbRows((mm, cid))), cid) === best,
+        s"encode picked non-optimal codeword for vec $vid subspace $mm")
+    }
+    // the ADC scan exactly as knnPq assembles it: codes ⋈ LUT, summed
+    val adc = SimilarityQueries.pqEncode(e, cb)
+      .join(SimilarityQueries.pqLut(e, cb), Seq("m", "cid"))
+      .where($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"part").as("adc_dot"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val queries = vecs.filter(_._1 < 20)
+    assert(adc.size === queries.size * (vecs.size - 1),
+      "ADC pair grid incomplete: a join key dropped pairs")
+    queries.foreach { case (qid, q) =>
+      vecs.foreach { case (vid, _) =>
+        if (vid != qid) {
+          val recon = (0 until m).flatMap(mm => cbRows((mm.toLong, codes((vid, mm.toLong))))).toArray
+          val exact = q.zip(recon).map { case (a, b) => a * b }.sum
+          assert(adc((qid, vid)) === exact,
+            s"ADC($qid,$vid) != <q, reconstruct(v)>: ${adc((qid, vid))} vs $exact")
+        }
+      }
+    }
+  }
+
   test("cdc_chunks reassembles generated unicode documents exactly") {
     // chunk boundaries may fall anywhere the content dictates, but the
     // chunks must ALWAYS concatenate back to the document, code point

@@ -1797,6 +1797,40 @@ class ExtSpec extends AnyFunSuite {
         "grain and verify-slice grain disagree")
   }
 
+  test("X1c substring dedup: trailing malformed tails dedup by decoded value") {
+    import spark.implicits._
+    // The r17 sanitize fix, pinned end-to-end: two docs share a
+    // 39-ASCII-char block and END in BYTE-DIFFERENT truncated multi-byte
+    // sequences that both DECODE to one U+FFFD slot (a truncated C2
+    // 2-byte lead vs a truncated E0 A0 3-byte lead) — crawl-shaped
+    // garbage. The fingerprint admission hashes both trailing windows
+    // identically (39 shared cps + U+FFFD), so both positions are
+    // candidates; a verify that groups on the RAW substring slice sees
+    // different bytes and silently drops the real trailing duplicate.
+    // Grouping on the sanitized slice (the decoded code-point sequence,
+    // which is what "exact" means for this family — it is what the
+    // fingerprint hashed) keeps it. Invalid bytes enter via binary→
+    // string cast (a raw reinterpret, no validation), as they would
+    // from a crawl ingest.
+    val sharedBlock = "abcdefghijklmnopqrstuvwxyz0123456789ABC" // 39 chars
+    assert(sharedBlock.length === 39)
+    val bytesA = sharedBlock.getBytes("UTF-8") :+ 0xC2.toByte
+    val bytesB = sharedBlock.getBytes("UTF-8") ++
+      Array(0xE0.toByte, 0xA0.toByte)
+    val docs = Seq(1L -> bytesA, 2L -> bytesB).toDF("doc_id", "bin")
+      .select($"doc_id", $"bin".cast("string").as("text"))
+    // both docs are exactly SUBSTR_W=40 chars (39 + one U+FFFD slot), so
+    // each contributes exactly one window and the whole doc is the span
+    val expect = Seq((1L, 1L, 1L, 40L, 40L), (2L, 1L, 1L, 40L, 40L))
+    def spansFrom(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(spansFrom(DedupQueries.substringDedupOf(docs)) === expect,
+      "string form missed the decode-equal byte-different trailing duplicate")
+    assert(spansFrom(DedupQueries.substringDedupHashedOf(docs)) === expect,
+      "hashed form missed the decode-equal byte-different trailing duplicate")
+  }
+
   test("X1f CDC chunking: brute replay + shift resistance under a prefix edit") {
     import spark.implicits._
     // local brute replay of the boundary rule over one real corpus doc

@@ -624,13 +624,21 @@ class RegistrySpec extends AnyFunSuite {
         "route it through GraftSession.ckpt so the plan auditor sees it")
     // (2) every GraftSession.memo call site has a forcer below: a new
     // memo family must be added to the roster or this count fails
-    val memoCallRe =
-      """GraftSession\.memo\(|(?<=\s)memo\(spark,""".r
+    // method name alone (r17): the old pattern keyed on the qualified
+    // form plus the literal arg name `spark`, so a future site written
+    // `memo(s, ...)` after an import — or split across lines — would be
+    // silently exempt from the forcer roster and the window audit. Any
+    // `memo(` call in main counts; only the definition line itself
+    // (`def memo`) is excluded, so there is no spelling of a call site
+    // that escapes the census.
+    val memoCallRe = """\bmemo\(""".r
     val memoSites = mainFiles.map(f =>
       memoCallRe.findAllIn(read(f)
         // strip line comments and scaladoc so prose mentions don't count
         .linesIterator.map(_.replaceAll("//.*$", ""))
-        .filterNot(_.trim.startsWith("*")).mkString("\n")).size).sum
+        .filterNot(_.trim.startsWith("*"))
+        .filterNot(_.matches(""".*\bdef\s+memo\b.*"""))
+        .mkString("\n")).size).sum
     // one forcer per memo SOURCE SITE (some queries force several sites)
     val sf = TestSpark.sf0001
     def force(q: String): () => Unit =

@@ -808,6 +808,95 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("W5b late-data leg: armed timers and ListState survive a checkpointed restart") {
+    // The exactly-once claim for the TIMERS leg (the carry leg's restart
+    // pin is above): phase 1 drains the ENTIRE shuffled corpus with a
+    // 365-day delay, so the watermark ends ~at the corpus start and NO
+    // purchase settles — everything the computation knows (buffered
+    // touches AND purchases, plus each purchase's armed timer) lives
+    // only in the RocksDB checkpoint when the query stops. Phase 2
+    // restarts from that checkpoint and feeds ONLY two far-future
+    // sentinel batches from an unrelated user: real users get no new
+    // input rows, so every credit emitted in phase 2 can only come from
+    // RESTORED timers firing over RESTORED ListState. Census equality
+    // with batch then proves both survived the restart intact.
+    val tmp = Files.createTempDirectory("graft-utouch-timers-restart").toString
+    val drop = s"$tmp/drop"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(drop).mkdirs()
+    val ev = Tables.events(spark, sf)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    (0 until 3).foreach { i =>
+      raw.filter(pmod($"event_id", lit(3)) === i).coalesce(1)
+        .write.mode("append").parquet(drop)
+    }
+    val parts = new java.io.File(drop).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length === 3)
+    val base = System.currentTimeMillis() - 300000
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 10000) }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def drain(tag: String): Unit = {
+      // parquet sink + AvailableNow: the memory sink cannot resume a
+      // checkpoint, and phase 2 must be a FRESH query instance
+      val q = StreamJobs
+        .utouchTimersStream(
+          StreamJobs.eventsStream(spark, drop, maxFilesPerTrigger = Some(1)),
+          delay = "365 days")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), s"drain $tag timed out")
+    }
+    try {
+      drain("p1")
+      // nothing may settle before the restart: wm = maxTs − 365d sits
+      // below every purchase, so the sink holds zero rows — the entire
+      // computation is in the checkpoint (explicit schema: the dir may
+      // hold only _spark_metadata)
+      import org.apache.spark.sql.types._
+      val creditSchema = StructType(Seq(
+        StructField("touch_type", StringType),
+        StructField("credit_bp", LongType),
+        StructField("credited_cents", LongType)))
+      assert(spark.read.schema(creditSchema).parquet(out).count() === 0,
+        "phase 1 must emit nothing: the watermark cannot have closed any window")
+      val maxUs = ev.agg(max(unix_micros($"ts"))).head().getLong(0)
+      Seq(366L, 367L).zipWithIndex.foreach { case (days, i) =>
+        dropSentinel(drop, s"zz_sentinel$i.parquet", 999990L + i,
+          maxUs + days * 24 * 3600 * 1000000L, 999999L, 0.0)
+      }
+      drain("p2")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val streamed = spark.read.parquet(out)
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n"), sum($"credit_bp").as("bp"),
+        sum($"credited_cents").as("cc"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val batch = graft.analytics.IncrementalQueries
+      .attributionUTouch(spark, sf).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_credits"), r.getAs[Long]("bp_total"),
+          r.getAs[Long]("credited_cents")))
+      .toMap
+    assert(streamed === batch,
+      "U-touch census after timers-leg restart diverged: timers or ListState lost")
+    val purchases = ev.filter($"event_type" === "purchase").count()
+    assert(streamed.values.map(_._2).sum === 10000L * purchases)
+  }
+
   private def eventsDir: String = {
     val tmp = Files.createTempDirectory("graft-events-stream").toString
     java.nio.file.Files.copy(
