@@ -774,8 +774,10 @@ class ContractAndPropertySpec extends AnyFunSuite {
       val s = JaroWinkler.sim(ua, ub)
       assert(s >= 0.0 && s <= 1.0, s"out of bounds: '$a' vs '$b' -> $s")
       assert(s === JaroWinkler.sim(ub, ua), s"asymmetric: '$a' vs '$b'")
-      assert(JaroWinkler.sim(ua, ua) === 1.0)
-      if (a.isEmpty ^ b.isEmpty) assert(s === 0.0)
+      // strcmp95/DuckDB semantics (r17): blank input is NO evidence, so
+      // even self-similarity of the empty string is 0
+      assert(JaroWinkler.sim(ua, ua) === (if (a.isEmpty) 0.0 else 1.0))
+      if (a.isEmpty || b.isEmpty) assert(s === 0.0)
     }
     // MinhashSig: an EMPTY shingle array must not throw — it yields the
     // K all-null signature the HOF mirror's array_min-of-empty gives
@@ -799,6 +801,119 @@ class ContractAndPropertySpec extends AnyFunSuite {
     }
     val full = Sq8Code.encode(new GenericArrayData(Array[Any](2.5f, -2.5f)))
     assert(full.getLong(0) === 127L && full.getLong(1) === -127L)
+  }
+
+  test("jaro_winkler equals an embedded strcmp95 reference on generated strings") {
+    // The r17 property hunt's find #3: the kernel shipped the
+    // Wikipedia-variant FRACTIONAL transposition count (t/2.0) and
+    // 1.0 for blank-vs-blank, while DuckDB — the oracle engine the
+    // Scaladoc pins semantics to — implements Winkler's ORIGINAL
+    // strcmp95: integer `t/2` and 0 for blank input. The two diverge
+    // on ~8% of random short dense strings (odd mismatch counts), and
+    // since flooring only ever RAISES the score, a corpus pair
+    // straddling the 0.85 threshold would appear in DuckDB's rows but
+    // not Spark's — an oracle-gate landmine the part-name corpus
+    // happened never to trip. The kernel now floors; this test pins it
+    // against an independently-written strcmp95 reference (explicit
+    // matched-sequence lists, structurally different from the kernel's
+    // flag-array walk), itself validated against DuckDB on 21k
+    // generated cases offline (zero diffs), on exactly the shapes that
+    // exposed the divergence: tiny alphabets (dense transpositions),
+    // shared prefixes around the 0.7 boost gate, and multi-byte UTF-8
+    // (byte-grained windows).
+    import graft.functions.JaroWinkler
+    def ref(s1: Array[Byte], s2: Array[Byte]): Double = {
+      val (m1, m2) = (s1.length, s2.length)
+      if (m1 == 0 || m2 == 0) return 0.0
+      val window = math.max(0, math.max(m1, m2) / 2 - 1)
+      val f1 = new Array[Boolean](m1)
+      val f2 = new Array[Boolean](m2)
+      for (i <- 0 until m1) {
+        val lo = math.max(0, i - window)
+        val hi = math.min(m2 - 1, i + window)
+        var j = lo
+        var done = false
+        while (j <= hi && !done) {
+          if (!f2(j) && s1(i) == s2(j)) { f1(i) = true; f2(j) = true; done = true }
+          j += 1
+        }
+      }
+      val a = s1.indices.filter(f1).map(s1)
+      val b = s2.indices.filter(f2).map(s2)
+      val m = a.length
+      if (m == 0) return 0.0
+      val t = a.zip(b).count { case (x, y) => x != y } / 2 // strcmp95 int div
+      val jaro = (m.toDouble / m1 + m.toDouble / m2 + (m - t).toDouble / m) / 3.0
+      if (jaro > 0.7) {
+        var l = 0
+        while (l < math.min(4, math.min(m1, m2)) && s1(l) == s2(l)) l += 1
+        jaro + l * 0.1 * (1.0 - jaro)
+      } else jaro
+    }
+    import org.apache.spark.unsafe.types.UTF8String
+    def mk(alpha: Seq[String], maxLen: Int): Gen[String] =
+      Gen.chooseNum(0, maxLen).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(alpha)).map(_.mkString))
+    val gens = Seq(
+      mk("a b c".split(" "), 9) -> 600,   // dense: transpositions + windows
+      mk("a b c d e f g h".split(" "), 15) -> 400,
+      mk("é 中 🚂 a b".split(" "), 8) -> 300, // multi-byte: byte-grain windows
+      Gen.zip(mk("a b".split(" "), 4), mk("a b c".split(" "), 8))
+        .map { case (p, s) => p + s } -> 400) // shared prefixes near the boost
+    for ((g, n) <- gens; (a, b) <- samples(Gen.zip(g, g), n)) {
+      val got = JaroWinkler.sim(UTF8String.fromString(a), UTF8String.fromString(b))
+      val want = ref(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      assert(got === want, s"kernel diverged from strcmp95 on '$a' vs '$b'")
+    }
+  }
+
+  test("minhash_sig equals the brute per-component minimum and is a set function") {
+    // The LSH family's signature contract on generated shingle arrays:
+    //   (1) component j == the minimum 8-hex chunk [8j, 8j+8) of
+    //       md5(sh) || md5('x'||sh) over all shingles — an independent
+    //       brute recomputation (String.format hex, sort-and-head)
+    //       against the kernel's single-pass running-minima loop;
+    //   (2) the signature is a function of the shingle SET — duplicate
+    //       and permutation invariant (banding compares signatures
+    //       across docs whose shingle ORDER differs by construction);
+    //   (3) component-wise min merges: sig(A ++ B) == min(sig(A),
+    //       sig(B)) per component — the mergeability that makes the
+    //       signature a one-pass distributed aggregate at 100 TB.
+    import graft.functions.MinhashSig
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def md5hex(s: Array[Byte]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s).map(x => f"${x & 0xff}%02x").mkString
+    }
+    def brute(shingles: Seq[String]): Seq[String] = {
+      val hexes = shingles.map { sh =>
+        val b = sh.getBytes("UTF-8")
+        md5hex(b) + md5hex("x".getBytes("UTF-8") ++ b)
+      }
+      (0 until MinhashSig.K).map(j => hexes.map(_.substring(8 * j, 8 * j + 8)).min)
+    }
+    def kernel(shingles: Seq[String]): Seq[String] = {
+      val out = MinhashSig.sig(new GenericArrayData(
+        shingles.map(s => UTF8String.fromString(s): Any).toArray))
+      (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+    }
+    val shingleGen = Gen.chooseNum(1, 24).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(0, 50).map(i => s"sh_$i é$i")))
+    samples(shingleGen, 120).foreach { sh =>
+      val got = kernel(sh)
+      assert(got === brute(sh), s"kernel != brute min for $sh")
+      // (2) set semantics
+      assert(kernel(sh.reverse) === got, "order changed the signature")
+      assert(kernel(sh ++ sh.take(3)) === got, "duplicates changed the signature")
+      // (3) mergeability
+      val (l, r) = sh.splitAt(sh.length / 2)
+      if (l.nonEmpty && r.nonEmpty) {
+        val merged = kernel(l).zip(kernel(r)).map { case (x, y) =>
+          if (x <= y) x else y }
+        assert(merged === got, "component-wise min merge diverged")
+      }
+    }
   }
 
   test("gaps-islands span assembly equals brute interval merge on generated positions") {

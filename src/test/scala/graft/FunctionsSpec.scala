@@ -102,9 +102,19 @@ class FunctionsSpec extends AnyFunSuite {
     // boost threshold is STRICT jaro > 0.7: 0.7083 boosts, 0.6667 doesn't
     assert(jw("ab", "abcdefghijklmnop") === 0.7666666666666667)
     assert(jw("aaaa", "aabb") === 0.6666666666666666)
-    // degenerate cases
-    assert(jw("", "") === 1.0)
+    // degenerate cases — blank vs blank is 0.0 in DuckDB/strcmp95 (no
+    // evidence), NOT the intuitive 1.0 the r16 fixture asserted without
+    // actually capturing it (r17 re-probed every value here verbatim)
+    assert(jw("", "") === 0.0)
     assert(jw("", "ABC") === 0.0)
+    // odd-mismatch transposition counts take strcmp95's INTEGER t/2 —
+    // the case family where the fractional variant diverges (captured
+    // verbatim from DuckDB, r17)
+    assert(jw("bacccb", "cbab") === 0.8055555555555555)
+    assert(jw("babcbac", "ccaacab") === 0.6761904761904761)
+    // byte-grained windows on multi-byte text (captured verbatim, r17)
+    assert(jw("日本", "本日") === 0.5555555555555555)
+    assert(jw("🚂a", "a🚂") === 0.8666666666666667)
     assert(jw("A", "A") === 1.0)
     assert(jw("AB", "BA") === 0.0) // window 0: no cross-position matches
     assert(jw("a", "b") === 0.0)
