@@ -916,6 +916,103 @@ class ContractAndPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("codegen parity: emitted-loop expressions match their kernels on hostile inputs") {
+    // LongArrayDot and Sq8Code are the two expressions whose doGenCode
+    // EMITS the loop in generated Java instead of calling the shared
+    // static (the hot-path choice: no call overhead inside WSCG) —
+    // which means their codegen and interpreted paths are SEPARATE
+    // implementations that can drift under future edits. Every other
+    // expression either generates a static call (RollingHash64,
+    // SanitizeUtf8, Haversine, JaroWinkler, CdcChunks) or is
+    // CodegenFallback (MinhashSig); SortedArrayContains is pinned
+    // DF-side against array_contains above. Here the DataFrame result
+    // (the generated loop, WSCG-asserted) must match the kernel static
+    // (the interpreted/HOF-lambda path) row for row on exactly the
+    // inputs loops get wrong: null elements at every position, empty
+    // arrays, length mismatches, NaN/±Inf/-0.0/subnormal floats, and
+    // (kernel-vs-codegen only) products that wrap 64-bit.
+    import graft.functions.{LongArrayDot, Sq8Code}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // --- LongArrayDot ---
+    val big = 3037000499L // floor(sqrt(Long.Max)): big*big wraps
+    val lvalGen = Gen.frequency(
+      6 -> Gen.chooseNum(-1000000L, 1000000L).map(Some(_)),
+      1 -> Gen.oneOf(Seq(Some(big), Some(-big), Some(0L))),
+      1 -> Gen.const(None))
+    val lcaseGen = for {
+      n <- Gen.chooseNum(0, 6)
+      m <- Gen.oneOf(Gen.const(n), Gen.chooseNum(0, 6)) // equal + mismatched
+      a <- Gen.listOfN(n, lvalGen)
+      b <- Gen.listOfN(m, lvalGen)
+    } yield (a, b)
+    val lcases = samples(lcaseGen, 300)
+    def lad(a: Seq[Option[Long]]): GenericArrayData =
+      new GenericArrayData(a.map(_.map(Long.box).orNull: Any).toArray)
+    // repartition blocks ConvertToLocalRelation, which would otherwise
+    // constant-fold the projection through INTERPRETED eval and leave
+    // the generated loop untested (the assert below proves it ran);
+    // rows come back in partition order, so results key on an id
+    val lidx = lcases.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+    val ldf = lidx.toDF("id", "a", "b").repartition(2)
+      .select($"id", LongArrayDot.longArrayDot($"a", $"b").as("viaGen"))
+    val lgot = ldf.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else Long.box(r.getLong(1))))
+      .toMap
+    // plan asserted AFTER collect: under AQE the *(N) codegen markers
+    // only exist in the final executed plan
+    assert("""\*\(\d+\) Project \[id""".r
+        .findFirstIn(ldf.queryExecution.executedPlan.toString).nonEmpty &&
+        ldf.queryExecution.executedPlan.toString.contains("long_array_dot"),
+      "long_array_dot fell out of whole-stage codegen: parity not exercised")
+    lidx.foreach { case (i, a, b) =>
+      val want = LongArrayDot.dot(lad(a), lad(b))
+      assert(lgot(i) === want, s"codegen diverged from kernel for $a · $b")
+    }
+    // HOF mirror (the semantics the Scaladoc promises) — small values
+    // only: under Spark 4's default ANSI mode the HOF form THROWS on a
+    // wrapped product (the documented divergence), so the mirror claim
+    // is scoped to the quantized-embedding range where both agree
+    val lsafe = lidx.filter { case (_, a, b) =>
+      (a ++ b).flatten.forall(v => math.abs(v) <= 1000000L) }
+    val hof = lsafe.toDF("id", "a", "b").repartition(2)
+      .select($"id",
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("h"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else Long.box(r.getLong(1))))
+      .toMap
+    lsafe.foreach { case (i, a, b) =>
+      assert(hof(i) === LongArrayDot.dot(lad(a), lad(b)),
+        s"HOF mirror diverged from kernel for $a · $b")
+    }
+    // --- Sq8Code ---
+    val fvalGen = Gen.frequency(
+      6 -> Gen.chooseNum(-1e6, 1e6).map(d => Some(d.toFloat)),
+      2 -> Gen.oneOf(Seq(Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity, -0.0f, 0.0f, Float.MinPositiveValue,
+        java.lang.Float.MIN_NORMAL).map(Some(_))),
+      1 -> Gen.const(None))
+    val fcaseGen = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, fvalGen))
+    val fcases = samples(fcaseGen, 300)
+    val fidx = fcases.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val fdf = fidx.toDF("id", "v").repartition(2)
+      .select($"id", Sq8Code.sq8Code($"v").as("code"))
+    val fgot = fdf.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1).toSeq))
+      .toMap
+    assert("""\*\(\d+\) Project \[id""".r
+        .findFirstIn(fdf.queryExecution.executedPlan.toString).nonEmpty &&
+        fdf.queryExecution.executedPlan.toString.contains("sq8_code"),
+      "sq8_code fell out of whole-stage codegen: parity not exercised")
+    fidx.foreach { case (i, v) =>
+      val want = Sq8Code.encode(new GenericArrayData(
+        v.map(_.map(Float.box).orNull: Any).toArray)) match {
+        case null => null
+        case a => a.toLongArray().toSeq
+      }
+      assert(fgot(i) === want, s"codegen diverged from kernel for $v")
+    }
+  }
+
   test("gaps-islands span assembly equals brute interval merge on generated positions") {
     // spansOf is the SHARED final stage of both substring-dedup forms
     // (the factoring that keeps them from drifting) — positions within
