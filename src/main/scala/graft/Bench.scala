@@ -2,6 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Box-state telemetry (r17): every round's regression triage starts
+    // with "was the box busy?" — r11 chased a phantom 13-query cluster
+    // and r15/r16 re-proved uniform 1.2-1.35x tails as contention. The
+    // 1-minute load average at start and end makes each bench artifact
+    // carry its own answer instead of depending on whoever remembers to
+    // check `uptime` at launch.
+    def load1m: Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = load1m
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -231,8 +241,11 @@ object Bench {
       case Some(s) => s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       case None => "null"
     }
+    // load_end is read before spark.stop() tears the pools down, so it
+    // reflects the sweep itself, not shutdown
+    val loadEnd = load1m
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2-plus-recheck","subset_run":${subset.nonEmpty},"subset":$subsetJson,"queries":$qs,"raw":$rawJson,"recheck":$recheckJson,"baseline":"${priorFile.replace("\\", "/")}","tiers":$tiers,"warmup_absorbers":$absorbers,"slow_outliers":$slowOutliers,"regressions":$regressions,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2-plus-recheck","subset_run":${subset.nonEmpty},"subset":$subsetJson,"load_1m_start":$loadStart,"load_1m_end":$loadEnd,"queries":$qs,"raw":$rawJson,"recheck":$recheckJson,"baseline":"${priorFile.replace("\\", "/")}","tiers":$tiers,"warmup_absorbers":$absorbers,"slow_outliers":$slowOutliers,"regressions":$regressions,"sf":"$sfDir"}"""
     val compactJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     try {
