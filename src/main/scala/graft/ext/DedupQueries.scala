@@ -61,8 +61,8 @@ object DedupQueries {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // --- X2: MinHash signatures + LSH banding ------------------------------
-  private[ext] val K = 8     // minhash functions
-  private val BUCKET_CAP = 50 // skip mega-buckets (LSH standard practice)
+  private[graft] val K = 8   // minhash functions
+  private[graft] val BUCKET_CAP = 50 // skip mega-buckets (LSH standard practice)
 
   /** Per-doc K-component minhash signature: component j = min over the
     * shingle set of hex chunk [8j, 8j+8) of `md5(sh) || md5('x' || sh)`.
@@ -77,9 +77,15 @@ object DedupQueries {
     * the sig array so CollapseProject keeps it materialized (a
     * single-referenced non-cheap expression gets inlined and re-evaluated
     * per use — measured 15-60× slower in round 2). */
-  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    minhashSigsOf(Tables.documents(s, dir))
+
+  /** [[minhashSigs]] over an arbitrary (doc_id, text) relation — the core
+    * the ContractAndPropertySpec end-to-end LSH reference pin drives on
+    * generated corpora. */
+  private[graft] def minhashSigsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .withColumn("toks", split($"text", " "))
       .withColumn("sig0", graft.functions.MinhashSig.minhashSig(shingleArr))
       .select($"doc_id" +:
@@ -136,8 +142,15 @@ object DedupQueries {
 
   /** The un-materialized LSH pair plan ([[dedupMinhashLsh]] without the
     * presentation sort). */
-  private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame =
+    minhashPairsPlanOf(minhashSigs(s, dir))
+
+  /** The LSH pair plan over an arbitrary signature relation (doc_id,
+    * h0..h{K-1}) — factored so the property pin can run the IDENTICAL
+    * band-explode / capped-bucket / pair-expansion machinery on generated
+    * corpora against an independent reference. */
+  private[graft] def minhashPairsPlanOf(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
     // Fused plan (round 2): signatures are computed without any shuffle
     // (see minhashSigs) and ride along through the band explode. Candidate
     // pairs are generated INSIDE each capped bucket — a bounded-state
@@ -147,7 +160,7 @@ object DedupQueries {
     // mega-bucket collects cap+1 members and is dropped by the size
     // filter), followed by a local O(cap²) pair expansion — no count
     // pre-pass, no re-join, no self-join.
-    val bands = minhashSigs(s, dir)
+    val bands = sigs
       .select($"doc_id",
         array((0 until K).map(i => col(s"h$i")): _*).as("sig"),
         explode(array(

@@ -37,18 +37,36 @@ object RetrievalQueries {
 
   def textBm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    val scored = bm25ScoredOf(Tables.documents(s, dir), QUERY)
+    // distributed top-k first (TakeOrderedAndProject), THEN rank: the
+    // global-ordered window only ever sees TOP_K rows, not every scored doc
+    val top = scored.orderBy($"score".desc, $"doc_id".asc).limit(TOP_K)
+    val w = Window.orderBy($"score".desc, $"doc_id".asc)
+    top.withColumn("rnk", row_number().over(w).cast(LongType))
+      .select($"rnk", $"doc_id", $"score")
+      .orderBy($"rnk")
+  }
+
+  /** BM25 scores (rounded at 5 places) for every document of `docs`
+    * matching at least one of `terms` — the scoring core of [[textBm25]],
+    * factored over an arbitrary (doc_id, text) relation so the
+    * ContractAndPropertySpec reference pin can drive it on generated
+    * corpora (the DuckDB oracle runs the same arithmetic token-for-token,
+    * so only an independent reference can catch a formula-variant bug). */
+  private[graft] def bm25ScoredOf(docs: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
     // doc lengths for every doc (BM25 normalizes by corpus-wide avgdl)
     val dl = docs.select($"doc_id", size(split($"text", " ")).cast(LongType).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum($"dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
     val tf = docs
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .filter($"tok".isin(QUERY: _*))
+      .filter($"tok".isin(terms: _*))
       .groupBy($"doc_id", $"tok")
       .agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-    val scored = tf
+    tf
       .join(broadcast(df_), "tok")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -58,13 +76,6 @@ object RetrievalQueries {
           ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))).as("c"))
       .groupBy($"doc_id")
       .agg(round(sum($"c"), 5).as("score"))
-    // distributed top-k first (TakeOrderedAndProject), THEN rank: the
-    // global-ordered window only ever sees TOP_K rows, not every scored doc
-    val top = scored.orderBy($"score".desc, $"doc_id".asc).limit(TOP_K)
-    val w = Window.orderBy($"score".desc, $"doc_id".asc)
-    top.withColumn("rnk", row_number().over(w).cast(LongType))
-      .select($"rnk", $"doc_id", $"score")
-      .orderBy($"rnk")
   }
 
   val textBm25Sql: String =

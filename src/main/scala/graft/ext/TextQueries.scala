@@ -727,7 +727,7 @@ object TextQueries {
     * overlap rule (e.g. `aaaaa` + (a,a) → `aa aa a`). DuckDB's
     * `list_reduce` shares the first-element-as-init convention with the
     * `slice`-based init here, so both engines run the identical fold. */
-  private def bpeFoldExprOn(sE: String, acc2: String = "acc",
+  private[graft] def bpeFoldExprOn(sE: String, acc2: String = "acc",
       x2: String = "x"): String =
     s"""aggregate(slice($sE, 2, size($sE) - 1), element_at($sE, 1),
        |  ($acc2, $x2) -> CASE
@@ -761,7 +761,7 @@ object TextQueries {
 
   /** The word-TYPE dictionary (d = sentinel-joined chars, freq) of any
     * document relation — the shared input of training and encode. */
-  private def bpeDictOf(docs: DataFrame): DataFrame = {
+  private[graft] def bpeDictOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .select(explode(split($"text", " ")).as("w"))
@@ -787,7 +787,7 @@ object TextQueries {
   private def bpeTrainLoop(s: SparkSession, dir: String): DataFrame =
     bpeTrainLoopDict(bpeDict(s, dir))
 
-  private def bpeTrainLoopDict(dict0: DataFrame): DataFrame = {
+  private[graft] def bpeTrainLoopDict(dict0: DataFrame): DataFrame = {
     val s = dict0.sparkSession
     import s.implicits._
     var dict = dict0

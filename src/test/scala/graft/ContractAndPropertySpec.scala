@@ -1119,4 +1119,272 @@ class ContractAndPropertySpec extends AnyFunSuite {
         s"round-trip broke at chunking ${counts.mkString(",")} gap=$gap")
     }
   }
+
+  // Canonical greedy BPE single-merge application: left-to-right,
+  // non-overlapping, the scan resumes AFTER a merged pair (aaaaa + (a,a)
+  // -> aa aa a). This is the ground truth the whole tokenizer family is
+  // pinned against below — deliberately structure-free (a while loop over
+  // a symbol vector), sharing nothing with the SQL fold/replace forms.
+  private def refBpeMergeOnce(syms: Vector[String], ls: String,
+      rs: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == ls && syms(i + 1) == rs) {
+        out += (ls + rs); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  test("BPE sentinel fold equals the canonical greedy merge on hostile symbols") {
+    // The oracle can't see a bug here: the DuckDB mirror runs the SAME
+    // fold algebra (list_reduce with the identical CASE), so a divergence
+    // from canonical BPE semantics would be green on every oracle gate.
+    // Symbols are chosen to stress the fold's endswith/sentinel logic:
+    // prefixes, suffixes and concatenations of each other (ba vs a, aab
+    // vs ab, abab vs ab+ab), ls == rs, and merges that never occur.
+    val symAlpha = Vector("a", "b", "c", "ab", "ba", "aa", "aab", "bab", "abab")
+    val genCase = for {
+      n <- Gen.chooseNum(1, 8)
+      syms <- Gen.listOfN(n, Gen.oneOf(symAlpha))
+      ls <- Gen.oneOf(symAlpha)
+      rs <- Gen.oneOf(symAlpha)
+    } yield (syms.toVector, ls, rs)
+    val cases = samples(genCase, 240)
+    val got = cases.map { case (syms, ls, rs) => (syms, ls, rs) }
+      .toDF("s", "ls", "rs")
+      .select($"s", $"ls", $"rs",
+        expr(graft.ext.TextQueries.bpeFoldExprOn("s")).as("d"))
+      .collect()
+    got.foreach { r =>
+      val syms = r.getSeq[String](0).toVector
+      val (ls, rs) = (r.getString(1), r.getString(2))
+      val expected = refBpeMergeOnce(syms, ls, rs)
+      val actual = r.getString(3).split("\u0001").toVector
+      assert(actual === expected,
+        s"fold diverged on syms=${syms.mkString("[", " ", "]")} merge=($ls,$rs)")
+    }
+  }
+
+  test("BPE train loop and both application forms match a reference tokenizer") {
+    // End-to-end pin of the tokenizer family on GENERATED corpora: the
+    // 4-round count -> argmax(n DESC, ls ASC, rs ASC) -> apply training
+    // loop (bpeTrainLoopDict), the per-type fold application (applyMerges
+    // — what q_bpe_encode/q_token_ids run), and the fused marked-string
+    // replace (tokensPerDocOf — what q_tokens_per_doc/q_bpe_fertility
+    // run) must all agree with an independent Scala trainer/encoder.
+    // Multi-round interplay is the point: round-2+ merges take MULTI-CHAR
+    // symbols as ls/rs, which no single-merge property exercises.
+    import graft.ext.TextQueries
+    val rounds = TextQueries.BpeTrainRounds
+
+    def refTrain(dict0: Seq[(Vector[String], Long)])
+        : (Seq[(Long, String, String, Long)], Seq[(Vector[String], Long)]) = {
+      var dict = dict0
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        dict.foreach { case (syms, f) =>
+          var i = 0
+          while (i + 1 < syms.length) {
+            val k = (syms(i), syms(i + 1))
+            counts(k) = counts.getOrElse(k, 0L) + f
+            i += 1
+          }
+        }
+        assert(counts.nonEmpty, "degenerate generated corpus: no pairs left")
+        val ((ls, rs), n) = counts.toSeq
+          .minBy { case ((l, rr), c) => (-c, l, rr) }
+        merges += ((r.toLong, ls, rs, n))
+        dict = dict.map { case (syms, f) => (refBpeMergeOnce(syms, ls, rs), f) }
+      }
+      (merges.result(), dict)
+    }
+
+    val genWord = Gen.chooseNum(2, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genDoc = Gen.chooseNum(2, 5)
+      .flatMap(n => Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val genCorpus = Gen.chooseNum(8, 14).flatMap(n => Gen.listOfN(n, genDoc))
+    samples(genCorpus, 6).zipWithIndex.foreach { case (docs0, ci) =>
+      // a fixed variety doc keeps 4 training rounds from ever running out
+      // of adjacent pairs on a small generated corpus
+      val docs = "abcabc bcabca cababc bacbac" +: docs0
+      val docsDf = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+      // reference word-type dictionary (freq over the whole corpus)
+      val wordFreq = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val refDict0 = wordFreq.toSeq
+        .map { case (w, f) => (w.toVector.map(_.toString), f) }
+      val (refMerges, refFinalDict) = refTrain(refDict0)
+
+      // 1) the training loop: rounds, winners AND support counts, exactly
+      val dictDf = TextQueries.bpeDictOf(docsDf)
+      val gotMerges = TextQueries.bpeTrainLoopDict(dictDf)
+        .orderBy($"round").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(gotMerges === refMerges, s"train loop diverged on corpus $ci")
+
+      val mergesDf = refMerges.map { case (r, ls, rs, _) => (r, ls, rs) }
+        .toDF("round", "ls", "rs")
+
+      // 2) the per-type fold application (the encode path)
+      val gotDict = TextQueries.applyMerges(dictDf, mergesDf, Seq("freq"))
+        .collect()
+        .map(r => (r.getString(0).split("\u0001").toVector, r.getLong(1)))
+        .sortBy(x => (x._1.mkString("\u0001"), x._2))
+      val expDict = refFinalDict
+        .sortBy(x => (x._1.mkString("\u0001"), x._2))
+      assert(gotDict.toSeq === expDict, s"applyMerges diverged on corpus $ci")
+
+      // 3) the fused marked-replace form (the corpus-scale count path)
+      val refTokens = docs.zipWithIndex.map { case (t, i) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        val nTok = ws.map { w =>
+          refMerges.foldLeft(w.toVector.map(_.toString)) {
+            case (syms, (_, ls, rs, _)) => refBpeMergeOnce(syms, ls, rs)
+          }.length.toLong
+        }.sum
+        (i.toLong, ws.length.toLong, nTok)
+      }.filter(_._2 > 0)
+      val gotTokens = TextQueries.tokensPerDocOf(docsDf, mergesDf)
+        .orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(gotTokens === refTokens, s"tokensPerDocOf diverged on corpus $ci")
+    }
+  }
+
+  test("BM25 scores match the textbook Robertson formula on generated corpora") {
+    // The DuckDB mirror evaluates the SAME arithmetic token-for-token, so
+    // a formula-variant bug (wrong idf, k1/b misplacement, dl counting
+    // drift) is invisible to every oracle gate. Ground truth here is the
+    // textbook formula computed with plain Scala doubles: score(d, Q) =
+    // sum_t ln((N - df + 0.5)/(df + 0.5) + 1) * tf*(k1+1) /
+    // (tf + k1*(1 - b + b*dl/avgdl)), k1 = 1.2, b = 0.75. Scores compare
+    // within 6e-6: the query rounds at 5 places (half-ulp 5e-6) and the
+    // distributed sum may associate differently than the reference's
+    // left fold.
+    import graft.ext.RetrievalQueries
+    val terms = Seq("red", "green", "blue")
+    // vocabulary includes the query terms, non-query words, and a doubled
+    // separator case (empty split segments count toward dl, never tf)
+    val genDoc = for {
+      n <- Gen.chooseNum(1, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf(
+        "red", "green", "blue", "dog", "cat", "fish", ""))
+    } yield toks.mkString(" ")
+    val genCorpus = Gen.chooseNum(6, 20).flatMap(n => Gen.listOfN(n, genDoc))
+    samples(genCorpus, 8).zipWithIndex.foreach { case (docs, ci) =>
+      val docsDf = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val n = docs.length.toLong
+      val dls = docs.map(_.split(" ", -1).length.toLong)
+      val avgdl = dls.sum.toDouble / n
+      val tf = docs.zipWithIndex.flatMap { case (t, i) =>
+        val segs = t.split(" ", -1)
+        terms.flatMap { q =>
+          val c = segs.count(_ == q).toLong
+          if (c > 0) Some((i.toLong, q) -> c) else None
+        }
+      }.toMap
+      val dfm = terms.map(q =>
+        q -> tf.keys.count { case (_, t) => t == q }.toLong).toMap
+      val refScores = docs.indices.flatMap { i =>
+        val parts = terms.flatMap { q =>
+          tf.get((i.toLong, q)).map { c =>
+            math.log((n - dfm(q) + 0.5) / (dfm(q) + 0.5) + 1.0) *
+              (c * 2.2) /
+              (c + 1.2 * (0.25 + 0.75 * dls(i) / avgdl))
+          }
+        }
+        if (parts.isEmpty) None else Some(i.toLong -> parts.sum)
+      }.toMap
+      val got = RetrievalQueries.bm25ScoredOf(docsDf, terms).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet === refScores.keySet,
+        s"scored-doc set diverged on corpus $ci")
+      got.foreach { case (id, sc) =>
+        assert(math.abs(sc - refScores(id)) <= 6e-6,
+          s"BM25 diverged on corpus $ci doc $id: got $sc ref ${refScores(id)}")
+      }
+    }
+  }
+
+  test("LSH candidate pairs equal a brute banding reference, cap drop included") {
+    // End-to-end pin of the near-dup candidate machinery on generated
+    // corpora: word-3-gram shingling (whole-text fallback under 3 tokens),
+    // the K-component minhash signature (md5(sh) || md5('x'||sh) hex
+    // windows, per-component min over the shingle SET), single-row band
+    // bucketing, the BUCKET_CAP mega-bucket drop, in-bucket ordered pair
+    // expansion, signature-agreement scoring, and the >= 2/K admission.
+    // The reference below rebuilds all of it from MessageDigest + plain
+    // collections — nothing shared with the Spark plan or the DuckDB
+    // mirror (which reuses the same banding algebra and so can't catch a
+    // drifted convention).
+    import graft.ext.DedupQueries
+    val K = DedupQueries.K
+    val cap = DedupQueries.BUCKET_CAP
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def sigOf(text: String): Vector[String] = {
+      val toks = text.split(" ", -1)
+      val shingles =
+        if (toks.length >= 3)
+          (0 to toks.length - 3)
+            .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+        else Set(text)
+      val hfs = shingles.map(sh => md5hex(sh) + md5hex("x" + sh))
+      (0 until K).map(j => hfs.map(_.substring(8 * j, 8 * j + 8)).min).toVector
+    }
+    def refPairs(sigs: Map[Long, Vector[String]]): Seq[(Long, Long, Double)] = {
+      val buckets = scala.collection.mutable.Map
+        .empty[(Int, String), Vector[Long]]
+      for ((id, sig) <- sigs.toSeq.sortBy(_._1); j <- 0 until K) {
+        val k = (j, sig(j))
+        buckets(k) = buckets.getOrElse(k, Vector.empty) :+ id
+      }
+      val cand = scala.collection.mutable.Set.empty[(Long, Long)]
+      for {
+        (_, ids) <- buckets if ids.size >= 2 && ids.size <= cap
+        a <- ids; b <- ids if a < b
+      } cand += ((a, b))
+      cand.toSeq.map { case (a, b) =>
+        val m = (0 until K).count(j => sigs(a)(j) == sigs(b)(j))
+        (a, b, m.toDouble / K)
+      }.filter(_._3 >= 2.0 / K).sorted
+    }
+    def check(docs: Seq[String], label: String): Unit = {
+      val docsDf = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val refSigs = docs.zipWithIndex
+        .map { case (t, i) => i.toLong -> sigOf(t) }.toMap
+      val sigsDf = DedupQueries.minhashSigsOf(docsDf)
+      val gotSigs = sigsDf.collect()
+        .map(r => r.getLong(0) ->
+          (1 to K).map(r.getString).toVector).toMap
+      assert(gotSigs === refSigs, s"signatures diverged on $label")
+      val gotPairs = DedupQueries.minhashPairsPlanOf(sigsDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+      assert(gotPairs === refPairs(refSigs), s"pair table diverged on $label")
+    }
+    // tiny vocabulary -> dense 3-gram collisions; "" makes doubled-space
+    // segments that shingle and hash like any other token
+    val genDoc = Gen.chooseNum(1, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w", "")).map(_.mkString(" ")))
+    val genCorpus = Gen.chooseNum(12, 30).flatMap(n => Gen.listOfN(n, genDoc))
+    samples(genCorpus, 5).zipWithIndex.foreach { case (docs, ci) =>
+      check(docs, s"corpus $ci")
+    }
+    // the mega-bucket drop path: 55 identical docs push every one of their
+    // buckets past BUCKET_CAP, so NONE of those pairs may surface, while
+    // the distinct satellite docs still pair among themselves as usual
+    val mega = Seq.fill(cap + 5)("x y z x") ++
+      Seq("w w y w", "w w y w z", "z z x w y", "y x w z z x")
+    check(mega, "mega-bucket corpus")
+  }
 }
