@@ -621,12 +621,17 @@ object DedupQueries {
     * digest — identical in Spark and DuckDB. One digest yields all 16 bits
     * (the 16 hex chars of the first 64 digest bits), 16× less hash work
     * than a per-bit salted digest; same LSH semantics class. */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashGroupsOf(Tables.documents(s, dir))
+
+  /** [[dedupSimhash]] over an arbitrary (doc_id, text) relation — factored
+    * for the ContractAndPropertySpec reference pin. */
+  private[graft] def simhashGroupsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     // per-doc token-set dedup is narrow (array_distinct before the
     // explode) — a row-level distinct here would shuffle the whole
     // (doc, token) relation first
-    val tok = Tables.documents(s, dir)
+    val tok = docs
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
       .select($"doc_id", md5($"tok").as("h"))
     val bitSums = (0 until SIMHASH_BITS).map { j =>
@@ -669,7 +674,7 @@ object DedupQueries {
     * stop-shingle: it carries no dedup signal and, at scale, one ubiquitous
     * 3-gram would otherwise blow the equi-join bucket quadratically. Jaccard
     * is computed over the non-stop shingle sets (mirrored in the oracle). */
-  private val DF_CAP = 100
+  private[graft] val DF_CAP = 100
 
   /** Exact 3-gram Jaccard of ~1% sampled docs vs all same-lang docs, top-5
     * matches each — the verification tier one runs on LSH candidates.
@@ -699,9 +704,14 @@ object DedupQueries {
     * ([[substringOverlapOf]]'s admission bp); they are NOT provably
     * exact where a count crosses the hash, so this query keeps its
     * string-keyed, DF-capped posting lists. */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = Tables.documents(s, dir)
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(Tables.documents(s, dir))
+
+  /** [[dedupNgramJaccard]] over an arbitrary (doc_id, lang, text) relation
+    * — factored for the ContractAndPropertySpec reference pin. */
+  private[graft] def ngramJaccardOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = docs
       .withColumn("toks", split($"text", " "))
       .select($"doc_id", $"lang", explode(array_distinct(shingleArr)).as("sh"))
     // stop-shingles (df > cap) are usually few, but their cardinality is

@@ -1387,4 +1387,127 @@ class ContractAndPropertySpec extends AnyFunSuite {
       Seq("w w y w", "w w y w z", "z z x w y", "y x w z z x")
     check(mega, "mega-bucket corpus")
   }
+
+  test("simhash collision groups equal a digest-level reference on generated docs") {
+    // Pins the bit-vote assembly the Spark plan builds from 16 conditional
+    // sums: bit j votes +1/-1 on the ascii parity of hex char j of
+    // md5(token) over the doc's DISTINCT token set, the bit lands only on
+    // a strictly positive sum (a tie is a 0 bit), and only collision
+    // groups (n > 1) surface. Permuted/duplicated-token twins collide by
+    // construction — the reference derives everything from MessageDigest
+    // and plain sets, sharing nothing with the SQL forms.
+    import graft.ext.DedupQueries
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def refSimhash(text: String): Long = {
+      val toks = text.split(" ", -1).distinct
+      (0 until 16).map { j =>
+        val s = toks.map(t => if (md5hex(t).charAt(j).toInt % 2 == 1) 1 else -1).sum
+        if (s > 0) 1L << j else 0L
+      }.sum
+    }
+    val genDoc = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("p", "q", "r", "s", "")).map(_.mkString(" ")))
+    val genCorpus = Gen.chooseNum(15, 25).flatMap(n => Gen.listOfN(n, genDoc))
+    samples(genCorpus, 4).zipWithIndex.foreach { case (docs0, ci) =>
+      // token-SET twins: reversed order plus a duplicated token — same
+      // distinct set, so the same simhash, forcing real collision groups
+      val twins = docs0.take(5).map { t =>
+        val ts = t.split(" ", -1)
+        (ts.reverse :+ ts.head).mkString(" ")
+      }
+      val docs = docs0 ++ twins
+      val docsDf = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val expected = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, refSimhash(t)) }
+        .groupBy(_._2).toSeq
+        .map { case (h, xs) =>
+          (h, xs.size.toLong, xs.map(_._1).min, xs.map(_._1).max) }
+        .filter(_._2 > 1)
+        .sortBy(_._1)
+      val got = DedupQueries.simhashGroupsOf(docsDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got === expected, s"simhash groups diverged on corpus $ci")
+      assert(expected.nonEmpty, s"corpus $ci generated no collision groups")
+    }
+  }
+
+  test("ngram-Jaccard top-5 equals a posting-list reference, stop-shingles dropped") {
+    // Pins the exact-Jaccard verification tier end-to-end on generated
+    // corpora: per-doc DISTINCT 3-gram shingle sets (whole-text fallback
+    // under 3 tokens), per-(lang, shingle) document frequency with the
+    // DF_CAP stop-shingle drop, the q % 97 == 0 query sampling, posting-
+    // list pair expansion, |A∩B| / (|A| + |B| − |A∩B|) scoring over the
+    // NON-STOP sets, and the (jaccard DESC, doc_id ASC) top-5 cut. The
+    // reference rebuilds it all from plain Scala sets and maps.
+    import graft.ext.DedupQueries
+    val cap = DedupQueries.DF_CAP
+    def shinglesOf(text: String): Set[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length >= 3)
+        (0 to toks.length - 3)
+          .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+      else Set(text)
+    }
+    def refTop5(docs: Seq[(Long, String, String)])
+        : Seq[(Long, Long, Long, Double)] = {
+      val langOf = docs.map(d => d._1 -> d._2).toMap
+      val sets = docs.map { case (id, _, t) => id -> shinglesOf(t) }.toMap
+      val df = scala.collection.mutable.Map.empty[(String, String), Int]
+      for ((id, set) <- sets.toSeq; sh <- set) {
+        val k = (langOf(id), sh)
+        df(k) = df.getOrElse(k, 0) + 1
+      }
+      val ok = sets.map { case (id, set) =>
+        id -> set.filter(sh => df((langOf(id), sh)) <= cap) }
+      val inter = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      val postings = ok.toSeq.flatMap { case (id, set) =>
+        set.map(sh => (langOf(id), sh) -> id) }
+        .groupBy(_._1).map { case (_, xs) => xs.map(_._2) }
+      for {
+        list <- postings if list.size >= 2
+        q <- list if q % 97 == 0
+        d <- list if d != q
+      } inter((q, d)) = inter.getOrElse((q, d), 0L) + 1L
+      inter.toSeq
+        .map { case ((q, d), n) =>
+          (q, d, n.toDouble / (ok(q).size + ok(d).size - n)) }
+        .groupBy(_._1).toSeq
+        .flatMap { case (q, xs) =>
+          xs.sortBy(x => (-x._3, x._2)).take(5).zipWithIndex
+            .map { case ((_, d, j), i) => (q, (i + 1).toLong, d, j) }
+        }
+        .sortBy(x => (x._1, x._2))
+    }
+    def check(docs: Seq[(Long, String, String)], label: String): Unit = {
+      val docsDf = docs.toDF("doc_id", "lang", "text")
+      val got = graft.ext.DedupQueries.ngramJaccardOf(docsDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(got === refTop5(docs), s"ngram-jaccard top-5 diverged on $label")
+      assert(got.nonEmpty, s"$label produced no scored pairs")
+    }
+    // query docs get ids divisible by 97; partners get non-divisible ids
+    val genDoc = Gen.chooseNum(3, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("p", "q", "r", "s")).map(_.mkString(" ")))
+    val genCorpus = Gen.zip(
+      Gen.listOfN(3, genDoc), Gen.chooseNum(15, 22)
+        .flatMap(n => Gen.listOfN(n, Gen.zip(genDoc, Gen.oneOf("en", "fr")))))
+    samples(genCorpus, 4).zipWithIndex.foreach { case ((qs, rest), ci) =>
+      val docs = qs.zipWithIndex.map { case (t, i) => (i.toLong * 97, "en", t) } ++
+        rest.zipWithIndex.map { case ((t, l), i) => (i.toLong + 300, l, t) }
+      check(docs, s"corpus $ci")
+    }
+    // stop-shingle path: one shared 3-gram across DF_CAP + 10 same-lang
+    // docs crosses the cap and must drop out of every set, while the
+    // shared tails keep producing pairs from the surviving shingles
+    val stop = (0 until cap + 10).map { i =>
+      val id = if (i == 0) 0L else if (i == 1) 97L else i + 300L
+      (id, "en", s"p q r s s p q t${i % 4} t${i % 4} t${i % 4}")
+    }
+    check(stop, "stop-shingle corpus")
+  }
 }
