@@ -211,7 +211,7 @@ object SimilarityQueries {
   /** Centroid count — a CONSTANT independent of corpus size, so the
     * assignment pass is O(n·K) with a K-row broadcast, never a
     * corpus-proportional cross product (round-2 verdict's one `weak`). */
-  private val IVF_K = 16
+  private[graft] val IVF_K = 16
 
   /** IVF-flat: a deterministic coarse quantizer (the [[IVF_K]] vectors with
     * the smallest md5 rank serve as centroids — at real scale these come
@@ -299,7 +299,7 @@ object SimilarityQueries {
 
   // --- X3b''': IVF with LEARNED centroids (bounded k-means) --------------
   /** k-means refinement rounds over the md5-picked seed (a constant). */
-  private val KM_ROUNDS = 2
+  private[graft] val KM_ROUNDS = 2
 
   /** Probe count for the learned variant: refined lists are tighter, so the
     * true neighbors concentrate in fewer lists, but the top-5 bar of the
@@ -382,7 +382,7 @@ object SimilarityQueries {
 
   /** md5-seeded + [[KM_ROUNDS]] Lloyd-refined centroid table — shared by
     * the learned-IVF ANN and the semantic-dedup blocker. */
-  private def learnedCents(e: DataFrame): DataFrame = {
+  private[graft] def learnedCents(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     val seed = e
       .orderBy(md5(concat(lit("ivf_"), $"vec_id".cast(StringType))).asc,

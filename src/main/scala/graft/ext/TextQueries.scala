@@ -1375,9 +1375,14 @@ object TextQueries {
       graft.GraftSession.ckpt(entropyPerDocPlan(s, dir))
     }
 
-  private[graft] def entropyPerDocPlan(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  private[graft] def entropyPerDocPlan(s: SparkSession, dir: String): DataFrame =
+    entropyPerDocPlanOf(Tables.documents(s, dir))
+
+  /** The per-doc entropy plan over an arbitrary (doc_id, lang, text)
+    * relation — factored for the ContractAndPropertySpec reference pin. */
+  private[graft] def entropyPerDocPlanOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", $"lang", explode(split($"text", "")).as("ch"))
       .groupBy($"doc_id", $"lang", $"ch")
       .agg(count(lit(1)).as("c"))
@@ -1450,9 +1455,14 @@ object TextQueries {
       graft.GraftSession.ckpt(lmScorePerDocPlan(s, dir))
     }
 
-  private[graft] def lmScorePerDocPlan(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val big = Tables.documents(s, dir)
+  private[graft] def lmScorePerDocPlan(s: SparkSession, dir: String): DataFrame =
+    lmScorePerDocPlanOf(Tables.documents(s, dir))
+
+  /** The per-doc LM-score plan over an arbitrary (doc_id, lang, text)
+    * relation — factored for the ContractAndPropertySpec reference pin. */
+  private[graft] def lmScorePerDocPlanOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val big = docs
       .where(length($"text") >= 2)
       .select($"doc_id", $"lang", explode(expr(
         "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))

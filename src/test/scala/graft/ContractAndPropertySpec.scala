@@ -1510,4 +1510,114 @@ class ContractAndPropertySpec extends AnyFunSuite {
     }
     check(stop, "stop-shingle corpus")
   }
+
+  test("Lloyd-refined IVF centroids equal a scalar k-means reference") {
+    // Pins the full bounded k-means training loop on generated quantized
+    // vectors: the md5-ordered seed pick, per-round nearest-centroid
+    // assignment by exact-integer cosine (ties to the smaller centroid
+    // id), the per-dimension floor-division integer mean, the exact
+    // integer norm of the rebuilt centroid, and the empty-cluster-
+    // vanishes behavior. The DuckDB oracle unrolls the SAME chain, so a
+    // convention drift (ceil vs floor mean, wrong tie side, a dimension
+    // permutation in the rebuild) would stay oracle-green; the reference
+    // below is a scalar while-loop k-means sharing nothing with either.
+    import graft.ext.SimilarityQueries
+    val k = SimilarityQueries.IVF_K
+    val rounds = SimilarityQueries.KM_ROUNDS
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def dot(a: Vector[Long], b: Vector[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def refTrain(vecs: Map[Long, Vector[Long]]): Map[Long, (Vector[Long], Long)] = {
+      val dim = vecs.head._2.length
+      val seedIds = vecs.keys.toSeq
+        .sortBy(id => (md5hex("ivf_" + id), id)).take(k)
+      var cents: Seq[(Long, Vector[Long])] = seedIds.map(id => id -> vecs(id))
+      for (_ <- 1 to rounds) {
+        val assign = vecs.toSeq.map { case (vid, v) =>
+          val nv = dot(v, v)
+          val cid = cents.map { case (cid0, c) =>
+            val cos = dot(v, c).toDouble /
+              (math.sqrt(nv.toDouble) * math.sqrt(dot(c, c).toDouble))
+            (cid0, cos)
+          }.minBy { case (cid0, cos) => (-cos, cid0) }._1
+          vid -> cid
+        }
+        cents = assign.groupBy(_._2).toSeq.map { case (cid, members) =>
+          val ms = members.map(m => vecs(m._1))
+          cid -> (0 until dim)
+            .map(d => Math.floorDiv(ms.map(_(d)).sum, ms.size.toLong))
+            .toVector
+        }.sortBy(_._1)
+      }
+      cents.map { case (cid, c) => cid -> (c, dot(c, c)) }.toMap
+    }
+    val genVec = Gen.listOfN(4, Gen.chooseNum(-1000000L, 1000000L))
+      .map(_.toVector)
+      // chooseNum biases toward 0: a fully-zero vector would make the
+      // cosine NaN, which the production corpus (unit-ish embeddings)
+      // never produces — nudge the first coordinate off zero
+      .map(v => if (v.forall(_ == 0L)) v.updated(0, 1L) else v)
+    val genSet = Gen.chooseNum(20, 45).flatMap(n => Gen.listOfN(n, genVec))
+    samples(genSet, 4).zipWithIndex.foreach { case (vs, ci) =>
+      val vecs = vs.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap
+      val e = vecs.toSeq.map { case (id, v) => (id, v.toArray, dot(v, v)) }
+        .toDF("vec_id", "qe", "nrm")
+      val got = SimilarityQueries.learnedCents(e).collect()
+        .map(r => r.getLong(0) ->
+          (r.getSeq[Long](1).toVector, r.getLong(2))).toMap
+      assert(got === refTrain(vecs), s"k-means training diverged on set $ci")
+    }
+  }
+
+  test("per-doc entropy and LM score match scalar references on generated docs") {
+    // Entropy: H = log2(n) − Σ c·log2(c) / n over per-doc char counts,
+    // rounded at 4 — the reference recomputes it with plain doubles and
+    // compares within 6e-5 (round-4 half-ulp plus distributed-sum
+    // association). LM score: the corpus-fit char-bigram model is ALL
+    // integer arithmetic (prob_u = cnt·10⁶ div total; score_u = mean of
+    // the doc's bigram probs, floor-divided), so the reference must match
+    // EXACTLY — any divergence is a real convention drift the same-algebra
+    // DuckDB mirror would not see.
+    import graft.ext.TextQueries
+    val genDoc = Gen.chooseNum(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd', ' ')).map(_.mkString))
+    val genCorpus = Gen.chooseNum(8, 18).flatMap(n => Gen.listOfN(n, genDoc))
+    samples(genCorpus, 5).zipWithIndex.foreach { case (docs, ci) =>
+      val docsDf = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, if (i % 2 == 0) "en" else "fr", t) }
+        .toDF("doc_id", "lang", "text")
+      def log2(x: Double): Double = math.log(x) / math.log(2.0)
+      val refEnt = docs.zipWithIndex.map { case (t, i) =>
+        val counts = t.groupBy(identity).map(_._2.length.toLong)
+        val n = counts.sum
+        val clog = counts.map(c => c.toDouble * log2(c.toDouble)).sum
+        i.toLong -> (log2(n.toDouble) - clog / n)
+      }.toMap
+      val gotEnt = TextQueries.entropyPerDocPlanOf(docsDf).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(gotEnt.keySet === refEnt.keySet, s"entropy doc set, corpus $ci")
+      gotEnt.foreach { case (id, e) =>
+        assert(math.abs(e - refEnt(id)) <= 6e-5,
+          s"entropy diverged on corpus $ci doc $id: got $e ref ${refEnt(id)}")
+      }
+
+      val bigrams = docs.zipWithIndex.collect {
+        case (t, i) if t.length >= 2 =>
+          i.toLong -> t.sliding(2).toSeq
+      }
+      val model = bigrams.flatMap(_._2)
+        .groupBy(identity).map { case (bg, xs) => bg -> xs.size.toLong }
+      val total = model.values.sum
+      val probU = model.map { case (bg, c) =>
+        bg -> Math.floorDiv(c * 1000000L, total) }
+      val refLm = bigrams.map { case (id, bgs) =>
+        id -> Math.floorDiv(bgs.map(probU).sum, bgs.size.toLong)
+      }.toMap
+      val gotLm = TextQueries.lmScorePerDocPlanOf(docsDf).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(gotLm === refLm, s"LM score diverged on corpus $ci")
+    }
+  }
 }
