@@ -41,9 +41,13 @@ object GraphQueries {
     * how many documents have exactly that many near-dup partners. One
     * union (each edge contributes both endpoints), two hash aggregates
     * over edge-bounded data. */
-  def graphDegrees(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = edges(s, dir)
+  def graphDegrees(s: SparkSession, dir: String): DataFrame =
+    graphDegreesOf(edges(s, dir))
+
+  /** [[graphDegrees]] over an arbitrary (doc_a < doc_b) edge relation —
+    * factored for the ContractAndPropertySpec graph reference pins. */
+  private[graft] def graphDegreesOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val ends = e.select($"doc_a".as("doc_id"))
       .unionAll(e.select($"doc_b".as("doc_id")))
     ends.groupBy($"doc_id").agg(count(lit(1)).as("degree"))
@@ -67,9 +71,12 @@ object GraphQueries {
     * edges already satisfy a < b, so joining (x,y)⋈(y,z)⋈(x,z) with
     * x < y < z emits each triangle once; two equi self-joins, then one
     * explode over the 3 corners and a hash count. */
-  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = edges(s, dir)
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    graphTrianglesOf(edges(s, dir))
+
+  /** [[graphTriangles]] over an arbitrary edge relation. */
+  private[graft] def graphTrianglesOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val tri = e.toDF("x", "y")
       .join(e.toDF("y", "z"), "y")
       .join(e.toDF("x", "z"), Seq("x", "z"))
@@ -96,9 +103,9 @@ object GraphQueries {
   // --- G3: PageRank (bounded rounds, integer-exact) ----------------------
 
   /** Damping factor in percent and the fixed-point rank unit. */
-  private val DAMP_PCT = 85L
-  private val RANK_ONE = 1000000L
-  private val ROUNDS = 3
+  private[graft] val DAMP_PCT = 85L
+  private[graft] val RANK_ONE = 1000000L
+  private[graft] val ROUNDS = 3
 
   /** PageRank over the near-dup graph, 3 damped power-iteration rounds —
     * the centrality signal a dedup pipeline uses to pick CANONICAL
@@ -113,9 +120,12 @@ object GraphQueries {
     * finite unrolled DAG; an open-ended variant would localCheckpoint per
     * round exactly like [[DedupQueries]]' connected components. Undirected
     * edges mean every vertex has degree ≥ 1 — no dangling-mass term. */
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = edges(s, dir)
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    graphPagerankOf(edges(s, dir))
+
+  /** [[graphPagerank]] over an arbitrary edge relation. */
+  private[graft] def graphPagerankOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val sym = e.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionAll(e.select($"doc_b".as("src"), $"doc_a".as("dst")))
     val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -162,8 +172,8 @@ object GraphQueries {
   // --- G4: k-core / onion-layer decomposition ----------------------------
 
   /** Core threshold and fixed peel rounds for [[graphKcore]]. */
-  private val CORE_K = 2L
-  private val PEEL_ROUNDS = 3
+  private[graft] val CORE_K = 2L
+  private[graft] val PEEL_ROUNDS = 3
 
   /** k-core decomposition of the near-dup graph by iterative peeling —
     * the mega-cluster detector: a document surviving the 2-core sits on
@@ -181,9 +191,12 @@ object GraphQueries {
     * open-ended variant checkpoints per round like the CC loop); the
     * spec proves the fixpoint is reached within them at test scale, and
     * peeling is monotone so extra rounds are no-ops once it is. */
-  def graphKcore(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = edges(s, dir)
+  def graphKcore(s: SparkSession, dir: String): DataFrame =
+    graphKcoreOf(edges(s, dir))
+
+  /** [[graphKcore]] over an arbitrary edge relation. */
+  private[graft] def graphKcoreOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val sym = e.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionAll(e.select($"doc_b".as("src"), $"doc_a".as("dst")))
     var alive = sym.select($"src".as("doc_id")).distinct()
@@ -265,7 +278,7 @@ object GraphQueries {
     * 1 keeps the audit non-trivial at test scale (3 rows at sf0.01, one
     * with Jaccard 1.0 — a missed pair in the fullest sense) while the
     * ranking is what a production run would threshold. */
-  private val LP_MIN_COMMON = 1L
+  private[graft] val LP_MIN_COMMON = 1L
 
   /** LINK PREDICTION over the near-dup graph (round 13): for every
     * non-adjacent pair reachable through ≥ [[LP_MIN_COMMON]] shared
@@ -281,9 +294,12 @@ object GraphQueries {
     * cap already bounds (max degree ≤ bands·(cap−1)); the existing-edge
     * exclusion is a left-anti equi-join; degrees broadcast. Never
     * all-pairs. */
-  def graphLinkPredict(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = edges(s, dir)
+  def graphLinkPredict(s: SparkSession, dir: String): DataFrame =
+    graphLinkPredictOf(edges(s, dir))
+
+  /** [[graphLinkPredict]] over an arbitrary edge relation. */
+  private[graft] def graphLinkPredictOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val sym = e.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionAll(e.select($"doc_b".as("src"), $"doc_a".as("dst")))
     val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))

@@ -1620,4 +1620,123 @@ class ContractAndPropertySpec extends AnyFunSuite {
       assert(gotLm === refLm, s"LM score diverged on corpus $ci")
     }
   }
+
+  test("graph tier equals brute references: degrees, triangles, pagerank, kcore, links") {
+    // The five graph operators run over the memoized LSH edge table with
+    // independently-written but same-algebra DuckDB mirrors; only the CC
+    // labels had a reference pin until now. On generated undirected edge
+    // sets (plus a structured fixture that forces a 3-round peel), each
+    // operator must match a brute scalar reference: degree histogram,
+    // canonical triangle counts, the 3-round fixed-point integer
+    // PageRank, the k-core onion census WITH its -1 convergence-receipt
+    // row, and common-neighbor Jaccard link prediction over non-edges.
+    import graft.ext.GraphQueries
+    val coreK = GraphQueries.CORE_K
+    val peelRounds = GraphQueries.PEEL_ROUNDS
+    val prRounds = GraphQueries.ROUNDS
+    val rankOne = GraphQueries.RANK_ONE
+    val damp = GraphQueries.DAMP_PCT
+    val minCommon = GraphQueries.LP_MIN_COMMON
+
+    def neighbors(es: Seq[(Long, Long)]): Map[Long, Set[Long]] =
+      (es.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+
+    def refDegrees(es: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      neighbors(es).values.map(_.size.toLong).groupBy(identity).toSeq
+        .map { case (d, xs) => (d, xs.size.toLong) }.sortBy(_._1)
+
+    def refTriangles(es: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val nb = neighbors(es)
+      val tri = for {
+        (x, y) <- es; z <- nb.getOrElse(y, Set.empty)
+        if y < z && nb(x).contains(z)
+      } yield (x, y, z)
+      tri.flatMap { case (x, y, z) => Seq(x, y, z) }
+        .groupBy(identity).toSeq
+        .map { case (v, xs) => (v, xs.size.toLong) }.sortBy(_._1)
+    }
+
+    def refPagerank(es: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val nb = neighbors(es)
+      val deg = nb.map { case (v, s) => v -> s.size.toLong }
+      var r: Map[Long, Long] = deg.map { case (v, _) => v -> rankOne }
+      val base = rankOne - rankOne * damp / 100
+      for (_ <- 1 to prRounds) {
+        val csum = scala.collection.mutable.Map.empty[Long, Long]
+        for ((src, dsts) <- nb.toSeq; dst <- dsts)
+          csum(dst) = csum.getOrElse(dst, 0L) + r(src) / deg(src)
+        r = r.map { case (v, _) =>
+          v -> (base + damp * csum.getOrElse(v, 0L) / 100) }
+      }
+      r.toSeq.sortBy(_._1)
+    }
+
+    def refKcore(es: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      var cur = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      var alive = cur.map(_._1).toSet
+      val peeled = scala.collection.mutable.Map.empty[Long, Long]
+      for (r <- 1 to peelRounds) {
+        val dg = cur.groupBy(_._1).map { case (v, xs) => v -> xs.size.toLong }
+        val keep = alive.filter(v => dg.getOrElse(v, 0L) >= coreK)
+        (alive -- keep).foreach(v => peeled(v) = r.toLong)
+        alive = keep
+        cur = cur.filter { case (a, b) => keep(a) && keep(b) }
+      }
+      val dgF = cur.groupBy(_._1).map { case (v, xs) => v -> xs.size.toLong }
+      val resid = alive.count(v => dgF.getOrElse(v, 0L) < coreK).toLong
+      val census = (peeled.toSeq.map(_._2) ++ alive.toSeq.map(_ => 0L))
+        .groupBy(identity).toSeq
+        .map { case (rd, xs) => (rd, xs.size.toLong) }
+      ((-1L, resid) +: census).sortBy(_._1)
+    }
+
+    def refLinks(es: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      val nb = neighbors(es)
+      val edgeSet = es.toSet
+      val vs = nb.keys.toSeq.sorted
+      (for {
+        a <- vs; b <- vs if a < b && !edgeSet((a, b))
+        common = (nb(a) & nb(b)).size.toLong if common >= minCommon
+      } yield (a, b, common,
+        common * 1000000L / (nb(a).size + nb(b).size - common)))
+        .sortBy(x => (x._1, x._2))
+    }
+
+    def check(es0: Seq[(Long, Long)], label: String): Unit = {
+      val es = es0.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      val e = es.toDF("doc_a", "doc_b")
+      def rows2(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows2(GraphQueries.graphDegreesOf(e)) === refDegrees(es),
+        s"degrees diverged on $label")
+      assert(rows2(GraphQueries.graphTrianglesOf(e)) === refTriangles(es),
+        s"triangles diverged on $label")
+      assert(rows2(GraphQueries.graphPagerankOf(e)) === refPagerank(es),
+        s"pagerank diverged on $label")
+      assert(rows2(GraphQueries.graphKcoreOf(e)) === refKcore(es),
+        s"kcore census diverged on $label")
+      val gotLp = GraphQueries.graphLinkPredictOf(e).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(gotLp === refLinks(es), s"link prediction diverged on $label")
+    }
+
+    val genGraph = for {
+      n <- Gen.chooseNum(8, 16)
+      m <- Gen.chooseNum(n, 2 * n)
+      es <- Gen.listOfN(m, Gen.zip(
+        Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield es
+    samples(genGraph, 5).zipWithIndex.foreach { case (es, ci) =>
+      check(es, s"graph $ci")
+    }
+    // structured fixture: triangle + square survive the 2-core; the chain
+    // 2-3-4-5 peels over THREE rounds (5 at r1, 4 at r2, 3 at r3), the
+    // pendant 0-12 and the isolated edge 10-11 peel at r1 — a full onion
+    check(Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (8L, 9L), (6L, 9L), (10L, 11L), (0L, 12L)),
+      "structured onion graph")
+  }
 }
