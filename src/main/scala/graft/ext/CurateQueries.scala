@@ -36,7 +36,7 @@ object CurateQueries {
     * Scala initializes object vals in declaration order — a later
     * declaration would interpolate 0 into every oracle that references
     * it (the Spark sides, being defs, would silently disagree). */
-  private val DsirBuckets = 128L
+  private[graft] val DsirBuckets = 128L
 
   def curate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -876,9 +876,13 @@ object CurateQueries {
     * aggregate holds BOTH cohort counts in one row (conditional sums —
     * no outer join over the grid); everything after runs on the
     * |langs|·[[DsirBuckets]]-row table. */
-  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
+  def corpusDrift(s: SparkSession, dir: String): DataFrame =
+    corpusDriftOf(Tables.documents(s, dir))
+
+  /** [[corpusDrift]] over an arbitrary (doc_id, lang, text) relation —
+    * factored for the ContractAndPropertySpec reference pin. */
+  private[graft] def corpusDriftOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val cnts = docs
       .select($"lang", ($"doc_id" % 2).as("coh"),
         explode(split($"text", " ")).as("gram"))

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   /** Tokens-per-sequence budget for [[packSequences]]. */
-  private val PACK_BUDGET = 256L
+  private[graft] val PACK_BUDGET = 256L
 
   /** Whitespace WORD count as BIGINT — the unit for scrubbing/quality,
     * where the denylist and chars-per-word score are word-defined. */
@@ -53,9 +53,14 @@ object PipelineQueries {
     * exchange is the hash partition on the stream key. Fill ratio is
     * emitted in integer basis points (`tokens*10000 div budget`) so the
     * oracle comparison never touches floats. */
-  def packSequences(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val toks = Tables.documents(s, dir)
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packSequencesOf(Tables.documents(s, dir))
+
+  /** [[packSequences]] over an arbitrary (doc_id, lang, source, text)
+    * relation — factored for the ContractAndPropertySpec reference pin. */
+  private[graft] def packSequencesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
       .select($"lang", $"source", $"doc_id", nTok("text").as("n_tok"))
     val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

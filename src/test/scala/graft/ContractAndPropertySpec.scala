@@ -1739,4 +1739,106 @@ class ContractAndPropertySpec extends AnyFunSuite {
       (6L, 7L), (7L, 8L), (8L, 9L), (6L, 9L), (10L, 11L), (0L, 12L)),
       "structured onion graph")
   }
+
+  test("pack census equals a sequential first-fit packer on generated streams") {
+    // packSequences claims its windowed cumsum IS the deterministic
+    // streaming first-fit: docs in doc_id order per (lang, source)
+    // stream, each doc opening in the bin its running prefix lands in.
+    // The reference below packs sequentially with an explicit running
+    // counter — the semantics the Scaladoc promises — and rebuilds the
+    // census, including bins skipped entirely by over-budget docs. Token
+    // counts are recomputed structurally (ceil(run/4) per non-space run)
+    // rather than via the production regex.
+    import graft.ext.PipelineQueries
+    val budget = PipelineQueries.PACK_BUDGET
+    def nTokRef(text: String): Long =
+      text.split(" ", -1).filter(_.nonEmpty).map(w => (w.length + 3) / 4)
+        .sum.toLong
+    val genWord = Gen.chooseNum(1, 11).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val genDoc = for {
+      n <- Gen.chooseNum(0, 90)
+      ws <- Gen.listOfN(n, genWord)
+      lang <- Gen.oneOf("en", "fr")
+      src <- Gen.oneOf("s1", "s2")
+    } yield (lang, src, ws.mkString(" "))
+    val genCorpus = Gen.chooseNum(20, 40).flatMap(n => Gen.listOfN(n, genDoc))
+    samples(genCorpus, 4).zipWithIndex.foreach { case (docs, ci) =>
+      val rows = docs.zipWithIndex.map { case ((l, sc, t), i) =>
+        (i.toLong, l, sc, t) }
+      val docsDf = rows.toDF("doc_id", "lang", "source", "text")
+      val ref = rows.groupBy(r => (r._2, r._3)).toSeq.flatMap {
+        case ((l, sc), ds) =>
+          var running = 0L
+          ds.sortBy(_._1).map { case (_, _, _, t) =>
+            val tok = nTokRef(t)
+            val bin = running / budget
+            running += tok
+            ((l, sc, bin), tok)
+          }
+      }.groupBy(_._1).toSeq.map { case ((l, sc, bin), xs) =>
+        val tokens = xs.map(_._2).sum
+        (l, sc, bin, xs.size.toLong, tokens, tokens * 10000L / budget)
+      }.sortBy(x => (x._1, x._2, x._3))
+      val got = PipelineQueries.packSequencesOf(docsDf).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(got === ref, s"pack census diverged on corpus $ci")
+    }
+  }
+
+  test("corpus-drift integer KL and TV match a scalar reference") {
+    // The XC12 drift gate quantizes everything to integers (Laplace ppm
+    // probabilities, micro-nat floor'd logs, truncating-division sums), a
+    // convention both engines share token-for-token. The reference
+    // recomputes it from MessageDigest buckets and plain maps — including
+    // the documented truncate-toward-zero (NOT floor) of the possibly-
+    // negative quantized KL sums — so any drift in bucket hashing,
+    // smoothing, or the division convention fails here even though the
+    // oracle stays green.
+    import graft.ext.CurateQueries
+    val buckets = CurateQueries.DsirBuckets
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def bucketOf(gram: String): Long =
+      java.lang.Long.parseLong(md5hex(gram).substring(0, 12), 16) % buckets
+    val genDoc = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", ""))
+        .map(_.mkString(" ")))
+    val genCorpus = Gen.chooseNum(10, 24).flatMap(n => Gen.listOfN(n, genDoc))
+    samples(genCorpus, 4).zipWithIndex.foreach { case (docs, ci) =>
+      val rows = docs.zipWithIndex.map { case (t, i) =>
+        (i.toLong, if (i % 3 == 0) "en" else "fr", t) }
+      val docsDf = rows.toDF("doc_id", "lang", "text")
+      val ref = rows.groupBy(_._2).toSeq.map { case (lang, ds) =>
+        val cnt = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+        ds.foreach { case (id, _, t) =>
+          val coh = id % 2
+          t.split(" ", -1).foreach { g =>
+            val b = bucketOf(g)
+            val (a0, b0) = cnt.getOrElse(b, (0L, 0L))
+            cnt(b) = if (coh == 0) (a0 + 1, b0) else (a0, b0 + 1)
+          }
+        }
+        val ta = cnt.values.map(_._1).sum
+        val tb = cnt.values.map(_._2).sum
+        var klA, klB, tv = 0L
+        cnt.values.foreach { case (ca, cb) =>
+          val pa = (ca + 1) * 1000000L / (ta + buckets)
+          val pb = (cb + 1) * 1000000L / (tb + buckets)
+          val lrAb = math.floor(math.log(pa.toDouble / pb) * 1000000L).toLong
+          val lrBa = math.floor(math.log(pb.toDouble / pa) * 1000000L).toLong
+          klA += pa * lrAb; klB += pb * lrBa; tv += math.abs(pa - pb)
+        }
+        val nA = ds.count(_._1 % 2 == 0).toLong
+        val nB = ds.count(_._1 % 2 == 1).toLong
+        (lang, nA, nB, klA / 1000000L, klB / 1000000L, tv / 2L)
+      }.sortBy(_._1)
+      val got = CurateQueries.corpusDriftOf(docsDf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(got === ref, s"corpus drift diverged on corpus $ci")
+    }
+  }
 }
