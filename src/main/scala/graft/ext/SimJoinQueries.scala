@@ -38,8 +38,8 @@ object SimJoinQueries {
 
   /** Jaccard threshold t = NUM/DEN = 0.6 (kept as a ratio: every
     * threshold comparison stays in integer arithmetic). */
-  private val NUM = 3
-  private val DEN = 5
+  private[graft] val NUM = 3
+  private[graft] val DEN = 5
 
   /** The exact pair table is consumed by its own query AND the X2k audit —
     * memoized per (session, documents-content) like
@@ -68,32 +68,44 @@ object SimJoinQueries {
   private[ext] def docIndex(s: SparkSession, dir: String): DataFrame =
     graft.GraftSession.memo(s, "simjoin_doc_index|" +
         graft.GraftSession.contentKey(dir, Seq("documents"))) {
-      import s.implicits._
-      val sh = Tables.documents(s, dir)
-        .withColumn("toks", split($"text", " "))
-        .select($"doc_id", explode(array_distinct(DedupQueries.shingleArr)).as("sh"))
-      val df_ = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      sh.join(df_, "sh")
-        .groupBy($"doc_id")
-        .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ranked"))
-        .select($"doc_id",
-          expr("transform(ranked, r -> r.sh)").as("arr"),
-          size($"ranked").cast("long").as("n_sh"))
+      docIndexOf(Tables.documents(s, dir))
         .transform(graft.GraftSession.ckpt)
     }
+
+  /** The un-memoized ranked-index plan over an arbitrary (doc_id, text)
+    * relation — factored for the ContractAndPropertySpec brute pin. */
+  private[graft] def docIndexOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = docs
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", explode(array_distinct(DedupQueries.shingleArr)).as("sh"))
+    val df_ = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    sh.join(df_, "sh")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ranked"))
+      .select($"doc_id",
+        expr("transform(ranked, r -> r.sh)").as("arr"),
+        size($"ranked").cast("long").as("n_sh"))
+  }
 
   def simjoinPrefix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     exactPairs(s, dir).orderBy($"a_id", $"b_id")
   }
 
-  private def simjoinPrefixPlan(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private def simjoinPrefixPlan(s: SparkSession, dir: String): DataFrame =
+    simjoinPrefixPlanOf(docIndex(s, dir))
+
+  /** The prefix-join plan over an arbitrary ranked index — factored so the
+    * brute all-pairs pin can check the filter's zero-false-negative claim
+    * on generated corpora. */
+  private[graft] def simjoinPrefixPlanOf(docArr0: DataFrame): DataFrame = {
+    import docArr0.sparkSession.implicits._
     // the memoized rarity-ranked index: the sorted shingle array (ties
     // impossible — shingles are distinct per doc) doubles as set size AND
     // verification payload, so no later stage touches the exploded
     // shingle relation again
-    val docArr = docIndex(s, dir)
+    val docArr = docArr0
     // prefix length n − ⌈t·n⌉ + 1, with ⌈3n/5⌉ = (3n+4) div 5. Each
     // prefix-shingle posting row CARRIES its doc's full array, so pair
     // expansion and exact verification happen inside the posting list —
@@ -165,8 +177,8 @@ object SimJoinQueries {
   // --- X2i: exact containment join ----------------------------------------
 
   /** Containment threshold c = 9/10. */
-  private val CNUM = 9
-  private val CDEN = 10
+  private[graft] val CNUM = 9
+  private[graft] val CDEN = 10
 
   /** EXACT near-containment detection: pairs where ≥ 90% of the SMALLER
     * doc's shingles appear in the larger doc — the "quoted in full" dedup
@@ -183,13 +195,18 @@ object SimJoinQueries {
     * are equal-length paraphrases); on a real corpus the operator's value
     * is exactly the pairs X2h misses — small docs embedded in large ones.
     */
-  def containJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def containJoin(s: SparkSession, dir: String): DataFrame =
+    containJoinOf(docIndex(s, dir))
+
+  /** The containment-join plan over an arbitrary ranked index — factored
+    * for the ContractAndPropertySpec brute pin. */
+  private[graft] def containJoinOf(docArr0: DataFrame): DataFrame = {
+    import docArr0.sparkSession.implicits._
     // every side of this plan reads the ONE memoized ranked index — the
     // profiled alternative (rebuilding the shingle/df/regroup pipeline
     // inline) re-ran the two index exchanges per reference, dominating
     // the query's cost
-    val docArr = docIndex(s, dir)
+    val docArr = docArr0
     // contained-side candidates: A's prefix rows, CARRYING A's array
     // (candidate volume stays rare-shingle-bounded). The containing side
     // must expose its FULL shingle set — A's prefix shingle is guaranteed

@@ -1841,4 +1841,74 @@ class ContractAndPropertySpec extends AnyFunSuite {
       assert(got === ref, s"corpus drift diverged on corpus $ci")
     }
   }
+
+  test("prefix-filtered similarity and containment joins equal brute all-pairs") {
+    // The PPJoin-style prefix filter claims ZERO false negatives: every
+    // pair with J >= 3/5 must share a shingle inside both docs' rarity-
+    // ordered prefixes. The simjoin oracle re-expresses the SAME filter,
+    // so a prefix-length off-by-one (the classic bug in this family)
+    // would drop identical pairs from both engines and stay green. Here
+    // the candidate set is brute all-pairs over the reference shingle
+    // sets — prefix completeness, verification math (8i >= 3(a+b)), and
+    // the containment variant's small-into-large tie-break are all
+    // checked exactly on generated corpora with planted near-dups.
+    import graft.ext.SimJoinQueries
+    def shinglesOf(text: String): Set[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length >= 3)
+        (0 to toks.length - 3)
+          .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+      else Set(text)
+    }
+    def check(docs: Seq[String], label: String): Unit = {
+      val docsDf = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sets = docs.zipWithIndex.map { case (t, i) => i.toLong -> shinglesOf(t) }
+      val idx = SimJoinQueries.docIndexOf(docsDf)
+      // brute exact-Jaccard pairs at J >= NUM/DEN
+      val refSim = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        i = (sa & sb).size.toLong
+        if i * (SimJoinQueries.DEN + SimJoinQueries.NUM) >=
+          (sa.size + sb.size).toLong * SimJoinQueries.NUM
+      } yield (a, b, i, sa.size + sb.size - i,
+        i.toDouble / (sa.size + sb.size - i)))
+        .sortBy(x => (x._1, x._2))
+      val gotSim = SimJoinQueries.simjoinPrefixPlanOf(idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq.sortBy(x => (x._1, x._2))
+      assert(gotSim === refSim, s"prefix simjoin diverged on $label")
+      // brute containment pairs at |A∩B| >= CNUM/CDEN·|A|, small-into-large
+      val refCon = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a != b &&
+          (sb.size > sa.size || (sb.size == sa.size && b > a))
+        i = (sa & sb).size.toLong
+        if i * SimJoinQueries.CDEN >= sa.size.toLong * SimJoinQueries.CNUM
+      } yield (a, b, i, sa.size.toLong, sb.size.toLong, i.toDouble / sa.size))
+        .sortBy(x => (x._1, x._2))
+      val gotCon = SimJoinQueries.containJoinOf(idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSeq
+      assert(gotCon === refCon, s"containment join diverged on $label")
+      assert(refSim.nonEmpty && refCon.nonEmpty,
+        s"$label generated no qualifying pairs — test has no power")
+    }
+    val genDoc = Gen.chooseNum(3, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" ")))
+    val genCorpus = Gen.chooseNum(10, 18).flatMap(n => Gen.listOfN(n, genDoc))
+    samples(genCorpus, 4).zipWithIndex.foreach { case (docs0, ci) =>
+      // plant near-threshold structure the random tail can't guarantee:
+      // an exact twin (J = 1), a one-word paraphrase (J near threshold),
+      // and a short doc quoted whole inside a longer one (containment
+      // without symmetric similarity)
+      val base = docs0.head
+      val docs = docs0 ++ Seq(
+        base,
+        base + " x",
+        "w z y x w y z x w",
+        "x y z " + base + " w z y x w y z x w")
+      check(docs, s"corpus $ci")
+    }
+  }
 }
