@@ -291,9 +291,13 @@ object TextQueries {
   /** Top-3 TF-IDF terms for sampled docs. Ranked on the ROUNDED score (with
     * term tie-break) so a last-ulp ln() difference between JVM and DuckDB
     * libm cannot reorder the cut. */
-  def textTfidf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    textTfidfOf(Tables.documents(s, dir))
+
+  /** [[textTfidf]] over an arbitrary (doc_id, text) relation — factored
+    * for the ContractAndPropertySpec reference pin. */
+  private[graft] def textTfidfOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val terms = docs
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))

@@ -1911,4 +1911,43 @@ class ContractAndPropertySpec extends AnyFunSuite {
       check(docs, s"corpus $ci")
     }
   }
+
+  test("tf-idf top-3 equals a scalar reference with exact HALF_UP rounding") {
+    // Same blind-spot class as BM25: the mirror evaluates tf·ln(N/df)
+    // token-for-token. The reference recomputes it with plain doubles and
+    // replicates Spark's round() (BigDecimal HALF_UP at 6 places) so the
+    // rank cut compares EXACTLY — rank is computed on the rounded value
+    // with a term tie-break, so no tolerance band is needed.
+    import graft.ext.TextQueries
+    val genDoc = Gen.chooseNum(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox", ""))
+        .map(_.mkString(" ")))
+    val genCorpus = Gen.chooseNum(8, 20).flatMap(n => Gen.listOfN(n, genDoc))
+    samples(genCorpus, 5).zipWithIndex.foreach { case (docs, ci) =>
+      val docsDf = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val n = docs.length.toLong
+      val tf = docs.zipWithIndex.flatMap { case (t, i) =>
+        t.split(" ", -1).groupBy(identity)
+          .map { case (term, xs) => ((i.toLong, term), xs.length.toLong) }
+      }.toMap
+      val dfm = tf.keys.groupBy(_._2).map { case (term, ks) =>
+        term -> ks.map(_._1).toSet.size.toLong }
+      def rnd6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val ref = docs.indices.filter(_ < 50).flatMap { i =>
+        val scored = tf.collect { case ((d, term), c) if d == i.toLong =>
+          (term, rnd6(c * math.log(n.toDouble / dfm(term))))
+        }.toSeq
+        scored.sortBy(x => (-x._2, x._1)).take(3).zipWithIndex.map {
+          case ((term, v), r) => (i.toLong, (r + 1).toLong, term, v)
+        }
+      }.sortBy(x => (x._1, x._2))
+      val got = TextQueries.textTfidfOf(docsDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSeq
+      assert(got === ref, s"tf-idf top-3 diverged on corpus $ci")
+    }
+  }
 }
