@@ -1950,4 +1950,37 @@ class ContractAndPropertySpec extends AnyFunSuite {
       assert(got === ref, s"tf-idf top-3 diverged on corpus $ci")
     }
   }
+
+  test("histogram-refined quantiles equal sorted order statistics on generated facts") {
+    // The ST5b histogram plan is already pinned row-for-row against ST5's
+    // rank form under skew; BOTH share the ⌈q·n⌉ = (k·n+9) div 10 target-
+    // rank convention, so this closes the loop with ground truth that
+    // shares nothing: sort the values, read index ⌈q·n⌉ (1-based)
+    // directly. Duplicated-heavy, negative, and constant distributions
+    // are all generated — the bucket-width arithmetic ((hi−lo) div 1024
+    // + 1) must survive hi == lo and sub-1024 ranges.
+    import graft.analytics.StatsQueries
+    val genGroup = for {
+      n <- Gen.chooseNum(1, 120)
+      base <- Gen.chooseNum(-5000L, 5000L)
+      spread <- Gen.oneOf(0L, 3L, 1000L, 3000000L)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0L, math.max(spread, 1L)))
+    } yield vs.map(base + _)
+    val genFacts = Gen.chooseNum(1, 4).flatMap(g => Gen.listOfN(g, genGroup))
+    samples(genFacts, 6).zipWithIndex.foreach { case (groups, ci) =>
+      val rows = groups.zipWithIndex.flatMap { case (vs, g) =>
+        vs.map(v => (s"t$g", v)) }
+      val facts = rows.toDF("event_type", "cents")
+      val ref = groups.zipWithIndex.flatMap { case (vs, g) =>
+        val sorted = vs.sorted
+        Seq(1, 5, 9).map { k =>
+          val idx = (k * sorted.length + 9) / 10 // ceil(k·n/10), 1-based
+          (s"t$g", k.toDouble / 10, sorted(idx - 1))
+        }
+      }.sortBy(x => (x._1, x._2))
+      val got = StatsQueries.exactQuantilesOf(facts).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(got === ref, s"quantiles diverged on facts $ci")
+    }
+  }
 }
