@@ -295,11 +295,17 @@ object BehaviorQueries {
     * with few types, partition the sweep further by coarse time bucket and
     * prefix-sum the per-bucket offsets (documented here, not needed at
     * these cardinalities; same trick as the salted-agg tier). */
-  def intervalConcurrency(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def intervalConcurrency(s: SparkSession, dir: String): DataFrame =
+    intervalConcurrencyOf(Tables.events(s, dir))
+
+  /** [[intervalConcurrency]] over an arbitrary (event_id, event_type, ts)
+    * relation — factored for the ContractAndPropertySpec brute pin of the
+    * half-open boundary convention. */
+  private[graft] def intervalConcurrencyOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     // both boundary points of an interval come from ONE row via a 2-array
     // explode — a union of two selects would scan the parquet twice
-    val pts = Tables.events(s, dir)
+    val pts = events
       .select($"event_id", $"event_type", explode(array(
         struct($"ts".as("t"), lit(1).as("delta")),
         struct(($"ts" + expr("INTERVAL 15 MINUTES")).as("t"),

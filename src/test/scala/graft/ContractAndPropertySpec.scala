@@ -1983,4 +1983,38 @@ class ContractAndPropertySpec extends AnyFunSuite {
       assert(got === ref, s"quantiles diverged on facts $ci")
     }
   }
+
+  test("sweep-line peak concurrency equals brute interval membership") {
+    // The sweep encodes half-open [ts, ts+15min) via its tie ordering
+    // (ends sort before starts at equal timestamps) — a convention both
+    // engines' mirrors share, so an off-by-one there (closed intervals
+    // double-counting a touching end/start) would stay oracle-green. The
+    // brute reference never sweeps: concurrency at a candidate start x is
+    // a direct membership count #{i : s_i <= x < s_i + W}; the peak and
+    // its first time must match. Timestamps sit on a 5-minute grid so
+    // exact 15-minute touches (end == next start) occur constantly.
+    import graft.analytics.BehaviorQueries
+    val W = 15L * 60 * 1000000 // 15 min in micros
+    val genEvent = for {
+      typ <- Gen.oneOf("a", "b")
+      slot <- Gen.chooseNum(0L, 40L)
+    } yield (typ, slot * 5L * 60 * 1000000) // 5-min grid
+    val genSet = Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n, genEvent))
+    samples(genSet, 5).zipWithIndex.foreach { case (evs, ci) =>
+      val rows = evs.zipWithIndex.map { case ((typ, us), i) =>
+        (i.toLong, typ, new java.sql.Timestamp(us / 1000)) }
+      val df = rows.toDF("event_id", "event_type", "ts")
+      val ref = rows.groupBy(_._2).toSeq.map { case (typ, es) =>
+        val starts = es.map(_._3.getTime * 1000)
+        val concAt = starts.distinct
+          .map(x => x -> starts.count(s => s <= x && x < s + W).toLong)
+        val peak = concAt.map(_._2).max
+        val firstPeak = concAt.filter(_._2 == peak).map(_._1).min
+        (typ, peak, firstPeak)
+      }.sortBy(_._1)
+      val got = BehaviorQueries.intervalConcurrencyOf(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === ref, s"concurrency diverged on set $ci")
+    }
+  }
 }
