@@ -302,9 +302,14 @@ object StatsQueries {
     * the CDF window is partitioned by lang over the LENGTH DICTIONARY
     * (distinct lengths, value-bounded), never corpus rows; the totals
     * join is |langs|-sized. */
-  def lengthKs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val cnts = Tables.documents(s, dir)
+  def lengthKs(s: SparkSession, dir: String): DataFrame =
+    lengthKsOf(Tables.documents(s, dir))
+
+  /** [[lengthKs]] over an arbitrary (doc_id, lang, n_chars) relation —
+    * factored for the ContractAndPropertySpec reference pin. */
+  private[graft] def lengthKsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cnts = docs
       .groupBy($"lang", $"n_chars")
       .agg(sum(when($"doc_id" % 2 === 0, 1L).otherwise(0L)).as("ca"),
         sum(when($"doc_id" % 2 === 1, 1L).otherwise(0L)).as("cb"))
@@ -857,8 +862,17 @@ object StatsQueries {
       .select($"o_custkey",
         (Ops.money($"o_totalprice") * 100).cast("long").as("cents"))
       .groupBy($"o_custkey").agg(sum($"cents").as("spend_c"))
-    val pts = cust.join(spend, $"c_custkey" === $"o_custkey", "left")
-      .select($"bal_c", coalesce($"spend_c", lit(0L)).as("spend_c"))
+    skylineOf(cust.join(spend, $"c_custkey" === $"o_custkey", "left")
+      .select($"bal_c", coalesce($"spend_c", lit(0L)).as("spend_c")))
+  }
+
+  /** The skyline engine over an arbitrary per-entity (bal_c, spend_c)
+    * relation — factored for the ContractAndPropertySpec brute-dominance
+    * pin. */
+  private[graft] def skylineOf(points: DataFrame): DataFrame = {
+    val s = points.sparkSession
+    import s.implicits._
+    val pts = points
       .groupBy($"bal_c", $"spend_c").agg(count(lit(1)).as("n_customers"))
     // one row per distinct balance: the max-spend point (keeps its count)
     val perX = pts

@@ -1312,8 +1312,8 @@ object MultimodalQueries {
     * T < BANDS the multi-index scheme is EXACT by pigeonhole: ≤T
     * differing bits spread over 4 disjoint 16-bit bands leave at least
     * one band identical, so every qualifying pair shares a bucket. */
-  private val NEARDUP_N = 120L
-  private val NEARDUP_T = 3L
+  private[graft] val NEARDUP_N = 120L
+  private[graft] val NEARDUP_T = 3L
 
   /** IMAGE near-dup detection over decoded rasters — the multimodal
     * completion of the X2 text-dedup family: every image pipeline dedups
@@ -1334,9 +1334,14 @@ object MultimodalQueries {
     * (band, value) — bucket sizes are the 1/65536 hash marginals (skew
     * capped the X2 way if a degenerate corpus concentrates a bucket);
     * verification is O(candidates) integer popcounts. */
-  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val banded = nearDupIndex(s, dir)
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame =
+    mediaNearDupOf(nearDupIndex(s, dir))
+
+  /** The candidate-join + verify + census over an arbitrary banded index
+    * — factored so the pigeonhole-completeness pin can drive it on
+    * generated hashes. */
+  private[graft] def mediaNearDupOf(banded: DataFrame): DataFrame = {
+    import banded.sparkSession.implicits._
     val a = banded.toDF("a_id", "a_hi", "a_lo", "band", "bv")
     val bb = banded.toDF("b_id", "b_hi", "b_lo", "band", "bv")
     val cands = a.join(bb, Seq("band", "bv"))

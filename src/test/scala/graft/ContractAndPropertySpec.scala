@@ -2017,4 +2017,113 @@ class ContractAndPropertySpec extends AnyFunSuite {
       assert(got === ref, s"concurrency diverged on set $ci")
     }
   }
+
+  test("skyline frontier equals brute O(n²) dominance on generated points") {
+    // The running-max rewrite (per-x max, then strict max over greater
+    // balances) and its bucket-pruned distributed form both encode the
+    // dominance DEFINITION indirectly, and the oracle states the same
+    // rewrite — so the definition itself had no independent check. The
+    // reference tests it literally: a distinct (bal, spend) pair is on
+    // the frontier iff no OTHER distinct pair dominates it on both axes.
+    // Duplicate pairs (same bal and spend) must survive together with
+    // their count; equal-balance and equal-spend near-ties are generated
+    // densely via a tiny value grid.
+    import graft.analytics.StatsQueries
+    val genPoint = Gen.zip(
+      Gen.chooseNum(0L, 12L).map(_ * 50000L),
+      Gen.chooseNum(0L, 12L).map(_ * 30000L))
+    val genSet = Gen.chooseNum(10, 60).flatMap(n => Gen.listOfN(n, genPoint))
+    samples(genSet, 5).zipWithIndex.foreach { case (ps, ci) =>
+      val df = ps.toDF("bal_c", "spend_c")
+      val grouped = ps.groupBy(identity).map { case (p, xs) =>
+        (p._1, p._2, xs.size.toLong) }.toSeq
+      val ref = grouped.filter { case (b, sp, _) =>
+        !grouped.exists { case (b2, s2, _) =>
+          (b2, s2) != (b, sp) && b2 >= b && s2 >= sp }
+      }.sortBy(_._1)
+      val got = StatsQueries.skylineOf(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === ref, s"skyline diverged on set $ci")
+    }
+  }
+
+  test("KS drift statistic equals a scalar CDF-gap reference") {
+    // The ppm quantization (each CDF side floor-divided BEFORE the
+    // difference) and the stride-packed argmax (ties to the SMALLEST
+    // length) are conventions both mirrors share. The reference walks the
+    // sorted length dictionary with plain integer arithmetic.
+    import graft.analytics.StatsQueries
+    val genDoc = Gen.zip(Gen.oneOf("en", "fr"), Gen.chooseNum(1L, 12L))
+    val genSet = Gen.chooseNum(6, 40).flatMap(n => Gen.listOfN(n, genDoc))
+    samples(genSet, 5).zipWithIndex.foreach { case (ds, ci) =>
+      val rows = ds.zipWithIndex.map { case ((l, nc), i) => (i.toLong, l, nc) }
+      val df = rows.toDF("doc_id", "lang", "n_chars")
+      val ref = rows.groupBy(_._2).toSeq.map { case (lang, xs) =>
+        val byLen = xs.groupBy(_._3).toSeq.sortBy(_._1).map { case (nc, es) =>
+          (nc, es.count(_._1 % 2 == 0).toLong, es.count(_._1 % 2 == 1).toLong)
+        }
+        val ta = byLen.map(_._2).sum
+        val tb = byLen.map(_._3).sum
+        var cca, ccb = 0L
+        val gaps = byLen.map { case (nc, ca, cb) =>
+          cca += ca; ccb += cb
+          val fa = if (ta > 0) cca * 1000000L / ta else 0L
+          val fb = if (tb > 0) ccb * 1000000L / tb else 0L
+          (nc, math.abs(fa - fb))
+        }
+        val peak = gaps.map(_._2).max
+        val at = gaps.filter(_._2 == peak).map(_._1).min
+        (lang, ta, tb, peak, at)
+      }.sortBy(_._1)
+      val got = StatsQueries.lengthKsOf(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(got === ref, s"KS diverged on set $ci")
+    }
+  }
+
+  test("banded near-dup census equals brute Hamming pairs (pigeonhole recall 1)") {
+    // The multi-index claim: any two 64-bit hashes within Hamming <= 3
+    // MUST share one of the 4 disjoint 16-bit bands, so the equi-join
+    // candidate set loses NO qualifying pair. Both mirrors band the same
+    // way; the reference compares every pair's popcount directly. Planted
+    // variants flip 0-3 random bits (duplicates exercise the d = 0 row);
+    // random satellites exercise the reject path.
+    import graft.ext.MultimodalQueries
+    val t = MultimodalQueries.NEARDUP_T
+    val genCase = for {
+      bases <- Gen.listOfN(10, Gen.zip(
+        Gen.chooseNum(0L, (1L << 32) - 1), Gen.chooseNum(0L, (1L << 32) - 1)))
+      plants <- Gen.listOfN(10, Gen.zip(Gen.chooseNum(0, 9),
+        Gen.chooseNum(0, 3), Gen.listOfN(3, Gen.chooseNum(0, 63))))
+      sat <- Gen.listOfN(8, Gen.zip(
+        Gen.chooseNum(0L, (1L << 32) - 1), Gen.chooseNum(0L, (1L << 32) - 1)))
+    } yield (bases, plants, sat)
+    samples(genCase, 4).zipWithIndex.foreach { case ((bases, plants, sat), ci) =>
+      val planted = plants.map { case (bi, k, flips) =>
+        val (hi0, lo0) = bases(bi)
+        flips.take(k).foldLeft((hi0, lo0)) { case ((hi, lo), p) =>
+          if (p >= 32) (hi ^ (1L << (p - 32)), lo) else (hi, lo ^ (1L << p))
+        }
+      }
+      val hashes = (bases ++ planted ++ sat).zipWithIndex
+        .map { case ((hi, lo), i) => (i.toLong, hi, lo) }
+      val df = hashes.toDF("doc_id", "dhash_hi", "dhash_lo")
+      val ref = (for {
+        (a, ahi, alo) <- hashes; (b, bhi, blo) <- hashes if a < b
+        d = java.lang.Long.bitCount(ahi ^ bhi) +
+          java.lang.Long.bitCount(alo ^ blo) if d <= t
+      } yield (d.toLong, a, b))
+        .groupBy(_._1).toSeq.map { case (d, xs) =>
+          (d, xs.size.toLong, xs.map(_._2).min, xs.map(_._3).max) }
+        .sortBy(_._1)
+      val got = MultimodalQueries.mediaNearDupOf(
+        MultimodalQueries.bandHashes(df)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got === ref, s"near-dup census diverged on case $ci")
+      assert(ref.exists(_._1 == 0L) || ref.nonEmpty,
+        s"case $ci generated no qualifying pairs")
+    }
+  }
 }
