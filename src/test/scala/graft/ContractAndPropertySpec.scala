@@ -2126,4 +2126,55 @@ class ContractAndPropertySpec extends AnyFunSuite {
         s"case $ci generated no qualifying pairs")
     }
   }
+
+  test("convention witnesses: minimal fixtures where the alternative convention differs") {
+    // Each pinned convention gets one deterministic minimal case whose
+    // expected value DIFFERS under the plausible-but-wrong alternative —
+    // a reader can see from the fixture alone which rule is in force,
+    // and a convention flip fails here with an obvious counterexample
+    // rather than somewhere inside a generated corpus.
+
+    // 1) Sweep-line half-open intervals: [0, 15min) and [15min, 30min)
+    //    touch exactly. Closed intervals would overlap at the boundary
+    //    (peak 2); half-open must report peak 1.
+    val touching = Seq(
+      (0L, "t", new java.sql.Timestamp(0L)),
+      (1L, "t", new java.sql.Timestamp(15L * 60 * 1000)))
+      .toDF("event_id", "event_type", "ts")
+    val sweep = graft.analytics.BehaviorQueries
+      .intervalConcurrencyOf(touching).collect()
+    assert(sweep.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("t", 1L)), "touching intervals must NOT overlap (half-open)")
+
+    // 2) BPE overlap rule: aaaaa + (a,a) -> [aa, aa, a]. A rescan-after-
+    //    merge variant would produce [aaaa, a] (merging the merged pair),
+    //    a no-skip variant [aa, aa, a] differs from greedy-rightmost etc.
+    val fold = Seq(Tuple3(Seq("a", "a", "a", "a", "a"), "a", "a"))
+      .toDF("s", "ls", "rs")
+      .select(expr(graft.ext.TextQueries.bpeFoldExprOn("s")).as("d"))
+      .collect().head.getString(0)
+    assert(fold.split("\u0001").toSeq === Seq("aa", "aa", "a"),
+      "canonical BPE: scan resumes AFTER a merged pair")
+
+    // 3) Skyline dominance is WEAK on each axis but requires a DISTINCT
+    //    pair: an exact duplicate pair survives (with count 2), while an
+    //    equal-balance higher-spend point kills its lesser.
+    val sky = graft.analytics.StatsQueries.skylineOf(Seq(
+      (100L, 50L), (100L, 50L), (100L, 40L)).toDF("bal_c", "spend_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sky === Seq((100L, 50L, 2L)),
+      "duplicates survive together; equal-axis dominance kills the lesser")
+
+    // 4) KS ppm quantization FLOORS each CDF side: one cohort of 3 docs
+    //    at lengths 1,1,2 vs one of 3 at length 2. At length 1:
+    //    floor(2·1e6/3) − 0 = 666666 — a round-half-up variant would
+    //    report 666667.
+    val ks = graft.analytics.StatsQueries.lengthKsOf(Seq(
+      (0L, "en", 1L), (2L, "en", 1L), (4L, "en", 2L),
+      (1L, "en", 2L), (3L, "en", 2L), (5L, "en", 2L))
+      .toDF("doc_id", "lang", "n_chars"))
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(ks === Seq((666666L, 1L)),
+      "per-side flooring: 666666 ppm at length 1, not 666667")
+  }
 }
