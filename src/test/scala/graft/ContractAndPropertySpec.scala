@@ -2100,12 +2100,15 @@ class ContractAndPropertySpec extends AnyFunSuite {
         Gen.chooseNum(0L, (1L << 32) - 1), Gen.chooseNum(0L, (1L << 32) - 1)))
     } yield (bases, plants, sat)
     samples(genCase, 4).zipWithIndex.foreach { case ((bases, plants, sat), ci) =>
+      // Random k may be >0 in every plant (and XOR flips can cancel), so
+      // force one EXACT duplicate per case — the d = 0 census row must
+      // always exist and is asserted below, not merely hoped for.
       val planted = plants.map { case (bi, k, flips) =>
         val (hi0, lo0) = bases(bi)
         flips.take(k).foldLeft((hi0, lo0)) { case ((hi, lo), p) =>
           if (p >= 32) (hi ^ (1L << (p - 32)), lo) else (hi, lo ^ (1L << p))
         }
-      }
+      } :+ bases.head
       val hashes = (bases ++ planted ++ sat).zipWithIndex
         .map { case ((hi, lo), i) => (i.toLong, hi, lo) }
       val df = hashes.toDF("doc_id", "dhash_hi", "dhash_lo")
@@ -2122,8 +2125,8 @@ class ContractAndPropertySpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSeq
       assert(got === ref, s"near-dup census diverged on case $ci")
-      assert(ref.exists(_._1 == 0L) || ref.nonEmpty,
-        s"case $ci generated no qualifying pairs")
+      assert(ref.exists(_._1 == 0L) && ref.nonEmpty,
+        s"case $ci must exercise the d = 0 (exact-duplicate) census row")
     }
   }
 
@@ -2146,9 +2149,14 @@ class ContractAndPropertySpec extends AnyFunSuite {
     assert(sweep.map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq(("t", 1L)), "touching intervals must NOT overlap (half-open)")
 
-    // 2) BPE overlap rule: aaaaa + (a,a) -> [aa, aa, a]. A rescan-after-
-    //    merge variant would produce [aaaa, a] (merging the merged pair),
-    //    a no-skip variant [aa, aa, a] differs from greedy-rightmost etc.
+    // 2) BPE overlap rule: aaaaa + (a,a) -> [aa, aa, a]. This fixture
+    //    discriminates exactly two alternatives: a rescan-after-merge
+    //    variant produces [aaaa, a] (it re-merges the merged pair), and a
+    //    rightmost-first scan produces [a, aa, aa]. It CANNOT distinguish
+    //    the no-skip variant (compare the merged token against the next
+    //    symbol before advancing): for a single (ls, rs) rule the merged
+    //    symbol ls+rs can never equal ls again, so no-skip is
+    //    extensionally identical to the canonical skip-one scan here.
     val fold = Seq(Tuple3(Seq("a", "a", "a", "a", "a"), "a", "a"))
       .toDF("s", "ls", "rs")
       .select(expr(graft.ext.TextQueries.bpeFoldExprOn("s")).as("d"))

@@ -143,6 +143,10 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     budget = float(sys.argv[3]) if len(sys.argv) > 3 else \
         float(os.environ.get("ORACLE_BUDGET_SEC", "30"))
+    # The gate's conventions are calibrated per engine version
+    # (OracleConventionSpec pins them); record which engine produced
+    # this run so a drifted result is attributable.
+    print(f"oracle engine: duckdb {duckdb.__version__}")
 
     def connect():
         c = duckdb.connect()
