@@ -114,7 +114,7 @@ class ArtifactSpec extends AnyFunSuite {
         .map(r => (r.getLong(1), r.getString(2)))
       // post-publish rows still see only the pinned snapshot
       assert(tags.filter(_._1 == 200L).map(_._2).toSet === Set("old"))
-    } finally q.stop()
+    } finally StreamGuards.stop(q)
   }
 
   test("a re-published version is picked up MID-STREAM via foreachBatch reload") {
@@ -144,7 +144,7 @@ class ArtifactSpec extends AnyFunSuite {
       emb.filter($"vec_id" % 2 === 1).coalesce(1)
         .write.mode("append").parquet(feedDir)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally StreamGuards.stop(q)
     import scala.jdk.CollectionConverters._
     val rows = out.asScala.toSeq
     val (b1, b2) = rows.partition(_._3 === 1)
@@ -223,7 +223,7 @@ class ArtifactSpec extends AnyFunSuite {
     val delStream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(delDir)
     val q = StreamJobs.annDeleteStream(delStream, root, "codes", ck).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally StreamGuards.stop(q)
     // 1) deletes are visible BEFORE compaction via the surviving view,
     //    and equal a from-scratch assignment of the surviving vectors
     //    under the SAME centroids (the post-delete == rebuild pin)
@@ -313,7 +313,7 @@ class ArtifactSpec extends AnyFunSuite {
         ()
       }
       .start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     // brute truth from the pixel formula: new × corpus, Hamming <= 3
     def dhashOf(id: Long): Long = {
       val w = 16 + (id % 7).toInt * 3
@@ -374,7 +374,7 @@ class ArtifactSpec extends AnyFunSuite {
         ()
       }
       .start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     // stream == batch off the same loaded artifact
     val batchRows = DedupQueries.substringOverlapOf(
         spark.read.parquet(tmp),
@@ -414,7 +414,7 @@ class ArtifactSpec extends AnyFunSuite {
         ()
       }
       .start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val batchRows = CurateQueries.nbScore(docs, CurateQueries.nbTrain(docs))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
@@ -452,7 +452,7 @@ class ArtifactSpec extends AnyFunSuite {
         ()
       }
       .start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val streamed = StreamJobs.skylineFrontier(
         ArtifactStore.load(spark, root, "skyline_dict"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -490,7 +490,7 @@ class ArtifactSpec extends AnyFunSuite {
         ()
       }
       .start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val batchIds = LayoutQueries.globalRowIds(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(out.sortBy(_._1).toSeq === batchIds.toSeq,
@@ -500,5 +500,12 @@ class ArtifactSpec extends AnyFunSuite {
         docs.limit(3).select($"doc_id", $"lang"), assigned)
       .collect().map(_.getLong(0)).sorted
     assert(more.head === assigned + 1 && more.last === assigned + 3)
+  }
+
+  test("streaming plan guard: serve-twin micro-batch plans are clean") {
+    // Closing guard for this suite's streaming runs (the artifact-backed
+    // serve twins, mostly unnamed foreachBatch queries) — see
+    // StreamingSpec's closing test and StreamGuards for the mechanism.
+    StreamGuards.assertClean(Set("pin_probe", "unnamed"))
   }
 }

@@ -33,7 +33,7 @@ class StreamingSpec extends AnyFunSuite {
       .tokenizeStream(stream, TextQueries.bpeMergeTable(spark, sf))
       .writeStream.outputMode("append").format("memory")
       .queryName("tok_stream_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val streamed = spark.table("tok_stream_out").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     val batch = TextQueries.tokensPerDoc(spark, sf).collect()
@@ -59,7 +59,7 @@ class StreamingSpec extends AnyFunSuite {
         TextQueries.bpeVocab(spark, sf))
       .writeStream.outputMode("append").format("memory")
       .queryName("tokid_stream_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val streamed = spark.table("tokid_stream_out").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
         r.getAs[Long]("token_id"), r.getAs[String]("token"))).toSet
@@ -84,7 +84,7 @@ class StreamingSpec extends AnyFunSuite {
         StreamJobs.docsStream(spark, tmp, maxFilesPerTrigger = Some(1)))
       .writeStream.outputMode("append").format("memory")
       .queryName("crossdoc_stream_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val perDoc = spark.table("crossdoc_stream_out").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
@@ -119,7 +119,7 @@ class StreamingSpec extends AnyFunSuite {
         StreamJobs.docsStream(spark, tmp, maxFilesPerTrigger = Some(1)))
       .writeStream.outputMode("append").format("memory")
       .queryName("pack_stream_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val streamed = spark.table("pack_stream_out").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6))).toSet
@@ -166,7 +166,7 @@ class StreamingSpec extends AnyFunSuite {
         SimilarityQueries.trainedCents(spark, sf))
       .writeStream.outputMode("append").format("memory")
       .queryName("ann_ingest_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val streamed = spark.table("ann_ingest_out").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the batch truth: the trained index's own corpus assignment
@@ -198,7 +198,7 @@ class StreamingSpec extends AnyFunSuite {
           .collect().foreach(r => out.add((r.getLong(0), r.getLong(1),
             r.getLong(2), r.getDouble(3))))
       }.start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally StreamGuards.stop(q)
     import scala.jdk.CollectionConverters._
     val streamed = out.asScala.toSet
     val batchRows = SimilarityQueries.knnFiltered(spark, sf).collect()
@@ -283,7 +283,7 @@ class StreamingSpec extends AnyFunSuite {
         }
         ()
       }.start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     // stream == batch off the same store
     val batchRows = DedupQueries.cdcOverlapOf(
         spark.read.schema(schema).parquet(feedDir),
@@ -328,7 +328,7 @@ class StreamingSpec extends AnyFunSuite {
           m(200) + i, 100L + i, "noise", 0L)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally StreamGuards.stop(q)
     val rows = spark.table("asof_late_out").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
         r.getLong(4))).toSet
@@ -364,7 +364,7 @@ class StreamingSpec extends AnyFunSuite {
           maxUs + 7200L * 1000000L + i, 999999100L + i, "noise", 0L)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally StreamGuards.stop(q)
     val streamed = spark.table("asof_eq_out").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
         r.getLong(4))).toSet
@@ -421,7 +421,7 @@ class StreamingSpec extends AnyFunSuite {
           maxUs + 7200L * 1000000L + i, 999999200L + i, "noise", 0L)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally StreamGuards.stop(q)
     val streamed = spark.table("asof_tol_out").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
         r.getLong(4))).toSet
@@ -492,7 +492,7 @@ class StreamingSpec extends AnyFunSuite {
             m(200) + i, 100L + i, "noise", 0L)
           q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally StreamGuards.stop(q)
       spark.table(name).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
           r.getLong(4))).toSet
@@ -544,7 +544,7 @@ class StreamingSpec extends AnyFunSuite {
           maxFilesPerTrigger = Some(1)))
         .writeStream.outputMode("append").format("memory")
         .queryName("utouch_out").start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally StreamGuards.stop(q)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -620,7 +620,7 @@ class StreamingSpec extends AnyFunSuite {
           delay = "365 days")
         .writeStream.outputMode("append").format("memory")
         .queryName("utouch_timers_out").start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally StreamGuards.stop(q)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -944,7 +944,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamJobs.tumblingDaily(StreamJobs.eventsStream(spark, eventsDir))
       .writeStream.outputMode("append").format("memory")
       .queryName("tumbling_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val streamed = spark.table("tumbling_out")
       .select($"w_start_us", $"event_type", $"n").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
@@ -959,11 +959,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(missingDays.size <= 1)
   }
 
+  test("T4 streaming sliding hourly counts match the batch query") {
+    // round 18: StreamJobs.slidingHourly had no live run (found by the
+    // streaming plan-guard coverage audit) — pin it like tumblingDaily.
+    val q = StreamJobs.slidingHourly(StreamJobs.eventsStream(spark, eventsDir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sliding_hourly_out").start()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
+    val streamed = spark.table("sliding_hourly_out")
+      .select($"w_start_us", $"n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventQueries.slidingHourly(spark, sf)
+      .select($"w_start_us", $"n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // append mode emits only watermark-closed windows: an exact subset of
+    // the batch assignment, missing at most the trailing windows still
+    // open at the final watermark (window 1 h + delay 1 h over 15-min
+    // slides ⇒ ≤ 8 open ends)
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"stream-only windows: ${(streamed -- batch).take(3)}")
+    assert(batch.size - streamed.size <= 8,
+      s"too many unemitted windows: ${batch.size - streamed.size}")
+  }
+
+  test("T4 streaming session windows match the batch query") {
+    // round 18: StreamJobs.sessionWindows likewise had no live run.
+    val q = StreamJobs.sessionWindows(StreamJobs.eventsStream(spark, eventsDir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_windows_out").start()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
+    val streamed = spark.table("session_windows_out")
+      .select($"user_id", $"session_start_us", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventQueries.sessionWindows(spark, sf)
+      .select($"user_id", $"session_start_us", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // sessions emit once the watermark passes their close; only sessions
+    // ending inside the final watermark lag can be withheld
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"stream-only sessions: ${(streamed -- batch).take(3)}")
+    assert(streamed.size * 10 >= batch.size * 9,
+      s"only ${streamed.size} of ${batch.size} sessions emitted")
+  }
+
   test("B2 twin: streaming sliding distinct estimates track the exact batch window") {
     val q = StreamJobs.slidingDistinctUsers(StreamJobs.eventsStream(spark, eventsDir))
       .writeStream.outputMode("append").format("memory")
       .queryName("sliding_distinct_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val streamed = spark.table("sliding_distinct_out")
       .select($"dayn", $"users_7d_est").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -986,7 +1031,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamJobs.bitmapPresenceStream(StreamJobs.eventsStream(spark, eventsDir))
       .writeStream.outputMode("complete").format("memory")
       .queryName("bitmap_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val streamed = spark.table("bitmap_out").collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     val batch = graft.analytics.BehaviorQueries.bitmapPresence(spark, sf)
@@ -1005,7 +1050,7 @@ class StreamingSpec extends AnyFunSuite {
         StreamJobs.docsStream(spark, s"$tmp/docs", maxFilesPerTrigger = Some(1)))
       .writeStream.outputMode("update").format("memory")
       .queryName("wsample_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val emitted = spark.table("wsample_out")
       .select($"lang", $"rnk", $"doc_id", $"n_tok", $"score", $"n_seen").collect()
     assert(emitted.nonEmpty)
@@ -1038,7 +1083,7 @@ class StreamingSpec extends AnyFunSuite {
         scores)
       .writeStream.outputMode("append").format("memory")
       .queryName("dsir_admit_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
       (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))
     val streamed = spark.table("dsir_admit_out")
@@ -1062,7 +1107,7 @@ class StreamingSpec extends AnyFunSuite {
         StreamJobs.docsStream(spark, s"$tmp/docs", maxFilesPerTrigger = Some(1)))
       .writeStream.outputMode("append").format("memory")
       .queryName("shard_route_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     def slots(r: org.apache.spark.sql.Row) = r.getLong(0) ->
       (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue)
     val streamed = spark.table("shard_route_out")
@@ -1084,7 +1129,7 @@ class StreamingSpec extends AnyFunSuite {
     graft.ingest.CtaFixtures.feedDf(spark).write.json(drop)
     val q = StreamJobs.landObservationsObserved(
       StreamJobs.rawFeedStream(spark, drop), out, ckpt).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally StreamGuards.stop(q)
     // sum the "ingest" observed metrics over every progress event —
     // the same numbers a metrics pipeline would ship per micro-batch
     val obs = q.recentProgress.toSeq
@@ -1109,7 +1154,7 @@ class StreamingSpec extends AnyFunSuite {
     graft.ingest.CtaFixtures.feedDf(spark).write.json(drop)
     val q = StreamJobs.landObservations(
       StreamJobs.rawFeedStream(spark, drop), out, ckpt).start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val landed = spark.read.parquet(out)
     assert(landed.count() === 3)
     assert(new java.io.File(out).listFiles()
@@ -1117,7 +1162,7 @@ class StreamingSpec extends AnyFunSuite {
     // restart on same checkpoint: no reprocessing, still exactly 3 rows
     val q2 = StreamJobs.landObservations(
       StreamJobs.rawFeedStream(spark, drop), out, ckpt).start()
-    try { q2.processAllAvailable() } finally q2.stop()
+    try { q2.processAllAvailable() } finally StreamGuards.stop(q2)
     assert(spark.read.parquet(out).count() === 3)
   }
 
@@ -1148,7 +1193,7 @@ class StreamingSpec extends AnyFunSuite {
       val q = StreamJobs.landObservationsIdempotent(
         StreamJobs.rawFeedStream(spark, drop), out, ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination(60000) finally q.stop()
+      try q.awaitTermination(60000) finally StreamGuards.stop(q)
     }
     runOnce(s"$tmp/ckpt1")
     assert(spark.read.parquet(out).count() === 3)
@@ -1166,7 +1211,7 @@ class StreamingSpec extends AnyFunSuite {
         StreamJobs.eventsStream(spark, eventsDir), dim)
       .writeStream.outputMode("complete").format("memory")
       .queryName("dim_enrich_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val streamed = spark.table("dim_enrich_out").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val batch = Tables.events(spark, sf)
@@ -1182,7 +1227,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamJobs.followerJoin(StreamJobs.eventsStream(spark, eventsDir))
       .writeStream.outputMode("append").format("memory")
       .queryName("follower_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     // inner stream-stream joins emit every match once both sides arrive;
     // a drained drop-dir therefore yields exactly the batch pair set
     val streamed = spark.table("follower_out")
@@ -1216,7 +1261,7 @@ class StreamingSpec extends AnyFunSuite {
       dropSentinel(tmp, "wm_flush.parquet", eventId = 999999001L,
         tsUs = maxUs + 7200L * 1000000L, userId = 999999L, value = 0.0)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally StreamGuards.stop(q)
     def key(id: Long, rid: Any, et: String) =
       (id, Option(rid).map(_.asInstanceOf[Long]).getOrElse(-1L), et)
     val streamed = spark.table("follower_outer_out").collect()
@@ -1254,7 +1299,7 @@ class StreamingSpec extends AnyFunSuite {
       dropSentinel(tmp, "wm_flush_full.parquet", eventId = 999999002L,
         tsUs = maxUs + 7200L * 1000000L, userId = 999998L, value = 0.0)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally StreamGuards.stop(q)
     def key(r: org.apache.spark.sql.Row) =
       (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(-1L),
         Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(-1L),
@@ -1282,7 +1327,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamJobs.followerJoinSemi(StreamJobs.eventsStream(spark, eventsDir))
       .writeStream.outputMode("append").format("memory")
       .queryName("follower_semi_out").start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally StreamGuards.stop(q)
     val streamedRows = spark.table("follower_semi_out").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     // at most ONCE per event — the semi contract the inner join breaks
@@ -1333,7 +1378,7 @@ class StreamingSpec extends AnyFunSuite {
       val q = StreamJobs.cdcUpsertStream(
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
           .parquet(feed), state, ckptDir).start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally StreamGuards.stop(q)
     }
     drain(ckpt)
     def view: Set[(Long, Long, String, Long)] =
@@ -1365,7 +1410,7 @@ class StreamingSpec extends AnyFunSuite {
       val q = StreamJobs.runningTotals(StreamJobs.eventsStream(spark, eventsDir))
         .writeStream.outputMode("update").format("memory")
         .queryName("tws_out").start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally StreamGuards.stop(q)
       // update mode re-emits a user's row each batch; the final totals are
       // the row with the highest running count per user
       val streamed = spark.table("tws_out")
@@ -1391,7 +1436,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamJobs.reachStream(StreamJobs.eventsStream(spark, eventsDir))
       .writeStream.outputMode("complete").format("memory")
       .queryName("reach_out").start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally StreamGuards.stop(q)
     val streamed = spark.table("reach_out")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // the batch reach curve's final point per type IS the distinct count
@@ -1421,7 +1466,7 @@ class StreamingSpec extends AnyFunSuite {
       val q = StreamJobs.reachStream(StreamJobs.eventsStream(spark, eventsDir))
         .writeStream.outputMode("complete").format("memory")
         .queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally StreamGuards.stop(q)
       spark.table(name).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     }
@@ -1448,7 +1493,7 @@ class StreamingSpec extends AnyFunSuite {
       val q = StreamJobs.markovStream(StreamJobs.eventsStream(spark, eventsDir))
         .writeStream.outputMode("append").format("memory")
         .queryName("markov_out").start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally StreamGuards.stop(q)
       val streamed = spark.table("markov_out")
         .groupBy($"prev_type", $"next_type").count()
         .collect()
@@ -1490,7 +1535,7 @@ class StreamingSpec extends AnyFunSuite {
           StreamJobs.eventsStream(spark, tmp, maxFilesPerTrigger = Some(1)))
         .writeStream.outputMode("append").format("memory")
         .queryName("timer_sessions_out").start()
-      try { q.processAllAvailable() } finally q.stop()
+      try { q.processAllAvailable() } finally StreamGuards.stop(q)
       val streamed = spark.table("timer_sessions_out")
         .where($"user_id" =!= 999999L).collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
@@ -1518,7 +1563,7 @@ class StreamingSpec extends AnyFunSuite {
       val q = StreamJobs.latestStateUpsert(
         StreamJobs.eventsStream(spark, tmp), state, ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      try q.awaitTermination() finally StreamGuards.stop(q)
     }
     runOnce(s"$tmp/ckpt")
     val batch = EventQueries.latestState(spark, sf)
@@ -1541,7 +1586,7 @@ class StreamingSpec extends AnyFunSuite {
       val q = StreamJobs.latestStateUpsert(
         StreamJobs.eventsStream(spark, tmp), state, ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      try q.awaitTermination() finally StreamGuards.stop(q)
     }
     runOnce()
     val before = spark.read.parquet(state).count()
@@ -1579,7 +1624,7 @@ class StreamingSpec extends AnyFunSuite {
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.outputMode("append").format("memory")
       .queryName("dedup_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val n = spark.table("dedup_out").count()
     val distinctIds = spark.table("dedup_out")
       .select($"event_id").distinct().count()
@@ -1612,7 +1657,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = Sessionize.streaming(stream)
       .writeStream.outputMode("append").format("memory")
       .queryName("sessions_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     val streamed = spark.table("sessions_out").collect()
     assert(streamed.nonEmpty)
     // every streamed session must exist identically in the batch result
@@ -1707,7 +1752,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = StreamJobs.orderShipmentJoin(oStream, lStream, "inner")
       .writeStream.outputMode("append").format("memory")
       .queryName("ss_join_inner").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally StreamGuards.stop(q)
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))
     val streamed = spark.table("ss_join_inner").collect().map(key).toSet
@@ -1745,7 +1790,7 @@ class StreamingSpec extends AnyFunSuite {
       dropJoinSentinels(oDir, lDir, java.sql.Timestamp.from(
         flush.toInstant.plus(java.time.Duration.ofDays(30))), "2")
       q.processAllAvailable()
-    } finally q.stop()
+    } finally StreamGuards.stop(q)
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getString(1),
         Option(r.get(2)).map(_.asInstanceOf[Int]).getOrElse(-1),
@@ -1766,5 +1811,35 @@ class StreamingSpec extends AnyFunSuite {
       s"batch rows never emitted (null set incomplete): ${(batch -- streamed).take(5)}")
     // the null set is genuinely non-trivial
     assert(streamed.exists(_._3 == -1), "no null-padded rows emitted")
+  }
+
+  test("streaming plan guard: every captured micro-batch plan is clean and coverage held") {
+    // VERDICT r17 item 3: the RegistrySpec scale-killer guards
+    // (CartesianProduct ban, BNLJ allowlist, Sort/Window over
+    // SinglePartition) now walk every streaming query this suite ran —
+    // StreamGuards.stop captured each query's last micro-batch executed
+    // plan synchronously before stopping it. This closing test (FunSuite
+    // runs tests in declaration order) asserts zero violations and that
+    // every named streaming entry point this suite is responsible for
+    // was ACTUALLY captured — a spec that silently stops exercising one
+    // fails coverage here, and StreamingPlanSpec's reflection test
+    // forces any new StreamJobs entry point into the accounting.
+    StreamGuards.assertClean(Set(
+      "tok_stream_out", "tokid_stream_out", "crossdoc_stream_out",
+      "pack_stream_out", "ann_ingest_out", "dedup_out",
+      "asof_late_out", "asof_eq_out", "asof_tol_out",
+      "asof_hdfs", "asof_rocks",
+      "utouch_out", "utouch_timers_out",
+      "tumbling_out", "sliding_hourly_out", "session_windows_out",
+      "sliding_distinct_out", "bitmap_out",
+      "wsample_out", "dsir_admit_out", "shard_route_out",
+      "dim_enrich_out",
+      "follower_out", "follower_outer_out", "follower_full_out",
+      "follower_semi_out", "ss_join_inner", "ss_join_outer",
+      "reach_out", "reach_hdfs", "reach_rocks",
+      "markov_out", "tws_out", "timer_sessions_out", "sessions_out",
+      // the landing-sink family runs unnamed (file/foreachBatch sinks);
+      // at least one unnamed run must have been captured+guarded
+      "unnamed"))
   }
 }
