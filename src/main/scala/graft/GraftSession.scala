@@ -116,8 +116,13 @@ object GraftSession {
     * failure mid-way records nothing (the next caller retries) and a
     * concurrent second caller blocks until the tables and stats actually
     * exist. Returns the table-name prefix. */
-  def ensureStats(spark: SparkSession, dir: String,
+  def ensureStats(spark: SparkSession, dir0: String,
       tables: Seq[String]): String = {
+    // absolutize: CREATE TABLE ... LOCATION resolves a RELATIVE path
+    // against the warehouse dir, not the CWD — a relative sf dir (the
+    // round-18 scale-tier run passed `data/sf1`) would register empty
+    // locations and fail with UNABLE_TO_INFER_SCHEMA
+    val dir = new java.io.File(dir0).getAbsolutePath
     val key = contentKey(dir, tables)
     memo(spark, s"cbo_stats|$key") {
       val prefix = s"cbo_${key}_"

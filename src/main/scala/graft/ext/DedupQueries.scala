@@ -225,69 +225,87 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- X2d: near-dup cluster resolution (connected components) -----------
-  /** Iteration cap for connected-components convergence. Propagation plus
-    * pointer-jumping halves the remaining label-tree depth each round
-    * (hash-to-min shape), so convergence needs O(log d) rounds for
-    * component diameter d — LSH near-dup components are band-bucket
-    * cliques glued at shared docs, d rarely exceeds single digits, and 12
-    * rounds covers d up to thousands. */
-  private val CC_MAX_ITERS = 12
+  /** Iteration cap for connected-components convergence. One iteration is
+    * a LARGE-STAR + SMALL-STAR pair (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"), which converges in O(log² n)
+    * rounds REGARDLESS of component structure. The cap is a safety valve,
+    * not a tuning knob: a 4000-node path needs 13 rounds, so 25 covers
+    * components astronomically beyond any real near-dup graph.
+    *
+    * History (round 18): the previous propagate+pointer-jump loop was
+    * documented as O(log d) but is linear on min-GRADIENT structures —
+    * chains of glued cliques whose local minima decrease toward one end
+    * make every jump hit a local-min self-pointer, so the global min
+    * advances one clique per round. The 10× scale tier surfaced exactly
+    * that: a 213-doc component (diameter 31) needed 13 rounds and blew
+    * the old 12-round cap, a failure no small-SF fixture ever produced. */
+  private val CC_MAX_ITERS = 25
 
   /** Number of label-propagation rounds the last [[clusterLabels]] run
     * needed — exposed for the spec's bounded-iteration assertion. */
   @volatile private[graft] var lastCcIters: Int = -1
 
   /** Connected-component labels (label = min doc_id in the component) for
-    * an undirected pair set, via iterative min-label propagation with
-    * pointer jumping. Every step is an equi-join or hash aggregate on a
-    * doc-id key — no cross product anywhere — and each round's result is
-    * eagerly `localCheckpoint`ed so lineage stays flat and the pair
-    * generation runs exactly once. This is the standard distributed-CC
-    * shape (MapReduce large-star/small-star family) and the piece that
-    * turns near-dup PAIRS into the keep/drop decision a real dedup
-    * pipeline executes. */
+    * an undirected pair set, via alternating LARGE-STAR / SMALL-STAR edge
+    * contraction (Kiveris et al.) — the structure-robust distributed-CC
+    * algorithm, O(log² n) rounds on ANY graph. Each round rewrites the
+    * edge set with two hash-aggregate + equi-join passes (no cross
+    * product anywhere), eagerly `localCheckpoint`ed so lineage stays flat
+    * and the pair generation runs exactly once. At the fixpoint every
+    * component is a star centered at its minimum doc id, so the label
+    * table is a direct read of the edges. This is the piece that turns
+    * near-dup PAIRS into the keep/drop decision a real dedup pipeline
+    * executes — and the round bound is what survives a 100-TB pair graph
+    * whose component structure nobody audited first (see CC_MAX_ITERS). */
   private[graft] def clusterLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
-    // symmetrize with one narrow explode (a union of two projections of
-    // `pairs` would execute the whole pair plan twice — measured 2×)
-    val edges = pairs
-      .select(explode(array(
-        struct(col("doc_a").as("u"), col("doc_b").as("v")),
-        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
-      .select(col("e.u").as("src"), col("e.v").as("dst"))
-    val edgesCk = // eager: the LSH pair plan executes exactly once
-      graft.GraftSession.ckpt(edges)
-    var cur = graft.GraftSession.ckpt(edgesCk.groupBy($"src")
-      .agg(least($"src", min($"dst")).as("lbl")))
+    // canonical (u > v) deduped edge set; eager so the LSH pair plan
+    // executes exactly once
+    var edges = graft.GraftSession.ckpt(pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .where($"u" =!= $"v").distinct())
+    // node set up front: star contraction drops rows for centers, and
+    // the contract is one label row per PAIRED doc
+    val nodes = graft.GraftSession.ckpt(
+      edges.select(explode(array($"u", $"v")).as("src")).distinct())
     var iters = 0
-    var changed = 1L
-    while (changed > 0 && iters < CC_MAX_ITERS) {
-      // propagate: lbl(x) <- min(lbl(x), min over neighbors' labels);
-      // checkpointed so the jump self-join below doesn't compute it twice
-      val nbr = edgesCk
-        .join(cur.select($"src".as("dst"), $"lbl".as("nlbl")), "dst")
-        .groupBy($"src").agg(min($"nlbl").as("mn"))
-      val prop = graft.GraftSession.ckpt(cur.join(nbr, Seq("src"), "left")
-        .select($"src", $"lbl".as("old"),
-          least($"lbl", coalesce($"mn", $"lbl")).as("lbl")))
-      // pointer-jump: lbl(x) <- lbl(lbl(x)) — labels are doc ids, so the
-      // label table doubles as the jump table; halves remaining depth.
-      // cur's label rides along as `old`, making the convergence check a
-      // scan of the checkpointed result instead of another join.
-      val next = prop.as("a")
-        .join(prop.select($"src".as("jsrc"), $"lbl".as("jlbl")).as("b"),
-          col("a.lbl") === col("b.jsrc"), "left")
-        .select(col("a.src").as("src"), col("a.old").as("old"),
-          coalesce(col("b.jlbl"), col("a.lbl")).as("lbl"))
-      val nextCk = graft.GraftSession.ckpt(next)
-      changed = nextCk.filter($"lbl" =!= $"old").count()
-      cur = nextCk.select($"src", $"lbl")
+    var same = edges.isEmpty
+    var nEdges = -1L // carried between rounds: |edges| (avoids a recount)
+    while (!same && iters < CC_MAX_ITERS) {
+      // LARGE-STAR: per node u, m = min(N(u) ∪ {u}); every neighbor
+      // LARGER than u links to m (strictly-larger keeps rounds monotone)
+      val adj = edges.union(edges.select($"v".as("u"), $"u".as("v")))
+      val mins = adj.groupBy($"u").agg(least($"u", min($"v")).as("m"))
+      val ls = graft.GraftSession.ckpt(adj.join(mins, "u")
+        .where($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .where($"u" =!= $"v").distinct())
+      // SMALL-STAR: per node u, every neighbor ≤ u (and u itself) links
+      // to m — contracts the low side toward the minimum
+      val adj2 = ls.union(ls.select($"v".as("u"), $"u".as("v")))
+      val mins2 = adj2.groupBy($"u").agg(least($"u", min($"v")).as("m"))
+      val next = graft.GraftSession.ckpt(adj2.join(mins2, "u")
+        .where($"v" < $"u")
+        .select($"v".as("a"), $"m".as("b"))
+        .union(mins2.select($"u".as("a"), $"m".as("b")))
+        .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+        .where($"u" =!= $"v").distinct())
+      // fixpoint: both sides are distinct sets, so A == B iff
+      // |A| == |B| == |A ∪ B|
+      val na = if (nEdges >= 0) nEdges else edges.count()
+      val nb = next.count()
+      same = na == nb && edges.union(next).distinct().count() == na
+      edges = next
+      nEdges = nb
       iters += 1
     }
-    require(changed == 0,
-      s"connected components did not converge in $CC_MAX_ITERS rounds")
+    require(same, s"connected components did not converge in $CC_MAX_ITERS rounds")
     lastCcIters = iters
-    cur
+    // converged stars: (member u -> center v); centers/isolated nodes
+    // label themselves
+    nodes.join(edges.select($"u".as("src"), $"v".as("lbl")), Seq("src"), "left")
+      .select($"src", coalesce($"lbl", $"src").as("lbl"))
   }
 
   /** (cluster_id, doc_id) membership, computed once per (session, dir):
