@@ -1221,14 +1221,25 @@ object PipelineQueries {
     * count is a plain COUNT with map-side partial aggregation, never a
     * count-distinct expand. The qualifying set is corpus-proportional
     * (16,805 spans at sf0.1), so it is (a) CAPPED at the
-    * [[SCRUB_MAX_HOT]] most-repeated spans — the broadcast is bounded by
-    * construction, C4's bounded hot set — and (b) probed per span with
+    * [[SCRUB_MAX_HOT]] most-repeated spans — bounded by construction,
+    * C4's bounded hot set — then (b) COLLECTED once (≤64Ki strings, a
+    * few MB, the trained-artifact shape) and embedded as a LITERAL the
+    * probe reads as a plan constant, and (c) probed per span with
     * [[graft.functions.SortedArrayContains]], an O(log K) binary search
-    * over the sort_array'd broadcast list instead of `array_contains`'s
-    * linear scan (which cost ~1.5e9 string compares at sf0.1). Scrub,
-    * reassembly, and the checksum are then fully NARROW per-row array
-    * ops; the final census is a tiny per-source aggregate. No shuffle
-    * ever carries document bodies. */
+    * over the sorted literal instead of `array_contains`'s linear scan
+    * (which cost ~1.5e9 string compares at sf0.1). Scrub, reassembly,
+    * and the checksum are then fully NARROW per-row array ops; the
+    * final census is a tiny per-source aggregate. No shuffle ever
+    * carries document bodies, and NO join carries the hot set.
+    *
+    * Round-18 lesson (the one superlinear query at the 10× tier): the
+    * previous form rode the hot set on a `crossJoin(broadcast(hot))` —
+    * fine for the single-row SCALAR totals the other allowlisted BNLJ
+    * queries broadcast, but here the payload is a ~1.5 MB array and the
+    * joined row materializes it PER DOCUMENT: 20× the time at 10× the
+    * data, with the probe itself measured at 37 s vs 2.3 s as a
+    * literal. A megabyte-payload single-row cross join is a
+    * scale anti-pattern even when the join itself is "broadcast". */
   def spanScrub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spans = Tables.documents(s, dir)
@@ -1245,8 +1256,12 @@ object PipelineQueries {
         s"array_join(slice(w, CAST(n_spans * $SCRUB_W + 1 AS INT), " +
           s"size(w) - CAST(n_spans * $SCRUB_W AS INT)), ' ')"))
     graft.plans.GraftExtensions.registerOn(s)
-    val hot = hotSpans(spans, SCRUB_MIN_DOCS, SCRUB_MAX_HOT)
-    spans.crossJoin(broadcast(hot))
+    // the capped hot set is a bounded trained artifact: collect it once
+    // at build time and probe against the sorted LITERAL (never a join —
+    // see the round-18 lesson in the scaladoc)
+    val hotArr: Array[String] = hotSpans(spans, SCRUB_MIN_DOCS, SCRUB_MAX_HOT)
+      .collect().head.getSeq[String](0).toArray
+    spans.withColumn("hot", typedLit(hotArr))
       .withColumn("kept", expr("filter(spans, x -> NOT sorted_contains(hot, x))"))
       .withColumn("scrubbed", expr(
         "concat_ws(' ', nullif(array_join(kept, ' '), ''), nullif(tail, ''))"))

@@ -93,6 +93,54 @@ object Profile {
           .containJoin(s, dir).queryExecution.toRdd.count())
         time("full query warm2")(graft.ext.SimJoinQueries
           .containJoin(s, dir).queryExecution.toRdd.count())
+      case "spanscrub-stages" =>
+        // stage-wise cost attribution for q_span_scrub (round 18: the one
+        // superlinear query at the 10x tier — 20x time at 10x data)
+        import org.apache.spark.sql.functions._
+        import graft.Tables
+        val s = spark
+        import s.implicits._
+        val W = 3
+        val spans = Tables.documents(s, dir)
+          .select($"doc_id", $"source", split($"text", " ").as("w"))
+          .withColumn("n_spans", expr(s"size(w) div $W"))
+          .withColumn("spans", expr(
+            s"""slice(transform(sequence(0L, n_spans),
+               |  i -> array_join(slice(w, CAST(i * $W + 1 AS INT), $W), ' ')),
+               |  1, CAST(n_spans AS INT))""".stripMargin))
+          .withColumn("tail", expr(
+            s"array_join(slice(w, CAST(n_spans * $W + 1 AS INT), " +
+              s"size(w) - CAST(n_spans * $W AS INT)), ' ')"))
+        time("spans build")(spans.queryExecution.toRdd.count())
+        graft.plans.GraftExtensions.registerOn(s)
+        val hot = graft.ext.PipelineQueries.hotSpans(spans, 3, 65536)
+        time("hotSpans")(hot.queryExecution.toRdd.count())
+        val probed = spans.crossJoin(broadcast(hot))
+          .withColumn("kept", expr("filter(spans, x -> NOT sorted_contains(hot, x))"))
+          .select($"source", size($"spans").as("ns"), size($"kept").as("nk"))
+          .groupBy($"source").agg(sum($"ns"), sum($"nk"))
+        time("probe only")(probed.queryExecution.toRdd.count())
+        val reasm = spans.crossJoin(broadcast(hot))
+          .withColumn("kept", expr("filter(spans, x -> NOT sorted_contains(hot, x))"))
+          .withColumn("scrubbed", expr(
+            "concat_ws(' ', nullif(array_join(kept, ' '), ''), nullif(tail, ''))"))
+          .groupBy($"source")
+          .agg(sum(length($"scrubbed")).as("chars_out"),
+            sum(expr("CAST(conv(substring(md5(scrubbed), 1, 12), 16, 10) AS BIGINT)" +
+              " % 1000000007")).as("scrub_sum"))
+        time("probe+reassemble+md5")(reasm.queryExecution.toRdd.count())
+        time("full query")(graft.ext.PipelineQueries
+          .spanScrub(s, dir).queryExecution.toRdd.count())
+        // variant: hot set COLLECTED once and embedded as a literal —
+        // no crossJoin, probe against a constant
+        val hotArr = time("collect hot")(
+          hot.collect().head.getSeq[String](0).toArray)
+        val withLit = spans
+          .withColumn("hot_lit", typedLit(hotArr))
+          .withColumn("kept", expr("filter(spans, x -> NOT sorted_contains(hot_lit, x))"))
+          .select($"source", size($"spans").as("ns"), size($"kept").as("nk"))
+          .groupBy($"source").agg(sum($"ns"), sum($"nk"))
+        time("probe via literal")(withLit.queryExecution.toRdd.count())
       case n if n.startsWith("explain:") =>
         // print the executed plan for any declared query
         val df = graft.SparkEntry.queries(n.stripPrefix("explain:"))(spark, dir)

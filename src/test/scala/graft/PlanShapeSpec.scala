@@ -380,20 +380,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"props must be parsed into VARIANT once, plan:\n$plan")
   }
 
-  test("span scrub: capped hot set, binary-search probe, no linear scan") {
+  test("span scrub: capped hot set, literal binary-search probe, no join") {
     val plan = planOf("q_span_scrub")
     // membership is the O(log K) binary search, never array_contains's
     // linear scan of the corpus-proportional hot list
     assert(plan.contains("sorted_contains"), s"binary-search probe missing:\n$plan")
     assert(!plan.contains("array_contains"), s"linear probe crept back:\n$plan")
-    // the cap plans as TakeOrderedAndProject (per-partition top-K + driver
-    // merge of K rows), NOT a global sort of all qualifying spans
-    assert(plan.contains("TakeOrderedAndProject"), s"hot-set cap not a top-K:\n$plan")
-    // the hot set rides one single-row broadcast onto the doc scan; doc
-    // bodies are never shuffled (only the census agg + ORDER BY exchange)
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(countOf(plan, "Exchange hashpartitioning\\(span") == 1,
-      s"hot-set build should shuffle spans exactly once:\n$plan")
+    // round 18: the hot set is a COLLECTED literal, not a joined row —
+    // the old crossJoin(broadcast(hot)) materialized the ~MB array into
+    // every document row (20× at the 10× tier, probe 37 s vs 2.3 s).
+    // The scrub plan must carry NO join at all: the only exchanges are
+    // the census agg and the final ORDER BY.
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"hot set must not ride a join:\n$plan")
+    assert(!plan.contains("Join"), s"span scrub needs no join:\n$plan")
+    // the cap in the BUILD-TIME artifact job plans as
+    // TakeOrderedAndProject (per-partition top-K + driver merge), NOT a
+    // global sort of all qualifying spans, and builds the distinct-doc
+    // counts with exactly one span-keyed shuffle
+    val build = graft.ext.PipelineQueries.hotSpans(
+      graft.Tables.documents(spark, TestSpark.sf0001)
+        .select(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ").as("spans")),
+      3, 65536).queryExecution.executedPlan.toString
+    assert(build.contains("TakeOrderedAndProject"), s"hot-set cap not a top-K:\n$build")
+    assert(countOf(build, "Exchange hashpartitioning\\(span") == 1,
+      s"hot-set build should shuffle spans exactly once:\n$build")
   }
 
   test("global row ids: corpus ranking window is block-partitioned, never global") {

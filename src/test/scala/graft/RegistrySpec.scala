@@ -175,9 +175,9 @@ class RegistrySpec extends AnyFunSuite {
       "q_pipeline_corpus",
       // the manifest reads the same single-row merge-table broadcast
       "q_pack_manifest",
-      // single-row hot-span-set broadcast crossed onto the doc scan (the
-      // q_bpe_merge class); scrub and checksum are narrow per-row ops
-      "q_span_scrub",
+      // (q_span_scrub left this list in round 18: its ~MB hot-span set is
+      // now a collected literal — a megabyte-payload single-row cross
+      // join materializes the array per row, 20× at the 10× tier)
       // single-row adaptive-nprobe broadcast crossed onto the probe
       // ranking (the selectivity measurement) — the q_ann_eval
       // denominator class; candidates still come from the list equi-join
