@@ -265,13 +265,8 @@ object DedupQueries {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .where($"u" =!= $"v").distinct())
-    // node set up front: star contraction drops rows for centers, and
-    // the contract is one label row per PAIRED doc
-    val nodes = graft.GraftSession.ckpt(
-      edges.select(explode(array($"u", $"v")).as("src")).distinct())
     var iters = 0
     var same = edges.isEmpty
-    var nEdges = -1L // carried between rounds: |edges| (avoids a recount)
     while (!same && iters < CC_MAX_ITERS) {
       // LARGE-STAR: per node u, m = min(N(u) ∪ {u}); every neighbor
       // LARGER than u links to m (strictly-larger keeps rounds monotone)
@@ -291,21 +286,26 @@ object DedupQueries {
         .union(mins2.select($"u".as("a"), $"m".as("b")))
         .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
         .where($"u" =!= $"v").distinct())
-      // fixpoint: both sides are distinct sets, so A == B iff
-      // |A| == |B| == |A ∪ B|
-      val na = if (nEdges >= 0) nEdges else edges.count()
-      val nb = next.count()
-      same = na == nb && edges.union(next).distinct().count() == na
+      // fixpoint test, ONE job: LS+SS leave exactly the STAR FORESTS
+      // unchanged (centers at component minima), and a canonical (u > v)
+      // edge set is a star forest iff no node appears on both sides —
+      // this is also precisely the postcondition the label read below
+      // depends on, so the check verifies what the consumer assumes
+      // rather than set-stability
+      same = next.select($"v")
+        .join(next.select($"u".as("v")), Seq("v"), "left_semi")
+        .isEmpty
       edges = next
-      nEdges = nb
       iters += 1
     }
     require(same, s"connected components did not converge in $CC_MAX_ITERS rounds")
     lastCcIters = iters
-    // converged stars: (member u -> center v); centers/isolated nodes
-    // label themselves
-    nodes.join(edges.select($"u".as("src"), $"v".as("lbl")), Seq("src"), "left")
-      .select($"src", coalesce($"lbl", $"src").as("lbl"))
+    // the converged star forest CONTAINS every paired node (every ≥2-node
+    // component is fully present: members as u, its center as v), so the
+    // label table is a direct read — members label to their center,
+    // centers label to themselves
+    edges.select($"u".as("src"), $"v".as("lbl"))
+      .union(edges.select($"v".as("src"), $"v".as("lbl")).distinct())
   }
 
   /** (cluster_id, doc_id) membership, computed once per (session, dir):

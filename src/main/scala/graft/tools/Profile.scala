@@ -141,6 +141,13 @@ object Profile {
           .select($"source", size($"spans").as("ns"), size($"kept").as("nk"))
           .groupBy($"source").agg(sum($"ns"), sum($"nk"))
         time("probe via literal")(withLit.queryExecution.toRdd.count())
+      case "cc-rounds" =>
+        Seq("q_entity_resolution", "q_dedup_clusters", "q_dedup_chain_drift",
+          "q_geo_grid_join").foreach { n =>
+          val fn = graft.SparkEntry.queries(n)
+          fn(spark, dir).queryExecution.toRdd.count()
+          println(s"$n lastCcIters=${graft.ext.DedupQueries.lastCcIters}")
+        }
       case n if n.startsWith("explain:") =>
         // print the executed plan for any declared query
         val df = graft.SparkEntry.queries(n.stripPrefix("explain:"))(spark, dir)
