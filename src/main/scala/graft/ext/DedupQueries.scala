@@ -288,13 +288,19 @@ object DedupQueries {
         .where($"u" =!= $"v").distinct())
       // fixpoint test, ONE job: LS+SS leave exactly the STAR FORESTS
       // unchanged (centers at component minima), and a canonical (u > v)
-      // edge set is a star forest iff no node appears on both sides —
-      // this is also precisely the postcondition the label read below
-      // depends on, so the check verifies what the consumer assumes
-      // rather than set-stability
-      same = next.select($"v")
-        .join(next.select($"u".as("v")), Seq("v"), "left_semi")
-        .isEmpty
+      // edge set is a star forest iff BOTH (a) no node appears on both
+      // sides (no chains) AND (b) no u appears twice (no member linked
+      // to two distinct centers). Round 19: (b) was missing — disjoint
+      // sides alone admits e.g. {(4,1),(3,1),(3,2),(5,2)} (reached in
+      // one round from the path 1-4-3-5-2), where doc 3 carries TWO
+      // labels and one component splits in the label read below. The
+      // two violation scans union into a single isEmpty job, and this
+      // is precisely the postcondition the consumer depends on.
+      val sideHits = next.select($"v".as("x"))
+        .join(next.select($"u".as("x")), Seq("x"), "left_semi")
+      val dupU = next.groupBy($"u").agg(count(lit(1)).as("c"))
+        .where($"c" > 1).select($"u".as("x"))
+      same = sideHits.union(dupU).isEmpty
       edges = next
       iters += 1
     }

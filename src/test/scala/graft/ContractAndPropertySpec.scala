@@ -721,7 +721,8 @@ class ContractAndPropertySpec extends AnyFunSuite {
     import graft.ext.DedupQueries
     val graphGen = for {
       n <- Gen.chooseNum(2, 60)
-      shape <- Gen.oneOf("chain", "star", "random", "cliques")
+      shape <- Gen.oneOf("chain", "star", "random", "cliques", "scramble")
+      perm <- Gen.chooseNum(1, 1000000)
       extra <- Gen.listOf(Gen.zip(Gen.chooseNum(0L, 59L), Gen.chooseNum(0L, 59L)))
     } yield {
       val ids = (0L until n.toLong).map(_ * 7 + 3) // non-contiguous ids
@@ -730,12 +731,19 @@ class ContractAndPropertySpec extends AnyFunSuite {
         case "star" => ids.tail.map(x => (ids.head, x))
         case "cliques" => ids.grouped(5).flatMap(g =>
           for (a <- g; b <- g if a < b) yield (a, b)).toSeq
+        // paths whose ids are SCRAMBLED along the walk — the shape that
+        // reaches two-center non-star-forest states (advice r18: the path
+        // 1-4-3-5-2 fooled the weak fixpoint check); a deterministic
+        // multiplicative shuffle keeps the generator reproducible
+        case "scramble" =>
+          val walk = ids.sortBy(x => (x * perm) % 61)
+          walk.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
         case _ => extra.collect { case (a, b)
           if a < n && b < n && a != b => (ids(a.toInt), ids(b.toInt)) }
       }
       base
     }
-    samples(graphGen, 8).filter(_.nonEmpty).foreach { edges =>
+    samples(graphGen, 24).filter(_.nonEmpty).foreach { edges =>
       // sequential union-find reference
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {

@@ -58,6 +58,26 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_members")).sum === nodes)
   }
 
+  test("cluster resolution: two-center false fixpoint is not accepted") {
+    // Round-19 regression (advice r18): the path 1-4-3-5-2 contracts in
+    // ONE large-star/small-star round to {(4,1),(3,1),(3,2),(5,2)} — a
+    // set whose u-side and v-side are disjoint but where node 3 links
+    // to TWO centers. The old "no node on both sides" fixpoint accepted
+    // it, splitting one component into labels {1} and {2} and giving
+    // doc 3 two labels. The strengthened star-forest check (disjoint
+    // sides AND unique u) must keep iterating until everything labels
+    // to the true component minimum, 1.
+    val pairs = Seq((1L, 4L), (3L, 4L), (3L, 5L), (2L, 5L))
+      .toDF("doc_a", "doc_b")
+    val labels = DedupQueries.clusterLabels(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length === labels.map(_._1).distinct.length,
+      s"a doc got two labels: ${labels.sorted.mkString(", ")}")
+    assert(labels.toMap === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L))
+    assert(DedupQueries.lastCcIters <= 6)
+  }
+
   test("dedup keep: survivors + dropped partition the corpus per source") {
     val clusters = DedupQueries.dedupClusters(spark, sf).collect()
     val totalDropped = clusters.map(r =>

@@ -454,4 +454,11 @@ class RestartPropertySpec extends AnyFunSuite {
       assert(straddle, s"case $ci: no user straddled the kill — vacuous")
     }
   }
+
+  test("streaming plan guard: this suite's guarded runs are clean") {
+    // Per-suite closing guard (round 19: StreamGuards accumulators are
+    // scoped by suite, so this asserts exactly the runs above — the
+    // cdcUpsertStream drains route through StreamGuards.stop unnamed).
+    StreamGuards.assertClean(Set("unnamed"))
+  }
 }

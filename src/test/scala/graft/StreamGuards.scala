@@ -28,12 +28,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamGuards {
 
-  /** Violations across every guarded streaming query, in arrival order. */
+  /** Violations across every guarded streaming query, in arrival order,
+    * tagged `suite|text` (round 19, advice r18: the accumulators were
+    * global across suites, so one suite's coverage assertion could be
+    * satisfied vacuously by another suite's runs, and a violation from
+    * one suite failed whichever suite's closing test happened to run —
+    * racy attribution under parallel suite execution). */
   val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  /** Query names whose micro-batch plan was actually captured+guarded. */
+  /** `suite|name` entries whose micro-batch plan was captured+guarded. */
   val covered: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The calling Spec's simple name, read off the stack — both [[stop]]
+    * and [[assertClean]] are invoked directly from inside a suite's test
+    * body, so the first frame whose class sits in a `graft.*Spec` (or a
+    * lambda/inner class thereof) names the owning suite deterministically.
+    */
+  private def callerSuite: String = {
+    val re = """graft\.([A-Za-z0-9_]+Spec)""".r
+    Thread.currentThread().getStackTrace.iterator
+      .flatMap(f => re.findFirstMatchIn(f.getClassName).map(_.group(1)))
+      .nextOption()
+      .getOrElse("global")
+  }
 
   /** BNLJ allowlist: streaming query name -> the boundedness reason
     * (same discipline as RegistrySpec.allowBnlj — a single-row or
@@ -108,26 +126,33 @@ object StreamGuards {
     cart ++ bnlj ++ sp
   }
 
-  /** Guard-then-stop. Always stops the query, even if capture throws. */
+  /** Guard-then-stop. Always stops the query, even if capture throws.
+    * Violations and coverage are recorded under the CALLING suite, so
+    * each suite's closing test asserts exactly its own runs. */
   def stop(q: StreamingQuery): Unit = {
     try {
+      val suite = callerSuite
       val name = Option(q.name).getOrElse(s"unnamed:${q.id}")
       StreamBridge.lastExecutedPlan(q).foreach { plan =>
-        check(name, plan).foreach(violations.add)
-        covered.add(Option(q.name).getOrElse("unnamed")): Unit
+        check(name, plan).foreach(v => violations.add(s"$suite|$v"))
+        covered.add(s"$suite|${Option(q.name).getOrElse("unnamed")}"): Unit
       }
     } finally q.stop()
   }
 
-  /** Assert helper for the per-suite closing tests. */
+  /** Assert helper for the per-suite closing tests: checks only the
+    * entries the CALLING suite recorded. */
   def assertClean(expectedNames: Set[String]): Unit = {
+    val suite = callerSuite
     val v = violations.toArray(Array.empty[String])
+      .filter(_.startsWith(s"$suite|")).map(_.stripPrefix(s"$suite|"))
     assert(v.isEmpty,
-      s"streaming plan-guard violations:\n${v.mkString("\n")}")
-    val missing = expectedNames.diff(
-      scala.jdk.CollectionConverters.SetHasAsScala(covered).asScala.toSet)
+      s"streaming plan-guard violations in $suite:\n${v.mkString("\n")}")
+    val got = scala.jdk.CollectionConverters.SetHasAsScala(covered).asScala
+      .filter(_.startsWith(s"$suite|")).map(_.stripPrefix(s"$suite|")).toSet
+    val missing = expectedNames.diff(got)
     assert(missing.isEmpty,
-      s"streaming queries expected to be plan-guarded but never captured: " +
-        s"${missing.toSeq.sorted.mkString(", ")}")
+      s"streaming queries expected to be plan-guarded in $suite but never " +
+        s"captured: ${missing.toSeq.sorted.mkString(", ")}")
   }
 }
