@@ -882,28 +882,79 @@ object SimilarityQueries {
 
   // --- X2g: semantic (embedding-cosine) near-dup, centroid-blocked -------
 
+  /** Expected block-size bound for the semantic-dedup blocker: when an
+    * IVF list would exceed it (in expectation, corpus/K per list), the
+    * blocker descends one more Voronoi level — see [[semDepth]]. */
+  private[graft] val SEM_TARGET = 128L
+
+  /** Depth cap: 6 levels bound blocks at ~[[SEM_TARGET]] up to
+    * SEM_TARGET·K⁷ ≈ 3·10¹⁰ vectors — past any single-index corpus. */
+  private[graft] val SEM_MAX_DEPTH = 6
+
+  /** Smallest d ∈ [0, [[SEM_MAX_DEPTH]]] with n ≤ SEM_TARGET·K^(d+1):
+    * each extra level refines every block by the next-nearest-centroid
+    * rank (~K-way), so expected block size stays ≤ SEM_TARGET and total
+    * pair expansion stays ~n·SEM_TARGET/2 — LINEAR in the corpus.
+    * Integer-exact, mirrored verbatim by the CASE chain in
+    * [[semDepthCaseSql]]. */
+  private[graft] def semDepth(n: Long): Int = {
+    var d = 0
+    var cap = SEM_TARGET * IVF_K
+    while (d < SEM_MAX_DEPTH && n > cap) { d += 1; cap *= IVF_K }
+    d
+  }
+
+  /** DuckDB mirror of [[semDepth]] as a CASE over `n`. */
+  private def semDepthCaseSql: String = {
+    val whens = (0 until SEM_MAX_DEPTH).map { d =>
+      var cap = SEM_TARGET * IVF_K
+      (1 to d).foreach(_ => cap *= IVF_K)
+      s"WHEN n <= $cap THEN $d"
+    }.mkString(" ")
+    s"CASE $whens ELSE $SEM_MAX_DEPTH END"
+  }
+
   /** Label-FREE embedding near-dup detection — the production complement
     * of [[nearDupByLabel]]: when no blocking label exists, block by the
-    * LEARNED k-means centroid instead (every vector compares only against
-    * its own IVF list) and surface the top-5 most-similar pairs per list.
-    * This is semantic dedup as run on an unlabeled 100-TB corpus: the
-    * blocker is the same index the ANN tier already maintains, pair
-    * expansion is quadratic only within a list (|corpus|/K, bounded by
-    * scaling K with the corpus — at real scale K is thousands, lists stay
-    * ~constant), and the output feeds the same cluster/keep machinery as
-    * the MinHash tier.
+    * LEARNED k-means index the ANN tier already maintains and surface the
+    * top-5 most-similar pairs per IVF list. Round 19 made the blocker
+    * HIERARCHICAL: a list is subdivided by each member's ranked
+    * next-nearest centroids (crn = 2 .. depth+1 from [[rankedAssign]] —
+    * one more Voronoi level per depth step), with depth chosen by corpus
+    * size so expected block size stays ≤ [[SEM_TARGET]]. The r18 10×
+    * scale sweep measured the flat variant at 12.1× wall for 10× data —
+    * in-list pair expansion is quadratic under a fixed K; the hierarchy
+    * makes total pair work ~n·SEM_TARGET/2, linear in n, and costs ZERO
+    * extra corpus passes (the crn ranking is already materialized for
+    * the nprobe path). Blocking one Voronoi level down is the same
+    * approximation the operator already makes at the top level (pairs
+    * split across PRIMARY lists are out of contract), and exact
+    * duplicates can never split: identical vectors have identical
+    * centroid cosines, hence identical rank tuples.
     *
     * Determinism: centroids, assignments, and cosines are the exact
-    * integer/IEEE pipeline of [[knnIvf2]]; ranks tie-break on the pair
-    * ids. */
+    * integer/IEEE pipeline of [[knnIvf2]]; the rank tuple tie-breaks on
+    * centroid id inside [[kmAssign]]; ranks tie-break on the pair ids. */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = quantized(s, dir)
-    val assign = rankedAssign(s, dir).filter($"crn" === 1)
+    val ranked = rankedAssign(s, dir)
+    val assign = ranked.filter($"crn" === 1)
       .select($"vec_id", $"c_id".as("bucket"))
-    val v = e.join(assign, Seq("vec_id"))
-    val b = v.toDF("b_id", "b_emb", "b_nrm", "bucket")
-    val scored = v.join(b, Seq("bucket"))
+    val depth = semDepth(Tables.embeddings(s, dir).count())
+    val v0 = e.join(assign, Seq("vec_id"))
+    val v =
+      if (depth == 0) v0.withColumn("sub", lit(""))
+      else {
+        val subKeys = ranked.filter($"crn".between(2, depth + 1))
+          .groupBy($"vec_id")
+          .agg(concat_ws("_",
+            transform(array_sort(collect_list(struct($"crn", $"c_id"))),
+              x => x.getField("c_id").cast(StringType))).as("sub"))
+        v0.join(subKeys, Seq("vec_id"))
+      }
+    val b = v.toDF("b_id", "b_emb", "b_nrm", "bucket", "sub")
+    val scored = v.join(b, Seq("bucket", "sub"))
       .filter($"vec_id" < $"b_id")
       .select($"bucket", $"vec_id", $"b_id",
         cosine(dotQ($"qe", $"b_emb"), $"nrm", $"b_nrm").as("cos_sim"))
@@ -918,12 +969,22 @@ object SimilarityQueries {
   val semanticDedupSql: String =
     s"""WITH $kmeansCtesSql,
        |assign AS (SELECT vec_id, c_id AS bucket FROM aranked3 WHERE crn = 1),
+       |dsem AS (SELECT $semDepthCaseSql AS d
+       |  FROM (SELECT COUNT(*) AS n FROM embeddings)),
+       |subk AS (
+       |  SELECT r.vec_id,
+       |    COALESCE(STRING_AGG(CAST(r.c_id AS VARCHAR), '_' ORDER BY r.crn)
+       |      FILTER (WHERE r.crn BETWEEN 2 AND ds.d + 1), '') AS sub
+       |  FROM aranked3 r, dsem ds
+       |  GROUP BY r.vec_id),
        |dots AS (
        |  SELECT av.bucket, a.vec_id, b.vec_id AS b_id,
        |    ${dotSql("a.embedding", "b.embedding")} AS dot
        |  FROM assign av
+       |  JOIN subk sa ON av.vec_id = sa.vec_id
        |  JOIN embeddings a ON av.vec_id = a.vec_id
        |  JOIN assign bv ON av.bucket = bv.bucket
+       |  JOIN subk sb ON bv.vec_id = sb.vec_id AND sa.sub = sb.sub
        |  JOIN embeddings b ON bv.vec_id = b.vec_id
        |    AND a.vec_id < b.vec_id, $idxSql
        |  GROUP BY 1, 2, 3),

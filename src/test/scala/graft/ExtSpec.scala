@@ -92,6 +92,54 @@ class ExtSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
+  test("semantic dedup: hierarchical blocker depth and exact-dup recall") {
+    // Round 19: the semantic-dedup blocker is hierarchical — depth grows
+    // with corpus size so expected block size stays <= SEM_TARGET and
+    // pair expansion stays LINEAR in n (the r18 scale sweep measured the
+    // flat blocker at 12.1x wall for 10x data). Pin the depth schedule:
+    assert(SimilarityQueries.semDepth(500) === 0)
+    assert(SimilarityQueries.semDepth(2048) === 0)
+    assert(SimilarityQueries.semDepth(2049) === 1)
+    assert(SimilarityQueries.semDepth(20000) === 1) // the sf1 tier
+    assert(SimilarityQueries.semDepth(32769) === 2)
+    assert(SimilarityQueries.semDepth(Long.MaxValue) ===
+      SimilarityQueries.SEM_MAX_DEPTH)
+    // Behavioral pin at depth 1 on a synthetic 3000-vector corpus with
+    // planted EXACT duplicates: identical vectors have identical centroid
+    // cosines, hence identical rank tuples — the hierarchy can never
+    // split an exact-dup pair, so every planted pair must surface at
+    // cos ~ 1.0 (random-vector cosines stay far below).
+    val dim = 64
+    def emb(id: Long): Array[Float] = Array.tabulate(dim) { g =>
+      // splitmix64 finalizer: a plain LCG of (id, g) leaves emb(a) and
+      // emb(b) offset by the same constant in every dimension, creating
+      // accidental near-identical pairs; the avalanche mix decorrelates
+      var z = id * 6364136223846793005L + (g + 1) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      ((z >>> 33).toDouble / (1L << 30).toDouble - 1.0).toFloat
+    }
+    val planted = (0 until 6).map(i => (i * 97L, 3000L + i))
+    val rows = (0L until 3000L).map(v => (v, emb(v))) ++
+      planted.map { case (src, dup) => (dup, emb(src)) }
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    rows.toDF("vec_id", "embedding").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityQueries.semanticDedup(spark, dir)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos_sim")))
+    val found = out.filter(_._3 > 0.9999).map(p => (p._1, p._2)).toSet
+    planted.foreach { p =>
+      assert(found.contains(p), s"exact-dup pair $p missed by the " +
+        s"hierarchical blocker; surfaced near-1 pairs: $found")
+    }
+    // and the impostor bar: every non-planted surfaced pair is far from 1
+    out.filter(p => !planted.contains((p._1, p._2))).foreach { p =>
+      assert(p._3 < 0.9, s"unexpected near-duplicate cosine: $p")
+    }
+  }
+
   test("dimension stats: 64 dims, std>=0, min<=mean<=max, interp clamps") {
     val rows = SimilarityQueries.embedDimStats(spark, sf).collect()
     assert(rows.length === 64)
