@@ -42,7 +42,7 @@ object CboQueries {
 
   val cboStarJoinSql: String =
     """SELECT n_name, COUNT(*) AS n,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
       |    AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey

@@ -19,7 +19,7 @@ object CoreQueries {
 
   /** SQL fragment mirroring [[Ops.money]]. */
   private def m(col: String) = s"CAST($col AS DECIMAL(18,2))"
-  private def sumM(col: String) = s"CAST(SUM(${m(col)}) AS DOUBLE)"
+  private def sumM(col: String) = s"CAST(CAST(SUM(${m(col)}) AS VARCHAR) AS DOUBLE)"
 
   // --- A1/A2: grouped hash aggregate (TPC-H Q1 style pricing summary) ----
   def pricingSummary(s: SparkSession, dir: String): DataFrame = {
@@ -44,13 +44,13 @@ object CoreQueries {
 
   val pricingSummarySql: String =
     s"""SELECT l_returnflag, l_linestatus,
-       |  CAST(SUM(${m("l_quantity")}) AS DOUBLE) AS sum_qty,
+       |  CAST(CAST(SUM(${m("l_quantity")}) AS VARCHAR) AS DOUBLE) AS sum_qty,
        |  ${sumM("l_extendedprice")} AS sum_base_price,
-       |  CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM(CAST(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2)) AS DECIMAL(24,4)) * CAST(1.0 + l_tax AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge,
-       |  CAST(SUM(${m("l_quantity")}) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-       |  CAST(SUM(${m("l_extendedprice")}) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-       |  CAST(SUM(${m("l_discount")}) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       |  CAST(CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       |  CAST(CAST(SUM(CAST(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2)) AS DECIMAL(24,4)) * CAST(1.0 + l_tax AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+       |  CAST(CAST(SUM(${m("l_quantity")}) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       |  CAST(CAST(SUM(${m("l_extendedprice")}) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       |  CAST(CAST(SUM(${m("l_discount")}) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
        |  COUNT(*) AS count_order
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -145,7 +145,7 @@ object CoreQueries {
     s"""SELECT o_orderpriority,
        |  COUNT(DISTINCT o_orderkey) AS n_orders,
        |  COUNT(*) AS n_lines,
-       |  CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+       |  CAST(CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS revenue
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -509,7 +509,7 @@ object CoreQueries {
 
   val aggPivotSql: String = {
     val cols = eventTypes.map { t =>
-      s"CAST(SUM(CASE WHEN event_type = '$t' THEN ${m("value")} END) AS DOUBLE) AS $t"
+      s"CAST(CAST(SUM(CASE WHEN event_type = '$t' THEN ${m("value")} END) AS VARCHAR) AS DOUBLE) AS $t"
     }.mkString(",\n  ")
     s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
        |  $cols
@@ -693,7 +693,7 @@ object CoreQueries {
   val tpchQ3ShapeSql: String =
     s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        |  o_orderpriority,
-       |  CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+       |  CAST(CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS revenue
        |FROM customer
        |JOIN orders ON c_custkey = o_custkey
        |JOIN lineitem ON o_orderkey = l_orderkey
@@ -724,7 +724,7 @@ object CoreQueries {
 
   val tpchQ5ShapeSql: String =
     s"""SELECT n_name,
-       |  CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       |  CAST(CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS revenue,
        |  COUNT(*) AS n_lines
        |FROM region
        |JOIN nation ON r_regionkey = n_regionkey
@@ -811,7 +811,7 @@ object CoreQueries {
 
   val tpchQ10ShapeSql: String =
     s"""SELECT c_custkey, c_name, n_name,
-       |  CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       |  CAST(CAST(SUM(${m("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS revenue,
        |  CAST(MAX(${m("c_acctbal")}) AS DOUBLE) AS acctbal,
        |  COUNT(*) AS n_lines
        |FROM orders
@@ -860,7 +860,7 @@ object CoreQueries {
     s"""SELECT c_name, c_custkey, o_orderkey,
        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        |  CAST(${m("o_totalprice")} AS DOUBLE) AS total_price,
-       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
        |FROM customer
        |JOIN orders ON c_custkey = o_custkey
        |JOIN lineitem ON o_orderkey = l_orderkey
@@ -965,7 +965,7 @@ object CoreQueries {
 
   val joinSaltedSql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_items,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
       |    AS sum_price
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin

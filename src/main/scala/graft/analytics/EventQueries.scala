@@ -88,7 +88,7 @@ object EventQueries {
     """SELECT user_id, MAX(roll_sum) AS max_roll_sum, MIN(roll_sum) AS min_roll_sum,
       |  MAX(roll_n) AS max_roll_n FROM (
       |  SELECT user_id,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS roll_sum,
       |    COUNT(*) OVER w AS roll_n
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
@@ -118,7 +118,7 @@ object EventQueries {
       |  CAST(SUM(n_10m) AS BIGINT) AS total_window_rows,
       |  MAX(sum_10m) AS max_burst_value FROM (
       |  SELECT user_id, COUNT(*) OVER w AS n_10m,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS sum_10m
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW))
@@ -331,7 +331,7 @@ object EventQueries {
   val tumblingDailySql: String =
     s"""SELECT epoch_us(date_trunc('day', ts)) AS w_start_us, event_type,
        |  COUNT(*) AS n,
-       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
        |FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin
 
   // --- T4: sliding window (1 hour, slide 15 min) as batch agg ------------
@@ -348,7 +348,7 @@ object EventQueries {
 
   val slidingHourlySql: String =
     """SELECT w_start_us, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM (
       |  SELECT epoch_us(date_trunc('minute', ts))
       |      - (epoch_us(date_trunc('minute', ts)) % 900000000)
@@ -389,7 +389,7 @@ object EventQueries {
       |  FROM flagged)
       |SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
@@ -419,7 +419,7 @@ object EventQueries {
       |  FROM events),
       |build AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events)
       |SELECT p.event_type, COUNT(*) AS n_total, COUNT(b.value) AS n_matched,
-      |  CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_state
+      |  CAST(CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_state
       |FROM probe p ASOF LEFT JOIN build b
       |  ON p.user_id = b.user_id AND b.ts_us <= p.ts_us
       |GROUP BY p.event_type ORDER BY p.event_type""".stripMargin
@@ -509,9 +509,9 @@ object EventQueries {
        |  CAST(SUM(CASE WHEN s_val IS NOT NULL
        |    AND ts_us - s_ts > $ASOF_TOL_US THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_stale,
-       |  CAST(SUM(CASE WHEN s_val IS NOT NULL
+       |  CAST(CAST(SUM(CASE WHEN s_val IS NOT NULL
        |    AND ts_us - s_ts <= $ASOF_TOL_US
-       |    THEN CAST(s_val AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_fresh
+       |    THEN CAST(s_val AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS sum_fresh
        |FROM c WHERE is_probe = 1
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -849,7 +849,7 @@ object EventQueries {
 
   val joinDppPrunedSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM events WHERE isodow(CAST(ts AS DATE)) = 1
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -45,7 +45,7 @@ object IncrementalQueries {
 
   val incrementalAggSql: String =
     """SELECT event_type, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
       |  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
       |  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
@@ -303,7 +303,7 @@ object IncrementalQueries {
 
   val incrementalJoinSql: String =
     """SELECT l_returnflag, COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
       |    AS sum_price
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin

@@ -131,10 +131,12 @@ object StatsQueries {
     * total daily cents (y) against day number (x) — the SQL:2016
     * `regr_slope`/`regr_intercept`/`regr_r2` family, computed from EXACT
     * integer sufficient statistics instead of the built-ins' running
-    * double sums. Σx, Σy, Σxy, Σx², Σy² over (day, cents) are all
-    * overflow-safe longs here, so both engines derive the fit from
-    * IDENTICAL integers and the only floating-point steps are the final
-    * divisions — the same exactness discipline as the money tier. At 100
+    * double sums. Σx and Σx² are calendar-bounded longs; the y-carrying
+    * statistics ride 128-bit integers (DECIMAL(38,0) / HUGEINT) so the
+    * combination terms (sy², n·syy) stay exact at ANY corpus scale —
+    * both engines derive the fit from IDENTICAL integers and the only
+    * floating-point steps are the final divisions — the same exactness
+    * discipline as the money tier. At 100
     * TB the daily rollup (first aggregate) is the only big pass; the fit
     * itself runs on |groups|·|days| rows.
     *
@@ -151,20 +153,36 @@ object StatsQueries {
         expr("cast(round(value * 100) as bigint)").as("cents"))
       .groupBy($"event_type", $"x")
       .agg(sum($"cents").as("y"))
+    // y-carrying statistics in 128-bit integers (Spark DECIMAL(38,0) /
+    // DuckDB HUGEINT — round 19): daily cents y grows with corpus scale,
+    // so sy², n·syy and Σy² overflow int64 around the 100× tier — a
+    // SILENT wraparound in Spark and a hard error in DuckDB. x is a
+    // calendar day number (bounded ~2·10⁴ forever), so the x-only terms
+    // stay exact in int64 at any corpus size.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val fit = daily.groupBy($"event_type")
-      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
-        sum($"y" * $"y").as("syy"))
-    // all sums are exact longs; every division below is the first (and
-    // only) floating-point step, so both engines compute identical bits
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y".cast(dec)).as("sy"),
+        sum($"x".cast(dec) * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"y".cast(dec) * $"y").as("syy"))
+    // all sums are exact integers; every division below is the first
+    // (and only) floating-point step, so both engines compute identical
+    // bits. Round 19: NO final round(x, 6) — Spark rounds through the
+    // exact BigDecimal of the double while DuckDB multiplies by 1e6 and
+    // nearbyints, and the two flip opposite ways when the true value
+    // sits near a 0.5e-6 boundary (the r18 sf1 sweep caught exactly one
+    // such intercept). The raw IEEE doubles ARE the deterministic form
+    // (the 128-bit→double casts are correctly rounded on both sides:
+    // BigDecimal.doubleValue here, a VARCHAR round-trip in the mirror).
     val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
     val den = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
     val m = num / den
     fit.select($"event_type", $"n".as("n_days"),
-        round(m, 6).as("slope"),
-        round(($"sy".cast("double") - m * $"sx") / $"n", 6).as("intercept"),
-        round(num * num /
-          (den * ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("r2"))
+        m.as("slope"),
+        (($"sy".cast("double") - m * $"sx") / $"n").as("intercept"),
+        (num * num /
+          (den * ($"n" * $"syy" - $"sy" * $"sy").cast("double"))).as("r2"))
       .orderBy($"event_type")
   }
 
@@ -176,20 +194,22 @@ object StatsQueries {
       |  FROM events GROUP BY 1, 2),
       |fit AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
       |  FROM daily GROUP BY 1)
       |SELECT event_type, n AS n_days,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-      |  round((CAST(sy AS DOUBLE)
-      |    - (CAST(n * sxy - sx * sy AS DOUBLE)
-      |       / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6) AS intercept,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+      |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |  (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+      |    - (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+      |       / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n AS intercept,
+      |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+      |    * CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
       |    / (CAST(n * sxx - sx * sx AS DOUBLE)
-      |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+      |       * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) AS r2
       |FROM fit ORDER BY event_type""".stripMargin
 
   // --- ST12: Zipf rank-frequency fit per language -------------------------

@@ -54,7 +54,7 @@ object SubqueryQueries {
   val subqueryScalarSql: String =
     """SELECT l.l_partkey AS p_key,
       |       CAST(count(*) AS BIGINT) AS n_small,
-      |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
       |         AS small_revenue
       |FROM part p
       |JOIN lineitem l ON p.p_partkey = l.l_partkey

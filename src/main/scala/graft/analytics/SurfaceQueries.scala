@@ -36,7 +36,7 @@ object SurfaceQueries {
 
   val unpivotMeasuresSql: String =
     """SELECT l_returnflag, measure, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM (UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice,
       |                      l_discount, l_tax FROM lineitem)
       |      ON l_quantity, l_extendedprice, l_discount, l_tax

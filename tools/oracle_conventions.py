@@ -72,6 +72,21 @@ PROBES = [
     ("cast_double_int", "CAST(CAST(2.7 AS DOUBLE)::BIGINT AS VARCHAR)"),
     # Unicode length semantics: length() counts code points.
     ("length_codepoints", "CAST(length('aé€') AS VARCHAR)"),
+    # Wide-DECIMAL -> DOUBLE casts are NOT correctly rounded (the int128
+    # mantissa converts before the 10^scale division — double rounding),
+    # while the VARCHAR round-trip is exact-decimal -> correctly-rounded
+    # strtod. This pair is WHY every decimal-SUM oracle casts through
+    # VARCHAR (round 19): Spark's Decimal.toDouble goes through
+    # BigDecimal.doubleValue, which is correctly rounded, so the direct
+    # cast drifts 1 ulp on boundary sums (seen once in the r18 sf1 sweep).
+    ("dec_double_direct",
+     "CAST(CAST(CAST('27845339640.098010' AS DECIMAL(38,6)) AS DOUBLE) AS VARCHAR)"),
+    ("dec_double_via_varchar",
+     "CAST(CAST(CAST(CAST('27845339640.098010' AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS VARCHAR)"),
+    # HUGEINT -> DOUBLE via VARCHAR is likewise the correctly-rounded
+    # path the regression-fit mirror uses for its 128-bit statistics.
+    ("hugeint_double_via_varchar",
+     "CAST(CAST(CAST(CAST('27845339640098010' AS HUGEINT) AS VARCHAR) AS DOUBLE) AS VARCHAR)"),
     # md5() of empty string — the seed of every deterministic sampler.
     ("md5_empty", "md5('')"),
     # epoch microseconds conversion used by every timestamp mirror.

@@ -115,7 +115,11 @@ def main():
     docs = con.execute(
         f"SELECT doc_id, text, lang, source, n_chars FROM {src('documents')} "
         "ORDER BY doc_id").fetchall()
-    suffix = "bcdefghijklmnopqrstuvwxyz"  # replica k>0 uses suffix[k-1]
+    # replica k>0 uses suffix[k-1]; two-letter suffixes past 'z' keep the
+    # scheme alive for K up to 26*25+25 (cross-replica overlap stays ZERO:
+    # every replica's words end in a distinct suffix string)
+    base = "bcdefghijklmnopqrstuvwxyz"
+    suffix = list(base) + [a + b for a in base for b in base]
     drows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
     for k in range(K):
         for (doc_id, text, lang, source, _) in docs:
@@ -140,10 +144,19 @@ def main():
         f"SELECT vec_id, embedding, label FROM {src('embeddings')} "
         "ORDER BY vec_id").fetchall()
     erows = {"vec_id": [], "embedding": [], "label": []}
+    dim = len(embs[0][1])
+    assert K <= 2 * dim, "rotation+negation scheme exhausted; add a new lap transform"
     for k in range(K):
         for (vec_id, emb, label) in embs:
             erows["vec_id"].append(vec_id + k * N["embeddings"])
-            erows["embedding"].append(emb[k:] + emb[:k] if k else emb)
+            # rotation wraps at the dimension count; past one full lap,
+            # NEGATE the rotated vector (still exactly norm-preserving)
+            # so replica k never duplicates replica k-dim's vectors
+            r = k % dim
+            rot = emb[r:] + emb[:r] if r else list(emb)
+            if (k // dim) % 2 == 1:
+                rot = [-x for x in rot]
+            erows["embedding"].append(rot if k else emb)
             erows["label"].append(label)
     eschema = pa.schema([("vec_id", pa.int64()),
                          ("embedding", pa.list_(pa.float32())),
@@ -167,12 +180,15 @@ def main():
         ("lineitem->part fk", f"""SELECT count(*) FROM '{out}/lineitem.parquet' l
             LEFT JOIN '{out}/part.parquet' p ON l.l_partkey = p.p_partkey
             WHERE p.p_partkey IS NULL"""),
-        # replica k>0 adds exactly one suffix char per word
+        # replica k>0 adds exactly len(suffix[k-1]) chars per word
+        # (1 char for k <= 25, 2 chars for the two-letter suffixes past 'z')
         ("doc length law", f"""SELECT count(*) FROM '{out}/documents.parquet' d
             JOIN {src('documents')} s ON d.doc_id % {N['documents']} = s.doc_id
             WHERE d.n_chars != s.n_chars +
+              (length(s.text) - length(replace(s.text, ' ', '')) + 1) *
               CASE WHEN d.doc_id // {N['documents']} = 0 THEN 0
-                   ELSE length(s.text) - length(replace(s.text, ' ', '')) + 1
+                   WHEN d.doc_id // {N['documents']} <= 25 THEN 1
+                   ELSE 2
               END"""),
         # zero cross-replica shingle overlap: no word of replica 1 appears
         # in replica 0's vocabulary (suffixing is total)
