@@ -154,7 +154,15 @@ object HierarchyQueries {
       jumpState(s, dir).select($"node".as("k"), $"dist".as("depth"))
         .join(nodes, Seq("k"))
         .select($"k", expr("k div 7").as("pk"), $"depth", $"price"))
-    val maxDepth = base.agg(max($"depth")).head().getLong(0)
+    // max() over zero rows is null — short-circuit to an empty frame with
+    // the output schema instead of NPE-ing on getLong (advice r19)
+    val maxDepthOpt =
+      Option(base.agg(max($"depth")).head().get(0)).map(_.asInstanceOf[Long])
+    if (maxDepthOpt.isEmpty) {
+      return base.select($"k".as("anc_key"), lit(0L).as("n_subtree"),
+        lit(0.0).as("sum_price")).limit(0)
+    }
+    val maxDepth = maxDepthOpt.get
     val zero = lit(0L).cast(org.apache.spark.sql.types.DecimalType(18, 2))
     // deepest level first: totals are (self count, self price) — leaves
     var cur = base.filter($"depth" === maxDepth)

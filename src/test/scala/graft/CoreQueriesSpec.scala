@@ -1099,6 +1099,19 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(got.toSeq === top.map { case (k, n) => (k, n) })
   }
 
+  test("R2 subtree rollup degrades to empty output on an empty orders table") {
+    // advice r19: max(depth) over zero rows is null; the driver read must
+    // not NPE — it short-circuits to an empty frame with the real schema
+    import graft.analytics.HierarchyQueries
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_empty_orders_").toFile.getAbsolutePath
+    Tables.orders(spark, sf).limit(0).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val out = HierarchyQueries.hierarchyRollup(spark, dir)
+    assert(out.columns.toSeq === Seq("anc_key", "n_subtree", "sum_price"))
+    assert(out.count() === 0L)
+  }
+
   test("ST7 MAD: medians are true order stats, outliers match local count") {
     import graft.analytics.StatsQueries
     val byType = Tables.events(spark, sf)

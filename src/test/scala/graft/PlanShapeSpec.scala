@@ -395,11 +395,35 @@ class PlanShapeSpec extends AnyFunSuite {
     // instead of substring-matching the rendered string — the collected
     // hot-span literal embeds corpus-derived text, so any span containing
     // the characters "Join" would trip a substring scan spuriously
-    val joinNodes = SparkEntry.queries("q_span_scrub")(spark, sf)
-      .queryExecution.executedPlan.collect {
-        case n if n.getClass.getSimpleName.endsWith("JoinExec") =>
-          n.getClass.getSimpleName
-      }
+    // round 20 (advice r19): the walk must run with AQE OFF —
+    // AdaptiveSparkPlanExec is a LEAF (children = Nil), so collecting
+    // over an AQE-wrapped tree never reaches the real operators and the
+    // guard was vacuously green. Same pattern as RegistrySpec's keyset
+    // walker.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val joinNodes = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("q_span_scrub")(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case n if n.getClass.getSimpleName.endsWith("JoinExec") =>
+            n.getClass.getSimpleName
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // negative self-test: the same walk over a plan that DOES join must
+    // find a *JoinExec node — proves the collect reaches real operators
+    locally {
+      import spark.implicits._
+      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val l = Seq((1, "a")).toDF("k", "v")
+        val r = Seq((1, "b")).toDF("k", "w")
+        val seen = l.join(r, "k").queryExecution.executedPlan.collect {
+          case n if n.getClass.getSimpleName.endsWith("JoinExec") => n
+        }
+        assert(seen.nonEmpty, "join walker is blind — self-test saw no JoinExec")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
     assert(joinNodes.isEmpty,
       s"span scrub needs no join, found: ${joinNodes.mkString(", ")}")
     // the cap in the BUILD-TIME artifact job plans as

@@ -46,7 +46,10 @@ object StreamGuards {
     * lambda/inner class thereof) names the owning suite deterministically.
     */
   private def callerSuite: String = {
-    val re = """graft\.([A-Za-z0-9_]+Spec)""".r
+    // dotted segments allowed so suites in subpackages (graft.streaming.
+    // FooSpec) attribute correctly instead of falling to "global"
+    // (advice r19)
+    val re = """graft\.(?:[a-z0-9_]+\.)*([A-Za-z0-9_]+Spec)""".r
     Thread.currentThread().getStackTrace.iterator
       .flatMap(f => re.findFirstMatchIn(f.getClassName).map(_.group(1)))
       .nextOption()
@@ -151,8 +154,22 @@ object StreamGuards {
     val got = scala.jdk.CollectionConverters.SetHasAsScala(covered).asScala
       .filter(_.startsWith(s"$suite|")).map(_.stripPrefix(s"$suite|")).toSet
     val missing = expectedNames.diff(got)
+    // fail LOUDLY on zero attribution: if this suite recorded nothing at
+    // all but other entries exist, the near-certain cause is a caller-
+    // attribution miss (stop() invoked from a thread whose stack doesn't
+    // carry the suite class) — name the suites that DID record so the
+    // mismatch is visible instead of a bare "never captured" (advice r19)
+    val attributionHint =
+      if (got.isEmpty && expectedNames.nonEmpty) {
+        val others = scala.jdk.CollectionConverters
+          .SetHasAsScala(covered).asScala.map(_.takeWhile(_ != '|')).toSeq
+          .distinct.sorted
+        s"\nNOTHING was recorded under $suite — if stop() ran on a " +
+          s"Spark-owned thread, attribution fell elsewhere; suites with " +
+          s"recorded entries: ${others.mkString(", ")}"
+      } else ""
     assert(missing.isEmpty,
       s"streaming queries expected to be plan-guarded in $suite but never " +
-        s"captured: ${missing.toSeq.sorted.mkString(", ")}")
+        s"captured: ${missing.toSeq.sorted.mkString(", ")}$attributionHint")
   }
 }

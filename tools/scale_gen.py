@@ -18,8 +18,10 @@ Replication design (distribution-preserving, pair-blowup-free):
   Supplier#%09d) are regenerated from the NEW key so name-keyed fuzzy
   queries keep one row per name. events replicas get fresh user_id space
   (per-user history shape preserved; user count scales 10x).
-- documents: doc_id offsets; replica k>0 maps every word w -> w + letter_k
-  (a replica-specific suffix letter). Word ORDER and per-replica word
+- documents: doc_id offsets; replica k>0 maps every word w -> w + code_k
+  (a replica-specific suffix from a SUFFIX-FREE code set — no code is a
+  proper suffix of another, so w1+code_i = w2+code_j forces i = j; see
+  the inline proof at the code-set construction). Word ORDER and per-replica word
   frequency shape are preserved, so the planted dup/near-dup structure
   REPLICATES once per replica (each replica is a self-contained shard
   with the original's dup density — pair results scale exactly K-linear),
@@ -115,11 +117,24 @@ def main():
     docs = con.execute(
         f"SELECT doc_id, text, lang, source, n_chars FROM {src('documents')} "
         "ORDER BY doc_id").fetchall()
-    # replica k>0 uses suffix[k-1]; two-letter suffixes past 'z' keep the
-    # scheme alive for K up to 26*25+25 (cross-replica overlap stays ZERO:
-    # every replica's words end in a distinct suffix string)
+    # replica k>0 uses suffix[k-1]. The code set must be SUFFIX-FREE
+    # (no code a proper suffix of another), else w2+'cb' collides with
+    # (w2+'c')+'b' whenever the vocabulary contains both w2 and w2+'c'
+    # (advice r19 — the old scheme's two-letter codes ended in one-letter
+    # codes). Codes: 25 one-letter from b..z (k<=25 unchanged, so the
+    # committed sf1 tier is byte-identical), then three-letter codes
+    # c1+c2+'a' — all the same length (mutually suffix-free) and
+    # 'a'-terminated ('a' is excluded from the one-letter set, so no
+    # one-letter code is their suffix; their proper suffixes have length
+    # 1 or 2 and end in 'a', matching no code). 25 + 676 codes => K<=702.
     base = "bcdefghijklmnopqrstuvwxyz"
-    suffix = list(base) + [a + b for a in base for b in base]
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    suffix = list(base) + [c1 + c2 + "a" for c1 in alpha for c2 in alpha]
+    used = suffix[:max(0, K - 1)]
+    for i, si in enumerate(used):  # structural proof over the used codes
+        for j, sj in enumerate(used):
+            assert i == j or not si.endswith(sj), \
+                f"suffix codes not suffix-free: {si!r} ends with {sj!r}"
     drows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
     for k in range(K):
         for (doc_id, text, lang, source, _) in docs:
@@ -181,24 +196,29 @@ def main():
             LEFT JOIN '{out}/part.parquet' p ON l.l_partkey = p.p_partkey
             WHERE p.p_partkey IS NULL"""),
         # replica k>0 adds exactly len(suffix[k-1]) chars per word
-        # (1 char for k <= 25, 2 chars for the two-letter suffixes past 'z')
+        # (1 char for k <= 25, 3 chars for the 'a'-terminated codes past 'z')
         ("doc length law", f"""SELECT count(*) FROM '{out}/documents.parquet' d
             JOIN {src('documents')} s ON d.doc_id % {N['documents']} = s.doc_id
             WHERE d.n_chars != s.n_chars +
               (length(s.text) - length(replace(s.text, ' ', '')) + 1) *
               CASE WHEN d.doc_id // {N['documents']} = 0 THEN 0
                    WHEN d.doc_id // {N['documents']} <= 25 THEN 1
-                   ELSE 2
+                   ELSE 3
               END"""),
-        # zero cross-replica shingle overlap: no word of replica 1 appears
-        # in replica 0's vocabulary (suffixing is total)
+        # zero cross-replica shingle overlap: the suffix-free code proof
+        # above covers suffixed-vs-suffixed pairs; replica 0 is
+        # UNsuffixed, so verify it empirically against EVERY suffixed
+        # replica's vocabulary at once (a natural word could end in a
+        # code with its stem also in the vocabulary) — this subsumes the
+        # old replica-1-only spot check and, for K>26, exercises the
+        # long-suffix replicas the old check never touched (advice r19)
         ("cross-replica vocab disjoint", f"""
             WITH v0 AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
                         FROM '{out}/documents.parquet' WHERE doc_id < {N['documents']}),
-                 v1 AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+                 vk AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
                         FROM '{out}/documents.parquet'
-                        WHERE doc_id >= {N['documents']} AND doc_id < {2 * N['documents']})
-            SELECT count(*) FROM v1 JOIN v0 USING (w)"""),
+                        WHERE doc_id >= {N['documents']})
+            SELECT count(*) FROM vk JOIN v0 USING (w)"""),
         ("emb norm preserved", f"""SELECT count(*) FROM (
             SELECT d.vec_id,
               abs(list_sum(list_transform(d.embedding, x -> CAST(x AS DOUBLE) * x)) -
