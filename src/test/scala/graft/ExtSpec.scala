@@ -96,14 +96,24 @@ class ExtSpec extends AnyFunSuite {
     // Round 19: the semantic-dedup blocker is hierarchical — depth grows
     // with corpus size so expected block size stays <= SEM_TARGET and
     // pair expansion stays LINEAR in n (the r18 scale sweep measured the
-    // flat blocker at 12.1x wall for 10x data). Pin the depth schedule:
+    // flat blocker at 12.1x wall for 10x data).
+    // Round 20: the centroid count K itself scales (ivfK below), so the
+    // top-level lists are already ~IVF_TARGET_LIST in expectation and the
+    // depth schedule collapses to {0, 1} — one refinement level is all a
+    // corpus-tracking quantizer ever needs. Pin BOTH laws:
+    assert(SimilarityQueries.ivfK(0) === 16)
+    assert(SimilarityQueries.ivfK(2000) === 16)   // sf0.1: unchanged tiers
+    assert(SimilarityQueries.ivfK(8192) === 16)   // floor edge
+    assert(SimilarityQueries.ivfK(8193) === 17)   // first scaled K
+    assert(SimilarityQueries.ivfK(20000) === 40)  // sf1 tier
+    assert(SimilarityQueries.ivfK(200000) === 391) // sf10 tier
+    assert(SimilarityQueries.ivfK(1000000000L) === 1953125)
     assert(SimilarityQueries.semDepth(500) === 0)
     assert(SimilarityQueries.semDepth(2048) === 0)
     assert(SimilarityQueries.semDepth(2049) === 1)
     assert(SimilarityQueries.semDepth(20000) === 1) // the sf1 tier
-    assert(SimilarityQueries.semDepth(32769) === 2)
-    assert(SimilarityQueries.semDepth(Long.MaxValue) ===
-      SimilarityQueries.SEM_MAX_DEPTH)
+    assert(SimilarityQueries.semDepth(32769) === 1) // dynamic K: depth<=1
+    assert(SimilarityQueries.semDepth(Long.MaxValue) === 1)
     // Behavioral pin at depth 1 on a synthetic 3000-vector corpus with
     // planted EXACT duplicates: identical vectors have identical centroid
     // cosines, hence identical rank tuples — the hierarchy can never
