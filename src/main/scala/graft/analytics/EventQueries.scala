@@ -237,14 +237,29 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** Mirror bucketized EXACTLY like the Spark plan (r19 verdict item 3):
+    * the naive non-equi LEFT JOIN form cost 233.8 s of the sf1 sweep
+    * (DuckDB plans it as a per-user loop over the range predicates); the
+    * window-cell equi-join is semantics-identical — a follower within W
+    * lands in the probe's own or next cell, never elsewhere — and the
+    * hash gate proves the equivalence at every sweep scale. */
   val rangeJoinOuterSql: String =
-    """WITH per_event AS (
-      |  SELECT a.event_id, a.event_type, COUNT(b.event_id) AS n_followers
-      |  FROM events a LEFT JOIN events b
-      |    ON a.user_id = b.user_id
-      |   AND epoch_us(b.ts) > epoch_us(a.ts)
-      |   AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
-      |  GROUP BY a.event_id, a.event_type)
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |matched AS (
+      |  SELECT a.event_id, COUNT(*) AS n_followers
+      |  FROM (SELECT event_id, user_id, us, us // 600000000 + off AS bucket
+      |        FROM e CROSS JOIN (VALUES (0), (1)) t(off)) a
+      |  JOIN (SELECT user_id, us // 600000000 AS bucket, us AS r_us
+      |        FROM e) b
+      |    ON a.user_id = b.user_id AND a.bucket = b.bucket
+      |   AND b.r_us > a.us AND b.r_us - a.us <= 600000000
+      |  GROUP BY a.event_id),
+      |per_event AS (
+      |  SELECT e.event_id, e.event_type,
+      |    COALESCE(m.n_followers, 0) AS n_followers
+      |  FROM e LEFT JOIN matched m ON e.event_id = m.event_id)
       |SELECT event_type, COUNT(*) AS n_events,
       |  CAST(SUM(n_followers) AS BIGINT) AS n_pairs,
       |  COUNT(*) FILTER (WHERE n_followers > 0) AS n_with_follower,

@@ -69,9 +69,12 @@ object GeoQueries {
       .orderBy($"n_within")
   }
 
-  /** DuckDB mirror is the brute-force distance join — the grid bucketing
-    * must be invisible in the result (exactness of the 3×3 cover is the
-    * thing the hash pins). */
+  /** DuckDB mirror bands on the x axis ONLY (|cx−sx| ≤ R ⇒ sx lives in
+    * the probe's x-cell ±1 — a trivially-true 1-D interval fact), so the
+    * thing the hash still independently pins is the Spark side's packed
+    * 2-D 3×3 cover. The r19 sweep measured the fully-brute form at 51 s
+    * of sf1 oracle wall (1.5e9 distance pairs); the 1-D band cuts the
+    * candidate set ~7× with no shared 2-D bucketing logic. */
   val geoGridJoinSql: String =
     s"""WITH probes AS (
        |  SELECT c_custkey AS ck,
@@ -86,8 +89,10 @@ object GeoQueries {
        |matched AS (
        |  SELECT ck, COUNT(*) AS n_within,
        |    MIN((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)) AS min_d2
-       |  FROM probes JOIN sites
-       |    ON (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= ${R * R}
+       |  FROM (SELECT ck, cx, cy, cx // $R + off AS bx
+       |        FROM probes CROSS JOIN (VALUES (-1), (0), (1)) t(off)) p
+       |  JOIN (SELECT sx, sy, sx // $R AS bx FROM sites) s USING (bx)
+       |  WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= ${R * R}
        |  GROUP BY ck),
        |perp AS (
        |  SELECT COALESCE(m.n_within, 0) AS n_within,

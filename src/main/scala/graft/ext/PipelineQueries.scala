@@ -1297,17 +1297,23 @@ object PipelineQueries {
        |  GROUP BY span HAVING COUNT(*) >= $SCRUB_MIN_DOCS),
        |hotcap AS (
        |  SELECT span FROM hot ORDER BY nd DESC, span LIMIT $SCRUB_MAX_HOT),
-       |hotl AS (
-       |  SELECT COALESCE(list(span ORDER BY span), CAST([] AS VARCHAR[])) AS hot
-       |  FROM hotcap),
+       |inst AS (
+       |  SELECT doc_id, unnest(spans) AS span,
+       |    unnest(generate_series(1, len(spans))) AS pos
+       |  FROM spans),
+       |kept AS (
+       |  SELECT i.doc_id, i.pos, i.span
+       |  FROM inst i ANTI JOIN hotcap h ON i.span = h.span),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS nk,
+       |    array_to_string(list(span ORDER BY pos), ' ') AS kept_str
+       |  FROM kept GROUP BY doc_id),
        |scrub AS (
        |  SELECT s.doc_id, s.source, len(s.spans) AS ns,
-       |    len(list_filter(s.spans, x -> NOT list_contains(h.hot, x))) AS nk,
-       |    concat_ws(' ',
-       |      NULLIF(array_to_string(
-       |        list_filter(s.spans, x -> NOT list_contains(h.hot, x)), ' '), ''),
+       |    COALESCE(p.nk, 0) AS nk,
+       |    concat_ws(' ', NULLIF(COALESCE(p.kept_str, ''), ''),
        |      NULLIF(s.tail, '')) AS scrubbed
-       |  FROM spans s CROSS JOIN hotl h)
+       |  FROM spans s LEFT JOIN perdoc p ON s.doc_id = p.doc_id)
        |SELECT source,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(ns) AS BIGINT) AS spans_total,
