@@ -1134,7 +1134,36 @@ object DedupQueries {
       .groupBy($"win_h").agg(count(lit(1)).as("n"))
       .filter($"n" > 1)
       .select($"win_h")
-    fps.join(dupH.hint("shuffle_hash"), Seq("win_h"), "left_semi")
+    // Bloom pre-filter BEFORE the probe exchange (r19 verdict item 4):
+    // the semi-join shuffles the corpus-chars-grain (doc_id, p, win_h)
+    // relation — 24 B/row × total chars, the 4.7 GB single-exchange
+    // working set the 100× tier measured spilling at 15.6-18.8× wall —
+    // while only ~9% of positions are candidates (measured at sf0.1).
+    // A bloom over the dup fingerprints runs as a SCALAR SUBQUERY (the
+    // shape Spark's own InjectRuntimeFilter plans — never a single-row
+    // join, whose per-row payload copy is the r18 span-scrub lesson) and
+    // drops non-candidates map-side, so the heavy exchange carries only
+    // the candidate tail + bloom false positives. Correctness is
+    // unaffected either way: the bloom can only PASS extra positions
+    // (FPs), never drop a true candidate (no bloom false negatives), and
+    // the exact semi-join still gates every survivor. The dup-fingerprint
+    // aggregate is the SAME Dataset as the join build side, so exchange
+    // reuse executes its shuffle once. Sizing: 4 Mi items / 32 Mi bits
+    // (4 MiB broadcast, ~2% FPP at full occupancy); an undersized bloom
+    // at larger corpora only raises FPP — fewer savings, never wrongness.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.Bridge
+    val bloomAgg = Bridge.column(
+      new BloomFilterAggregate(Bridge.expression($"win_h"),
+        Literal(4L * 1024 * 1024), Literal(32L * 1024 * 1024))
+        .toAggregateExpression()).as("bf")
+    val bloomPlan = dupH.agg(bloomAgg).queryExecution.analyzed
+    val preFiltered = fps.filter(Bridge.column(
+      BloomFilterMightContain(ScalarSubquery(bloomPlan),
+        Bridge.expression($"win_h"))))
+    preFiltered.join(dupH.hint("shuffle_hash"), Seq("win_h"), "left_semi")
       .select($"doc_id", $"p")
   }
 

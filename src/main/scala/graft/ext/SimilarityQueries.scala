@@ -224,11 +224,16 @@ object SimilarityQueries {
     * dedup blocker. */
   private[graft] val IVF_K = 16
 
-  /** Target expected inverted-list size: K is chosen so n/K ≤ this. 512
-    * keeps the per-query scan (NPROBE·512 rows) cache-resident while
-    * bounding centroid-table growth at n/512 (2 GB of corpus vectors ⇒
-    * ~400 centroids — broadcastable far past any tested tier). */
-  private[graft] val IVF_TARGET_LIST = 512L
+  /** Target expected inverted-list size: K is chosen so n/K ≲ this. 1024
+    * is the standard IVF list grain (FAISS-style deployments run 1-8 Ki):
+    * the per-query scan (NPROBE·1024 rows) stays cache-resident and flat
+    * in n, centroid-table growth is n/1024 (broadcastable far past any
+    * tested tier), and — the binding constraint here — the DuckDB oracle
+    * mirrors that unroll the FULL Lloyd loop stay tractable at every
+    * committed sweep tier (each assignment CTE is n·64·K rows; a 512
+    * target made the six-arm q_ann_eval mirror's concurrent chains spill
+    * ~70 GB at sf1). */
+  private[graft] val IVF_TARGET_LIST = 1024L
 
   /** The K growth law, integer-exact: `max(IVF_K, ceil(n / target))`.
     * Mirrored verbatim by [[ivfKSql]] — both engines compute ceil as
@@ -1709,8 +1714,15 @@ object SimilarityQueries {
     val ms = Seq("ivf" -> knnIvfSql, "ivf2" -> knnIvf2Sql,
       "ivfpq" -> knnIvfPqSql, "lsh" -> knnLshSql,
       "pq" -> knnPqSql, "sq8" -> knnSq8Sql)
+    // AS MATERIALIZED (r20): each arm's prediction set is consumed twice
+    // (count + truth join) and DuckDB's inlining heuristic can re-expand
+    // the whole arm — including its unrolled Lloyd chain — into BOTH
+    // scalar subqueries; with the r20 dynamic K the chains grew enough
+    // (K=40 at sf1) that the re-expansion pushed this mirror past the
+    // sweep budget. Forcing materialization evaluates every arm exactly
+    // once; semantics unchanged.
     val ctes = ms.map { case (nm, q) =>
-      s"p_$nm AS (SELECT q_id, vec_id FROM (\n$q\n) t_$nm)"
+      s"p_$nm AS MATERIALIZED (SELECT q_id, vec_id FROM (\n$q\n) t_$nm)"
     }.mkString(",\n")
     val stats = ms.map { case (nm, _) =>
       s"SELECT '$nm' AS method,\n" +
@@ -1718,7 +1730,7 @@ object SimilarityQueries {
         s"  (SELECT COUNT(*) FROM p_$nm p JOIN truth t" +
         " ON p.q_id = t.q_id AND p.vec_id = t.vec_id) AS hits"
     }.mkString("\nUNION ALL\n")
-    "WITH truth AS (SELECT q_id, vec_id FROM (\n" + knnBruteSql +
+    "WITH truth AS MATERIALIZED (SELECT q_id, vec_id FROM (\n" + knnBruteSql +
       "\n) t_truth),\n" + ctes + ",\nstats AS (\n" + stats + ")\n" +
       "SELECT method, n_pred, hits,\n" +
       "  (1000000 * hits) // (SELECT COUNT(*) FROM truth) AS recall_ppm\n" +

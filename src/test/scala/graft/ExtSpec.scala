@@ -102,12 +102,12 @@ class ExtSpec extends AnyFunSuite {
     // depth schedule collapses to {0, 1} — one refinement level is all a
     // corpus-tracking quantizer ever needs. Pin BOTH laws:
     assert(SimilarityQueries.ivfK(0) === 16)
-    assert(SimilarityQueries.ivfK(2000) === 16)   // sf0.1: unchanged tiers
-    assert(SimilarityQueries.ivfK(8192) === 16)   // floor edge
-    assert(SimilarityQueries.ivfK(8193) === 17)   // first scaled K
-    assert(SimilarityQueries.ivfK(20000) === 40)  // sf1 tier
-    assert(SimilarityQueries.ivfK(200000) === 391) // sf10 tier
-    assert(SimilarityQueries.ivfK(1000000000L) === 1953125)
+    assert(SimilarityQueries.ivfK(2000) === 16)    // sf0.1: unchanged tiers
+    assert(SimilarityQueries.ivfK(16384) === 16)   // floor edge
+    assert(SimilarityQueries.ivfK(16385) === 17)   // first scaled K
+    assert(SimilarityQueries.ivfK(20000) === 20)   // sf1 tier
+    assert(SimilarityQueries.ivfK(200000) === 196) // sf10 tier
+    assert(SimilarityQueries.ivfK(1000000000L) === 976563)
     assert(SimilarityQueries.semDepth(500) === 0)
     assert(SimilarityQueries.semDepth(2048) === 0)
     assert(SimilarityQueries.semDepth(2049) === 1)
