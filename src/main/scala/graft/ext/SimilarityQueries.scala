@@ -215,7 +215,7 @@ object SimilarityQueries {
     * `max(IVF_K, ceil(n / IVF_TARGET_LIST))` ([[ivfK]]), which pins the
     * EXPECTED list size at ≤ [[IVF_TARGET_LIST]] and makes per-query probe
     * cost (nprobe · list) roughly FLAT in n. The floor keeps every tier
-    * the driver gates on (n ≤ 8192 ⇒ K = 16) byte-identical to the fixed-K
+    * the driver gates on (n ≤ 16·target ⇒ K = 16) byte-identical to the fixed-K
     * engine. Training stays sane: assignment is O(n·K) = O(n²/target) only
     * if trained on the full corpus — at real scale the Lloyd loop runs on
     * a bounded SAMPLE (the scaladoc contract below) and the corpus pass is
@@ -2926,7 +2926,42 @@ object SimilarityQueries {
        |  CAST(MIN(cq) AS BIGINT) AS worst_cq
        |FROM flagged GROUP BY c_id ORDER BY c_id""".stripMargin
 
+  /** X3v (round 20) — the trained index's K GROWTH-LAW audit row: corpus
+    * size, the law's K ([[ivfK]] — max(16, ceil(n/target))), the trained
+    * index's actual non-empty list count, and the max/avg list
+    * occupancy. This puts the r20 "K scales with the corpus" contract ON
+    * THE ORACLE SURFACE: both engines derive every value from the data
+    * (the oracle re-computes the law in SQL and re-runs the Lloyd chain),
+    * so a regression to a fixed K — or a drifted ceil — hash-mismatches
+    * at the first sweep tier past the floor regime instead of living
+    * only in a unit spec. avg_list ≲ target is the flat-per-query-probe
+    * property the serving tier's cost model rests on. */
+  def annIndexK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kLaw = ivfK(Tables.embeddings(s, dir).count())
+    rankedAssign(s, dir).filter($"crn" === 1)
+      .groupBy($"c_id").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_lists"), sum($"sz").as("n_vecs"),
+        max($"sz").as("max_list"),
+        expr("sum(sz) div count(1)").as("avg_list"))
+      .select(lit(kLaw.toLong).as("k_law"), $"n_lists", $"n_vecs",
+        $"max_list", $"avg_list")
+  }
+
+  val annIndexKSql: String =
+    s"""WITH $kmeansCtesSql,
+       |assign AS (SELECT vec_id, c_id FROM aranked3 WHERE crn = 1),
+       |sizes AS (SELECT c_id, COUNT(*) AS sz FROM assign GROUP BY 1)
+       |SELECT (SELECT ${ivfKSql("COUNT(*)")} FROM embeddings) AS k_law,
+       |  COUNT(*) AS n_lists,
+       |  CAST(SUM(sz) AS BIGINT) AS n_vecs,
+       |  CAST(MAX(sz) AS BIGINT) AS max_list,
+       |  CAST(SUM(sz) // COUNT(*) AS BIGINT) AS avg_list
+       |FROM sizes""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ann_index_k", annIndexK, Some(annIndexKSql),
+      "X3v trained-index K growth-law audit: law K, non-empty lists, max/avg occupancy"),
     QueryDef("q_centroid_drift", centroidDrift, Some(centroidDriftSql),
       "X3t index-version drift: cohort-trained centroid sets aligned by quantized cosine + mutual-match flag"),
     QueryDef("q_embed_outliers", embedOutliers, Some(embedOutliersSql),
