@@ -129,8 +129,10 @@ class RestFeedHttpSpec extends AnyFunSuite {
         .option("checkpointLocation", s"$tmp/ckpt")
         .start()
       intercept[StreamingQueryException] { q.awaitTermination(120000) }
-      assert(counts.get("Red").get() === 3,
-        "budget must be exactly 3 attempts on the wire, not 4, not 1")
+      // 3 wire attempts per task attempt × the 2 task attempts of
+      // TestSpark's local[4,2] (task re-drive is pinned by TaskRetrySpec)
+      assert(counts.get("Red").get() === 3 * 2,
+        "budget must be exactly 3 attempts on the wire per task attempt")
     }
   }
 
@@ -145,9 +147,10 @@ class RestFeedHttpSpec extends AnyFunSuite {
         .option("checkpointLocation", s"$tmp/ckpt")
         .start()
       intercept[StreamingQueryException] { q.awaitTermination(120000) }
-      assert(counts.get("Red").get() === 1,
+      assert(counts.get("Red").get() === 1 * 2,
         "non-retryable status must raise immediately (reference " +
-          "raise_for_status; no retry)")
+          "raise_for_status; no HTTP retry) — one request per task " +
+          "attempt, times local[4,2]'s 2 task attempts")
     }
   }
 
@@ -169,8 +172,9 @@ class RestFeedHttpSpec extends AnyFunSuite {
           .option("checkpointLocation", s"$tmp/ckpt")
           .start()
         intercept[StreamingQueryException] { q.awaitTermination(120000) }
-        assert(counts.get("Red").get() === 1,
-          "a transport failure is not rate limiting: one request, no retry")
+        assert(counts.get("Red").get() === 1 * 2,
+          "a transport failure is not rate limiting: one request per " +
+            "task attempt (no HTTP retry), times local[4,2]'s 2 attempts")
         assert(spark.table("rest_http_trunc").count() === 0,
           "no rows may be admitted from a truncated poll")
     }

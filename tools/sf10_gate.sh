@@ -40,7 +40,7 @@ SPARK_GRAFT_SF_DIR="$DIR" SPARK_GRAFT_CPUS="$CPUS" \
   SPARK_GRAFT_BENCH_OUT="bench_sf10_${ROUND}.json" \
   sbt -batch "runMain graft.Bench $BENCH_QUERIES" | tail -1
 
-echo "=== [3/3] sf10 oracle spot-check (${ORACLE_QUERIES//[^,]/}, budget ${ORACLE_BUDGET_SEC:-900}s/query) ==="
+echo "=== [3/3] sf10 oracle spot-check (budget ${ORACLE_BUDGET_SEC:-900}s/query) ==="
 SPARK_GRAFT_CPUS="$CPUS" \
   sbt -batch "runMain graft.Verify $DIR /tmp/verify_sf10_${ROUND} $ORACLE_QUERIES"
 ORACLE_BUDGET_SEC="${ORACLE_BUDGET_SEC:-900}" \
