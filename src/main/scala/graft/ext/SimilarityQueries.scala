@@ -1706,6 +1706,19 @@ object SimilarityQueries {
       .orderBy($"method")
   }
 
+  /** Pre-materialize an oracle fragment EMBEDDED inside another oracle's
+    * subquery: [[graft.OracleSql.materializeShared]] (the Registry choke
+    * point) only walks the assembled statement's TOP-LEVEL WITH clause,
+    * so a fragment's internal shared CTEs — the unrolled Lloyd chains —
+    * would stay un-materialized and DuckDB 1.x re-inlines them at every
+    * reference. That re-expansion is combinatorial: the six-arm
+    * [[annEvalSql]] measured 385 s (and ~70 GB of spill at the r20
+    * pre-fix K) vs 12.5 s with the arms' chains materialized, identical
+    * results. Applying the same rewriter to the fragment BEFORE embedding
+    * restores exactly the standalone arm's evaluation shape. */
+  private def matSql(sql: String): String =
+    graft.OracleSql.materializeShared(sql)
+
   /** DuckDB mirror: each tier's full oracle SQL embedded as a scoped
     * subquery (inner CTEs shadow cleanly), joined pair-for-pair against
     * the brute truth. Assembled by concatenation — NOT stripMargin — so
@@ -1722,7 +1735,7 @@ object SimilarityQueries {
     // sweep budget. Forcing materialization evaluates every arm exactly
     // once; semantics unchanged.
     val ctes = ms.map { case (nm, q) =>
-      s"p_$nm AS MATERIALIZED (SELECT q_id, vec_id FROM (\n$q\n) t_$nm)"
+      s"p_$nm AS MATERIALIZED (SELECT q_id, vec_id FROM (\n${matSql(q)}\n) t_$nm)"
     }.mkString(",\n")
     val stats = ms.map { case (nm, _) =>
       s"SELECT '$nm' AS method,\n" +
@@ -1730,7 +1743,7 @@ object SimilarityQueries {
         s"  (SELECT COUNT(*) FROM p_$nm p JOIN truth t" +
         " ON p.q_id = t.q_id AND p.vec_id = t.vec_id) AS hits"
     }.mkString("\nUNION ALL\n")
-    "WITH truth AS MATERIALIZED (SELECT q_id, vec_id FROM (\n" + knnBruteSql +
+    "WITH truth AS MATERIALIZED (SELECT q_id, vec_id FROM (\n" + matSql(knnBruteSql) +
       "\n) t_truth),\n" + ctes + ",\nstats AS (\n" + stats + ")\n" +
       "SELECT method, n_pred, hits,\n" +
       "  (1000000 * hits) // (SELECT COUNT(*) FROM truth) AS recall_ppm\n" +
@@ -2010,7 +2023,7 @@ object SimilarityQueries {
        |    ON sc.probe_rank <= l.nprobe),
        |topk AS (SELECT nprobe, q_id, vec_id FROM byl WHERE rnk <= 5),
        |truth AS (SELECT q_id, vec_id FROM (
-       |$knnBruteSql
+       |${matSql(knnBruteSql)}
        |) t_truth),
        |stats AS (
        |  SELECT p.nprobe, COUNT(*) AS n_pred,
@@ -2117,7 +2130,7 @@ object SimilarityQueries {
        |    ON sc.adc_rn <= d.depth),
        |topk AS (SELECT depth, q_id, vec_id FROM byd WHERE rnk <= 5),
        |truth AS (SELECT q_id, vec_id FROM (
-       |$knnBruteSql
+       |${matSql(knnBruteSql)}
        |) t_truth),
        |stats AS (
        |  SELECT p.depth, COUNT(*) AS n_pred,
@@ -2311,7 +2324,7 @@ object SimilarityQueries {
         s"  (SELECT COUNT(*) FROM p_$nm p JOIN truth t" +
         " ON p.q_id = t.q_id AND p.vec_id = t.vec_id) AS hits"
     }.mkString("\nUNION ALL\n")
-    "WITH truth AS (SELECT q_id, vec_id FROM (\n" + knnBruteSql +
+    "WITH truth AS (SELECT q_id, vec_id FROM (\n" + matSql(knnBruteSql) +
       "\n) t_truth),\n" + ctes + ",\nstats AS (\n" + stats + "),\n" +
       "recs AS (SELECT variant, n_pred, hits,\n" +
       "  (1000000 * hits) // (SELECT COUNT(*) FROM truth) AS recall_ppm\n" +
@@ -2617,7 +2630,7 @@ object SimilarityQueries {
          |      ON p.q_id = t.q_id AND p.vec_id = t.vec_id) AS BIGINT)
          |      AS hits)""".stripMargin
     }
-    "WITH truth AS (SELECT q_id, vec_id FROM (\n" + knnBruteSql +
+    "WITH truth AS (SELECT q_id, vec_id FROM (\n" + matSql(knnBruteSql) +
       "\n) tt),\n" + MRL_DIMS.map(armSql).mkString(",\n") + "\n" +
       "SELECT dim_budget, n_pred, hits,\n" +
       "  CAST((1000000 * hits) // (SELECT COUNT(*) FROM truth) AS BIGINT)" +
