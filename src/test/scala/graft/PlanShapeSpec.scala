@@ -178,10 +178,15 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("approx-distinct HLL pass is expand-free (only exact distincts expand)") {
     val plan = planOf("q_agg_approx_distinct")
-    // the exact two-distinct agg legitimately expands ×2; the HLL branch
-    // must not sit under an Expand (that was the 90 s plan)
-    assert(countOf(plan, "Expand") == 1,
-      s"expected exactly the exact-distinct Expand, plan:\n$plan")
+    // r20 shape: each branch hash-dedups its (flag, key) pairs first and
+    // computes count + HLL from the SAME deduped rows — no multi-distinct
+    // aggregate anywhere, so the Expand rewrite (the 90 s plan, and the
+    // r19 one-Expand exact side) is gone entirely. The sketch over the
+    // distinct value set is register-identical to the sketch over the raw
+    // stream (HLL registers are MAXes over hashed values), which the
+    // unchanged oracle hash verifies.
+    assert(countOf(plan, "Expand") == 0,
+      s"expected an Expand-free plan, got:\n$plan")
     assert(plan.contains("approx_count_distinct") || plan.contains("HyperLogLog"))
   }
 
