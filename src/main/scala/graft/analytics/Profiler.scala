@@ -44,6 +44,21 @@ object Profiler {
     * two-pass shape). */
   def profile(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.toSeq.filterNot(_.dataType.isInstanceOf[ArrayType])
+    // r20 optimization note: moving the string min/max out of pass 1
+    // (whose string buffers demote the wide aggregate to a zero-key
+    // SortAggregate — row-at-a-time, no codegen) onto the pass-2 value
+    // dictionary was implemented and A/B-measured at sf0.1/local[32]
+    // (noop sink): pass 1 alone improved 1.71 s → 1.10 s, but the full
+    // query LOST ~0.4 s (2.5 → 2.9 s) — the dictionary-grain min/max
+    // needs a second dict consumer (its final dedup aggregate runs once
+    // per consumer even with the dedup exchange AQE-reused) plus two
+    // more stages and a third broadcast join. The dictionary is O(N) for
+    // unique-key columns, so the trade does not improve at scale either.
+    // Kept: strings ride pass 1 (no sort happens — zero grouping keys).
+    // Getting the two dict consumers onto ONE exchange at all requires
+    // blocking PushDownPredicates + RemoveRedundantAggregates (both
+    // legally split the consumers onto different exchanges, re-melting
+    // the corpus) — see OPTIMIZATION_r20.md for the full measurement.
     // pass 1: narrow regular aggregates, single scan, no Expand
     val aggs = cols.flatMap { f =>
       val (mn, mx) = minMaxStr(f.name, f.dataType)
