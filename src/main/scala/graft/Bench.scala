@@ -14,12 +14,53 @@ object Bench {
     val loadStart = load1m
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Shuffle-compression codec knob (r21, guide §2.3 "Compression"):
+    // spark.io.compression.codec is a core conf fixed at context start,
+    // so it is parameterized by env rather than hardcoded. UNSET by
+    // default — the bench then runs Spark's stock lz4 and stays
+    // protocol-comparable with every prior round's numbers; the measured
+    // zstd trade-off on the byte-heavy exchanges is documented in
+    // OPTIMIZATION_r21.md (production guidance, not a local[32] tune).
+    val ioCodec = sys.env.get("SPARK_GRAFT_IO_CODEC")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    ioCodec.foreach(c => builder.config("spark.io.compression.codec", c))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query task-metrics attribution (r21, verdict r20 item 8):
+    // a cumulative SparkListener whose between-queries deltas localize a
+    // regression to the operator class (compute vs shuffle vs spill vs
+    // GC) without re-measuring end to end. Counters are monotonic totals;
+    // timed() snapshots around each run. Listener delivery is async, so a
+    // tail of task-end events can land after the snapshot — per-query
+    // attribution is diagnostic (±a few tasks), never part of the timing.
+    val tm = new org.apache.spark.scheduler.SparkListener {
+      val runMs = new java.util.concurrent.atomic.AtomicLong
+      val gcMs = new java.util.concurrent.atomic.AtomicLong
+      val shufReadB = new java.util.concurrent.atomic.AtomicLong
+      val shufWriteB = new java.util.concurrent.atomic.AtomicLong
+      val spillB = new java.util.concurrent.atomic.AtomicLong
+      val fetchWaitMs = new java.util.concurrent.atomic.AtomicLong
+      val nTasks = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          runMs.addAndGet(m.executorRunTime)
+          gcMs.addAndGet(m.jvmGCTime)
+          shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+          nTasks.incrementAndGet()
+        }
+      }
+      def snap: Seq[Long] = Seq(runMs.get, gcMs.get, shufReadB.get,
+        shufWriteB.get, spillB.get, fetchWaitMs.get, nTasks.get)
+    }
+    spark.sparkContext.addSparkListener(tm)
     // JVM/codegen/file-listing warmup so the first timed query doesn't
     // absorb session startup; runs one representative query untimed.
     try {
@@ -87,7 +128,13 @@ object Bench {
     // the per-round signal. min-of-2 bounds one-sided noise; the raw pair
     // is kept in the JSON ("raw") so a reader can audit run-to-run spread,
     // and per-tier subtotals ("tiers") attribute drift to a module.
+    // per-query task-metric deltas: keep the snapshot pair of the FASTEST
+    // run of each query (the run whose time the JSON records), so the
+    // attribution describes the measured pass, not a contended one
+    val tmBest = scala.collection.mutable.Map[String, (Double, Seq[Long])]()
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      spark.sparkContext.setJobDescription(name)
+      val s0 = tm.snap
       val t0 = System.nanoTime()
       // Execute the RETURNED Dataset's own (already-planned) physical plan:
       // Dataset.count() would build a fresh QueryExecution from the logical
@@ -101,7 +148,10 @@ object Bench {
           System.err.println(s"GRAFT_BENCH_FAIL $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
           -1L
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val delta = tm.snap.zip(s0).map { case (a, b) => a - b }
+      if (!tmBest.get(name).exists(_._1 <= sec)) tmBest(name) = (sec, delta)
+      sec
     }
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => subset.forall(_.contains(name)) }
@@ -244,8 +294,16 @@ object Bench {
     // load_end is read before spark.stop() tears the pools down, so it
     // reflects the sweep itself, not shutdown
     val loadEnd = load1m
+    // per-query task-metric attribution of the recorded (fastest) run —
+    // diagnostic field (see the listener note); full form only
+    val tmJson = tmBest.toSeq.sortBy(_._1).map { case (n, (_, d)) =>
+      s"\"$n\":{\"run_ms\":${d(0)},\"gc_ms\":${d(1)},\"shuf_read_b\":${d(2)}," +
+        s"\"shuf_write_b\":${d(3)},\"spill_b\":${d(4)}," +
+        s"\"fetch_wait_ms\":${d(5)},\"n_tasks\":${d(6)}}"
+    }.mkString("{", ",", "}")
+    val codecJson = ioCodec.map(c => "\"" + c + "\"").getOrElse("null")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2-plus-recheck","subset_run":${subset.nonEmpty},"subset":$subsetJson,"load_1m_start":$loadStart,"load_1m_end":$loadEnd,"queries":$qs,"raw":$rawJson,"recheck":$recheckJson,"baseline":"${priorFile.replace("\\", "/")}","tiers":$tiers,"warmup_absorbers":$absorbers,"slow_outliers":$slowOutliers,"regressions":$regressions,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"full-plan-execution-min-of-2-plus-recheck","subset_run":${subset.nonEmpty},"subset":$subsetJson,"io_codec":$codecJson,"load_1m_start":$loadStart,"load_1m_end":$loadEnd,"queries":$qs,"raw":$rawJson,"recheck":$recheckJson,"baseline":"${priorFile.replace("\\", "/")}","tiers":$tiers,"warmup_absorbers":$absorbers,"slow_outliers":$slowOutliers,"regressions":$regressions,"task_metrics":$tmJson,"sf":"$sfDir"}"""
     val compactJson =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     try {

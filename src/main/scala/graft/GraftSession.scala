@@ -160,7 +160,7 @@ object GraftSession {
     * should enable `spark.cleaner.referenceTracking.cleanCheckpoints=true`
     * (files are then removed when the checkpointed RDD is GC'd) or point
     * the dir at storage with a retention/TTL policy. */
-  def ckpt(df: DataFrame): DataFrame = {
+  def ckpt(df: DataFrame, eager: Boolean = true): DataFrame = {
     planAuditor.foreach(_(df.queryExecution.analyzed))
     val s = df.sparkSession
     s.conf.getOption("spark.graft.checkpoint.dir").filter(_.nonEmpty) match {
@@ -176,9 +176,34 @@ object GraftSession {
               s"the context's established checkpoint dir " +
               s"${sc.getCheckpointDir.get}; SparkContext offers no reset — " +
               "reliable checkpoints keep writing to the established dir")
-        df.checkpoint()
-      case None => df.localCheckpoint()
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
     }
+  }
+
+  /** Materialize-then-sort presentation helper (r21). A GLOBAL sort's
+    * RangePartitioner SAMPLES its child to pick partition bounds, so when
+    * nothing below the sort is a shuffle (narrow pipelines, broadcast
+    * joins, memo scans) the ENTIRE upstream executes twice — once for the
+    * sampler, once for the real shuffle. One [[ckpt]] barrier before the
+    * sort makes both passes read materialized rows instead. Use where the
+    * upstream is expensive per row (decode, regex, folds, joins) and the
+    * sorted relation is the query's own output (which must materialize
+    * anyway); leave plain `orderBy` where the child is already an
+    * aggregate/shuffle (AQE reuses the materialized stage) or a bare
+    * cheap scan. Measured (sf1, local[32]): q_tokens_per_doc 10.95 →
+    * 6.5 s, q_token_ids 28.6 → 20.9 s — the double fold was the whole
+    * difference. */
+  def presentSorted(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = {
+    // session-conf kill switch (default on) — exists so the A/B harness
+    // can measure both forms in one JVM; results identical either way
+    val on = df.sparkSession.conf
+      .getOption("spark.graft.presort.ckpt").forall(_.toBoolean)
+    // LAZY checkpoint: the range-sampler's pass is the one that computes
+    // and materializes the blocks, the sort's shuffle re-reads them — two
+    // jobs total, upstream computed once. (An eager ckpt costs a third
+    // job, which at sub-second query sizes erased the win.)
+    if (on) ckpt(df, eager = false).orderBy(cols: _*) else df.orderBy(cols: _*)
   }
 
   private val cboLock = new Object

@@ -41,8 +41,12 @@ object Profiler {
   }
 
   /** Profile all non-array columns of a table (see object doc for the
-    * two-pass shape). */
-  def profile(df: DataFrame): DataFrame = {
+    * two-pass shape). `splitStringMinMax` (default on, r21) moves the
+    * string columns' min/max into their OWN zero-key aggregate crossed
+    * back onto the 1-row result — see the shape note at the pass-1
+    * aggregate; the flag exists so the A/B harness can run both forms in
+    * one JVM. */
+  def profile(df: DataFrame, splitStringMinMax: Boolean = true): DataFrame = {
     val cols = df.schema.fields.toSeq.filterNot(_.dataType.isInstanceOf[ArrayType])
     // r20 optimization note: moving the string min/max out of pass 1
     // (whose string buffers demote the wide aggregate to a zero-key
@@ -59,15 +63,48 @@ object Profiler {
     // blocking PushDownPredicates + RemoveRedundantAggregates (both
     // legally split the consumers onto different exchanges, re-melting
     // the corpus) — see OPTIMIZATION_r20.md for the full measurement.
-    // pass 1: narrow regular aggregates, single scan, no Expand
-    val aggs = cols.flatMap { f =>
+    // pass 1: narrow regular aggregates, single scan, no Expand.
+    // r21 (verdict r20 item 9): the STRING columns' min/max buffers are
+    // the only non-mutable fields in the wide aggregate, and one immutable
+    // buffer field demotes the ENTIRE 44-expression aggregate to a
+    // zero-key SortAggregate (no sort — zero keys — but row-at-a-time
+    // interpreted evaluation, no codegen). Splitting exactly those
+    // min/max pairs into their own zero-key aggregate leaves the numeric
+    // pass on a codegen'd HashAggregate and confines the SortAggregate to
+    // a scan of just the string columns (parquet column pruning makes
+    // that second scan read only those — typically short dictionary
+    // columns). The two 1-row results cross back with a single-row BNLJ.
+    // Unlike the r20 dictionary-grain attempt (measured, rejected), there
+    // is no shared exchange for the optimizer to split: both sides are
+    // independent scans, so PushDownPredicates/RemoveRedundantAggregates
+    // have nothing to re-melt.
+    val isStr = (dt: DataType) => dt.isInstanceOf[StringType]
+    val aggsOf = (fs: Seq[StructField]) => fs.flatMap { f =>
       val (mn, mx) = minMaxStr(f.name, f.dataType)
       Seq(
         count(col(f.name)).as(s"${f.name}__n"),
         count(lit(1)).minus(count(col(f.name))).as(s"${f.name}__nulls"),
         mn.as(s"${f.name}__min"), mx.as(s"${f.name}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val strCols = cols.filter(f => isStr(f.dataType))
+    val wide = if (!splitStringMinMax || strCols.isEmpty) {
+      val aggs = aggsOf(cols)
+      df.agg(aggs.head, aggs.tail: _*)
+    } else {
+      val mainAggs = cols.flatMap { f =>
+        val (mn, mx) = minMaxStr(f.name, f.dataType)
+        Seq(count(col(f.name)).as(s"${f.name}__n"),
+          count(lit(1)).minus(count(col(f.name))).as(s"${f.name}__nulls")) ++
+          (if (isStr(f.dataType)) Nil
+           else Seq(mn.as(s"${f.name}__min"), mx.as(s"${f.name}__max")))
+      }
+      val strAggs = strCols.flatMap { f =>
+        val (mn, mx) = minMaxStr(f.name, f.dataType)
+        Seq(mn.as(s"${f.name}__min"), mx.as(s"${f.name}__max"))
+      }
+      df.agg(mainAggs.head, mainAggs.tail: _*)
+        .crossJoin(df.agg(strAggs.head, strAggs.tail: _*))
+    }
     // pass 2: melt → hash-dedup → per-column distinct counts. The melt
     // keeps each value in its NATIVE type family (long / double /
     // string) instead of rendering everything to strings — the distinct

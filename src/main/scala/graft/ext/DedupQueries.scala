@@ -355,7 +355,7 @@ object DedupQueries {
           when($"n_chars" === $"cx.n_chars" && $"doc_id" === -$"cx.ndoc",
             lit(1)).otherwise(lit(2)))
         .drop("cx")
-        .transform(graft.GraftSession.ckpt)
+        .transform(graft.GraftSession.ckpt(_))
     }
 
   /** The missing last stage of every near-dup pipeline: resolve the LSH
@@ -488,7 +488,7 @@ object DedupQueries {
       .withColumn("toks", split($"text", " "))
       .select($"doc_id", array_distinct(shingleArr).as("sh_arr"))
       .withColumn("n_sh", size($"sh_arr").cast("long"))
-      .transform(graft.GraftSession.ckpt)
+      .transform(graft.GraftSession.ckpt(_))
     star
       .join(shArr.toDF("can_doc", "sha", "n_sh_a"), "can_doc")
       .join(shArr.toDF("mem_doc", "shb", "n_sh_b"), "mem_doc")
@@ -586,7 +586,7 @@ object DedupQueries {
       .select($"vec_id", transform($"embedding", x => q6(x)).as("qe"))
       .select($"vec_id", $"qe",
         graft.functions.LongArrayDot.longArrayDot($"qe", $"qe").as("nrm"))
-      .transform(graft.GraftSession.ckpt)
+      .transform(graft.GraftSession.ckpt(_))
     val dot = graft.functions.LongArrayDot.longArrayDot($"qa", $"qb")
     val scored = chainStarScored(s, dir)
       .join(emb.toDF("can_doc", "qa", "na"), "can_doc")
@@ -732,8 +732,12 @@ object DedupQueries {
     ngramJaccardOf(Tables.documents(s, dir))
 
   /** [[dedupNgramJaccard]] over an arbitrary (doc_id, lang, text) relation
-    * — factored for the ContractAndPropertySpec reference pin. */
-  private[graft] def ngramJaccardOf(docs: DataFrame): DataFrame = {
+    * — factored for the ContractAndPropertySpec reference pin.
+    * `admitQueryShingles` (default on, r21) gates the query-shingle
+    * admission semi-join below; the flag exists only so the A/B harness
+    * can run both forms in one JVM. */
+  private[graft] def ngramJaccardOf(docs: DataFrame,
+      admitQueryShingles: Boolean = true): DataFrame = {
     import docs.sparkSession.implicits._
     val sh = docs
       .withColumn("toks", split($"text", " "))
@@ -749,7 +753,25 @@ object DedupQueries {
       .select($"lang", $"sh")
     val shOk = sh.join(hotShingles, Seq("lang", "sh"), "left_anti")
     val sizes = shOk.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val postings = shOk.groupBy($"lang", $"sh")
+    // r21 (verdict r20 item 5): a posting list contributes candidate pairs
+    // ONLY if it contains a query doc (the expansion keeps q % 97 = 0 as
+    // the left element), yet the collect_list exchange used to assemble
+    // EVERY non-stop posting list and discard the ~99% with no query doc
+    // inside the expansion lambda. Admit shingles on membership in a
+    // query doc FIRST: qsh is the (lang, shingle) dictionary of the ~1%
+    // query docs (the doc_id filter prunes at the scan, before shingling),
+    // and the semi-join drops non-query shingle rows BEFORE the posting
+    // exchange. Lossless by construction — a surviving list keeps ALL its
+    // docs (the semi-join filters on the shingle key, never the doc), and
+    // every list containing a query doc survives because that query doc's
+    // own (lang, sh) row puts sh in qsh. Deriving qsh from the raw `sh`
+    // (not shOk) keeps it one narrow 1%-scan; the superset (it may name
+    // hot shingles) is harmless — hot rows are already gone from shOk.
+    val qsh = sh.filter($"doc_id" % 97 === 0).select($"lang", $"sh").distinct()
+    val admitted = if (admitQueryShingles)
+      shOk.join(qsh, Seq("lang", "sh"), "left_semi") else shOk
+    val postings = admitted
+      .groupBy($"lang", $"sh")
       .agg(collect_list($"doc_id").as("docs"))
       .filter(size($"docs") >= 2)
     val inter = postings

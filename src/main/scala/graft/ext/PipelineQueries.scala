@@ -458,7 +458,7 @@ object PipelineQueries {
       .withColumn("q_permille", expr("1 + q_docs * 999 div n_docs"))
       .withColumn("weight", expr("tokens * (1 + q_docs * 999 div n_docs)"))
       .withColumn("cap", expr(s"tokens * $MAX_EPOCHS"))
-      .transform(graft.GraftSession.ckpt)
+      .transform(graft.GraftSession.ckpt(_))
     val tot = streams.agg(sum($"tokens").as("corpus_tokens"),
       sum($"weight").as("sum_w"))
     val r1 = streams.crossJoin(broadcast(tot))
@@ -718,7 +718,7 @@ object PipelineQueries {
       .withColumn("q_permille", expr("1 + n_kept * 999 div n_docs"))
       .withColumn("weight", expr("tokens * (1 + n_kept * 999 div n_docs)"))
       .withColumn("cap", expr(s"tokens * $MAX_EPOCHS"))
-      .transform(graft.GraftSession.ckpt)
+      .transform(graft.GraftSession.ckpt(_))
     val tot = base.agg(sum($"tokens").as("corpus_tokens"),
       sum($"weight").as("sum_w"))
     val r1 = base.crossJoin(broadcast(tot))
@@ -993,7 +993,7 @@ object PipelineQueries {
           .cast("long").as("chunk_len"),
         md5(expr(s"substring(text, chunk_idx * $STRIDE + 1, $CHUNK)")
           .cast("binary")).as("chunk_md5"))
-      .orderBy($"doc_id", $"chunk_idx")
+      .transform(graft.GraftSession.presentSorted(_, $"doc_id", $"chunk_idx"))
   }
 
   val chunkDocumentsSql: String =

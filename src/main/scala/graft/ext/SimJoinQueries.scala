@@ -69,7 +69,7 @@ object SimJoinQueries {
     graft.GraftSession.memo(s, "simjoin_doc_index|" +
         graft.GraftSession.contentKey(dir, Seq("documents"))) {
       docIndexOf(Tables.documents(s, dir))
-        .transform(graft.GraftSession.ckpt)
+        .transform(graft.GraftSession.ckpt(_))
     }
 
   /** The un-memoized ranked-index plan over an arbitrary (doc_id, text)
@@ -235,7 +235,7 @@ object SimJoinQueries {
       .filter($"n_inter" * CDEN >= $"a_n" * CNUM)
       .select($"a_id", $"b_id", $"n_inter", $"a_n", $"b_n",
         ($"n_inter".cast(DoubleType) / $"a_n").as("containment"))
-      .orderBy($"a_id", $"b_id")
+      .transform(graft.GraftSession.presentSorted(_, $"a_id", $"b_id"))
   }
 
   val containJoinSql: String =

@@ -398,7 +398,7 @@ object SimilarityQueries {
       .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
         x => x.getField("m")).as("c_qe"))
       .select($"c_id", $"c_qe", dotQ($"c_qe", $"c_qe").as("c_nrm"))
-      .transform(graft.GraftSession.ckpt)
+      .transform(graft.GraftSession.ckpt(_))
   }
 
   /** IVF-flat with LEARNED centroids: the md5-picked seed of [[knnIvf]]
@@ -1386,7 +1386,7 @@ object SimilarityQueries {
       .groupBy($"m", $"cid")
       .agg(transform(array_sort(collect_list(struct($"j", $"mj"))),
         x => x.getField("mj")).as("cw"))
-      .transform(graft.GraftSession.ckpt)
+      .transform(graft.GraftSession.ckpt(_))
   }
 
   /** Seed + [[PQ_ROUNDS]] Lloyd-refined per-subspace codebooks. */

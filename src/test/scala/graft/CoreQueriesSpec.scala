@@ -1262,4 +1262,41 @@ class CoreQueriesSpec extends AnyFunSuite {
       .agg(sum("n")).head().getLong(0)
     assert(n === Tables.orders(spark, sf).count())
   }
+
+  test("digit-string long encoding is lexicographic-order-preserving (q_url_parse min_cust)") {
+    // r21: q_url_parse computes MIN(cust) through digitStrEnc/digitStrDec
+    // so the rollup stays on HashAggregate. The contract: for
+    // no-leading-zero digit strings up to 17 digits, enc is injective,
+    // numeric order on enc == lexicographic order on the strings, and
+    // dec(enc(s)) == s. Adversarial pairs: "9" vs "10" (lex "10" first),
+    // prefix + trailing zeros ("12" vs "120": prefix smaller), and both
+    // 17-digit boundary values.
+    import graft.analytics.SurfaceQueries
+    import graft.analytics.SurfaceQueries.{digitStrEnc, digitStrDec}
+    val vals = Seq("9", "10", "12", "120", "123", "1", "2", "99", "100",
+      "10000000000000000", "99999999999999999", "5000000", "4999999")
+    val df = vals.toDF("cust")
+      .select($"cust", digitStrEnc($"cust").as("enc"),
+        digitStrDec(digitStrEnc($"cust")).as("back"))
+      .collect()
+    // round-trip exact
+    df.foreach(r => assert(r.getString(2) === r.getString(0), s"roundtrip ${r.getString(0)}"))
+    // order isomorphic to lexicographic string order
+    val byStr = df.map(_.getString(0)).sorted.toSeq
+    val byEnc = df.sortBy(_.getLong(1)).map(_.getString(0)).toSeq
+    assert(byEnc === byStr)
+    // and on the real population the declared query's min_cust equals the
+    // plain string min (the form the oracle computes)
+    val direct = Tables.orders(spark, sf)
+      .select(lower(regexp_replace($"o_orderpriority", " ", "-")).as("prio"),
+        $"o_custkey".cast("string").as("cust"))
+      .groupBy($"prio").agg(min($"cust").as("want"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val got = SurfaceQueries.urlParse(spark, sf)
+      .select($"path", $"min_cust").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    direct.foreach { case (prio, want) =>
+      assert(got(s"/$prio/item") === want, s"min_cust for $prio")
+    }
+  }
 }

@@ -87,6 +87,9 @@ class RegistrySpec extends AnyFunSuite {
       // single-row corpus-stats aggregate (N, avgdl) crossed onto the
       // scored term rows — same class as q_text_tfidf
       "q_text_bm25",
+      // r21: pass 1 splits the string min/max into their own zero-key
+      // aggregate — the cross of the two 1-row results is a 1x1 BNLJ
+      "q_profile_lineitem",
       // single-row Σ-weight normalizer crossed onto the 5-row
       // allocation table — same class as q_mix_weighted
       "q_sample_neyman",
@@ -285,8 +288,9 @@ class RegistrySpec extends AnyFunSuite {
       "q_ann_pruned_recall" -> "cluster-census dictionary",
       // ranks the trained vocabulary (vocab-bounded, ~|merges|+alphabet)
       "q_bpe_vocab" -> "vocabulary",
-      // the merge-table fold input (|BPE train rounds| rows)
-      "q_token_ids" -> "merge table",
+      // (q_token_ids left this map in r21: its merge-table window now
+      // sits inside the pre-sort localCheckpoint — the ckpt planAuditor
+      // guard below still walks that plan)
       // the drift audit's running-overlap window runs over the
       // BpeTrainRounds-row merge comparison (merge-table bounded)
       "q_tokenizer_drift" -> "merge table",
