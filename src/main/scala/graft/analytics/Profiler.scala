@@ -41,12 +41,16 @@ object Profiler {
   }
 
   /** Profile all non-array columns of a table (see object doc for the
-    * two-pass shape). `splitStringMinMax` (default on, r21) moves the
-    * string columns' min/max into their OWN zero-key aggregate crossed
-    * back onto the 1-row result — see the shape note at the pass-1
-    * aggregate; the flag exists so the A/B harness can run both forms in
-    * one JVM. */
-  def profile(df: DataFrame, splitStringMinMax: Boolean = true): DataFrame = {
+    * two-pass shape). `splitStringMinMax` (r21, default OFF — measured,
+    * rejected) moves the string columns' min/max into their OWN zero-key
+    * aggregate crossed back onto the 1-row result, leaving the numeric
+    * pass on a codegen'd HashAggregate. Interleaved A/B (verdict r20
+    * item 9): sf0.1 a wash (2.001 vs 1.997 s min over 8 reps), sf1
+    * slightly WORSE (3.156 vs 3.388 s min over 4 reps) — pass 2's melt
+    * dominates the query and the split's second scan + 1×1-row BNLJ cost
+    * more than the interpreted zero-key SortAggregate saves. The flag
+    * stays so the A/B is reproducible; both forms are row-identical. */
+  def profile(df: DataFrame, splitStringMinMax: Boolean = false): DataFrame = {
     val cols = df.schema.fields.toSeq.filterNot(_.dataType.isInstanceOf[ArrayType])
     // r20 optimization note: moving the string min/max out of pass 1
     // (whose string buffers demote the wide aggregate to a zero-key

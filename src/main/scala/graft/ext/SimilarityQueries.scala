@@ -248,6 +248,15 @@ object SimilarityQueries {
     math.min(k, Int.MaxValue.toLong).toInt
   }
 
+  /** Corpus vector count for the K growth law, memoized per (session,
+    * dir) — verdict r20 item 6: `knnIvf` ran a fresh `embeddings.count()`
+    * action per query build (parquet-metadata cheap, but a driver
+    * round-trip per invocation). The count is a property of the lake, so
+    * it rides the session memo like the other trained statics. */
+  private[graft] def embCount(s: SparkSession, dir: String): Long =
+    graft.GraftSession.memo(s, s"emb_count|$dir")(
+      java.lang.Long.valueOf(Tables.embeddings(s, dir).count())).longValue
+
   /** DuckDB mirror of [[ivfK]] over a count expression. */
   private def ivfKSql(countExpr: String): String =
     s"GREATEST($IVF_K, (($countExpr) + ${IVF_TARGET_LIST - 1}) // $IVF_TARGET_LIST)"
@@ -269,7 +278,7 @@ object SimilarityQueries {
     val cents = e
       .orderBy(md5(concat(lit("ivf_"), $"vec_id".cast(StringType))).asc,
         $"vec_id".asc)
-      .limit(ivfK(Tables.embeddings(s, dir).count()))
+      .limit(ivfK(embCount(s, dir)))
       .toDF("c_id", "c_qe", "c_nrm")
     val scoredCents = e.join(broadcast(cents), lit(true))
       .select($"vec_id", $"qe", $"nrm", $"c_id",
@@ -999,7 +1008,7 @@ object SimilarityQueries {
     val ranked = rankedAssign(s, dir)
     val assign = ranked.filter($"crn" === 1)
       .select($"vec_id", $"c_id".as("bucket"))
-    val depth = semDepth(Tables.embeddings(s, dir).count())
+    val depth = semDepth(embCount(s, dir))
     val v0 = e.join(assign, Seq("vec_id"))
     val v =
       if (depth == 0) v0.withColumn("sub", lit(""))
@@ -2951,7 +2960,7 @@ object SimilarityQueries {
     * property the serving tier's cost model rests on. */
   def annIndexK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val kLaw = ivfK(Tables.embeddings(s, dir).count())
+    val kLaw = ivfK(embCount(s, dir))
     rankedAssign(s, dir).filter($"crn" === 1)
       .groupBy($"c_id").agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n_lists"), sum($"sz").as("n_vecs"),

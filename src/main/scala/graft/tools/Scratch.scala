@@ -75,6 +75,20 @@ object Scratch {
       val t = TextQueries.tokensPerDocOf(graft.Tables.documents(s, dir),
         TextQueries.bpeMergeTable(s, dir))
       graft.GraftSession.ckpt(t).orderBy($"doc_id") },
+    // UnsafeRow field-width probe: does narrowing a shuffled long column
+    // to int shrink shuffle bytes? (UnsafeRow 8-byte-aligns every
+    // fixed-width slot, so the answer pre-compression is no; the codec
+    // may still squeeze the zero bytes — shufW below is post-compression)
+    "narrow_long" -> { (s, _) =>
+      import s.implicits._
+      s.range(5000000L).select($"id",
+        ($"id" % 32768).cast("long").as("p"),
+        xxhash64($"id").as("h")).orderBy($"h") },
+    "narrow_int" -> { (s, _) =>
+      import s.implicits._
+      s.range(5000000L).select($"id",
+        ($"id" % 32768).cast("int").as("p"),
+        xxhash64($"id").as("h")).orderBy($"h") },
     // q_agg_approx_distinct: the r19 split form (exact multi-distinct via
     // the Expand rewrite + a SEPARATE raw-stream HLL pass) vs the r20
     // dedup-first HLL — the verdict r20 item-3 keep-or-revert A/B

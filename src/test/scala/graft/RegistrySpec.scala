@@ -87,9 +87,6 @@ class RegistrySpec extends AnyFunSuite {
       // single-row corpus-stats aggregate (N, avgdl) crossed onto the
       // scored term rows — same class as q_text_tfidf
       "q_text_bm25",
-      // r21: pass 1 splits the string min/max into their own zero-key
-      // aggregate — the cross of the two 1-row results is a 1x1 BNLJ
-      "q_profile_lineitem",
       // single-row Σ-weight normalizer crossed onto the 5-row
       // allocation table — same class as q_mix_weighted
       "q_sample_neyman",
@@ -666,7 +663,10 @@ class RegistrySpec extends AnyFunSuite {
       "TextQueries.lmScorePerDoc [perdoc_lm]" -> force("q_text_lmscore"),
       "WarehouseQueries [fmt_roundtrip] (write-only memo, no plan)" -> force("q_format_roundtrip"),
       "StatsQueries.topPairs [basket_top_pairs]" -> force("q_basket_lift"),
-      "HierarchyQueries.jumpState [hierarchy_jump]" -> force("q_hierarchy_closure"))
+      "HierarchyQueries.jumpState [hierarchy_jump]" -> force("q_hierarchy_closure"),
+      // r21: the K-growth-law corpus count (a SCALAR, not a plan — the
+      // memo holds a boxed Long; no build windows to review)
+      "SimilarityQueries.embCount [emb_count] (scalar, no plan)" -> force("q_sim_knn_ivf"))
     assert(memoSites === memoForcers.size,
       s"$memoSites GraftSession.memo call sites in src/main but " +
         s"${memoForcers.size} forcers here — a new memo family needs a " +
