@@ -736,9 +736,11 @@ object DedupQueries {
     * `admitQueryShingles` (default on, r21) gates the query-shingle
     * admission semi-join below; the flag exists only so the A/B harness
     * can run both forms in one JVM. */
-  private[graft] def ngramJaccardOf(docs: DataFrame,
+  private[graft] def ngramJaccardOf(docs0: DataFrame,
       admitQueryShingles: Boolean = true): DataFrame = {
-    import docs.sparkSession.implicits._
+    import docs0.sparkSession.implicits._
+    // r21: shingling is narrow over the raw scan — spread (§2.5)
+    val docs = Tables.spread(docs0)
     val sh = docs
       .withColumn("toks", split($"text", " "))
       .select($"doc_id", $"lang", explode(array_distinct(shingleArr)).as("sh"))
@@ -1339,8 +1341,12 @@ object DedupQueries {
     * this replaced did O(n·W) byte work and a 40-char allocation per
     * window). Shared by the published index and the admission probe so
     * both sides hash identically. */
-  private[graft] def windowFingerprints(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
+  private[graft] def windowFingerprints(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    // r21: the rolling-hash pass is narrow over the raw scan — spread a
+    // single-row-group input so it runs on every core (§2.5; no-op at
+    // real scale and on streaming inputs)
+    val docs = Tables.spread(docs0)
     docs.filter(length($"text") >= SUBSTR_W)
       .select($"doc_id",
         posexplode(graft.functions.RollingHash64.rollingHash64(
@@ -1559,7 +1565,8 @@ object DedupQueries {
     * content (≈ chars/64 rows), two-phase aggregates above it. */
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"text")
+    val docs = Tables.spread(
+      Tables.documents(s, dir).select($"doc_id", $"lang", $"text"))
     // Single chunker pass: the naive chunks⋈(chunks groupBy chunk)
     // self-join planned the (dominant-cost) chunking lambda TWICE — the
     // two exchange subtrees differ, so ReuseExchange cannot dedup them.
@@ -1650,8 +1657,8 @@ object DedupQueries {
     * classification is a per-group comparison, no joins at all. */
   def cdcChunkGc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chunks = cdcChunkRows(
-      Tables.documents(s, dir).select($"doc_id", $"lang", $"text"))
+    val chunks = cdcChunkRows(Tables.spread(
+      Tables.documents(s, dir).select($"doc_id", $"lang", $"text")))
     chunks
       .groupBy($"chunk")
       .agg(count(lit(1)).as("refs"),

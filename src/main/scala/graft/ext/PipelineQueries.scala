@@ -106,7 +106,7 @@ object PipelineQueries {
   def packExactTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = TextQueries.tokensPerDocOf(
-        Tables.documents(s, dir), TextQueries.bpeMergeTable(s, dir),
+        Tables.spread(Tables.documents(s, dir)), TextQueries.bpeMergeTable(s, dir),
         carry = Seq("lang", "source"))
       .select($"lang", $"source", $"doc_id", $"n_tokens".as("n_tok"))
     val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
@@ -159,7 +159,7 @@ object PipelineQueries {
   private def manifestRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = TextQueries.tokensPerDocOf(
-        Tables.documents(s, dir), TextQueries.bpeMergeTable(s, dir),
+        Tables.spread(Tables.documents(s, dir)), TextQueries.bpeMergeTable(s, dir),
         carry = Seq("lang", "source"))
       .select($"lang", $"source", $"doc_id", $"n_tokens".as("n_tok"))
     val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
@@ -585,7 +585,8 @@ object PipelineQueries {
       sum($"isq".cast("long")).as("n_quality"),
       sum($"keep".cast("long")).as("n_kept"))
     val toks = TextQueries.tokensPerDocOf(
-        staged.filter($"keep").select($"doc_id", $"text", $"lang", $"source"),
+        Tables.spread(staged.filter($"keep")
+          .select($"doc_id", $"text", $"lang", $"source")),
         TextQueries.bpeMergeTable(s, dir), carry = Seq("lang", "source"))
       .select($"lang", $"source", $"doc_id", $"n_tokens".as("n_tok"))
     val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
@@ -683,7 +684,8 @@ object PipelineQueries {
     val census = staged.groupBy($"lang", $"source").agg(
       count(lit(1)).as("n_docs"), sum($"keep".cast("long")).as("n_kept"))
     val toks = TextQueries.tokensPerDocOf(
-        staged.filter($"keep").select($"doc_id", $"text", $"lang", $"source"),
+        Tables.spread(staged.filter($"keep")
+          .select($"doc_id", $"text", $"lang", $"source")),
         TextQueries.bpeMergeTable(s, dir), carry = Seq("lang", "source"))
       .select($"lang", $"source", $"doc_id", $"n_tokens".as("n_tok"))
     val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
@@ -1242,7 +1244,7 @@ object PipelineQueries {
     * scale anti-pattern even when the join itself is "broadcast". */
   def spanScrub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val spans = Tables.documents(s, dir)
+    val spans = Tables.spread(Tables.documents(s, dir))
       .select($"doc_id", $"source", split($"text", " ").as("w"))
       .withColumn("n_spans", expr(s"size(w) div $SCRUB_W"))
       // sequence(0, n_spans) is never empty (n_spans >= 0), so no

@@ -977,7 +977,7 @@ object TextQueries {
     // read the materialized rows. Same move as q_graph_kcore's per-round
     // ckpt; executes inside the bench's timed region.
     graft.GraftSession.presentSorted(
-      tokensPerDocOf(Tables.documents(s, dir), bpeMergeTable(s, dir)),
+      tokensPerDocOf(Tables.spread(Tables.documents(s, dir)), bpeMergeTable(s, dir)),
       $"doc_id")
   }
 
@@ -1099,8 +1099,8 @@ object TextQueries {
     * one hash aggregate. */
   def bpeFertility(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val t = tokensPerDocOf(Tables.documents(s, dir), bpeMergeTable(s, dir),
-      carry = Seq("lang", "n_chars"))
+    val t = tokensPerDocOf(Tables.spread(Tables.documents(s, dir)),
+      bpeMergeTable(s, dir), carry = Seq("lang", "n_chars"))
     t.groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_words").as("words"),
@@ -1200,8 +1200,8 @@ object TextQueries {
     // ([[tokenIdsArtifactFrame]]) keeps its zero-exchange plan — it has
     // no global sort, so nothing samples there.
     graft.GraftSession.presentSorted(
-      tokenIdsOf(Tables.documents(s, dir), bpeMergeTable(s, dir),
-        bpeVocab(s, dir)),
+      tokenIdsOf(Tables.spread(Tables.documents(s, dir)),
+        bpeMergeTable(s, dir), bpeVocab(s, dir)),
       $"doc_id", $"pos")
   }
 

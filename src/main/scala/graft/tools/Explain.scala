@@ -12,6 +12,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_PRESORT_CKPT=off reproduces the pre-r21 plans (plain orderBy
+    // instead of the lazy pre-sort checkpoint) for before/after captures
+    if (sys.env.get("GRAFT_PRESORT_CKPT").contains("off"))
+      spark.conf.set("spark.graft.presort.ckpt", "false")
     args.tail.foreach { n =>
       println(s"===== $n =====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
