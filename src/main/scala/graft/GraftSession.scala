@@ -160,7 +160,8 @@ object GraftSession {
     * should enable `spark.cleaner.referenceTracking.cleanCheckpoints=true`
     * (files are then removed when the checkpointed RDD is GC'd) or point
     * the dir at storage with a retention/TTL policy. */
-  def ckpt(df: DataFrame, eager: Boolean = true): DataFrame = {
+  def ckpt(df: DataFrame, eager: Boolean = true,
+      level: Option[org.apache.spark.storage.StorageLevel] = None): DataFrame = {
     planAuditor.foreach(_(df.queryExecution.analyzed))
     val s = df.sparkSession
     s.conf.getOption("spark.graft.checkpoint.dir").filter(_.nonEmpty) match {
@@ -177,7 +178,10 @@ object GraftSession {
               s"${sc.getCheckpointDir.get}; SparkContext offers no reset — " +
               "reliable checkpoints keep writing to the established dir")
         df.checkpoint(eager)
-      case None => df.localCheckpoint(eager)
+      case None => level match {
+        case Some(l) => df.localCheckpoint(eager, l)
+        case None => df.localCheckpoint(eager)
+      }
     }
   }
 
@@ -203,7 +207,19 @@ object GraftSession {
     // and materializes the blocks, the sort's shuffle re-reads them — two
     // jobs total, upstream computed once. (An eager ckpt costs a third
     // job, which at sub-second query sizes erased the win.)
-    if (on) ckpt(df, eager = false).orderBy(cols: _*) else df.orderBy(cols: _*)
+    // DISK_ONLY: a corpus-sized sorted output (the tokenized corpus at the
+    // 100× tier is ~10 GB of blocks) stored at the default
+    // MEMORY_AND_DISK level OOMed the 32 g bench JVM — each bench pass
+    // constructs a fresh checkpoint and the old passes' blocks leave
+    // memory only when their RDDs are GC'd, so live copies accumulate in
+    // the storage pool. Disk blocks stream in and out without unroll
+    // memory, are bounded by disk (not heap), and at the small tiers ride
+    // the page cache — the sf0.1/sf1 wins re-measured unchanged.
+    if (on)
+      ckpt(df, eager = false,
+        level = Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+        .orderBy(cols: _*)
+    else df.orderBy(cols: _*)
   }
 
   private val cboLock = new Object
